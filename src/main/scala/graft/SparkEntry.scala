@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator
+  * inventory behind `queries`/`oracleSql`.
+  */
 object SparkEntry {
+
+  /** Every implemented operator, one Q each (SURVEY.md §2). */
+  def allQueries: Seq[Q] =
+    Analytics.all ++ TextQueries.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.q5RegionRevenue.run(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQueries.map(q => q.name -> q.fn).toMap
+
+  /** Equivalent ANSI SQL runnable by DuckDB on the same parquet tables;
+    * omitted for non-SQL-expressible ops (driver then row-count checks). */
+  def oracleSql: Map[String, String] =
+    allQueries.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }

@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** MapReduce-surface workloads re-expressed as declarative plans
+  * (SURVEY.md §2 A3–A6). Each is the Spark-native form of a reference
+  * mrapp: the explode→groupBy pipeline gets map-side partial aggregation
+  * and a single hash shuffle on the word key — exactly the
+  * `ihash(key) % NReduce` partitioning of /root/reference/src/mr/worker.go:16
+  * but chosen and executed by Catalyst/Tungsten.
+  */
+object TextQueries {
+
+  /** A3: word count (/root/reference/src/mrapps/wc.go). */
+  val qWordcount: Q = Q(
+    "q_wordcount",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(words(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy("word"),
+    Some(s"""SELECT w AS word, count(*) AS n
+      FROM (SELECT unnest(${sqlWords("text")}) AS w FROM documents) t
+      WHERE w <> '' GROUP BY w ORDER BY word"""))
+
+  /** A4: inverted index (/root/reference/src/mrapps/indexer.go:20-39):
+    * word -> distinct-doc count + sorted comma-joined doc list. Docs are
+    * identified by zero-padded doc_id so lexicographic order == numeric. */
+  val qInvertedIndex: Q = Q(
+    "q_inverted_index",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+        .select(col("word"), format_string("d%06d", col("doc_id")).as("doc"))
+        .groupBy("word")
+        .agg(
+          countDistinct(col("doc")).as("n_docs"),
+          concat_ws(",", array_sort(collect_set(col("doc")))).as("docs"))
+        .orderBy("word"),
+    Some(s"""SELECT w AS word, count(DISTINCT doc) AS n_docs,
+        string_agg(DISTINCT doc, ',' ORDER BY doc) AS docs
+      FROM (SELECT printf('d%06d', doc_id) AS doc,
+              unnest(${sqlWords("text")}) AS w FROM documents) t
+      WHERE w <> '' GROUP BY w ORDER BY word"""))
+
+  /** A5: distributed grep — regex hit counts per matching doc. The filter
+    * prunes non-matching docs before the (cheap) per-row count; at scale
+    * this is a full scan with predicate applied in the scan stage, no
+    * shuffle at all until the final order. */
+  val qGrep: Q = Q(
+    "q_grep",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(lower(col("text")), lit("spark|shuffle"), lit(0))).cast("long").as("n_hits"))
+        .filter(col("n_hits") > 0)
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(len(regexp_extract_all(lower(text), 'spark|shuffle')) AS BIGINT) AS n_hits
+      FROM documents
+      WHERE len(regexp_extract_all(lower(text), 'spark|shuffle')) > 0
+      ORDER BY doc_id"""))
+
+  /** A6: per-file/source record stats (early_exit.go family: one count per
+    * input file). */
+  val qDocStatsPerSource: Q = Q(
+    "q_doc_stats_per_source",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("source"),
+    Some("""SELECT source, count(*) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(qWordcount, qInvertedIndex, qGrep, qDocStatsPerSource)
+}
