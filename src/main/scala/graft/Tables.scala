@@ -19,7 +19,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = tbl(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = tbl(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = tbl(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = tbl(s, d, "events")
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects outright. Sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true`; here we truncate the
+    * long nanos to a microsecond timestamp (integer `div` — the values
+    * exceed 2^53, so a double division would corrupt them). DuckDB's
+    * `ts::TIMESTAMP` truncates ns→µs identically. */
+  def events(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "events").withColumn(
+      "ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")
 }

@@ -34,4 +34,44 @@ object TextFunctions {
   /** Oracle-side (DuckDB) fragment matching [[normText]]. */
   def sqlNormText(col: String): String =
     s"trim(regexp_replace(lower($col), '[^a-z0-9]+', ' ', 'g'))"
+
+  /** 64-bit polynomial rolling hash of an ASCII string:
+    * acc = (acc*31 + byte) mod 1e9+7. Deterministic and portable — the
+    * document-fingerprint primitive (SURVEY.md §3 "shared-hash
+    * determinism"). Runs as a higher-order aggregate over the char array;
+    * inputs are [[normText]]-normalized so byte == codepoint. */
+  def polyHash(c: Column): Column =
+    aggregate(
+      transform(filter(split(c, ""), ch => ch =!= ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  /** Oracle-side (DuckDB) fragment matching [[polyHash]]. */
+  def sqlPolyHash(col: String): String =
+    s"""list_reduce(
+       list_prepend(0::BIGINT,
+         list_transform(string_split($col, ''), ch -> ascii(ch)::BIGINT)),
+       (acc, x) -> (acc*31 + x) % 1000000007)"""
+
+  /** Word k-shingles (k consecutive tokens joined by one space) from a
+    * token-array column; empty array when there are fewer than k tokens. */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array())
+
+  /** Oracle-side (DuckDB) fragment matching [[shingles]] of a list-typed
+    * SQL expression `toks` (range(1, n) is empty for n <= 1, so the <k
+    * case needs no guard; slice bounds are inclusive). */
+  def sqlShingles(toks: String, k: Int): String =
+    s"list_transform(range(1, len($toks) - ${k - 2}), i -> array_to_string(($toks)[i:i+${k - 1}], ' '))"
+
+  /** Count of tokens that appear in a fixed stopword list. */
+  def stopHits(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, w => w.isin(stopwords: _*))).cast("long")
+
+  /** Oracle-side (DuckDB) fragment matching [[stopHits]]. */
+  def sqlStopHits(toks: String, stopwords: Seq[String]): String =
+    s"len(list_filter($toks, w -> w IN (${stopwords.map(w => s"'$w'").mkString(",")})))"
 }

@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.{Exact, Q, Tables}
+import graft.mr.MapReduce
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Workloads exercising the generic MR API (SURVEY.md §2 A2) and the
+  * reference's KV-store data semantics (A7).
+  */
+object MrQueries {
+  import Exact._
+
+  /** A2: word count executed through the generic `MapReduce` API — the
+    * reference's wc.go mrapp ported to the typed contract, running as a
+    * Catalyst plan with map-side combine (shuffle carries one (word,count)
+    * per partition, not one pair per occurrence). */
+  val qMrWordcount: Q = Q(
+    "q_mr_wordcount",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      MapReduce
+        .mapCombineReduce[(Long, String), String, Long, (String, Long)](
+          docs,
+          dt => dt._2.toLowerCase.split("[^a-z]+").iterator
+            .filter(_.nonEmpty).map(w => (w, 1L)),
+          _ + _,
+          (word, n) => (word, n))
+        .toDF("word", "n")
+        .orderBy("word")
+    },
+    Some("""SELECT w AS word, count(*) AS n
+      FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+            FROM documents) t
+      WHERE w <> '' GROUP BY w ORDER BY word"""))
+
+  /** A7: KV-log replay — the kvraft data capability (linearizable keyed
+    * state from an op log; /root/reference/src/kvraft) re-expressed as
+    * batch last-writer-wins reconstruction: for each key (user), the state
+    * is the latest op by (ts, event_id), plus replayed counters. One
+    * shuffle on the key; the window and the aggregate share it. */
+  val qKvReplay: Q = Q(
+    "q_kv_replay",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val latest = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      e.withColumn("rn", row_number().over(latest))
+        .withColumn("n_ops", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .withColumn("purchase_total",
+          round(sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0)).cast("decimal(38,10)"))
+            .over(Window.partitionBy(col("user_id"))), 2).cast("double"))
+        .filter(col("rn") === 1)
+        .select(
+          col("user_id"),
+          col("event_type").as("last_type"),
+          col("value").as("last_value"),
+          get_json_object(col("props"), "$.k").cast("long").as("last_k"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"),
+          col("n_ops"), col("purchase_total"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, last_type, last_value, last_k, last_ts, n_ops, purchase_total
+      FROM (SELECT user_id,
+        event_type AS last_type, value AS last_value,
+        json_extract(props, '$.k')::BIGINT AS last_k,
+        strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        count(*) OVER (PARTITION BY user_id) AS n_ops,
+        CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS DECIMAL(38,10)))
+          OVER (PARTITION BY user_id), 2) AS DOUBLE) AS purchase_total
+        FROM events) t
+      WHERE rn = 1 ORDER BY user_id"""))
+
+  val all: Seq[Q] = Seq(qMrWordcount, qKvReplay)
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis suite over the documents table (SURVEY.md §2 C1–C5):
+  * the per-document scoring/fingerprinting passes of an LLM training-data
+  * pipeline. All are single-scan, shuffle-free per-doc computations (the
+  * only shuffle is the presentation orderBy; at 100 TB these run as pure
+  * map stages over the corpus and write partitioned output).
+  *
+  * Determinism: every score is integer arithmetic plus at most ONE double
+  * division at the end (single IEEE op == correctly rounded in any
+  * engine); no transcendental functions (libm results differ across
+  * engines), no double accumulation.
+  */
+object TextAnalysis {
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopEs = Seq("el", "la", "de", "que", "y", "en", "un")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "von", "mit")
+  private val stopFr = Seq("le", "les", "et", "des", "une", "du", "au")
+
+  /** C1: token counting — whitespace tokens, letter-run word tokens, and a
+    * BPE-ish segmentation (letter runs | digit runs | single symbols). */
+  val qTokens: Q = Q(
+    "q_tokens",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long").as("n_ws_tokens"),
+          size(words(col("text"))).cast("long").as("n_word_tokens"),
+          size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+            .cast("long").as("n_bpe_tokens"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+      len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_ws_tokens,
+      len(list_filter(${sqlWords("text")}, t -> t <> '')) AS n_word_tokens,
+      len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+      CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents ORDER BY doc_id"""))
+
+  /** C2: language ID — stopword-hit voting with a fixed tie-break order,
+    * reported as a confusion matrix against the labeled `lang`. */
+  val qLangId: Q = Q(
+    "q_lang_id",
+    (s, d) => {
+      val toks = words(col("text"))
+      val en = stopHits(toks, stopEn)
+      val es = stopHits(toks, stopEs)
+      val de = stopHits(toks, stopDe)
+      val fr = stopHits(toks, stopFr)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          when(en + es + de + fr === 0, "und")
+            .when(en >= es && en >= de && en >= fr, "en")
+            .when(es >= de && es >= fr, "es")
+            .when(de >= fr, "de")
+            .otherwise("fr").as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    },
+    Some {
+      val toks = sqlWords("text")
+      val (en, es, de, fr) = (sqlStopHits(toks, stopEn), sqlStopHits(toks, stopEs),
+        sqlStopHits(toks, stopDe), sqlStopHits(toks, stopFr))
+      s"""SELECT lang, pred_lang, count(*) AS n FROM (
+        SELECT lang,
+          CASE WHEN ($en) + ($es) + ($de) + ($fr) = 0 THEN 'und'
+               WHEN ($en) >= ($es) AND ($en) >= ($de) AND ($en) >= ($fr) THEN 'en'
+               WHEN ($es) >= ($de) AND ($es) >= ($fr) THEN 'es'
+               WHEN ($de) >= ($fr) THEN 'de'
+               ELSE 'fr' END AS pred_lang
+        FROM documents) t
+      GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""
+    })
+
+  /** C3: quality scoring — length/stopword/word-shape signals, integer
+    * counts with single-division ratios. */
+  val qQuality: Q = Q(
+    "q_quality",
+    (s, d) => {
+      val toks = words(col("text"))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(toks).cast("long").as("n_words"),
+          stopHits(toks, stopEn).as("stop_hits"),
+          size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+            .cast("long").as("n_punct"))
+        .withColumn("avg_word_len",
+          (col("n_chars") - col("n_words") + 1).cast("double") / greatest(col("n_words"), lit(1L)))
+        .withColumn("stop_ratio",
+          col("stop_hits").cast("double") / greatest(col("n_words"), lit(1L)))
+        .withColumn("punct_ratio",
+          col("n_punct").cast("double") / greatest(col("n_chars"), lit(1L)))
+        .withColumn("quality_score",
+          (col("stop_hits") * 100L + col("n_words")).cast("double") / (col("n_chars") + 1L))
+        .orderBy("doc_id")
+    },
+    Some {
+      val toks = sqlWords("text")
+      val en = sqlStopHits(toks, stopEn)
+      s"""SELECT doc_id, n_chars, n_words, stop_hits, n_punct,
+        CAST(n_chars - n_words + 1 AS DOUBLE) / greatest(n_words, 1) AS avg_word_len,
+        CAST(stop_hits AS DOUBLE) / greatest(n_words, 1) AS stop_ratio,
+        CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+        CAST(stop_hits * 100 + n_words AS DOUBLE) / (n_chars + 1) AS quality_score
+      FROM (SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        len(list_filter($toks, t -> t <> '')) AS n_words,
+        ($en) AS stop_hits,
+        len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct
+        FROM documents) t ORDER BY doc_id"""
+    })
+
+  /** C4: document fingerprinting — md5 plus the portable 64-bit polynomial
+    * rolling hash over normalized text (SURVEY.md §3). */
+  val qFingerprint: Q = Q(
+    "q_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(normText(col("text"))).as("md5_hash"),
+          polyHash(normText(col("text"))).as("poly_hash"))
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+      md5(${sqlNormText("text")}) AS md5_hash,
+      ${sqlPolyHash(sqlNormText("text"))} AS poly_hash
+      FROM documents ORDER BY doc_id"""))
+
+  /** C5: word 3-gram shingling — per-doc shingle counts and distinct
+    * ratios (the dedup-candidate front end, standalone here). */
+  val qShingles: Q = Q(
+    "q_shingles",
+    (s, d) => {
+      val sh = shingles(words(col("text")), 3)
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(sh).cast("long").as("n_shingles"),
+          size(array_distinct(sh)).cast("long").as("n_distinct"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val sh = sqlShingles(sqlWords("text"), 3)
+      s"""SELECT doc_id,
+        len($sh) AS n_shingles,
+        len(list_distinct($sh)) AS n_distinct
+        FROM documents ORDER BY doc_id"""
+    })
+
+  val all: Seq[Q] = Seq(qTokens, qLangId, qQuality, qFingerprint, qShingles)
+}
