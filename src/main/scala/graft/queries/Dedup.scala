@@ -1,0 +1,237 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over the documents table (SURVEY.md §2 D1–D5) —
+  * the near-dup family of an LLM training-data pipeline, each expressed
+  * as a declarative plan whose only shuffles are the ones the algorithm
+  * fundamentally needs (hash of the dedup key, or the LSH bucket key).
+  *
+  * Determinism: all signatures derive from the portable polynomial hash
+  * (SURVEY.md §3), so DuckDB reproduces every signature bit-for-bit and
+  * the oracle checks the FULL pipeline (signatures → buckets → pairs),
+  * not just row counts.
+  */
+object Dedup {
+
+  private val P = 1000000007L
+
+  /** Number of MinHash permutations / signature length. */
+  private val MinhashK = 16
+  /** LSH banding: 8 bands × 2 rows targets a ~0.35 Jaccard threshold
+    * ((1/b)^(1/r)); est-Jaccard ≥ 0.5 post-filter keeps the output to
+    * genuine near-dups. */
+  private val MinhashBands = 8
+
+  /** SimHash: 28 bits (the poly hash yields < 2^30; 28 divides into 4
+    * bands) — 4 bands × 7 bits guarantees (pigeonhole) that any pair at
+    * Hamming distance ≤ 3 shares at least one full band, so the banded
+    * join returns EXACTLY the brute-force result. */
+  private val SimBits = 28
+  private val SimBands = 4
+  private val HamMax = 3
+
+  /** Distinct word-3-gram shingles per doc, dropping shingle-less docs. */
+  private def shingleDf(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+        array_distinct(shingles(words(col("text")), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Poly-hash each shingle (nested higher-order fn: transform ∘ aggregate). */
+  private def hashedShingles(df: DataFrame): DataFrame =
+    shingleDf(df).select(col("doc_id"), transform(col("sh"), s => polyHash(s)).as("hs"))
+
+  private def sqlShingleCte: String =
+    s"""toks AS (
+      SELECT doc_id, list_filter(${sqlWords("text")}, t -> t <> '') AS w FROM documents),
+    shing AS (
+      SELECT doc_id, list_distinct(${sqlShingles("w", 3)}) AS sh FROM toks),
+    hashes AS (
+      SELECT doc_id, list_transform(sh, s -> ${sqlPolyHash("s")}) AS hs
+      FROM shing WHERE len(sh) > 0)"""
+
+  /** D1: exact dedup — group on normalized text, min-doc_id survivor.
+    * At scale: group on a HASH of the normalized text (poly + md5), never
+    * the text itself, so the shuffle carries 24 bytes per doc, not the
+    * document; collision safety comes from pairing two independent hashes. */
+  val qDedupExact: Q = Q(
+    "q_dedup_exact",
+    (s, d) => {
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(normText(col("text"))).as("k1"),
+          polyHash(normText(col("text"))).as("k2"))
+      val grp = Window.partitionBy(col("k1"), col("k2"))
+      keyed
+        .select(col("doc_id"),
+          min(col("doc_id")).over(grp).as("survivor_id"),
+          count(lit(1)).over(grp).as("group_size"))
+        .withColumn("is_dup", (col("doc_id") =!= col("survivor_id")).cast("boolean"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+      min(doc_id) OVER (PARTITION BY k1, k2) AS survivor_id,
+      count(*)   OVER (PARTITION BY k1, k2) AS group_size,
+      doc_id <> min(doc_id) OVER (PARTITION BY k1, k2) AS is_dup
+      FROM (SELECT doc_id, md5(${sqlNormText("text")}) AS k1,
+              ${sqlPolyHash(sqlNormText("text"))} AS k2 FROM documents) t
+      ORDER BY doc_id"""))
+
+  /** D2: MinHash + LSH near-dup pairs.
+    *
+    * Plan shape (the 100 TB path): docs → shingle-hash arrays (map-only) →
+    * K min-hash signatures (map-only) → explode to `MinhashBands` band
+    * keys → shuffle ONCE on band key (the LSH bucket join) → distinct
+    * candidate pairs → signature-agreement filter. Candidate volume is
+    * ~linear in corpus size for any fixed near-dup density, vs the
+    * quadratic all-pairs join it replaces. */
+  val qDedupMinhash: Q = Q(
+    "q_dedup_minhash",
+    (s, d) => {
+      val sigCols = (0 until MinhashK).map { i =>
+        array_min(transform(col("hs"),
+          h => (h * (2 * i + 3) + (1000003L * i + 7)) % P)).as(s"s$i")
+      }
+      val sigs = hashedShingles(Tables.documents(s, d))
+        .select(col("doc_id") +: sigCols: _*)
+      val bandStructs = (0 until MinhashBands).map { b =>
+        struct(lit(b).as("band_idx"),
+          (col(s"s${2 * b}") * P + col(s"s${2 * b + 1}")).as("band_hash"))
+      }
+      val bands = sigs
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+        .select(col("doc_id"), col("bd.band_idx"), col("bd.band_hash"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_hash") === col("y.band_hash") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      val a = sigs.toDF(sigs.columns.map("a_" + _): _*)
+      val b = sigs.toDF(sigs.columns.map("b_" + _): _*)
+      val agree = (0 until MinhashK)
+        .map(i => when(col(s"a_s$i") === col(s"b_s$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand
+        .join(a, col("id_a") === col("a_doc_id"))
+        .join(b, col("id_b") === col("b_doc_id"))
+        .select(col("id_a"), col("id_b"),
+          (agree.cast("double") / MinhashK).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      val sigExprs = (0 until MinhashK).map { i =>
+        s"list_min(list_transform(hs, h -> (h*${2 * i + 3} + ${1000003L * i + 7}) % $P)) AS s$i"
+      }.mkString(",\n        ")
+      val bandUnion = (0 until MinhashBands).map { b =>
+        s"SELECT doc_id, $b AS band_idx, s${2 * b}*$P + s${2 * b + 1} AS band_hash FROM sigs"
+      }.mkString(" UNION ALL ")
+      val agree = (0 until MinhashK)
+        .map(i => s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $sqlShingleCte,
+      sigs AS (SELECT doc_id, $sigExprs FROM hashes),
+      bands_t AS ($bandUnion),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bands_t x JOIN bands_t y
+          ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+         AND x.doc_id < y.doc_id)
+      SELECT id_a, id_b, CAST($agree AS DOUBLE) / $MinhashK AS est_jaccard
+      FROM cand c JOIN sigs a ON c.id_a = a.doc_id JOIN sigs b ON c.id_b = b.doc_id
+      WHERE CAST($agree AS DOUBLE) / $MinhashK >= 0.5
+      ORDER BY id_a, id_b"""
+    })
+
+  /** D3: SimHash near-dup pairs at Hamming ≤ 3, found via the banded LSH
+    * join (4 × 7-bit bands) — exact vs brute force by pigeonhole, but
+    * shuffles on 4 small band keys instead of comparing all pairs. The
+    * oracle DOES run the quadratic brute force, proving the equivalence. */
+  val qDedupSimhash: Q = Q(
+    "q_dedup_simhash",
+    (s, d) => {
+      val bitSums = (0 until SimBits).map { i =>
+        aggregate(col("hs"), lit(0L),
+          (acc, h) => acc + when((h.divide(lit(1L << i)).cast("long")) % 2 === 1, 1L).otherwise(-1L))
+          .as(s"c$i")
+      }
+      val sim = (0 until SimBits)
+        .map(i => when(col(s"c$i") > 0, lit(1L << i)).otherwise(0L))
+        .reduce[Column](_ + _)
+      val simh = hashedShingles(Tables.documents(s, d))
+        .select(col("doc_id") +: bitSums: _*)
+        .select(col("doc_id"), sim.as("simhash"))
+      val bandStructs = (0 until SimBands).map { b =>
+        struct(lit(b).as("band_idx"),
+          (col("simhash").divide(lit(1L << (7 * b))).cast("long") % (1L << 7)).as("band_val"))
+      }
+      val bands = simh
+        .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bd"))
+        .select(col("doc_id"), col("simhash"), col("bd.band_idx"), col("bd.band_val"))
+      bands.as("x").join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_val") === col("y.band_val") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= HamMax)
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      val bitSums = (0 until SimBits).map { i =>
+        s"list_sum(list_transform(hs, h -> CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END)) AS c$i"
+      }.mkString(",\n        ")
+      val sim = (0 until SimBits)
+        .map(i => s"(CASE WHEN c$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH $sqlShingleCte,
+      counts AS (SELECT doc_id, $bitSums FROM hashes),
+      simh AS (SELECT doc_id, $sim AS simhash FROM counts)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= $HamMax
+      ORDER BY id_a, id_b"""
+    })
+
+  /** D4: exact n-gram Jaccard via the shingle inverted-index join — the
+    * ground truth D2 approximates. Explode distinct shingles, self-join on
+    * the shingle (shuffle on shingle hash; hot shingles are the skew risk,
+    * mitigated by AQE skew-join at scale), count intersections, compute
+    * |A∩B| / (|A|+|B|-|A∩B|). */
+  val qNgramJaccard: Q = Q(
+    "q_ngram_jaccard",
+    (s, d) => {
+      val sh = shingleDf(Tables.documents(s, d))
+        .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n"))
+      val ex = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+      ex.as("a").join(ex.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_common"),
+          first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+        .withColumn("jaccard",
+          col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH $sqlShingleCte,
+      ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shing WHERE len(sh) > 0),
+      common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common,
+               any_value(a.n) AS na, any_value(b.n) AS nb
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, n_common,
+        CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
+      FROM common
+      WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5
+      ORDER BY id_a, id_b"""))
+
+  val all: Seq[Q] = Seq(qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard)
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity suite (SURVEY.md §2 D5, E1–E3): near-dup pairs by
+  * cosine threshold, exact brute-force top-k (the recall baseline), and
+  * the two scale paths — random-hyperplane LSH buckets and IVF cell
+  * probing. Queries are the vectors with `vec_id % 100 == 0`.
+  *
+  * Scale design: E1's all-pairs shape is O(N·Q) and exists as the recall
+  * oracle; E2/E3 turn the search into an equi-join on a bucket/cell key —
+  * ONE shuffle on a low-cardinality key, candidates per query ~N/buckets —
+  * which is the shape that survives 100 TB of embeddings.
+  */
+object Similarity {
+
+  private val TopK = 5
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+
+  private def queries(v: DataFrame): DataFrame =
+    v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
+
+  private def topkPerQuery(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** D5: embedding-cosine near-dup pairs above a threshold. The quadratic
+    * join is intentional here (it IS the exact operator); the scale path
+    * for the same semantics is E2/E3 bucketing followed by this predicate
+    * within buckets. */
+  val qDedupEmbedding: Q = Q(
+    "q_dedup_embedding",
+    (s, d) => {
+      val v = vecs(s, d)
+      val a = v.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("n2").as("na"))
+      val b = v.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("n2").as("nb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          cosineFrom(dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
+        .filter(col("cos") >= 0.5)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      ${sqlDot("a.embedding", "b.embedding")} /
+        (sqrt(${sqlNorm2("a.embedding")}) * sqrt(${sqlNorm2("b.embedding")})) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ${sqlDot("a.embedding", "b.embedding")} /
+        (sqrt(${sqlNorm2("a.embedding")}) * sqrt(${sqlNorm2("b.embedding")})) >= 0.5
+      ORDER BY id_a, id_b"""))
+
+  /** E1: exact top-k cosine neighbors (brute force) — the ANN recall
+    * baseline. Small query set × full scan; per-query top-k via window. */
+  val qAnnBruteforce: Q = Q(
+    "q_ann_bruteforce",
+    (s, d) => {
+      val v = vecs(s, d)
+      val scored = queries(v).join(v, col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2")).as("cos"))
+      topkPerQuery(scored)
+    },
+    Some(s"""WITH v AS (SELECT vec_id, embedding,
+        ${sqlNorm2("embedding")} AS n2 FROM embeddings),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2 FROM v WHERE vec_id % 100 = 0),
+      scored AS (SELECT q_id, vec_id,
+        ${sqlDot("q_emb", "embedding")} / (sqrt(q_n2) * sqrt(n2)) AS cos
+        FROM q JOIN v ON q_id <> vec_id),
+      ranked AS (SELECT q_id, vec_id, cos,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        FROM scored)
+      SELECT q_id, rank, vec_id AS neighbor_id, cos
+      FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank"""))
+
+  /** Deterministic pseudo-random hyperplane component (plane i, dim j):
+    * an LCG step mapped to [-0.5, 0.5). Computed driver-side into literal
+    * arrays — 16 planes × 64 dims of constants in the plan. */
+  private def plane(i: Int, dims: Int): Seq[Double] =
+    (0 until dims).map { j =>
+      val x = (1103515245L * (i * dims + j + 1) + 12345L) % 2147483648L
+      x.toDouble / 2147483648.0 - 0.5
+    }
+
+  private val LshTables = 8
+  private val LshBits = 6
+
+  /** E2: random-hyperplane LSH ANN — 8 independent hash tables of 6
+    * sign-bits each (multi-table LSH: recall compounds across tables while
+    * each table's bucket join stays selective). Candidates = union of
+    * same-bucket vectors over all tables; ONE shuffle on (table, bucket).
+    * Rows-only check (recall vs E1 asserted in ScalaTest — LSH misses are
+    * algorithmic, not bugs). */
+  val qAnnLsh: Q = Q(
+    "q_ann_lsh",
+    (s, d) => {
+      val dims = 64
+      def bucket(t: Int) = (0 until LshBits).map { i =>
+        val pl = array(plane(t * LshBits + i, dims).map(lit): _*)
+        when(dot(col("embedding"), pl) > 0, lit(1L << i)).otherwise(0L)
+      }.reduce(_ + _)
+      val tables = (0 until LshTables).map(t =>
+        struct(lit(t).as("t"), bucket(t).as("bucket")))
+      val v = vecs(s, d)
+        .select(col("vec_id"), col("embedding"), col("n2"),
+          explode(array(tables: _*)).as("tb"))
+        .select(col("vec_id"), col("embedding"), col("n2"),
+          col("tb.t"), col("tb.bucket"))
+      val q = v.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("n2").as("q_n2"), col("t"), col("bucket"))
+      val scored = q.join(v, Seq("t", "bucket"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2")).as("cos"))
+        .distinct() // same pair from several tables scores identically
+      topkPerQuery(scored)
+    },
+    None)
+
+  /** E3: IVF-style ANN — deterministic coarse centroids (the first 10
+    * vectors), every vector assigned to its best cell, queries probe the
+    * 3 closest cells. Candidate join is an equi-join on cell id. */
+  val qAnnIvf: Q = Q(
+    "q_ann_ivf",
+    (s, d) => {
+      val v = vecs(s, d)
+      val cents = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
+      // best cell per vector: rank centroids by cosine, keep #1
+      val byVec = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+      val assigned = v.join(broadcast(cents), lit(true))
+        .withColumn("c_cos", cosineFrom(dot(col("embedding"), col("c_emb")), col("n2"), col("c_n2")))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("n2"), col("c_id").as("cell"))
+      // queries probe their 3 nearest cells
+      val byQ = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
+      val probes = queries(v).join(broadcast(cents), lit(true))
+        .withColumn("c_cos", cosineFrom(dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
+        .withColumn("rn", row_number().over(byQ))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("q_emb"), col("q_n2"), col("c_id").as("cell"))
+      val scored = probes.join(assigned,
+          Seq("cell")).filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2")).as("cos"))
+      topkPerQuery(scored.distinct())
+    },
+    None)
+
+  val all: Seq[Q] = Seq(qDedupEmbedding, qAnnBruteforce, qAnnLsh, qAnnIvf)
+}
