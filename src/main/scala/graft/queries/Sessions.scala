@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.{Exact, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics in batch form (SURVEY.md §2 G1–G2). The same
+  * semantics run incrementally in [[graft.streaming.Streams]]; these
+  * batch plans double as the DuckDB-checkable oracle for them.
+  */
+object Sessions {
+  import Exact._
+
+  /** G1: gap-based sessionization (30 min): a session starts where the
+    * gap from the previous event of the same user exceeds the timeout;
+    * session id = running count of starts. One shuffle on user_id; both
+    * windows and the final group share that partitioning. */
+  val qSessionize: Q = Q(
+    "q_sessionize",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val runing = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev_ts").isNotNull &&
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) <= 30L * 60 * 1000000, 0L)
+            .otherwise(1L))
+        .withColumn("session_idx", sum(col("new_s")).over(runing))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"),
+          dsum(col("value")).as("total_value"))
+        .orderBy("user_id", "session_idx")
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events),
+      flags AS (SELECT user_id, ts, value,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+        FROM e),
+      sess AS (SELECT user_id, ts, value,
+        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        FROM flags)
+      SELECT user_id, session_idx,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        count(*) AS n_events,
+        epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+        ${sqlDsum("value")} AS total_value
+      FROM sess GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx"""))
+
+  /** G2: tumbling-window aggregation (1 h × event_type) — the batch
+    * equivalent of the streaming windowed count in
+    * [[graft.streaming.Streams.windowCounts]]; `window()` aligns to the
+    * epoch hour exactly like date_trunc. */
+  val qStreamWindow: Q = Q(
+    "q_stream_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("window_start", "event_type"),
+    Some(s"""SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+      event_type, count(*) AS n, ${sqlDsum("value")} AS total
+      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
+  val all: Seq[Q] = Seq(qSessionize, qStreamWindow)
+}

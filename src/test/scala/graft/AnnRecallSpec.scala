@@ -1,0 +1,38 @@
+package graft
+
+/** E2/E3: the approximate searchers trade recall for candidate volume —
+  * assert the trade lands where the design predicts (vs the exact E1
+  * baseline) and that outputs are well-formed. */
+class AnnRecallSpec extends SparkSpec {
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sfDir)
+      .select("q_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  lazy val exact: Set[(Long, Long)] = pairs("q_ann_bruteforce")
+
+  test("brute force returns full top-5 for every query") {
+    assert(exact.size == 25) // 5 queries x 5 neighbors at sf0.001
+  }
+
+  test("LSH recall exceeds the multi-table design floor") {
+    val got = pairs("q_ann_lsh")
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.15, s"LSH recall $recall")
+  }
+
+  test("IVF recall with 3-probe search") {
+    val got = pairs("q_ann_ivf")
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall")
+  }
+
+  test("approximate rankings are subsets of the vector universe, self-free") {
+    for (q <- Seq("q_ann_lsh", "q_ann_ivf")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      assert(df.filter("q_id = neighbor_id").count() == 0, q)
+      assert(df.filter("rank < 1 or rank > 5").count() == 0, q)
+    }
+  }
+}
