@@ -1,0 +1,292 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for graft's hot per-row kernels
+  * (SURVEY.md §7 M9). Semantics are IDENTICAL to the higher-order-function
+  * forms they replace (and to the DuckDB oracle fragments); the point is
+  * that each row is one compiled JVM loop inside whole-stage codegen
+  * instead of thousands of interpreted lambda steps — the difference
+  * between a dedup pass that scales to 100 TB and one that doesn't.
+  *
+  * All of them assume non-null array elements (their inputs come from
+  * split/transform of non-null columns).
+  */
+object NativeExpressions {
+
+  private val P = 1000000007L
+
+  /** (acc*31 + byte) mod 1e9+7 over the UTF-8 bytes of a string. For the
+    * ASCII-normalized inputs graft feeds it (see
+    * [[TextFunctions.normText]]) byte == codepoint, so this equals the
+    * char-wise HOF/DuckDB formulation exactly. */
+  case class PolyHash(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_poly_hash"
+
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[UTF8String].getBytes
+      var acc = 0L
+      var i = 0
+      while (i < b.length) { acc = (acc * 31 + (b(i) & 0xff)) % P; i += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val b = ctx.freshName("b")
+        val i = ctx.freshName("i")
+        s"""
+        byte[] $b = $c.getBytes();
+        long ${ev.value}_acc = 0L;
+        for (int $i = 0; $i < $b.length; $i++) {
+          ${ev.value}_acc = (${ev.value}_acc * 31L + ($b[$i] & 0xff)) % ${P}L;
+        }
+        ${ev.value} = ${ev.value}_acc;
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): PolyHash =
+      copy(child = newChild)
+  }
+
+  /** Σ (double)a_i * (double)b_i in element order — the strict-left-fold
+    * dot product of the determinism contract ([[VectorFunctions]]).
+    * Accepts float or double arrays on either side. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_dot"
+
+    private def elemIsFloat(e: Expression): Boolean =
+      e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      val fx = elemIsFloat(left)
+      val fy = elemIsFloat(right)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+        acc += xv * yv
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+        val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+        s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double ${ev.value}_acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          ${ev.value}_acc += $getA * $getB;
+        }
+        ${ev.value} = ${ev.value}_acc;
+        """
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+      copy(left = l, right = r)
+  }
+
+  /** All k MinHash signatures in one pass over the shingle-hash array:
+    * sig_i = min over h of (h*(2i+3) + (1000003i+7)) mod P — the same
+    * per-permutation formula as the SQL oracle, k accumulators wide. */
+  case class MinHashSigs(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash_sigs"
+
+    override def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      val sigs = Array.fill(k)(Long.MaxValue)
+      var j = 0
+      while (j < n) {
+        val h = hs.getLong(j)
+        var i = 0
+        while (i < k) {
+          val v = (h * (2 * i + 3) + (1000003L * i + 7)) % P
+          if (v < sigs(i)) sigs(i) = v
+          i += 1
+        }
+        j += 1
+      }
+      new GenericArrayData(sigs)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val h = ctx.freshName("h")
+        val v = ctx.freshName("v")
+        val sigs = ctx.freshName("sigs")
+        s"""
+        int $n = $c.numElements();
+        long[] $sigs = new long[$k];
+        java.util.Arrays.fill($sigs, Long.MAX_VALUE);
+        for (int $j = 0; $j < $n; $j++) {
+          long $h = $c.getLong($j);
+          for (int $i = 0; $i < $k; $i++) {
+            long $v = ($h * (2L * $i + 3L) + (1000003L * $i + 7L)) % ${P}L;
+            if ($v < $sigs[$i]) $sigs[$i] = $v;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+      copy(child = newChild)
+  }
+
+  /** SimHash over a shingle-hash array: per-bit majority vote of the low
+    * `bits` bits of each hash, packed into a long. */
+  case class SimHash(child: Expression, bits: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash"
+
+    override def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      val counters = new Array[Long](bits)
+      var j = 0
+      while (j < n) {
+        val h = hs.getLong(j)
+        var i = 0
+        while (i < bits) {
+          counters(i) += (if (((h >> i) & 1L) == 1L) 1L else -1L)
+          i += 1
+        }
+        j += 1
+      }
+      var sim = 0L
+      var i = 0
+      while (i < bits) { if (counters(i) > 0) sim |= (1L << i); i += 1 }
+      sim
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val h = ctx.freshName("h")
+        val cnt = ctx.freshName("cnt")
+        val sim = ctx.freshName("sim")
+        s"""
+        int $n = $c.numElements();
+        long[] $cnt = new long[$bits];
+        for (int $j = 0; $j < $n; $j++) {
+          long $h = $c.getLong($j);
+          for (int $i = 0; $i < $bits; $i++) {
+            $cnt[$i] += ((($h >> $i) & 1L) == 1L) ? 1L : -1L;
+          }
+        }
+        long $sim = 0L;
+        for (int $i = 0; $i < $bits; $i++) {
+          if ($cnt[$i] > 0) $sim |= (1L << $i);
+        }
+        ${ev.value} = $sim;
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): SimHash =
+      copy(child = newChild)
+  }
+
+  /** text → poly hashes of every word k-shingle, one pass, no
+    * intermediate strings. Semantics = polyHash over the bytes of
+    * "tok1 tok2 … tokk" where tokens are maximal [a-z]+ runs of
+    * lower(text) — exactly hash(shingles(words(text), k)) and the SQL
+    * list_transform(shingles, polyhash) formulation. Bytes ≥ 0x80 and
+    * digits are separators, matching the `[^a-z]+` split. */
+  case class ShingleHashes(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_shingle_hashes"
+
+    override def nullSafeEval(input: Any): Any =
+      hashRow(input.asInstanceOf[UTF8String])
+
+    /** public: called from generated code too. */
+    def hashRow(s: UTF8String): ArrayData = {
+      val b = s.getBytes
+      // token spans over the lowercased byte stream
+      val starts = new java.util.ArrayList[Int]()
+      val ends = new java.util.ArrayList[Int]()
+      var i = 0
+      while (i < b.length) {
+        val c = b(i) & 0xff
+        val isAl = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+        if (isAl && (starts.size == ends.size)) starts.add(i)
+        if (!isAl && (starts.size > ends.size)) ends.add(i)
+        i += 1
+      }
+      if (starts.size > ends.size) ends.add(b.length)
+      val nTok = starts.size
+      if (nTok < k) return new GenericArrayData(Array.emptyLongArray)
+      val out = new Array[Long](nTok - k + 1)
+      var w = 0
+      while (w <= nTok - k) {
+        var acc = 0L
+        var t = 0
+        while (t < k) {
+          if (t > 0) acc = (acc * 31 + ' '.toInt) % P
+          var p = starts.get(w + t)
+          val e = ends.get(w + t)
+          while (p < e) {
+            var c = b(p) & 0xff
+            if (c >= 'A' && c <= 'Z') c += 32
+            acc = (acc * 31 + c) % P
+            p += 1
+          }
+          t += 1
+        }
+        out(w) = acc
+        w += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        // one virtual call per row into the compiled eval above — keeps
+        // the surrounding stage in whole-stage codegen
+        val ref = ctx.addReferenceObj("shingleHasher", this,
+          classOf[ShingleHashes].getName)
+        s"${ev.value} = $ref.hashRow($c);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+      copy(child = newChild)
+  }
+
+  // ---- Column wrappers ----
+
+  private def expr(c: Column): Expression = Bridge.expression(c)
+
+  def polyHash(c: Column): Column = Bridge.column(PolyHash(expr(c)))
+  def dot(a: Column, b: Column): Column = Bridge.column(DotProduct(expr(a), expr(b)))
+  def minhashSigs(hs: Column, k: Int): Column = Bridge.column(MinHashSigs(expr(hs), k))
+  def simHash(hs: Column, bits: Int): Column = Bridge.column(SimHash(expr(hs), bits))
+  def shingleHashes(c: Column, k: Int): Column = Bridge.column(ShingleHashes(expr(c), k))
+}

@@ -38,9 +38,14 @@ object TextFunctions {
   /** 64-bit polynomial rolling hash of an ASCII string:
     * acc = (acc*31 + byte) mod 1e9+7. Deterministic and portable — the
     * document-fingerprint primitive (SURVEY.md §3 "shared-hash
-    * determinism"). Runs as a higher-order aggregate over the char array;
-    * inputs are [[normText]]-normalized so byte == codepoint. */
-  def polyHash(c: Column): Column =
+    * determinism"). Runs as a native codegen expression
+    * ([[NativeExpressions.PolyHash]]); [[polyHashHof]] keeps the
+    * reference higher-order-function formulation for differential tests. */
+  def polyHash(c: Column): Column = NativeExpressions.polyHash(c)
+
+  /** Reference HOF formulation of [[polyHash]] (chars → ascii → fold) —
+    * slower, kept as the semantic spec the native expression must match. */
+  private[graft] def polyHashHof(c: Column): Column =
     aggregate(
       transform(filter(split(c, ""), ch => ch =!= ""), ch => ascii(ch).cast("long")),
       lit(0L),

@@ -18,13 +18,18 @@ object VectorFunctions {
   private def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product of two float-array columns, in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two float/double-array columns, in double — native
+    * codegen loop ([[NativeExpressions.DotProduct]]); [[dotHof]] keeps the
+    * reference HOF formulation for differential tests. */
+  def dot(a: Column, b: Column): Column = NativeExpressions.dot(a, b)
+
+  /** Reference HOF formulation of [[dot]]. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
 
-  /** Squared L2 norm of a float-array column, in double. */
-  def norm2(a: Column): Column =
-    foldSum(transform(a, x => x.cast("double") * x.cast("double")))
+  /** Squared L2 norm of a float-array column, in double (dot(a, a) —
+    * identical op sequence to the HOF transform-square fold). */
+  def norm2(a: Column): Column = NativeExpressions.dot(a, a)
 
   /** Cosine similarity: dot / (sqrt(|a|²) * sqrt(|b|²)). Callers should
     * pre-compute norms once per vector when pairing many vectors. */

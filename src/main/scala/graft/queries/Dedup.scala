@@ -35,23 +35,25 @@ object Dedup {
   private val SimBands = 4
   private val HamMax = 3
 
-  /** Distinct word-3-gram shingles per doc, dropping shingle-less docs. */
-  private def shingleDf(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
-        array_distinct(shingles(words(col("text")), 3)).as("sh"))
-      .filter(size(col("sh")) > 0)
-
-  /** Poly-hash each shingle (nested higher-order fn: transform ∘ aggregate). */
+  /** Distinct 3-shingle poly hashes per doc (shingle-less docs dropped):
+    * ONE native pass from text to hashes
+    * ([[graft.functions.NativeExpressions.ShingleHashes]]), deduped by
+    * hash value, and PERSISTED — every dedup operator self-joins this
+    * frame, and at ~24 bytes/doc-shingle the signature frame is the thing
+    * a production dedup pipeline checkpoints between stages anyway. */
   private def hashedShingles(df: DataFrame): DataFrame =
-    shingleDf(df).select(col("doc_id"), transform(col("sh"), s => polyHash(s)).as("hs"))
+    df.select(col("doc_id"),
+        array_distinct(graft.functions.NativeExpressions.shingleHashes(col("text"), 3)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private def sqlShingleCte: String =
     s"""toks AS (
       SELECT doc_id, list_filter(${sqlWords("text")}, t -> t <> '') AS w FROM documents),
     shing AS (
-      SELECT doc_id, list_distinct(${sqlShingles("w", 3)}) AS sh FROM toks),
+      SELECT doc_id, ${sqlShingles("w", 3)} AS sh FROM toks),
     hashes AS (
-      SELECT doc_id, list_transform(sh, s -> ${sqlPolyHash("s")}) AS hs
+      SELECT doc_id, list_distinct(list_transform(sh, s -> ${sqlPolyHash("s")})) AS hs
       FROM shing WHERE len(sh) > 0)"""
 
   /** D1: exact dedup — group on normalized text, min-doc_id survivor.
@@ -93,10 +95,11 @@ object Dedup {
     "q_dedup_minhash",
     (s, d) => {
       val sigCols = (0 until MinhashK).map { i =>
-        array_min(transform(col("hs"),
-          h => (h * (2 * i + 3) + (1000003L * i + 7)) % P)).as(s"s$i")
+        element_at(col("sigv"), i + 1).as(s"s$i")
       }
       val sigs = hashedShingles(Tables.documents(s, d))
+        .select(col("doc_id"),
+          graft.functions.NativeExpressions.minhashSigs(col("hs"), MinhashK).as("sigv"))
         .select(col("doc_id") +: sigCols: _*)
       val bandStructs = (0 until MinhashBands).map { b =>
         struct(lit(b).as("band_idx"),
@@ -154,17 +157,9 @@ object Dedup {
   val qDedupSimhash: Q = Q(
     "q_dedup_simhash",
     (s, d) => {
-      val bitSums = (0 until SimBits).map { i =>
-        aggregate(col("hs"), lit(0L),
-          (acc, h) => acc + when((h.divide(lit(1L << i)).cast("long")) % 2 === 1, 1L).otherwise(-1L))
-          .as(s"c$i")
-      }
-      val sim = (0 until SimBits)
-        .map(i => when(col(s"c$i") > 0, lit(1L << i)).otherwise(0L))
-        .reduce[Column](_ + _)
       val simh = hashedShingles(Tables.documents(s, d))
-        .select(col("doc_id") +: bitSums: _*)
-        .select(col("doc_id"), sim.as("simhash"))
+        .select(col("doc_id"),
+          graft.functions.NativeExpressions.simHash(col("hs"), SimBits).as("simhash"))
       val bandStructs = (0 until SimBands).map { b =>
         struct(lit(b).as("band_idx"),
           (col("simhash").divide(lit(1L << (7 * b))).cast("long") % (1L << 7)).as("band_val"))
@@ -206,9 +201,12 @@ object Dedup {
   val qNgramJaccard: Q = Q(
     "q_ngram_jaccard",
     (s, d) => {
-      val sh = shingleDf(Tables.documents(s, d))
-        .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n"))
-      val ex = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+      val hs = hashedShingles(Tables.documents(s, d))
+        .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
+      // join on the 8-byte shingle hash, not the shingle string: same
+      // pairs (collisions are shared-hash-deterministic and reproduced by
+      // the oracle), a fraction of the shuffle bytes
+      val ex = hs.select(col("doc_id"), col("n"), explode(col("hs")).as("s"))
       ex.as("a").join(ex.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -221,7 +219,7 @@ object Dedup {
         .orderBy("id_a", "id_b")
     },
     Some(s"""WITH $sqlShingleCte,
-      ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shing WHERE len(sh) > 0),
+      ex AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS s FROM hashes),
       common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common,
                any_value(a.n) AS na, any_value(b.n) AS nb

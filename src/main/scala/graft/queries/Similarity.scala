@@ -107,7 +107,9 @@ object Similarity {
     (s, d) => {
       val dims = 64
       def bucket(t: Int) = (0 until LshBits).map { i =>
-        val pl = array(plane(t * LshBits + i, dims).map(lit): _*)
+        // one Literal node per plane (not 64) — keeps analysis/codegen
+        // of the 48-plane expression tree cheap
+        val pl = lit(plane(t * LshBits + i, dims).toArray)
         when(dot(col("embedding"), pl) > 0, lit(1L << i)).otherwise(0L)
       }.reduce(_ + _)
       val tables = (0 until LshTables).map(t =>

@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.{NativeExpressions, VectorFunctions}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** The native codegen kernels must be bit-identical to the reference
+  * higher-order-function formulations they replaced (which are in turn
+  * oracle-matched against DuckDB). */
+class NativeExprSpec extends SparkSpec {
+
+  test("PolyHash == HOF poly hash on real normalized docs") {
+    val diff = Tables.documents(spark, sfDir)
+      .select(polyHash(normText(col("text"))).as("native"),
+        polyHashHof(normText(col("text"))).as("hof"))
+      .filter("native != hof")
+    assert(diff.count() == 0)
+  }
+
+  test("PolyHash empty string and single chars") {
+    import spark.implicits._
+    val out = Seq("", "a", "z", "a b").toDF("s")
+      .select(NativeExpressions.polyHash(col("s"))).collect().map(_.getLong(0))
+    assert(out(0) == 0L)
+    assert(out(1) == 97L)
+    assert(out(2) == 122L)
+    assert(out(3) == (97L * 31 + 32) * 31 + 98) // 'a', ' ', 'b'
+  }
+
+  test("DotProduct == HOF fold on real embeddings") {
+    import VectorFunctions._
+    val e = Tables.embeddings(spark, sfDir).limit(200)
+    val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("ib"), col("embedding").as("b")))
+      .filter(col("ia") < col("ib")).limit(5000)
+    val diff = pairs
+      .select(dot(col("a"), col("b")).as("native"), dotHof(col("a"), col("b")).as("hof"))
+      .filter("native != hof")
+    assert(diff.count() == 0)
+  }
+
+  test("DotProduct mixed float/double operands (LSH plane shape)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(0.5, -1.0, 2.0))).toDF("f", "d")
+    val got = df.select(NativeExpressions.dot(col("f"), col("d"))).head.getDouble(0)
+    assert(got == 1.0 * 0.5 + 2.0 * -1.0 + 3.0 * 2.0)
+  }
+
+  test("ShingleHashes == polyHash over string shingles, elementwise") {
+    val diff = Tables.documents(spark, sfDir)
+      .select(
+        NativeExpressions.shingleHashes(col("text"), 3).as("native"),
+        transform(shingles(words(col("text")), 3), s => polyHash(s)).as("viaStrings"))
+      .filter("native != viaStrings")
+    assert(diff.count() == 0)
+  }
+
+  test("ShingleHashes edge cases: punctuation, case, short docs") {
+    import spark.implicits._
+    val df = Seq("The QUICK, brown; fox!", "a b", "", "one two three four")
+      .toDF("text")
+    val got = df.select(
+      NativeExpressions.shingleHashes(col("text"), 3).as("n"),
+      transform(shingles(words(col("text")), 3), s => polyHash(s)).as("h"))
+    assert(got.filter("n != h").count() == 0)
+    val sizes = got.select(size(col("n"))).collect().map(_.getInt(0)).toSeq
+    assert(sizes == Seq(2, 0, 0, 2))
+  }
+
+  test("MinHashSigs and SimHash == per-permutation HOF formulations") {
+    val P = 1000000007L
+    val K = 16
+    val Bits = 28
+    val hashed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        transform(array_distinct(shingles(words(col("text")), 3)), s => polyHash(s)).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val hofSigs = array((0 until K).map(i =>
+      array_min(transform(col("hs"), h => (h * (2 * i + 3) + (1000003L * i + 7)) % P))): _*)
+    val hofSim = (0 until Bits).map { i =>
+      when(aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + when(h.divide(lit(1L << i)).cast("long") % 2 === 1, 1L).otherwise(-1L)) > 0,
+        lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    val diff = hashed.select(
+        NativeExpressions.minhashSigs(col("hs"), K).as("nsig"), hofSigs.as("hsig"),
+        NativeExpressions.simHash(col("hs"), Bits).as("nsim"), hofSim.as("hsim"))
+      .filter("nsig != hsig or nsim != hsim")
+    assert(diff.count() == 0)
+  }
+}
