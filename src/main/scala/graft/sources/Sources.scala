@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Input connectors (SURVEY.md §2 "sources"). The reference framework's
+  * input surface is a directory of text files handed to Map as
+  * (filename, contents) pairs (/root/reference/src/main/mrsequential.go);
+  * `textCorpus` reproduces exactly that shape. The rest are the schema'd
+  * loaders a pipeline needs around it.
+  *
+  * Scale notes: schemas are always EXPLICIT (inference is a full extra
+  * pass over 100 TB); text files split per-file (wholetext) or per-line;
+  * line-oriented reads are splittable and parallelize per HDFS block.
+  */
+object Sources {
+
+  /** The reference contract: one (docName, contents) record per file.
+    * Feed straight into [[graft.mr.MapReduce.runJob]]. */
+  def textCorpus(spark: SparkSession, pathGlob: String): Dataset[(String, String)] = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(pathGlob)
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("doc"),
+        col("value").as("contents"))
+      .as[(String, String)]
+  }
+
+  /** Line-oriented text: one record per line, tagged with its file —
+    * the splittable variant for corpora too big for wholetext. */
+  def textLines(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.read.text(pathGlob)
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("doc"),
+        col("value").as("line"))
+
+  /** The events schema, for line-delimited JSON ingest. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("props", StringType, nullable = true)))
+
+  /** JSONL events (batch). Explicit schema; corrupt lines are kept in
+    * `_corrupt_record` instead of failing the job (PERMISSIVE). */
+  def jsonlEvents(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(eventsSchema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** JSONL events as an unbounded stream (Structured Streaming source),
+    * for the [[graft.streaming.Streams]] operators. */
+  def jsonlEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema).json(dir)
+
+  /** CSV with an explicit schema and a header row. */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+}
+
+/** Output connectors (SURVEY.md §2 "sinks"). */
+object Sinks {
+
+  /** Partitioned parquet — THE at-scale sink: partition columns become
+    * directories (partition pruning on read), files sized by upstream
+    * partitioning. Exactly-once via Spark's task-commit protocol, the
+    * same guarantee the reference got from its atomic output rename
+    * (/root/reference/src/mr/worker.go temp-file + rename). */
+  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Line-delimited JSON, for interchange with non-columnar consumers. */
+  def jsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** CSV with header. */
+  def csv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+}
