@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** The library facade — every graft operator family as DataFrame-level
+  * functions, for users who bring their own frames instead of the test
+  * tables. Column contracts (rename with `select(...as...)` to adapt):
+  *
+  *  - documents: `doc_id: long, text: string` (+ `lang`, `source`,
+  *    `n_chars` where an operator reports on them)
+  *  - embeddings: `vec_id: long, embedding: array<float>`
+  *  - events: `event_id: long, ts: timestamp, user_id: long,
+  *    event_type: string, value: double, props: string`
+  *  - media: `doc_id: long, content: binary`
+  *
+  * Each function is a lazy plan; nothing executes until an action. All
+  * are DuckDB-oracle-checked or spec-covered through the identically
+  * named `q_*` entries in [[SparkEntry]].
+  */
+object Graft {
+
+  // ---- MapReduce surface (reference parity) ----
+  val mapReduce: graft.mr.MapReduce.type = graft.mr.MapReduce
+  def wordCount(docs: DataFrame): DataFrame = queries.TextQueries.wordCount(docs)
+  def invertedIndex(docs: DataFrame): DataFrame = queries.TextQueries.invertedIndex(docs)
+  def grep(docs: DataFrame, pattern: String): DataFrame = queries.TextQueries.grep(docs, pattern)
+  def docStatsPerSource(docs: DataFrame): DataFrame = queries.TextQueries.docStatsPerSource(docs)
+  def kvReplay(opLog: DataFrame): DataFrame = queries.MrQueries.kvReplay(opLog)
+
+  // ---- Text analysis ----
+  def tokenStats(docs: DataFrame): DataFrame = queries.TextAnalysis.tokenStats(docs)
+  def languageId(docs: DataFrame): DataFrame = queries.TextAnalysis.languageId(docs)
+  def qualityScores(docs: DataFrame): DataFrame = queries.TextAnalysis.qualityScores(docs)
+  def fingerprints(docs: DataFrame): DataFrame = queries.TextAnalysis.fingerprints(docs)
+  def shingleStats(docs: DataFrame): DataFrame = queries.TextAnalysis.shingleStats(docs)
+
+  // ---- Deduplication ----
+  def exactDuplicates(docs: DataFrame): DataFrame = queries.Dedup.exactDuplicates(docs)
+  def minhashPairs(docs: DataFrame): DataFrame = queries.Dedup.minhashPairs(docs)
+  def simhashPairs(docs: DataFrame): DataFrame = queries.Dedup.simhashPairs(docs)
+  def jaccardPairs(docs: DataFrame): DataFrame = queries.Dedup.jaccardPairs(docs)
+  def embeddingDupPairs(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame =
+    queries.Similarity.embeddingDupPairs(embeddings, minCosine)
+
+  // ---- Similarity search ----
+  def annBruteforce(embeddings: DataFrame): DataFrame = queries.Similarity.annBruteforce(embeddings)
+  def annLsh(embeddings: DataFrame): DataFrame = queries.Similarity.annLsh(embeddings)
+  def annIvf(embeddings: DataFrame): DataFrame = queries.Similarity.annIvf(embeddings)
+
+  // ---- Multimodal ----
+  def binaryMeta(media: DataFrame): DataFrame = queries.Multimodal.binaryMeta(media)
+  def mediaFeatures(media: DataFrame): DataFrame = queries.Multimodal.mediaFeatures(media)
+
+  // ---- Sessions / streams ----
+  def sessionize(events: DataFrame, gapMinutes: Long = 30): DataFrame =
+    queries.Sessions.sessionize(events, gapMinutes)
+  def windowedCounts(events: DataFrame): DataFrame = queries.Sessions.windowedCounts(events)
+  val streams: graft.streaming.Streams.type = graft.streaming.Streams
+
+  // ---- Sources / sinks ----
+  val sources: graft.sources.Sources.type = graft.sources.Sources
+  val sinks: graft.sources.Sinks.type = graft.sources.Sinks
+}

@@ -60,10 +60,10 @@ object Dedup {
     * At scale: group on a HASH of the normalized text (poly + md5), never
     * the text itself, so the shuffle carries 24 bytes per doc, not the
     * document; collision safety comes from pairing two independent hashes. */
-  val qDedupExact: Q = Q(
-    "q_dedup_exact",
-    (s, d) => {
-      val keyed = Tables.documents(s, d)
+  /** Public API: [[qDedupExact]] semantics over any frame with
+    * (doc_id, text). */
+  def exactDuplicates(docs: DataFrame): DataFrame = {
+      val keyed = docs
         .select(col("doc_id"),
           md5(normText(col("text"))).as("k1"),
           polyHash(normText(col("text"))).as("k2"))
@@ -74,7 +74,11 @@ object Dedup {
           count(lit(1)).over(grp).as("group_size"))
         .withColumn("is_dup", (col("doc_id") =!= col("survivor_id")).cast("boolean"))
         .orderBy("doc_id")
-    },
+  }
+
+  val qDedupExact: Q = Q(
+    "q_dedup_exact",
+    (s, d) => exactDuplicates(Tables.documents(s, d)),
     Some(s"""SELECT doc_id,
       min(doc_id) OVER (PARTITION BY k1, k2) AS survivor_id,
       count(*)   OVER (PARTITION BY k1, k2) AS group_size,
@@ -91,13 +95,13 @@ object Dedup {
     * candidate pairs → signature-agreement filter. Candidate volume is
     * ~linear in corpus size for any fixed near-dup density, vs the
     * quadratic all-pairs join it replaces. */
-  val qDedupMinhash: Q = Q(
-    "q_dedup_minhash",
-    (s, d) => {
+  /** Public API: MinHash+LSH near-dup pairs over any (doc_id, text)
+    * frame. */
+  def minhashPairs(docs: DataFrame): DataFrame = {
       val sigCols = (0 until MinhashK).map { i =>
         element_at(col("sigv"), i + 1).as(s"s$i")
       }
-      val sigs = hashedShingles(Tables.documents(s, d))
+      val sigs = hashedShingles(docs)
         .select(col("doc_id"),
           graft.functions.NativeExpressions.minhashSigs(col("hs"), MinhashK).as("sigv"))
         .select(col("doc_id") +: sigCols: _*)
@@ -126,7 +130,11 @@ object Dedup {
           (agree.cast("double") / MinhashK).as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.5)
         .orderBy("id_a", "id_b")
-    },
+  }
+
+  val qDedupMinhash: Q = Q(
+    "q_dedup_minhash",
+    (s, d) => minhashPairs(Tables.documents(s, d)),
     Some {
       val sigExprs = (0 until MinhashK).map { i =>
         s"list_min(list_transform(hs, h -> (h*${2 * i + 3} + ${1000003L * i + 7}) % $P)) AS s$i"
@@ -154,10 +162,10 @@ object Dedup {
     * join (4 × 7-bit bands) — exact vs brute force by pigeonhole, but
     * shuffles on 4 small band keys instead of comparing all pairs. The
     * oracle DOES run the quadratic brute force, proving the equivalence. */
-  val qDedupSimhash: Q = Q(
-    "q_dedup_simhash",
-    (s, d) => {
-      val simh = hashedShingles(Tables.documents(s, d))
+  /** Public API: banded SimHash near-dup pairs over any (doc_id, text)
+    * frame. */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+      val simh = hashedShingles(docs)
         .select(col("doc_id"),
           graft.functions.NativeExpressions.simHash(col("hs"), SimBits).as("simhash"))
       val bandStructs = (0 until SimBands).map { b =>
@@ -176,7 +184,11 @@ object Dedup {
         .distinct()
         .filter(col("hamming") <= HamMax)
         .orderBy("id_a", "id_b")
-    },
+  }
+
+  val qDedupSimhash: Q = Q(
+    "q_dedup_simhash",
+    (s, d) => simhashPairs(Tables.documents(s, d)),
     Some {
       val bitSums = (0 until SimBits).map { i =>
         s"list_sum(list_transform(hs, h -> CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END)) AS c$i"
@@ -198,10 +210,10 @@ object Dedup {
     * the shingle (shuffle on shingle hash; hot shingles are the skew risk,
     * mitigated by AQE skew-join at scale), count intersections, compute
     * |A∩B| / (|A|+|B|-|A∩B|). */
-  val qNgramJaccard: Q = Q(
-    "q_ngram_jaccard",
-    (s, d) => {
-      val hs = hashedShingles(Tables.documents(s, d))
+  /** Public API: exact shingle-Jaccard pairs over any (doc_id, text)
+    * frame. */
+  def jaccardPairs(docs: DataFrame): DataFrame = {
+      val hs = hashedShingles(docs)
         .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
       // join on the 8-byte shingle hash, not the shingle string: same
       // pairs (collisions are shared-hash-deterministic and reproduced by
@@ -217,7 +229,11 @@ object Dedup {
         .filter(col("jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
         .orderBy("id_a", "id_b")
-    },
+  }
+
+  val qNgramJaccard: Q = Q(
+    "q_ngram_jaccard",
+    (s, d) => jaccardPairs(Tables.documents(s, d)),
     Some(s"""WITH $sqlShingleCte,
       ex AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS s FROM hashes),
       common AS (

@@ -41,10 +41,10 @@ object MrQueries {
     * batch last-writer-wins reconstruction: for each key (user), the state
     * is the latest op by (ts, event_id), plus replayed counters. One
     * shuffle on the key; the window and the aggregate share it. */
-  val qKvReplay: Q = Q(
-    "q_kv_replay",
-    (s, d) => {
-      val e = Tables.events(s, d)
+  /** Public API: last-writer-wins KV state from any op-log frame with
+    * (user_id, ts, event_id, event_type, value, props). */
+  def kvReplay(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val e = events
       val latest = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").desc, col("event_id").desc)
       e.withColumn("rn", row_number().over(latest))
@@ -62,7 +62,11 @@ object MrQueries {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"),
           col("n_ops"), col("purchase_total"))
         .orderBy("user_id")
-    },
+  }
+
+  val qKvReplay: Q = Q(
+    "q_kv_replay",
+    (s, d) => kvReplay(Tables.events(s, d)),
     Some("""SELECT user_id, last_type, last_value, last_k, last_ts, n_ops, purchase_total
       FROM (SELECT user_id,
         event_type AS last_type, value AS last_value,

@@ -33,11 +33,11 @@ object Multimodal {
     * The sniff reads the BYTES (not the label that produced them): a
     * corrupted or mislabeled blob classifies as its actual content. Pure
     * map stage; at 100 TB this runs in the parquet scan projection. */
-  val qBinaryMeta: Q = Q(
-    "q_binary_meta",
-    (s, d) => {
+  /** Public API: binary metadata over any (doc_id, content: binary)
+    * frame. */
+  def binaryMeta(media: DataFrame): DataFrame = {
       val magic = upper(hex(substring(col("content"), 1, 4)))
-      mediaTable(s, d)
+      media
         .select(col("doc_id"),
           length(col("content")).cast("long").as("n_bytes"),
           md5(hex(col("content"))).as("content_md5"),
@@ -45,7 +45,11 @@ object Multimodal {
           coalesce((0 until 4).map(i => when(magic === headers(i), kinds(i))) :+
             lit("unknown"): _*).as("sniffed_type"))
         .orderBy("doc_id")
-    },
+  }
+
+  val qBinaryMeta: Q = Q(
+    "q_binary_meta",
+    (s, d) => binaryMeta(mediaTable(s, d)),
     Some {
       val bin = (0 until 4).map(i => s"WHEN doc_id % 4 = $i THEN from_hex('${headers(i)}')")
         .mkString("CASE ", " ", " END") + " || encode(text)"
@@ -63,12 +67,13 @@ object Multimodal {
   /** F2: batched media feature extraction — the mapInPandas-shaped path:
     * partitions are processed in fixed-size batches through the (stubbed)
     * codec, emitting typed features. Rows-only check + MediaSpec. */
-  val qMediaFeatures: Q = Q(
-    "q_media_features",
-    (s, d) => {
+  /** Public API: batched feature extraction over any (doc_id, content)
+    * frame. */
+  def mediaFeatures(media: DataFrame): DataFrame = {
+      val s = media.sparkSession
       import s.implicits._
-      import graft.media.{MediaCodec, MediaFeatures}
-      mediaTable(s, d)
+      import graft.media.MediaCodec
+      media
         .select(col("doc_id"), col("content"))
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
@@ -81,7 +86,11 @@ object Multimodal {
         }
         .toDF()
         .orderBy("doc_id")
-    },
+  }
+
+  val qMediaFeatures: Q = Q(
+    "q_media_features",
+    (s, d) => mediaFeatures(mediaTable(s, d)),
     None)
 
   val all: Seq[Q] = Seq(qBinaryMeta, qMediaFeatures)

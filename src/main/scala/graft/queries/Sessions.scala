@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Exact, Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,16 +16,15 @@ object Sessions {
     * gap from the previous event of the same user exceeds the timeout;
     * session id = running count of starts. One shuffle on user_id; both
     * windows and the final group share that partitioning. */
-  val qSessionize: Q = Q(
-    "q_sessionize",
-    (s, d) => {
+  /** Public API: gap sessionization over any (user_id, ts, value) frame. */
+  def sessionize(events: DataFrame, gapMinutes: Long = 30): DataFrame = {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
       val runing = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
+      events
         .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
         .withColumn("new_s",
           when(col("prev_ts").isNotNull &&
-            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) <= 30L * 60 * 1000000, 0L)
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) <= gapMinutes * 60 * 1000000, 0L)
             .otherwise(1L))
         .withColumn("session_idx", sum(col("new_s")).over(runing))
         .groupBy(col("user_id"), col("session_idx"))
@@ -34,7 +34,11 @@ object Sessions {
           (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"),
           dsum(col("value")).as("total_value"))
         .orderBy("user_id", "session_idx")
-    },
+  }
+
+  val qSessionize: Q = Q(
+    "q_sessionize",
+    (s, d) => sessionize(Tables.events(s, d)),
     Some(s"""WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events),
       flags AS (SELECT user_id, ts, value,
         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -56,16 +60,20 @@ object Sessions {
     * equivalent of the streaming windowed count in
     * [[graft.streaming.Streams.windowCounts]]; `window()` aligns to the
     * epoch hour exactly like date_trunc. */
-  val qStreamWindow: Q = Q(
-    "q_stream_window",
-    (s, d) =>
-      Tables.events(s, d)
+  /** Public API: tumbling-window counts over any (ts, event_type, value)
+    * frame. */
+  def windowedCounts(events: DataFrame): DataFrame =
+      events
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .select(
           date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n"), col("total"))
-        .orderBy("window_start", "event_type"),
+        .orderBy("window_start", "event_type")
+
+  val qStreamWindow: Q = Q(
+    "q_stream_window",
+    (s, d) => windowedCounts(Tables.events(s, d)),
     Some(s"""SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
       event_type, count(*) AS n, ${sqlDsum("value")} AS total
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))

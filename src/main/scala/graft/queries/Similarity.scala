@@ -20,9 +20,9 @@ object Similarity {
 
   private val TopK = 5
 
-  private def vecs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+  /** Attach squared norms (computed once per vector). */
+  private def withNorms(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
 
   private def queries(v: DataFrame): DataFrame =
     v.filter(col("vec_id") % 100 === 0)
@@ -41,18 +41,22 @@ object Similarity {
     * join is intentional here (it IS the exact operator); the scale path
     * for the same semantics is E2/E3 bucketing followed by this predicate
     * within buckets. */
-  val qDedupEmbedding: Q = Q(
-    "q_dedup_embedding",
-    (s, d) => {
-      val v = vecs(s, d)
+  /** Public API: cosine near-dup pairs over any (vec_id, embedding)
+    * frame. */
+  def embeddingDupPairs(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame = {
+      val v = withNorms(embeddings)
       val a = v.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("n2").as("na"))
       val b = v.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("n2").as("nb"))
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           cosineFrom(dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
-        .filter(col("cos") >= 0.5)
+        .filter(col("cos") >= minCosine)
         .orderBy("id_a", "id_b")
-    },
+  }
+
+  val qDedupEmbedding: Q = Q(
+    "q_dedup_embedding",
+    (s, d) => embeddingDupPairs(Tables.embeddings(s, d)),
     Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       ${sqlDot("a.embedding", "b.embedding")} /
         (sqrt(${sqlNorm2("a.embedding")}) * sqrt(${sqlNorm2("b.embedding")})) AS cos
@@ -63,15 +67,18 @@ object Similarity {
 
   /** E1: exact top-k cosine neighbors (brute force) — the ANN recall
     * baseline. Small query set × full scan; per-query top-k via window. */
-  val qAnnBruteforce: Q = Q(
-    "q_ann_bruteforce",
-    (s, d) => {
-      val v = vecs(s, d)
+  /** Public API: exact top-k neighbors for the query subset. */
+  def annBruteforce(embeddings: DataFrame): DataFrame = {
+      val v = withNorms(embeddings)
       val scored = queries(v).join(v, col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id"),
           cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2")).as("cos"))
       topkPerQuery(scored)
-    },
+  }
+
+  val qAnnBruteforce: Q = Q(
+    "q_ann_bruteforce",
+    (s, d) => annBruteforce(Tables.embeddings(s, d)),
     Some(s"""WITH v AS (SELECT vec_id, embedding,
         ${sqlNorm2("embedding")} AS n2 FROM embeddings),
       q AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2 FROM v WHERE vec_id % 100 = 0),
@@ -102,9 +109,8 @@ object Similarity {
     * same-bucket vectors over all tables; ONE shuffle on (table, bucket).
     * Rows-only check (recall vs E1 asserted in ScalaTest — LSH misses are
     * algorithmic, not bugs). */
-  val qAnnLsh: Q = Q(
-    "q_ann_lsh",
-    (s, d) => {
+  /** Public API: multi-table hyperplane LSH ANN. */
+  def annLsh(embeddings: DataFrame): DataFrame = {
       val dims = 64
       def bucket(t: Int) = (0 until LshBits).map { i =>
         // one Literal node per plane (not 64) — keeps analysis/codegen
@@ -114,7 +120,7 @@ object Similarity {
       }.reduce(_ + _)
       val tables = (0 until LshTables).map(t =>
         struct(lit(t).as("t"), bucket(t).as("bucket")))
-      val v = vecs(s, d)
+      val v = withNorms(embeddings)
         .select(col("vec_id"), col("embedding"), col("n2"),
           explode(array(tables: _*)).as("tb"))
         .select(col("vec_id"), col("embedding"), col("n2"),
@@ -128,16 +134,16 @@ object Similarity {
           cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2")).as("cos"))
         .distinct() // same pair from several tables scores identically
       topkPerQuery(scored)
-    },
-    None)
+  }
+
+  val qAnnLsh: Q = Q("q_ann_lsh", (s, d) => annLsh(Tables.embeddings(s, d)), None)
 
   /** E3: IVF-style ANN — deterministic coarse centroids (the first 10
     * vectors), every vector assigned to its best cell, queries probe the
     * 3 closest cells. Candidate join is an equi-join on cell id. */
-  val qAnnIvf: Q = Q(
-    "q_ann_ivf",
-    (s, d) => {
-      val v = vecs(s, d)
+  /** Public API: IVF cell-probed ANN. */
+  def annIvf(embeddings: DataFrame): DataFrame = {
+      val v = withNorms(embeddings)
       val cents = v.filter(col("vec_id") < 10)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
       // best cell per vector: rank centroids by cosine, keep #1
@@ -159,8 +165,9 @@ object Similarity {
         .select(col("q_id"), col("vec_id"),
           cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2")).as("cos"))
       topkPerQuery(scored.distinct())
-    },
-    None)
+  }
+
+  val qAnnIvf: Q = Q("q_ann_ivf", (s, d) => annIvf(Tables.embeddings(s, d)), None)
 
   val all: Seq[Q] = Seq(qDedupEmbedding, qAnnBruteforce, qAnnLsh, qAnnIvf)
 }

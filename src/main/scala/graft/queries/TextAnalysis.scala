@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.functions._
 
@@ -24,10 +25,9 @@ object TextAnalysis {
 
   /** C1: token counting — whitespace tokens, letter-run word tokens, and a
     * BPE-ish segmentation (letter runs | digit runs | single symbols). */
-  val qTokens: Q = Q(
-    "q_tokens",
-    (s, d) =>
-      Tables.documents(s, d)
+  /** Public API: token stats per doc over any (doc_id, text) frame. */
+  def tokenStats(docs: DataFrame): DataFrame =
+      docs
         .select(
           col("doc_id"),
           size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long").as("n_ws_tokens"),
@@ -35,7 +35,11 @@ object TextAnalysis {
           size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
             .cast("long").as("n_bpe_tokens"),
           length(col("text")).cast("long").as("n_chars"))
-        .orderBy("doc_id"),
+        .orderBy("doc_id")
+
+  val qTokens: Q = Q(
+    "q_tokens",
+    (s, d) => tokenStats(Tables.documents(s, d)),
     Some(s"""SELECT doc_id,
       len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_ws_tokens,
       len(list_filter(${sqlWords("text")}, t -> t <> '')) AS n_word_tokens,
@@ -45,15 +49,14 @@ object TextAnalysis {
 
   /** C2: language ID — stopword-hit voting with a fixed tie-break order,
     * reported as a confusion matrix against the labeled `lang`. */
-  val qLangId: Q = Q(
-    "q_lang_id",
-    (s, d) => {
+  /** Public API: stopword-vote language ID confusion matrix. */
+  def languageId(docs: DataFrame): DataFrame = {
       val toks = words(col("text"))
       val en = stopHits(toks, stopEn)
       val es = stopHits(toks, stopEs)
       val de = stopHits(toks, stopDe)
       val fr = stopHits(toks, stopFr)
-      Tables.documents(s, d)
+      docs
         .select(col("doc_id"), col("lang"),
           when(en + es + de + fr === 0, "und")
             .when(en >= es && en >= de && en >= fr, "en")
@@ -63,7 +66,11 @@ object TextAnalysis {
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred_lang")
-    },
+  }
+
+  val qLangId: Q = Q(
+    "q_lang_id",
+    (s, d) => languageId(Tables.documents(s, d)),
     Some {
       val toks = sqlWords("text")
       val (en, es, de, fr) = (sqlStopHits(toks, stopEn), sqlStopHits(toks, stopEs),
@@ -81,11 +88,10 @@ object TextAnalysis {
 
   /** C3: quality scoring — length/stopword/word-shape signals, integer
     * counts with single-division ratios. */
-  val qQuality: Q = Q(
-    "q_quality",
-    (s, d) => {
+  /** Public API: quality signals per doc. */
+  def qualityScores(docs: DataFrame): DataFrame = {
       val toks = words(col("text"))
-      Tables.documents(s, d)
+      docs
         .select(
           col("doc_id"),
           length(col("text")).cast("long").as("n_chars"),
@@ -102,7 +108,11 @@ object TextAnalysis {
         .withColumn("quality_score",
           (col("stop_hits") * 100L + col("n_words")).cast("double") / (col("n_chars") + 1L))
         .orderBy("doc_id")
-    },
+  }
+
+  val qQuality: Q = Q(
+    "q_quality",
+    (s, d) => qualityScores(Tables.documents(s, d)),
     Some {
       val toks = sqlWords("text")
       val en = sqlStopHits(toks, stopEn)
@@ -121,14 +131,17 @@ object TextAnalysis {
 
   /** C4: document fingerprinting — md5 plus the portable 64-bit polynomial
     * rolling hash over normalized text (SURVEY.md §3). */
-  val qFingerprint: Q = Q(
-    "q_fingerprint",
-    (s, d) =>
-      Tables.documents(s, d)
+  /** Public API: md5 + rolling-hash fingerprints per doc. */
+  def fingerprints(docs: DataFrame): DataFrame =
+      docs
         .select(col("doc_id"),
           md5(normText(col("text"))).as("md5_hash"),
           polyHash(normText(col("text"))).as("poly_hash"))
-        .orderBy("doc_id"),
+        .orderBy("doc_id")
+
+  val qFingerprint: Q = Q(
+    "q_fingerprint",
+    (s, d) => fingerprints(Tables.documents(s, d)),
     Some(s"""SELECT doc_id,
       md5(${sqlNormText("text")}) AS md5_hash,
       ${sqlPolyHash(sqlNormText("text"))} AS poly_hash
@@ -136,17 +149,20 @@ object TextAnalysis {
 
   /** C5: word 3-gram shingling — per-doc shingle counts and distinct
     * ratios (the dedup-candidate front end, standalone here). */
-  val qShingles: Q = Q(
-    "q_shingles",
-    (s, d) => {
+  /** Public API: shingle counts per doc. */
+  def shingleStats(docs: DataFrame): DataFrame = {
       val sh = shingles(words(col("text")), 3)
-      Tables.documents(s, d)
+      docs
         .select(
           col("doc_id"),
           size(sh).cast("long").as("n_shingles"),
           size(array_distinct(sh)).cast("long").as("n_distinct"))
         .orderBy("doc_id")
-    },
+  }
+
+  val qShingles: Q = Q(
+    "q_shingles",
+    (s, d) => shingleStats(Tables.documents(s, d)),
     Some {
       val sh = sqlShingles(sqlWords("text"), 3)
       s"""SELECT doc_id,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.functions._
 
@@ -14,13 +15,16 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   /** A3: word count (/root/reference/src/mrapps/wc.go). */
-  val qWordcount: Q = Q(
-    "q_wordcount",
-    (s, d) =>
-      Tables.documents(s, d)
+  /** Public API: word count over any (text) frame. */
+  def wordCount(docs: DataFrame): DataFrame =
+      docs
         .select(explode(words(col("text"))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))
-        .orderBy("word"),
+        .orderBy("word")
+
+  val qWordcount: Q = Q(
+    "q_wordcount",
+    (s, d) => wordCount(Tables.documents(s, d)),
     Some(s"""SELECT w AS word, count(*) AS n
       FROM (SELECT unnest(${sqlWords("text")}) AS w FROM documents) t
       WHERE w <> '' GROUP BY w ORDER BY word"""))
@@ -28,17 +32,20 @@ object TextQueries {
   /** A4: inverted index (/root/reference/src/mrapps/indexer.go:20-39):
     * word -> distinct-doc count + sorted comma-joined doc list. Docs are
     * identified by zero-padded doc_id so lexicographic order == numeric. */
-  val qInvertedIndex: Q = Q(
-    "q_inverted_index",
-    (s, d) =>
-      Tables.documents(s, d)
+  /** Public API: inverted index over any (doc_id, text) frame. */
+  def invertedIndex(docs: DataFrame): DataFrame =
+      docs
         .select(col("doc_id"), explode(words(col("text"))).as("word"))
         .select(col("word"), format_string("d%06d", col("doc_id")).as("doc"))
         .groupBy("word")
         .agg(
           countDistinct(col("doc")).as("n_docs"),
           concat_ws(",", array_sort(collect_set(col("doc")))).as("docs"))
-        .orderBy("word"),
+        .orderBy("word")
+
+  val qInvertedIndex: Q = Q(
+    "q_inverted_index",
+    (s, d) => invertedIndex(Tables.documents(s, d)),
     Some(s"""SELECT w AS word, count(DISTINCT doc) AS n_docs,
         string_agg(DISTINCT doc, ',' ORDER BY doc) AS docs
       FROM (SELECT printf('d%06d', doc_id) AS doc,
@@ -49,14 +56,18 @@ object TextQueries {
     * prunes non-matching docs before the (cheap) per-row count; at scale
     * this is a full scan with predicate applied in the scan stage, no
     * shuffle at all until the final order. */
+  /** Public API: regex hit counts per doc (pattern fixed for the
+    * oracle-checked entry; use grep(docs, pattern) for arbitrary ones). */
+  def grep(docs: DataFrame, pattern: String = "spark|shuffle"): DataFrame =
+      docs
+        .select(col("doc_id"),
+          size(regexp_extract_all(lower(col("text")), lit(pattern), lit(0))).cast("long").as("n_hits"))
+        .filter(col("n_hits") > 0)
+        .orderBy("doc_id")
+
   val qGrep: Q = Q(
     "q_grep",
-    (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          size(regexp_extract_all(lower(col("text")), lit("spark|shuffle"), lit(0))).cast("long").as("n_hits"))
-        .filter(col("n_hits") > 0)
-        .orderBy("doc_id"),
+    (s, d) => grep(Tables.documents(s, d)),
     Some("""SELECT doc_id, CAST(len(regexp_extract_all(lower(text), 'spark|shuffle')) AS BIGINT) AS n_hits
       FROM documents
       WHERE len(regexp_extract_all(lower(text), 'spark|shuffle')) > 0
@@ -64,17 +75,20 @@ object TextQueries {
 
   /** A6: per-file/source record stats (early_exit.go family: one count per
     * input file). */
-  val qDocStatsPerSource: Q = Q(
-    "q_doc_stats_per_source",
-    (s, d) =>
-      Tables.documents(s, d)
+  /** Public API: per-source record stats. */
+  def docStatsPerSource(docs: DataFrame): DataFrame =
+      docs
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
-        .orderBy("source"),
+        .orderBy("source")
+
+  val qDocStatsPerSource: Q = Q(
+    "q_doc_stats_per_source",
+    (s, d) => docStatsPerSource(Tables.documents(s, d)),
     Some("""SELECT source, count(*) AS n_docs,
       CAST(sum(n_chars) AS BIGINT) AS total_chars,
       min(doc_id) AS first_doc, max(doc_id) AS last_doc

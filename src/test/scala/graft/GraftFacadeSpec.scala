@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The facade must work on USER frames (built in-memory here), not just
+  * the test tables — this is the "switch from the reference" contract. */
+class GraftFacadeSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the cat sat on the mat", "en", "web", 22L),
+      (1L, "the cat sat on the mat", "en", "web", 22L), // exact dup of 0
+      (2L, "the cat sat on the red mat", "en", "web", 26L), // near dup
+      (3L, "completely different words entirely here now", "en", "book", 45L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("wordCount / fingerprints / exactDuplicates on a user frame") {
+    val wc = Graft.wordCount(docs).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wc("the") == 6) // docs 0,1,2 contain 'the' twice each
+    val dups = Graft.exactDuplicates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(dups.toSet == Set((0L, 0L, false), (1L, 0L, true), (2L, 2L, false), (3L, 3L, false)))
+    val fp = Graft.fingerprints(docs).collect()
+    assert(fp(0).getString(1) == fp(1).getString(1)) // same md5
+    assert(fp(0).getLong(2) == fp(1).getLong(2)) // same poly
+    assert(fp(0).getLong(2) != fp(3).getLong(2))
+  }
+
+  test("near-dup detectors find the planted pair on a user frame") {
+    val jac = Graft.jaccardPairs(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(jac.contains((0L, 1L))) // identical docs, jaccard 1.0
+    val mh = Graft.minhashPairs(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mh.contains((0L, 1L)))
+    val sh = Graft.simhashPairs(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sh.contains((0L, 1L)))
+  }
+
+  test("sessionize on a user event frame honours a custom gap") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(min: Int) = new java.sql.Timestamp(ts0.getTime + min * 60000L)
+    val ev = Seq(
+      (1L, t(0), 5L, "click", 1.0),
+      (2L, t(4), 5L, "click", 1.0), // same session at gap=5
+      (3L, t(12), 5L, "click", 1.0)) // new session at gap=5
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Graft.sessionize(ev, gapMinutes = 5).count() == 2)
+    assert(Graft.sessionize(ev, gapMinutes = 30).count() == 1)
+  }
+
+  test("grep with a custom pattern") {
+    val hits = Graft.grep(docs, "cat|mat").collect()
+    assert(hits.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+    assert(hits.head.getLong(1) == 2L) // doc 0: 'cat' + 'mat'
+  }
+}
