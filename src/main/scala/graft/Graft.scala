@@ -44,7 +44,7 @@ object Graft {
 
   // ---- Similarity search ----
   def annBruteforce(embeddings: DataFrame): DataFrame = queries.Similarity.annBruteforce(embeddings)
-  def annLsh(embeddings: DataFrame): DataFrame = queries.Similarity.annLsh(embeddings)
+  def annLsh(embeddings: DataFrame, dims: Int = 64): DataFrame = queries.Similarity.annLsh(embeddings, dims)
   def annIvf(embeddings: DataFrame): DataFrame = queries.Similarity.annIvf(embeddings)
 
   // ---- Multimodal ----
@@ -60,4 +60,11 @@ object Graft {
   // ---- Sources / sinks ----
   val sources: graft.sources.Sources.type = graft.sources.Sources
   val sinks: graft.sources.Sinks.type = graft.sources.Sinks
+
+  // ---- Scale utilities (sketches, skew mitigation) ----
+  val scale: graft.ops.ScaleOps.type = graft.ops.ScaleOps
+
+  /** Install graft's SQL functions on a live session (see
+    * [[GraftExtensions]] for the config-based path). */
+  def install(spark: SparkSession): Unit = GraftExtensions.register(spark)
 }

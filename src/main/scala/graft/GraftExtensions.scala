@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.NativeExpressions._
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for graft's native kernels.
+  *
+  * Production wiring (applies to every session built from the config):
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * For an already-running session, [[GraftExtensions.register]] installs
+  * the same functions into its registry.
+  *
+  * SQL: `graft_poly_hash(str)`, `graft_shingle_hashes(str, k)`,
+  * `graft_minhash_sigs(arr, k)`, `graft_simhash(arr, bits)`,
+  * `graft_dot(a, b)`, `graft_cosine(a, b)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer parameter, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** (name, info, builder) for every graft SQL function. */
+  val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_poly_hash",
+      info("graft_poly_hash", "_FUNC_(str) - portable polynomial hash (mod 1e9+7) of the UTF-8 bytes"),
+      (args: Seq[Expression]) => PolyHash(args.head)),
+    ("graft_shingle_hashes",
+      info("graft_shingle_hashes", "_FUNC_(str, k) - poly hashes of every word k-shingle"),
+      (args: Seq[Expression]) => ShingleHashes(args.head, intArg(args(1), "graft_shingle_hashes"))),
+    ("graft_minhash_sigs",
+      info("graft_minhash_sigs", "_FUNC_(arr, k) - k MinHash signatures over a hash array"),
+      (args: Seq[Expression]) => MinHashSigs(args.head, intArg(args(1), "graft_minhash_sigs"))),
+    ("graft_simhash",
+      info("graft_simhash", "_FUNC_(arr, bits) - SimHash bit-majority of a hash array"),
+      (args: Seq[Expression]) => SimHash(args.head, intArg(args(1), "graft_simhash"))),
+    ("graft_dot",
+      info("graft_dot", "_FUNC_(a, b) - strict left-fold dot product of float/double arrays"),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+
+  /** Install the functions into a LIVE session's registry (the
+    * extensions path only applies at session construction). */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, i, builder) =>
+      org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, name, i, builder)
+    }
+}

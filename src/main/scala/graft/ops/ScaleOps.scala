@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-out utilities: the knobs a 100 TB job reaches for when exact /
+  * unsalted plans hit their limits. Kept as library functions (not
+  * driver queries) because their outputs are approximate or
+  * plan-shaping — the exact operators remain the correctness surface.
+  */
+object ScaleOps {
+
+  /** HyperLogLog++ distinct counts — the sketch alternative to
+    * [[graft.queries.Analytics.qDistinctParts]]'s exact two-stage
+    * expansion. `rsd` is the target relative standard deviation; state
+    * is O(1) per group instead of O(distinct). */
+  def approxDistinct(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
+    df.agg(
+      approx_count_distinct(col(cols.head), rsd).as(s"n_${cols.head}"),
+      cols.tail.map(c => approx_count_distinct(col(c), rsd).as(s"n_$c")): _*)
+
+  /** Skew-mitigated equi-join: salt the big side into `buckets`
+    * pseudo-keys and replicate the small side once per bucket, so a hot
+    * join key spreads over `buckets` reducers instead of one straggler.
+    * Result is EXACTLY the plain inner join's rows (the salt is a
+    * partitioning refinement, never a semantic key). Deterministic: the
+    * salt derives from a hash of the big row, not rand(), so retries and
+    * speculative tasks route rows identically.
+    *
+    * At 100 TB this (or AQE's skew-join, which does the same adaptively)
+    * is the difference between a 10-minute stage and one 6-hour reducer.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      buckets: Int = 16): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col): _*), lit(buckets.toLong)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedBig.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Two-phase (salted) aggregation for heavy-state aggregates: phase 1
+    * pre-aggregates per (keys, salt), phase 2 merges the partials. Use
+    * for aggregates whose per-group STATE is big (collect_set, exact
+    * distinct) where map-side combine alone can't tame a hot key. The
+    * caller supplies both phases; for algebraic aggregates they're the
+    * same function. */
+  def twoPhaseAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      partial: Seq[Column],
+      merge: Seq[Column],
+      buckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong)).cast("int"))
+    val phase1 = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partial.head, partial.tail: _*)
+    phase1.groupBy(keys.map(col): _*).agg(merge.head, merge.tail: _*)
+  }
+}

@@ -43,7 +43,14 @@ object Dedup {
     * a production dedup pipeline checkpoints between stages anyway. */
   private def hashedShingles(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
-        array_distinct(graft.functions.NativeExpressions.shingleHashes(col("text"), 3)).as("hs"))
+        array_distinct(transform(
+          graft.functions.NativeExpressions.shingleHashes(col("text"), 3),
+          // quadratic mix: the poly hash is locality-correlated (shingles
+          // sharing a prefix hash close together, and the LINEAR minhash
+          // permutations preserve that, biasing est_jaccard up). h^2
+          // makes the delta depend on h, decorrelating near-identical
+          // shingles. h*h < 1e18 — no overflow in either engine.
+          h => (h * h + h * 31 + 7) % P)).as("hs"))
       .filter(size(col("hs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -53,7 +60,9 @@ object Dedup {
     shing AS (
       SELECT doc_id, ${sqlShingles("w", 3)} AS sh FROM toks),
     hashes AS (
-      SELECT doc_id, list_distinct(list_transform(sh, s -> ${sqlPolyHash("s")})) AS hs
+      SELECT doc_id, list_distinct(list_transform(
+        list_transform(sh, s -> ${sqlPolyHash("s")}),
+        h -> (h * h + h * 31 + 7) % $P)) AS hs
       FROM shing WHERE len(sh) > 0)"""
 
   /** D1: exact dedup — group on normalized text, min-doc_id survivor.

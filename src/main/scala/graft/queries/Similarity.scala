@@ -109,9 +109,9 @@ object Similarity {
     * same-bucket vectors over all tables; ONE shuffle on (table, bucket).
     * Rows-only check (recall vs E1 asserted in ScalaTest — LSH misses are
     * algorithmic, not bugs). */
-  /** Public API: multi-table hyperplane LSH ANN. */
-  def annLsh(embeddings: DataFrame): DataFrame = {
-      val dims = 64
+  /** Public API: multi-table hyperplane LSH ANN. `dims` must cover the
+    * embedding length (planes are generated per dimension). */
+  def annLsh(embeddings: DataFrame, dims: Int = 64): DataFrame = {
       def bucket(t: Int) = (0 until LshBits).map { i =>
         // one Literal node per plane (not 64) — keeps analysis/codegen
         // of the 48-plane expression tree cheap

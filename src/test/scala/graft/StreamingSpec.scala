@@ -61,6 +61,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("file-source stream: JSONL dir -> windowCounts -> memory sink") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b1.json"),
+      """{"event_id":1,"ts":"2024-01-01T00:05:00Z","user_id":1,"event_type":"click","value":1.0,"props":"{}"}
+        |{"event_id":2,"ts":"2024-01-01T00:10:00Z","user_id":1,"event_type":"click","value":2.0,"props":"{}"}
+        |""".stripMargin)
+    val stream = graft.sources.Sources.jsonlEventStream(spark, dir)
+    val query = Streams.windowCounts(stream)
+      .writeStream.format("memory").queryName("file_stream")
+      .outputMode(OutputMode.Update).start()
+    try {
+      query.processAllAvailable()
+      val rows = spark.table("file_stream")
+        .select("event_type", "n", "total").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq(("click", 2L, 3.0)))
+    } finally query.stop()
+  }
+
   test("runningUserStats accumulates state across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
