@@ -67,4 +67,27 @@ object Graft {
   /** Install graft's SQL functions on a live session (see
     * [[GraftExtensions]] for the config-based path). */
   def install(spark: SparkSession): Unit = GraftExtensions.register(spark)
+
+  /** Top-k rows per key via the custom bounded-heap operator
+    * ([[graft.plans.TopKPerKeyNode]]): shuffles at most k rows per key
+    * per input partition instead of sorting and shuffling everything.
+    * Appends a `rank` column (1..k in `orderBy` order). Sessions built
+    * with [[GraftExtensions]] get this automatically for the
+    * `row_number() <= k` window idiom. */
+  def topKPerKey(
+      df: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column],
+      orderBy: Seq[org.apache.spark.sql.Column],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val keyExprs = keys.map(Bridge.convertedExpression(df.sparkSession, _))
+    val orderExprs = orderBy.map(Bridge.convertedExpression(df.sparkSession, _)).map {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    }
+    Bridge.ofRows(df.sparkSession,
+      graft.plans.TopKPerKeyNode(keyExprs, orderExprs, k,
+        graft.plans.TopKPerKeyNode.rankAttribute(), Bridge.logicalPlan(df)))
+  }
 }

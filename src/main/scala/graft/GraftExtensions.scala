@@ -20,10 +20,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * `graft_dot(a, b)`, `graft_cosine(a, b)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // custom whole-operator path: window row_number()<=k rewrites to the
+    // partial/final bounded-heap TopKPerKey operator
+    ext.injectOptimizerRule(_ => graft.rules.WindowRankToTopK)
+    ext.injectPlannerStrategy(sp => new graft.plans.TopKStrategy(sp))
+  }
 }
 
 object GraftExtensions {

@@ -12,6 +12,26 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eagerly CONVERT a Column into a catalyst expression (the lazy
+    * `expression` wrapper keeps a non-serializable ColumnNode inside;
+    * fine inside standard nodes, fatal when embedded in a custom
+    * operator that ships to executors). */
+  def convertedExpression(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
+
+  /** DataFrame from a raw logical plan (for graft's custom operators). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed
+
   /** Register a function on a LIVE session (sessionState is
     * private[sql]; the extensions path only applies at construction). */
   def registerFunction(
