@@ -11,7 +11,8 @@ object SparkEntry {
   /** Every implemented operator, one Q each (SURVEY.md §2). */
   def allQueries: Seq[Q] =
     Analytics.all ++ TextQueries.all ++ MrQueries.all ++ TextAnalysis.all ++
-      Dedup.all ++ Similarity.all ++ Multimodal.all ++ Sessions.all
+      Dedup.all ++ Similarity.all ++ Multimodal.all ++ Sessions.all ++
+      ScaleQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
