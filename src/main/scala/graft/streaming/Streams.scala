@@ -20,6 +20,22 @@ final case class UserCounters(n_events: Long, n_purchases: Long, total_value: Do
 final case class UserUpdate(
     user_id: Long, n_events: Long, n_purchases: Long, total_value: Double)
 
+/** One live session per user for [[Streams.sessionizeStream]]. */
+final case class SessionState(
+    sessionStart: Long, lastTs: Long, nEvents: Long, totalValue: Double)
+
+/** A closed session emitted by [[Streams.sessionizeStream]]. */
+final case class SessionOut(
+    user_id: Long, session_start: java.sql.Timestamp,
+    n_events: Long, duration_us: Long, total_value: Double)
+
+/** KV-store op (kvraft surface: Put / Append; Get is a lookup on the
+  * emitted state). */
+final case class KvOp(ts: java.sql.Timestamp, key: String, op: String, value: String)
+
+/** Current value per key emitted by [[Streams.kvStore]]. */
+final case class KvState(key: String, value: String, n_ops: Long)
+
 /** Structured Streaming operators (SURVEY.md §2 G2–G4). Each takes the
   * event stream as a DataFrame/Dataset so tests can drive it from a
   * MemoryStream and production from `readStream` — the transform IS the
@@ -72,6 +88,82 @@ object Streams {
     }
     events
       .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** G1 (streaming form): gap sessionization with event-time timeouts —
+    * a session CLOSES (and is emitted) when the watermark passes its
+    * last event + gap, exactly the batch `sessionize` semantics but
+    * incremental with bounded state. */
+  def sessionizeStream(
+      events: Dataset[EventRow],
+      gapMinutes: Long = 30,
+      watermark: String = "1 hour"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    def update(
+        userId: Long,
+        rows: Iterator[EventRow],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      def us(t: java.sql.Timestamp): Long = t.getTime * 1000L
+      def emit(st: SessionState): SessionOut = SessionOut(
+        userId, new java.sql.Timestamp(st.sessionStart / 1000L),
+        st.nEvents, st.lastTs - st.sessionStart, st.totalValue)
+      if (!rows.hasNext) {
+        // event-time timeout: the gap elapsed with no new events
+        val out = state.getOption.map(emit).iterator
+        state.remove()
+        out.toSeq.iterator
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+        var closed = List.empty[SessionOut]
+        var st = state.getOption.orNull
+        sorted.foreach { e =>
+          val t = us(e.ts)
+          st = st match {
+            case null => SessionState(t, t, 1L, e.value)
+            case s if t - s.lastTs <= gapUs =>
+              SessionState(s.sessionStart, t, s.nEvents + 1, s.totalValue + e.value)
+            case s => // gap exceeded inside the batch: close, start anew
+              closed ::= emit(s)
+              SessionState(t, t, 1L, e.value)
+          }
+        }
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastTs / 1000L + gapMinutes * 60000L)
+        closed.reverseIterator
+      }
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** kvraft's data surface as a stream (/root/reference/src/kvraft):
+    * Put replaces, Append concatenates; state per key is emitted after
+    * every batch (Get == read the sink). Ops within a batch apply in
+    * (ts, then arrival) order — the linearization the reference's Raft
+    * log provided, here per-key via the state store. */
+  def kvStore(ops: Dataset[KvOp]): Dataset[KvState] = {
+    import ops.sparkSession.implicits._
+    def update(
+        key: String,
+        rows: Iterator[KvOp],
+        state: GroupState[KvState]): Iterator[KvState] = {
+      var st = state.getOption.getOrElse(KvState(key, "", 0L))
+      rows.toSeq.sortBy(_.ts.getTime).foreach { o =>
+        st = o.op match {
+          case "put"    => KvState(key, o.value, st.n_ops + 1)
+          case "append" => KvState(key, st.value + o.value, st.n_ops + 1)
+          case _        => st // unknown ops are ignored, like a no-op Get
+        }
+      }
+      state.update(st)
+      Iterator.single(st)
+    }
+    ops
+      .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 }

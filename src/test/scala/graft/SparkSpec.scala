@@ -16,7 +16,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 2]") // 2 task attempts: FaultToleranceSpec injects crashes
       .withExtensions(new GraftExtensions)
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")

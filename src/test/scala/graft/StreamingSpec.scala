@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.streaming.{EventRow, Streams}
+import graft.streaming.{EventRow, SessionOut, Streams}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -78,6 +78,61 @@ class StreamingSpec extends SparkSpec {
         .select("event_type", "n", "total").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
       assert(rows.toSeq == Seq(("click", 2L, 3.0)))
+    } finally query.stop()
+  }
+
+  test("sessionizeStream closes sessions on gap and on watermark timeout") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val query = Streams.sessionizeStream(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10 min apart (one session), then 40 min gap
+      // -> new session; a later user-2 event advances the watermark
+      mem.addData(
+        EventRow(1L, ts(0), 1L, "click", 1.0),
+        EventRow(2L, ts(10), 1L, "click", 2.0),
+        EventRow(3L, ts(50), 1L, "click", 4.0))
+      query.processAllAvailable()
+      // in-batch gap close: session (0..10) emitted immediately
+      val afterBatch = spark.table("sess_stream").as[SessionOut].collect()
+      assert(afterBatch.map(s => (s.user_id, s.n_events, s.total_value)).toSeq ==
+        Seq((1L, 2L, 3.0)))
+      assert(afterBatch.head.duration_us == 10L * 60 * 1000000)
+      // push the watermark far past 50min+30min gap -> timeout closes it
+      mem.addData(EventRow(9L, ts(300), 2L, "click", 0.5))
+      query.processAllAvailable()
+      mem.addData(EventRow(10L, ts(310), 2L, "click", 0.5))
+      query.processAllAvailable()
+      val all = spark.table("sess_stream").as[SessionOut].collect()
+      assert(all.exists(s => s.user_id == 1L && s.n_events == 1L && s.total_value == 4.0),
+        all.mkString(","))
+    } finally query.stop()
+  }
+
+  test("kvStore: put replaces, append concatenates, in ts order") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.{KvOp, KvState}
+    val mem = MemoryStream[KvOp]
+    val query = Streams.kvStore(mem.toDS())
+      .writeStream.format("memory").queryName("kv_stream")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(
+        KvOp(ts(2), "a", "append", "-x"), // arrives first, applies second
+        KvOp(ts(1), "a", "put", "v1"),
+        KvOp(ts(1), "b", "put", "w"))
+      query.processAllAvailable()
+      mem.addData(KvOp(ts(3), "a", "append", "-y"), KvOp(ts(4), "b", "put", "w2"))
+      query.processAllAvailable()
+      val last = spark.table("kv_stream").as[KvState].collect()
+        .groupBy(_.key).map { case (k, rows) => k -> rows.last }
+      assert(last("a").value == "v1-x-y")
+      assert(last("a").n_ops == 3L)
+      assert(last("b").value == "w2")
     } finally query.stop()
   }
 
