@@ -280,6 +280,89 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Lowercased letter-run tokens in one byte pass — the native form of
+    * split(lower(text), "[^a-z]+") with empties dropped. Bytes ≥ 0x80
+    * are separators, matching the regex's per-char behavior on ASCII
+    * and multi-byte input alike. */
+  case class Tokens(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_tokens"
+
+    override def nullSafeEval(input: Any): Any =
+      tokenize(input.asInstanceOf[UTF8String])
+
+    /** public: called from generated code too. */
+    def tokenize(s: UTF8String): ArrayData = {
+      val b = s.getBytes
+      val out = new java.util.ArrayList[UTF8String]()
+      var i = 0
+      var start = -1
+      var lowered: Array[Byte] = null // copy-on-first-uppercase
+      while (i <= b.length) {
+        val c = if (i < b.length) b(i) & 0xff else 0
+        val isAl = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+        if (isAl) {
+          if (start < 0) start = i
+          if (c >= 'A' && c <= 'Z') {
+            if (lowered == null) lowered = b.clone()
+            lowered(i) = (c + 32).toByte
+          }
+        } else if (start >= 0) {
+          val src = if (lowered == null) b else lowered
+          out.add(UTF8String.fromBytes(src, start, i - start))
+          start = -1
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val ref = ctx.addReferenceObj("tokenizer", this, classOf[Tokens].getName)
+        s"${ev.value} = $ref.tokenize($c);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Tokens =
+      copy(child = newChild)
+  }
+
+  /** Count of array elements contained in a fixed string set — the
+    * native form of size(filter(arr, x => x.isin(items))). */
+  case class CountIn(child: Expression, items: Seq[String]) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_count_in"
+
+    @transient private lazy val set: java.util.HashSet[UTF8String] = {
+      val s = new java.util.HashSet[UTF8String]()
+      items.foreach(i => s.add(UTF8String.fromString(i)))
+      s
+    }
+
+    override def nullSafeEval(input: Any): Any = countIn(input.asInstanceOf[ArrayData])
+
+    /** public: called from generated code too. */
+    def countIn(arr: ArrayData): Long = {
+      var n = 0L
+      var i = 0
+      val len = arr.numElements()
+      while (i < len) {
+        if (set.contains(arr.getUTF8String(i))) n += 1
+        i += 1
+      }
+      n
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val ref = ctx.addReferenceObj("counter", this, classOf[CountIn].getName)
+        s"${ev.value} = $ref.countIn($c);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): CountIn =
+      copy(child = newChild)
+  }
+
   // ---- Column wrappers ----
 
   private def expr(c: Column): Expression = Bridge.expression(c)
@@ -289,4 +372,6 @@ object NativeExpressions {
   def minhashSigs(hs: Column, k: Int): Column = Bridge.column(MinHashSigs(expr(hs), k))
   def simHash(hs: Column, bits: Int): Column = Bridge.column(SimHash(expr(hs), bits))
   def shingleHashes(c: Column, k: Int): Column = Bridge.column(ShingleHashes(expr(c), k))
+  def tokens(c: Column): Column = Bridge.column(Tokens(expr(c)))
+  def countIn(arr: Column, items: Seq[String]): Column = Bridge.column(CountIn(expr(arr), items))
 }

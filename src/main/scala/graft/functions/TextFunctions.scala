@@ -14,8 +14,13 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Lowercased letter-run tokens; empty tokens from leading/trailing
-    * separators removed (Spark's split keeps them, DuckDB's doesn't). */
-  def words(c: Column): Column =
+    * separators removed (Spark's split keeps them, DuckDB's doesn't).
+    * Native one-pass tokenizer; [[wordsHof]] keeps the split+filter
+    * formulation for differential tests. */
+  def words(c: Column): Column = NativeExpressions.tokens(c)
+
+  /** Reference HOF formulation of [[words]]. */
+  private[graft] def wordsHof(c: Column): Column =
     filter(split(lower(c), "[^a-z]+"), w => w =!= "")
 
   /** Oracle-side (DuckDB) fragment matching [[words]] of column `col`,
@@ -72,8 +77,13 @@ object TextFunctions {
   def sqlShingles(toks: String, k: Int): String =
     s"list_transform(range(1, len($toks) - ${k - 2}), i -> array_to_string(($toks)[i:i+${k - 1}], ' '))"
 
-  /** Count of tokens that appear in a fixed stopword list. */
+  /** Count of tokens that appear in a fixed stopword list (native
+    * hash-set membership pass). */
   def stopHits(toks: Column, stopwords: Seq[String]): Column =
+    NativeExpressions.countIn(toks, stopwords)
+
+  /** Reference HOF formulation of [[stopHits]]. */
+  private[graft] def stopHitsHof(toks: Column, stopwords: Seq[String]): Column =
     size(filter(toks, w => w.isin(stopwords: _*))).cast("long")
 
   /** Oracle-side (DuckDB) fragment matching [[stopHits]]. */

@@ -67,6 +67,26 @@ class NativeExprSpec extends SparkSpec {
     assert(sizes == Seq(2, 0, 0, 2))
   }
 
+  test("Tokens == split+filter formulation on real docs and edge strings") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select(col("text"))
+      .unionByName(Seq("", "ALL CAPS Mixed", "éàï non-ascii; x1y2z", "   ", "one")
+        .toDF("text"))
+    val diff = docs.select(words(col("text")).as("native"),
+        wordsHof(col("text")).as("hof"))
+      .filter("native != hof")
+    assert(diff.count() == 0)
+  }
+
+  test("CountIn == filter+isin formulation") {
+    val toks = words(col("text"))
+    val list = Seq("the", "a", "spark", "zzz")
+    val diff = Tables.documents(spark, sfDir)
+      .select(stopHits(toks, list).as("native"), stopHitsHof(toks, list).as("hof"))
+      .filter("native != hof")
+    assert(diff.count() == 0)
+  }
+
   test("MinHashSigs and SimHash == per-permutation HOF formulations") {
     val P = 1000000007L
     val K = 16
