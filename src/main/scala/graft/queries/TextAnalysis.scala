@@ -149,14 +149,17 @@ object TextAnalysis {
 
   /** C5: word 3-gram shingling — per-doc shingle counts and distinct
     * ratios (the dedup-candidate front end, standalone here). */
-  /** Public API: shingle counts per doc. */
+  /** Public API: shingle counts per doc. Counts run over the poly
+    * HASHES of the shingles (one native pass, no string
+    * materialization); "distinct" is therefore distinct-up-to-shared-
+    * hash-collision, reproduced exactly by the oracle. */
   def shingleStats(docs: DataFrame): DataFrame = {
-      val sh = shingles(words(col("text")), 3)
+      val hs = graft.functions.NativeExpressions.shingleHashes(col("text"), 3)
       docs
         .select(
           col("doc_id"),
-          size(sh).cast("long").as("n_shingles"),
-          size(array_distinct(sh)).cast("long").as("n_distinct"))
+          size(hs).cast("long").as("n_shingles"),
+          size(array_distinct(hs)).cast("long").as("n_distinct"))
         .orderBy("doc_id")
   }
 
@@ -164,11 +167,13 @@ object TextAnalysis {
     "q_shingles",
     (s, d) => shingleStats(Tables.documents(s, d)),
     Some {
-      val sh = sqlShingles(sqlWords("text"), 3)
+      val sh = sqlShingles("w", 3)
       s"""SELECT doc_id,
-        len($sh) AS n_shingles,
-        len(list_distinct($sh)) AS n_distinct
-        FROM documents ORDER BY doc_id"""
+        len(sh) AS n_shingles,
+        len(list_distinct(list_transform(sh, s -> ${sqlPolyHash("s")}))) AS n_distinct
+      FROM (SELECT doc_id, ($sh) AS sh FROM
+        (SELECT doc_id, list_filter(${sqlWords("text")}, t -> t <> '') AS w FROM documents) t1) t2
+      ORDER BY doc_id"""
     })
 
   val all: Seq[Q] = Seq(qTokens, qLangId, qQuality, qFingerprint, qShingles)
