@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale probe: runs the flagship scale-path operators on SYNTHETIC
+  * frames 100×+ the sf0.1 test corpus, so "would this hold at 1000
+  * executors" has measured local evidence behind it, not vibes.
+  * (Synthetic input is generated in-plan from spark.range — the parquet
+  * test tables stay the correctness surface; this is throughput only.)
+  *
+  * Run: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleProbe [nDocs]"`.
+  */
+object ScaleProbe {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Deterministic word-soup corpus: ~60 tokens per doc from a 50-word
+    * vocab, plus every 100th doc duplicated with one word changed (a
+    * planted near-dup population). */
+  def syntheticDocs(spark: SparkSession, n: Long): DataFrame = {
+    // letter-only vocab (the tokenizer treats digits as separators, so
+    // "w0".."w49" would all collapse to the token "w") as ONE literal
+    // array node; the corpus is persisted — generation is setup, not
+    // the thing being measured
+    val vocab = lit((0 until 50).map(i =>
+      s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}x").toArray)
+    val base = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(60)),
+        i => element_at(vocab, (pmod(xxhash64(col("id") * 1000 + i), lit(50)) + 1).cast("int"))))
+        .as("text"))
+    val nearDups = base.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + n).as("doc_id"),
+        concat(col("text"), lit(" aax")).as("text"))
+    base.unionByName(nearDups)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nDocs = args.headOption.map(_.toLong).getOrElse(500000L)
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = syntheticDocs(spark, nDocs)
+    val total = nDocs + nDocs / 100
+
+    val (_, tWc) = time {
+      Graft.wordCount(docs).write.format("noop").mode("overwrite").save()
+    }
+    println(f"wordcount            $total%9d docs  $tWc%7.1f s  ${total / tWc}%9.0f docs/s")
+
+    val (nPairs, tMh) = time { Graft.minhashPairs(docs).count() }
+    println(f"minhash+LSH pairs    $total%9d docs  $tMh%7.1f s  ${total / tMh}%9.0f docs/s  ($nPairs pairs)")
+
+    val (nSim, tSh) = time { Graft.simhashPairs(docs).count() }
+    println(f"simhash pairs        $total%9d docs  $tSh%7.1f s  ${total / tSh}%9.0f docs/s  ($nSim pairs)")
+
+    val nRows = 30000000L
+    val big = spark.range(nRows).select(
+      pmod(col("id"), lit(1000)).as("k"),
+      (col("id") * 2654435761L % 1000003).as("score"), col("id"))
+    val (nTop, tTk) = time {
+      Graft.topKPerKey(big, Seq(col("k")), Seq(col("score").desc, col("id")), 5).count()
+    }
+    println(f"topKPerKey           $nRows%9d rows  $tTk%7.1f s  ${nRows / tTk}%9.0f rows/s  ($nTop out)")
+    val w = Window.partitionBy(col("k")).orderBy(col("score").desc, col("id"))
+    val (_, tWin) = time {
+      big.withColumn("rn", rank().over(w)).filter(col("rn") <= 5).count()
+    }
+    println(f"  (window rank form) $nRows%9d rows  $tWin%7.1f s  ${nRows / tWin}%9.0f rows/s")
+    spark.stop()
+  }
+}

@@ -22,6 +22,29 @@ object NativeExpressions {
 
   private val P = 1000000007L
 
+  /** MinHash permutation coefficients — INDEPENDENT pseudorandom draws
+    * (SplittableRandom, fixed seed; the algorithm is specified by the
+    * JDK, so values are stable everywhere and get embedded as literals
+    * in the DuckDB oracle SQL).
+    *
+    * Two failure modes were hit before landing here, both discovered by
+    * the 200k-doc scale probe, both invisible at 5k docs:
+    *  - tiny multipliers (a = 2i+3): (a·h+b) mod P is near-order-
+    *    preserving, so all k "permutations" pick ~the same min;
+    *  - arithmetic-progression multipliers (a_i = c·(i+1)+d): any pool
+    *    element with h·c ≈ 0 (mod P) attains a near-constant SMALL value
+    *    under every permutation — ~1000 such "resonant" shingles per
+    *    125k-shingle corpus, and every doc containing one collides with
+    *    every other such doc in most bands (46k false pairs at 500k
+    *    docs, est_jaccard 0.6 on true jaccard 0.01). */
+  private lazy val minhashCoefs: (Array[Long], Array[Long]) = {
+    val rnd = new java.util.SplittableRandom(0x67726166L) // "graf"
+    def draw(): Long = { var v = 0L; while (v == 0L) v = rnd.nextLong(1L, P); v }
+    (Array.fill(64)(draw()), Array.fill(64)(draw()))
+  }
+  def minhashCoefA(i: Int): Long = minhashCoefs._1(i)
+  def minhashCoefB(i: Int): Long = minhashCoefs._2(i)
+
   /** (acc*31 + byte) mod 1e9+7 over the UTF-8 bytes of a string. For the
     * ASCII-normalized inputs graft feeds it (see
     * [[TextFunctions.normText]]) byte == codepoint, so this equals the
@@ -105,7 +128,8 @@ object NativeExpressions {
   }
 
   /** All k MinHash signatures in one pass over the shingle-hash array:
-    * sig_i = min over h of (h*(2i+3) + (1000003i+7)) mod P — the same
+    * sig_i = min over h of (h*A_i + B_i) mod P with the
+    * [[minhashCoefA]]/[[minhashCoefB]] coefficients — the same
     * per-permutation formula as the SQL oracle, k accumulators wide. */
   case class MinHashSigs(child: Expression, k: Int)
       extends UnaryExpression {
@@ -116,12 +140,14 @@ object NativeExpressions {
       val hs = input.asInstanceOf[ArrayData]
       val n = hs.numElements()
       val sigs = Array.fill(k)(Long.MaxValue)
+      val as = Array.tabulate(k)(minhashCoefA)
+      val bs = Array.tabulate(k)(minhashCoefB)
       var j = 0
       while (j < n) {
         val h = hs.getLong(j)
         var i = 0
         while (i < k) {
-          val v = (h * (2 * i + 3) + (1000003L * i + 7)) % P
+          val v = (h * as(i) + bs(i)) % P
           if (v < sigs(i)) sigs(i) = v
           i += 1
         }
@@ -138,14 +164,20 @@ object NativeExpressions {
         val h = ctx.freshName("h")
         val v = ctx.freshName("v")
         val sigs = ctx.freshName("sigs")
+        val as = (0 until k).map(minhashCoefA).mkString(", ")
+        val bs = (0 until k).map(minhashCoefB).mkString(", ")
+        val ca = ctx.freshName("as")
+        val cb = ctx.freshName("bs")
         s"""
         int $n = $c.numElements();
         long[] $sigs = new long[$k];
+        long[] $ca = new long[] { $as };
+        long[] $cb = new long[] { $bs };
         java.util.Arrays.fill($sigs, Long.MAX_VALUE);
         for (int $j = 0; $j < $n; $j++) {
           long $h = $c.getLong($j);
           for (int $i = 0; $i < $k; $i++) {
-            long $v = ($h * (2L * $i + 3L) + (1000003L * $i + 7L)) % ${P}L;
+            long $v = ($h * $ca[$i] + $cb[$i]) % ${P}L;
             if ($v < $sigs[$i]) $sigs[$i] = $v;
           }
         }

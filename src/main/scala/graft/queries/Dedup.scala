@@ -146,7 +146,9 @@ object Dedup {
     (s, d) => minhashPairs(Tables.documents(s, d)),
     Some {
       val sigExprs = (0 until MinhashK).map { i =>
-        s"list_min(list_transform(hs, h -> (h*${2 * i + 3} + ${1000003L * i + 7}) % $P)) AS s$i"
+        val (a, b) = (graft.functions.NativeExpressions.minhashCoefA(i),
+          graft.functions.NativeExpressions.minhashCoefB(i))
+        s"list_min(list_transform(hs, h -> (h*$a + $b) % $P)) AS s$i"
       }.mkString(",\n        ")
       val bandUnion = (0 until MinhashBands).map { b =>
         s"SELECT doc_id, $b AS band_idx, s${2 * b}*$P + s${2 * b + 1} AS band_hash FROM sigs"

@@ -36,11 +36,13 @@ object TextQueries {
   def invertedIndex(docs: DataFrame): DataFrame =
       docs
         .select(col("doc_id"), explode(words(col("text"))).as("word"))
-        .select(col("word"), format_string("d%06d", col("doc_id")).as("doc"))
         .groupBy("word")
-        .agg(
-          countDistinct(col("doc")).as("n_docs"),
-          concat_ws(",", array_sort(collect_set(col("doc")))).as("docs"))
+        // aggregate LONG ids (8-byte state, integer sort), format to the
+        // zero-padded doc labels only once per distinct id at the end
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          array_sort(collect_set(col("doc_id"))).as("ids"))
+        .select(col("word"), col("n_docs"),
+          array_join(transform(col("ids"), d => format_string("d%06d", d)), ",").as("docs"))
         .orderBy("word")
 
   val qInvertedIndex: Q = Q(

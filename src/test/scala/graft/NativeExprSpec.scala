@@ -95,8 +95,10 @@ class NativeExprSpec extends SparkSpec {
       .select(col("doc_id"),
         transform(array_distinct(shingles(words(col("text")), 3)), s => polyHash(s)).as("hs"))
       .filter(size(col("hs")) > 0)
-    val hofSigs = array((0 until K).map(i =>
-      array_min(transform(col("hs"), h => (h * (2 * i + 3) + (1000003L * i + 7)) % P))): _*)
+    val hofSigs = array((0 until K).map { i =>
+      val (a, b) = (NativeExpressions.minhashCoefA(i), NativeExpressions.minhashCoefB(i))
+      array_min(transform(col("hs"), h => (h * a + b) % P))
+    }: _*)
     val hofSim = (0 until Bits).map { i =>
       when(aggregate(col("hs"), lit(0L),
         (acc, h) => acc + when(h.divide(lit(1L << i)).cast("long") % 2 === 1, 1L).otherwise(-1L)) > 0,
