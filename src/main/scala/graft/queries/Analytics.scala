@@ -270,7 +270,31 @@ object Analytics {
       count(*) AS n_items
       FROM lineitem GROUP BY month ORDER BY month"""))
 
+  /** B11: exact order statistics — percentile_disc picks ACTUAL data
+    * values (SQL-standard first-value-with-cume_dist ≥ q), so results
+    * are raw column doubles and hash-match across engines; the
+    * interpolating percentile_cont differs in final ULPs between
+    * implementations and is exposed only through spark.sql. */
+  val qPercentiles: Q = Q(
+    "q_percentiles",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer_pct")
+      s.sql("""SELECT c_mktsegment,
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal) AS p25,
+        percentile_disc(0.5)  WITHIN GROUP (ORDER BY c_acctbal) AS p50,
+        percentile_disc(0.95) WITHIN GROUP (ORDER BY c_acctbal) AS p95,
+        min(c_acctbal) AS lo, max(c_acctbal) AS hi
+        FROM graft_customer_pct
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    },
+    Some("""SELECT c_mktsegment,
+      quantile_disc(c_acctbal, 0.25) AS p25,
+      quantile_disc(c_acctbal, 0.5)  AS p50,
+      quantile_disc(c_acctbal, 0.95) AS p95,
+      min(c_acctbal) AS lo, max(c_acctbal) AS hi
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   val all: Seq[Q] = Seq(q1Agg, q3Shipping, q5RegionRevenue, qTopkOrders,
     qWindowRank, qDistinctParts, qSemiAnti, qRollup, qPivotStatus,
-    qMonthlyRevenue)
+    qMonthlyRevenue, qPercentiles)
 }
