@@ -25,19 +25,28 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // min of two timed passes per query: local container contention adds
-    // multi-second noise; the min is the honest steady-state cost
+    // multi-second noise; the min is the honest steady-state cost.
+    // A failing query reports -1.0 (never its time-to-exception) so a
+    // breakage can't masquerade as a speedup in the bench JSON.
     def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try run(fn, sfDir) catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try { run(fn, sfDir); (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"bench query failed: ${e.getClass.getName}: ${e.getMessage}")
+          -1.0
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timed(fn), timed(fn))
+      val (a, b) = (timed(fn), timed(fn))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
+    val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

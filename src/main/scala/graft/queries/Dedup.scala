@@ -40,9 +40,16 @@ object Dedup {
     * ([[graft.functions.NativeExpressions.ShingleHashes]]), deduped by
     * hash value, and PERSISTED — every dedup operator self-joins this
     * frame, and at ~24 bytes/doc-shingle the signature frame is the thing
-    * a production dedup pipeline checkpoints between stages anyway. */
-  private def hashedShingles(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
+    * a production dedup pipeline checkpoints between stages anyway.
+    *
+    * The persisted frame is memoized on the canonicalized input plan: the
+    * whole dedup family (D2/D3/D4) over the same corpus shares ONE cache
+    * entry, and switching corpora unpersists the previous one — no
+    * unbounded cache growth in a long-lived session. */
+  private[this] var cachedShingles: Option[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)] = None
+
+  private def hashedShingles(df: DataFrame): DataFrame = synchronized {
+    val base = df.select(col("doc_id"),
         array_distinct(transform(
           graft.functions.NativeExpressions.shingleHashes(col("text"), 3),
           // quadratic mix: the poly hash is locality-correlated (shingles
@@ -52,7 +59,16 @@ object Dedup {
           // shingles. h*h < 1e18 — no overflow in either engine.
           h => (h * h + h * 31 + 7) % P)).as("hs"))
       .filter(size(col("hs")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val key = base.queryExecution.analyzed.canonicalized
+    cachedShingles match {
+      case Some((k, f)) if k == key => f
+      case prev =>
+        prev.foreach(_._2.unpersist(blocking = false))
+        val f = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cachedShingles = Some((key, f))
+        f
+    }
+  }
 
   private def sqlShingleCte: String =
     s"""toks AS (

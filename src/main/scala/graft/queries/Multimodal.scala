@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.functions.TextFunctions.sqlPolyHash
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -88,10 +89,49 @@ object Multimodal {
         .orderBy("doc_id")
   }
 
+  /** Driver-facing F2 row: same pipeline, but the feature vector is
+    * projected to scalar columns — the correctness gate sorts/hashes rows
+    * and cannot order an `array<float>` column. Each f_i recovers the raw
+    * 7-bit hash field behind feature[i] (= field/127f), so the row is
+    * integer-exact and, because the stub decode is pure arithmetic on a
+    * poly hash of the payload (= the UTF-8 bytes of `text`), fully
+    * reproducible in DuckDB SQL. The library API ([[mediaFeatures]])
+    * keeps the typed array. */
   val qMediaFeatures: Q = Q(
     "q_media_features",
-    (s, d) => mediaFeatures(mediaTable(s, d)),
-    None)
+    (s, d) => {
+      val featCols = (0 until 8).map { i =>
+        // feature[i] = k/127f with k in [0,127]; *127 + rint is exact
+        round(element_at(col("feature"), i + 1) * 127).cast("long").as(s"f$i")
+      }
+      mediaFeatures(mediaTable(s, d))
+        .select(Seq(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames")) ++ featCols: _*)
+        .orderBy("doc_id")
+    },
+    Some {
+      // MediaCodec.decode reproduced in SQL: h = poly hash of the payload
+      // bytes (the ASCII corpus makes byte == codepoint, same contract as
+      // sqlPolyHash everywhere else); all derived fields are integer
+      // arithmetic on h.
+      val kindCase = (0 until 4).map(i => s"WHEN doc_id % 4 = $i THEN '${kinds(i)}'")
+        .mkString("CASE ", " ", " END")
+      val feats = (0 until 8)
+        .map(i => s"CAST((h // ${1L << (i * 7)}) % 128 AS BIGINT) AS f$i")
+        .mkString(",\n        ")
+      s"""WITH h AS (SELECT doc_id, ${sqlPolyHash("text")} AS h,
+          octet_length(encode(text)) AS payload_bytes FROM documents)
+      SELECT doc_id,
+        $kindCase AS media_type,
+        CAST(payload_bytes + 4 AS BIGINT) AS n_bytes,
+        CAST(64 + h % 1856 AS BIGINT) AS width,
+        CAST(64 + (h // 1856) % 1016 AS BIGINT) AS height,
+        CAST(CASE WHEN doc_id % 4 <= 1 THEN 1 ELSE 1 + h % 240 END AS BIGINT) AS n_frames,
+        $feats
+      FROM h ORDER BY doc_id"""
+    })
 
   val all: Seq[Q] = Seq(qBinaryMeta, qMediaFeatures)
 }
