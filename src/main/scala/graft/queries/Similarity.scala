@@ -103,6 +103,19 @@ object Similarity {
   private val LshTables = 8
   private val LshBits = 6
 
+  /** Oracle-side literal for hyperplane `i` — Scala's shortest
+    * round-trip double printing parses back to the identical IEEE-754
+    * value in DuckDB, so SQL-side dots are bit-equal to Spark's. */
+  private def sqlPlane(i: Int, dims: Int): String =
+    plane(i, dims).mkString("[", ", ", "]")
+
+  /** Oracle-side bucket id of `embedding` in LSH table `t`: the 6
+    * sign-bits, exactly [[annLsh]]'s `bucket(t)` expression. */
+  private def sqlBucket(t: Int, dims: Int): String =
+    (0 until LshBits).map { i =>
+      s"(CASE WHEN ${sqlDot("embedding", sqlPlane(t * LshBits + i, dims))} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** E2: random-hyperplane LSH ANN — 8 independent hash tables of 6
     * sign-bits each (multi-table LSH: recall compounds across tables while
     * each table's bucket join stays selective). Candidates = union of
@@ -136,7 +149,32 @@ object Similarity {
       topkPerQuery(scored)
   }
 
-  val qAnnLsh: Q = Q("q_ann_lsh", (s, d) => annLsh(Tables.embeddings(s, d)), None)
+  /** The LSH pipeline is deterministic end-to-end (literal hyperplanes),
+    * so the oracle reproduces buckets, the candidate join, and the final
+    * ranking exactly — a candidate-generation bug can no longer hide
+    * behind a row-count check. Recall quality stays gated in
+    * AnnRecallSpec (misses vs E1 are algorithmic, not bugs). */
+  val qAnnLsh: Q = Q(
+    "q_ann_lsh",
+    (s, d) => annLsh(Tables.embeddings(s, d)),
+    Some {
+      val tableUnion = (0 until LshTables).map { t =>
+        s"SELECT vec_id, embedding, n2, $t AS t, ${sqlBucket(t, 64)} AS bucket FROM v"
+      }.mkString("\n        UNION ALL ")
+      s"""WITH v AS (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM embeddings),
+      vb AS ($tableUnion),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2, t, bucket
+            FROM vb WHERE vec_id % 100 = 0),
+      scored AS (
+        SELECT DISTINCT q_id, vec_id,
+          ${sqlDot("q_emb", "embedding")} / (sqrt(q_n2) * sqrt(n2)) AS cos
+        FROM q JOIN vb USING (t, bucket) WHERE q_id <> vec_id),
+      ranked AS (SELECT q_id, vec_id, cos,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        FROM scored)
+      SELECT q_id, rank, vec_id AS neighbor_id, cos
+      FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank"""
+    })
 
   /** E3: IVF-style ANN — deterministic coarse centroids (the first 10
     * vectors), every vector assigned to its best cell, queries probe the
@@ -167,7 +205,34 @@ object Similarity {
       topkPerQuery(scored.distinct())
   }
 
-  val qAnnIvf: Q = Q("q_ann_ivf", (s, d) => annIvf(Tables.embeddings(s, d)), None)
+  /** Deterministic centroids (first 10 vectors) make the whole IVF
+    * pipeline — cell assignment, 3-cell probing, candidate join, final
+    * ranking — exactly reproducible in SQL. */
+  val qAnnIvf: Q = Q(
+    "q_ann_ivf",
+    (s, d) => annIvf(Tables.embeddings(s, d)),
+    Some(s"""WITH v AS (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM embeddings),
+      c AS (SELECT vec_id AS c_id, embedding AS c_emb, n2 AS c_n2 FROM v WHERE vec_id < 10),
+      ac AS (SELECT v.vec_id, v.embedding, v.n2, c.c_id,
+          ${sqlDot("v.embedding", "c.c_emb")} / (sqrt(v.n2) * sqrt(c.c_n2)) AS c_cos
+        FROM v CROSS JOIN c),
+      assigned AS (SELECT vec_id, embedding, n2, c_id AS cell FROM (
+          SELECT vec_id, embedding, n2, c_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
+          FROM ac) t WHERE rn = 1),
+      probes AS (SELECT q_id, q_emb, q_n2, c_id AS cell FROM (
+          SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2, c_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
+          FROM ac WHERE vec_id % 100 = 0) t WHERE rn <= 3),
+      scored AS (
+        SELECT DISTINCT q_id, vec_id,
+          ${sqlDot("q_emb", "embedding")} / (sqrt(q_n2) * sqrt(n2)) AS cos
+        FROM probes JOIN assigned USING (cell) WHERE q_id <> vec_id),
+      ranked AS (SELECT q_id, vec_id, cos,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        FROM scored)
+      SELECT q_id, rank, vec_id AS neighbor_id, cos
+      FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank"""))
 
   val all: Seq[Q] = Seq(qDedupEmbedding, qAnnBruteforce, qAnnLsh, qAnnIvf)
 }
