@@ -41,6 +41,8 @@ object Graft {
   def jaccardPairs(docs: DataFrame): DataFrame = queries.Dedup.jaccardPairs(docs)
   def embeddingDupPairs(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame =
     queries.Similarity.embeddingDupPairs(embeddings, minCosine)
+  def embeddingDupPairsLsh(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame =
+    queries.Similarity.embeddingDupPairsLsh(embeddings, minCosine)
 
   // ---- Similarity search ----
   def annBruteforce(embeddings: DataFrame): DataFrame = queries.Similarity.annBruteforce(embeddings)

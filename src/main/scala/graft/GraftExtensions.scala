@@ -56,6 +56,9 @@ object GraftExtensions {
     ("graft_simhash",
       info("graft_simhash", "_FUNC_(arr, bits) - SimHash bit-majority of a hash array"),
       (args: Seq[Expression]) => SimHash(args.head, intArg(args(1), "graft_simhash"))),
+    ("graft_simhash64",
+      info("graft_simhash64", "_FUNC_(arr) - 64-bit banded SimHash of a hash array"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
     ("graft_dot",
       info("graft_dot", "_FUNC_(a, b) - strict left-fold dot product of float/double arrays"),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))

@@ -66,6 +66,13 @@ object ScaleProbe {
 
     val (nSim, tSh) = time { Graft.simhashPairs(docs).count() }
     println(f"simhash pairs        $total%9d docs  $tSh%7.1f s  ${total / tSh}%9.0f docs/s  ($nSim pairs)")
+    // The 28-bit predecessor emitted ~3M borderline pairs at 1e5 docs
+    // (birthday-bound saturation). The 64-bit fingerprint must return
+    // ~the planted near-dups (one per 100 docs), not a quadratic soup.
+    val planted = nDocs / 100
+    assert(nSim <= 3 * planted,
+      s"simhash saturation: $nSim pairs vs $planted planted — fingerprint too narrow for $total docs")
+    println(f"simhash saturation   ${"check"}%9s       $nSim%7d pairs vs $planted planted  PASS")
 
     val nRows = 30000000L
     val big = spark.range(nRows).select(

@@ -45,6 +45,20 @@ object NativeExpressions {
   def minhashCoefA(i: Int): Long = minhashCoefs._1(i)
   def minhashCoefB(i: Int): Long = minhashCoefs._2(i)
 
+  /** Band coefficients for the 64-bit SimHash: byte-band j of the
+    * fingerprint takes its 8 bits from the independent rehash
+    * (h·A_j + B_j) mod P — the base shingle hash is only ~30 bits wide
+    * (mod 1e9+7), so a 64-bit fingerprint needs 8 independent draws, not
+    * the hash's own (nonexistent) high bits. Same independent-draw
+    * discipline as the MinHash coefficients, same reason. */
+  private lazy val simhashCoefs: (Array[Long], Array[Long]) = {
+    val rnd = new java.util.SplittableRandom(0x73696d68L) // "simh"
+    def draw(): Long = { var v = 0L; while (v == 0L) v = rnd.nextLong(1L, P); v }
+    (Array.fill(8)(draw()), Array.fill(8)(draw()))
+  }
+  def simhashCoefA(j: Int): Long = simhashCoefs._1(j)
+  def simhashCoefB(j: Int): Long = simhashCoefs._2(j)
+
   /** (acc*31 + byte) mod 1e9+7 over the UTF-8 bytes of a string. For the
     * ASCII-normalized inputs graft feeds it (see
     * [[TextFunctions.normText]]) byte == codepoint, so this equals the
@@ -245,6 +259,85 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** 64-bit SimHash over a shingle-hash array: byte-band j (bits 8j …
+    * 8j+7) holds the per-bit majority vote of the low 8 bits of the
+    * independent rehash (h·A_j + B_j) mod P ([[simhashCoefA]]). The
+    * 28-bit predecessor ([[SimHash]]) saturates the birthday bound near
+    * 1e5 docs; 64 bits keeps random pairs ~32 bits apart at any corpus
+    * size. Bit 63 may be set — callers must treat the long as a bit
+    * pattern (unsigned shifts). */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash64"
+
+    override def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      val counters = new Array[Long](64)
+      val as = Array.tabulate(8)(simhashCoefA)
+      val bs = Array.tabulate(8)(simhashCoefB)
+      var j = 0
+      while (j < n) {
+        val h = hs.getLong(j)
+        var band = 0
+        while (band < 8) {
+          val g = (h * as(band) + bs(band)) % P
+          var r = 0
+          while (r < 8) {
+            counters(8 * band + r) += (if (((g >> r) & 1L) == 1L) 1L else -1L)
+            r += 1
+          }
+          band += 1
+        }
+        j += 1
+      }
+      var sim = 0L
+      var i = 0
+      while (i < 64) { if (counters(i) > 0) sim |= (1L << i); i += 1 }
+      sim
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val band = ctx.freshName("band")
+        val r = ctx.freshName("r")
+        val h = ctx.freshName("h")
+        val g = ctx.freshName("g")
+        val cnt = ctx.freshName("cnt")
+        val sim = ctx.freshName("sim")
+        val ca = ctx.freshName("as")
+        val cb = ctx.freshName("bs")
+        val as = (0 until 8).map(simhashCoefA).mkString("L, ") + "L"
+        val bs = (0 until 8).map(simhashCoefB).mkString("L, ") + "L"
+        s"""
+        int $n = $c.numElements();
+        long[] $cnt = new long[64];
+        long[] $ca = new long[] { $as };
+        long[] $cb = new long[] { $bs };
+        for (int $j = 0; $j < $n; $j++) {
+          long $h = $c.getLong($j);
+          for (int $band = 0; $band < 8; $band++) {
+            long $g = ($h * $ca[$band] + $cb[$band]) % ${P}L;
+            for (int $r = 0; $r < 8; $r++) {
+              $cnt[8 * $band + $r] += ((($g >> $r) & 1L) == 1L) ? 1L : -1L;
+            }
+          }
+        }
+        long $sim = 0L;
+        for (int $i = 0; $i < 64; $i++) {
+          if ($cnt[$i] > 0) $sim |= (1L << $i);
+        }
+        ${ev.value} = $sim;
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
   /** text → poly hashes of every word k-shingle, one pass, no
     * intermediate strings. Semantics = polyHash over the bytes of
     * "tok1 tok2 … tokk" where tokens are maximal [a-z]+ runs of
@@ -403,6 +496,7 @@ object NativeExpressions {
   def dot(a: Column, b: Column): Column = Bridge.column(DotProduct(expr(a), expr(b)))
   def minhashSigs(hs: Column, k: Int): Column = Bridge.column(MinHashSigs(expr(hs), k))
   def simHash(hs: Column, bits: Int): Column = Bridge.column(SimHash(expr(hs), bits))
+  def simHash64(hs: Column): Column = Bridge.column(SimHash64(expr(hs)))
   def shingleHashes(c: Column, k: Int): Column = Bridge.column(ShingleHashes(expr(c), k))
   def tokens(c: Column): Column = Bridge.column(Tokens(expr(c)))
   def countIn(arr: Column, items: Seq[String]): Column = Bridge.column(CountIn(expr(arr), items))

@@ -27,13 +27,20 @@ object Dedup {
     * genuine near-dups. */
   private val MinhashBands = 8
 
-  /** SimHash: 28 bits (the poly hash yields < 2^30; 28 divides into 4
-    * bands) — 4 bands × 7 bits guarantees (pigeonhole) that any pair at
-    * Hamming distance ≤ 3 shares at least one full band, so the banded
-    * join returns EXACTLY the brute-force result. */
-  private val SimBits = 28
-  private val SimBands = 4
-  private val HamMax = 3
+  /** SimHash: 64-bit fingerprint split into 8 byte-blocks; the banded
+    * join keys on every 3-block combination (C(8,3) = 56 keys of 24
+    * bits). Pigeonhole: Hamming ≤ [[HamMax]] = 5 flips bits in at most 5
+    * blocks, so at least 3 blocks — hence at least one sorted 3-combo —
+    * match exactly, making the banded join EQUAL to brute force. 24-bit
+    * keys keep random collisions ~N²/2²⁴ per combo (the 28-bit
+    * predecessor's 7-bit bands saturated the birthday bound near 1e5
+    * docs). Block-combination scheme after Manku, Jain & Sarma,
+    * "Detecting Near-Duplicates for Web Crawling", WWW'07. */
+  private val SimBlocks = 8
+  private val SimAgree = 3
+  private val HamMax = 5
+  private val simCombos: Seq[Seq[Int]] =
+    (0 until SimBlocks).combinations(SimAgree).map(_.toSeq).toSeq
 
   /** Distinct 3-shingle poly hashes per doc (shingle-less docs dropped):
     * ONE native pass from text to hashes
@@ -185,26 +192,32 @@ object Dedup {
       ORDER BY id_a, id_b"""
     })
 
-  /** D3: SimHash near-dup pairs at Hamming ≤ 3, found via the banded LSH
-    * join (4 × 7-bit bands) — exact vs brute force by pigeonhole, but
-    * shuffles on 4 small band keys instead of comparing all pairs. The
-    * oracle DOES run the quadratic brute force, proving the equivalence. */
+  /** D3: SimHash near-dup pairs at Hamming ≤ 5 over the 64-bit
+    * fingerprint ([[graft.functions.NativeExpressions.SimHash64]]),
+    * found via the 56-combo block join — exact vs brute force by
+    * pigeonhole (see [[SimBlocks]]), but shuffles 24-bit keys instead of
+    * comparing all pairs. The oracle DOES run the quadratic brute force,
+    * proving the equivalence. */
   /** Public API: banded SimHash near-dup pairs over any (doc_id, text)
     * frame. */
   def simhashPairs(docs: DataFrame): DataFrame = {
       val simh = hashedShingles(docs)
         .select(col("doc_id"),
-          graft.functions.NativeExpressions.simHash(col("hs"), SimBits).as("simhash"))
-      val bandStructs = (0 until SimBands).map { b =>
-        struct(lit(b).as("band_idx"),
-          (col("simhash").divide(lit(1L << (7 * b))).cast("long") % (1L << 7)).as("band_val"))
+          graft.functions.NativeExpressions.simHash64(col("hs")).as("simhash"))
+      def block(b: Int) =
+        shiftrightunsigned(col("simhash"), 8 * b).bitwiseAND(lit(255L))
+      val comboStructs = simCombos.zipWithIndex.map { case (blks, ci) =>
+        val key = blks.zipWithIndex
+          .map { case (b, pos) => block(b) * lit(1L << (8 * pos)) }
+          .reduce(_ + _)
+        struct(lit(ci).as("combo"), key.as("ckey"))
       }
       val bands = simh
-        .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bd"))
-        .select(col("doc_id"), col("simhash"), col("bd.band_idx"), col("bd.band_val"))
+        .select(col("doc_id"), col("simhash"), explode(array(comboStructs: _*)).as("bd"))
+        .select(col("doc_id"), col("simhash"), col("bd.combo"), col("bd.ckey"))
       bands.as("x").join(bands.as("y"),
-          col("x.band_idx") === col("y.band_idx") &&
-            col("x.band_val") === col("y.band_val") &&
+          col("x.combo") === col("y.combo") &&
+            col("x.ckey") === col("y.ckey") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
           bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
@@ -217,18 +230,29 @@ object Dedup {
     "q_dedup_simhash",
     (s, d) => simhashPairs(Tables.documents(s, d)),
     Some {
-      val bitSums = (0 until SimBits).map { i =>
-        s"list_sum(list_transform(hs, h -> CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END)) AS c$i"
+      // The fingerprint is built as two 32-bit halves — BIGINT can't hold
+      // a set bit 63 — with band j's bits taken from the independent
+      // rehash (h·A_j + B_j) mod P, exactly SimHash64's layout.
+      import graft.functions.NativeExpressions.{simhashCoefA, simhashCoefB}
+      val bandLists = (0 until 8).map { j =>
+        s"list_transform(hs, h -> (h*${simhashCoefA(j)} + ${simhashCoefB(j)}) % $P) AS g$j"
       }.mkString(",\n        ")
-      val sim = (0 until SimBits)
+      val bitSums = (0 until 64).map { i =>
+        val (j, r) = (i / 8, i % 8)
+        s"list_sum(list_transform(g$j, g -> CASE WHEN (g // ${1L << r}) % 2 = 1 THEN 1 ELSE -1 END)) AS c$i"
+      }.mkString(",\n        ")
+      val lo = (0 until 32)
         .map(i => s"(CASE WHEN c$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      val hi = (32 until 64)
+        .map(i => s"(CASE WHEN c$i > 0 THEN ${1L << (i - 32)} ELSE 0 END)").mkString(" + ")
       s"""WITH $sqlShingleCte,
-      counts AS (SELECT doc_id, $bitSums FROM hashes),
-      simh AS (SELECT doc_id, $sim AS simhash FROM counts)
+      bandh AS (SELECT doc_id, $bandLists FROM hashes),
+      counts AS (SELECT doc_id, $bitSums FROM bandh),
+      simh AS (SELECT doc_id, $lo AS sim_lo, $hi AS sim_hi FROM counts)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        CAST(bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming
       FROM simh a JOIN simh b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.simhash, b.simhash)) <= $HamMax
+      WHERE bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) <= $HamMax
       ORDER BY id_a, id_b"""
     })
 

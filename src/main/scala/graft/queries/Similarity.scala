@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -37,10 +37,10 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** D5: embedding-cosine near-dup pairs above a threshold. The quadratic
-    * join is intentional here (it IS the exact operator); the scale path
-    * for the same semantics is E2/E3 bucketing followed by this predicate
-    * within buckets. */
+  /** D5 (exact form): embedding-cosine near-dup pairs above a threshold.
+    * The quadratic join is intentional here (it IS the exact operator and
+    * the recall oracle for the banded form); the 100 TB path for the same
+    * semantics is [[embeddingDupPairsLsh]]. */
   /** Public API: cosine near-dup pairs over any (vec_id, embedding)
     * frame. */
   def embeddingDupPairs(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame = {
@@ -64,6 +64,72 @@ object Similarity {
       WHERE ${sqlDot("a.embedding", "b.embedding")} /
         (sqrt(${sqlNorm2("a.embedding")}) * sqrt(${sqlNorm2("b.embedding")})) >= 0.5
       ORDER BY id_a, id_b"""))
+
+  private val DedupTables = 16
+  private val DedupBits = 4
+
+  /** D5 scale path: hyperplane-LSH candidate generation + exact cosine
+    * rescore for the SAME threshold-pair semantics as
+    * [[embeddingDupPairs]] — an equi-join on (table, bucket) instead of
+    * the all-pairs cartesian, so candidate volume is ~N²/2^bits per
+    * table rather than N². Defaults (16 tables × 4 bits) give ~0.97
+    * theoretical recall at cos ≥ 0.5 (p = (1-θ/π)^bits per table); at
+    * real corpus sizes raise `bits` toward log₂N so buckets stay small —
+    * recall is then recovered by more tables, not bigger buckets. */
+  /** Public API: bucketed cosine near-dup pairs over any
+    * (vec_id, embedding) frame. */
+  def embeddingDupPairsLsh(
+      embeddings: DataFrame,
+      minCosine: Double = 0.5,
+      tables: Int = DedupTables,
+      bits: Int = DedupBits,
+      dims: Int = 64): DataFrame = {
+      // candidate generation shuffles NARROW rows (id, table, bucket) —
+      // never the vectors; the exact rescore then joins the distinct
+      // candidate pairs back to the embeddings. At 100 TB the bucket
+      // frame is ~20 bytes/vector/table while the vectors stay in the
+      // (column-pruned) scans on the rescore side.
+      val tabs = (0 until tables).map(t =>
+        struct(lit(t).as("t"), bucketCol(DedupPlaneBase, bits, t, dims).as("bucket")))
+      val vb = embeddings
+        .select(col("vec_id"), explode(array(tabs: _*)).as("tb"))
+        .select(col("vec_id"), col("tb.t"), col("tb.bucket"))
+      val cand = vb.as("x").join(vb.as("y"),
+          col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .distinct() // same pair from several tables
+      val v = withNorms(embeddings)
+      val a = v.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("n2").as("na"))
+      val b = v.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("n2").as("nb"))
+      cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          cosineFrom(dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
+        .filter(col("cos") >= minCosine)
+        .orderBy("id_a", "id_b")
+  }
+
+  /** Like the ANN rows, the banding is deterministic (literal planes),
+    * so the oracle reproduces candidate generation + rescore exactly;
+    * recall vs the brute-force pairs is asserted in AnnRecallSpec. */
+  val qDedupEmbeddingLsh: Q = Q(
+    "q_dedup_embedding_lsh",
+    (s, d) => embeddingDupPairsLsh(Tables.embeddings(s, d)),
+    Some {
+      val tableUnion = (0 until DedupTables).map { t =>
+        s"SELECT vec_id, $t AS t, ${sqlBucket(DedupPlaneBase, DedupBits, t, 64)} AS bucket FROM embeddings"
+      }.mkString("\n        UNION ALL ")
+      s"""WITH vb AS ($tableUnion),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM vb x JOIN vb y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+      v AS (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM embeddings)
+      SELECT id_a, id_b,
+        ${sqlDot("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+      FROM cand c JOIN v a ON c.id_a = a.vec_id JOIN v b ON c.id_b = b.vec_id
+      WHERE ${sqlDot("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) >= 0.5
+      ORDER BY id_a, id_b"""
+    })
 
   /** E1: exact top-k cosine neighbors (brute force) — the ANN recall
     * baseline. Small query set × full scan; per-query top-k via window. */
@@ -109,12 +175,26 @@ object Similarity {
   private def sqlPlane(i: Int, dims: Int): String =
     plane(i, dims).mkString("[", ", ", "]")
 
-  /** Oracle-side bucket id of `embedding` in LSH table `t`: the 6
-    * sign-bits, exactly [[annLsh]]'s `bucket(t)` expression. */
-  private def sqlBucket(t: Int, dims: Int): String =
-    (0 until LshBits).map { i =>
-      s"(CASE WHEN ${sqlDot("embedding", sqlPlane(t * LshBits + i, dims))} > 0 THEN ${1L << i} ELSE 0 END)"
+  /** Sign-bit bucket id of the `embedding` column in LSH table `t`,
+    * using planes `planeBase + t*bits …`. Shared by the ANN search and
+    * the dedup scale path (disjoint `planeBase` ranges). */
+  private def bucketCol(planeBase: Int, bits: Int, t: Int, dims: Int): Column =
+    (0 until bits).map { i =>
+      // one Literal node per plane (not 64) — keeps analysis/codegen
+      // of the multi-plane expression tree cheap
+      val pl = lit(plane(planeBase + t * bits + i, dims).toArray)
+      when(dot(col("embedding"), pl) > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Oracle-side twin of [[bucketCol]]. */
+  private def sqlBucket(planeBase: Int, bits: Int, t: Int, dims: Int): String =
+    (0 until bits).map { i =>
+      s"(CASE WHEN ${sqlDot("embedding", sqlPlane(planeBase + t * bits + i, dims))} > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Plane index base for the dedup tables — disjoint from the ANN
+    * search's planes 0 … LshTables*LshBits-1. */
+  private val DedupPlaneBase = 1000
 
   /** E2: random-hyperplane LSH ANN — 8 independent hash tables of 6
     * sign-bits each (multi-table LSH: recall compounds across tables while
@@ -125,14 +205,8 @@ object Similarity {
   /** Public API: multi-table hyperplane LSH ANN. `dims` must cover the
     * embedding length (planes are generated per dimension). */
   def annLsh(embeddings: DataFrame, dims: Int = 64): DataFrame = {
-      def bucket(t: Int) = (0 until LshBits).map { i =>
-        // one Literal node per plane (not 64) — keeps analysis/codegen
-        // of the 48-plane expression tree cheap
-        val pl = lit(plane(t * LshBits + i, dims).toArray)
-        when(dot(col("embedding"), pl) > 0, lit(1L << i)).otherwise(0L)
-      }.reduce(_ + _)
       val tables = (0 until LshTables).map(t =>
-        struct(lit(t).as("t"), bucket(t).as("bucket")))
+        struct(lit(t).as("t"), bucketCol(0, LshBits, t, dims).as("bucket")))
       val v = withNorms(embeddings)
         .select(col("vec_id"), col("embedding"), col("n2"),
           explode(array(tables: _*)).as("tb"))
@@ -159,7 +233,7 @@ object Similarity {
     (s, d) => annLsh(Tables.embeddings(s, d)),
     Some {
       val tableUnion = (0 until LshTables).map { t =>
-        s"SELECT vec_id, embedding, n2, $t AS t, ${sqlBucket(t, 64)} AS bucket FROM v"
+        s"SELECT vec_id, embedding, n2, $t AS t, ${sqlBucket(0, LshBits, t, 64)} AS bucket FROM v"
       }.mkString("\n        UNION ALL ")
       s"""WITH v AS (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM embeddings),
       vb AS ($tableUnion),
@@ -234,5 +308,6 @@ object Similarity {
       SELECT q_id, rank, vec_id AS neighbor_id, cos
       FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank"""))
 
-  val all: Seq[Q] = Seq(qDedupEmbedding, qAnnBruteforce, qAnnLsh, qAnnIvf)
+  val all: Seq[Q] =
+    Seq(qDedupEmbedding, qDedupEmbeddingLsh, qAnnBruteforce, qAnnLsh, qAnnIvf)
 }

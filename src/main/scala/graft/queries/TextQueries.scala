@@ -31,28 +31,50 @@ object TextQueries {
 
   /** A4: inverted index (/root/reference/src/mrapps/indexer.go:20-39):
     * word -> distinct-doc count + sorted comma-joined doc list. Docs are
-    * identified by zero-padded doc_id so lexicographic order == numeric. */
+    * identified by zero-padded doc_id so lexicographic order == numeric.
+    *
+    * Scale shape: the naive `collect_set(doc_id)` holds EVERY doc for a
+    * stopword key in one aggregation buffer — multi-GB state on a single
+    * key at 100 TB. Here the posting list is capped at the
+    * `maxDocsPerWord` SMALLEST doc_ids (a rank over the distinct pairs —
+    * sort-based, spillable — then a null-filtered collect whose state is
+    * bounded at the cap), while `n_docs` stays exact via a plain count of
+    * the distinct pairs. Truncation is surfaced in its own column rather
+    * than silently. */
   /** Public API: inverted index over any (doc_id, text) frame. */
-  def invertedIndex(docs: DataFrame): DataFrame =
-      docs
+  def invertedIndex(docs: DataFrame, maxDocsPerWord: Int = 100000): DataFrame = {
+      val pairs = docs
         .select(col("doc_id"), explode(words(col("text"))).as("word"))
+        .distinct()
+      val byWord = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("word")).orderBy(col("doc_id"))
+      pairs
+        .withColumn("rn", row_number().over(byWord))
         .groupBy("word")
         // aggregate LONG ids (8-byte state, integer sort), format to the
         // zero-padded doc labels only once per distinct id at the end
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
-          array_sort(collect_set(col("doc_id"))).as("ids"))
+        .agg(count(lit(1)).as("n_docs"),
+          array_sort(collect_list(when(col("rn") <= maxDocsPerWord, col("doc_id")))).as("ids"))
         .select(col("word"), col("n_docs"),
-          array_join(transform(col("ids"), d => format_string("d%06d", d)), ",").as("docs"))
+          array_join(transform(col("ids"), d => format_string("d%06d", d)), ",").as("docs"),
+          (col("n_docs") > maxDocsPerWord).as("truncated"))
         .orderBy("word")
+  }
 
   val qInvertedIndex: Q = Q(
     "q_inverted_index",
     (s, d) => invertedIndex(Tables.documents(s, d)),
-    Some(s"""SELECT w AS word, count(DISTINCT doc) AS n_docs,
-        string_agg(DISTINCT doc, ',' ORDER BY doc) AS docs
-      FROM (SELECT printf('d%06d', doc_id) AS doc,
-              unnest(${sqlWords("text")}) AS w FROM documents) t
-      WHERE w <> '' GROUP BY w ORDER BY word"""))
+    Some(s"""WITH pairs AS (
+        SELECT DISTINCT doc_id, w
+        FROM (SELECT doc_id, unnest(${sqlWords("text")}) AS w FROM documents) t
+        WHERE w <> ''),
+      rn AS (SELECT w, doc_id,
+        row_number() OVER (PARTITION BY w ORDER BY doc_id) AS rn FROM pairs)
+      SELECT w AS word, count(*) AS n_docs,
+        string_agg(CASE WHEN rn <= 100000 THEN printf('d%06d', doc_id) END, ','
+          ORDER BY doc_id) AS docs,
+        count(*) > 100000 AS truncated
+      FROM rn GROUP BY w ORDER BY word"""))
 
   /** A5: distributed grep — regex hit counts per matching doc. The filter
     * prunes non-matching docs before the (cheap) per-row count; at scale

@@ -115,22 +115,32 @@ object Streams {
         state.remove()
         out.toSeq.iterator
       } else {
-        val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+        // Gap-chain over (live state ∪ batch) as [start, last] intervals
+        // sorted by start — NOT a forward-only fold from lastTs. A
+        // legally-late event (within the watermark, earlier than lastTs
+        // or even sessionStart) merges by extending the bounds
+        // (min start / max last), never rewinding them; an event more
+        // than a gap EARLIER than everything live chains into its own
+        // (possibly immediately closed) session. Identical to the batch
+        // operator's semantics over the events seen so far.
+        val pts = rows.toSeq
+          .map(e => SessionState(us(e.ts), us(e.ts), 1L, e.value))
+        val items = (state.getOption.toSeq ++ pts)
+          .sortBy(s => (s.sessionStart, s.lastTs))
         var closed = List.empty[SessionOut]
-        var st = state.getOption.orNull
-        sorted.foreach { e =>
-          val t = us(e.ts)
-          st = st match {
-            case null => SessionState(t, t, 1L, e.value)
-            case s if t - s.lastTs <= gapUs =>
-              SessionState(s.sessionStart, t, s.nEvents + 1, s.totalValue + e.value)
-            case s => // gap exceeded inside the batch: close, start anew
-              closed ::= emit(s)
-              SessionState(t, t, 1L, e.value)
+        var cur = items.head
+        items.tail.foreach { it =>
+          if (it.sessionStart <= cur.lastTs + gapUs)
+            cur = SessionState(cur.sessionStart,
+              math.max(cur.lastTs, it.lastTs),
+              cur.nEvents + it.nEvents, cur.totalValue + it.totalValue)
+          else { // gap exceeded: close, continue with the later session
+            closed ::= emit(cur)
+            cur = it
           }
         }
-        state.update(st)
-        state.setTimeoutTimestamp(st.lastTs / 1000L + gapMinutes * 60000L)
+        state.update(cur)
+        state.setTimeoutTimestamp(cur.lastTs / 1000L + gapMinutes * 60000L)
         closed.reverseIterator
       }
     }

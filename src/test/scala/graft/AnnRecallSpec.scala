@@ -28,6 +28,22 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall $recall")
   }
 
+  test("banded embedding dedup recovers the brute-force threshold pairs") {
+    // sf0.01 plants exactly one cos >= 0.5 pair (sf0.001 has none);
+    // 16 tables x 4 bits has ~0.97 theoretical recall at the threshold,
+    // so missing it would be a (16x repeated) 3%-tail event — a bug.
+    def dedupPairs(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactDup = dedupPairs("q_dedup_embedding")
+    val banded = dedupPairs("q_dedup_embedding_lsh")
+    assert(exactDup.nonEmpty, "test corpus lost its planted cosine pair")
+    assert(banded.subsetOf(exactDup), "banded rescore admitted a sub-threshold pair")
+    assert((exactDup & banded).size.toDouble / exactDup.size >= 0.9,
+      s"banded dedup recall ${(exactDup & banded).size}/${exactDup.size}")
+  }
+
   test("approximate rankings are subsets of the vector universe, self-free") {
     for (q <- Seq("q_ann_lsh", "q_ann_ivf")) {
       val df = SparkEntry.queries(q)(spark, sfDir)

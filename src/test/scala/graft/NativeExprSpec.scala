@@ -110,4 +110,24 @@ class NativeExprSpec extends SparkSpec {
       .filter("nsig != hsig or nsim != hsim")
     assert(diff.count() == 0)
   }
+
+  test("SimHash64 == per-band HOF formulation") {
+    val P = 1000000007L
+    val hashed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        transform(array_distinct(shingles(words(col("text")), 3)), s => polyHash(s)).as("hs"))
+      .filter(size(col("hs")) > 0)
+    // bit i of band j = bit (i%8) of (h*A_j + B_j) % P, majority-voted
+    val hofSim64 = (0 until 64).map { i =>
+      val (a, b) = (NativeExpressions.simhashCoefA(i / 8), NativeExpressions.simhashCoefB(i / 8))
+      when(aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + when(((h * a + b) % P).divide(lit(1L << (i % 8))).cast("long") % 2 === 1,
+          1L).otherwise(-1L)) > 0,
+        lit(1L << i)).otherwise(0L)
+    }.reduce((x, y) => x.bitwiseOR(y))
+    val diff = hashed.select(
+        NativeExpressions.simHash64(col("hs")).as("nsim"), hofSim64.as("hsim"))
+      .filter("nsim != hsim")
+    assert(diff.count() == 0)
+  }
 }

@@ -112,6 +112,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionizeStream merges legally-late out-of-order events by min/max bounds") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val query = Streams.sessionizeStream(mem.toDS(), gapMinutes = 30, watermark = "3 hours")
+      .writeStream.format("memory").queryName("late_sess_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: user 1 live session [20, 30]
+      mem.addData(
+        EventRow(1L, ts(20), 1L, "click", 1.0),
+        EventRow(2L, ts(30), 1L, "click", 2.0))
+      query.processAllAvailable()
+      // batch 2: within-watermark late events — one INSIDE the live span,
+      // one BEFORE the session start but within the gap. Neither may
+      // rewind lastTs or lose the earlier true start.
+      mem.addData(
+        EventRow(3L, ts(25), 1L, "click", 4.0), // inside [20, 30]
+        EventRow(4L, ts(5), 1L, "click", 8.0)) // extends start back to 5
+      query.processAllAvailable()
+      // close user 1's session via watermark advance from another user
+      mem.addData(EventRow(8L, ts(400), 2L, "click", 0.0))
+      query.processAllAvailable()
+      mem.addData(EventRow(9L, ts(410), 2L, "click", 0.0))
+      query.processAllAvailable()
+      val u1 = spark.table("late_sess_stream").as[SessionOut].collect()
+        .filter(_.user_id == 1L)
+      assert(u1.length == 1, u1.mkString(","))
+      assert(u1.head.n_events == 4L)
+      assert(u1.head.total_value == 15.0)
+      assert(u1.head.session_start == ts(5))
+      assert(u1.head.duration_us == 25L * 60 * 1000000) // [5, 30]
+    } finally query.stop()
+  }
+
   test("kvStore: put replaces, append concatenates, in ts order") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
