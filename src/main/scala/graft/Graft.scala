@@ -43,6 +43,8 @@ object Graft {
     queries.Similarity.embeddingDupPairs(embeddings, minCosine)
   def embeddingDupPairsLsh(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame =
     queries.Similarity.embeddingDupPairsLsh(embeddings, minCosine)
+  def shardOwnership(events: DataFrame): DataFrame = queries.ShardReplay.shardOwnership(events)
+  def shardReplay(events: DataFrame): DataFrame = queries.ShardReplay.shardReplay(events)
 
   // ---- Similarity search ----
   def annBruteforce(embeddings: DataFrame): DataFrame = queries.Similarity.annBruteforce(embeddings)
