@@ -64,6 +64,28 @@ class TopKSpec extends SparkSpec {
     assert(!rk.queryExecution.optimizedPlan.toString.contains("TopKPerKey"))
   }
 
+  test("near-unique keys: partial flushes at its key budget, results exact") {
+    // 2M rows over 1M distinct keys — far past FlushKeys per partition,
+    // so the partial's heap map flushes repeatedly (the pre-fix version
+    // held every key of the partition on-heap); the sorted final must
+    // still merge the flush windows into exact per-key top-1.
+    val n = 2000000L
+    val df = spark.range(n).select(
+      pmod(col("id"), lit(1000000L)).as("k"),
+      (col("id") * 2654435761L % 1000003L).as("score"), col("id"))
+    val out = Graft.topKPerKey(df, Seq(col("k")),
+      Seq(col("score").desc, col("id")), 1)
+    assert(out.count() == 1000000L)
+    // exact equality vs the window formulation on a deterministic slice
+    val w = Window.partitionBy(col("k")).orderBy(col("score").desc, col("id"))
+    val want = df.filter(col("k") < 2000)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
+      .select("k", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.filter(col("k") < 2000)
+      .select("k", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("k larger than group size returns whole groups, ranked") {
     import spark.implicits._
     val df = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "v")
