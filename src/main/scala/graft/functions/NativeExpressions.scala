@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -21,6 +22,25 @@ import org.apache.spark.unsafe.types.UTF8String
 object NativeExpressions {
 
   private val P = 1000000007L
+
+  /** Misuse (wrong argument types, out-of-range parameters) must fail at
+    * ANALYSIS time with a named message, not as a ClassCastException /
+    * ArrayIndexOutOfBounds deep inside a running stage. */
+  private def requireType(
+      fn: String, ok: Boolean, want: String, got: DataType): TypeCheckResult =
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn expects $want, got ${got.catalogString}")
+
+  private def isStr(t: DataType): Boolean = t == StringType
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  private def isVec(t: DataType): Boolean = t match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
 
   /** MinHash permutation coefficients — INDEPENDENT pseudorandom draws
     * (SplittableRandom, fixed seed; the algorithm is specified by the
@@ -66,6 +86,8 @@ object NativeExpressions {
   case class PolyHash(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_poly_hash"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, isStr(child.dataType), "STRING", child.dataType)
 
     override def nullSafeEval(input: Any): Any = {
       val b = input.asInstanceOf[UTF8String].getBytes
@@ -95,11 +117,25 @@ object NativeExpressions {
 
   /** Σ (double)a_i * (double)b_i in element order — the strict-left-fold
     * dot product of the determinism contract ([[VectorFunctions]]).
-    * Accepts float or double arrays on either side. */
+    * Accepts float or double arrays on either side.
+    *
+    * Length contract: inputs are expected equal-length (embeddings of one
+    * model, or an embedding against a same-dims plane). On mismatch the
+    * product runs over the shared min(len) prefix — deliberate, so fixed
+    * `dims` plane literals work against any ≥ dims embedding — but note
+    * the DuckDB oracle fragment indexes by the FIRST argument's length,
+    * so oracle-checked plans must put the (shorter-or-equal) probe first. */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_dot"
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireType(prettyName, isVec(left.dataType),
+        "ARRAY<FLOAT|DOUBLE>", left.dataType)
+      if (l != TypeCheckResult.TypeCheckSuccess) l
+      else requireType(prettyName, isVec(right.dataType),
+        "ARRAY<FLOAT|DOUBLE>", right.dataType)
+    }
 
     private def elemIsFloat(e: Expression): Boolean =
       e.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -149,6 +185,12 @@ object NativeExpressions {
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_minhash_sigs"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (k < 1 || k > 64)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: k must be in [1, 64] (64 coefficient pairs are drawn), got $k")
+      else requireType(prettyName, isLongArray(child.dataType),
+        "ARRAY<BIGINT>", child.dataType)
 
     override def nullSafeEval(input: Any): Any = {
       val hs = input.asInstanceOf[ArrayData]
@@ -209,6 +251,12 @@ object NativeExpressions {
       extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_simhash"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (bits < 1 || bits > 63)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: bits must be in [1, 63], got $bits")
+      else requireType(prettyName, isLongArray(child.dataType),
+        "ARRAY<BIGINT>", child.dataType)
 
     override def nullSafeEval(input: Any): Any = {
       val hs = input.asInstanceOf[ArrayData]
@@ -269,6 +317,9 @@ object NativeExpressions {
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_simhash64"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, isLongArray(child.dataType),
+        "ARRAY<BIGINT>", child.dataType)
 
     override def nullSafeEval(input: Any): Any = {
       val hs = input.asInstanceOf[ArrayData]
@@ -348,6 +399,10 @@ object NativeExpressions {
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_shingle_hashes"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (k < 1)
+        TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be >= 1, got $k")
+      else requireType(prettyName, isStr(child.dataType), "STRING", child.dataType)
 
     override def nullSafeEval(input: Any): Any =
       hashRow(input.asInstanceOf[UTF8String])
@@ -412,6 +467,8 @@ object NativeExpressions {
   case class Tokens(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "graft_tokens"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, isStr(child.dataType), "STRING", child.dataType)
 
     override def nullSafeEval(input: Any): Any =
       tokenize(input.asInstanceOf[UTF8String])
@@ -457,6 +514,12 @@ object NativeExpressions {
   case class CountIn(child: Expression, items: Seq[String]) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_count_in"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName,
+        child.dataType match {
+          case ArrayType(StringType, _) => true
+          case _ => false
+        }, "ARRAY<STRING>", child.dataType)
 
     @transient private lazy val set: java.util.HashSet[UTF8String] = {
       val s = new java.util.HashSet[UTF8String]()

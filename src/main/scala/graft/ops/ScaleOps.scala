@@ -23,9 +23,15 @@ object ScaleOps {
     * pseudo-keys and replicate the small side once per bucket, so a hot
     * join key spreads over `buckets` reducers instead of one straggler.
     * Result is EXACTLY the plain inner join's rows (the salt is a
-    * partitioning refinement, never a semantic key). Deterministic: the
-    * salt derives from a hash of the big row, not rand(), so retries and
-    * speculative tasks route rows identically.
+    * partitioning refinement, never a semantic key).
+    *
+    * The salt mixes a content hash with the row's partition-local
+    * position ([[monotonically_increasing_id]]) — content alone would
+    * send BYTE-IDENTICAL duplicate rows (the classic hot key: the same
+    * record repeated millions of times) all to one bucket, un-spread.
+    * Determinism under retries/speculation holds when the scan yields
+    * partitions deterministically, which file sources (parquet splits)
+    * do; rand() would not even give that.
     *
     * At 100 TB this (or AQE's skew-join, which does the same adaptively)
     * is the difference between a 10-minute stage and one 6-hour reducer.
@@ -37,7 +43,8 @@ object ScaleOps {
       buckets: Int = 16): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(buckets.toLong)).cast("int"))
+      pmod(xxhash64(big.columns.map(col) :+ monotonically_increasing_id(): _*),
+        lit(buckets.toLong)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedBig.join(replicated, keys :+ "__salt").drop("__salt")

@@ -68,4 +68,22 @@ class FaultToleranceSpec extends SparkSpec {
     val wall = (System.nanoTime() - t0) / 1e9
     assert(wall < 1.8, s"partitions ran serially: $wall s")
   }
+
+  test("rtiming.go: reduce-stage tasks execute concurrently after the shuffle") {
+    import org.apache.spark.sql.functions.col
+    // hash-shuffle into exactly 4 reduce partitions, then 500 ms of
+    // "reduce work" per partition: a serial reduce stage would be >= 2 s;
+    // the reference's rtiming.go asserts the reducers overlap in time
+    val shuffled = spark.range(0, 800, 1, 8)
+      .select((col("id") % 97).as("k"), col("id"))
+      .repartition(4, col("k"))
+    val t0 = System.nanoTime()
+    val n = shuffled.rdd.mapPartitions { it =>
+      Thread.sleep(500)
+      Iterator.single(it.length)
+    }.collect().sum
+    val wall = (System.nanoTime() - t0) / 1e9
+    assert(n == 800)
+    assert(wall < 1.8, s"reduce tasks ran serially: $wall s")
+  }
 }
