@@ -39,6 +39,8 @@ object Graft {
   def minhashPairs(docs: DataFrame): DataFrame = queries.Dedup.minhashPairs(docs)
   def simhashPairs(docs: DataFrame): DataFrame = queries.Dedup.simhashPairs(docs)
   def jaccardPairs(docs: DataFrame): DataFrame = queries.Dedup.jaccardPairs(docs)
+  def jaccardPairsPrefix(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    queries.Dedup.jaccardPairsPrefix(docs, minJaccard)
   def embeddingDupPairs(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame =
     queries.Similarity.embeddingDupPairs(embeddings, minCosine)
   def embeddingDupPairsLsh(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame =

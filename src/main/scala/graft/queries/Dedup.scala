@@ -298,5 +298,53 @@ object Dedup {
       WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5
       ORDER BY id_a, id_b"""))
 
-  val all: Seq[Q] = Seq(qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard)
+  /** D4 scale path: EXACT n-gram Jaccard via prefix filtering (PPJoin
+    * family — Xiao, Wang, Lin & Yu, "Efficient Similarity Joins for Near
+    * Duplicate Detection", WWW'08). Order every doc's shingles by a
+    * global (document-frequency asc, hash) total order and keep only the
+    * first n − ⌈t·n⌉ + 1 as its candidate prefix: any pair with
+    * J ≥ t MUST share a prefix shingle, so joining prefixes instead of
+    * full posting lists loses nothing — while the corpus-wide stopword
+    * shingles (the hot keys that make the naive self-join quadratic)
+    * rank LAST and drop out of every large doc's prefix. Candidates are
+    * then rescored exactly on the full shingle sets.
+    *
+    * Output is IDENTICAL to [[jaccardPairs]] — the driver oracle runs
+    * the naive formulation, proving the pruning lossless. */
+  /** Public API: prefix-filtered exact shingle-Jaccard pairs. */
+  def jaccardPairsPrefix(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+      val hs = hashedShingles(docs)
+        .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
+      val ex = hs.select(col("doc_id"), col("n"), explode(col("hs")).as("s"))
+      val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      val prefixes = ex.join(dfreq, "s")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+        .filter(col("rk") <= col("n") - ceil(col("n") * minJaccard) + 1)
+        .select(col("doc_id"), col("s"))
+      val cand = prefixes.as("x").join(prefixes.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      val a = hs.select(col("doc_id").as("id_a"), col("hs").as("hsa"), col("n").as("na"))
+      val b = hs.select(col("doc_id").as("id_b"), col("hs").as("hsb"), col("n").as("nb"))
+      cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .withColumn("n_common",
+          size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
+        .withColumn("jaccard",
+          col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+  }
+
+  /** Oracle: the NAIVE full-posting-list formulation (same SQL as D4) —
+    * hash-equality across the two plans is the losslessness proof. */
+  val qNgramJaccardPrefix: Q = Q(
+    "q_ngram_jaccard_prefix",
+    (s, d) => jaccardPairsPrefix(Tables.documents(s, d)),
+    qNgramJaccard.oracle)
+
+  val all: Seq[Q] =
+    Seq(qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard, qNgramJaccardPrefix)
 }
