@@ -321,9 +321,14 @@ object Dedup {
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
         .filter(col("rk") <= col("n") - ceil(col("n") * minJaccard) + 1)
-        .select(col("doc_id"), col("s"))
+        .select(col("doc_id"), col("s"), col("n"))
+      // length filter (also from the PPJoin family): J ≥ t forces
+      // t·|A| ≤ |B| ≤ |A|/t, so wildly different-sized docs never reach
+      // the rescore no matter what rare shingle they share
       val cand = prefixes.as("x").join(prefixes.as("y"),
-          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
+            col("y.n") * minJaccard <= col("x.n") &&
+            col("x.n") * minJaccard <= col("y.n"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .distinct()
       val a = hs.select(col("doc_id").as("id_a"), col("hs").as("hsa"), col("n").as("na"))

@@ -45,6 +45,11 @@ object ShardReplay {
   /** The derived config log: (epoch, cts, op, gid, mshard). */
   private def configLog(events: DataFrame): DataFrame =
     events.filter(col("event_id") % 97 === 0)
+      // one partition up front: every downstream config step (global
+      // window, activeness self-join, move lookup) is metadata-scale, so
+      // collapsing here trades nothing and saves ~a dozen multi-task
+      // micro-stages of scheduling latency
+      .repartition(1)
       .select(col("ts").as("cts"), col("event_id"),
         expr("event_id div 97").as("k"), col("user_id"))
       .withColumn("op",
