@@ -83,4 +83,23 @@ object Sinks {
   /** CSV with header. */
   def csv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Bucketed external table: the data lands pre-shuffled (and
+    * per-bucket sorted) on `bucketCols`, so every later equi-join or
+    * aggregation on those keys plans WITHOUT an exchange — at 100 TB,
+    * paying one shuffle at ingest instead of one per downstream query
+    * is the difference between a co-located join and re-shuffling the
+    * fact table daily. Both join sides must use the same bucket count.
+    * (BucketedJoinSpec pins the no-exchange plan shape.) */
+  def bucketedTable(
+      df: DataFrame,
+      name: String,
+      path: String,
+      buckets: Int,
+      bucketCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", path)
+      .saveAsTable(name)
 }
