@@ -58,6 +58,8 @@ object Graft {
   def mediaFeatures(media: DataFrame): DataFrame = queries.Multimodal.mediaFeatures(media)
 
   // ---- Sessions / streams ----
+  def sessionizeNative(events: DataFrame, gapMinutes: Long = 30): DataFrame =
+    queries.Sessions.sessionizeNative(events, gapMinutes)
   def sessionize(events: DataFrame, gapMinutes: Long = 30): DataFrame =
     queries.Sessions.sessionize(events, gapMinutes)
   def windowedCounts(events: DataFrame): DataFrame = queries.Sessions.windowedCounts(events)

@@ -50,6 +50,25 @@ object ScaleOps {
     saltedBig.join(replicated, keys :+ "__salt").drop("__salt")
   }
 
+  /** Sketch-based percentiles — the O(1)-state alternative to
+    * [[graft.queries.Analytics]]'s exact order statistics
+    * (q_percentiles), for when sorting 100 TB per group is off the
+    * table. `accuracy` trades memory for error ≈ 1/accuracy of rank. */
+  def approxPercentiles(
+      df: DataFrame,
+      valueCol: String,
+      keys: Seq[String],
+      percentiles: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    val pcts = array(percentiles.map(lit): _*)
+    val agg = percentile_approx(col(valueCol), pcts, lit(accuracy)).as("pcts")
+    val out = if (keys.isEmpty) df.agg(agg)
+      else df.groupBy(keys.map(col): _*).agg(agg)
+    percentiles.zipWithIndex.foldLeft(out) { case (d, (p, i)) =>
+      d.withColumn(s"p${(p * 100).round}", element_at(col("pcts"), i + 1))
+    }.drop("pcts")
+  }
+
   /** Two-phase (salted) aggregation for heavy-state aggregates: phase 1
     * pre-aggregates per (keys, salt), phase 2 merges the partials. Use
     * for aggregates whose per-group STATE is big (collect_set, exact

@@ -36,6 +36,26 @@ object Sessions {
         .orderBy("user_id", "session_idx")
   }
 
+  /** G1 via Spark's built-in `session_window` operator — the same gap
+    * sessions through Catalyst's native path (which also runs under
+    * Structured Streaming with state management for free). Boundary
+    * nuance vs [[sessionize]]: the native window is half-open
+    * [start, last+gap), so an event at EXACTLY gap distance starts a new
+    * session, where the lag-based form merges it; sub-µs timestamps make
+    * a real tie vanishingly rare (SessionWindowSpec proves equality on
+    * the corpus). */
+  def sessionizeNative(events: DataFrame, gapMinutes: Long = 30): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"),
+        dsum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"), col("duration_us"), col("total_value"))
+
   val qSessionize: Q = Q(
     "q_sessionize",
     (s, d) => sessionize(Tables.events(s, d)),

@@ -16,6 +16,20 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("approxPercentiles lands within rank tolerance of exact order stats") {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_quantity").cast("double").as("q"))
+    val got = ScaleOps.approxPercentiles(li, "q", Nil, Seq(0.5, 0.95)).head
+    val exact = li.agg(
+      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY q)"),
+      expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY q)")).head
+    for (i <- 0 until 2) {
+      val (a, e) = (got.getDouble(i), exact.getDouble(i))
+      // quantities are 1..50; a rank-accurate sketch stays within a
+      // couple of distinct values of the exact percentile
+      assert(math.abs(a - e) <= 2.0, s"p$i: approx $a vs exact $e")
+    }
+  }
+
   test("saltedJoin returns exactly the plain join's rows under skew") {
     import spark.implicits._
     // 50k rows, 90% on one hot key
