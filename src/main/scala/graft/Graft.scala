@@ -45,8 +45,10 @@ object Graft {
     queries.Similarity.embeddingDupPairs(embeddings, minCosine)
   def embeddingDupPairsLsh(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame =
     queries.Similarity.embeddingDupPairsLsh(embeddings, minCosine)
-  def shardOwnership(events: DataFrame): DataFrame = queries.ShardReplay.shardOwnership(events)
-  def shardReplay(events: DataFrame): DataFrame = queries.ShardReplay.shardReplay(events)
+  def shardOwnership(configOps: DataFrame): DataFrame =
+    queries.ShardReplay.shardOwnership(configOps)
+  def shardReplay(configOps: DataFrame, keyOps: DataFrame): DataFrame =
+    queries.ShardReplay.shardReplay(configOps, keyOps)
 
   // ---- Similarity search ----
   def annBruteforce(embeddings: DataFrame): DataFrame = queries.Similarity.annBruteforce(embeddings)

@@ -39,6 +39,18 @@ object GraftExtensions {
       s"$fn expects a literal integer parameter, got $other")
   }
 
+  /** Wrong argument COUNTS must fail analysis with a named error, same
+    * policy as the expressions' own checkInputDataTypes — extra args
+    * silently dropped would be exactly the misuse class those checks
+    * exist to eliminate. */
+  private def arity(fn: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$fn expects $n argument(s), got ${args.length}")
+      build(args)
+    }
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
@@ -46,22 +58,25 @@ object GraftExtensions {
   val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_poly_hash",
       info("graft_poly_hash", "_FUNC_(str) - portable polynomial hash (mod 1e9+7) of the UTF-8 bytes"),
-      (args: Seq[Expression]) => PolyHash(args.head)),
+      arity("graft_poly_hash", 1)(args => PolyHash(args.head))),
     ("graft_shingle_hashes",
       info("graft_shingle_hashes", "_FUNC_(str, k) - poly hashes of every word k-shingle"),
-      (args: Seq[Expression]) => ShingleHashes(args.head, intArg(args(1), "graft_shingle_hashes"))),
+      arity("graft_shingle_hashes", 2)(args =>
+        ShingleHashes(args.head, intArg(args(1), "graft_shingle_hashes")))),
     ("graft_minhash_sigs",
       info("graft_minhash_sigs", "_FUNC_(arr, k) - k MinHash signatures over a hash array"),
-      (args: Seq[Expression]) => MinHashSigs(args.head, intArg(args(1), "graft_minhash_sigs"))),
+      arity("graft_minhash_sigs", 2)(args =>
+        MinHashSigs(args.head, intArg(args(1), "graft_minhash_sigs")))),
     ("graft_simhash",
       info("graft_simhash", "_FUNC_(arr, bits) - SimHash bit-majority of a hash array"),
-      (args: Seq[Expression]) => SimHash(args.head, intArg(args(1), "graft_simhash"))),
+      arity("graft_simhash", 2)(args =>
+        SimHash(args.head, intArg(args(1), "graft_simhash")))),
     ("graft_simhash64",
       info("graft_simhash64", "_FUNC_(arr) - 64-bit banded SimHash of a hash array"),
-      (args: Seq[Expression]) => SimHash64(args.head)),
+      arity("graft_simhash64", 1)(args => SimHash64(args.head))),
     ("graft_dot",
       info("graft_dot", "_FUNC_(a, b) - strict left-fold dot product of float/double arrays"),
-      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+      arity("graft_dot", 2)(args => DotProduct(args.head, args(1)))))
 
   /** Install the functions into a LIVE session's registry (the
     * extensions path only applies at session construction). */

@@ -321,12 +321,15 @@ object NativeExpressions {
       requireType(prettyName, isLongArray(child.dataType),
         "ARRAY<BIGINT>", child.dataType)
 
+    // JVM-lifetime constants — never per row (interpreted eval runs once
+    // per row on the codegen-fallback path)
+    @transient private lazy val as = Array.tabulate(8)(simhashCoefA)
+    @transient private lazy val bs = Array.tabulate(8)(simhashCoefB)
+
     override def nullSafeEval(input: Any): Any = {
       val hs = input.asInstanceOf[ArrayData]
       val n = hs.numElements()
       val counters = new Array[Long](64)
-      val as = Array.tabulate(8)(simhashCoefA)
-      val bs = Array.tabulate(8)(simhashCoefB)
       var j = 0
       while (j < n) {
         val h = hs.getLong(j)
@@ -357,17 +360,20 @@ object NativeExpressions {
         val r = ctx.freshName("r")
         val h = ctx.freshName("h")
         val g = ctx.freshName("g")
-        val cnt = ctx.freshName("cnt")
         val sim = ctx.freshName("sim")
-        val ca = ctx.freshName("as")
-        val cb = ctx.freshName("bs")
-        val as = (0 until 8).map(simhashCoefA).mkString("L, ") + "L"
-        val bs = (0 until 8).map(simhashCoefB).mkString("L, ") + "L"
+        val asLit = (0 until 8).map(simhashCoefA).mkString("L, ") + "L"
+        val bsLit = (0 until 8).map(simhashCoefB).mkString("L, ") + "L"
+        // allocated once per operator instance, not once per row; the
+        // counter array is reused (zeroed) across rows
+        val ca = ctx.addMutableState("long[]", "simhash64Ca",
+          v => s"$v = new long[] { $asLit };", forceInline = false, useFreshName = true)
+        val cb = ctx.addMutableState("long[]", "simhash64Cb",
+          v => s"$v = new long[] { $bsLit };", forceInline = false, useFreshName = true)
+        val cnt = ctx.addMutableState("long[]", "simhash64Cnt",
+          v => s"$v = new long[64];", forceInline = false, useFreshName = true)
         s"""
         int $n = $c.numElements();
-        long[] $cnt = new long[64];
-        long[] $ca = new long[] { $as };
-        long[] $cb = new long[] { $bs };
+        java.util.Arrays.fill($cnt, 0L);
         for (int $j = 0; $j < $n; $j++) {
           long $h = $c.getLong($j);
           for (int $band = 0; $band < 8; $band++) {

@@ -65,7 +65,11 @@ object ScaleOps {
     val out = if (keys.isEmpty) df.agg(agg)
       else df.groupBy(keys.map(col): _*).agg(agg)
     percentiles.zipWithIndex.foldLeft(out) { case (d, (p, i)) =>
-      d.withColumn(s"p${(p * 100).round}", element_at(col("pcts"), i + 1))
+      // injective names: p0.999 -> p99_9 (rounding to p100 would both
+      // mislabel the percentile and collide with a real p100 column)
+      val label = (BigDecimal(p.toString) * 100).underlying
+        .stripTrailingZeros.toPlainString.replace('.', '_').replace("-", "neg")
+      d.withColumn(s"p$label", element_at(col("pcts"), i + 1))
     }.drop("pcts")
   }
 

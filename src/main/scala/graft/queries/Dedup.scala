@@ -53,7 +53,7 @@ object Dedup {
     * whole dedup family (D2/D3/D4) over the same corpus shares ONE cache
     * entry, and switching corpora unpersists the previous one — no
     * unbounded cache growth in a long-lived session. */
-  private[this] var cachedShingles: Option[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)] = None
+  private[this] var cachedShingles: Option[((org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame)] = None
 
   private def hashedShingles(df: DataFrame): DataFrame = synchronized {
     val base = df.select(col("doc_id"),
@@ -66,7 +66,10 @@ object Dedup {
           // shingles. h*h < 1e18 — no overflow in either engine.
           h => (h * h + h * 31 + 7) % P)).as("hs"))
       .filter(size(col("hs")) > 0)
-    val key = base.queryExecution.analyzed.canonicalized
+    // keyed on (session, plan): canonicalized plans compare equal across
+    // sessions reading the same path, and a hit from a stopped session
+    // would hand back a frame bound to a dead SparkContext
+    val key = (df.sparkSession, base.queryExecution.analyzed.canonicalized)
     cachedShingles match {
       case Some((k, f)) if k == key => f
       case prev =>
@@ -320,7 +323,11 @@ object Dedup {
       val prefixes = ex.join(dfreq, "s")
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
-        .filter(col("rk") <= col("n") - ceil(col("n") * minJaccard) + 1)
+        // ceil over doubles can round UP past the exact product
+        // (100 * 0.07 = 7.000000000000001 → ceil 8), which would SHRINK
+        // the prefix below the lossless bound; nudging down by an epsilon
+        // errs toward a longer prefix — more candidates, never a miss
+        .filter(col("rk") <= col("n") - ceil(col("n") * minJaccard - 1e-9) + 1)
         .select(col("doc_id"), col("s"), col("n"))
       // length filter (also from the PPJoin family): J ≥ t forces
       // t·|A| ≤ |B| ≤ |A|/t, so wildly different-sized docs never reach

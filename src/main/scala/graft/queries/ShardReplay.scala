@@ -42,15 +42,22 @@ object ShardReplay {
   private val NShards = 16
   private val NGroups = 4
 
-  /** The derived config log: (epoch, cts, op, gid, mshard). */
-  private def configLog(events: DataFrame): DataFrame =
+  /** TEST-HARNESS derivation of a config log from the events corpus
+    * (every 97th event_id): lets the driver oracle replay an identical
+    * history from the shared tables. A REAL deployment's config log is a
+    * separate, tiny table — bounded by operator actions per day, not by
+    * data volume — which is what the public API below takes; deriving
+    * config ops as a fixed FRACTION of the event stream (as here) would
+    * not be metadata-scale at 100 TB. Produces (cts, tie, op, gid,
+    * mshard); `tie` breaks equal-timestamp ordering deterministically. */
+  def deriveConfigOps(events: DataFrame): DataFrame =
     events.filter(col("event_id") % 97 === 0)
       // one partition up front: every downstream config step (global
       // window, activeness self-join, move lookup) is metadata-scale, so
       // collapsing here trades nothing and saves ~a dozen multi-task
       // micro-stages of scheduling latency
       .repartition(1)
-      .select(col("ts").as("cts"), col("event_id"),
+      .select(col("ts").as("cts"), col("event_id").as("tie"),
         expr("event_id div 97").as("k"), col("user_id"))
       .withColumn("op",
         when(col("k") % 3 === 0, lit("join"))
@@ -58,17 +65,27 @@ object ShardReplay {
           .otherwise(lit("move")))
       .withColumn("gid", col("user_id") % NGroups + 1)
       .withColumn("mshard", col("k") % NShards)
+      .select("cts", "tie", "op", "gid", "mshard")
+
+  /** TEST-HARNESS key-op extraction: everything that is not a config op,
+    * keyed by user_id. */
+  def deriveKeyOps(events: DataFrame): DataFrame =
+    events.filter(col("event_id") % 97 =!= 0)
+      .select(col("user_id"), col("ts").as("kts"))
+
+  /** Public API: shard→group ownership per config epoch with validity
+    * intervals — (epoch, cts, next_cts, shard, gid). `configOps` is a
+    * config LOG frame (cts, tie, op, gid, mshard) — metadata-scale by
+    * nature (its windows and self-joins run on one partition by
+    * design). */
+  def shardOwnership(configOps: DataFrame): DataFrame = {
+    val spark = configOps.sparkSession
+    val cfg = configOps
       // config is metadata-small: a global-order window (one partition)
       // is the right tool here, not a scale smell
       .withColumn("epoch",
-        row_number().over(Window.orderBy(col("cts"), col("event_id"))))
+        row_number().over(Window.orderBy(col("cts"), col("tie"))))
       .select("epoch", "cts", "op", "gid", "mshard")
-
-  /** Public API: shard→group ownership per config epoch with validity
-    * intervals — (epoch, cts, next_cts, shard, gid). */
-  def shardOwnership(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
-    val cfg = configLog(events)
     val jl = cfg.filter(col("op") =!= "move").select("epoch", "gid", "op")
     // latest join/leave verdict per (rebalance epoch, gid)
     val lastjl = jl.select(col("epoch").as("r_epoch"))
@@ -116,14 +133,16 @@ object ShardReplay {
   }
 
   /** Public API: replay key ops through the ownership history — per
-    * (gid, shard) routed-op and distinct-key counts. */
-  def shardReplay(events: DataFrame): DataFrame = {
-    val own = shardOwnership(events)
+    * (gid, shard) routed-op and distinct-key counts. `configOps` as in
+    * [[shardOwnership]]; `keyOps` is the BIG side, (user_id, kts), and
+    * only ever sees one broadcast hash join and one aggregation. */
+  def shardReplay(configOps: DataFrame, keyOps: DataFrame): DataFrame = {
+    val own = shardOwnership(configOps)
       .select(col("shard").as("o_shard"), col("cts"), col("next_cts"),
         col("gid"))
-    val keys = events.filter(col("event_id") % 97 =!= 0)
+    val keys = keyOps
       .select(col("user_id"), (col("user_id") % NShards).as("shard"),
-        col("ts").as("kts"))
+        col("kts"))
     keys.join(broadcast(own),
         col("o_shard") === col("shard") && col("kts") >= col("cts") &&
           (col("next_cts").isNull || col("kts") < col("next_cts")),
@@ -137,7 +156,10 @@ object ShardReplay {
 
   val qShardReplay: Q = Q(
     "q_shard_replay",
-    (s, d) => shardReplay(Tables.events(s, d)),
+    (s, d) => {
+      val events = Tables.events(s, d)
+      shardReplay(deriveConfigOps(events), deriveKeyOps(events))
+    },
     Some(s"""WITH cfg AS (
         SELECT row_number() OVER (ORDER BY ts::TIMESTAMP, event_id) AS epoch,
                ts::TIMESTAMP AS cts,

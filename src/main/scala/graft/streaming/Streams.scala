@@ -91,10 +91,19 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
-  /** G1 (streaming form): gap sessionization with event-time timeouts —
-    * a session CLOSES (and is emitted) when the watermark passes its
-    * last event + gap, exactly the batch `sessionize` semantics but
-    * incremental with bounded state. */
+  /** G1 (streaming form): gap sessionization, batch-equivalent under ANY
+    * within-watermark disorder.
+    *
+    * State is the LIST of live sessions for the user, not just the most
+    * recent one: each batch gap-chains (state ∪ batch) as [start, last]
+    * intervals sorted by start, so a legally-late event merges by
+    * extending bounds (min start / max last) — even into an older
+    * session that a newer one has already leapfrogged. A session is
+    * emitted ONLY once the watermark passes its last event + gap (the
+    * point where no legal event can still merge into it); emitting any
+    * earlier could split one batch-semantics session into two. State per
+    * user is bounded by the watermark: at most ~(watermark / gap) + 1
+    * sessions can be simultaneously live. */
   def sessionizeStream(
       events: Dataset[EventRow],
       gapMinutes: Long = 30,
@@ -104,45 +113,36 @@ object Streams {
     def update(
         userId: Long,
         rows: Iterator[EventRow],
-        state: GroupState[SessionState]): Iterator[SessionOut] = {
+        state: GroupState[Seq[SessionState]]): Iterator[SessionOut] = {
       def us(t: java.sql.Timestamp): Long = t.getTime * 1000L
       def emit(st: SessionState): SessionOut = SessionOut(
         userId, new java.sql.Timestamp(st.sessionStart / 1000L),
         st.nEvents, st.lastTs - st.sessionStart, st.totalValue)
-      if (!rows.hasNext) {
-        // event-time timeout: the gap elapsed with no new events
-        val out = state.getOption.map(emit).iterator
-        state.remove()
-        out.toSeq.iterator
-      } else {
-        // Gap-chain over (live state ∪ batch) as [start, last] intervals
-        // sorted by start — NOT a forward-only fold from lastTs. A
-        // legally-late event (within the watermark, earlier than lastTs
-        // or even sessionStart) merges by extending the bounds
-        // (min start / max last), never rewinding them; an event more
-        // than a gap EARLIER than everything live chains into its own
-        // (possibly immediately closed) session. Identical to the batch
-        // operator's semantics over the events seen so far.
-        val pts = rows.toSeq
-          .map(e => SessionState(us(e.ts), us(e.ts), 1L, e.value))
-        val items = (state.getOption.toSeq ++ pts)
-          .sortBy(s => (s.sessionStart, s.lastTs))
-        var closed = List.empty[SessionOut]
-        var cur = items.head
-        items.tail.foreach { it =>
-          if (it.sessionStart <= cur.lastTs + gapUs)
-            cur = SessionState(cur.sessionStart,
-              math.max(cur.lastTs, it.lastTs),
-              cur.nEvents + it.nEvents, cur.totalValue + it.totalValue)
-          else { // gap exceeded: close, continue with the later session
-            closed ::= emit(cur)
-            cur = it
-          }
-        }
-        state.update(cur)
-        state.setTimeoutTimestamp(cur.lastTs / 1000L + gapMinutes * 60000L)
-        closed.reverseIterator
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val pts = rows.toSeq
+        .map(e => SessionState(us(e.ts), us(e.ts), 1L, e.value))
+      val items = (state.getOption.getOrElse(Seq.empty) ++ pts)
+        .sortBy(s => (s.sessionStart, s.lastTs))
+      val merged = scala.collection.mutable.ListBuffer.empty[SessionState]
+      items.foreach { it =>
+        if (merged.nonEmpty && it.sessionStart <= merged.last.lastTs + gapUs) {
+          val c = merged.last
+          merged(merged.size - 1) = SessionState(c.sessionStart,
+            math.max(c.lastTs, it.lastTs),
+            c.nEvents + it.nEvents, c.totalValue + it.totalValue)
+        } else merged += it
       }
+      val (closed, live) = merged.partition(_.lastTs + gapUs <= wmUs)
+      if (live.isEmpty) {
+        state.remove()
+      } else {
+        state.update(live.toSeq)
+        // wake when the earliest live session becomes closable (timeout
+        // timestamps must sit strictly past the current watermark)
+        val nextEnd = live.map(_.lastTs).min / 1000L + gapMinutes * 60000L
+        state.setTimeoutTimestamp(math.max(nextEnd, state.getCurrentWatermarkMs() + 1))
+      }
+      closed.iterator.map(emit)
     }
     events
       .withWatermark("ts", watermark)

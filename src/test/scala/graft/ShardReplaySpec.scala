@@ -27,7 +27,8 @@ class ShardReplaySpec extends SparkSpec {
       (4L, ts(6), 2L), // key: shard 2 → gid 1 (rebalance cleared the move)
       (5L, ts(6), 5L) //  key: shard 5 → gid 2
     ).toDF("event_id", "ts", "user_id")
-    val got = queries.ShardReplay.shardReplay(events)
+    val got = queries.ShardReplay.shardReplay(
+      queries.ShardReplay.deriveConfigOps(events), queries.ShardReplay.deriveKeyOps(events))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
@@ -51,7 +52,8 @@ class ShardReplaySpec extends SparkSpec {
       (97L, ts(4), 1L), //  epoch 3: leave gid 2 → all shards back to gid 1
       (2L, ts(5), 3L) //  key: shard 3 → gid 1
     ).toDF("event_id", "ts", "user_id")
-    val got = queries.ShardReplay.shardReplay(events)
+    val got = queries.ShardReplay.shardReplay(
+      queries.ShardReplay.deriveConfigOps(events), queries.ShardReplay.deriveKeyOps(events))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet

@@ -90,25 +90,58 @@ class StreamingSpec extends SparkSpec {
       .outputMode(OutputMode.Append).start()
     try {
       // user 1: two events 10 min apart (one session), then 40 min gap
-      // -> new session; a later user-2 event advances the watermark
+      // -> a second session; a later user-2 event advances the watermark
       mem.addData(
         EventRow(1L, ts(0), 1L, "click", 1.0),
         EventRow(2L, ts(10), 1L, "click", 2.0),
         EventRow(3L, ts(50), 1L, "click", 4.0))
       query.processAllAvailable()
-      // in-batch gap close: session (0..10) emitted immediately
-      val afterBatch = spark.table("sess_stream").as[SessionOut].collect()
-      assert(afterBatch.map(s => (s.user_id, s.n_events, s.total_value)).toSeq ==
-        Seq((1L, 2L, 3.0)))
-      assert(afterBatch.head.duration_us == 10L * 60 * 1000000)
-      // push the watermark far past 50min+30min gap -> timeout closes it
+      // nothing may be emitted yet: the watermark has not passed either
+      // session's end + gap, so a legally-late event could still merge
+      assert(spark.table("sess_stream").isEmpty)
+      // push the watermark far past 50min+30min gap -> both sessions close
       mem.addData(EventRow(9L, ts(300), 2L, "click", 0.5))
       query.processAllAvailable()
       mem.addData(EventRow(10L, ts(310), 2L, "click", 0.5))
       query.processAllAvailable()
       val all = spark.table("sess_stream").as[SessionOut].collect()
-      assert(all.exists(s => s.user_id == 1L && s.n_events == 1L && s.total_value == 4.0),
-        all.mkString(","))
+        .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      assert(all.map(s => (s.n_events, s.total_value)).toSeq ==
+        Seq((2L, 3.0), (1L, 4.0)), all.mkString(","))
+      assert(all.head.duration_us == 10L * 60 * 1000000)
+    } finally query.stop()
+  }
+
+  test("sessionizeStream: a very-late event session stays open for later late merges") {
+    // review regression: the single-session state emitted a far-earlier
+    // late event immediately as a closed singleton, so a SECOND late
+    // event that belonged to the same session produced a split — the
+    // multi-session state must hold both live until the watermark rules
+    // a merge out
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val query = Streams.sessionizeStream(mem.toDS(), gapMinutes = 30, watermark = "6 hours")
+      .writeStream.format("memory").queryName("split_sess_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(EventRow(1L, ts(180), 1L, "click", 1.0)) // live [180]
+      query.processAllAvailable()
+      mem.addData(EventRow(2L, ts(10), 1L, "click", 2.0)) // late, > gap before 180
+      query.processAllAvailable()
+      mem.addData(EventRow(3L, ts(25), 1L, "click", 4.0)) // merges with the 10
+      query.processAllAvailable()
+      // advance watermark far enough to close everything
+      mem.addData(EventRow(8L, ts(700), 2L, "click", 0.0))
+      query.processAllAvailable()
+      mem.addData(EventRow(9L, ts(710), 2L, "click", 0.0))
+      query.processAllAvailable()
+      val u1 = spark.table("split_sess_stream").as[SessionOut].collect()
+        .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      assert(u1.map(s => (s.n_events, s.total_value)).toSeq ==
+        Seq((2L, 6.0), (1L, 1.0)), u1.mkString(","))
+      assert(u1.head.session_start == ts(10))
+      assert(u1.head.duration_us == 15L * 60 * 1000000)
     } finally query.stop()
   }
 
