@@ -42,6 +42,29 @@ object ScaleProbe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Zipf-ish corpus: token ranks drawn log-uniformly over a 50k-token
+    * vocabulary, so a handful of tokens (and the shingles built from
+    * them) are corpus-hot while the tail is rare — the regime real text
+    * lives in and the one the naive Jaccard self-join dies in. */
+  def zipfDocs(spark: SparkSession, n: Long): DataFrame = {
+    val V = 50000
+    val alpha = lit(('a' to 'z').map(_.toString).toArray)
+    // rank = floor(V^(u^2)) for u uniform in [0,1): heavily head-skewed
+    // (the top token draws ~25% of all positions) — the Zipf-head regime
+    // where the naive posting-list join explodes
+    val u = pmod(xxhash64(col("doc_id") * 1000 + col("i")), lit(1000000L))
+      .cast("double") / 1e6
+    val rank = floor(exp(log(lit(V.toDouble)) * u * u)).cast("long")
+    // encode the rank as a 4-letter token (26^4 > 50k)
+    val token = concat((0 until 4).map(d =>
+      element_at(alpha, ((rank.divide(lit(math.pow(26, d)))).cast("long") % 26 + 1).cast("int"))): _*)
+    spark.range(n).select(col("id").as("doc_id"),
+        explode(sequence(lit(1), lit(30))).as("i"))
+      .select(col("doc_id"), token.as("tok"))
+      .groupBy("doc_id").agg(concat_ws(" ", collect_list(col("tok"))).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nDocs = args.headOption.map(_.toLong).getOrElse(500000L)
@@ -73,6 +96,22 @@ object ScaleProbe {
     assert(nSim <= 3 * planted,
       s"simhash saturation: $nSim pairs vs $planted planted — fingerprint too narrow for $total docs")
     println(f"simhash saturation   ${"check"}%9s       $nSim%7d pairs vs $planted planted  PASS")
+
+    // Prefix filtering on a Zipf corpus: the naive posting-list join's
+    // row count is sum(df^2) over shingles — computable WITHOUT running
+    // it — vs the prefix join's actual candidates. On flat-frequency
+    // corpora the two are close; on Zipf (≈ real text) the hot shingles
+    // dominate sum(df^2) and the prefix filter removes exactly them.
+    val zdocs = zipfDocs(spark, nDocs / 5)
+    val zTotal = zdocs.count()
+    val hs = zdocs.select(col("doc_id"),
+      array_distinct(graft.functions.NativeExpressions.shingleHashes(col("text"), 3)).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val naivePairs = hs.select(explode(col("hs")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * (col("df") - 1) / 2).cast("double")).head.getDouble(0)
+    val (nJac, tJp) = time { Graft.jaccardPairsPrefix(zdocs).count() }
+    println(f"jaccard prefix       $zTotal%9d docs  $tJp%7.1f s  ${zTotal / tJp}%9.0f docs/s  ($nJac pairs; naive join would materialize ${naivePairs}%.2e rows)")
 
     val nRows = 30000000L
     val big = spark.range(nRows).select(
