@@ -49,6 +49,8 @@ object Graft {
     queries.ShardReplay.shardOwnership(configOps)
   def shardReplay(configOps: DataFrame, keyOps: DataFrame): DataFrame =
     queries.ShardReplay.shardReplay(configOps, keyOps)
+  def routeKeyOps(keyOps: DataFrame, ownership: DataFrame): DataFrame =
+    queries.ShardReplay.routeKeyOps(keyOps, ownership)
 
   // ---- Similarity search ----
   def annBruteforce(embeddings: DataFrame): DataFrame = queries.Similarity.annBruteforce(embeddings)

@@ -132,27 +132,35 @@ object ShardReplay {
         coalesce(col("m_gid"), col("rr_gid"), lit(0L)).as("gid"))
   }
 
-  /** Public API: replay key ops through the ownership history — per
-    * (gid, shard) routed-op and distinct-key counts. `configOps` as in
-    * [[shardOwnership]]; `keyOps` is the BIG side, (user_id, kts), and
-    * only ever sees one broadcast hash join and one aggregation. */
-  def shardReplay(configOps: DataFrame, keyOps: DataFrame): DataFrame = {
-    val own = shardOwnership(configOps)
+  /** Route key ops through an ownership table: per-op (user_id, shard,
+    * gid, kts). Works for a BATCH keyOps frame and unchanged for a
+    * STREAMING one (stream–static broadcast join — the static ownership
+    * side broadcasts to every micro-batch), so the same routing powers
+    * q_shard_replay and a live shard router. */
+  def routeKeyOps(keyOps: DataFrame, ownership: DataFrame): DataFrame = {
+    val own = ownership
       .select(col("shard").as("o_shard"), col("cts"), col("next_cts"),
         col("gid"))
-    val keys = keyOps
+    keyOps
       .select(col("user_id"), (col("user_id") % NShards).as("shard"),
         col("kts"))
-    keys.join(broadcast(own),
+      .join(broadcast(own),
         col("o_shard") === col("shard") && col("kts") >= col("cts") &&
           (col("next_cts").isNull || col("kts") < col("next_cts")),
         "left")
       .select(col("user_id"), col("shard"),
-        coalesce(col("gid"), lit(0L)).as("gid"))
+        coalesce(col("gid"), lit(0L)).as("gid"), col("kts"))
+  }
+
+  /** Public API: replay key ops through the ownership history — per
+    * (gid, shard) routed-op and distinct-key counts. `configOps` as in
+    * [[shardOwnership]]; `keyOps` is the BIG side, (user_id, kts), and
+    * only ever sees one broadcast hash join and one aggregation. */
+  def shardReplay(configOps: DataFrame, keyOps: DataFrame): DataFrame =
+    routeKeyOps(keyOps, shardOwnership(configOps))
       .groupBy("gid", "shard")
       .agg(count(lit(1)).as("n_ops"), countDistinct(col("user_id")).as("n_keys"))
       .orderBy("gid", "shard")
-  }
 
   val qShardReplay: Q = Q(
     "q_shard_replay",

@@ -42,6 +42,35 @@ class ShardReplaySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("routeKeyOps is a stream-static join: a key-op STREAM routes live") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // static ownership from a two-epoch history: epoch 1 join gid 1
+    // (all shards -> 1), epoch 2 (t3) move shard 2 -> gid 3
+    val events = Seq(
+      (0L, ts(1), 0L), (194L, ts(3), 2L)
+    ).toDF("event_id", "ts", "user_id")
+    val ownership = queries.ShardReplay.shardOwnership(
+      queries.ShardReplay.deriveConfigOps(events))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
+    val routed = queries.ShardReplay.routeKeyOps(
+      mem.toDF().toDF("user_id", "kts"), ownership)
+    val query = routed.writeStream.format("memory").queryName("route_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      mem.addData((2L, ts(2)), (2L, ts(4)), (5L, ts(4)), (7L, ts(0)))
+      query.processAllAvailable()
+      val got = spark.table("route_stream")
+        .select("user_id", "shard", "gid")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set(
+        (2L, 2L, 1L), // at t2: epoch 1, shard 2 -> gid 1
+        (2L, 2L, 3L), // at t4: after the move, shard 2 -> gid 3
+        (5L, 5L, 1L), // unmoved shard stays with gid 1
+        (7L, 7L, 0L))) // before any config -> unowned
+    } finally query.stop()
+  }
+
   test("leave removes a group from the rotation") {
     import spark.implicits._
     // id 0 join gid 1; id 291 (k=3) join gid 2; id 97 (k=1) leave gid 2
