@@ -84,6 +84,27 @@ object Sinks {
   def csv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** Compact a parquet dataset into files sized toward `targetFileMB`
+    * (count derived from the current on-disk footprint via the Hadoop
+    * FS API, so it works on HDFS/S3 paths too). The classic hygiene
+    * pass after streaming micro-batches or over-parallel shuffles: at
+    * 100 TB, millions of kilobyte files tax the namenode, the planner,
+    * and every scan's task-scheduling overhead. Writes to `dst` —
+    * compacting in place would read and clobber the same files. */
+  def compactParquet(
+      spark: SparkSession,
+      src: String,
+      dst: String,
+      targetFileMB: Int = 256): Unit = {
+    val p = new org.apache.hadoop.fs.Path(src)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (bytes + targetFileMB * 1024L * 1024L - 1) /
+      (targetFileMB * 1024L * 1024L)).toInt
+    spark.read.parquet(src).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(dst)
+  }
+
   /** Bucketed external table: the data lands pre-shuffled (and
     * per-bucket sorted) on `bucketCols`, so every later equi-join or
     * aggregation on those keys plans WITHOUT an exchange — at 100 TB,

@@ -150,6 +150,31 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Watermarked stream–stream inner join: each click pairs with the
+    * same user's purchases that happen within `withinMinutes` AFTER it
+    * (attribution-window semantics). Both sides carry watermarks and
+    * the join condition bounds event-time distance, so Spark can drop
+    * buffered state once the watermark passes a row's join horizon —
+    * without the time bound, stream–stream state grows forever. */
+  def clickToPurchase(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      withinMinutes: Long = 60,
+      watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
   /** kvraft's data surface as a stream (/root/reference/src/kvraft):
     * Put replaces, Append concatenates; state per key is emitted after
     * every batch (Get == read the sink). Ops within a batch apply in

@@ -68,6 +68,17 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == df.filter("o_orderstatus = 'O'").count())
   }
 
+  test("compactParquet collapses a small-file explosion, rows intact") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val docs = Tables.documents(spark, sfDir)
+    docs.repartition(50).write.parquet(s"$dir/src")
+    assert(spark.read.parquet(s"$dir/src").inputFiles.length == 50)
+    sources.Sinks.compactParquet(spark, s"$dir/src", s"$dir/dst", targetFileMB = 256)
+    val out = spark.read.parquet(s"$dir/dst")
+    assert(out.inputFiles.length == 1) // 500 tiny docs fit one 256MB target
+    assert(out.count() == docs.count())
+  }
+
   test("csv sink/source round trip") {
     val dir = tmpDir("csv")
     val df = Tables.region(spark, sfDir)

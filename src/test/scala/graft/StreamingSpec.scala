@@ -204,6 +204,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream join: purchases attribute to clicks within the window") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[EventRow]
+    val purchases = MemoryStream[EventRow]
+    val joined = Streams.clickToPurchase(
+      clicks.toDF(), purchases.toDF(), withinMinutes = 60)
+    val query = joined.writeStream.format("memory").queryName("attrib_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(
+        EventRow(1L, ts(0), 1L, "click", 0.0),
+        EventRow(2L, ts(10), 2L, "click", 0.0))
+      // user 1 buys 30 min after the click (inside the window), then
+      // again 2 h later (outside); user 2 never buys
+      purchases.addData(
+        EventRow(5L, ts(30), 1L, "purchase", 9.99),
+        EventRow(6L, ts(130), 1L, "purchase", 5.0))
+      query.processAllAvailable()
+      val got = spark.table("attrib_stream")
+        .select("user_id", "click_id", "purchase_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set((1L, 1L, 9.99)))
+    } finally query.stop()
+  }
+
   test("runningUserStats accumulates state across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
