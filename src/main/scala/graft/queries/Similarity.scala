@@ -98,7 +98,6 @@ object Similarity {
           col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-        .distinct() // same pair from several tables
       val v = withNorms(embeddings)
       val a = v.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("n2").as("na"))
       val b = v.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("n2").as("nb"))
@@ -106,6 +105,12 @@ object Similarity {
         .select(col("id_a"), col("id_b"),
           cosineFrom(dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
         .filter(col("cos") >= minCosine)
+        // dedupe multi-table repeats AFTER the threshold filter: the
+        // filter leaves ~only true pairs, so this distinct is a no-op
+        // shuffle, where deduping the full candidate set first would be
+        // the plan's biggest exchange (duplicate rescore dots are cheap;
+        // a multi-million-row shuffle is not)
+        .distinct()
         .orderBy("id_a", "id_b")
   }
 
