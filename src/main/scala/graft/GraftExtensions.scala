@@ -76,7 +76,10 @@ object GraftExtensions {
       arity("graft_simhash64", 1)(args => SimHash64(args.head))),
     ("graft_dot",
       info("graft_dot", "_FUNC_(a, b) - strict left-fold dot product of float/double arrays"),
-      arity("graft_dot", 2)(args => DotProduct(args.head, args(1)))))
+      arity("graft_dot", 2)(args => DotProduct(args.head, args(1)))),
+    ("graft_intersect_size",
+      info("graft_intersect_size", "_FUNC_(a, b) - |A intersect B| of two BIGINT arrays (set semantics)"),
+      arity("graft_intersect_size", 2)(args => IntersectSize(args.head, args(1)))))
 
   /** Install the functions into a LIVE session's registry (the
     * extensions path only applies at session construction). */

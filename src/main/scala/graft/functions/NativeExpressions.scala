@@ -395,6 +395,53 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** |A ∩ B| over two BIGINT arrays as primitive sort-merge — the
+    * native form of size(array_intersect(a, b)), which walks the
+    * generic (boxing) path per element. Treats inputs as SETS (callers
+    * pass array_distinct'd shingle-hash arrays); duplicate elements
+    * would count once per matched pair on both sides. */
+  case class IntersectSize(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_intersect_size"
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireType(prettyName, isLongArray(left.dataType),
+        "ARRAY<BIGINT>", left.dataType)
+      if (l != TypeCheckResult.TypeCheckSuccess) l
+      else requireType(prettyName, isLongArray(right.dataType),
+        "ARRAY<BIGINT>", right.dataType)
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      intersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    /** public: called from generated code too. */
+    def intersectSize(x: ArrayData, y: ArrayData): Long = {
+      val ax = x.toLongArray()
+      val ay = y.toLongArray()
+      java.util.Arrays.sort(ax)
+      java.util.Arrays.sort(ay)
+      var i = 0
+      var j = 0
+      var n = 0L
+      while (i < ax.length && j < ay.length) {
+        if (ax(i) < ay(j)) i += 1
+        else if (ax(i) > ay(j)) j += 1
+        else { n += 1; i += 1; j += 1 }
+      }
+      n
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val ref = ctx.addReferenceObj("intersecter", this, classOf[IntersectSize].getName)
+        s"${ev.value} = $ref.intersectSize($a, $b);"
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectSize =
+      copy(left = l, right = r)
+  }
+
   /** text → poly hashes of every word k-shingle, one pass, no
     * intermediate strings. Semantics = polyHash over the bytes of
     * "tok1 tok2 … tokk" where tokens are maximal [a-z]+ runs of
@@ -563,6 +610,8 @@ object NativeExpressions {
 
   def polyHash(c: Column): Column = Bridge.column(PolyHash(expr(c)))
   def dot(a: Column, b: Column): Column = Bridge.column(DotProduct(expr(a), expr(b)))
+  def intersectSize(a: Column, b: Column): Column =
+    Bridge.column(IntersectSize(expr(a), expr(b)))
   def minhashSigs(hs: Column, k: Int): Column = Bridge.column(MinHashSigs(expr(hs), k))
   def simHash(hs: Column, bits: Int): Column = Bridge.column(SimHash(expr(hs), bits))
   def simHash64(hs: Column): Column = Bridge.column(SimHash64(expr(hs)))

@@ -342,7 +342,7 @@ object Dedup {
       val b = hs.select(col("doc_id").as("id_b"), col("hs").as("hsb"), col("n").as("nb"))
       cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
         .withColumn("n_common",
-          size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
+          graft.functions.NativeExpressions.intersectSize(col("hsa"), col("hsb")))
         .withColumn("jaccard",
           col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
         .filter(col("jaccard") >= minJaccard)

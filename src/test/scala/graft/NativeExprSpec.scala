@@ -111,6 +111,20 @@ class NativeExprSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("IntersectSize == size(array_intersect) on real shingle sets") {
+    val hs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_distinct(NativeExpressions.shingleHashes(col("text"), 3)).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val pairs = hs.select(col("hs").as("a")).limit(100)
+      .crossJoin(hs.select(col("hs").as("b")).limit(100))
+    val diff = pairs.select(
+        NativeExpressions.intersectSize(col("a"), col("b")).as("native"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+      .filter("native != builtin")
+    assert(diff.count() == 0)
+  }
+
   test("SimHash64 == per-band HOF formulation") {
     val P = 1000000007L
     val hashed = Tables.documents(spark, sfDir)
