@@ -266,7 +266,7 @@ object Dedup {
     * |A∩B| / (|A|+|B|-|A∩B|). */
   /** Public API: exact shingle-Jaccard pairs over any (doc_id, text)
     * frame. */
-  def jaccardPairs(docs: DataFrame): DataFrame = {
+  def jaccardPairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
       val hs = hashedShingles(docs)
         .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
       // join on the 8-byte shingle hash, not the shingle string: same
@@ -280,7 +280,7 @@ object Dedup {
           first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
         .withColumn("jaccard",
           col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
-        .filter(col("jaccard") >= 0.5)
+        .filter(col("jaccard") >= minJaccard)
         .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
         .orderBy("id_a", "id_b")
   }

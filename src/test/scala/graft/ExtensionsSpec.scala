@@ -42,4 +42,23 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("literal integer"))
   }
+
+  test("wrong arity and wrong types fail analysis with named errors") {
+    val extra = intercept[Exception] {
+      spark.sql("SELECT graft_simhash64(array(1L), 32)").collect()
+    }
+    assert(extra.getMessage.contains("graft_simhash64 expects 1 argument"))
+    val missing = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0))").collect()
+    }
+    assert(missing.getMessage.contains("graft_dot expects 2 argument"))
+    val wrongType = intercept[Exception] {
+      spark.sql("SELECT graft_poly_hash(42)").collect()
+    }
+    assert(wrongType.getMessage.contains("graft_poly_hash expects STRING"))
+    val badK = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sigs(array(1L), 65)").collect()
+    }
+    assert(badK.getMessage.contains("k must be in [1, 64]"))
+  }
 }

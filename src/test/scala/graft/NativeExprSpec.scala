@@ -111,6 +111,21 @@ class NativeExprSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("prefix-filtered Jaccard == naive at awkward thresholds (epsilon bound)") {
+    // thresholds whose n*t products land on double-representation edges
+    // (e.g. 100 * 0.07 = 7.000000000000001): losslessness must survive
+    // the ceil — the prefix can only err LONGER, never shorter
+    val docs = Tables.documents(spark, sfDir)
+    for (t <- Seq(0.07, 0.3, 0.9)) {
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select("id_a", "id_b", "n_common")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val naive = key(graft.queries.Dedup.jaccardPairs(docs, t))
+      val pref = key(graft.queries.Dedup.jaccardPairsPrefix(docs, t))
+      assert(naive == pref, s"t=$t: naive ${naive.size} vs prefix ${pref.size}")
+    }
+  }
+
   test("IntersectSize == size(array_intersect) on real shingle sets") {
     val hs = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
