@@ -38,7 +38,8 @@ object Graft {
   def exactDuplicates(docs: DataFrame): DataFrame = queries.Dedup.exactDuplicates(docs)
   def minhashPairs(docs: DataFrame): DataFrame = queries.Dedup.minhashPairs(docs)
   def simhashPairs(docs: DataFrame): DataFrame = queries.Dedup.simhashPairs(docs)
-  def jaccardPairs(docs: DataFrame): DataFrame = queries.Dedup.jaccardPairs(docs)
+  def jaccardPairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    queries.Dedup.jaccardPairs(docs, minJaccard)
   def jaccardPairsPrefix(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
     queries.Dedup.jaccardPairsPrefix(docs, minJaccard)
   def embeddingDupPairs(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame =

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -49,19 +49,24 @@ object ScaleProbe {
   def zipfDocs(spark: SparkSession, n: Long): DataFrame = {
     val V = 50000
     val alpha = lit(('a' to 'z').map(_.toString).toArray)
-    // rank = floor(V^(u^2)) for u uniform in [0,1): heavily head-skewed
-    // (the top token draws ~25% of all positions) — the Zipf-head regime
-    // where the naive posting-list join explodes
-    val u = pmod(xxhash64(col("doc_id") * 1000 + col("i")), lit(1000000L))
-      .cast("double") / 1e6
-    val rank = floor(exp(log(lit(V.toDouble)) * u * u)).cast("long")
-    // encode the rank as a 4-letter token (26^4 > 50k)
-    val token = concat((0 until 4).map(d =>
-      element_at(alpha, ((rank.divide(lit(math.pow(26, d)))).cast("long") % 26 + 1).cast("int"))): _*)
+    // per-row transform like syntheticDocs — deterministic token order
+    // and zero shuffles (an explode+collect_list round trip would make
+    // each doc's token ORDER, hence its shingle sets and the printed
+    // evidence numbers, depend on shuffle arrival order)
+    def token(i: Column): Column = {
+      // rank = floor(V^(u^2)) for u uniform in [0,1): heavily
+      // head-skewed (the top token draws ~25% of all positions) — the
+      // Zipf-head regime where the naive posting-list join explodes
+      val u = pmod(xxhash64(col("doc_id") * 1000 + i), lit(1000000L))
+        .cast("double") / 1e6
+      val rank = floor(exp(log(lit(V.toDouble)) * u * u)).cast("long")
+      // encode the rank as a 4-letter token (26^4 > 50k)
+      concat((0 until 4).map(d =>
+        element_at(alpha,
+          ((rank.divide(lit(math.pow(26, d)))).cast("long") % 26 + 1).cast("int"))): _*)
+    }
     spark.range(n).select(col("id").as("doc_id"),
-        explode(sequence(lit(1), lit(30))).as("i"))
-      .select(col("doc_id"), token.as("tok"))
-      .groupBy("doc_id").agg(concat_ws(" ", collect_list(col("tok"))).as("text"))
+        concat_ws(" ", transform(sequence(lit(1), lit(30)), i => token(i))).as("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -98,10 +103,11 @@ object ScaleProbe {
     println(f"simhash saturation   ${"check"}%9s       $nSim%7d pairs vs $planted planted  PASS")
 
     // Prefix filtering on a Zipf corpus: the naive posting-list join's
-    // row count is sum(df^2) over shingles — computable WITHOUT running
-    // it — vs the prefix join's actual candidates. On flat-frequency
-    // corpora the two are close; on Zipf (≈ real text) the hot shingles
-    // dominate sum(df^2) and the prefix filter removes exactly them.
+    // row count is Σ C(df, 2) over shingles (the doc_id < doc_id
+    // self-join) — computable WITHOUT running it — vs the prefix join's
+    // actual candidates. On flat-frequency corpora the two are close;
+    // on Zipf (≈ real text) the hot shingles dominate that sum and the
+    // prefix filter removes exactly them.
     val zdocs = zipfDocs(spark, nDocs / 5)
     val zTotal = zdocs.count()
     val hs = zdocs.select(col("doc_id"),

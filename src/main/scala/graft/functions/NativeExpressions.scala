@@ -397,9 +397,11 @@ object NativeExpressions {
 
   /** |A ∩ B| over two BIGINT arrays as primitive sort-merge — the
     * native form of size(array_intersect(a, b)), which walks the
-    * generic (boxing) path per element. Treats inputs as SETS (callers
-    * pass array_distinct'd shingle-hash arrays); duplicate elements
-    * would count once per matched pair on both sides. */
+    * generic (boxing) path per element. Duplicate-element semantics
+    * differ deliberately: the merge counts min(multiplicity) per value
+    * (callers pass array_distinct'd sets, where the two coincide).
+    * NULL elements follow array_intersect: skipped unless present on
+    * BOTH sides, which counts once. */
   case class IntersectSize(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = LongType
@@ -417,13 +419,28 @@ object NativeExpressions {
 
     /** public: called from generated code too. */
     def intersectSize(x: ArrayData, y: ArrayData): Long = {
-      val ax = x.toLongArray()
-      val ay = y.toLongArray()
+      // null-aware extraction: toLongArray would silently read null
+      // slots as 0L, inventing matches array_intersect doesn't have
+      def nonNull(a: ArrayData): (Array[Long], Boolean) = {
+        val n = a.numElements()
+        val out = new Array[Long](n)
+        var m = 0
+        var hasNull = false
+        var i = 0
+        while (i < n) {
+          if (a.isNullAt(i)) hasNull = true
+          else { out(m) = a.getLong(i); m += 1 }
+          i += 1
+        }
+        (java.util.Arrays.copyOf(out, m), hasNull)
+      }
+      val (ax, nullX) = nonNull(x)
+      val (ay, nullY) = nonNull(y)
       java.util.Arrays.sort(ax)
       java.util.Arrays.sort(ay)
       var i = 0
       var j = 0
-      var n = 0L
+      var n = if (nullX && nullY) 1L else 0L
       while (i < ax.length && j < ay.length) {
         if (ax(i) < ay(j)) i += 1
         else if (ax(i) > ay(j)) j += 1

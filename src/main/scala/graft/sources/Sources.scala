@@ -90,19 +90,31 @@ object Sinks {
     * pass after streaming micro-batches or over-parallel shuffles: at
     * 100 TB, millions of kilobyte files tax the namenode, the planner,
     * and every scan's task-scheduling overhead. Writes to `dst` —
-    * compacting in place would read and clobber the same files. */
+    * compacting in place would read and clobber the same files.
+    *
+    * Hive-partitioned datasets MUST pass their partition columns in
+    * `partitionBy`, or the rewrite flattens the dt=.../ directory
+    * layout into plain data columns and every downstream partition-
+    * pruned scan becomes a full scan. */
   def compactParquet(
       spark: SparkSession,
       src: String,
       dst: String,
-      targetFileMB: Int = 256): Unit = {
+      targetFileMB: Int = 256,
+      partitionBy: Seq[String] = Nil): Unit = {
     val p = new org.apache.hadoop.fs.Path(src)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1L, (bytes + targetFileMB * 1024L * 1024L - 1) /
       (targetFileMB * 1024L * 1024L)).toInt
-    spark.read.parquet(src).repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(dst)
+    val df = spark.read.parquet(src)
+    val repart =
+      if (partitionBy.isEmpty) df.repartition(nFiles)
+      // cluster by partition columns so each output directory gets
+      // coherent files instead of nFiles fragments per partition
+      else df.repartition(nFiles, partitionBy.map(org.apache.spark.sql.functions.col): _*)
+    val w = repart.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dst)
   }
 
   /** Bucketed external table: the data lands pre-shuffled (and

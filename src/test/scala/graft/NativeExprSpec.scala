@@ -140,6 +140,17 @@ class NativeExprSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("IntersectSize null elements follow array_intersect, never read as 0") {
+    import spark.implicits._
+    val df = Seq(1).toDF("x")
+    def n(a: String, b: String): Long = df.selectExpr(
+      s"graft_intersect_size($a, $b) AS n").head.getLong(0)
+    GraftExtensions.register(spark)
+    assert(n("array(CAST(NULL AS BIGINT))", "array(0L)") == 0L)
+    assert(n("array(CAST(NULL AS BIGINT), 5L)", "array(CAST(NULL AS BIGINT), 5L)") == 2L)
+    assert(n("array(0L, 3L)", "array(3L, CAST(NULL AS BIGINT))") == 1L)
+  }
+
   test("SimHash64 == per-band HOF formulation") {
     val P = 1000000007L
     val hashed = Tables.documents(spark, sfDir)

@@ -69,7 +69,7 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("compactParquet collapses a small-file explosion, rows intact") {
-    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val dir = tmpDir("compact")
     val docs = Tables.documents(spark, sfDir)
     docs.repartition(50).write.parquet(s"$dir/src")
     assert(spark.read.parquet(s"$dir/src").inputFiles.length == 50)
