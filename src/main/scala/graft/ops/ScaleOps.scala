@@ -25,13 +25,21 @@ object ScaleOps {
     * Result is EXACTLY the plain inner join's rows (the salt is a
     * partitioning refinement, never a semantic key).
     *
-    * The salt mixes a content hash with the row's partition-local
-    * position ([[monotonically_increasing_id]]) — content alone would
-    * send BYTE-IDENTICAL duplicate rows (the classic hot key: the same
-    * record repeated millions of times) all to one bucket, un-spread.
-    * Determinism under retries/speculation holds when the scan yields
-    * partitions deterministically, which file sources (parquet splits)
-    * do; rand() would not even give that.
+    * The default salt is a pure CONTENT hash of the row — a
+    * deterministic function of the row's values, so a task retry or
+    * speculative attempt recomputes the identical shuffle key and the
+    * join stays exactly-once under stage retries for ANY input plan
+    * (the SPARK-23207 hazard class: a positional or random salt on a
+    * shuffled input can differ between attempts, duplicating or
+    * dropping rows when old and recomputed map outputs mix).
+    *
+    * Caveat: BYTE-IDENTICAL duplicate rows (the same record repeated
+    * millions of times) share a content hash and land in one bucket,
+    * un-spread. `positionalSalt = true` mixes in the row's
+    * partition-local position ([[monotonically_increasing_id]]) to
+    * spread those too — opt in ONLY when `big` is a deterministic-order
+    * scan (parquet/file splits), never a shuffle/aggregation output,
+    * or the retry hazard above applies.
     *
     * At 100 TB this (or AQE's skew-join, which does the same adaptively)
     * is the difference between a 10-minute stage and one 6-hour reducer.
@@ -40,11 +48,13 @@ object ScaleOps {
       big: DataFrame,
       small: DataFrame,
       keys: Seq[String],
-      buckets: Int = 16): DataFrame = {
+      buckets: Int = 16,
+      positionalSalt: Boolean = false): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    val mix = big.columns.map(col) ++
+      (if (positionalSalt) Seq(monotonically_increasing_id()) else Nil)
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col) :+ monotonically_increasing_id(): _*),
-        lit(buckets.toLong)).cast("int"))
+      pmod(xxhash64(mix: _*), lit(buckets.toLong)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedBig.join(replicated, keys :+ "__salt").drop("__salt")

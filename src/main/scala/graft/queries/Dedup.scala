@@ -51,9 +51,17 @@ object Dedup {
     *
     * The persisted frame is memoized on the canonicalized input plan: the
     * whole dedup family (D2/D3/D4) over the same corpus shares ONE cache
-    * entry, and switching corpora unpersists the previous one — no
-    * unbounded cache growth in a long-lived session. */
-  private[this] var cachedShingles: Option[((org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame)] = None
+    * entry per corpus. The memo is a small LRU (capacity
+    * [[ShingleCacheSize]]) rather than a single slot, so alternating
+    * between two corpora in one session (interleaved specs, a user
+    * holding frames over two datasets) doesn't thrash
+    * persist/unpersist on every call; entries whose SparkSession has
+    * stopped are dropped eagerly so no dead-session plan is pinned for
+    * JVM lifetime. */
+  private val ShingleCacheSize = 4
+  private type ShingleKey = (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+  private[this] val cachedShingles =
+    scala.collection.mutable.LinkedHashMap.empty[ShingleKey, DataFrame]
 
   private def hashedShingles(df: DataFrame): DataFrame = synchronized {
     val base = df.select(col("doc_id"),
@@ -70,12 +78,20 @@ object Dedup {
     // sessions reading the same path, and a hit from a stopped session
     // would hand back a frame bound to a dead SparkContext
     val key = (df.sparkSession, base.queryExecution.analyzed.canonicalized)
-    cachedShingles match {
-      case Some((k, f)) if k == key => f
-      case prev =>
-        prev.foreach(_._2.unpersist(blocking = false))
+    // drop dead-session entries first (their blocks are already gone;
+    // this just releases the pinned session + analyzed plan)
+    cachedShingles.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    cachedShingles.remove(key) match {
+      case Some(f) =>
+        cachedShingles.put(key, f) // re-insert at LRU tail
+        f
+      case None =>
+        while (cachedShingles.size >= ShingleCacheSize) {
+          val oldest = cachedShingles.head._1
+          cachedShingles.remove(oldest).foreach(_.unpersist(blocking = false))
+        }
         val f = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cachedShingles = Some((key, f))
+        cachedShingles.put(key, f)
         f
     }
   }
@@ -331,11 +347,15 @@ object Dedup {
         .select(col("doc_id"), col("s"), col("n"))
       // length filter (also from the PPJoin family): J ≥ t forces
       // t·|A| ≤ |B| ≤ |A|/t, so wildly different-sized docs never reach
-      // the rescore no matter what rare shingle they share
+      // the rescore no matter what rare shingle they share. Same epsilon
+      // as the prefix bound above: n·t can round UP past the exact
+      // product (100·0.07 = 7.000000000000001 > 7), which would drop a
+      // legal boundary pair before the rescore; nudging down errs toward
+      // extra candidates, which the exact rescore then filters
       val cand = prefixes.as("x").join(prefixes.as("y"),
           col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
-            col("y.n") * minJaccard <= col("x.n") &&
-            col("x.n") * minJaccard <= col("y.n"))
+            col("y.n") * minJaccard - 1e-9 <= col("x.n") &&
+            col("x.n") * minJaccard - 1e-9 <= col("y.n"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .distinct()
       val a = hs.select(col("doc_id").as("id_a"), col("hs").as("hsa"), col("n").as("na"))

@@ -41,8 +41,12 @@ object TextQueries {
     * bounded at the cap), while `n_docs` stays exact via a plain count of
     * the distinct pairs. Truncation is surfaced in its own column rather
     * than silently. */
+  /** Posting-list cap shared by the [[invertedIndex]] default AND the
+    * oracle SQL below — one constant so neither side can drift. */
+  private val MaxDocsPerWord = 100000
+
   /** Public API: inverted index over any (doc_id, text) frame. */
-  def invertedIndex(docs: DataFrame, maxDocsPerWord: Int = 100000): DataFrame = {
+  def invertedIndex(docs: DataFrame, maxDocsPerWord: Int = MaxDocsPerWord): DataFrame = {
       val pairs = docs
         .select(col("doc_id"), explode(words(col("text"))).as("word"))
         .distinct()
@@ -52,7 +56,10 @@ object TextQueries {
         .withColumn("rn", row_number().over(byWord))
         .groupBy("word")
         // aggregate LONG ids (8-byte state, integer sort), format to the
-        // zero-padded doc labels only once per distinct id at the end
+        // zero-padded doc labels only once per distinct id at the end.
+        // NB: the cap relies on collect_list SKIPPING the nulls that the
+        // unmatched `when` produces — swapping in array_agg/collect_set
+        // variants that keep nulls would change semantics
         .agg(count(lit(1)).as("n_docs"),
           array_sort(collect_list(when(col("rn") <= maxDocsPerWord, col("doc_id")))).as("ids"))
         .select(col("word"), col("n_docs"),
@@ -71,9 +78,9 @@ object TextQueries {
       rn AS (SELECT w, doc_id,
         row_number() OVER (PARTITION BY w ORDER BY doc_id) AS rn FROM pairs)
       SELECT w AS word, count(*) AS n_docs,
-        string_agg(CASE WHEN rn <= 100000 THEN printf('d%06d', doc_id) END, ','
+        string_agg(CASE WHEN rn <= $MaxDocsPerWord THEN printf('d%06d', doc_id) END, ','
           ORDER BY doc_id) AS docs,
-        count(*) > 100000 AS truncated
+        count(*) > $MaxDocsPerWord AS truncated
       FROM rn GROUP BY w ORDER BY word"""))
 
   /** A5: distributed grep — regex hit counts per matching doc. The filter

@@ -126,6 +126,26 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered Jaccard keeps the exact-boundary pair the length filter could FP-drop") {
+    // constructed |A| = 7 shingles ⊂ B, |B| = 100 shingles, t = 0.07:
+    // J = 7/100 == the double literal 0.07, but 100 * 0.07 =
+    // 7.000000000000001 > 7, so a length filter without the epsilon
+    // guard drops this legal pair before the rescore ever sees it
+    import spark.implicits._
+    val vocab = (0 until 102).map(i => s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val docs = Seq(
+      (1L, vocab.take(9).mkString(" ")),   // 9 words -> 7 shingles
+      (2L, vocab.mkString(" "))            // 102 words -> 100 shingles, superset
+    ).toDF("doc_id", "text")
+    val t = 0.07
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val naive = key(graft.queries.Dedup.jaccardPairs(docs, t))
+    assert(naive == Set((1L, 2L, 0.07)), s"naive should emit the boundary pair: $naive")
+    assert(key(graft.queries.Dedup.jaccardPairsPrefix(docs, t)) == naive)
+  }
+
   test("IntersectSize == size(array_intersect) on real shingle sets") {
     val hs = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
