@@ -79,7 +79,10 @@ object GraftExtensions {
       arity("graft_dot", 2)(args => DotProduct(args.head, args(1)))),
     ("graft_intersect_size",
       info("graft_intersect_size", "_FUNC_(a, b) - |A intersect B| of two BIGINT arrays (set semantics)"),
-      arity("graft_intersect_size", 2)(args => IntersectSize(args.head, args(1)))))
+      arity("graft_intersect_size", 2)(args => IntersectSize(args.head, args(1)))),
+    ("graft_search_sorted",
+      info("graft_search_sorted", "_FUNC_(arr, key) - count of elements <= key in an ascending BIGINT array (binary search)"),
+      arity("graft_search_sorted", 2)(args => SearchSortedRight(args.head, args(1)))))
 
   /** Install the functions into a LIVE session's registry (the
     * extensions path only applies at session construction). */

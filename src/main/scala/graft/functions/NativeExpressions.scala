@@ -459,6 +459,143 @@ object NativeExpressions {
       copy(left = l, right = r)
   }
 
+  /** Deterministic pseudo-random hyperplane component (plane `i`, dim
+    * `j`): an LCG step mapped to [-0.5, 0.5). Public so the DuckDB
+    * oracle literals and the fused [[LshBuckets]] kernel derive from
+    * the same numbers. */
+  def lshPlaneComponent(i: Int, dims: Int, j: Int): Double = {
+    val x = (1103515245L * (i.toLong * dims + j + 1) + 12345L) % 2147483648L
+    x.toDouble / 2147483648.0 - 0.5
+  }
+
+  def lshPlane(i: Int, dims: Int): Seq[Double] =
+    (0 until dims).map(j => lshPlaneComponent(i, dims, j))
+
+  /** All `tables` sign-bit LSH bucket ids of an embedding in ONE fused
+    * pass: bucket bit `i` of table `t` is set iff
+    * dot(embedding, plane(planeBase + t*bits + i)) > 0, with the same
+    * strict-left-fold dot (over min(len, dims) elements) as
+    * [[DotProduct]] — bit-identical to the unfused
+    * `when(graft_dot(emb, lit(plane)) > 0, …)` column stack it
+    * replaces. The fusion matters because the bucket frame sits on BOTH
+    * sides of the LSH candidate self-join and Spark recomputes it per
+    * side: tables×bits literal-array dots walk boxed GenericArrayData
+    * elements, while this kernel runs tables×bits×dims primitive FMAs
+    * per row. */
+  case class LshBuckets(
+      child: Expression, planeBase: Int, tables: Int, bits: Int, dims: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_lsh_buckets"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (tables < 1 || bits < 1 || bits > 63 || dims < 1)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: need tables >= 1, bits in [1, 63], dims >= 1; " +
+            s"got tables=$tables bits=$bits dims=$dims")
+      else requireType(prettyName, isVec(child.dataType),
+        "ARRAY<FLOAT|DOUBLE>", child.dataType)
+
+    // JVM-lifetime plane matrix — rebuilt per executor, never per row
+    @transient private lazy val planes: Array[Array[Double]] =
+      Array.tabulate(tables * bits) { p =>
+        Array.tabulate(dims)(j => lshPlaneComponent(planeBase + p, dims, j))
+      }
+
+    @transient private lazy val elemIsFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(input: Any): Any =
+      buckets(input.asInstanceOf[ArrayData])
+
+    /** public: called from generated code too. */
+    def buckets(emb: ArrayData): ArrayData = {
+      val m = math.min(emb.numElements(), dims)
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var b = 0L
+        var i = 0
+        while (i < bits) {
+          val pl = planes(t * bits + i)
+          var acc = 0.0
+          var j = 0
+          while (j < m) {
+            acc += (if (elemIsFloat) emb.getFloat(j).toDouble else emb.getDouble(j)) * pl(j)
+            j += 1
+          }
+          if (acc > 0) b |= (1L << i)
+          i += 1
+        }
+        out(t) = b
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val ref = ctx.addReferenceObj("lshBucketer", this, classOf[LshBuckets].getName)
+        s"${ev.value} = $ref.buckets($c);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+      copy(child = newChild)
+  }
+
+  /** Rank of `key` in an ascending-sorted BIGINT array: the count of
+    * elements <= key (numpy `searchsorted(side='right')`). Binary
+    * search, fully inlined into whole-stage codegen — the kernel behind
+    * [[graft.ops.AsOfJoin]]: against a broadcast per-key state history
+    * of n entries it makes as-of routing O(log n) per fact row, where
+    * the equivalent interval theta-join evaluates all n candidate
+    * intervals per row.
+    *
+    * Contract: the array is ascending (ties allowed — the rightmost
+    * tie wins) with no null elements; 0 means every element is > key. */
+  case class SearchSortedRight(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_search_sorted"
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireType(prettyName, isLongArray(left.dataType),
+        "ARRAY<BIGINT>", left.dataType)
+      if (l != TypeCheckResult.TypeCheckSuccess) l
+      else requireType(prettyName, right.dataType == LongType,
+        "BIGINT", right.dataType)
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val key = b.asInstanceOf[Long]
+      var lo = 0
+      var hi = arr.numElements()
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (arr.getLong(mid) <= key) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val lo = ctx.freshName("lo")
+        val hi = ctx.freshName("hi")
+        val mid = ctx.freshName("mid")
+        s"""
+        int $lo = 0;
+        int $hi = $a.numElements();
+        while ($lo < $hi) {
+          int $mid = ($lo + $hi) >>> 1;
+          if ($a.getLong($mid) <= $b) $lo = $mid + 1; else $hi = $mid;
+        }
+        ${ev.value} = $lo;
+        """
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SearchSortedRight =
+      copy(left = l, right = r)
+  }
+
   /** text → poly hashes of every word k-shingle, one pass, no
     * intermediate strings. Semantics = polyHash over the bytes of
     * "tok1 tok2 … tokk" where tokens are maximal [a-z]+ runs of
@@ -632,6 +769,10 @@ object NativeExpressions {
   def minhashSigs(hs: Column, k: Int): Column = Bridge.column(MinHashSigs(expr(hs), k))
   def simHash(hs: Column, bits: Int): Column = Bridge.column(SimHash(expr(hs), bits))
   def simHash64(hs: Column): Column = Bridge.column(SimHash64(expr(hs)))
+  def searchSortedRight(arr: Column, key: Column): Column =
+    Bridge.column(SearchSortedRight(expr(arr), expr(key)))
+  def lshBuckets(emb: Column, planeBase: Int, tables: Int, bits: Int, dims: Int): Column =
+    Bridge.column(LshBuckets(expr(emb), planeBase, tables, bits, dims))
   def shingleHashes(c: Column, k: Int): Column = Bridge.column(ShingleHashes(expr(c), k))
   def tokens(c: Column): Column = Bridge.column(Tokens(expr(c)))
   def countIn(arr: Column, items: Seq[String]): Column = Bridge.column(CountIn(expr(arr), items))

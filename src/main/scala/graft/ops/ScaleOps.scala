@@ -51,7 +51,7 @@ object ScaleOps {
       buckets: Int = 16,
       positionalSalt: Boolean = false): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val mix = big.columns.map(col) ++
+    val mix = big.columns.toSeq.map(col) ++
       (if (positionalSalt) Seq(monotonically_increasing_id()) else Nil)
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(mix: _*), lit(buckets.toLong)).cast("int"))

@@ -344,7 +344,7 @@ object Dedup {
         // the prefix below the lossless bound; nudging down by an epsilon
         // errs toward a longer prefix — more candidates, never a miss
         .filter(col("rk") <= col("n") - ceil(col("n") * minJaccard - 1e-9) + 1)
-        .select(col("doc_id"), col("s"), col("n"))
+        .select(col("doc_id"), col("s"), col("n"), col("rk"))
       // length filter (also from the PPJoin family): J ≥ t forces
       // t·|A| ≤ |B| ≤ |A|/t, so wildly different-sized docs never reach
       // the rescore no matter what rare shingle they share. Same epsilon
@@ -352,12 +352,26 @@ object Dedup {
       // product (100·0.07 = 7.000000000000001 > 7), which would drop a
       // legal boundary pair before the rescore; nudging down errs toward
       // extra candidates, which the exact rescore then filters
+      // positional filter (PPJoin §3.2): J ≥ t needs overlap
+      // α = ⌈t/(1+t)·(|A|+|B|)⌉, and at the EARLIEST matched prefix
+      // position (ri, rj) of a pair, every other common shingle ranks
+      // after both (global-order consistency: a common shingle earlier
+      // in one doc's order is earlier in the other's too, contradicting
+      // minimality) — so overlap ≤ 1 + min(|A|−ri, |B|−rj). Pairs whose
+      // only shared prefix shingles sit near the prefix TAIL can't reach
+      // α and never hit the rescore. Same down-nudge epsilon on α's
+      // ceil: err toward keeping the candidate.
+      val alphaFrac = minJaccard / (1 + minJaccard)
       val cand = prefixes.as("x").join(prefixes.as("y"),
           col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
             col("y.n") * minJaccard - 1e-9 <= col("x.n") &&
             col("x.n") * minJaccard - 1e-9 <= col("y.n"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .distinct()
+        .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .agg(min(col("x.rk")).as("ri"), min(col("y.rk")).as("rj"),
+          first(col("x.n")).as("xn"), first(col("y.n")).as("yn"))
+        .filter(lit(1) + least(col("xn") - col("ri"), col("yn") - col("rj")) >=
+          ceil((col("xn") + col("yn")) * alphaFrac - 1e-9))
+        .select(col("id_a"), col("id_b"))
       val a = hs.select(col("doc_id").as("id_a"), col("hs").as("hsa"), col("n").as("na"))
       val b = hs.select(col("doc_id").as("id_b"), col("hs").as("hsb"), col("n").as("nb"))
       cand.join(a, Seq("id_a")).join(b, Seq("id_b"))

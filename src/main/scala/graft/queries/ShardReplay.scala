@@ -136,21 +136,27 @@ object ShardReplay {
     * gid, kts). Works for a BATCH keyOps frame and unchanged for a
     * STREAMING one (stream–static broadcast join — the static ownership
     * side broadcasts to every micro-batch), so the same routing powers
-    * q_shard_replay and a live shard router. */
-  def routeKeyOps(keyOps: DataFrame, ownership: DataFrame): DataFrame = {
-    val own = ownership
-      .select(col("shard").as("o_shard"), col("cts"), col("next_cts"),
-        col("gid"))
-    keyOps
-      .select(col("user_id"), (col("user_id") % NShards).as("shard"),
-        col("kts"))
-      .join(broadcast(own),
-        col("o_shard") === col("shard") && col("kts") >= col("cts") &&
-          (col("next_cts").isNull || col("kts") < col("next_cts")),
-        "left")
+    * q_shard_replay and a live shard router.
+    *
+    * Routing is the [[graft.ops.AsOfJoin]] kernel: ownership folds to
+    * one sorted epoch history per shard and each key op binary-searches
+    * it — O(log epochs) per op. The interval theta-join it replaces hash-
+    * joined on shard (16 keys) and then evaluated EVERY epoch interval
+    * of the shard per op as a residual filter: ops × epochs comparisons,
+    * quadratic in history length. Equal-cts epochs resolve to the
+    * highest epoch, exactly the empty-interval semantics of the
+    * [cts, next_cts) formulation the oracle still runs. */
+  def routeKeyOps(keyOps: DataFrame, ownership: DataFrame): DataFrame =
+    graft.ops.AsOfJoin.asOfJoin(
+        keyOps.select(col("user_id"),
+          (col("user_id") % NShards).as("shard"), col("kts"),
+          unix_micros(col("kts")).as("__kt")),
+        ownership.select(col("shard"),
+          unix_micros(col("cts")).as("__ct"), col("epoch"), col("gid")),
+        keys = Seq("shard"), factTime = "__kt", stateTime = "__ct",
+        payload = Seq("epoch", "gid"))
       .select(col("user_id"), col("shard"),
         coalesce(col("gid"), lit(0L)).as("gid"), col("kts"))
-  }
 
   /** Public API: replay key ops through the ownership history — per
     * (gid, shard) routed-op and distinct-key counts. `configOps` as in

@@ -89,11 +89,11 @@ object Similarity {
       // candidate pairs back to the embeddings. At 100 TB the bucket
       // frame is ~20 bytes/vector/table while the vectors stay in the
       // (column-pruned) scans on the rescore side.
-      val tabs = (0 until tables).map(t =>
-        struct(lit(t).as("t"), bucketCol(DedupPlaneBase, bits, t, dims).as("bucket")))
       val vb = embeddings
-        .select(col("vec_id"), explode(array(tabs: _*)).as("tb"))
-        .select(col("vec_id"), col("tb.t"), col("tb.bucket"))
+        .select(col("vec_id"),
+          posexplode(graft.functions.NativeExpressions
+            .lshBuckets(col("embedding"), DedupPlaneBase, tables, bits, dims)))
+        .toDF("vec_id", "t", "bucket")
       val cand = vb.as("x").join(vb.as("y"),
           col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
             col("x.vec_id") < col("y.vec_id"))
@@ -162,34 +162,16 @@ object Similarity {
       SELECT q_id, rank, vec_id AS neighbor_id, cos
       FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank"""))
 
-  /** Deterministic pseudo-random hyperplane component (plane i, dim j):
-    * an LCG step mapped to [-0.5, 0.5). Computed driver-side into literal
-    * arrays — 16 planes × 64 dims of constants in the plan. */
-  private def plane(i: Int, dims: Int): Seq[Double] =
-    (0 until dims).map { j =>
-      val x = (1103515245L * (i * dims + j + 1) + 12345L) % 2147483648L
-      x.toDouble / 2147483648.0 - 0.5
-    }
-
   private val LshTables = 8
   private val LshBits = 6
 
-  /** Oracle-side literal for hyperplane `i` — Scala's shortest
+  /** Oracle-side literal for hyperplane `i` (the LCG planes of
+    * [[graft.functions.NativeExpressions.lshPlane]]) — Scala's shortest
     * round-trip double printing parses back to the identical IEEE-754
-    * value in DuckDB, so SQL-side dots are bit-equal to Spark's. */
+    * value in DuckDB, so SQL-side dots are bit-equal to Spark's fused
+    * [[graft.functions.NativeExpressions.LshBuckets]] kernel. */
   private def sqlPlane(i: Int, dims: Int): String =
-    plane(i, dims).mkString("[", ", ", "]")
-
-  /** Sign-bit bucket id of the `embedding` column in LSH table `t`,
-    * using planes `planeBase + t*bits …`. Shared by the ANN search and
-    * the dedup scale path (disjoint `planeBase` ranges). */
-  private def bucketCol(planeBase: Int, bits: Int, t: Int, dims: Int): Column =
-    (0 until bits).map { i =>
-      // one Literal node per plane (not 64) — keeps analysis/codegen
-      // of the multi-plane expression tree cheap
-      val pl = lit(plane(planeBase + t * bits + i, dims).toArray)
-      when(dot(col("embedding"), pl) > 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
+    graft.functions.NativeExpressions.lshPlane(i, dims).mkString("[", ", ", "]")
 
   /** Oracle-side twin of [[bucketCol]]. */
   private def sqlBucket(planeBase: Int, bits: Int, t: Int, dims: Int): String =
@@ -210,13 +192,12 @@ object Similarity {
   /** Public API: multi-table hyperplane LSH ANN. `dims` must cover the
     * embedding length (planes are generated per dimension). */
   def annLsh(embeddings: DataFrame, dims: Int = 64): DataFrame = {
-      val tables = (0 until LshTables).map(t =>
-        struct(lit(t).as("t"), bucketCol(0, LshBits, t, dims).as("bucket")))
       val v = withNorms(embeddings)
         .select(col("vec_id"), col("embedding"), col("n2"),
-          explode(array(tables: _*)).as("tb"))
-        .select(col("vec_id"), col("embedding"), col("n2"),
-          col("tb.t"), col("tb.bucket"))
+          posexplode(graft.functions.NativeExpressions
+            .lshBuckets(col("embedding"), 0, LshTables, LshBits, dims)))
+        .withColumnRenamed("pos", "t")
+        .withColumnRenamed("col", "bucket")
       val q = v.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("n2").as("q_n2"), col("t"), col("bucket"))

@@ -171,6 +171,38 @@ class NativeExprSpec extends SparkSpec {
     assert(n("array(0L, 3L)", "array(3L, CAST(NULL AS BIGINT))") == 1L)
   }
 
+  test("SearchSortedRight == size(filter(arr, e <= key)) incl. ties and edges") {
+    import spark.implicits._
+    val cases = Seq(
+      (Seq.empty[Long], 5L),
+      (Seq(1L, 3L, 3L, 3L, 9L), 0L),  // all bigger
+      (Seq(1L, 3L, 3L, 3L, 9L), 3L),  // lands inside a tie run
+      (Seq(1L, 3L, 3L, 3L, 9L), 9L),  // last element
+      (Seq(1L, 3L, 3L, 3L, 9L), 99L), // beyond the end
+      (Seq(7L), 7L))
+    val df = cases.toDF("arr", "key")
+    val diff = df.select(
+        NativeExpressions.searchSortedRight(col("arr"), col("key")).as("native"),
+        size(filter(col("arr"), e => e <= col("key"))).as("hof"))
+      .filter("native != hof")
+    assert(diff.count() == 0)
+  }
+
+  test("LshBuckets == unfused per-plane dot/sign formulation on real embeddings") {
+    val (planeBase, tables, bits, dims) = (1000, 16, 4, 64)
+    val unfused = (0 until tables).map { t =>
+      (0 until bits).map { i =>
+        val pl = lit(NativeExpressions.lshPlane(planeBase + t * bits + i, dims).toArray)
+        when(NativeExpressions.dot(col("embedding"), pl) > 0, lit(1L << i)).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    val diff = Tables.embeddings(spark, sfDir)
+      .select(NativeExpressions.lshBuckets(col("embedding"), planeBase, tables, bits, dims).as("fused"),
+        array(unfused: _*).as("unfused"))
+      .filter("fused != unfused")
+    assert(diff.count() == 0)
+  }
+
   test("SimHash64 == per-band HOF formulation") {
     val P = 1000000007L
     val hashed = Tables.documents(spark, sfDir)

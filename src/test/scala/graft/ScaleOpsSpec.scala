@@ -44,6 +44,70 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("saltedJoin positionalSalt spreads byte-identical duplicate rows, same result") {
+    import spark.implicits._
+    val big = spark.range(20000).select(lit(1L).as("k"), lit(9L).as("payload"))
+    val small = Seq((1L, "hot")).toDF("k", "label")
+    val plain = big.join(small, Seq("k"))
+    val salted = ScaleOps.saltedJoin(big, small, Seq("k"), buckets = 8,
+      positionalSalt = true)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+
+  test("asOfJoin picks the latest state at or before each fact time") {
+    import spark.implicits._
+    val states = Seq(
+      ("a", 10L, 1L, 100L), ("a", 20L, 2L, 200L), ("a", 20L, 3L, 300L), // tie on t: version 3 wins
+      ("b", 15L, 1L, 999L)
+    ).toDF("k", "t", "version", "value")
+    val facts = Seq(
+      ("a", 5L),   // before any state -> nulls
+      ("a", 10L),  // exactly the first state
+      ("a", 19L),  // still the first
+      ("a", 20L),  // tie resolves to the larger version
+      ("a", 50L),  // latest
+      ("b", 15L),
+      ("c", 7L)    // key with no states at all -> nulls
+    ).toDF("k", "ft")
+    val got = graft.ops.AsOfJoin
+      .asOfJoin(facts, states, Seq("k"), "ft", "t", Seq("version", "value"))
+      .select("k", "ft", "version", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got == Set(
+      ("a", 5L, -1L, -1L),
+      ("a", 10L, 1L, 100L),
+      ("a", 19L, 1L, 100L),
+      ("a", 20L, 3L, 300L),
+      ("a", 50L, 3L, 300L),
+      ("b", 15L, 1L, 999L),
+      ("c", 7L, -1L, -1L)))
+  }
+
+  test("asOfJoin == interval theta-join formulation on a generated history") {
+    import spark.implicits._
+    val states = spark.range(200)
+      .select(( col("id") % 4).as("k"), (col("id") * 7 % 1000).as("t"),
+        col("id").as("version"), (col("id") * 13 % 97).as("value"))
+    val facts = spark.range(5000)
+      .select((col("id") % 5).as("k"), (col("id") * 31 % 1100).as("ft"))
+    val got = graft.ops.AsOfJoin
+      .asOfJoin(facts, states, Seq("k"), "ft", "t", Seq("version", "value"))
+    // oracle: max (t, version) per fact via window over the theta-join
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k", "ft", "__rid").orderBy(col("t").desc, col("version").desc)
+    val want = facts.withColumn("__rid", monotonically_increasing_id())
+      .join(states.withColumnRenamed("k", "sk"),
+        col("sk") === col("k") && col("t") <= col("ft"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("ft"), col("version"), col("value"))
+    val g = got.select("k", "ft", "version", "value")
+    assert(g.exceptAll(want).count() == 0 && want.exceptAll(g).count() == 0)
+  }
+
   test("twoPhaseAgg merges partials to the exact grouped result") {
     import spark.implicits._
     val df = spark.range(20000)
