@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Broadcast as-of join — for each fact row, the LATEST state row with
@@ -60,5 +61,50 @@ object AsOfJoin {
         df.withColumn(p, when(col("__idx") > 0, hit(p)))
       }
       .drop("__hist", "__ts", "__idx")
+  }
+
+  /** Shuffle-based as-of join for when BOTH sides are big — same
+    * semantics as [[asOfJoin]] (latest state per key with
+    * `stateTime <= factTime`, ties on stateTime to the largest payload
+    * tuple), different execution: union the two streams, ONE hash
+    * shuffle on the key, sort each partition by (time, side, payload)
+    * with states ordered before facts at equal time, and carry the
+    * last state forward with a running `last(ignoreNulls)` window.
+    * No broadcast anywhere, state flows through Spark's spillable
+    * sort — the shape that joins 100 TB of facts to 10 TB of states
+    * (trades→quotes, events→dimension versions). Prefer [[asOfJoin]]
+    * when the folded state history fits in a broadcast: it skips the
+    * fact-side shuffle entirely. */
+  def asOfJoinBig(
+      facts: DataFrame,
+      states: DataFrame,
+      keys: Seq[String],
+      factTime: String,
+      stateTime: String,
+      payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "asOfJoinBig needs at least one payload column")
+    val factCols = facts.columns.toSeq
+    val pStruct = struct(payload.map(col): _*)
+    val sTagged = states.select(
+      keys.map(col) :+ col(stateTime).cast("long").as("__t") :+
+        lit(0).as("__kind") :+ pStruct.as("__p"): _*)
+    val sFull = factCols.filterNot(keys.contains).foldLeft(sTagged) { (df, c) =>
+      df.withColumn(c, lit(null).cast(facts.schema(c).dataType))
+    }
+    val fTagged = facts.select(
+      factCols.map(col) :+ col(factTime).cast("long").as("__t") :+
+        lit(1).as("__kind") :+
+        lit(null).cast(sTagged.schema("__p").dataType).as("__p"): _*)
+    // states sort before facts at equal time (<= semantics); among
+    // equal-time states the payload tuple breaks the tie ascending, so
+    // the running last picks the largest — matching asOfJoin exactly
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__kind"), col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = fTagged.unionByName(sFull)
+      .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__kind") === 1)
+    payload.foldLeft(filled) { (df, p) => df.withColumn(p, col("__last")(p)) }
+      .drop("__t", "__kind", "__p", "__last")
   }
 }

@@ -21,7 +21,7 @@ object Dedup {
   private val P = 1000000007L
 
   /** Number of MinHash permutations / signature length. */
-  private val MinhashK = 16
+  val MinhashK = 16
   /** LSH banding: 8 bands × 2 rows targets a ~0.35 Jaccard threshold
     * ((1/b)^(1/r)); est-Jaccard ≥ 0.5 post-filter keeps the output to
     * genuine near-dups. */
@@ -63,16 +63,37 @@ object Dedup {
   private[this] val cachedShingles =
     scala.collection.mutable.LinkedHashMap.empty[ShingleKey, DataFrame]
 
+  /** Distinct mixed 3-shingle hashes of a text column — the signature
+    * base shared by every dedup operator AND the streaming near-dup
+    * detector ([[graft.streaming.Streams.nearDupStream]]), which can't
+    * go through the persisted [[hashedShingles]] frame (no persist on a
+    * streaming plan).
+    *
+    * Quadratic mix: the poly hash is locality-correlated (shingles
+    * sharing a prefix hash close together, and the LINEAR minhash
+    * permutations preserve that, biasing est_jaccard up). h^2 makes the
+    * delta depend on h, decorrelating near-identical shingles.
+    * h*h < 1e18 — no overflow in either engine. */
+  def shingleHashCol(text: Column): Column =
+    array_distinct(transform(
+      graft.functions.NativeExpressions.shingleHashes(text, 3),
+      h => (h * h + h * 31 + 7) % P))
+
+  /** The [[MinhashK]]-wide signature of a shingle-hash array. */
+  def minhashSigCol(hs: Column): Column =
+    graft.functions.NativeExpressions.minhashSigs(hs, MinhashK)
+
+  /** All [[MinhashBands]] LSH band keys of a signature (2 rows/band):
+    * band b hashes to sig[2b]·P + sig[2b+1] — identical to the batch
+    * [[minhashPairs]] banding, so streaming buckets match batch
+    * buckets exactly. */
+  def bandHashCol(sig: Column): Column =
+    array((0 until MinhashBands).map { b =>
+      element_at(sig, 2 * b + 1) * P + element_at(sig, 2 * b + 2)
+    }: _*)
+
   private def hashedShingles(df: DataFrame): DataFrame = synchronized {
-    val base = df.select(col("doc_id"),
-        array_distinct(transform(
-          graft.functions.NativeExpressions.shingleHashes(col("text"), 3),
-          // quadratic mix: the poly hash is locality-correlated (shingles
-          // sharing a prefix hash close together, and the LINEAR minhash
-          // permutations preserve that, biasing est_jaccard up). h^2
-          // makes the delta depend on h, decorrelating near-identical
-          // shingles. h*h < 1e18 — no overflow in either engine.
-          h => (h * h + h * 31 + 7) % P)).as("hs"))
+    val base = df.select(col("doc_id"), shingleHashCol(col("text")).as("hs"))
       .filter(size(col("hs")) > 0)
     // keyed on (session, plan): canonicalized plans compare equal across
     // sessions reading the same path, and a hit from a stopped session

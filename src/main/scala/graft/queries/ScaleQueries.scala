@@ -54,5 +54,45 @@ object ScaleQueries {
       WHERE p_size <= 10
       GROUP BY p_brand ORDER BY p_brand"""))
 
-  val all: Seq[Q] = Seq(qTopkPerKey, qSkewJoin)
+  /** Each order joined as-of to the same customer's latest STRICTLY
+    * EARLIER order via [[graft.ops.AsOfJoin.asOfJoinBig]] (the
+    * big-states shuffle variant: union → one hash shuffle on custkey →
+    * per-partition sort → running carry-forward; no broadcast). Event
+    * time packs (unix_millis, orderkey) into one long — valid while
+    * orderkey < 2^20 and |millis| < 2^43; a real deployment brings its
+    * own monotone (time, seq) encoding — so "strictly before me" is
+    * factTime = t − 1 and the oracle is plain lag() over the same
+    * order. Nulls (a customer's first order) surface as −1 so the
+    * cross-engine hash stays type-stable. */
+  val qAsofPrevOrder: Q = Q(
+    "q_asof_prev_order",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      // timestampdiff is timezone-free on TIMESTAMP_NTZ (unix_millis
+      // rejects NTZ, and casting through TIMESTAMP would drag the
+      // session timezone into the key)
+      val millis = expr(
+        "timestampdiff(MILLISECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', o_orderdate)")
+      val t = millis * (1L << 20) + col("o_orderkey")
+      val facts = orders.select(col("o_custkey"), col("o_orderkey"),
+        (t - 1).as("__ft"))
+      val states = orders.select(col("o_custkey"), t.as("__st"),
+        col("o_orderkey").as("prev_orderkey"),
+        col("o_totalprice").as("prev_totalprice"))
+      graft.ops.AsOfJoin.asOfJoinBig(facts, states, Seq("o_custkey"),
+          factTime = "__ft", stateTime = "__st",
+          payload = Seq("prev_orderkey", "prev_totalprice"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          coalesce(col("prev_orderkey"), lit(-1L)).as("prev_orderkey"),
+          coalesce(col("prev_totalprice"), lit(-1.0)).as("prev_totalprice"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+        coalesce(lag(o_orderkey) OVER w, -1) AS prev_orderkey,
+        coalesce(lag(o_totalprice) OVER w, -1.0) AS prev_totalprice
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  val all: Seq[Q] = Seq(qTopkPerKey, qSkewJoin, qAsofPrevOrder)
 }

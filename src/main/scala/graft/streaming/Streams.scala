@@ -29,6 +29,16 @@ final case class SessionOut(
     user_id: Long, session_start: java.sql.Timestamp,
     n_events: Long, duration_us: Long, total_value: Double)
 
+/** One doc of a banded signature stream for
+  * [[Streams.nearDupStream]]. */
+final case class BandedDoc(doc_id: Long, band: Int, band_hash: Long, sig: Seq[Long])
+
+/** A doc remembered in an LSH bucket's registry. */
+final case class BucketEntry(doc_id: Long, sig: Seq[Long])
+
+/** An incoming doc flagged against a previously-seen near-duplicate. */
+final case class NearDupHit(doc_id: Long, matched_id: Long, est_jaccard: Double)
+
 /** KV-store op (kvraft surface: Put / Append; Get is a lookup on the
   * emitted state). */
 final case class KvOp(ts: java.sql.Timestamp, key: String, op: String, value: String)
@@ -173,6 +183,66 @@ object Streams {
         col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
       .select(col("user_id"), col("click_id"), col("click_ts"),
         col("purchase_ts"), col("purchase_value"))
+  }
+
+  /** Streaming MinHash near-dup detection — the ingest-time form of the
+    * batch [[graft.queries.Dedup.minhashPairs]]: each arriving doc is
+    * flagged against every PREVIOUSLY-seen near-duplicate, so a crawl
+    * pipeline can drop repeats before they ever land in the corpus.
+    *
+    * Same signatures, same banding as batch (the shared
+    * [[graft.queries.Dedup.shingleHashCol]]/[[graft.queries.Dedup.minhashSigCol]]/
+    * [[graft.queries.Dedup.bandHashCol]] columns), so the pairs it
+    * flags are exactly the batch pairs, just oriented
+    * (later arrival → earlier match). State is keyed by the (band,
+    * band_hash) bucket — high-cardinality, shards across executors —
+    * and each bucket's registry is FIFO-capped at `maxPerBucket` docs:
+    * a bucket that big means the band key has degenerated (the batch
+    * operator has the same pathology as a hot-key join) and dropping
+    * the oldest entries bounds state where the alternative is
+    * unbounded growth. The same pair surfacing from several bands
+    * yields duplicate hits; `dropDuplicates("doc_id", "matched_id")`
+    * downstream if exact-once hits matter. */
+  def nearDupStream(
+      docs: DataFrame,
+      minEstJaccard: Double = 0.5,
+      maxPerBucket: Int = 1024): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    import graft.queries.Dedup
+    val banded = docs
+      .withColumn("hs", Dedup.shingleHashCol(col("text")))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sig", Dedup.minhashSigCol(col("hs")))
+      .select(col("doc_id"),
+        posexplode(Dedup.bandHashCol(col("sig"))).as(Seq("band", "band_hash")),
+        col("sig"))
+      .as[BandedDoc]
+    def update(
+        key: (Int, Long),
+        rows: Iterator[BandedDoc],
+        state: GroupState[Seq[BucketEntry]]): Iterator[NearDupHit] = {
+      var seen = state.getOption.getOrElse(Seq.empty)
+      val out = Seq.newBuilder[NearDupHit]
+      // within a batch, docs enter the registry in doc_id order so the
+      // emitted direction is deterministic under batch-internal disorder
+      rows.toSeq.sortBy(_.doc_id).foreach { r =>
+        if (!seen.exists(_.doc_id == r.doc_id)) {
+          seen.foreach { s =>
+            val agree = r.sig.iterator.zip(s.sig.iterator)
+              .count { case (a, b) => a == b }
+            val est = agree.toDouble / Dedup.MinhashK
+            if (est >= minEstJaccard) out += NearDupHit(r.doc_id, s.doc_id, est)
+          }
+          seen = seen :+ BucketEntry(r.doc_id, r.sig)
+          if (seen.size > maxPerBucket) seen = seen.takeRight(maxPerBucket)
+        }
+      }
+      state.update(seen)
+      out.result().iterator
+    }
+    banded
+      .groupByKey(r => (r.band, r.band_hash))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
   /** kvraft's data surface as a stream (/root/reference/src/kvraft):

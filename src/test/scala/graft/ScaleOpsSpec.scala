@@ -106,6 +106,11 @@ class ScaleOpsSpec extends SparkSpec {
       .select(col("k"), col("ft"), col("version"), col("value"))
     val g = got.select("k", "ft", "version", "value")
     assert(g.exceptAll(want).count() == 0 && want.exceptAll(g).count() == 0)
+    // the big-states shuffle variant must agree with the broadcast one
+    val big = graft.ops.AsOfJoin
+      .asOfJoinBig(facts, states, Seq("k"), "ft", "t", Seq("version", "value"))
+      .select("k", "ft", "version", "value")
+    assert(big.exceptAll(g).count() == 0 && g.exceptAll(big).count() == 0)
   }
 
   test("twoPhaseAgg merges partials to the exact grouped result") {

@@ -6,6 +6,11 @@ import graft.streaming.{EventRow, SessionOut, Streams}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
+object StreamingSpec {
+  /** Top-level so spark.implicits can derive its Encoder. */
+  final case class Doc(doc_id: Long, text: String)
+}
+
 /** G2–G4: Structured Streaming operators driven from a MemoryStream and
   * observed through a memory sink — incremental results must match the
   * batch semantics on the same data. */
@@ -177,6 +182,35 @@ class StreamingSpec extends SparkSpec {
       assert(u1.head.total_value == 15.0)
       assert(u1.head.session_start == ts(5))
       assert(u1.head.duration_us == 25L * 60 * 1000000) // [5, 30]
+    } finally query.stop()
+  }
+
+  test("nearDupStream flags exactly the batch minhash pairs, across batch splits") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.NearDupHit
+    import StreamingSpec.Doc
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[Doc].collect().toSeq
+    val batchPairs = graft.queries.Dedup.minhashPairs(Tables.documents(spark, sfDir))
+      .select("id_a", "id_b", "est_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batchPairs.nonEmpty) // corpus plants near-dups; a vacuous pass hides bugs
+    val mem = MemoryStream[Doc]
+    val query = Streams.nearDupStream(mem.toDF())
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // split mid-corpus: pairs within a batch AND across the boundary
+      val (first, second) = docs.partition(_.doc_id % 2 == 0)
+      mem.addData(first: _*)
+      query.processAllAvailable()
+      mem.addData(second: _*)
+      query.processAllAvailable()
+      val got = spark.table("neardup_stream").as[NearDupHit].collect()
+        .map(h => (math.min(h.doc_id, h.matched_id),
+          math.max(h.doc_id, h.matched_id), h.est_jaccard)).toSet
+      assert(got == batchPairs, s"stream ${got.size} vs batch ${batchPairs.size}")
     } finally query.stop()
   }
 
