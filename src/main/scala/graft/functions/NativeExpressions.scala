@@ -542,6 +542,58 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** The C(8,3) = 56 block-combination band keys of a 64-bit SimHash
+    * fingerprint in one pass: key `ci` packs the fingerprint's byte
+    * blocks at the `ci`-th ascending 3-combination of {0…7} into a
+    * 24-bit value (block[c0] | block[c1]<<8 | block[c2]<<16) — exactly
+    * the Manku WWW'07 banding the Dedup simhash join keys on. Fused
+    * because the unfused form is ~670 expression nodes (56 structs × 3
+    * shifted/masked blocks) recomputed on BOTH sides of the band
+    * self-join — the per-query codegen/compile of that tree cost more
+    * than the actual join at bench scale. */
+  case class SimHashCombos(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_simhash_combos"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, child.dataType == LongType,
+        "BIGINT", child.dataType)
+
+    override def nullSafeEval(input: Any): Any =
+      comboKeys(input.asInstanceOf[Long])
+
+    /** public: called from generated code too. */
+    def comboKeys(sim: Long): ArrayData = {
+      val cs = SimHashCombos.combos
+      val out = new Array[Long](cs.length)
+      var ci = 0
+      while (ci < cs.length) {
+        val c = cs(ci)
+        out(ci) = ((sim >>> (8 * c(0))) & 255L) |
+          (((sim >>> (8 * c(1))) & 255L) << 8) |
+          (((sim >>> (8 * c(2))) & 255L) << 16)
+        ci += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val ref = ctx.addReferenceObj("comboBander", this, classOf[SimHashCombos].getName)
+        s"${ev.value} = $ref.comboKeys($c);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): SimHashCombos =
+      copy(child = newChild)
+  }
+
+  object SimHashCombos {
+    /** Ascending 3-of-8 combinations in `combinations` order — the
+      * combo INDEX is part of the join key, so both join sides (and any
+      * persisted band frame) must agree on it. */
+    val combos: Array[Array[Int]] =
+      (0 until 8).combinations(3).map(_.toArray).toArray
+  }
+
   /** Rank of `key` in an ascending-sorted BIGINT array: the count of
     * elements <= key (numpy `searchsorted(side='right')`). Binary
     * search, fully inlined into whole-stage codegen — the kernel behind
@@ -773,6 +825,7 @@ object NativeExpressions {
     Bridge.column(SearchSortedRight(expr(arr), expr(key)))
   def lshBuckets(emb: Column, planeBase: Int, tables: Int, bits: Int, dims: Int): Column =
     Bridge.column(LshBuckets(expr(emb), planeBase, tables, bits, dims))
+  def simHashCombos(sim: Column): Column = Bridge.column(SimHashCombos(expr(sim)))
   def shingleHashes(c: Column, k: Int): Column = Bridge.column(ShingleHashes(expr(c), k))
   def tokens(c: Column): Column = Bridge.column(Tokens(expr(c)))
   def countIn(arr: Column, items: Seq[String]): Column = Bridge.column(CountIn(expr(arr), items))

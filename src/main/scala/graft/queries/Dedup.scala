@@ -36,11 +36,7 @@ object Dedup {
     * predecessor's 7-bit bands saturated the birthday bound near 1e5
     * docs). Block-combination scheme after Manku, Jain & Sarma,
     * "Detecting Near-Duplicates for Web Crawling", WWW'07. */
-  private val SimBlocks = 8
-  private val SimAgree = 3
   private val HamMax = 5
-  private val simCombos: Seq[Seq[Int]] =
-    (0 until SimBlocks).combinations(SimAgree).map(_.toSeq).toSeq
 
   /** Distinct 3-shingle poly hashes per doc (shingle-less docs dropped):
     * ONE native pass from text to hashes
@@ -235,7 +231,9 @@ object Dedup {
   /** D3: SimHash near-dup pairs at Hamming ≤ 5 over the 64-bit
     * fingerprint ([[graft.functions.NativeExpressions.SimHash64]]),
     * found via the 56-combo block join — exact vs brute force by
-    * pigeonhole (see [[SimBlocks]]), but shuffles 24-bit keys instead of
+    * pigeonhole (see
+    * [[graft.functions.NativeExpressions.SimHashCombos]]), but shuffles
+    * 24-bit keys instead of
     * comparing all pairs. The oracle DOES run the quadratic brute force,
     * proving the equivalence. */
   /** Public API: banded SimHash near-dup pairs over any (doc_id, text)
@@ -244,17 +242,14 @@ object Dedup {
       val simh = hashedShingles(docs)
         .select(col("doc_id"),
           graft.functions.NativeExpressions.simHash64(col("hs")).as("simhash"))
-      def block(b: Int) =
-        shiftrightunsigned(col("simhash"), 8 * b).bitwiseAND(lit(255L))
-      val comboStructs = simCombos.zipWithIndex.map { case (blks, ci) =>
-        val key = blks.zipWithIndex
-          .map { case (b, pos) => block(b) * lit(1L << (8 * pos)) }
-          .reduce(_ + _)
-        struct(lit(ci).as("combo"), key.as("ckey"))
-      }
+      // all 56 combo keys in one fused kernel call (posexplode index ==
+      // combo index) — the unfused 56-struct expression stack was the
+      // query's dominant codegen cost, paid on both join sides
       val bands = simh
-        .select(col("doc_id"), col("simhash"), explode(array(comboStructs: _*)).as("bd"))
-        .select(col("doc_id"), col("simhash"), col("bd.combo"), col("bd.ckey"))
+        .select(col("doc_id"), col("simhash"),
+          posexplode(graft.functions.NativeExpressions.simHashCombos(col("simhash"))))
+        .withColumnRenamed("pos", "combo")
+        .withColumnRenamed("col", "ckey")
       bands.as("x").join(bands.as("y"),
           col("x.combo") === col("y.combo") &&
             col("x.ckey") === col("y.ckey") &&

@@ -203,6 +203,24 @@ class NativeExprSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("SimHashCombos == unfused 56-struct block formulation") {
+    val simh = Tables.documents(spark, sfDir)
+      .select(NativeExpressions.simHash64(
+        array_distinct(NativeExpressions.shingleHashes(col("text"), 3))).as("simhash"))
+    def block(b: Int) =
+      shiftrightunsigned(col("simhash"), 8 * b).bitwiseAND(lit(255L))
+    val unfused = (0 until 8).combinations(3).toSeq.map { blks =>
+      blks.zipWithIndex
+        .map { case (b, pos) => block(b) * lit(1L << (8 * pos)) }
+        .reduce(_ + _)
+    }
+    val diff = simh.select(
+        NativeExpressions.simHashCombos(col("simhash")).as("fused"),
+        array(unfused: _*).as("unfused"))
+      .filter("fused != unfused")
+    assert(diff.count() == 0)
+  }
+
   test("SimHash64 == per-band HOF formulation") {
     val P = 1000000007L
     val hashed = Tables.documents(spark, sfDir)
