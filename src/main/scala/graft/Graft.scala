@@ -77,6 +77,19 @@ object Graft {
   // ---- Scale utilities (sketches, skew mitigation) ----
   val scale: graft.ops.ScaleOps.type = graft.ops.ScaleOps
 
+  /** Broadcast as-of join (metadata-scale state histories, binary-search
+    * kernel) — see [[graft.ops.AsOfJoin.asOfJoin]]; for big-states use
+    * [[asOfJoinBig]]. */
+  def asOfJoin(facts: DataFrame, states: DataFrame, keys: Seq[String],
+      factTime: String, stateTime: String, payload: Seq[String]): DataFrame =
+    graft.ops.AsOfJoin.asOfJoin(facts, states, keys, factTime, stateTime, payload)
+
+  /** Shuffle as-of join for big fact AND state sides — see
+    * [[graft.ops.AsOfJoin.asOfJoinBig]]. */
+  def asOfJoinBig(facts: DataFrame, states: DataFrame, keys: Seq[String],
+      factTime: String, stateTime: String, payload: Seq[String]): DataFrame =
+    graft.ops.AsOfJoin.asOfJoinBig(facts, states, keys, factTime, stateTime, payload)
+
   /** Install graft's SQL functions on a live session (see
     * [[GraftExtensions]] for the config-based path). */
   def install(spark: SparkSession): Unit = GraftExtensions.register(spark)

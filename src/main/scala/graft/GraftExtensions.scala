@@ -82,7 +82,15 @@ object GraftExtensions {
       arity("graft_intersect_size", 2)(args => IntersectSize(args.head, args(1)))),
     ("graft_search_sorted",
       info("graft_search_sorted", "_FUNC_(arr, key) - count of elements <= key in an ascending BIGINT array (binary search)"),
-      arity("graft_search_sorted", 2)(args => SearchSortedRight(args.head, args(1)))))
+      arity("graft_search_sorted", 2)(args => SearchSortedRight(args.head, args(1)))),
+    ("graft_lsh_buckets",
+      info("graft_lsh_buckets", "_FUNC_(emb, planeBase, tables, bits, dims) - sign-bit LSH bucket ids, one per table"),
+      arity("graft_lsh_buckets", 5)(args => LshBuckets(args.head,
+        intArg(args(1), "graft_lsh_buckets"), intArg(args(2), "graft_lsh_buckets"),
+        intArg(args(3), "graft_lsh_buckets"), intArg(args(4), "graft_lsh_buckets")))),
+    ("graft_simhash_combos",
+      info("graft_simhash_combos", "_FUNC_(simhash) - the 56 3-of-8 block-combination band keys of a 64-bit SimHash"),
+      arity("graft_simhash_combos", 1)(args => SimHashCombos(args.head))))
 
   /** Install the functions into a LIVE session's registry (the
     * extensions path only applies at session construction). */
