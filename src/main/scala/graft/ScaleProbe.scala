@@ -119,6 +119,36 @@ object ScaleProbe {
     val (nJac, tJp) = time { Graft.jaccardPairsPrefix(zdocs).count() }
     println(f"jaccard prefix       $zTotal%9d docs  $tJp%7.1f s  ${zTotal / tJp}%9.0f docs/s  ($nJac pairs; naive join would materialize ${naivePairs}%.2e rows)")
 
+    // As-of join: 10M facts against a 1000-key × 500-epoch state
+    // history. The broadcast variant binary-searches per fact; the
+    // shuffle variant unions and sorts. The interval theta-join these
+    // replace evaluates facts × epochs-per-key residuals (5e9 here —
+    // not run); both graft variants must agree row-for-row.
+    val nFacts = 10000000L
+    val (aKeys, aEpochs) = (1000L, 500L)
+    val aFacts = spark.range(nFacts).select(
+      pmod(col("id"), lit(aKeys)).as("k"),
+      (col("id") * 2654435761L % 1000000007L).as("ft"), col("id"))
+    val aStates = spark.range(aKeys * aEpochs).select(
+      pmod(col("id"), lit(aKeys)).as("k"),
+      (col("id") * 48271L % 1000000007L).as("t"),
+      col("id").as("version"), (col("id") % 97).as("value"))
+    val (nAsofB, tAsofB) = time {
+      Graft.asOfJoin(aFacts, aStates, Seq("k"), "ft", "t", Seq("version", "value"))
+        .agg(count(col("version")), xxhash64(sum(col("version")), sum(col("value"))))
+        .head
+    }
+    println(f"asOfJoin broadcast   $nFacts%9d rows  $tAsofB%7.1f s  ${nFacts / tAsofB}%9.0f rows/s  (${nAsofB.getLong(0)} matched)")
+    val (nAsofS, tAsofS) = time {
+      Graft.asOfJoinBig(aFacts, aStates, Seq("k"), "ft", "t", Seq("version", "value"))
+        .agg(count(col("version")), xxhash64(sum(col("version")), sum(col("value"))))
+        .head
+    }
+    println(f"asOfJoin shuffle     $nFacts%9d rows  $tAsofS%7.1f s  ${nFacts / tAsofS}%9.0f rows/s  (${nAsofS.getLong(0)} matched)")
+    assert(nAsofB == nAsofS,
+      s"as-of variants disagree at scale: $nAsofB vs $nAsofS")
+    println(f"asOfJoin agreement   ${"check"}%9s       variants hash-equal  PASS")
+
     val nRows = 30000000L
     val big = spark.range(nRows).select(
       pmod(col("id"), lit(1000)).as("k"),
