@@ -57,6 +57,8 @@ object Graft {
   def annBruteforce(embeddings: DataFrame): DataFrame = queries.Similarity.annBruteforce(embeddings)
   def annLsh(embeddings: DataFrame, dims: Int = 64): DataFrame = queries.Similarity.annLsh(embeddings, dims)
   def annIvf(embeddings: DataFrame): DataFrame = queries.Similarity.annIvf(embeddings)
+  def annIvfTrained(embeddings: DataFrame, cells: Int = 10, probes: Int = 3): DataFrame =
+    queries.Similarity.annIvfTrained(embeddings, cells, probes)
 
   // ---- Multimodal ----
   def binaryMeta(media: DataFrame): DataFrame = queries.Multimodal.binaryMeta(media)

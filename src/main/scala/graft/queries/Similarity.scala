@@ -294,6 +294,54 @@ object Similarity {
       SELECT q_id, rank, vec_id AS neighbor_id, cos
       FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank"""))
 
+  /** E3 variant with TRAINED coarse centroids: KMeans (seeded — the fit
+    * is deterministic for a fixed seed and input partitioning) replaces
+    * the first-10-vectors centroids, so cells actually tile the data
+    * distribution and the same probe count reaches higher recall. The
+    * search-side plan is identical to [[annIvf]] — centroids land in the
+    * plan as literals (they are driver-side model state, metadata-scale
+    * by nature), vectors join their cell on an equi-key. Library-only:
+    * the iterative fit is not SQL-expressible, so this ships behind a
+    * recall spec instead of a DuckDB oracle while [[annIvf]] remains the
+    * oracle-checked row.
+    *
+    * At 100 TB: train on a sample (KMeans cost is per-point × k ×
+    * iterations), then `cells` should grow toward √N so candidate sets
+    * stay ~N/√N per probe. */
+  def annIvfTrained(
+      embeddings: DataFrame,
+      cells: Int = 10,
+      probes: Int = 3,
+      seed: Long = 0xC0FFEEL): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = withNorms(embeddings)
+    val feat = v.withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(cells).setSeed(seed)
+      .setFeaturesCol("features").fit(feat)
+    val assigned = model.transform(feat)
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        col("prediction").cast("long").as("cell"))
+    val cents = model.clusterCenters.map(_.toArray)
+    def centCos(emb: Column, embN2: Column) = cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(i.toLong).as("c_id"),
+        cosineFrom(dot(emb, lit(c)), embN2, lit(c.map(x => x * x).sum)).as("c_cos"))
+    }
+    val byQ = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val probed = queries(v)
+      .select(col("q_id"), col("q_emb"), col("q_n2"),
+        explode(array(centCos(col("q_emb"), col("q_n2")): _*)).as("c"))
+      .select(col("q_id"), col("q_emb"), col("q_n2"), col("c.c_id"), col("c.c_cos"))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= probes)
+      .select(col("q_id"), col("q_emb"), col("q_n2"), col("c_id").as("cell"))
+    val scored = probed.join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2")).as("cos"))
+    topkPerQuery(scored.distinct())
+  }
+
   val all: Seq[Q] =
     Seq(qDedupEmbedding, qDedupEmbeddingLsh, qAnnBruteforce, qAnnLsh, qAnnIvf)
 }

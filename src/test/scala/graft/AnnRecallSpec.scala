@@ -28,6 +28,21 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall $recall")
   }
 
+  test("trained-centroid IVF reaches the probe-count recall floor, deterministically") {
+    val run1 = graft.queries.Similarity
+      .annIvfTrained(Tables.embeddings(spark, sfDir))
+      .select("q_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & run1).size.toDouble / exact.size
+    assert(recall >= 0.4, s"trained IVF recall $recall")
+    // seeded fit + deterministic search: a second run must be identical
+    val run2 = graft.queries.Similarity
+      .annIvfTrained(Tables.embeddings(spark, sfDir))
+      .select("q_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run1 == run2, "trained IVF is not run-to-run deterministic")
+  }
+
   test("banded embedding dedup recovers the brute-force threshold pairs") {
     // sf0.01 plants exactly one cos >= 0.5 pair (sf0.001 has none);
     // 16 tables x 4 bits has ~0.97 theoretical recall at the threshold,
