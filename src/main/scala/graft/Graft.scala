@@ -53,6 +53,12 @@ object Graft {
   def routeKeyOps(keyOps: DataFrame, ownership: DataFrame): DataFrame =
     queries.ShardReplay.routeKeyOps(keyOps, ownership)
 
+  /** Composed curation pipeline: quality gate → exact dedup → near-dup
+    * drop ([[graft.queries.Curation.curate]]). */
+  def curate(docs: DataFrame, minQuality: Double = 0.3,
+      dropNearDups: Boolean = true): DataFrame =
+    queries.Curation.curate(docs, minQuality, dropNearDups)
+
   // ---- Similarity search ----
   def annBruteforce(embeddings: DataFrame): DataFrame = queries.Similarity.annBruteforce(embeddings)
   def annLsh(embeddings: DataFrame, dims: Int = 64): DataFrame = queries.Similarity.annLsh(embeddings, dims)

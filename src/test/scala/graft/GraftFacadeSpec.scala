@@ -37,6 +37,33 @@ class GraftFacadeSpec extends SparkSpec {
     assert(sh.contains((0L, 1L)))
   }
 
+  test("curate drops junk, exact dups, and near dups; keeps the clean survivors") {
+    import spark.implicits._
+    val base = "the cat sat on the mat and the dog lay in the sun " +
+      "of a warm morning while the birds sang in the garden"
+    val other = "the ship sailed to the port and the crew worked in " +
+      "the hold of a great vessel while the waves broke on the bow"
+    val corpus = Seq(
+      (0L, base, "en", "web", base.length.toLong),
+      (1L, base, "en", "web", base.length.toLong), // exact dup of 0
+      (2L, base + " today", "en", "web", base.length + 6L), // strong near dup
+      (3L, other, "en", "book", other.length.toLong), // distinct, high quality
+      (9L, "!!!! ???? ;;;; >>>> <<<<", "en", "web", 24L)) // zero words -> junk
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = Graft.curate(corpus, minQuality = 0.3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // 0 survives its exact dup (1) and its near dup (2); 3 is unique;
+    // 9 fails the quality gate
+    assert(kept == Set(0L, 3L), s"kept $kept")
+    val keptNoNear = Graft.curate(corpus, minQuality = 0.3, dropNearDups = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptNoNear == Set(0L, 2L, 3L), s"kept $keptNoNear")
+    // survivors keep their full row + score
+    val row = Graft.curate(corpus).filter($"doc_id" === 3L).head
+    assert(row.getAs[String]("text").startsWith("the ship"))
+    assert(row.getAs[Double]("quality_score") >= 0.3)
+  }
+
   test("sessionize on a user event frame honours a custom gap") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
