@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Broadcast as-of join — for each fact row, the LATEST state row with
   * the same key and `stateTime <= factTime` (nulls when no state
@@ -16,8 +17,41 @@ import org.apache.spark.sql.functions._
   * dimension versions, exchange rates), and each fact row binary-searches
   * it via the codegen [[graft.functions.NativeExpressions.SearchSortedRight]]
   * kernel — O(log n) per row, no shuffle of the fact side at all.
+  *
+  * Shared contract of both variants:
+  *  - time columns must ALREADY be BIGINT (convert timestamps with
+  *    `unix_micros`; integer time keeps the kernels exact) — rejected
+  *    up front rather than silently cast, because a silent
+  *    TIMESTAMP→long cast truncates to seconds and reorders sub-second
+  *    fact/state sequences;
+  *  - payload names must not collide with fact columns (the payload is
+  *    appended to the fact row — a collision would silently overwrite
+  *    fact data);
+  *  - states with NULL stateTime are dropped (an unknown-time state
+  *    can never be "the latest at or before t").
   */
 object AsOfJoin {
+
+  private def checkContract(
+      fn: String,
+      facts: DataFrame,
+      states: DataFrame,
+      factTime: String,
+      stateTime: String,
+      payload: Seq[String]): Unit = {
+    require(payload.nonEmpty, s"$fn needs at least one payload column")
+    require(facts.schema(factTime).dataType == LongType,
+      s"$fn: factTime '$factTime' must be BIGINT (got " +
+        s"${facts.schema(factTime).dataType.catalogString}); convert " +
+        "timestamps with unix_micros — a silent cast would truncate")
+    require(states.schema(stateTime).dataType == LongType,
+      s"$fn: stateTime '$stateTime' must be BIGINT (got " +
+        s"${states.schema(stateTime).dataType.catalogString})")
+    val collisions = payload.filter(facts.columns.contains)
+    require(collisions.isEmpty,
+      s"$fn: payload column(s) ${collisions.mkString(", ")} already exist " +
+        "on the fact side — rename one side or they would be overwritten")
+  }
 
   /** `facts` joined as-of against `states`.
     *
@@ -25,9 +59,7 @@ object AsOfJoin {
     * @param states    the per-key state history — must be small enough
     *                  to broadcast after per-key folding
     * @param keys      equi-join key columns (present on both sides)
-    * @param factTime  BIGINT column on `facts` (convert timestamps with
-    *                  `unix_micros` — integer time keeps the kernel
-    *                  exact; doubles would not be)
+    * @param factTime  BIGINT column on `facts`
     * @param stateTime BIGINT column on `states`, same epoch/scale
     * @param payload   state columns carried to the output. Ties on
     *                  stateTime resolve by the LARGEST payload tuple
@@ -42,16 +74,19 @@ object AsOfJoin {
       factTime: String,
       stateTime: String,
       payload: Seq[String]): DataFrame = {
-    require(payload.nonEmpty, "asOfJoin needs at least one payload column")
-    val entry = struct(col(stateTime).as("t") +: payload.map(col): _*)
+    checkContract("asOfJoin", facts, states, factTime, stateTime, payload)
+    // "__asof_t" not "t": the struct field must never shadow a payload
+    // column's name, or e("__asof_t")/hit(p) turns ambiguous
+    val entry = struct(col(stateTime).as("__asof_t") +: payload.map(col): _*)
     // one sorted (t, payload…) array per key; ascending by (t, payload)
     // so the rightmost element <= factTime is the latest state
     val folded = states
+      .filter(col(stateTime).isNotNull)
       .groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(entry)).as("__hist"))
       .select(keys.map(col) :+
         col("__hist") :+
-        transform(col("__hist"), e => e("t")).as("__ts"): _*)
+        transform(col("__hist"), e => e("__asof_t")).as("__ts"): _*)
     val idx = graft.functions.NativeExpressions
       .searchSortedRight(col("__ts"), col(factTime))
     val hit = element_at(col("__hist"), col("__idx"))
@@ -82,17 +117,18 @@ object AsOfJoin {
       factTime: String,
       stateTime: String,
       payload: Seq[String]): DataFrame = {
-    require(payload.nonEmpty, "asOfJoinBig needs at least one payload column")
+    checkContract("asOfJoinBig", facts, states, factTime, stateTime, payload)
     val factCols = facts.columns.toSeq
     val pStruct = struct(payload.map(col): _*)
-    val sTagged = states.select(
-      keys.map(col) :+ col(stateTime).cast("long").as("__t") :+
+    val sTagged = states
+      .filter(col(stateTime).isNotNull)
+      .select(keys.map(col) :+ col(stateTime).as("__t") :+
         lit(0).as("__kind") :+ pStruct.as("__p"): _*)
     val sFull = factCols.filterNot(keys.contains).foldLeft(sTagged) { (df, c) =>
       df.withColumn(c, lit(null).cast(facts.schema(c).dataType))
     }
     val fTagged = facts.select(
-      factCols.map(col) :+ col(factTime).cast("long").as("__t") :+
+      factCols.map(col) :+ col(factTime).as("__t") :+
         lit(1).as("__kind") :+
         lit(null).cast(sTagged.schema("__p").dataType).as("__p"): _*)
     // states sort before facts at equal time (<= semantics); among

@@ -18,18 +18,24 @@ object Curation {
     * of every MinHash near-dup pair (greedy keep-smallest; applied to
     * the already-exact-deduped corpus, so chains collapse toward their
     * smallest member pairwise, without a connected-components pass).
-    * Returns the surviving rows of `docs` plus their `quality_score`. */
+    * Returns the surviving rows of `docs` plus their `quality_score`.
+    *
+    * Plan shape: quality gate + exact dedup are ONE chain (the
+    * full-schema [[Dedup.exactSurvivors]] window — no join back that
+    * would re-evaluate the scoring subtree); the near-dup stage then
+    * references that chain twice (anti-join left side + pair
+    * generation), which lazy plans re-evaluate — persist `docs` (the
+    * scan dominates) or the returned frame when running at corpus
+    * scale. */
   def curate(
       docs: DataFrame,
       minQuality: Double = 0.3,
       dropNearDups: Boolean = true): DataFrame = {
     val quality = TextAnalysis.qualityScores(docs)
       .select(col("doc_id"), col("quality_score"))
-    val qualified = docs.join(quality, "doc_id")
-      .filter(col("quality_score") >= minQuality)
-    val exactKeep = Dedup.exactDuplicates(qualified)
-      .filter(!col("is_dup")).select("doc_id")
-    val afterExact = qualified.join(exactKeep, Seq("doc_id"), "left_semi")
+    val afterExact = Dedup.exactSurvivors(
+      docs.join(quality, "doc_id")
+        .filter(col("quality_score") >= minQuality))
     if (!dropNearDups) afterExact
     else {
       val nearDrop = Dedup.minhashPairs(afterExact)

@@ -144,6 +144,21 @@ object Dedup {
         .orderBy("doc_id")
   }
 
+  /** The surviving rows of [[exactDuplicates]] with the input's FULL
+    * schema preserved — for pipelines ([[Curation.curate]]) that keep
+    * processing the survivors: one window pass, no join back against
+    * the input (which would re-evaluate the input subtree). Same
+    * (md5, poly) grouping keys, same min-doc_id survivor rule. */
+  def exactSurvivors(docs: DataFrame): DataFrame = {
+    val grp = Window.partitionBy(col("__k1"), col("__k2"))
+    docs
+      .withColumn("__k1", md5(normText(col("text"))))
+      .withColumn("__k2", polyHash(normText(col("text"))))
+      .withColumn("__min", min(col("doc_id")).over(grp))
+      .filter(col("doc_id") === col("__min"))
+      .drop("__k1", "__k2", "__min")
+  }
+
   val qDedupExact: Q = Q(
     "q_dedup_exact",
     (s, d) => exactDuplicates(Tables.documents(s, d)),

@@ -145,18 +145,32 @@ object ShardReplay {
     * of the shard per op as a residual filter: ops × epochs comparisons,
     * quadratic in history length. Equal-cts epochs resolve to the
     * highest epoch, exactly the empty-interval semantics of the
-    * [cts, next_cts) formulation the oracle still runs. */
+    * [cts, next_cts) formulation the oracle still runs.
+    *
+    * `ownership` must carry (shard, cts, next_cts, epoch, gid) — the
+    * [[shardOwnership]] shape. `next_cts` is enforced AFTER the as-of
+    * match: if the matched epoch's interval has already closed
+    * (kts ≥ next_cts — a gap or a retired shard in a hand-built
+    * history), the op routes to gid 0, exactly like the interval
+    * formulation. On [[shardOwnership]]'s contiguous output the check
+    * never fires. One deliberate divergence: OVERLAPPING intervals
+    * (impossible from [[shardOwnership]]) duplicated ops under the old
+    * left join; the as-of picks the latest-starting one. */
   def routeKeyOps(keyOps: DataFrame, ownership: DataFrame): DataFrame =
     graft.ops.AsOfJoin.asOfJoin(
         keyOps.select(col("user_id"),
           (col("user_id") % NShards).as("shard"), col("kts"),
           unix_micros(col("kts")).as("__kt")),
         ownership.select(col("shard"),
-          unix_micros(col("cts")).as("__ct"), col("epoch"), col("gid")),
+          unix_micros(col("cts")).as("__ct"), col("epoch"), col("gid"),
+          unix_micros(col("next_cts")).as("__nct")),
         keys = Seq("shard"), factTime = "__kt", stateTime = "__ct",
-        payload = Seq("epoch", "gid"))
+        payload = Seq("epoch", "gid", "__nct"))
       .select(col("user_id"), col("shard"),
-        coalesce(col("gid"), lit(0L)).as("gid"), col("kts"))
+        coalesce(
+          when(col("__nct").isNull || col("__kt") < col("__nct"), col("gid")),
+          lit(0L)).as("gid"),
+        col("kts"))
 
   /** Public API: replay key ops through the ownership history — per
     * (gid, shard) routed-op and distinct-key counts. `configOps` as in

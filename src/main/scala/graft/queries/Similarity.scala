@@ -339,7 +339,10 @@ object Similarity {
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
         cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2")).as("cos"))
-    topkPerQuery(scored.distinct())
+    // no distinct: each vector sits in exactly ONE cell and a query's
+    // probed cells are distinct, so (q_id, vec_id) is already unique —
+    // annIvf keeps its distinct only to mirror its DuckDB oracle
+    topkPerQuery(scored)
   }
 
   val all: Seq[Q] =

@@ -86,6 +86,30 @@ class ScaleOpsSpec extends SparkSpec {
       ("c", 7L, -1L, -1L)))
   }
 
+  test("asOfJoin contract edges: null state times dropped, misuse rejected") {
+    import spark.implicits._
+    val states = Seq((1L, Some(10L), 1L), (1L, None, 99L)).toDF("k", "t", "version")
+    val facts = Seq((1L, 20L)).toDF("k", "ft")
+    // the null-time state can never match — both variants must agree
+    for (variant <- Seq(
+        graft.ops.AsOfJoin.asOfJoin _, graft.ops.AsOfJoin.asOfJoinBig _)) {
+      val got = variant(facts, states, Seq("k"), "ft", "t", Seq("version"))
+        .select("version").collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(1L))
+    }
+    // non-BIGINT time columns are rejected, not silently truncated
+    val tsFacts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "ft")
+    intercept[IllegalArgumentException] {
+      graft.ops.AsOfJoin.asOfJoin(tsFacts, states, Seq("k"), "ft", "t", Seq("version"))
+    }
+    // payload colliding with a fact column is rejected, not overwritten
+    val collidingFacts = Seq((1L, 20L, 7L)).toDF("k", "ft", "version")
+    intercept[IllegalArgumentException] {
+      graft.ops.AsOfJoin.asOfJoinBig(collidingFacts, states, Seq("k"), "ft", "t", Seq("version"))
+    }
+  }
+
   test("asOfJoin == interval theta-join formulation on a generated history") {
     import spark.implicits._
     val states = spark.range(200)
