@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -43,4 +45,33 @@ object Curation {
       afterExact.join(nearDrop, Seq("doc_id"), "left_anti")
     }
   }
+
+  /** The COMPOSED pipeline oracle-checked end-to-end: the DuckDB side
+    * chains the same stage fragments (quality CTE → exact-dup window →
+    * MinHash pair CTEs over the survivors → anti-join), so a drift in
+    * any stage OR in how they compose hash-mismatches. */
+  val qCurate: Q = Q(
+    "q_curate",
+    (s, d) => curate(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .orderBy("doc_id"),
+    Some(s"""WITH ${TextAnalysis.sqlQualityCte("documents")},
+      qualified AS (
+        SELECT d.doc_id, d.text, d.source, q.quality_score
+        FROM documents d JOIN q_scores q USING (doc_id)
+        WHERE q.quality_score >= 0.3),
+      keyed AS (
+        SELECT *, md5(${sqlNormText("text")}) AS k1,
+               ${sqlPolyHash(sqlNormText("text"))} AS k2
+        FROM qualified),
+      surv AS (
+        SELECT doc_id, text, source, quality_score FROM (
+          SELECT *, min(doc_id) OVER (PARTITION BY k1, k2) AS m FROM keyed) t
+        WHERE doc_id = m),
+      ${Dedup.sqlMinhashPairCtes("surv")}
+      SELECT doc_id, source, quality_score FROM surv
+      WHERE doc_id NOT IN (SELECT id_b FROM mh_pairs)
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(qCurate)
 }

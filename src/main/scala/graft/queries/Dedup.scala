@@ -113,9 +113,12 @@ object Dedup {
     }
   }
 
-  private def sqlShingleCte: String =
+  /** Oracle-side twin of [[shingleHashCol]], parameterized on the source
+    * relation so composed pipelines ([[Curation]]) can run it over an
+    * intermediate CTE instead of the raw table. */
+  private[queries] def sqlShingleCteFrom(tbl: String): String =
     s"""toks AS (
-      SELECT doc_id, list_filter(${sqlWords("text")}, t -> t <> '') AS w FROM documents),
+      SELECT doc_id, list_filter(${sqlWords("text")}, t -> t <> '') AS w FROM $tbl),
     shing AS (
       SELECT doc_id, ${sqlShingles("w", 3)} AS sh FROM toks),
     hashes AS (
@@ -123,6 +126,35 @@ object Dedup {
         list_transform(sh, s -> ${sqlPolyHash("s")}),
         h -> (h * h + h * 31 + 7) % $P)) AS hs
       FROM shing WHERE len(sh) > 0)"""
+
+  private def sqlShingleCte: String = sqlShingleCteFrom("documents")
+
+  /** Oracle-side twin of [[minhashPairs]] as a reusable CTE chain ending
+    * in `mh_pairs (id_a, id_b, est_jaccard)`, est >= 0.5 applied. */
+  private[queries] def sqlMinhashPairCtes(tbl: String): String = {
+    val sigExprs = (0 until MinhashK).map { i =>
+      val (a, b) = (graft.functions.NativeExpressions.minhashCoefA(i),
+        graft.functions.NativeExpressions.minhashCoefB(i))
+      s"list_min(list_transform(hs, h -> (h*$a + $b) % $P)) AS s$i"
+    }.mkString(",\n        ")
+    val bandUnion = (0 until MinhashBands).map { b =>
+      s"SELECT doc_id, $b AS band_idx, s${2 * b}*$P + s${2 * b + 1} AS band_hash FROM sigs"
+    }.mkString(" UNION ALL ")
+    val agree = (0 until MinhashK)
+      .map(i => s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""${sqlShingleCteFrom(tbl)},
+      sigs AS (SELECT doc_id, $sigExprs FROM hashes),
+      bands_t AS ($bandUnion),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bands_t x JOIN bands_t y
+          ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+         AND x.doc_id < y.doc_id),
+      mh_pairs AS (
+        SELECT id_a, id_b, CAST($agree AS DOUBLE) / $MinhashK AS est_jaccard
+        FROM cand c JOIN sigs a ON c.id_a = a.doc_id JOIN sigs b ON c.id_b = b.doc_id
+        WHERE CAST($agree AS DOUBLE) / $MinhashK >= 0.5)"""
+  }
 
   /** D1: exact dedup — group on normalized text, min-doc_id survivor.
     * At scale: group on a HASH of the normalized text (poly + md5), never
@@ -218,30 +250,9 @@ object Dedup {
   val qDedupMinhash: Q = Q(
     "q_dedup_minhash",
     (s, d) => minhashPairs(Tables.documents(s, d)),
-    Some {
-      val sigExprs = (0 until MinhashK).map { i =>
-        val (a, b) = (graft.functions.NativeExpressions.minhashCoefA(i),
-          graft.functions.NativeExpressions.minhashCoefB(i))
-        s"list_min(list_transform(hs, h -> (h*$a + $b) % $P)) AS s$i"
-      }.mkString(",\n        ")
-      val bandUnion = (0 until MinhashBands).map { b =>
-        s"SELECT doc_id, $b AS band_idx, s${2 * b}*$P + s${2 * b + 1} AS band_hash FROM sigs"
-      }.mkString(" UNION ALL ")
-      val agree = (0 until MinhashK)
-        .map(i => s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END").mkString(" + ")
-      s"""WITH $sqlShingleCte,
-      sigs AS (SELECT doc_id, $sigExprs FROM hashes),
-      bands_t AS ($bandUnion),
-      cand AS (
-        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        FROM bands_t x JOIN bands_t y
-          ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
-         AND x.doc_id < y.doc_id)
-      SELECT id_a, id_b, CAST($agree AS DOUBLE) / $MinhashK AS est_jaccard
-      FROM cand c JOIN sigs a ON c.id_a = a.doc_id JOIN sigs b ON c.id_b = b.doc_id
-      WHERE CAST($agree AS DOUBLE) / $MinhashK >= 0.5
-      ORDER BY id_a, id_b"""
-    })
+    Some(s"""WITH ${sqlMinhashPairCtes("documents")}
+      SELECT id_a, id_b, est_jaccard FROM mh_pairs
+      ORDER BY id_a, id_b"""))
 
   /** D3: SimHash near-dup pairs at Hamming ≤ 5 over the 64-bit
     * fingerprint ([[graft.functions.NativeExpressions.SimHash64]]),

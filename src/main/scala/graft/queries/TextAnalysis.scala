@@ -110,6 +110,19 @@ object TextAnalysis {
         .orderBy("doc_id")
   }
 
+  /** Oracle-side quality score as a CTE `q_scores (doc_id,
+    * quality_score)` over `tbl` — the fragment [[Curation]]'s composed
+    * oracle gates on. */
+  private[queries] def sqlQualityCte(tbl: String): String = {
+    val toks = sqlWords("text")
+    val en = sqlStopHits(toks, stopEn)
+    s"""q_scores AS (
+      SELECT doc_id,
+        CAST(($en) * 100 + len(list_filter($toks, t -> t <> '')) AS DOUBLE) /
+          (CAST(length(text) AS BIGINT) + 1) AS quality_score
+      FROM $tbl)"""
+  }
+
   val qQuality: Q = Q(
     "q_quality",
     (s, d) => qualityScores(Tables.documents(s, d)),
