@@ -33,6 +33,7 @@ object Graft {
   def qualityScores(docs: DataFrame): DataFrame = queries.TextAnalysis.qualityScores(docs)
   def fingerprints(docs: DataFrame): DataFrame = queries.TextAnalysis.fingerprints(docs)
   def shingleStats(docs: DataFrame): DataFrame = queries.TextAnalysis.shingleStats(docs)
+  def repetitionStats(docs: DataFrame): DataFrame = queries.TextAnalysis.repetitionStats(docs)
 
   // ---- Deduplication ----
   def exactDuplicates(docs: DataFrame): DataFrame = queries.Dedup.exactDuplicates(docs)

@@ -90,7 +90,10 @@ object GraftExtensions {
         intArg(args(3), "graft_lsh_buckets"), intArg(args(4), "graft_lsh_buckets")))),
     ("graft_simhash_combos",
       info("graft_simhash_combos", "_FUNC_(simhash) - the 56 3-of-8 block-combination band keys of a 64-bit SimHash"),
-      arity("graft_simhash_combos", 1)(args => SimHashCombos(args.head))))
+      arity("graft_simhash_combos", 1)(args => SimHashCombos(args.head))),
+    ("graft_max_multiplicity",
+      info("graft_max_multiplicity", "_FUNC_(arr) - highest multiplicity of any value in a BIGINT array"),
+      arity("graft_max_multiplicity", 1)(args => MaxMultiplicity(args.head))))
 
   /** Install the functions into a LIVE session's registry (the
     * extensions path only applies at session construction). */

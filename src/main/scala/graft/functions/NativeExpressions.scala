@@ -542,6 +542,45 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Highest multiplicity of any value in a BIGINT array (0 for empty):
+    * sort a copy, scan run lengths — one primitive pass per row, so the
+    * repetition detector stays a shuffle-free map stage where the
+    * relational formulation (explode → count per value → max) would
+    * shuffle every n-gram of the corpus twice. */
+  case class MaxMultiplicity(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_max_multiplicity"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, isLongArray(child.dataType),
+        "ARRAY<BIGINT>", child.dataType)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData].toLongArray()
+      if (arr.isEmpty) 0L
+      else {
+        java.util.Arrays.sort(arr)
+        var best = 1L
+        var run = 1L
+        var i = 1
+        while (i < arr.length) {
+          if (arr(i) == arr(i - 1)) { run += 1; if (run > best) best = run }
+          else run = 1
+          i += 1
+        }
+        best
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val ref = ctx.addReferenceObj("maxMult", this, classOf[MaxMultiplicity].getName)
+        s"${ev.value} = ((Long) $ref.nullSafeEval($c)).longValue();"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): MaxMultiplicity =
+      copy(child = newChild)
+  }
+
   /** The C(8,3) = 56 block-combination band keys of a 64-bit SimHash
     * fingerprint in one pass: key `ci` packs the fingerprint's byte
     * blocks at the `ci`-th ascending 3-combination of {0…7} into a
@@ -826,6 +865,7 @@ object NativeExpressions {
   def lshBuckets(emb: Column, planeBase: Int, tables: Int, bits: Int, dims: Int): Column =
     Bridge.column(LshBuckets(expr(emb), planeBase, tables, bits, dims))
   def simHashCombos(sim: Column): Column = Bridge.column(SimHashCombos(expr(sim)))
+  def maxMultiplicity(arr: Column): Column = Bridge.column(MaxMultiplicity(expr(arr)))
   def shingleHashes(c: Column, k: Int): Column = Bridge.column(ShingleHashes(expr(c), k))
   def tokens(c: Column): Column = Bridge.column(Tokens(expr(c)))
   def countIn(arr: Column, items: Seq[String]): Column = Bridge.column(CountIn(expr(arr), items))

@@ -189,5 +189,55 @@ object TextAnalysis {
       ORDER BY doc_id"""
     })
 
-  val all: Seq[Q] = Seq(qTokens, qLangId, qQuality, qFingerprint, qShingles)
+  /** C6: intra-document repetition — the "spam spam spam" detector of a
+    * training-data quality gate. Signals over word 2-gram hashes (kept
+    * WITH duplicates, unlike the dedup pipeline's distinct sets):
+    * `max_rep` = the most-repeated 2-gram's count (native
+    * [[graft.functions.NativeExpressions.MaxMultiplicity]] — one sorted
+    * pass per row, so the whole query is a shuffle-free map stage where
+    * the relational explode→count→max formulation shuffles every n-gram
+    * twice; the ORACLE runs exactly that relational formulation, proving
+    * the kernel), plus duplicate-mass and distinct ratios. Integer
+    * counts, single double division each — cross-engine exact. */
+  /** Public API: repetition signals per doc. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+      val hs = graft.functions.NativeExpressions.shingleHashes(col("text"), 2)
+      docs
+        .select(
+          col("doc_id"),
+          size(hs).cast("long").as("n_grams"),
+          size(array_distinct(hs)).cast("long").as("n_distinct"),
+          graft.functions.NativeExpressions.maxMultiplicity(hs).as("max_rep"))
+        .withColumn("rep_ratio",
+          col("max_rep").cast("double") / greatest(col("n_grams"), lit(1L)))
+        .withColumn("dup_ratio",
+          (col("n_grams") - col("n_distinct")).cast("double") /
+            greatest(col("n_grams"), lit(1L)))
+        .orderBy("doc_id")
+  }
+
+  val qRepetition: Q = Q(
+    "q_repetition",
+    (s, d) => repetitionStats(Tables.documents(s, d)),
+    Some(s"""WITH toks AS (
+        SELECT doc_id, list_filter(${sqlWords("text")}, t -> t <> '') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_transform(${sqlShingles("w", 2)},
+          s -> ${sqlPolyHash("s")}) AS hs
+        FROM toks),
+      ex AS (SELECT doc_id, unnest(hs) AS s FROM sh),
+      cnt AS (SELECT doc_id, s, count(*) AS c FROM ex GROUP BY doc_id, s),
+      rep AS (SELECT doc_id, max(c) AS max_rep FROM cnt GROUP BY doc_id)
+      SELECT sh.doc_id,
+        CAST(len(hs) AS BIGINT) AS n_grams,
+        CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct,
+        coalesce(rep.max_rep, 0) AS max_rep,
+        CAST(coalesce(rep.max_rep, 0) AS DOUBLE) / greatest(len(hs), 1) AS rep_ratio,
+        CAST(len(hs) - len(list_distinct(hs)) AS DOUBLE) / greatest(len(hs), 1) AS dup_ratio
+      FROM sh LEFT JOIN rep ON sh.doc_id = rep.doc_id
+      ORDER BY sh.doc_id"""))
+
+  val all: Seq[Q] =
+    Seq(qTokens, qLangId, qQuality, qFingerprint, qShingles, qRepetition)
 }

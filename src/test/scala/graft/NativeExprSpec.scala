@@ -203,6 +203,21 @@ class NativeExprSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("MaxMultiplicity == HOF max-of-per-value-counts, incl. empty and ties") {
+    import spark.implicits._
+    val real = Tables.documents(spark, sfDir)
+      .select(NativeExpressions.shingleHashes(col("text"), 2).as("arr"))
+    val edges = Seq(Seq.empty[Long], Seq(7L), Seq(3L, 3L, 3L), Seq(1L, 2L, 1L, 2L, 2L))
+      .toDF("arr")
+    val hof = array_max(concat(array(lit(0L)),
+      transform(array_distinct(col("arr")),
+        d => size(filter(col("arr"), x => x === d)).cast("long"))))
+    val diff = real.unionByName(edges)
+      .select(NativeExpressions.maxMultiplicity(col("arr")).as("native"), hof.as("ref"))
+      .filter("native != ref")
+    assert(diff.count() == 0)
+  }
+
   test("SimHashCombos == unfused 56-struct block formulation") {
     val simh = Tables.documents(spark, sfDir)
       .select(NativeExpressions.simHash64(
