@@ -54,11 +54,12 @@ object Graft {
   def routeKeyOps(keyOps: DataFrame, ownership: DataFrame): DataFrame =
     queries.ShardReplay.routeKeyOps(keyOps, ownership)
 
-  /** Composed curation pipeline: quality gate → exact dedup → near-dup
-    * drop ([[graft.queries.Curation.curate]]). */
+  /** Composed curation pipeline: quality gate (+ optional repetition
+    * gate) → exact dedup → near-dup drop
+    * ([[graft.queries.Curation.curate]]). */
   def curate(docs: DataFrame, minQuality: Double = 0.3,
-      dropNearDups: Boolean = true): DataFrame =
-    queries.Curation.curate(docs, minQuality, dropNearDups)
+      dropNearDups: Boolean = true, maxRepRatio: Double = 1.0): DataFrame =
+    queries.Curation.curate(docs, minQuality, dropNearDups, maxRepRatio)
 
   // ---- Similarity search ----
   def annBruteforce(embeddings: DataFrame): DataFrame = queries.Similarity.annBruteforce(embeddings)

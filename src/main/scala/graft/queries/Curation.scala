@@ -29,14 +29,25 @@ object Curation {
     * generation), which lazy plans re-evaluate — persist `docs` (the
     * scan dominates) or the returned frame when running at corpus
     * scale. */
+  /** @param maxRepRatio additionally drop docs whose most-repeated word
+    *        2-gram exceeds this fraction of all 2-grams
+    *        ([[TextAnalysis.repetitionStats]]'s `rep_ratio` — the
+    *        "spam spam spam" gate). 1.0 (default) disables the gate. */
   def curate(
       docs: DataFrame,
       minQuality: Double = 0.3,
-      dropNearDups: Boolean = true): DataFrame = {
+      dropNearDups: Boolean = true,
+      maxRepRatio: Double = 1.0): DataFrame = {
     val quality = TextAnalysis.qualityScores(docs)
       .select(col("doc_id"), col("quality_score"))
+    val gated =
+      if (maxRepRatio >= 1.0) docs
+      else docs.join(
+        TextAnalysis.repetitionStats(docs)
+          .filter(col("rep_ratio") <= maxRepRatio).select("doc_id"),
+        Seq("doc_id"), "left_semi")
     val afterExact = Dedup.exactSurvivors(
-      docs.join(quality, "doc_id")
+      gated.join(quality, "doc_id")
         .filter(col("quality_score") >= minQuality))
     if (!dropNearDups) afterExact
     else {

@@ -62,6 +62,17 @@ class GraftFacadeSpec extends SparkSpec {
     val row = Graft.curate(corpus).filter($"doc_id" === 3L).head
     assert(row.getAs[String]("text").startsWith("the ship"))
     assert(row.getAs[Double]("quality_score") >= 0.3)
+    // repetition gate: a spam doc passes the stopword-based quality gate
+    // ("the" repeats!) but its dominant 2-gram gives it away
+    val spam = corpus.unionByName(Seq(
+        (8L, Array.fill(40)("the spam").mkString(" "), "en", "web", 360L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val gated = Graft.curate(spam, minQuality = 0.3, maxRepRatio = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gated == Set(0L, 3L), s"gated $gated")
+    val ungated = Graft.curate(spam, minQuality = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ungated.contains(8L), s"ungated $ungated")
   }
 
   test("sessionize on a user event frame honours a custom gap") {
