@@ -542,11 +542,14 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
-  /** Highest multiplicity of any value in a BIGINT array (0 for empty):
-    * sort a copy, scan run lengths — one primitive pass per row, so the
-    * repetition detector stays a shuffle-free map stage where the
-    * relational formulation (explode → count per value → max) would
-    * shuffle every n-gram of the corpus twice. */
+  /** Highest multiplicity of any NON-NULL value in a BIGINT array (0
+    * for empty or all-null): sort a copy, scan run lengths — one
+    * primitive pass per row, so the repetition detector stays a
+    * shuffle-free map stage where the relational formulation (explode →
+    * count per value → max) would shuffle every n-gram of the corpus
+    * twice. NULL elements are skipped (same null-aware extraction as
+    * [[IntersectSize]] — toLongArray would silently read them as 0L
+    * and merge them with genuine zeros). */
   case class MaxMultiplicity(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_max_multiplicity"
@@ -555,14 +558,22 @@ object NativeExpressions {
         "ARRAY<BIGINT>", child.dataType)
 
     override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData].toLongArray()
-      if (arr.isEmpty) 0L
+      val a = input.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      val arr = new Array[Long](n)
+      var m = 0
+      var j = 0
+      while (j < n) {
+        if (!a.isNullAt(j)) { arr(m) = a.getLong(j); m += 1 }
+        j += 1
+      }
+      if (m == 0) 0L
       else {
-        java.util.Arrays.sort(arr)
+        java.util.Arrays.sort(arr, 0, m)
         var best = 1L
         var run = 1L
         var i = 1
-        while (i < arr.length) {
+        while (i < m) {
           if (arr(i) == arr(i - 1)) { run += 1; if (run > best) best = run }
           else run = 1
           i += 1

@@ -51,6 +51,14 @@ object AsOfJoin {
     require(collisions.isEmpty,
       s"$fn: payload column(s) ${collisions.mkString(", ")} already exist " +
         "on the fact side — rename one side or they would be overwritten")
+    // the operator's own scratch columns: a fact/payload column with one
+    // of these names would be silently overwritten and then dropped
+    val reserved = Set("__hist", "__ts", "__idx", "__t", "__kind", "__p",
+      "__last", "__asof_t")
+    val taken = (facts.columns.toSeq ++ payload).filter(reserved)
+    require(taken.isEmpty,
+      s"$fn: column name(s) ${taken.distinct.mkString(", ")} are reserved " +
+        "internal names of the as-of join — rename them")
   }
 
   /** `facts` joined as-of against `states`.

@@ -22,13 +22,13 @@ object Curation {
     * smallest member pairwise, without a connected-components pass).
     * Returns the surviving rows of `docs` plus their `quality_score`.
     *
-    * Plan shape: quality gate + exact dedup are ONE chain (the
-    * full-schema [[Dedup.exactSurvivors]] window — no join back that
-    * would re-evaluate the scoring subtree); the near-dup stage then
-    * references that chain twice (anti-join left side + pair
-    * generation), which lazy plans re-evaluate — persist `docs` (the
-    * scan dominates) or the returned frame when running at corpus
-    * scale. */
+    * Plan shape: the exact-dedup stage ([[Dedup.exactSurvivors]])
+    * windows over a narrow (doc_id, hashes) projection and semi-joins
+    * the survivors back, so no stage ever shuffles document text —
+    * only 8–40-byte keys. The branches (survivor ids, anti-join left
+    * side, pair generation) each re-evaluate the gated-input subtree,
+    * as lazy plans do — persist `docs` (the scan dominates) or the
+    * returned frame when running at corpus scale. */
   /** @param maxRepRatio additionally drop docs whose most-repeated word
     *        2-gram exceeds this fraction of all 2-grams
     *        ([[TextAnalysis.repetitionStats]]'s `rep_ratio` — the

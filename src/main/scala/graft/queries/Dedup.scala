@@ -178,17 +178,23 @@ object Dedup {
 
   /** The surviving rows of [[exactDuplicates]] with the input's FULL
     * schema preserved — for pipelines ([[Curation.curate]]) that keep
-    * processing the survivors: one window pass, no join back against
-    * the input (which would re-evaluate the input subtree). Same
-    * (md5, poly) grouping keys, same min-doc_id survivor rule. */
+    * processing the survivors. Same (md5, poly) grouping keys, same
+    * min-doc_id survivor rule. The survivor window runs on a NARROW
+    * (doc_id, k1, k2) projection — ~40 bytes per doc through the
+    * exchange, never the text (D1's scale rule) — and the full rows
+    * come back via a doc_id semi-join; that join re-reads the input
+    * subtree, which is the right trade at scale (columnar re-scan is
+    * cheap, a full-text shuffle is not). */
   def exactSurvivors(docs: DataFrame): DataFrame = {
-    val grp = Window.partitionBy(col("__k1"), col("__k2"))
-    docs
-      .withColumn("__k1", md5(normText(col("text"))))
-      .withColumn("__k2", polyHash(normText(col("text"))))
-      .withColumn("__min", min(col("doc_id")).over(grp))
+    val ids = docs
+      .select(col("doc_id"),
+        md5(normText(col("text"))).as("__k1"),
+        polyHash(normText(col("text"))).as("__k2"))
+      .withColumn("__min",
+        min(col("doc_id")).over(Window.partitionBy(col("__k1"), col("__k2"))))
       .filter(col("doc_id") === col("__min"))
-      .drop("__k1", "__k2", "__min")
+      .select("doc_id")
+    docs.join(ids, Seq("doc_id"), "left_semi")
   }
 
   val qDedupExact: Q = Q(

@@ -322,16 +322,21 @@ object Similarity {
     val assigned = model.transform(feat)
       .select(col("vec_id"), col("embedding"), col("n2"),
         col("prediction").cast("long").as("cell"))
-    val cents = model.clusterCenters.map(_.toArray)
-    def centCos(emb: Column, embN2: Column) = cents.zipWithIndex.map { case (c, i) =>
-      struct(lit(i.toLong).as("c_id"),
-        cosineFrom(dot(emb, lit(c)), embN2, lit(c.map(x => x * x).sum)).as("c_cos"))
-    }
+    // centroids as a broadcast frame, exactly like annIvf — as literals
+    // they would be cells × dims expression nodes, which at the
+    // recommended cells ≈ √N blows up analysis/codegen long before data
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) =>
+        val arr = c.toArray
+        (i.toLong, arr, arr.map(x => x * x).sum)
+      }
+      .toDF("c_id", "c_emb", "c_n2")
     val byQ = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
-    val probed = queries(v)
-      .select(col("q_id"), col("q_emb"), col("q_n2"),
-        explode(array(centCos(col("q_emb"), col("q_n2")): _*)).as("c"))
-      .select(col("q_id"), col("q_emb"), col("q_n2"), col("c.c_id"), col("c.c_cos"))
+    val probed = queries(v).join(broadcast(cents), lit(true))
+      .withColumn("c_cos",
+        cosineFrom(dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
       .withColumn("rn", row_number().over(byQ))
       .filter(col("rn") <= probes)
       .select(col("q_id"), col("q_emb"), col("q_n2"), col("c_id").as("cell"))

@@ -216,6 +216,13 @@ class NativeExprSpec extends SparkSpec {
       .select(NativeExpressions.maxMultiplicity(col("arr")).as("native"), hof.as("ref"))
       .filter("native != ref")
     assert(diff.count() == 0)
+    // nulls are skipped, never read as 0 (and never merged with real 0s)
+    GraftExtensions.register(spark)
+    def sqlMax(arr: String): Long = Seq(1).toDF("x")
+      .selectExpr(s"graft_max_multiplicity($arr)").head.getLong(0)
+    assert(sqlMax("array(CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 42L)") == 1L)
+    assert(sqlMax("array(CAST(NULL AS BIGINT), 0L, 0L)") == 2L)
+    assert(sqlMax("array(CAST(NULL AS BIGINT))") == 0L)
   }
 
   test("SimHashCombos == unfused 56-struct block formulation") {

@@ -108,6 +108,12 @@ class ScaleOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.ops.AsOfJoin.asOfJoinBig(collidingFacts, states, Seq("k"), "ft", "t", Seq("version"))
     }
+    // a fact column named like an internal scratch column is rejected,
+    // not silently overwritten and dropped
+    val reservedFacts = Seq((1L, 20L, 5L)).toDF("k", "ft", "__idx")
+    intercept[IllegalArgumentException] {
+      graft.ops.AsOfJoin.asOfJoin(reservedFacts, states, Seq("k"), "ft", "t", Seq("version"))
+    }
   }
 
   test("asOfJoin == interval theta-join formulation on a generated history") {
