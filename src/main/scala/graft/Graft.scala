@@ -47,6 +47,13 @@ object Graft {
     queries.Similarity.embeddingDupPairs(embeddings, minCosine)
   def embeddingDupPairsLsh(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame =
     queries.Similarity.embeddingDupPairsLsh(embeddings, minCosine)
+  /** Pairwise near-dup output → transitive dedup clusters
+    * ([[graft.ops.ConnectedComponents]], O(log n)-round star algorithm). */
+  def dedupClusters(docs: DataFrame): DataFrame = queries.Clusters.dedupClusters(docs)
+  /** Connected components over any (src, dst) edge list — component id
+    * is the minimum reachable node id. */
+  def connectedComponents(edges: DataFrame, src: String = "src", dst: String = "dst"): DataFrame =
+    graft.ops.ConnectedComponents.connectedComponents(edges, src, dst)
   def shardOwnership(configOps: DataFrame): DataFrame =
     queries.ShardReplay.shardOwnership(configOps)
   def shardReplay(configOps: DataFrame, keyOps: DataFrame): DataFrame =
