@@ -34,6 +34,10 @@ object Graft {
   def fingerprints(docs: DataFrame): DataFrame = queries.TextAnalysis.fingerprints(docs)
   def shingleStats(docs: DataFrame): DataFrame = queries.TextAnalysis.shingleStats(docs)
   def repetitionStats(docs: DataFrame): DataFrame = queries.TextAnalysis.repetitionStats(docs)
+  /** Redact emails / IPv4s / phone numbers in `textCol`, appending
+    * detection counts ([[graft.queries.Scrub.scrubPii]]). */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    queries.Scrub.scrubPii(docs, textCol)
 
   // ---- Deduplication ----
   def exactDuplicates(docs: DataFrame): DataFrame = queries.Dedup.exactDuplicates(docs)

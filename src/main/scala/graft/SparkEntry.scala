@@ -12,7 +12,8 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     Analytics.all ++ TextQueries.all ++ MrQueries.all ++ TextAnalysis.all ++
       Dedup.all ++ Similarity.all ++ Multimodal.all ++ Sessions.all ++
-      ScaleQueries.all ++ ShardReplay.all ++ Curation.all ++ Clusters.all
+      ScaleQueries.all ++ ShardReplay.all ++ Curation.all ++ Clusters.all ++
+      Scrub.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
