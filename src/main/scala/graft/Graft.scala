@@ -89,6 +89,9 @@ object Graft {
   def sessionize(events: DataFrame, gapMinutes: Long = 30): DataFrame =
     queries.Sessions.sessionize(events, gapMinutes)
   def windowedCounts(events: DataFrame): DataFrame = queries.Sessions.windowedCounts(events)
+  /** Typed JSON field extraction + per-type stats over `props`
+    * ([[graft.queries.SemiStructured.propStats]]). */
+  def propStats(events: DataFrame): DataFrame = queries.SemiStructured.propStats(events)
   val streams: graft.streaming.Streams.type = graft.streaming.Streams
 
   // ---- Sources / sinks ----
