@@ -38,6 +38,14 @@ object Graft {
     * detection counts ([[graft.queries.Scrub.scrubPii]]). */
   def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame =
     queries.Scrub.scrubPii(docs, textCol)
+  /** Per-doc top-k characteristic terms (tf DESC, df ASC — the integer
+    * tf·idf order) ([[graft.queries.Ranking.topTerms]]). */
+  def topTerms(docs: DataFrame, k: Int = 5): DataFrame = queries.Ranking.topTerms(docs, k)
+  /** Real-valued tf·idf scores per (doc, term). */
+  def tfidf(docs: DataFrame): DataFrame = queries.Ranking.tfidf(docs)
+  /** BM25 retrieval of a term disjunction ([[graft.queries.Ranking.searchBm25]]). */
+  def searchBm25(docs: DataFrame, terms: Seq[String], k: Int = 15): DataFrame =
+    queries.Ranking.searchBm25(docs, terms, k)
 
   // ---- Deduplication ----
   def exactDuplicates(docs: DataFrame): DataFrame = queries.Dedup.exactDuplicates(docs)

@@ -1,0 +1,69 @@
+package graft
+
+import graft.queries.Ranking
+import org.apache.spark.sql.functions._
+
+class RankingSpec extends SparkSpec {
+
+  test("topTerms ranks by tf desc, then rarity, then term") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple apple banana banana cherry"),
+      (2L, "banana cherry cherry date")
+    ).toDF("doc_id", "text")
+    val got = Ranking.topTerms(docs, k = 3)
+      .select("doc_id", "term", "tf", "df", "rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      // doc 1: apple tf=3; banana tf=2; cherry tf=1
+      (1L, "apple", 3L, 1L, 1L), (1L, "banana", 2L, 2L, 2L), (1L, "cherry", 1L, 2L, 3L),
+      // doc 2: cherry tf=2; banana/date tf=1 — date (df=1) is rarer than banana (df=2)
+      (2L, "cherry", 2L, 2L, 1L), (2L, "date", 1L, 1L, 2L), (2L, "banana", 1L, 2L, 3L)))
+  }
+
+  test("tfidf score is tf * ln(N/df)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha beta"),
+      (2L, "beta gamma")
+    ).toDF("doc_id", "text")
+    val got = Ranking.tfidf(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(got((1L, "alpha")) == 2.0 * math.log(2.0 / 1.0))
+    assert(got((1L, "beta")) == 1.0 * math.log(2.0 / 2.0))
+    assert(got((2L, "gamma")) == 1.0 * math.log(2.0 / 1.0))
+  }
+
+  test("searchBm25: more hits and rarer terms rank higher; misses excluded") {
+    import spark.implicits._
+    val filler = "lorem ipsum dolor sit amet consectetur"
+    val docs = Seq(
+      (1L, s"spark window $filler"),        // two query terms
+      (2L, s"spark $filler"),               // one common term
+      (3L, s"$filler $filler"),             // no query terms -> excluded
+      (4L, s"spark spark window window $filler") // highest tf on both
+    ).toDF("doc_id", "text")
+    val got = Ranking.searchBm25(docs, Seq("spark", "window"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 4L))
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(4L)._3 > byId(1L)._3 && byId(1L)._3 > byId(2L)._3)
+    assert(byId(1L)._2 == 2L && byId(2L)._2 == 1L)
+    // results arrive ordered by score desc
+    assert(got.map(_._3).toSeq == got.map(_._3).sortBy(-_).toSeq)
+  }
+
+  test("topTerms plan rewrites the rank window to the bounded-heap TopKPerKey operator") {
+    val plan = Ranking.topTerms(Tables.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected TopKPerKey in:\n$plan")
+  }
+
+  test("searchBm25 rejects duplicate or empty term lists") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Ranking.searchBm25(docs, Seq.empty))
+    intercept[IllegalArgumentException](Ranking.searchBm25(docs, Seq("a", "a")))
+  }
+}
