@@ -149,6 +149,33 @@ object ScaleProbe {
       s"as-of variants disagree at scale: $nAsofB vs $nAsofS")
     println(f"asOfJoin agreement   ${"check"}%9s       variants hash-equal  PASS")
 
+    // Connected components on the WORST-CASE shape: one chain of 1M
+    // nodes (diameter = n — naive min-label flooding would need 1M
+    // rounds) plus 1M random edges over another 2M nodes. The star
+    // algorithm must label the whole chain 0 within the O(log n) round
+    // budget.
+    val nChain = 1000000L
+    val chain = spark.range(nChain - 1)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val rand = spark.range(nChain)
+      .select((pmod(xxhash64(col("id")), lit(2000000L)) + nChain).as("src"),
+        (pmod(xxhash64(col("id") * 31 + 7), lit(2000000L)) + nChain).as("dst"))
+    val ((ccLabels, ccRounds), tCc) = time {
+      val r = graft.ops.ConnectedComponents
+        .connectedComponentsInstrumented(chain.unionByName(rand))
+      (r._1.persist(), r._2)
+    }
+    val ccN = ccLabels.count()
+    val chainBad = ccLabels
+      .filter(col("node") < nChain && col("component") =!= 0L).count()
+    println(f"connected components ${nChain * 2}%9d edges $tCc%7.1f s  ${nChain * 2 / tCc}%9.0f edges/s  ($ccN nodes, $ccRounds rounds)")
+    assert(chainBad == 0, s"$chainBad chain nodes mislabeled")
+    val roundBudget = 2 * (64 - java.lang.Long.numberOfLeadingZeros(nChain)) + 6
+    assert(ccRounds <= roundBudget,
+      s"star algorithm took $ccRounds rounds on a $nChain-node chain (budget $roundBudget) — not the log regime")
+    println(f"cc round budget      ${"check"}%9s       $ccRounds rounds <= $roundBudget  PASS")
+    ccLabels.unpersist()
+
     val nRows = 30000000L
     val big = spark.range(nRows).select(
       pmod(col("id"), lit(1000)).as("k"),

@@ -37,7 +37,17 @@ object ConnectedComponents {
       edges: DataFrame,
       src: String = "src",
       dst: String = "dst",
-      maxRounds: Int = 64): DataFrame = {
+      maxRounds: Int = 64): DataFrame =
+    connectedComponentsInstrumented(edges, src, dst, maxRounds)._1
+
+  /** [[connectedComponents]] plus the number of large-star/small-star
+    * rounds it took — the probe-facing variant ([[graft.ScaleProbe]]
+    * asserts the O(log n) regime on a worst-case chain). */
+  def connectedComponentsInstrumented(
+      edges: DataFrame,
+      src: String = "src",
+      dst: String = "dst",
+      maxRounds: Int = 64): (DataFrame, Int) = {
     val nodes = edges.select(col(src).cast("long").as("n"))
       .union(edges.select(col(dst).cast("long").as("n")))
       .filter(col("n").isNotNull)
@@ -99,7 +109,8 @@ object ConnectedComponents {
 
     // at the fixpoint e is a star forest: (node → component min) for
     // every non-root; roots and isolated nodes label themselves
-    nodes.join(e, nodes("n") === e("c"), "left")
-      .select(col("n").as("node"), coalesce(col("p"), col("n")).as("component"))
+    (nodes.join(e, nodes("n") === e("c"), "left")
+      .select(col("n").as("node"), coalesce(col("p"), col("n")).as("component")),
+      round)
   }
 }
