@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   * per-doc top-k window auto-rewrites to the bounded-heap TopKPerKey
   * operator under [[graft.GraftExtensions]], so the exchange carries at
   * most k rows per doc per partition instead of every (doc, term) pair.
+  *
+  * As lazy plans, the df/stats branches re-evaluate the tf subtree
+  * (column pruning makes the two aggregates differ, so exchange reuse
+  * can't fire); at corpus scale, persist or checkpoint the tf frame —
+  * it is the (doc, term, tf) matrix a production index materializes
+  * anyway — and both branches read the cached exchange instead.
   */
 object Ranking {
 

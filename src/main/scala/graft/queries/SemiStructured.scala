@@ -4,7 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Semi-structured extraction (SURVEY.md §2 A9): typed field extraction
+/** Semi-structured extraction (SURVEY.md §2 B11): typed field extraction
   * from a JSON string column — the ingestion step between raw JSONL
   * and relational operators. Uses `from_json` with an EXPLICIT schema
   * (schema inference over 100 TB is a full extra pass; a fixed schema
