@@ -86,6 +86,11 @@ object Graft {
   def annIvf(embeddings: DataFrame): DataFrame = queries.Similarity.annIvf(embeddings)
   def annIvfTrained(embeddings: DataFrame, cells: Int = 10, probes: Int = 3): DataFrame =
     queries.Similarity.annIvfTrained(embeddings, cells, probes)
+  /** Leave-one-out kNN label classification over the IVF index — the
+    * per-label embedding-quality eval
+    * ([[graft.queries.Similarity.knnLabelIvf]]). */
+  def knnLabelIvf(embeddings: DataFrame, k: Int = 5, nProbes: Int = 3): DataFrame =
+    queries.Similarity.knnLabelIvf(embeddings, k, nProbes)
 
   // ---- Multimodal ----
   def binaryMeta(media: DataFrame): DataFrame = queries.Multimodal.binaryMeta(media)

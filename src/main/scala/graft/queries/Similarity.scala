@@ -236,32 +236,46 @@ object Similarity {
       FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank"""
     })
 
+  /** Deterministic IVF coarse index: centroids = first 10 vectors, plus
+    * every vector's best-cell assignment — shared by [[annIvf]] and the
+    * E4 classifier [[knnLabelIvf]]. */
+  private def ivfIndex(v: DataFrame): (DataFrame, DataFrame) = {
+    val cents = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
+    // best cell per vector: rank centroids by cosine, keep #1
+    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = v.join(broadcast(cents), lit(true))
+      .withColumn("c_cos", cosineFrom(dot(col("embedding"), col("c_emb")), col("n2"), col("c_n2")))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("n2"), col("c_id").as("cell"))
+    (cents, assigned)
+  }
+
+  /** Probed candidate scores for a (q_id, q_emb, q_n2) query frame
+    * against the IVF index: each query probes its `nProbes` nearest
+    * cells, candidates join on the cell key. */
+  private def ivfScored(
+      q: DataFrame, cents: DataFrame, assigned: DataFrame, nProbes: Int): DataFrame = {
+    val byQ = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("c_cos", cosineFrom(dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= nProbes)
+      .select(col("q_id"), col("q_emb"), col("q_n2"), col("c_id").as("cell"))
+    probes.join(assigned, Seq("cell")).filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2")).as("cos"))
+  }
+
   /** E3: IVF-style ANN — deterministic coarse centroids (the first 10
     * vectors), every vector assigned to its best cell, queries probe the
     * 3 closest cells. Candidate join is an equi-join on cell id. */
   /** Public API: IVF cell-probed ANN. */
   def annIvf(embeddings: DataFrame): DataFrame = {
       val v = withNorms(embeddings)
-      val cents = v.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
-      // best cell per vector: rank centroids by cosine, keep #1
-      val byVec = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
-      val assigned = v.join(broadcast(cents), lit(true))
-        .withColumn("c_cos", cosineFrom(dot(col("embedding"), col("c_emb")), col("n2"), col("c_n2")))
-        .withColumn("rn", row_number().over(byVec))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("n2"), col("c_id").as("cell"))
-      // queries probe their 3 nearest cells
-      val byQ = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
-      val probes = queries(v).join(broadcast(cents), lit(true))
-        .withColumn("c_cos", cosineFrom(dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
-        .withColumn("rn", row_number().over(byQ))
-        .filter(col("rn") <= 3)
-        .select(col("q_id"), col("q_emb"), col("q_n2"), col("c_id").as("cell"))
-      val scored = probes.join(assigned,
-          Seq("cell")).filter(col("q_id") =!= col("vec_id"))
-        .select(col("q_id"), col("vec_id"),
-          cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2")).as("cos"))
+      val (cents, assigned) = ivfIndex(v)
+      val scored = ivfScored(queries(v), cents, assigned, nProbes = 3)
       topkPerQuery(scored.distinct())
   }
 
@@ -293,6 +307,80 @@ object Similarity {
         FROM scored)
       SELECT q_id, rank, vec_id AS neighbor_id, cos
       FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank"""))
+
+  /** E4: leave-one-out kNN label classification over the deterministic
+    * IVF index — the "how good are these embeddings" eval every
+    * embedding pipeline runs. Every vector is a query against the
+    * index (minus itself); its k approximate neighbors vote by label
+    * (majority, ties to the smallest label); output is the per-label
+    * confusion summary. All-integer output, and the whole pipeline —
+    * cells, probes, ranking, votes — reproduces exactly in SQL.
+    *
+    * Scale shape: identical to [[annIvf]]'s search (cell equi-join;
+    * candidates ~ nProbes·N/cells per query), plus two vocabulary-...
+    * rather label-cardinality-sized aggregations. Vectors whose probed
+    * cells contain no other vector produce no prediction and drop out
+    * of `n_eval` (consistently on both engines). */
+  def knnLabelIvf(embeddings: DataFrame, k: Int = TopK, nProbes: Int = 3): DataFrame = {
+    val v = withNorms(embeddings)
+    val (cents, assigned) = ivfIndex(v)
+    val allQ = v.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val scored = ivfScored(allQ, cents, assigned, nProbes)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val ranked = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id")
+    val labels = embeddings.select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = ranked.join(labels, "vec_id")
+      .groupBy("q_id", "label").agg(count(lit(1)).as("cnt"))
+    val wv = Window.partitionBy(col("q_id")).orderBy(col("cnt").desc, col("label"))
+    val pred = votes.withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("label").as("pred_label"))
+    pred.join(labels.select(col("vec_id").as("q_id"), col("label")), "q_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("pred_label") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .orderBy("label")
+  }
+
+  val qKnnLabel: Q = Q(
+    "q_knn_label",
+    (s, d) => knnLabelIvf(Tables.embeddings(s, d)),
+    Some(s"""WITH v AS (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM embeddings),
+      c AS (SELECT vec_id AS c_id, embedding AS c_emb, n2 AS c_n2 FROM v WHERE vec_id < 10),
+      ac AS (SELECT v.vec_id, v.embedding, v.n2, c.c_id,
+          ${sqlDot("v.embedding", "c.c_emb")} / (sqrt(v.n2) * sqrt(c.c_n2)) AS c_cos
+        FROM v CROSS JOIN c),
+      assigned AS (SELECT vec_id, embedding, n2, c_id AS cell FROM (
+          SELECT vec_id, embedding, n2, c_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
+          FROM ac) t WHERE rn = 1),
+      probes AS (SELECT q_id, q_emb, q_n2, c_id AS cell FROM (
+          SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2, c_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
+          FROM ac) t WHERE rn <= 3),
+      scored AS (
+        SELECT q_id, vec_id,
+          ${sqlDot("q_emb", "embedding")} / (sqrt(q_n2) * sqrt(n2)) AS cos
+        FROM probes JOIN assigned USING (cell) WHERE q_id <> vec_id),
+      ranked AS (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+          FROM scored) t WHERE rank <= $TopK),
+      votes AS (SELECT r.q_id, CAST(e.label AS BIGINT) AS label, count(*) AS cnt
+        FROM ranked r JOIN embeddings e ON r.vec_id = e.vec_id GROUP BY 1, 2),
+      pred AS (SELECT q_id, label AS pred_label FROM (
+          SELECT q_id, label,
+            row_number() OVER (PARTITION BY q_id ORDER BY cnt DESC, label) AS rn
+          FROM votes) t WHERE rn = 1)
+      SELECT CAST(e.label AS BIGINT) AS label,
+        count(*) AS n_eval,
+        CAST(sum(CASE WHEN p.pred_label = CAST(e.label AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      FROM pred p JOIN embeddings e ON p.q_id = e.vec_id
+      GROUP BY 1
+      ORDER BY 1"""))
 
   /** E3 variant with TRAINED coarse centroids: KMeans (seeded — the fit
     * is deterministic for a fixed seed and input partitioning) replaces
@@ -351,5 +439,6 @@ object Similarity {
   }
 
   val all: Seq[Q] =
-    Seq(qDedupEmbedding, qDedupEmbeddingLsh, qAnnBruteforce, qAnnLsh, qAnnIvf)
+    Seq(qDedupEmbedding, qDedupEmbeddingLsh, qAnnBruteforce, qAnnLsh, qAnnIvf,
+      qKnnLabel)
 }
