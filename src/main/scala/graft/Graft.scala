@@ -80,6 +80,13 @@ object Graft {
       dropNearDups: Boolean = true, maxRepRatio: Double = 1.0): DataFrame =
     queries.Curation.curate(docs, minQuality, dropNearDups, maxRepRatio)
 
+  /** [[curate]] with transitive-cluster survivor selection (one doc per
+    * connected near-dup cluster) — see
+    * [[graft.queries.Curation.curateClusters]]. */
+  def curateClusters(docs: DataFrame, minQuality: Double = 0.3,
+      maxRepRatio: Double = 1.0): DataFrame =
+    queries.Curation.curateClusters(docs, minQuality, maxRepRatio)
+
   // ---- Similarity search ----
   def annBruteforce(embeddings: DataFrame): DataFrame = queries.Similarity.annBruteforce(embeddings)
   def annLsh(embeddings: DataFrame, dims: Int = 64): DataFrame = queries.Similarity.annLsh(embeddings, dims)

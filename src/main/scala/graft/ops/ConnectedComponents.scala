@@ -84,11 +84,13 @@ object ConnectedComponents {
         .union(e.select(col("p").as("u"), col("c").as("v")))
       val nbrMin = sym.groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
-      // m = min(Γ(u) ∪ {u}) ≤ u < v, so child > parent is preserved
+      // m = min(Γ(u) ∪ {u}) ≤ u < v, so child > parent is preserved.
+      // No distinct here: small-star's min-aggregate is duplicate-
+      // insensitive and its final distinct canonicalizes — skipping it
+      // drops one exchange per round
       val ls = sym.filter(col("v") > col("u"))
         .join(nbrMin, "u")
         .select(col("v").as("c"), col("m").as("p"))
-        .distinct()
       // small-star: every parent of c (all ≤ c) hooks onto the smallest
       // one, and c itself re-points there — stars flatten
       val minp = ls.groupBy("c").agg(min(col("p")).as("m"))
@@ -97,7 +99,7 @@ object ConnectedComponents {
         .select(col("p").as("c"), col("m").as("p"))
         .union(minp.select(col("c"), col("m").as("p")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the signature probe materializes it
       val nsig = signature(ss)
       if (nsig == sig && ss.exceptAll(e).isEmpty) converged = true
       e = ss

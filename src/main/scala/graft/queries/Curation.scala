@@ -57,6 +57,66 @@ object Curation {
     }
   }
 
+  /** [[curate]] with CLUSTER-based near-dup dropping: MinHash pairs over
+    * the exact-dedup survivors are closed transitively
+    * ([[graft.ops.ConnectedComponents]]) and only each cluster's
+    * minimum doc_id survives. Strictly more principled than the greedy
+    * pairwise drop: in a cluster {3,5,9} whose pairs are (5,9) and
+    * (3,9), greedy keeps BOTH 3 and 5 (5 never appears as the larger
+    * id of a pair), while the cluster form keeps only 3.
+    *
+    * Note: the connected-components iteration runs Spark jobs when this
+    * function is CALLED (it converges by fixpoint), unlike the fully
+    * lazy [[curate]]. */
+  def curateClusters(
+      docs: DataFrame,
+      minQuality: Double = 0.3,
+      maxRepRatio: Double = 1.0): DataFrame = {
+    val afterExact = curate(docs, minQuality, dropNearDups = false, maxRepRatio)
+    val pairs = Dedup.minhashPairs(afterExact).select(col("id_a"), col("id_b"))
+    val labels = graft.ops.ConnectedComponents
+      .connectedComponents(pairs, "id_a", "id_b")
+    val drop = labels.filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    afterExact.join(drop, Seq("doc_id"), "left_anti")
+  }
+
+  /** Same oracle chain as [[qCurate]] but the near-dup drop is the
+    * recursive-CTE transitive closure over the survivor pair set — the
+    * losslessness check for composing D7 into the pipeline. */
+  val qCurateCc: Q = Q(
+    "q_curate_cc",
+    (s, d) => curateClusters(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE ${TextAnalysis.sqlQualityCte("documents")},
+      qualified AS (
+        SELECT d.doc_id, d.text, d.source, q.quality_score
+        FROM documents d JOIN q_scores q USING (doc_id)
+        WHERE q.quality_score >= 0.3),
+      keyed AS (
+        SELECT *, md5(${sqlNormText("text")}) AS k1,
+               ${sqlPolyHash(sqlNormText("text"))} AS k2
+        FROM qualified),
+      surv AS (
+        SELECT doc_id, text, source, quality_score FROM (
+          SELECT *, min(doc_id) OVER (PARTITION BY k1, k2) AS m FROM keyed) t
+        WHERE doc_id = m),
+      ${Dedup.sqlMinhashPairCtes("surv")},
+      sym AS (
+        SELECT id_a AS u, id_b AS v FROM mh_pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM mh_pairs),
+      reach AS (
+        SELECT doc_id AS u, doc_id AS v FROM surv
+        UNION
+        SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+      lab AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u)
+      SELECT s.doc_id, s.source, s.quality_score
+      FROM surv s JOIN lab l USING (doc_id)
+      WHERE l.doc_id = l.component
+      ORDER BY s.doc_id"""))
+
   /** The COMPOSED pipeline oracle-checked end-to-end: the DuckDB side
     * chains the same stage fragments (quality CTE → exact-dup window →
     * MinHash pair CTEs over the survivors → anti-join), so a drift in
@@ -84,5 +144,5 @@ object Curation {
       WHERE doc_id NOT IN (SELECT id_b FROM mh_pairs)
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(qCurate)
+  val all: Seq[Q] = Seq(qCurate, qCurateCc)
 }

@@ -35,4 +35,21 @@ class PipelineSpec extends SparkSpec {
       .contains("PartitionFilters: [isnotnull(source"))
     assert(pruned.count() == docs.filter($"source" === "src1" && $"doc_id" =!= 999999L).count())
   }
+
+  test("curateClusters keeps one survivor per near-dup cluster, never more than curate") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val greedy = Graft.curate(docs).select("doc_id")
+    val cluster = Graft.curateClusters(docs).select("doc_id")
+    // greedy drops any pair's larger id; the cluster form drops every
+    // non-min member — a strict superset of the greedy drops
+    assert(cluster.exceptAll(greedy).count() == 0)
+    // survivors == distinct components over the exact-dedup survivors
+    val afterExact = Graft.curate(docs, dropNearDups = false)
+    val pairs = Graft.minhashPairs(afterExact).select($"id_a", $"id_b")
+    val labels = Graft.connectedComponents(pairs, "id_a", "id_b")
+    val multi = labels.select($"component").distinct().count()
+    val paired = labels.count()
+    assert(cluster.count() == afterExact.count() - (paired - multi))
+  }
 }
