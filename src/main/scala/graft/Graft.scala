@@ -114,6 +114,15 @@ object Graft {
   def propStats(events: DataFrame): DataFrame = queries.SemiStructured.propStats(events)
   val streams: graft.streaming.Streams.type = graft.streaming.Streams
 
+  /** Pack docs into contiguous fixed-token-budget shards via the
+    * scale-safe prefix sum ([[graft.queries.Shards.packShards]]). */
+  def packShards(docs: DataFrame, budget: Long = 512): DataFrame =
+    queries.Shards.packShards(docs, budget)
+  /** Deterministic per-stratum sample in portable scrambled-id order
+    * ([[graft.queries.Shards.stratifiedSample]]). */
+  def stratifiedSample(docs: DataFrame, strata: String = "source", n: Int = 10): DataFrame =
+    queries.Shards.stratifiedSample(docs, strata, n)
+
   // ---- Sources / sinks ----
   val sources: graft.sources.Sources.type = graft.sources.Sources
   val sinks: graft.sources.Sinks.type = graft.sources.Sinks

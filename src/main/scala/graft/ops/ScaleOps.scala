@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scale-out utilities: the knobs a 100 TB job reaches for when exact /
@@ -81,6 +82,69 @@ object ScaleOps {
         .stripTrailingZeros.toPlainString.replace('.', '_').replace("-", "neg")
       d.withColumn(s"p$label", element_at(col("pcts"), i + 1))
     }.drop("pcts")
+  }
+
+  /** Scale-safe global running sum of `valueCol` in `orderCol` order —
+    * the distributed form of `sum(v) OVER (ORDER BY k)`, which Spark
+    * executes by moving ALL data to one partition (the classic
+    * "No Partition Defined for Window" trap). Here: range-partition on
+    * the order column (partition i holds a contiguous key range),
+    * accumulate WITHIN each partition, and add broadcast offsets — the
+    * running totals of the preceding partitions, a #partitions-row
+    * frame. The data shuffles exactly once (the range exchange); only
+    * per-partition SUBTOTALS ever pass through a single node.
+    *
+    * The within-partition pass is a `mapPartitions` accumulation on
+    * purpose: a `Window.partitionBy(spark_partition_id())` would
+    * re-exchange the whole dataset (Catalyst cannot know the rows are
+    * already clustered by their own partition id) — running state over
+    * an existing partitioning is the case imperative per-partition
+    * logic exists for. Null values count as 0.
+    *
+    * `orderCol` must be unique (as with any cumulative sum, ties make
+    * the prefix order — hence the output — ill-defined). */
+  def prefixSum(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      out: String = "cum"): DataFrame = {
+    require(!df.columns.contains(out), s"output column $out already exists")
+    require(!df.columns.exists(_.startsWith("__")),
+      "input columns must not use the reserved __ prefix")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.LongType
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val prepared = df
+      .withColumn("__v", col(valueCol).cast("long"))
+      .repartitionByRange(n, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val vIdx = prepared.schema.fieldIndex("__v")
+    val localSchema = prepared.schema.add("__local", LongType)
+    // checkpoint the accumulated frame: the offsets side and the join
+    // side must see the SAME partition boundaries, and a re-evaluated
+    // range exchange does not guarantee that (RangePartitioner samples
+    // its bounds from upstream row order, which is not stable across
+    // evaluations when the input sits behind a shuffle). One
+    // materializing pass; swap for `checkpoint` + a reliable dir on a
+    // real cluster.
+    val local = prepared.mapPartitions { it =>
+      var acc = 0L
+      it.map { r =>
+        if (!r.isNullAt(vIdx)) acc += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }(Encoders.row(localSchema)).localCheckpoint(false)
+    val offsets = local.groupBy("__pid").agg(sum(col("__v")).as("__psum"))
+      .withColumn("__off", coalesce(
+        sum(col("__psum")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(out, col("__local") + col("__off"))
+      .drop("__pid", "__local", "__off", "__v")
   }
 
   /** Two-phase (salted) aggregation for heavy-state aggregates: phase 1

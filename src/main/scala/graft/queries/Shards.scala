@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import graft.ops.ScaleOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus sharding and sampling (SURVEY.md §2 H4/H5) — the last mile of
+  * a training-data pipeline: pack the curated corpus into
+  * fixed-token-budget shards, and draw deterministic per-stratum
+  * samples for eval sets.
+  */
+object Shards {
+
+  /** Assign each doc to a contiguous token-budget shard: docs are laid
+    * out in `doc_id` order and a new shard starts whenever the running
+    * token total crosses a `budget` boundary (shard = which budget
+    * window the doc STARTS in, so shards hold ~budget tokens and every
+    * shard is a contiguous id range — what a sequence-packing loader
+    * expects to stream).
+    *
+    * Scale shape: the running total is [[ScaleOps.prefixSum]] — range
+    * partition + per-partition cumsum + broadcast partition offsets —
+    * NOT the single-partition global window (which is exactly what the
+    * DuckDB oracle runs, making the hash match a correctness proof for
+    * the distributed prefix sum). */
+  def packShards(docs: DataFrame, budget: Long = 512): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val toks = docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_tokens"))
+    ScaleOps.prefixSum(toks, "doc_id", "n_tokens", "cum_tokens")
+      .withColumn("shard_id", expr(s"(cum_tokens - n_tokens) div $budget"))
+      .select("doc_id", "n_tokens", "cum_tokens", "shard_id")
+      .orderBy("doc_id")
+  }
+
+  val qPackShards: Q = Q(
+    "q_pack_shards",
+    (s, d) => packShards(Tables.documents(s, d)),
+    Some(s"""WITH toks AS (
+        SELECT doc_id,
+          CAST(len(list_filter(${sqlWords("text")}, t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM documents),
+      cum AS (
+        SELECT doc_id, n_tokens,
+          CAST(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM toks)
+      SELECT doc_id, n_tokens, cum_tokens,
+        (cum_tokens - n_tokens) // 512 AS shard_id
+      FROM cum
+      ORDER BY doc_id"""))
+
+  /** Multiplier/modulus of the portable id scrambler (a fixed LCG step —
+    * reproducible in any engine, unlike xxhash). */
+  private val ScrambleA = 2654435761L
+  private val ScrambleP = 1000000007L
+
+  /** Deterministic stratified sample: the `n` docs per stratum that rank
+    * first in scrambled-id order — a fixed, engine-portable pseudo-random
+    * draw (LCG scramble of doc_id), so eval sets are reproducible run to
+    * run and engine to engine. The rank window auto-rewrites to the
+    * bounded-heap TopKPerKey operator: the exchange carries at most n
+    * rows per stratum per partition, not the corpus. */
+  def stratifiedSample(
+      docs: DataFrame,
+      strata: String = "source",
+      n: Int = 10): DataFrame = {
+    require(n > 0, "n must be positive")
+    val scrambled = docs.select(col("doc_id"), col(strata),
+      ((col("doc_id") * ScrambleA) % ScrambleP).as("scramble"))
+    scrambled
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(strata)).orderBy(col("scramble"), col("doc_id"))))
+      .filter(col("rk") <= n)
+      .select(col("doc_id"), col(strata), col("rk").cast("long").as("rk"))
+      .orderBy(col(strata), col("rk"))
+  }
+
+  val qStratifiedSample: Q = Q(
+    "q_stratified_sample",
+    (s, d) => stratifiedSample(Tables.documents(s, d)),
+    Some(s"""SELECT doc_id, source, rk FROM (
+        SELECT doc_id, source,
+          row_number() OVER (PARTITION BY source
+            ORDER BY (doc_id * $ScrambleA) % $ScrambleP, doc_id) AS rk
+        FROM documents) t
+      WHERE rk <= 10
+      ORDER BY source, rk"""))
+
+  val all: Seq[Q] = Seq(qPackShards, qStratifiedSample)
+}

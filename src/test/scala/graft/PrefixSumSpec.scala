@@ -1,0 +1,68 @@
+package graft
+
+import graft.ops.ScaleOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class PrefixSumSpec extends SparkSpec {
+
+  test("prefixSum equals the single-partition global window cumsum") {
+    // adversarial layout: ids arrive hash-scattered across partitions
+    val df = spark.range(50000)
+      .select((col("id") * 48271 % 50000).as("k"), (col("id") % 97).as("v"))
+      .distinct() // unique order keys
+      .repartition(13)
+    val got = ScaleOps.prefixSum(df, "k", "v", "cum")
+    val want = df.withColumn("cum",
+      sum(col("v")).over(Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("prefixSum plan shuffles the data once (range), never to a single partition") {
+    val df = spark.range(1000).select(col("id").as("k"), lit(1L).as("v"))
+    val plan = ScaleOps.prefixSum(df, "k", "v").queryExecution.executedPlan.toString
+    // the data's one range exchange lives behind the checkpoint
+    // boundary; in the visible plan the data side must carry NO window
+    // (the only Window runs on the #partitions-row subtotal frame,
+    // __psum) and the offsets must come back via broadcast, not a
+    // data shuffle
+    val dataWindows = plan.split("\n")
+      .filter(l => l.contains("windowspecdefinition") && !l.contains("__psum"))
+    assert(dataWindows.isEmpty, s"unexpected data-side window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("prefixSum edge cases: empty frame, one row, output-name collision") {
+    val empty = spark.range(0).select(col("id").as("k"), col("id").as("v"))
+    assert(ScaleOps.prefixSum(empty, "k", "v").count() == 0)
+    val one = spark.range(1).select(col("id").as("k"), lit(7L).as("v"))
+    assert(ScaleOps.prefixSum(one, "k", "v").select("cum").head.getLong(0) == 7L)
+    intercept[IllegalArgumentException] {
+      ScaleOps.prefixSum(one.withColumn("cum", lit(1)), "k", "v")
+    }
+  }
+
+  test("packShards: shards are contiguous, ~budget-sized, and start where the doc starts") {
+    val out = Graft.packShards(Tables.documents(spark, sfDir), budget = 300).collect()
+    var prevCum = 0L
+    var prevShard = 0L
+    out.foreach { r =>
+      val (n, cum, shard) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cum == prevCum + n) // the prefix sum is exact
+      assert(shard == (cum - n) / 300) // doc starts in its shard's window
+      assert(shard >= prevShard) // contiguous, monotone shard ids
+      prevCum = cum; prevShard = shard
+    }
+  }
+
+  test("stratifiedSample: n per stratum, deterministic across runs") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = Graft.stratifiedSample(docs, n = 7).collect().map(_.toSeq).toSeq
+    val b = Graft.stratifiedSample(docs, n = 7).collect().map(_.toSeq).toSeq
+    assert(a == b)
+    val perStratum = Graft.stratifiedSample(docs, n = 7)
+      .groupBy("source").count().collect().map(_.getLong(1))
+    assert(perStratum.forall(_ == 7L))
+  }
+}

@@ -48,6 +48,28 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("scrubPii runs unchanged on a stream (stateless map stage)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val query = graft.Graft.scrubPii(mem.toDF())
+      .writeStream.format("memory").queryName("scrub_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val docs = Seq(
+        StreamingSpec.Doc(1L, "reach me at a@b.io or 10.0.0.1"),
+        StreamingSpec.Doc(2L, "clean text"))
+      mem.addData(docs: _*)
+      query.processAllAvailable()
+      val got = spark.table("scrub_stream")
+        .select("doc_id", "text", "n_emails", "n_ipv4")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set(
+        (1L, "reach me at <EMAIL> or <IP>", 1L, 1L),
+        (2L, "clean text", 0L, 0L)))
+    } finally query.stop()
+  }
+
   test("dedup drops re-delivered event ids within the watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
