@@ -53,13 +53,25 @@ object ConnectedComponents {
       .filter(col("n").isNotNull)
       .distinct()
 
+    val sc = edges.sparkSession.sparkContext
+    // localCheckpoint registers persisted RDDs that Dataset.unpersist
+    // cannot release; track the ids each round creates so superseded
+    // rounds can be freed — otherwise O(log n) full edge-set copies
+    // stay pinned in block storage until session end
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val ck = df.localCheckpoint(false)
+      (ck, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
     // canonical parent pointers: child > parent, no self loops
-    var e = edges
+    var (e, eIds) = checkpointTracked(edges
       .filter(col(src).isNotNull && col(dst).isNotNull && col(src) =!= col(dst))
       .select(greatest(col(src), col(dst)).cast("long").as("c"),
         least(col(src), col(dst)).cast("long").as("p"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
     // cheap per-round fixpoint probe: (edge count, order-independent
     // multiset hash). A probe match is CONFIRMED with an exact set
@@ -94,15 +106,19 @@ object ConnectedComponents {
       // small-star: every parent of c (all ≤ c) hooks onto the smallest
       // one, and c itself re-points there — stars flatten
       val minp = ls.groupBy("c").agg(min(col("p")).as("m"))
-      val ss = ls.join(minp, "c")
+      // lazy checkpoint: the signature probe is the materializing action
+      val (ss, ssIds) = checkpointTracked(ls.join(minp, "c")
         .filter(col("p") =!= col("m"))
         .select(col("p").as("c"), col("m").as("p"))
         .union(minp.select(col("c"), col("m").as("p")))
-        .distinct()
-        .localCheckpoint(false) // lazy: the signature probe materializes it
+        .distinct())
       val nsig = signature(ss)
       if (nsig == sig && ss.exceptAll(e).isEmpty) converged = true
+      // the previous round's blocks are dead once ss is materialized
+      // (ss no longer recomputes from them — it IS a checkpoint)
+      release(eIds)
       e = ss
+      eIds = ssIds
       sig = nsig
     }
     require(converged,

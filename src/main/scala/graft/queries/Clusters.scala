@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.functions.TextFunctions._
+import graft.functions.TextFunctions.{sqlNormText, sqlPolyHash}
 import graft.ops.ConnectedComponents
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -27,16 +27,7 @@ object Clusters {
     * and `is_survivor` (the canonical keep-this-one flag). Singleton
     * docs are their own component. */
   def dedupClusters(docs: DataFrame): DataFrame = {
-    // exact-dup pairs from the narrow (doc_id, hash, hash) projection —
-    // D1's scale rule: the shuffle carries ~40-byte keys, never text
-    val keyed = docs.select(col("doc_id"),
-      md5(normText(col("text"))).as("k1"),
-      polyHash(normText(col("text"))).as("k2"))
-    val exactPairs = keyed
-      .withColumn("m", min(col("doc_id")).over(
-        Window.partitionBy(col("k1"), col("k2"))))
-      .filter(col("doc_id") =!= col("m"))
-      .select(col("m").as("src"), col("doc_id").as("dst"))
+    val exactPairs = Dedup.exactDupPairs(docs)
     val nearPairs = Dedup.minhashPairs(docs)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val labels = ConnectedComponents.connectedComponents(

@@ -176,6 +176,20 @@ object Dedup {
         .orderBy("doc_id")
   }
 
+  /** (survivor → duplicate) edges of the exact-dup relation — the D1
+    * key rule ((md5, poly) over normalized text, min-doc_id survivor)
+    * in ONE place, shared by [[exactDuplicates]]'s callers that need
+    * pair form ([[Clusters.dedupClusters]]). Narrow projection: the
+    * window shuffles ~40-byte keys, never text. */
+  private[queries] def exactDupPairs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        md5(normText(col("text"))).as("__k1"),
+        polyHash(normText(col("text"))).as("__k2"))
+      .withColumn("__m", min(col("doc_id")).over(
+        Window.partitionBy(col("__k1"), col("__k2"))))
+      .filter(col("doc_id") =!= col("__m"))
+      .select(col("__m").as("src"), col("doc_id").as("dst"))
+
   /** The surviving rows of [[exactDuplicates]] with the input's FULL
     * schema preserved — for pipelines ([[Curation.curate]]) that keep
     * processing the survivors. Same (md5, poly) grouping keys, same

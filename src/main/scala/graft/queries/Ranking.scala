@@ -31,11 +31,18 @@ object Ranking {
     * decreasing in df), with a deterministic term tiebreak, and the
     * driver can hash-check it with no cross-engine float hazard.
     * [[tfidf]] exposes the real-valued score for library users. */
-  def topTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+  /** The (doc_id, term, tf) matrix and its (term, df) marginal — the
+    * shared base of [[topTerms]], [[tfidf]], and (inlined per query
+    * term) [[searchBm25]]. */
+  private def termFreqs(docs: DataFrame): (DataFrame, DataFrame) = {
     val tf = docs
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    (tf, tf.groupBy("term").agg(count(lit(1)).as("df")))
+  }
+
+  def topTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    val (tf, df) = termFreqs(docs)
     tf.join(df, "term")
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("doc_id"))
@@ -49,10 +56,7 @@ object Ranking {
   /** (doc_id, term, tf, df, tfidf) over the whole corpus —
     * tfidf = tf · ln(N / df) with N = docs containing ≥ 1 token. */
   def tfidf(docs: DataFrame): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"), explode(words(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val (tf, df) = termFreqs(docs)
     val n = tf.select(col("doc_id")).distinct().agg(count(lit(1)).as("n"))
     tf.join(df, "term").crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),

@@ -42,7 +42,9 @@ object SemiStructured {
         min(k) AS min_k,
         max(k) AS max_k
       FROM (SELECT event_type,
-              CAST(json_extract(props, '$.k') AS BIGINT) AS k
+              CASE WHEN props IS NOT NULL AND json_valid(props)
+                   THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+              END AS k
             FROM events) t
       GROUP BY event_type
       ORDER BY event_type"""))

@@ -63,14 +63,21 @@ object Shards {
     * draw (LCG scramble of doc_id), so eval sets are reproducible run to
     * run and engine to engine. The rank window auto-rewrites to the
     * bounded-heap TopKPerKey operator: the exchange carries at most n
-    * rows per stratum per partition, not the corpus. */
+    * rows per stratum per partition, not the corpus.
+    *
+    * The id is reduced mod P BEFORE the multiply: (P−1)·A ≈ 2.7e18
+    * stays inside Long, where doc_id·A overflows past doc_id ≈ 3.5e9 —
+    * an ANSI-mode error in Spark and an out-of-range error in DuckDB,
+    * i.e. exactly the corpus sizes this operator exists for. Ids P
+    * apart share a scramble; the doc_id tiebreak keeps the order
+    * total. */
   def stratifiedSample(
       docs: DataFrame,
       strata: String = "source",
       n: Int = 10): DataFrame = {
     require(n > 0, "n must be positive")
     val scrambled = docs.select(col("doc_id"), col(strata),
-      ((col("doc_id") * ScrambleA) % ScrambleP).as("scramble"))
+      (((col("doc_id") % ScrambleP) * ScrambleA) % ScrambleP).as("scramble"))
     scrambled
       .withColumn("rk", row_number().over(
         Window.partitionBy(col(strata)).orderBy(col("scramble"), col("doc_id"))))
@@ -85,7 +92,7 @@ object Shards {
     Some(s"""SELECT doc_id, source, rk FROM (
         SELECT doc_id, source,
           row_number() OVER (PARTITION BY source
-            ORDER BY (doc_id * $ScrambleA) % $ScrambleP, doc_id) AS rk
+            ORDER BY ((doc_id % $ScrambleP) * $ScrambleA) % $ScrambleP, doc_id) AS rk
         FROM documents) t
       WHERE rk <= 10
       ORDER BY source, rk"""))

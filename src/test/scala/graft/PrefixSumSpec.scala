@@ -65,4 +65,13 @@ class PrefixSumSpec extends SparkSpec {
       .groupBy("source").count().collect().map(_.getLong(1))
     assert(perStratum.forall(_ == 7L))
   }
+
+  test("stratifiedSample survives 100TB-scale doc ids (no ANSI multiply overflow)") {
+    import spark.implicits._
+    val big = Seq(
+      (5000000000L, "a"), (5000000001L, "a"), (7L, "a"), (9999999999L, "b"))
+      .toDF("doc_id", "source")
+    val got = Graft.stratifiedSample(big, n = 2)
+    assert(got.count() == 3) // 2 from stratum a, 1 from b — and no overflow error
+  }
 }
