@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 class PrefixSumSpec extends SparkSpec {
 
   test("prefixSum equals the single-partition global window cumsum") {
-    // adversarial layout: ids arrive hash-scattered across partitions
+    // adversarial layout: ids arrive hash-scattered across partitions;
+    // values go negative (partition totals are not monotone)
     val df = spark.range(50000)
-      .select((col("id") * 48271 % 50000).as("k"), (col("id") % 97).as("v"))
+      .select((col("id") * 48271 % 50000).as("k"), (col("id") % 97 - 48).as("v"))
       .distinct() // unique order keys
       .repartition(13)
     val got = ScaleOps.prefixSum(df, "k", "v", "cum")
