@@ -86,6 +86,14 @@ object TextAnalysis {
       GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""
     })
 
+  /** The quality score as a bare column — (stop_hits·100 + n_words) /
+    * (n_chars + 1), the same signal [[qualityScores]] reports — for
+    * callers that need it inside another plan (the streaming curation
+    * gate, [[graft.streaming.Streams.curateStream]]). */
+  def qualityScoreCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (stopHits(words(text), stopEn) * 100L + size(words(text)).cast("long"))
+      .cast("double") / (length(text).cast("long") + 1L)
+
   /** C3: quality scoring — length/stopword/word-shape signals, integer
     * counts with single-division ratios. */
   /** Public API: quality signals per doc. */
@@ -98,15 +106,14 @@ object TextAnalysis {
           size(toks).cast("long").as("n_words"),
           stopHits(toks, stopEn).as("stop_hits"),
           size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
-            .cast("long").as("n_punct"))
+            .cast("long").as("n_punct"),
+          qualityScoreCol(col("text")).as("quality_score"))
         .withColumn("avg_word_len",
           (col("n_chars") - col("n_words") + 1).cast("double") / greatest(col("n_words"), lit(1L)))
         .withColumn("stop_ratio",
           col("stop_hits").cast("double") / greatest(col("n_words"), lit(1L)))
         .withColumn("punct_ratio",
           col("n_punct").cast("double") / greatest(col("n_chars"), lit(1L)))
-        .withColumn("quality_score",
-          (col("stop_hits") * 100L + col("n_words")).cast("double") / (col("n_chars") + 1L))
         .orderBy("doc_id")
   }
 

@@ -245,6 +245,33 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** G6: streaming curation — the ingest-time form of the batch
+    * [[graft.queries.Curation.curate]] pipeline: quality gate (same
+    * score column, [[graft.queries.TextAnalysis.qualityScoreCol]])
+    * followed by exact content dedup on the same (md5, poly) key pair
+    * as batch D1, keeping each content's FIRST arrival. Compose with
+    * [[nearDupStream]] downstream to also flag near-duplicates at
+    * ingest.
+    *
+    * State: the dedup registry holds one (k1, k2) pair per distinct
+    * surviving content, forever — content dedup has no natural
+    * watermark (a repeat can arrive any time). At 100 TB-of-corpus
+    * scale that registry is ~50 B × distinct docs spread across the
+    * state store; if re-crawl windows make time-bounded dedup
+    * acceptable, watermark the input and swap in
+    * `dropDuplicatesWithinWatermark`. */
+  def curateStream(docs: DataFrame, minQuality: Double = 0.3): DataFrame = {
+    import graft.functions.TextFunctions.{normText, polyHash}
+    docs
+      .withColumn("quality_score",
+        graft.queries.TextAnalysis.qualityScoreCol(col("text")))
+      .filter(col("quality_score") >= minQuality)
+      .withColumn("__k1", md5(normText(col("text"))))
+      .withColumn("__k2", polyHash(normText(col("text"))))
+      .dropDuplicates("__k1", "__k2")
+      .drop("__k1", "__k2")
+  }
+
   /** kvraft's data surface as a stream (/root/reference/src/kvraft):
     * Put replaces, Append concatenates; state per key is emitted after
     * every batch (Get == read the sink). Ops within a batch apply in

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.streaming.{EventRow, SessionOut, Streams}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 object StreamingSpec {
@@ -67,6 +68,38 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set(
         (1L, "reach me at <EMAIL> or <IP>", 1L, 1L),
         (2L, "clean text", 0L, 0L)))
+    } finally query.stop()
+  }
+
+  test("curateStream: quality gate + first-arrival exact dedup match batch semantics") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val good = "the cat sat on the mat and the dog sat too in a fine house"
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val query = Streams.curateStream(mem.toDF())
+      .writeStream.format("memory").queryName("curate_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(StreamingSpec.Doc(1L, good), StreamingSpec.Doc(2L, "zzzz qqqq xxxx"))
+      query.processAllAvailable()
+      mem.addData(StreamingSpec.Doc(3L, good), // exact dup of 1 -> dropped
+        StreamingSpec.Doc(4L, good + " extra words here of the same kind"))
+      query.processAllAvailable()
+      val got = spark.table("curate_stream").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // batch curate on the same corpus (arrival order == id order, so
+      // first-arrival == min-id survivor)
+      val batch = Seq((1L, good), (2L, "zzzz qqqq xxxx"), (3L, good),
+        (4L, good + " extra words here of the same kind")).toDF("doc_id", "text")
+      val want = Graft.curate(batch, dropNearDups = false)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == want && got == Set(1L, 4L))
+      // the streaming gate uses the SAME score as the batch operator
+      val colScore = batch.select(col("doc_id"),
+        graft.queries.TextAnalysis.qualityScoreCol(col("text")).as("s"))
+      val opScore = Graft.qualityScores(batch).select(col("doc_id"),
+        col("quality_score").as("s"))
+      assert(colScore.exceptAll(opScore).count() == 0)
     } finally query.stop()
   }
 
