@@ -48,10 +48,6 @@ object ConnectedComponents {
       src: String = "src",
       dst: String = "dst",
       maxRounds: Int = 64): (DataFrame, Int) = {
-    val nodes = edges.select(col(src).cast("long").as("n"))
-      .union(edges.select(col(dst).cast("long").as("n")))
-      .filter(col("n").isNotNull)
-      .distinct()
 
     val sc = edges.sparkSession.sparkContext
     // localCheckpoint registers persisted RDDs that Dataset.unpersist
@@ -66,11 +62,23 @@ object ConnectedComponents {
     def release(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
 
+    // checkpoint the RAW edge list once: the node set (needed for the
+    // final labeling) and the canonical edge set both derive from it —
+    // without this, building `nodes` re-evaluates the caller's whole
+    // pair-generation pipeline a second time. Stays persisted for the
+    // life of the returned frame (the labels join reads it lazily).
+    val (raw, _) = checkpointTracked(edges
+      .select(col(src).cast("long").as("s"), col(dst).cast("long").as("d")))
+    val nodes = raw.select(col("s").as("n"))
+      .union(raw.select(col("d").as("n")))
+      .filter(col("n").isNotNull)
+      .distinct()
+
     // canonical parent pointers: child > parent, no self loops
-    var (e, eIds) = checkpointTracked(edges
-      .filter(col(src).isNotNull && col(dst).isNotNull && col(src) =!= col(dst))
-      .select(greatest(col(src), col(dst)).cast("long").as("c"),
-        least(col(src), col(dst)).cast("long").as("p"))
+    var (e, eIds) = checkpointTracked(raw
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+      .select(greatest(col("s"), col("d")).as("c"),
+        least(col("s"), col("d")).as("p"))
       .distinct())
 
     // cheap per-round fixpoint probe: (edge count, order-independent
