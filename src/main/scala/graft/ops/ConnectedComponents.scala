@@ -49,25 +49,24 @@ object ConnectedComponents {
       dst: String = "dst",
       maxRounds: Int = 64): (DataFrame, Int) = {
 
-    val sc = edges.sparkSession.sparkContext
     // localCheckpoint registers persisted RDDs that Dataset.unpersist
-    // cannot release; track the ids each round creates so superseded
-    // rounds can be freed — otherwise O(log n) full edge-set copies
-    // stay pinned in block storage until session end
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
+    // cannot release; hold each round's exact checkpoint RDD (via the
+    // bridge — never a global-registry diff, which would race with
+    // concurrent jobs' checkpoints) so superseded rounds can be freed —
+    // otherwise O(log n) full edge-set copies stay pinned in block
+    // storage until session end
+    type CkRdd = Option[org.apache.spark.rdd.RDD[_]]
+    def checkpointTracked(df: DataFrame): (DataFrame, CkRdd) = {
       val ck = df.localCheckpoint(false)
-      (ck, sc.getPersistentRDDs.keySet.toSet -- before)
+      (ck, org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(ck))
     }
-    def release(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    def release(r: CkRdd): Unit = r.foreach(_.unpersist(blocking = false))
 
     // checkpoint the RAW edge list once: the node set (needed for the
     // final labeling) and the canonical edge set both derive from it —
     // without this, building `nodes` re-evaluates the caller's whole
-    // pair-generation pipeline a second time. Stays persisted for the
-    // life of the returned frame (the labels join reads it lazily).
-    val (raw, _) = checkpointTracked(edges
+    // pair-generation pipeline a second time
+    val (raw, rawRdd) = checkpointTracked(edges
       .select(col(src).cast("long").as("s"), col(dst).cast("long").as("d")))
     val nodes = raw.select(col("s").as("n"))
       .union(raw.select(col("d").as("n")))
@@ -75,7 +74,7 @@ object ConnectedComponents {
       .distinct()
 
     // canonical parent pointers: child > parent, no self loops
-    var (e, eIds) = checkpointTracked(raw
+    var (e, eRdd) = checkpointTracked(raw
       .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
       .select(greatest(col("s"), col("d")).as("c"),
         least(col("s"), col("d")).as("p"))
@@ -115,7 +114,7 @@ object ConnectedComponents {
       // one, and c itself re-points there — stars flatten
       val minp = ls.groupBy("c").agg(min(col("p")).as("m"))
       // lazy checkpoint: the signature probe is the materializing action
-      val (ss, ssIds) = checkpointTracked(ls.join(minp, "c")
+      val (ss, ssRdd) = checkpointTracked(ls.join(minp, "c")
         .filter(col("p") =!= col("m"))
         .select(col("p").as("c"), col("m").as("p"))
         .union(minp.select(col("c"), col("m").as("p")))
@@ -124,9 +123,9 @@ object ConnectedComponents {
       if (nsig == sig && ss.exceptAll(e).isEmpty) converged = true
       // the previous round's blocks are dead once ss is materialized
       // (ss no longer recomputes from them — it IS a checkpoint)
-      release(eIds)
+      release(eRdd)
       e = ss
-      eIds = ssIds
+      eRdd = ssRdd
       sig = nsig
     }
     require(converged,
@@ -134,9 +133,15 @@ object ConnectedComponents {
         "(bound is ~2·log2(n) for the star algorithm — raise maxRounds)")
 
     // at the fixpoint e is a star forest: (node → component min) for
-    // every non-root; roots and isolated nodes label themselves
-    (nodes.join(e, nodes("n") === e("c"), "left")
-      .select(col("n").as("node"), coalesce(col("p"), col("n")).as("component")),
-      round)
+    // every non-root; roots and isolated nodes label themselves.
+    // The labels are checkpointed EAGERLY so every edge-set copy (raw
+    // + final round) can be released here — only the node-sized label
+    // frame stays persisted for the life of the returned DataFrame.
+    val labels = nodes.join(e, nodes("n") === e("c"), "left")
+      .select(col("n").as("node"), coalesce(col("p"), col("n")).as("component"))
+      .localCheckpoint() // eager
+    release(rawRdd)
+    release(eRdd)
+    (labels, round)
   }
 }

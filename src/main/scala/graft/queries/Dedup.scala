@@ -156,6 +156,15 @@ object Dedup {
         WHERE CAST($agree AS DOUBLE) / $MinhashK >= 0.5)"""
   }
 
+  /** The D1 content-identity key pair — (md5, poly) over normalized
+    * text; collision safety comes from pairing two independent hashes.
+    * THE single definition of exact-dup identity: [[exactDuplicates]],
+    * [[exactDupPairs]], [[exactSurvivors]], and the streaming
+    * [[graft.streaming.Streams.curateStream]] all key on exactly this
+    * pair, so batch and streaming dedup can never drift apart. */
+  def contentKeyCols(text: Column): (Column, Column) =
+    (md5(normText(text)), polyHash(normText(text)))
+
   /** D1: exact dedup — group on normalized text, min-doc_id survivor.
     * At scale: group on a HASH of the normalized text (poly + md5), never
     * the text itself, so the shuffle carries 24 bytes per doc, not the
@@ -163,10 +172,9 @@ object Dedup {
   /** Public API: [[qDedupExact]] semantics over any frame with
     * (doc_id, text). */
   def exactDuplicates(docs: DataFrame): DataFrame = {
+      val (k1, k2) = contentKeyCols(col("text"))
       val keyed = docs
-        .select(col("doc_id"),
-          md5(normText(col("text"))).as("k1"),
-          polyHash(normText(col("text"))).as("k2"))
+        .select(col("doc_id"), k1.as("k1"), k2.as("k2"))
       val grp = Window.partitionBy(col("k1"), col("k2"))
       keyed
         .select(col("doc_id"),
@@ -181,14 +189,14 @@ object Dedup {
     * in ONE place, shared by [[exactDuplicates]]'s callers that need
     * pair form ([[Clusters.dedupClusters]]). Narrow projection: the
     * window shuffles ~40-byte keys, never text. */
-  private[queries] def exactDupPairs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        md5(normText(col("text"))).as("__k1"),
-        polyHash(normText(col("text"))).as("__k2"))
+  private[queries] def exactDupPairs(docs: DataFrame): DataFrame = {
+    val (k1, k2) = contentKeyCols(col("text"))
+    docs.select(col("doc_id"), k1.as("__k1"), k2.as("__k2"))
       .withColumn("__m", min(col("doc_id")).over(
         Window.partitionBy(col("__k1"), col("__k2"))))
       .filter(col("doc_id") =!= col("__m"))
       .select(col("__m").as("src"), col("doc_id").as("dst"))
+  }
 
   /** The surviving rows of [[exactDuplicates]] with the input's FULL
     * schema preserved — for pipelines ([[Curation.curate]]) that keep
@@ -200,10 +208,9 @@ object Dedup {
     * subtree, which is the right trade at scale (columnar re-scan is
     * cheap, a full-text shuffle is not). */
   def exactSurvivors(docs: DataFrame): DataFrame = {
+    val (k1, k2) = contentKeyCols(col("text"))
     val ids = docs
-      .select(col("doc_id"),
-        md5(normText(col("text"))).as("__k1"),
-        polyHash(normText(col("text"))).as("__k2"))
+      .select(col("doc_id"), k1.as("__k1"), k2.as("__k2"))
       .withColumn("__min",
         min(col("doc_id")).over(Window.partitionBy(col("__k1"), col("__k2"))))
       .filter(col("doc_id") === col("__min"))

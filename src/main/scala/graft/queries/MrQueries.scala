@@ -70,7 +70,8 @@ object MrQueries {
     Some("""SELECT user_id, last_type, last_value, last_k, last_ts, n_ops, purchase_total
       FROM (SELECT user_id,
         event_type AS last_type, value AS last_value,
-        json_extract(props, '$.k')::BIGINT AS last_k,
+        CASE WHEN props IS NOT NULL AND json_valid(props)
+             THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS last_k,
         strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
         count(*) OVER (PARTITION BY user_id) AS n_ops,

@@ -24,13 +24,6 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
-  /** Per-doc top-`k` characteristic terms, ranked by (tf DESC, df ASC,
-    * term ASC) — highest-frequency-in-doc, rarest-in-corpus first. The
-    * ranking key is ALL-INTEGER on purpose: the induced order is
-    * exactly the classic tf·idf order for fixed tf (idf is monotone
-    * decreasing in df), with a deterministic term tiebreak, and the
-    * driver can hash-check it with no cross-engine float hazard.
-    * [[tfidf]] exposes the real-valued score for library users. */
   /** The (doc_id, term, tf) matrix and its (term, df) marginal — the
     * shared base of [[topTerms]], [[tfidf]], and (inlined per query
     * term) [[searchBm25]]. */
@@ -41,6 +34,13 @@ object Ranking {
     (tf, tf.groupBy("term").agg(count(lit(1)).as("df")))
   }
 
+  /** Per-doc top-`k` characteristic terms, ranked by (tf DESC, df ASC,
+    * term ASC) — highest-frequency-in-doc, rarest-in-corpus first. The
+    * ranking key is ALL-INTEGER on purpose: the induced order is
+    * exactly the classic tf·idf order for fixed tf (idf is monotone
+    * decreasing in df), with a deterministic term tiebreak, and the
+    * driver can hash-check it with no cross-engine float hazard.
+    * [[tfidf]] exposes the real-valued score for library users. */
   def topTerms(docs: DataFrame, k: Int = 5): DataFrame = {
     val (tf, df) = termFreqs(docs)
     tf.join(df, "term")

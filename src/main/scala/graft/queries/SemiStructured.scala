@@ -42,8 +42,12 @@ object SemiStructured {
         min(k) AS min_k,
         max(k) AS max_k
       FROM (SELECT event_type,
+              -- json_type guard mirrors from_json's typed parse: a
+              -- string-typed "5" or a double 6.9 is NULL in Spark's
+              -- k BIGINT struct, so only integer-typed values count
               CASE WHEN props IS NOT NULL AND json_valid(props)
-                   THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    AND json_type(json_extract(props, '$.k')) IN ('BIGINT', 'UBIGINT')
+                   THEN CAST(json_extract(props, '$.k') AS BIGINT)
               END AS k
             FROM events) t
       GROUP BY event_type

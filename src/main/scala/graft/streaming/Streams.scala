@@ -253,6 +253,14 @@ object Streams {
     * [[nearDupStream]] downstream to also flag near-duplicates at
     * ingest.
     *
+    * Survivor identity: across micro-batches the first arrival wins
+    * (deterministic). WITHIN one micro-batch, duplicates keep an
+    * arbitrary member — `dropDuplicates` state sees rows in partition
+    * order, and streaming plans cannot sort — so the kept ROW may
+    * differ from batch [[graft.queries.Curation.curate]]'s min-doc_id
+    * survivor when duplicates co-arrive; the kept CONTENT set is
+    * always identical.
+    *
     * State: the dedup registry holds one (k1, k2) pair per distinct
     * surviving content, forever — content dedup has no natural
     * watermark (a repeat can arrive any time). At 100 TB-of-corpus
@@ -261,13 +269,13 @@ object Streams {
     * acceptable, watermark the input and swap in
     * `dropDuplicatesWithinWatermark`. */
   def curateStream(docs: DataFrame, minQuality: Double = 0.3): DataFrame = {
-    import graft.functions.TextFunctions.{normText, polyHash}
+    val (k1, k2) = graft.queries.Dedup.contentKeyCols(col("text"))
     docs
       .withColumn("quality_score",
         graft.queries.TextAnalysis.qualityScoreCol(col("text")))
       .filter(col("quality_score") >= minQuality)
-      .withColumn("__k1", md5(normText(col("text"))))
-      .withColumn("__k2", polyHash(normText(col("text"))))
+      .withColumn("__k1", k1)
+      .withColumn("__k2", k2)
       .dropDuplicates("__k1", "__k2")
       .drop("__k1", "__k2")
   }

@@ -32,6 +32,20 @@ object Bridge {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.analyzed
 
+  /** The materialized RDD behind a (locally) checkpointed Dataset —
+    * `Dataset.unpersist` cannot release checkpoint storage, so callers
+    * that checkpoint per-iteration ([[graft.ops.ConnectedComponents]])
+    * unpersist this RDD directly. Tracking the exact RDD (instead of
+    * diffing the SparkContext-global persistent-RDD registry) keeps
+    * concurrent jobs from releasing each other's blocks. */
+  def checkpointedRdd(df: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+
   /** Register a function on a LIVE session (sessionState is
     * private[sql]; the extensions path only applies at construction). */
   def registerFunction(
