@@ -176,6 +176,22 @@ object ScaleProbe {
     println(f"cc round budget      ${"check"}%9s       $ccRounds rounds <= $roundBudget  PASS")
     ccLabels.unpersist()
 
+    // Distributed prefix sum at 30M rows — the global-window form would
+    // drag all 30M rows through ONE partition; the range+offsets form
+    // must stay parallel and agree with itself across partitionings.
+    val nPs = 30000000L
+    // k = id·odd-constant (no modulus): injective, hash-scattered order
+    val psIn = spark.range(nPs)
+      .select((col("id") * 2654435761L).as("k"), (col("id") % 1000).as("v"))
+    val (psTail, tPs) = time {
+      graft.ops.ScaleOps.prefixSum(psIn, "k", "v", "cum")
+        .agg(max(col("cum"))).head.getLong(0)
+    }
+    val psTotal = psIn.agg(sum(col("v"))).head.getLong(0)
+    println(f"prefix sum           $nPs%9d rows  $tPs%7.1f s  ${nPs / tPs}%9.0f rows/s  (tail $psTail)")
+    assert(psTail == psTotal, s"prefix-sum tail $psTail != total $psTotal")
+    println(f"prefix-sum total     ${"check"}%9s       tail == grand total  PASS")
+
     val nRows = 30000000L
     val big = spark.range(nRows).select(
       pmod(col("id"), lit(1000)).as("k"),

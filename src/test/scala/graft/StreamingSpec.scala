@@ -103,6 +103,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("curateStream content set equals batch curate across random batch splits") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    // seeded corpus: some junk, some dup groups, letter-only tokens
+    val vocab = Vector("the", "cat", "sat", "mat", "dog", "house", "fine", "tree")
+    val docs = (1 to 40).map { i =>
+      val text =
+        if (i % 5 == 0) "zzz qqq" // junk: fails the quality gate
+        else Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      StreamingSpec.Doc(i.toLong, text)
+    }
+    val dupped = docs ++ docs.take(10).map(d => d.copy(doc_id = d.doc_id + 100))
+    val shuffled = rnd.shuffle(dupped)
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val query = Streams.curateStream(mem.toDF())
+      .writeStream.format("memory").queryName("curate_fuzz")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // deliver in random-size micro-batches
+      var rest = shuffled
+      while (rest.nonEmpty) {
+        val (batch, tail) = rest.splitAt(1 + rnd.nextInt(7))
+        mem.addData(batch: _*)
+        query.processAllAvailable()
+        rest = tail
+      }
+      // the kept CONTENT set must equal batch curate's (kept row ids
+      // may differ when duplicates co-arrive — documented contract)
+      val got = spark.table("curate_fuzz").select("text")
+        .collect().map(_.getString(0)).toSet
+      val want = Graft.curate(dupped.toDF("doc_id", "text"), dropNearDups = false)
+        .select("text").collect().map(_.getString(0)).toSet
+      assert(got == want)
+    } finally query.stop()
+  }
+
   test("dedup drops re-delivered event ids within the watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
