@@ -13,7 +13,8 @@ object SparkEntry {
     Analytics.all ++ TextQueries.all ++ MrQueries.all ++ TextAnalysis.all ++
       Dedup.all ++ Similarity.all ++ Multimodal.all ++ Sessions.all ++
       ScaleQueries.all ++ ShardReplay.all ++ Curation.all ++ Clusters.all ++
-      Scrub.all ++ SemiStructured.all ++ Ranking.all ++ Shards.all
+      Scrub.all ++ SemiStructured.all ++ Ranking.all ++ Shards.all ++
+      Contamination.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination (SURVEY.md §2 D9) — the training-data
+  * hygiene pass every serious LLM corpus runs before training: flag
+  * every training document that shares a word n-gram with a held-out
+  * evaluation/benchmark set, so eval answers can't leak into the
+  * training mix (the GPT-3 appendix-C / PaLM "13-gram overlap"
+  * procedure, here parameterized at [[NgramK]] because the synthetic
+  * docs are short).
+  *
+  * Scale shape: both sides reduce to DISTINCT 8-byte shingle poly-hashes
+  * (the same [[graft.functions.NativeExpressions.ShingleHashes]] kernel
+  * the dedup family runs, one native pass per doc). The eval set is
+  * benchmark-sized — orders of magnitude smaller than the corpus — so
+  * its distinct-hash frame broadcasts (AQE does this automatically from
+  * size stats) and the "join" against 100 TB of training shingles is a
+  * map-side hash probe; per-doc hit counts are a map-side-combinable
+  * count. Nothing in the plan shuffles the corpus on anything but
+  * doc_id-local keys.
+  */
+object Contamination {
+
+  /** n-gram width for overlap (13 in the GPT-3 procedure; 8 here so the
+    * ~50-token synthetic docs still carry a meaningful shingle set). */
+  val NgramK = 8
+
+  /** Every doc_id ≡ 0 (mod [[EvalMod]]) plays the held-out benchmark
+    * set — deterministic, so the oracle reproduces the split. */
+  val EvalMod = 23
+
+  /** Per-training-doc contamination stats against an eval frame:
+    * (doc_id, n_shingles, n_hit, hit_ratio, contaminated), one row per
+    * training doc (docs too short to have any [[NgramK]]-gram report
+    * n_shingles = 0, clean). */
+  def decontaminate(train: DataFrame, eval: DataFrame): DataFrame = {
+    def hashed(docs: DataFrame): DataFrame = docs.select(
+      col("doc_id"),
+      array_distinct(
+        graft.functions.NativeExpressions.shingleHashes(col("text"), NgramK)).as("hs"))
+    val trainHs = hashed(train)
+    val evalSet = hashed(eval)
+      .select(explode(col("hs")).as("s")).distinct()
+    val hits = trainHs
+      .select(col("doc_id"), explode(col("hs")).as("s"))
+      .join(evalSet, "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    trainHs
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_shingles") > 0,
+          coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)).as("hit_ratio"),
+        when(coalesce(col("n_hit"), lit(0L)) > 0, 1L).otherwise(0L).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val qDecontaminate: Q = Q(
+    "q_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      decontaminate(
+        docs.filter(col("doc_id") % EvalMod =!= 0),
+        docs.filter(col("doc_id") % EvalMod === 0))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, list_filter(${sqlWords("text")}, t -> t <> '') AS w
+        FROM documents),
+      hashed AS (
+        SELECT doc_id, list_distinct(list_transform(
+          ${sqlShingles("w", NgramK)}, s -> ${sqlPolyHash("s")})) AS hs
+        FROM toks),
+      eval_s AS (
+        SELECT DISTINCT unnest(hs) AS s FROM hashed WHERE doc_id % $EvalMod = 0),
+      ex AS (
+        SELECT doc_id, unnest(hs) AS s FROM hashed WHERE doc_id % $EvalMod <> 0),
+      hits AS (
+        SELECT doc_id, count(*) AS n_hit FROM ex JOIN eval_s USING (s) GROUP BY 1)
+      SELECT t.doc_id,
+        CAST(len(t.hs) AS BIGINT) AS n_shingles,
+        CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+        CASE WHEN len(t.hs) > 0
+          THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / len(t.hs)
+          ELSE 0.0::DOUBLE END AS hit_ratio,
+        CAST(CASE WHEN COALESCE(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+      FROM hashed t LEFT JOIN hits h USING (doc_id)
+      WHERE t.doc_id % $EvalMod <> 0
+      ORDER BY t.doc_id"""))
+
+  val all: Seq[Q] = Seq(qDecontaminate)
+}

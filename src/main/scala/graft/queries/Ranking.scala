@@ -128,6 +128,68 @@ object Ranking {
       .limit(k)
   }
 
+  /** Unigram-LM cross-entropy quality score (SURVEY.md §2 C10) — the
+    * CCNet-style "perplexity filter" of a training-data pipeline, with
+    * the n-gram LM replaced by the corpus's own unigram model (no
+    * external model artifact, fully SQL-expressible):
+    * xent(d) = −(1/|d|) Σ_{t∈d} tf(t,d) · ln(ct(t)/T), where ct is the
+    * corpus count of t and T the total token count. Repetitive,
+    * common-word docs score LOW (kept); rare-garbage docs score HIGH.
+    *
+    * Determinism contract (same as [[searchBm25]]): the per-term double
+    * partials are summed by an ordered array fold (sort by term, then
+    * left-fold from 0.0) — never a float `sum()` aggregate, whose
+    * addition order is partition-dependent. ln is bit-identical JVM vs
+    * DuckDB; per-doc state is O(doc vocabulary), bounded by doc length.
+    *
+    * Scale shape: one (doc, term) hash aggregation (the same tf matrix
+    * the ranking family shares), a vocabulary-sized model frame joined
+    * on term (broadcast when the vocab fits, shuffle otherwise — both
+    * fine), and a per-doc aggregation; no corpus-wide window anywhere. */
+  def unigramXent(docs: DataFrame, threshold: Double = 7.0): DataFrame = {
+    val (tf, _) = termFreqs(docs)
+    val ct = tf.groupBy("term").agg(sum(col("tf")).as("ct"))
+    val tot = ct.agg(sum(col("ct")).as("total"))
+    val part = tf.join(ct, "term").crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf") * log(col("ct").cast("double") / col("total").cast("double")))
+          .as("p"))
+    part.groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sort_array(collect_list(struct(col("term"), col("p")))).as("ps"))
+      .select(col("doc_id"), col("n_tokens"),
+        (-aggregate(col("ps"), lit(0.0), (acc, x) => acc + x.getField("p")) /
+          col("n_tokens").cast("double")).as("xent"))
+      .withColumn("kept", when(col("xent") <= threshold, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  val qUnigramXent: Q = Q(
+    "q_unigram_xent",
+    (s, d) => unigramXent(Tables.documents(s, d)),
+    Some(s"""WITH toks AS (
+        SELECT doc_id, unnest(list_filter(${sqlWords("text")}, t -> t <> '')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      ct AS (SELECT term, sum(tf) AS ct FROM tf GROUP BY 1),
+      tot AS (SELECT sum(ct) AS total FROM ct),
+      part AS (
+        SELECT doc_id, term, tf,
+          tf * ln(CAST(ct AS DOUBLE) / CAST(total AS DOUBLE)) AS p
+        FROM tf JOIN ct USING (term) CROSS JOIN tot),
+      agg AS (
+        SELECT doc_id,
+          CAST(sum(tf) AS BIGINT) AS n_tokens,
+          list(p ORDER BY term) AS ps
+        FROM part GROUP BY doc_id)
+      SELECT doc_id, n_tokens,
+        (-list_reduce(list_prepend(0.0::DOUBLE, ps), (acc, x) -> acc + x))
+          / CAST(n_tokens AS DOUBLE) AS xent,
+        CAST(CASE WHEN (-list_reduce(list_prepend(0.0::DOUBLE, ps), (acc, x) -> acc + x))
+          / CAST(n_tokens AS DOUBLE) <= 7.0::DOUBLE THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM agg
+      ORDER BY doc_id"""))
+
   /** Fixed query for the driver row — three corpus terms spanning
     * high / mid / low document frequency. */
   private val QueryTerms = Seq("spark", "window", "vector")
@@ -167,5 +229,5 @@ object Ranking {
       LIMIT 15"""
     })
 
-  val all: Seq[Q] = Seq(qTfidf, qBm25)
+  val all: Seq[Q] = Seq(qTfidf, qBm25, qUnigramXent)
 }

@@ -97,5 +97,71 @@ object Shards {
       WHERE rk <= 10
       ORDER BY source, rk"""))
 
-  val all: Seq[Q] = Seq(qPackShards, qStratifiedSample)
+  /** Domain-mix resampling (SURVEY.md §2 H6) — the "data mixing" stage
+    * of a training-data pipeline: rebalance the corpus toward a target
+    * token distribution over a grouping column (here: uniform across
+    * groups) by deterministically downsampling over-represented groups.
+    * Each group's keep-rate is min(1, target_tokens / group_tokens) and
+    * each doc's keep/drop draw is the same portable LCG scramble
+    * [[stratifiedSample]] uses — reproducible run to run and engine to
+    * engine, no RNG state anywhere.
+    *
+    * Determinism: rates are a fixed sequence of IEEE ops over exact
+    * integer stats (each individually correctly rounded in any engine);
+    * the keep test compares the integer scramble (< 2^30, exact as a
+    * double) against rate·P.
+    *
+    * Scale shape: group stats are one map-side-combinable aggregation;
+    * the rate frame is #groups rows (broadcast); the sample itself is a
+    * pure map-filter over the corpus. No corpus-wide shuffle at all. */
+  def domainMix(docs: DataFrame, group: String = "lang"): DataFrame = {
+    val per = docs.select(col("doc_id"), col(group),
+      size(words(col("text"))).cast("long").as("n_tokens"),
+      (((col("doc_id") % ScrambleP) * ScrambleA) % ScrambleP)
+        .cast("double").as("scramble"))
+    val gstats = per.groupBy(col(group))
+      .agg(sum(col("n_tokens")).as("g_tokens"))
+    val tstats = gstats.agg(count(lit(1)).as("k"), sum(col("g_tokens")).as("t_tokens"))
+    val rated = gstats.crossJoin(broadcast(tstats))
+      .withColumn("rate", least(lit(1.0),
+        (col("t_tokens").cast("double") * (lit(1.0) / col("k").cast("double"))) /
+          col("g_tokens").cast("double")))
+      .select(col(group), col("rate"))
+    per.join(broadcast(rated), group)
+      .withColumn("keep", col("scramble") < col("rate") * lit(ScrambleP.toDouble))
+  }
+
+  val qDomainMix: Q = Q(
+    "q_domain_mix",
+    (s, d) => domainMix(Tables.documents(s, d))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_before"),
+        sum(col("n_tokens")).as("tok_before"),
+        min(col("rate")).as("rate"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_after"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("tok_after"))
+      .orderBy("lang"),
+    Some(s"""WITH per AS (
+        SELECT doc_id, lang,
+          CAST(len(list_filter(${sqlWords("text")}, t -> t <> '')) AS BIGINT) AS n_tokens,
+          CAST(((doc_id % $ScrambleP) * $ScrambleA) % $ScrambleP AS DOUBLE) AS scramble
+        FROM documents),
+      g AS (SELECT lang, sum(n_tokens) AS g_tokens FROM per GROUP BY 1),
+      t AS (SELECT count(*) AS k, sum(g_tokens) AS t_tokens FROM g),
+      rated AS (
+        SELECT lang, LEAST(1.0::DOUBLE,
+          (CAST(t_tokens AS DOUBLE) * (1.0::DOUBLE / CAST(k AS DOUBLE)))
+            / CAST(g_tokens AS DOUBLE)) AS rate
+        FROM g CROSS JOIN t)
+      SELECT lang,
+        count(*) AS n_before,
+        CAST(sum(n_tokens) AS BIGINT) AS tok_before,
+        min(rate) AS rate,
+        CAST(sum(CASE WHEN scramble < rate * 1000000007.0::DOUBLE THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+        CAST(sum(CASE WHEN scramble < rate * 1000000007.0::DOUBLE THEN n_tokens ELSE 0 END) AS BIGINT) AS tok_after
+      FROM per JOIN rated USING (lang)
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  val all: Seq[Q] = Seq(qPackShards, qStratifiedSample, qDomainMix)
 }

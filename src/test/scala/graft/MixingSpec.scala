@@ -1,0 +1,82 @@
+package graft
+
+import graft.queries.{Contamination, Shards}
+import org.apache.spark.sql.functions._
+
+class MixingSpec extends SparkSpec {
+
+  // letter-only tokens: digits are separators under words()
+  private def tokens(n: Int, tag: String): String =
+    (0 until n).map(i => s"$tag${('a' + i).toChar}").mkString(" ")
+
+  test("decontaminate flags exactly the docs sharing an n-gram with eval") {
+    import spark.implicits._
+    val k = Contamination.NgramK
+    val leaked = tokens(k, "leak") // one exact k-gram
+    val eval = Seq((100L, s"${tokens(3, "pre")} $leaked ${tokens(3, "post")}"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"${tokens(12, "clean")}"),          // no overlap
+      (2L, s"${tokens(5, "x")} $leaked"),       // contains the eval k-gram
+      (3L, tokens(k - 1, "short"))              // too short for any k-gram
+    ).toDF("doc_id", "text")
+    val got = Contamination.decontaminate(train, eval)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    // doc 1: shingles, no hits; doc 2: >=1 hit; doc 3: zero shingles, clean
+    assert(got(1L)._2 == 0L && got(1L)._3 == 0L && got(1L)._1 > 0L)
+    assert(got(2L)._2 >= 1L && got(2L)._3 == 1L)
+    assert(got(3L) == ((0L, 0L, 0L)))
+  }
+
+  test("decontaminate hit count equals the exact distinct-shingle overlap") {
+    import spark.implicits._
+    val k = Contamination.NgramK
+    // train doc = eval doc => every one of its distinct shingles hits
+    val text = tokens(k + 4, "w")
+    val eval = Seq((100L, text)).toDF("doc_id", "text")
+    val train = Seq((1L, text)).toDF("doc_id", "text")
+    val r = Contamination.decontaminate(train, eval).head()
+    assert(r.getLong(1) == 5L) // k+4 tokens -> 5 distinct k-grams
+    assert(r.getLong(2) == 5L)
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("domainMix downsamples only over-represented groups, keeps rates in (0,1]") {
+    import spark.implicits._
+    // group "big" has ~10x the tokens of each small group
+    val docs =
+      (1L to 40L).map(i => (i, "big", tokens(20, "b"))) ++
+        (41L to 44L).map(i => (i, "s1", tokens(20, "c"))) ++
+        (45L to 48L).map(i => (i, "s2", tokens(20, "d")))
+    val out = Shards.domainMix(docs.toDF("doc_id", "lang", "text"), "lang")
+    val summary = out.groupBy("lang")
+      .agg(min("rate").as("rate"), max("rate").as("rate_max"),
+        count(lit(1)).as("n"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    // rate is constant within a group
+    summary.values.foreach { case (lo, hi, _, _) => assert(lo == hi) }
+    // small groups are under target share -> rate capped at 1, all kept
+    assert(summary("s1")._1 == 1.0 && summary("s1")._4 == summary("s1")._3)
+    assert(summary("s2")._1 == 1.0)
+    // the big group is over target -> rate < 1 and some docs dropped
+    val (bigRate, _, bigN, bigKept) = summary("big")
+    assert(bigRate > 0.0 && bigRate < 1.0)
+    assert(bigKept < bigN && bigKept > 0)
+    // target share = total/3 tokens; big keeps ~1/3 of its docs
+    assert(math.abs(bigRate - (48.0 * 20 / 3) / (40.0 * 20)) < 1e-12)
+  }
+
+  test("domainMix keep decisions are deterministic across runs") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b", tokens(10, "t"))).toDF("doc_id", "lang", "text")
+    def keptIds = Shards.domainMix(docs, "lang")
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds == keptIds)
+    assert(keptIds.nonEmpty)
+  }
+}

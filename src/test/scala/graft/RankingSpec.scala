@@ -35,6 +35,47 @@ class RankingSpec extends SparkSpec {
     assert(got((2L, "gamma")) == 1.0 * math.log(2.0 / 1.0))
   }
 
+  test("unigramXent: uniform corpus scores ln(V); rare-word docs score higher") {
+    import spark.implicits._
+    // 4 docs x 2 tokens, every term distinct => p(t) = 1/8 for all,
+    // xent = ln 8 exactly, for every doc
+    val uniform = Seq(
+      (1L, "a b"), (2L, "c d"), (3L, "e f"), (4L, "g h")
+    ).toDF("doc_id", "text")
+    val xs = Ranking.unigramXent(uniform)
+      .select("xent").collect().map(_.getDouble(0))
+    assert(xs.length == 4)
+    xs.foreach(x => assert(math.abs(x - math.log(8.0)) < 1e-12))
+
+    // a doc of corpus-common words scores LOWER than a doc of hapaxes
+    val skewed = Seq(
+      (1L, "the the the the the the the the"),
+      (2L, "qux zot frob wib nib crab drel yab")
+    ).toDF("doc_id", "text")
+    val byId = Ranking.unigramXent(skewed)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byId(1L) < byId(2L))
+    // exact: doc1 xent = -ln(8/16) = ln 2; doc2 terms each ct=1 => ln 16
+    assert(math.abs(byId(1L) - math.log(2.0)) < 1e-12)
+    assert(math.abs(byId(2L) - math.log(16.0)) < 1e-12)
+  }
+
+  test("unigramXent n_tokens matches doc length and fold order is stable") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "beta beta delta")
+    ).toDF("doc_id", "text")
+    val rows = Ranking.unigramXent(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(r => r._1 -> r._2).toMap == Map(1L -> 4L, 2L -> 3L))
+    // hand-compute doc 2 with the same left-fold term order (beta, delta):
+    // p(beta)=3/7, p(delta)=1/7; fold = (0 + 2*ln(3/7)) + 1*ln(1/7)
+    val expect = -((0.0 + 2 * math.log(3.0 / 7.0)) + math.log(1.0 / 7.0)) / 3.0
+    val got = rows.find(_._1 == 2L).get._3
+    assert(got == expect)
+  }
+
   test("searchBm25: more hits and rarer terms rank higher; misses excluded") {
     import spark.implicits._
     val filler = "lorem ipsum dolor sit amet consectetur"
