@@ -63,6 +63,16 @@ object Contamination {
       .orderBy("doc_id")
   }
 
+  /** The gate form: `train` with every contaminated doc removed (the
+    * rows a pipeline would actually feed to training). Anti-join on the
+    * flagged ids — the stats frame stays doc_id-keyed, so the join
+    * shuffles ids only, never text. */
+  def decontamGate(train: DataFrame, eval: DataFrame): DataFrame =
+    train.join(
+      decontaminate(train, eval)
+        .filter(col("contaminated") === 1).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
   val qDecontaminate: Q = Q(
     "q_decontaminate",
     (s, d) => {

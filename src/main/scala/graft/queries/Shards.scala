@@ -121,8 +121,15 @@ object Shards {
         .cast("double").as("scramble"))
     val gstats = per.groupBy(col(group))
       .agg(sum(col("n_tokens")).as("g_tokens"))
-    val tstats = gstats.agg(count(lit(1)).as("k"), sum(col("g_tokens")).as("t_tokens"))
-    val rated = gstats.crossJoin(broadcast(tstats))
+    // global totals via a window over the #groups-row stats frame (NOT a
+    // separate aggregate, which would re-evaluate the whole corpus scan
+    // behind gstats a second time). The unpartitioned window is safe
+    // here by construction: its input is one row per group, never the
+    // corpus.
+    val w = Window.partitionBy()
+    val rated = gstats
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("t_tokens", sum(col("g_tokens")).over(w))
       .withColumn("rate", least(lit(1.0),
         (col("t_tokens").cast("double") * (lit(1.0) / col("k").cast("double"))) /
           col("g_tokens").cast("double")))

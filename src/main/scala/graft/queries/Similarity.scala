@@ -438,7 +438,57 @@ object Similarity {
     topkPerQuery(scored)
   }
 
+  /** Fixed-point quantization scale for [[labelCentroids]]: 2^12, so the
+    * multiply is a pure exponent shift (exact in binary FP). */
+  private val CentroidQ = 4096.0
+
+  /** E5: per-label embedding centroids with ORDER-INDEPENDENT float
+    * aggregation — the corpus-analysis op behind domain clustering /
+    * diversity audits. A naive float `sum()` over vector components is
+    * partition-order dependent (not oracle-able, not reproducible run
+    * to run on a cluster); casting binary floats to decimal rounds
+    * engine-dependently. Instead each component is quantized to a
+    * 1/4096 fixed-point integer — float→double is exact, ×2^12 is a
+    * pure exponent shift, and round-half-away matches across engines —
+    * then INTEGER-summed (exact, commutative, shuffle-safe) and divided
+    * back once at output. The operator's contract is "centroid of the
+    * quantized vectors"; quantization error ≤ 2^-13 per component.
+    *
+    * Scale shape: posexplode to (label, dim, q) then one map-side-
+    * combinable hash aggregation on label×dim keys — a tiny, skew-free
+    * key space no matter how many vectors flow in. Long-format output
+    * (label, dim, centroid), no array columns. */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        round(col("v").cast("double") * CentroidQ).cast("long").as("q"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("qsum"))
+      .select(col("label"), col("dim"), col("n_vecs"),
+        ((col("qsum").cast("double") / col("n_vecs").cast("double")) / CentroidQ)
+          .as("centroid"))
+      .orderBy("label", "dim")
+
+  val qEmbedCentroids: Q = Q(
+    "q_embed_centroids",
+    (s, d) => labelCentroids(Tables.embeddings(s, d)),
+    Some("""WITH ex AS (
+        SELECT CAST(label AS BIGINT) AS label,
+          CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+          unnest(embedding) AS v
+        FROM embeddings),
+      agg AS (
+        SELECT label, dim, count(*) AS n_vecs,
+          CAST(sum(CAST(round(CAST(v AS DOUBLE) * 4096.0::DOUBLE) AS BIGINT)) AS BIGINT) AS qsum
+        FROM ex GROUP BY 1, 2)
+      SELECT label, dim, n_vecs,
+        (CAST(qsum AS DOUBLE) / CAST(n_vecs AS DOUBLE)) / 4096.0::DOUBLE AS centroid
+      FROM agg
+      ORDER BY label, dim"""))
+
   val all: Seq[Q] =
     Seq(qDedupEmbedding, qDedupEmbeddingLsh, qAnnBruteforce, qAnnLsh, qAnnIvf,
-      qKnnLabel)
+      qKnnLabel, qEmbedCentroids)
 }

@@ -280,6 +280,31 @@ object Streams {
       .drop("__k1", "__k2")
   }
 
+  /** G7: streaming decontamination at ingest — the gate form of the
+    * batch [[graft.queries.Contamination.decontamGate]]: every arriving
+    * doc whose distinct word-n-gram hashes overlap the held-out eval
+    * set is dropped before it lands in the corpus.
+    *
+    * Shape: per-doc contamination is INTRA-batch (explode → probe the
+    * static eval frame → per-doc hit count) and the eval set is fixed,
+    * so there is no cross-batch state to keep — the right Structured
+    * Streaming form is the batch operator applied per micro-batch via
+    * `foreachBatch`, not a stateful re-derivation. Each micro-batch
+    * gets the full batch plan (broadcast eval probe included), and
+    * stream output == batch output on the same rows by construction.
+    *
+    * Returns the started query; `each` receives every micro-batch's
+    * surviving docs (wire it to the corpus sink). */
+  def decontamStream(
+      docs: DataFrame,
+      evalDocs: DataFrame)(each: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        each(graft.queries.Contamination.decontamGate(batch, evalDocs))
+      }
+      .start()
+
   /** kvraft's data surface as a stream (/root/reference/src/kvraft):
     * Put replaces, Append concatenates; state per key is emitted after
     * every batch (Get == read the sink). Ops within a batch apply in

@@ -69,6 +69,26 @@ class MixingSpec extends SparkSpec {
     assert(math.abs(bigRate - (48.0 * 20 / 3) / (40.0 * 20)) < 1e-12)
   }
 
+  test("labelCentroids: exact quantized mean, invariant to partitioning") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.5f, -0.25f), 0),
+      (2L, Seq(1.0f, 0.75f), 0),
+      (3L, Seq(-1.0f, 0.125f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.queries.Similarity.labelCentroids(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val got = run(vecs)
+    // values are exact binary fractions: quantization is lossless here
+    assert(got((0L, 0L)) == ((2L, 0.75)))   // (0.5 + 1.0)/2
+    assert(got((0L, 1L)) == ((2L, 0.25)))   // (-0.25 + 0.75)/2
+    assert(got((1L, 0L)) == ((1L, -1.0)))
+    assert(got((1L, 1L)) == ((1L, 0.125)))
+    // shuffle-order independence: different partitioning, identical bits
+    assert(run(vecs.repartition(7)) == got)
+  }
+
   test("domainMix keep decisions are deterministic across runs") {
     import spark.implicits._
     val docs = (1L to 50L).map(i =>

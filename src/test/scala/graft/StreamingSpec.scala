@@ -140,6 +140,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("decontamStream keeps exactly the batch decontamGate survivors") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val k = graft.queries.Contamination.NgramK
+    def toks(n: Int, tag: String): String =
+      (0 until n).map(i => s"$tag${('a' + i).toChar}").mkString(" ")
+    val leaked = toks(k, "leak")
+    val evalDocs = Seq(StreamingSpec.Doc(1000L, s"${toks(2, "p")} $leaked"))
+      .toDF("doc_id", "text")
+    val docs = (1 to 30).map { i =>
+      val text =
+        if (i % 7 == 0) s"${toks(4, "x")} $leaked" // contaminated
+        else toks(k + 4, s"c${('a' + i % 5).toChar}")
+      StreamingSpec.Doc(i.toLong, text)
+    }
+    val got = scala.collection.mutable.Set.empty[Long]
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val query = Streams.decontamStream(mem.toDF(), evalDocs) { clean =>
+      got ++= clean.select("doc_id").collect().map(_.getLong(0))
+    }
+    try {
+      val rnd = new scala.util.Random(11)
+      var rest = rnd.shuffle(docs)
+      while (rest.nonEmpty) {
+        val (batch, tail) = rest.splitAt(1 + rnd.nextInt(6))
+        mem.addData(batch: _*)
+        query.processAllAvailable()
+        rest = tail
+      }
+      val want = graft.queries.Contamination
+        .decontamGate(docs.toDF("doc_id", "text"), evalDocs)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got.toSet == want)
+      assert((1 to 30).filter(_ % 7 == 0).map(_.toLong).forall(id => !want.contains(id)))
+    } finally query.stop()
+  }
+
   test("dedup drops re-delivered event ids within the watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
