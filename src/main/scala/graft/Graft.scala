@@ -122,6 +122,26 @@ object Graft {
     * ([[graft.queries.Shards.stratifiedSample]]). */
   def stratifiedSample(docs: DataFrame, strata: String = "source", n: Int = 10): DataFrame =
     queries.Shards.stratifiedSample(docs, strata, n)
+  /** Domain-mix resampling toward uniform token share per group —
+    * per-doc keep/rate columns ([[graft.queries.Shards.domainMix]]). */
+  def domainMix(docs: DataFrame, group: String = "lang"): DataFrame =
+    queries.Shards.domainMix(docs, group)
+  /** Per-training-doc n-gram-overlap contamination stats against an
+    * eval set ([[graft.queries.Contamination.decontaminate]]). */
+  def decontaminate(train: DataFrame, eval: DataFrame): DataFrame =
+    queries.Contamination.decontaminate(train, eval)
+  /** `train` minus every doc flagged by [[decontaminate]]
+    * ([[graft.queries.Contamination.decontamGate]]). */
+  def decontamGate(train: DataFrame, eval: DataFrame): DataFrame =
+    queries.Contamination.decontamGate(train, eval)
+  /** Unigram-LM cross-entropy quality score, ordered-fold determinism
+    * ([[graft.queries.Ranking.unigramXent]]). */
+  def unigramXent(docs: DataFrame, threshold: Double = 7.0): DataFrame =
+    queries.Ranking.unigramXent(docs, threshold)
+  /** Per-label embedding centroids, order-independent fixed-point sums
+    * ([[graft.queries.Similarity.labelCentroids]]). */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    queries.Similarity.labelCentroids(embeddings)
 
   // ---- Sources / sinks ----
   val sources: graft.sources.Sources.type = graft.sources.Sources

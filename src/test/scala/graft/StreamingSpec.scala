@@ -140,6 +140,52 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateful query resumes from its checkpoint across a restart") {
+    import spark.implicits._
+    // file source (replayable, unlike MemoryStream) + checkpointed state:
+    // stop the query, deliver more data, restart — the rebuilt query must
+    // CONTINUE the per-user counters from the state store, not reset them
+    val root = java.nio.file.Files.createTempDirectory("graft-recov")
+    val src = root.resolve("in"); java.nio.file.Files.createDirectories(src)
+    val ck = root.resolve("ck").toString
+    def writeBatch(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(src.resolve(name),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+    def event(id: Long, user: Long, typ: String): String =
+      s"""{"event_id":$id,"ts":"2024-01-01 00:0$id:00","user_id":$user,"event_type":"$typ","value":1.5}"""
+    val schema = org.apache.spark.sql.Encoders.product[EventRow].schema
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    // memory sink can't recover from a checkpoint; foreachBatch can
+    def start() = Streams.runningUserStats(
+        spark.readStream.schema(schema).json(src.toString).as[EventRow])
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.UserUpdate], _: Long) =>
+        emitted.synchronized {
+          emitted ++= b.collect().map(u => (u.user_id, u.n_events, u.n_purchases))
+        }; ()
+      }
+      .start()
+
+    writeBatch("b1.jsonl", Seq(
+      event(1, 7, "view"), event(2, 7, "purchase"), event(3, 8, "view")))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(emitted.sorted.toSeq == Seq((7L, 2L, 1L), (8L, 1L, 0L)))
+
+    emitted.clear()
+    writeBatch("b2.jsonl", Seq(event(4, 7, "view")))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // the restarted query processes ONLY batch 2 (offsets recovered),
+      // and user 7's counters CONTINUE from the state store: 2 + 1
+      // events, 1 prior purchase — not a reset to (1, 0)
+      assert(emitted.toSeq == Seq((7L, 3L, 1L)))
+    } finally q2.stop()
+  }
+
   test("decontamStream keeps exactly the batch decontamGate survivors") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
