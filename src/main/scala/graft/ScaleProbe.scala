@@ -192,6 +192,35 @@ object ScaleProbe {
     assert(psTail == psTotal, s"prefix-sum tail $psTail != total $psTotal")
     println(f"prefix-sum total     ${"check"}%9s       tail == grand total  PASS")
 
+    // Decontamination at corpus scale: the whole corpus as train, a
+    // ~1-per-499 clone set as the "benchmark". Every eval doc's source
+    // shares its entire shingle set and MUST flag; beyond those, only
+    // the planted near-dup twins of eval sources overlap (accidental
+    // 8-gram collisions across this corpus have expectation « 1). This
+    // assertion is what caught the hash-keyed first cut: joining
+    // 1e9+7-space poly hashes instead of exact shingles birthday-
+    // collided ~1.4k phantom matches at this very size.
+    val evalDocs = docs.filter(col("doc_id") % 499 === 0)
+      .select((col("doc_id") + 10 * nDocs).as("doc_id"), col("text"))
+    val nEval = evalDocs.count()
+    val (nFlagged, tDc) = time {
+      Graft.decontaminate(docs, evalDocs)
+        .filter(col("contaminated") === 1).count()
+    }
+    println(f"decontaminate        $total%9d docs  $tDc%7.1f s  ${total / tDc}%9.0f docs/s  ($nFlagged flagged vs $nEval eval docs)")
+    assert(nFlagged >= nEval && nFlagged <= nEval + 60,
+      s"decontamination drift: $nFlagged flagged vs $nEval planted eval sources (+ <=60 near-dup twins)")
+    println(f"decontam precision   ${"check"}%9s       flagged == planted + twins, no phantom hits  PASS")
+
+    // Unigram-LM scoring: vocabulary model (50 terms here; vocab-sized
+    // generally) broadcast back over the corpus, per-doc ordered folds.
+    val (xStats, tUx) = time {
+      Graft.unigramXent(docs).agg(count(lit(1)), min(col("xent")), max(col("xent"))).head
+    }
+    println(f"unigram xent         $total%9d docs  $tUx%7.1f s  ${total / tUx}%9.0f docs/s  (xent in [${xStats.getDouble(1)}%.2f, ${xStats.getDouble(2)}%.2f])")
+    assert(xStats.getLong(0) == total, s"unigramXent dropped docs: ${xStats.getLong(0)} of $total")
+    println(f"unigram coverage     ${"check"}%9s       one score per doc  PASS")
+
     val nRows = 30000000L
     val big = spark.range(nRows).select(
       pmod(col("id"), lit(1000)).as("k"),

@@ -13,15 +13,26 @@ import org.apache.spark.sql.functions._
   * procedure, here parameterized at [[NgramK]] because the synthetic
   * docs are short).
   *
-  * Scale shape: both sides reduce to DISTINCT 8-byte shingle poly-hashes
-  * (the same [[graft.functions.NativeExpressions.ShingleHashes]] kernel
-  * the dedup family runs, one native pass per doc). The eval set is
+  * Matching is on the EXACT shingle string, not a hash of it. The
+  * first cut joined 1e9+7-space poly hashes and the ScaleProbe caught
+  * it: at 505k docs (27M train shingles × 53k eval shingles) the
+  * birthday bound already manufactures ~1.4k phantom matches — ~1.4×
+  * the real contamination — and at corpus scale a 30-bit key flags
+  * everything. A contamination FLAG must not have hash false
+  * positives: it deletes training data. Exact strings are free here
+  * because the eval side broadcasts (below); if a benchmark set ever
+  * outgrows broadcast, swap the join key for md5(shingle) — 128 bits
+  * keeps the collision expectation at zero for any physical corpus —
+  * never a narrow hash.
+  *
+  * Scale shape: both sides reduce to DISTINCT per-doc shingle sets
+  * (one native-tokenizer pass per doc). The eval set is
   * benchmark-sized — orders of magnitude smaller than the corpus — so
-  * its distinct-hash frame broadcasts (AQE does this automatically from
-  * size stats) and the "join" against 100 TB of training shingles is a
-  * map-side hash probe; per-doc hit counts are a map-side-combinable
-  * count. Nothing in the plan shuffles the corpus on anything but
-  * doc_id-local keys.
+  * its distinct-shingle frame broadcasts (AQE does this automatically
+  * from size stats) and the "join" against 100 TB of training
+  * shingles is a map-side hash probe; per-doc hit counts are a
+  * map-side-combinable count. Nothing in the plan shuffles the corpus
+  * on anything but doc_id-local keys.
   */
 object Contamination {
 
@@ -33,24 +44,25 @@ object Contamination {
     * set — deterministic, so the oracle reproduces the split. */
   val EvalMod = 23
 
+  /** Distinct word-[[NgramK]]-gram strings per doc. */
+  private def shingleSet(docs: DataFrame): DataFrame = docs.select(
+    col("doc_id"),
+    array_distinct(shingles(words(col("text")), NgramK)).as("sh"))
+
   /** Per-training-doc contamination stats against an eval frame:
     * (doc_id, n_shingles, n_hit, hit_ratio, contaminated), one row per
     * training doc (docs too short to have any [[NgramK]]-gram report
     * n_shingles = 0, clean). */
   def decontaminate(train: DataFrame, eval: DataFrame): DataFrame = {
-    def hashed(docs: DataFrame): DataFrame = docs.select(
-      col("doc_id"),
-      array_distinct(
-        graft.functions.NativeExpressions.shingleHashes(col("text"), NgramK)).as("hs"))
-    val trainHs = hashed(train)
-    val evalSet = hashed(eval)
-      .select(explode(col("hs")).as("s")).distinct()
-    val hits = trainHs
-      .select(col("doc_id"), explode(col("hs")).as("s"))
+    val trainSh = shingleSet(train)
+    val evalSet = shingleSet(eval)
+      .select(explode(col("sh")).as("s")).distinct()
+    val hits = trainSh
+      .select(col("doc_id"), explode(col("sh")).as("s"))
       .join(evalSet, "s")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    trainHs
-      .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"))
+    trainSh
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
       .join(hits, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
@@ -84,24 +96,23 @@ object Contamination {
     Some(s"""WITH toks AS (
         SELECT doc_id, list_filter(${sqlWords("text")}, t -> t <> '') AS w
         FROM documents),
-      hashed AS (
-        SELECT doc_id, list_distinct(list_transform(
-          ${sqlShingles("w", NgramK)}, s -> ${sqlPolyHash("s")})) AS hs
+      sh AS (
+        SELECT doc_id, list_distinct(${sqlShingles("w", NgramK)}) AS sh
         FROM toks),
       eval_s AS (
-        SELECT DISTINCT unnest(hs) AS s FROM hashed WHERE doc_id % $EvalMod = 0),
+        SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % $EvalMod = 0),
       ex AS (
-        SELECT doc_id, unnest(hs) AS s FROM hashed WHERE doc_id % $EvalMod <> 0),
+        SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % $EvalMod <> 0),
       hits AS (
         SELECT doc_id, count(*) AS n_hit FROM ex JOIN eval_s USING (s) GROUP BY 1)
       SELECT t.doc_id,
-        CAST(len(t.hs) AS BIGINT) AS n_shingles,
+        CAST(len(t.sh) AS BIGINT) AS n_shingles,
         CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
-        CASE WHEN len(t.hs) > 0
-          THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / len(t.hs)
+        CASE WHEN len(t.sh) > 0
+          THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / len(t.sh)
           ELSE 0.0::DOUBLE END AS hit_ratio,
         CAST(CASE WHEN COALESCE(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
-      FROM hashed t LEFT JOIN hits h USING (doc_id)
+      FROM sh t LEFT JOIN hits h USING (doc_id)
       WHERE t.doc_id % $EvalMod <> 0
       ORDER BY t.doc_id"""))
 
