@@ -133,5 +133,66 @@ object Multimodal {
       FROM h ORDER BY doc_id"""
     })
 
-  val all: Seq[Q] = Seq(qBinaryMeta, qMediaFeatures)
+  /** Bytes per synthetic frame (F3). */
+  val FrameBytes = 64
+  /** Frame-sampling stride: keep every [[FrameStride]]-th frame. */
+  val FrameStride = 4
+
+  /** F3: video frame sampling — the every-Nth-frame decimation a video
+    * training pipeline runs before feature extraction (decoding every
+    * frame of 100 TB of video is the single most expensive step; stride
+    * sampling is how real pipelines make it tractable). Frames are
+    * fixed-[[FrameBytes]] byte windows of the payload (the stub codec's
+    * frame model); the BINARY path is real — header skip, frame slicing
+    * and UTF-8 decode all happen on the bytes — while the per-frame
+    * "features" (poly hash + a luma-like 8-bit projection) stand in for
+    * the stubbed decoder exactly like F2.
+    *
+    * Scale shape: explode(sequence(...)) is a narrow map stage — sampled
+    * frames never shuffle; at stride 4 the output is ≤ 1/4 of payload
+    * bytes, and Catalyst prunes every other column into the scan. */
+  def frameSample(media: DataFrame): DataFrame = {
+    val payloadLen = length(col("content")) - 4
+    val nFrames = ceil(payloadLen.cast("double") / FrameBytes).cast("int")
+    val frame = col("content").substr(
+      lit(5) + col("frame_idx") * FrameBytes, lit(FrameBytes))
+    media
+      .select(col("doc_id"), col("content"),
+        explode(sequence(lit(0), nFrames - 1, lit(FrameStride)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        length(frame).cast("long").as("frame_bytes"),
+        graft.functions.TextFunctions.polyHash(decode(frame, "UTF-8"))
+          .as("f_hash"))
+      .withColumn("luma", col("f_hash") % 256)
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Driver-facing F3 row: sampled frames of the video-typed (riff)
+    * media docs. The payload is the doc text's UTF-8 bytes, so DuckDB
+    * reproduces every frame by char slicing (ASCII corpus: byte ==
+    * codepoint — same contract as sqlPolyHash everywhere else). */
+  val qFrameSample: Q = Q(
+    "q_frame_sample",
+    (s, d) => frameSample(mediaTable(s, d).filter(col("doc_id") % 4 === 3)),
+    Some(s"""WITH vids AS (
+        SELECT doc_id, text,
+          CAST(ceil(octet_length(encode(text)) / ${FrameBytes}.0::DOUBLE) AS BIGINT) AS nf
+        FROM documents WHERE doc_id % 4 = 3),
+      idxed AS (
+        SELECT doc_id, text,
+          unnest(generate_series(0, nf - 1, $FrameStride)) AS frame_idx
+        FROM vids),
+      fr AS (
+        SELECT doc_id, frame_idx,
+          substr(text, CAST(frame_idx * $FrameBytes + 1 AS INT), $FrameBytes) AS frame
+        FROM idxed)
+      SELECT doc_id,
+        CAST(frame_idx AS BIGINT) AS frame_idx,
+        CAST(octet_length(encode(frame)) AS BIGINT) AS frame_bytes,
+        ${sqlPolyHash("frame")} AS f_hash,
+        ${sqlPolyHash("frame")} % 256 AS luma
+      FROM fr ORDER BY doc_id, frame_idx"""))
+
+  val all: Seq[Q] = Seq(qBinaryMeta, qMediaFeatures, qFrameSample)
 }
