@@ -37,17 +37,26 @@ object ConnectedComponents {
       edges: DataFrame,
       src: String = "src",
       dst: String = "dst",
-      maxRounds: Int = 64): DataFrame =
-    connectedComponentsInstrumented(edges, src, dst, maxRounds)._1
+      maxRounds: Int = 64,
+      localFinishEdges: Long = 1000000L): DataFrame =
+    connectedComponentsInstrumented(edges, src, dst, maxRounds,
+      localFinishEdges)._1
 
   /** [[connectedComponents]] plus the number of large-star/small-star
     * rounds it took — the probe-facing variant ([[graft.ScaleProbe]]
-    * asserts the O(log n) regime on a worst-case chain). */
+    * asserts the O(log n) regime on a worst-case chain; the probe
+    * passes `localFinishEdges = 0` to exercise the iteration).
+    *
+    * @param localFinishEdges canonical-edge-count threshold below which
+    *        the fixpoint finishes as one driver-side union-find (see the
+    *        local-finish note in the body); 0 forces the fully
+    *        distributed iteration. */
   def connectedComponentsInstrumented(
       edges: DataFrame,
       src: String = "src",
       dst: String = "dst",
-      maxRounds: Int = 64): (DataFrame, Int) = {
+      maxRounds: Int = 64,
+      localFinishEdges: Long = 1000000L): (DataFrame, Int) = {
 
     // localCheckpoint registers persisted RDDs that Dataset.unpersist
     // cannot release; hold each round's exact checkpoint RDD (via the
@@ -92,7 +101,43 @@ object ConnectedComponents {
       (r.getLong(0), r.getDecimal(1).stripTrailingZeros)
     }
 
-    var sig = signature(e)
+    // local finish: near-dup pair sets are usually orders of magnitude
+    // smaller than the corpus that produced them. When the canonical
+    // edge set fits comfortably on the driver, a union-find there IS
+    // the last O(log n) rounds collapsed into one job — the standard
+    // "finish locally once the frontier fits" move (GraphX does the
+    // same). Above the threshold the star iteration below runs
+    // unchanged, so a 1e9-edge graph never touches driver memory.
+    // The edge count rides the signature job the iterative path needs
+    // anyway, so the check costs nothing extra.
+    val sig0 = signature(e)
+    if (sig0._1 > 0 && sig0._1 <= localFinishEdges) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      e.collect().foreach { row =>
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val labelled = parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "lbl")
+      val labels = nodes
+        .join(broadcast(labelled), nodes("n") === labelled("node"), "left")
+        .select(nodes("n").as("node"),
+          coalesce(col("lbl"), nodes("n")).as("component"))
+        .localCheckpoint() // eager, same contract as the iterative path
+      release(rawRdd)
+      release(eRdd)
+      return (labels, 0)
+    }
+
+    var sig = sig0
     var converged = sig._1 == 0L
     var round = 0
     while (!converged && round < maxRounds) {

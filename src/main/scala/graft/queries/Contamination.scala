@@ -54,24 +54,30 @@ object Contamination {
     * training doc (docs too short to have any [[NgramK]]-gram report
     * n_shingles = 0, clean). */
   def decontaminate(train: DataFrame, eval: DataFrame): DataFrame = {
-    val trainSh = shingleSet(train)
     val evalSet = shingleSet(eval)
       .select(explode(col("sh")).as("s")).distinct()
-    val hits = trainSh
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .join(evalSet, "s")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    trainSh
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
-      .join(hits, Seq("doc_id"), "left")
+      .withColumn("hit", lit(1L))
+    // ONE evaluation of the shingle expression per train doc:
+    // explode_outer (keeps shingle-less docs as a null row, and — unlike
+    // explode — doesn't push a size()>0 filter that would re-evaluate
+    // the whole shingle expression per predicate), broadcast hash probe
+    // against the eval set, and a single map-side-combinable agg that
+    // yields n_shingles and n_hit together. The previous form computed
+    // the shingle array on two separate scans (stats + hits) and the
+    // generator pushdown re-evaluated it up to 4x per row.
+    shingleSet(train)
+      .select(col("doc_id"), explode_outer(col("sh")).as("s"))
+      .join(broadcast(evalSet), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("s")).as("n_shingles"), count(col("hit")).as("n_hit"))
       .select(
         col("doc_id"),
         col("n_shingles"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_hit"),
         when(col("n_shingles") > 0,
-          coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_shingles"))
+          col("n_hit").cast("double") / col("n_shingles"))
           .otherwise(lit(0.0)).as("hit_ratio"),
-        when(coalesce(col("n_hit"), lit(0L)) > 0, 1L).otherwise(0L).as("contaminated"))
+        when(col("n_hit") > 0, 1L).otherwise(0L).as("contaminated"))
       .orderBy("doc_id")
   }
 

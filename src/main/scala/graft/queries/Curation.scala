@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Memo of the exact-dedup survivor stage used twice inside
+    * [[curateClusters]] (see [[graft.ops.PlanCache]]). */
+  private[this] val survivorCache = new graft.ops.PlanCache(capacity = 2)
+
   /** Clean `docs` (doc_id, text, …): keep docs with
     * `quality_score >= minQuality`, then drop exact duplicates (min
     * doc_id survives), then — when `dropNearDups` — drop the larger id
@@ -72,7 +76,15 @@ object Curation {
       docs: DataFrame,
       minQuality: Double = 0.3,
       maxRepRatio: Double = 1.0): DataFrame = {
-    val afterExact = curate(docs, minQuality, dropNearDups = false, maxRepRatio)
+    // memoized-persisted: the survivor frame feeds BOTH the pair
+    // generation (materialized eagerly inside the CC iteration) and the
+    // final anti-join — without it the whole quality+window-dedup chain
+    // runs twice. This function is already eager (the CC fixpoint runs
+    // jobs on call), so the persist doesn't change laziness; the
+    // plan-keyed memo means repeat calls over the same corpus share one
+    // cache entry instead of leaking one per call.
+    val afterExact = survivorCache.memo(
+      curate(docs, minQuality, dropNearDups = false, maxRepRatio))
     val pairs = Dedup.minhashPairs(afterExact).select(col("id_a"), col("id_b"))
     val labels = graft.ops.ConnectedComponents
       .connectedComponents(pairs, "id_a", "id_b")

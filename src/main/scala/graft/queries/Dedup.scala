@@ -53,11 +53,8 @@ object Dedup {
     * holding frames over two datasets) doesn't thrash
     * persist/unpersist on every call; entries whose SparkSession has
     * stopped are dropped eagerly so no dead-session plan is pinned for
-    * JVM lifetime. */
-  private val ShingleCacheSize = 4
-  private type ShingleKey = (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-  private[this] val cachedShingles =
-    scala.collection.mutable.LinkedHashMap.empty[ShingleKey, DataFrame]
+    * JVM lifetime (mechanics in [[graft.ops.PlanCache]]). */
+  private[this] val cachedShingles = new graft.ops.PlanCache(capacity = 4)
 
   /** Distinct mixed 3-shingle hashes of a text column — the signature
     * base shared by every dedup operator AND the streaming near-dup
@@ -88,30 +85,10 @@ object Dedup {
       element_at(sig, 2 * b + 1) * P + element_at(sig, 2 * b + 2)
     }: _*)
 
-  private def hashedShingles(df: DataFrame): DataFrame = synchronized {
-    val base = df.select(col("doc_id"), shingleHashCol(col("text")).as("hs"))
-      .filter(size(col("hs")) > 0)
-    // keyed on (session, plan): canonicalized plans compare equal across
-    // sessions reading the same path, and a hit from a stopped session
-    // would hand back a frame bound to a dead SparkContext
-    val key = (df.sparkSession, base.queryExecution.analyzed.canonicalized)
-    // drop dead-session entries first (their blocks are already gone;
-    // this just releases the pinned session + analyzed plan)
-    cachedShingles.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-    cachedShingles.remove(key) match {
-      case Some(f) =>
-        cachedShingles.put(key, f) // re-insert at LRU tail
-        f
-      case None =>
-        while (cachedShingles.size >= ShingleCacheSize) {
-          val oldest = cachedShingles.head._1
-          cachedShingles.remove(oldest).foreach(_.unpersist(blocking = false))
-        }
-        val f = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cachedShingles.put(key, f)
-        f
-    }
-  }
+  private def hashedShingles(df: DataFrame): DataFrame =
+    cachedShingles.memo(
+      df.select(col("doc_id"), shingleHashCol(col("text")).as("hs"))
+        .filter(size(col("hs")) > 0))
 
   /** Oracle-side twin of [[shingleHashCol]], parameterized on the source
     * relation so composed pipelines ([[Curation]]) can run it over an

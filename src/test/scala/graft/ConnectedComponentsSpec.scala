@@ -24,25 +24,32 @@ class ConnectedComponentsSpec extends SparkSpec {
     touched.map(v => v -> find(v.toInt).toLong).toMap
   }
 
-  private def ccMap(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  /** localFinishEdges = 0 exercises the distributed star iteration;
+    * the default exercises the driver-side local finish. */
+  private def ccMap(edges: Seq[(Long, Long)], localFinish: Long = 1000000L): Map[Long, Long] = {
     import spark.implicits._
-    ConnectedComponents.connectedComponents(edges.toDF("src", "dst"))
+    ConnectedComponents.connectedComponents(edges.toDF("src", "dst"),
+      localFinishEdges = localFinish)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  test("random graphs match a local union-find") {
+  test("random graphs match a local union-find (both execution paths)") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 5) {
       val n = 200 + trial * 100
       val edges = Seq.fill(n / 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-      assert(ccMap(edges) == unionFind(n, edges), s"trial $trial")
+      val want = unionFind(n, edges)
+      assert(ccMap(edges) == want, s"trial $trial (local finish)")
+      assert(ccMap(edges, localFinish = 0L) == want, s"trial $trial (iterative)")
     }
   }
 
   test("worst-case chain collapses to one component (log-round regime)") {
     val chain = (0L until 500L).sliding(2).map(s => (s(0), s(1))).toSeq
-    val got = ccMap(chain)
+    // iterative path: the chain is the round-budget stressor
+    val got = ccMap(chain, localFinish = 0L)
     assert(got.size == 500 && got.values.forall(_ == 0L))
+    assert(ccMap(chain) == got, "local finish must agree on the chain")
   }
 
   test("self loops, duplicates, reversed edges, and isolated pairs") {
