@@ -1,7 +1,12 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
-// temporary plan-inspection scratch (not committed)
-object Scratch {
+
+/** Single-query plan dump for iteration (the `.explain` twin of
+  * [[BenchOne]]): `sbt "runMain graft.Explain q_x [sfDir]"`.
+  * [[Plans]] regenerates the committed PLANS.md audit; this prints one
+  * query's physical plan without touching the artifact. */
+object Explain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().withExtensions(new GraftExtensions)
       .master("local[8]").config("spark.sql.shuffle.partitions", "8")
