@@ -66,6 +66,11 @@ object Graft {
     * is the minimum reachable node id. */
   def connectedComponents(edges: DataFrame, src: String = "src", dst: String = "dst"): DataFrame =
     graft.ops.ConnectedComponents.connectedComponents(edges, src, dst)
+  /** Fixed-iteration integer-exact PageRank over any (src, dst) edge
+    * list ([[graft.ops.PageRank]]). */
+  def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
+      iterations: Int = 5): DataFrame =
+    graft.ops.PageRank.pageRank(edges, src, dst, iterations)
   def shardOwnership(configOps: DataFrame): DataFrame =
     queries.ShardReplay.shardOwnership(configOps)
   def shardReplay(configOps: DataFrame, keyOps: DataFrame): DataFrame =

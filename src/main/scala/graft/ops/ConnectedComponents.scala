@@ -58,18 +58,9 @@ object ConnectedComponents {
       maxRounds: Int = 64,
       localFinishEdges: Long = 1000000L): (DataFrame, Int) = {
 
-    // localCheckpoint registers persisted RDDs that Dataset.unpersist
-    // cannot release; hold each round's exact checkpoint RDD (via the
-    // bridge — never a global-registry diff, which would race with
-    // concurrent jobs' checkpoints) so superseded rounds can be freed —
-    // otherwise O(log n) full edge-set copies stay pinned in block
-    // storage until session end
-    type CkRdd = Option[org.apache.spark.rdd.RDD[_]]
-    def checkpointTracked(df: DataFrame): (DataFrame, CkRdd) = {
-      val ck = df.localCheckpoint(false)
-      (ck, org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(ck))
-    }
-    def release(r: CkRdd): Unit = r.foreach(_.unpersist(blocking = false))
+    // tracked checkpoints: see graft.ops.Checkpoints for why each
+    // round's blocks must be released explicitly
+    import Checkpoints.{tracked => checkpointTracked, release}
 
     // checkpoint the RAW edge list once: the node set (needed for the
     // final labeling) and the canonical edge set both derive from it —
