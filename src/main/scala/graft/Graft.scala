@@ -131,6 +131,18 @@ object Graft {
     * per-doc keep/rate columns ([[graft.queries.Shards.domainMix]]). */
   def domainMix(docs: DataFrame, group: String = "lang"): DataFrame =
     queries.Shards.domainMix(docs, group)
+  /** Classify every doc across two corpus snapshots as
+    * added/removed/changed/same ([[graft.queries.SnapshotDiff]]). */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =
+    queries.SnapshotDiff.snapshotDiff(oldDocs, newDocs)
+  /** Rewrite the corpus with every repeated word block excised from all
+    * but its first occurrence ([[graft.queries.Blocks.blockDedup]]). */
+  def blockDedup(docs: DataFrame): DataFrame =
+    queries.Blocks.blockDedup(docs)
+  /** fastText-style hashed-feature linear quality score per doc
+    * ([[graft.queries.QualityModel.modelQuality]]). */
+  def modelQuality(docs: DataFrame): DataFrame =
+    queries.QualityModel.modelQuality(docs)
   /** Per-training-doc n-gram-overlap contamination stats against an
     * eval set ([[graft.queries.Contamination.decontaminate]]). */
   def decontaminate(train: DataFrame, eval: DataFrame): DataFrame =

@@ -14,7 +14,8 @@ object SparkEntry {
       Dedup.all ++ Similarity.all ++ Multimodal.all ++ Sessions.all ++
       ScaleQueries.all ++ ShardReplay.all ++ Curation.all ++ Clusters.all ++
       Scrub.all ++ SemiStructured.all ++ Ranking.all ++ Shards.all ++
-      Contamination.all ++ Blocks.all ++ QualityModel.all ++ GraphRank.all
+      Contamination.all ++ Blocks.all ++ QualityModel.all ++ GraphRank.all ++
+      SnapshotDiff.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
