@@ -131,6 +131,10 @@ object Graft {
     * per-doc keep/rate columns ([[graft.queries.Shards.domainMix]]). */
   def domainMix(docs: DataFrame, group: String = "lang"): DataFrame =
     queries.Shards.domainMix(docs, group)
+  /** Per-dimension int8 min/max quantization of an embedding column
+    * ([[graft.queries.Quantize.quantizeInt8]]). */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    queries.Quantize.quantizeInt8(embeddings)
   /** Classify every doc across two corpus snapshots as
     * added/removed/changed/same ([[graft.queries.SnapshotDiff]]). */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =
