@@ -53,6 +53,50 @@ object Shards {
       FROM cum
       ORDER BY doc_id"""))
 
+  /** Token-level sequence packing (H8) — the GPT-style concat-and-chop
+    * trainer prep: the corpus is one token stream in doc_id order,
+    * chopped into fixed `contextLen` sequences; each doc reports the
+    * sequence it starts in, its offset there, and how many sequences it
+    * SPANS (a doc longer than the remainder of its sequence crosses the
+    * boundary — the thing [[packShards]]'s whole-doc bucketing cannot
+    * express, and the reason loaders need these offsets). Same
+    * scale shape as H4: the absolute token offset is the distributed
+    * [[ScaleOps.prefixSum]], everything after is a map stage. */
+  def packSequences(docs: DataFrame, contextLen: Long = 256): DataFrame = {
+    require(contextLen > 0, "contextLen must be positive")
+    val toks = docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_tokens"))
+    ScaleOps.prefixSum(toks, "doc_id", "n_tokens", "cum_tokens")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(cum_tokens - n_tokens) div $contextLen").as("seq_first"),
+        expr(s"(cum_tokens - n_tokens) % $contextLen").as("seq_offset"),
+        when(col("n_tokens") > 0,
+          expr(s"(cum_tokens - 1) div $contextLen") -
+            expr(s"(cum_tokens - n_tokens) div $contextLen") + 1)
+          .otherwise(0L).as("n_seqs"))
+      .orderBy("doc_id")
+  }
+
+  val qPackSequences: Q = Q(
+    "q_pack_sequences",
+    (s, d) => packSequences(Tables.documents(s, d)),
+    Some(s"""WITH toks AS (
+        SELECT doc_id,
+          CAST(len(list_filter(${sqlWords("text")}, t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM documents),
+      cum AS (
+        SELECT doc_id, n_tokens,
+          CAST(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM toks)
+      SELECT doc_id, n_tokens,
+        (cum_tokens - n_tokens) // 256 AS seq_first,
+        (cum_tokens - n_tokens) % 256 AS seq_offset,
+        CAST(CASE WHEN n_tokens > 0
+          THEN (cum_tokens - 1) // 256 - (cum_tokens - n_tokens) // 256 + 1
+          ELSE 0 END AS BIGINT) AS n_seqs
+      FROM cum ORDER BY doc_id"""))
+
   /** Multiplier/modulus of the portable id scrambler (a fixed LCG step —
     * reproducible in any engine, unlike xxhash). */
   private val ScrambleA = 2654435761L
@@ -170,5 +214,5 @@ object Shards {
       GROUP BY lang
       ORDER BY lang"""))
 
-  val all: Seq[Q] = Seq(qPackShards, qStratifiedSample, qDomainMix)
+  val all: Seq[Q] = Seq(qPackShards, qPackSequences, qStratifiedSample, qDomainMix)
 }

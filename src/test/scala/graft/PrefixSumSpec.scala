@@ -57,6 +57,24 @@ class PrefixSumSpec extends SparkSpec {
     }
   }
 
+  test("packSequences: the token stream chops contiguously, spans are exact") {
+    val L = 128L
+    val out = graft.queries.Shards
+      .packSequences(Tables.documents(spark, sfDir), contextLen = L).collect()
+    var cum = 0L
+    out.foreach { r =>
+      val (n, seqFirst, off, nSeqs) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(seqFirst == cum / L) // doc starts exactly where the stream left off
+      assert(off == cum % L)
+      val wantSpans = if (n == 0) 0L else (cum + n - 1) / L - cum / L + 1
+      assert(nSeqs == wantSpans)
+      cum += n
+    }
+    // boundary-crossing docs exist in the corpus, so spans > 1 is exercised
+    assert(out.exists(_.getLong(4) > 1))
+  }
+
   test("stratifiedSample: n per stratum, deterministic across runs") {
     val docs = Tables.documents(spark, sfDir)
     val a = Graft.stratifiedSample(docs, n = 7).collect().map(_.toSeq).toSeq
