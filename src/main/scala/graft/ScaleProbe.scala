@@ -176,6 +176,35 @@ object ScaleProbe {
     println(f"cc round budget      ${"check"}%9s       $ccRounds rounds <= $roundBudget  PASS")
     ccLabels.unpersist()
 
+    // PageRank over a 4M-edge scale-free-ish graph (every node points
+    // at 2 hash-random targets biased toward low ids — a hub-heavy
+    // in-degree distribution), ABOVE the edge-broadcast threshold so
+    // the shuffle-join iteration path is what's measured. Integer
+    // fixed-point: total mass can only shrink (floor divisions), never
+    // drift — the conservation bound is asserted, and the biased
+    // targets must outrank the median node.
+    val nPr = 2000000L
+    val prEdges = spark.range(nPr).select(col("id").as("src"),
+      pmod(xxhash64(col("id")), col("id") / 2 + 1).as("dst"))
+      .unionByName(spark.range(nPr).select(col("id").as("src"),
+        pmod(xxhash64(col("id") * 31 + 7), lit(nPr)).as("dst")))
+    val (pr, tPr) = time {
+      graft.ops.PageRank.pageRank(prEdges, iterations = 3,
+        broadcastEdgesBelow = 0L).persist()
+    }
+    val prStats = pr.agg(count(lit(1)), sum(col("rank")),
+      max(col("rank")), min(col("rank"))).head()
+    val prMass = prStats.getLong(1)
+    val fullMass = prStats.getLong(0) * graft.ops.PageRank.Unit
+    println(f"pagerank (3 iters)   ${nPr * 2}%9d edges $tPr%7.1f s  ${nPr * 2 / tPr}%9.0f edges/s  (${prStats.getLong(0)} nodes)")
+    assert(prMass <= fullMass && prMass > fullMass * 97 / 100,
+      s"rank mass $prMass vs initial $fullMass — rounding may only shave, not drift")
+    val hubRank = pr.filter(col("node") === 0L).select("rank").head().getLong(0)
+    assert(hubRank > 20L * graft.ops.PageRank.Unit,
+      s"node 0 (the in-degree hub) ranks $hubRank — expected a strong hub signal")
+    println(f"pagerank sanity      ${"check"}%9s       mass conserved, hub ranks ${hubRank / graft.ops.PageRank.Unit}x uniform  PASS")
+    pr.unpersist()
+
     // Distributed prefix sum at 30M rows — the global-window form would
     // drag all 30M rows through ONE partition; the range+offsets form
     // must stay parallel and agree with itself across partitionings.
