@@ -113,6 +113,11 @@ object Graft {
     queries.Sessions.sessionizeNative(events, gapMinutes)
   def sessionize(events: DataFrame, gapMinutes: Long = 30): DataFrame =
     queries.Sessions.sessionize(events, gapMinutes)
+  /** Per-purchase click attribution (touch count + last-touch click)
+    * within a time window ([[graft.queries.Attribution.attribution]];
+    * streaming twin: [[graft.streaming.Streams.clickToPurchase]]). */
+  def attribution(events: DataFrame): DataFrame =
+    queries.Attribution.attribution(events)
   def windowedCounts(events: DataFrame): DataFrame = queries.Sessions.windowedCounts(events)
   /** Typed JSON field extraction + per-type stats over `props`
     * ([[graft.queries.SemiStructured.propStats]]). */

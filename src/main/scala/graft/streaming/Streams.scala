@@ -176,13 +176,13 @@ object Streams {
         col("event_id").as("click_id"))
     val p = purchases.withWatermark("ts", watermark)
       .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
-        col("value").as("purchase_value"))
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
     c.join(p,
       col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
       .select(col("user_id"), col("click_id"), col("click_ts"),
-        col("purchase_ts"), col("purchase_value"))
+        col("purchase_id"), col("purchase_ts"), col("purchase_value"))
   }
 
   /** Streaming MinHash near-dup detection — the ingest-time form of the

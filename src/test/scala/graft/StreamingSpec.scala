@@ -389,6 +389,50 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("clickToPurchase emits exactly the batch attribution pairs on real events") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val W = graft.queries.Attribution.WindowMin
+    val events = Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventRow].collect().toSeq
+    // batch truth: the q_attribution join condition, in pair form
+    val ev = Tables.events(spark, sfDir)
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("cid"), $"ts".as("cts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"event_id".as("pid"), $"ts".as("pts"))
+    val batchPairs = c.join(p,
+      $"user_id" === $"pu" && $"cts" <= $"pts" &&
+        $"pts" <= $"cts" + org.apache.spark.sql.functions.expr(s"INTERVAL $W MINUTES"))
+      .select("cid", "pid").as[(Long, Long)].collect().toSet
+    assert(batchPairs.nonEmpty)
+
+    val clicks = MemoryStream[EventRow]
+    val purchases = MemoryStream[EventRow]
+    val query = Streams.clickToPurchase(
+      clicks.toDF(), purchases.toDF(), withinMinutes = W)
+      .select($"click_id", $"purchase_id")
+      .writeStream.format("memory").queryName("attrib_pairs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // split by event TIME (streams arrive roughly in order — an
+      // id-based split would feed months-late rows past the watermark,
+      // which the join rightly drops)
+      val cs = events.filter(_.event_type == "click").sortBy(_.ts.getTime)
+      val ps = events.filter(_.event_type == "purchase").sortBy(_.ts.getTime)
+      val cut = events.map(_.ts.getTime).sorted.apply(events.size / 2)
+      clicks.addData(cs.filter(_.ts.getTime <= cut): _*)
+      purchases.addData(ps.filter(_.ts.getTime <= cut): _*)
+      query.processAllAvailable()
+      clicks.addData(cs.filter(_.ts.getTime > cut): _*)
+      purchases.addData(ps.filter(_.ts.getTime > cut): _*)
+      query.processAllAvailable()
+      val got = spark.table("attrib_pairs").as[(Long, Long)].collect().toSet
+      assert(got == batchPairs, s"stream ${got.size} vs batch ${batchPairs.size}")
+    } finally query.stop()
+  }
+
   test("kvStore: put replaces, append concatenates, in ts order") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
