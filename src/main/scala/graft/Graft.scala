@@ -128,13 +128,13 @@ object Graft {
     * scale-safe prefix sum ([[graft.queries.Shards.packShards]]). */
   def packShards(docs: DataFrame, budget: Long = 512): DataFrame =
     queries.Shards.packShards(docs, budget)
-  /** Deterministic per-stratum sample in portable scrambled-id order
-    * ([[graft.queries.Shards.stratifiedSample]]). */
   /** Token-level sequence packing: per-doc (seq_first, seq_offset,
     * n_seqs) at a fixed context length
     * ([[graft.queries.Shards.packSequences]]). */
   def packSequences(docs: DataFrame, contextLen: Long = 256): DataFrame =
     queries.Shards.packSequences(docs, contextLen)
+  /** Deterministic per-stratum sample in portable scrambled-id order
+    * ([[graft.queries.Shards.stratifiedSample]]). */
   def stratifiedSample(docs: DataFrame, strata: String = "source", n: Int = 10): DataFrame =
     queries.Shards.stratifiedSample(docs, strata, n)
   /** Domain-mix resampling toward uniform token share per group —

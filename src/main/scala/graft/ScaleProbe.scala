@@ -161,8 +161,12 @@ object ScaleProbe {
       .select((pmod(xxhash64(col("id")), lit(2000000L)) + nChain).as("src"),
         (pmod(xxhash64(col("id") * 31 + 7), lit(2000000L)) + nChain).as("dst"))
     val ((ccLabels, ccRounds), tCc) = time {
+      // localFinishEdges = 0: the star ITERATION is what this segment
+      // pins — without it a graph under the default threshold would
+      // pass the round-budget assertion vacuously via the local path
       val r = graft.ops.ConnectedComponents
-        .connectedComponentsInstrumented(chain.unionByName(rand))
+        .connectedComponentsInstrumented(chain.unionByName(rand),
+          localFinishEdges = 0L)
       (r._1.persist(), r._2)
     }
     val ccN = ccLabels.count()

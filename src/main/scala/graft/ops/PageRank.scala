@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   * result is bit-identical under retries/speculation AND reproducible
   * in ANSI SQL (the floating-point formulation would be
   * partition-order-dependent in its sum aggregate). The damping update
-  * is `r' = (15·Unit) div 100 + (85·(inflow + dangling div n)) div 100`
-  * — dangling mass (out-degree-0 nodes) is redistributed uniformly, the
-  * standard PageRank correction.
+  * is `r' = (15·Unit) div 100 + (inflow + dangling div n) div 20 · 17`
+  * (85% in overflow-safe divide-first form) — dangling mass
+  * (out-degree-0 nodes) is redistributed uniformly, the standard
+  * PageRank correction.
   *
   * Scale shape per iteration: one equi-join of the rank frame onto the
   * edge list (both (long, long)-narrow), one map-side-combinable sum by
@@ -28,8 +29,11 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** Initial integer rank mass per node (2^30-ish keeps 85·total far
-    * from BIGINT overflow for any physical node count). */
+  /** Initial integer rank mass per node. The damping step divides
+    * BEFORE it multiplies (`div 20 * 17`, see below), so no
+    * intermediate ever exceeds the total corpus mass n·Unit — the only
+    * overflow bound is n·Unit < 2^63, i.e. ~9e9 nodes at this Unit
+    * (drop Unit to trade rank resolution for node count). */
   val Unit = 1000000000L
 
   /** Rank every endpoint node of the directed graph `edges`.
@@ -54,6 +58,8 @@ object PageRank {
       dst: String = "dst",
       iterations: Int = 5,
       broadcastEdgesBelow: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1") // 0 would return
+    // a frame whose released checkpoint blocks can never be re-read
     import Checkpoints.{tracked, release}
 
     val (eCk, eRdd) = tracked(edges
@@ -95,11 +101,17 @@ object PageRank {
           expr("rank div out").as("c"))
       val zeros = rank.select(col("node"), col("out"), lit(0L).as("c"))
       val share = dm / n
+      // damping as `div 20 * 17` (= 85% in 20-unit steps): dividing
+      // FIRST keeps the intermediate <= inflow itself, where
+      // `85 * inflow` would overflow Long once one hub concentrates
+      // ~1.1e17 micro-units (~1e8 nodes' mass) — well inside the
+      // operator's advertised scale. Resolution cost: < 20 micro-units
+      // per node per round, deterministic and mirrored in the oracle.
       val next = zeros.unionByName(contribs)
         .groupBy("node").agg(max(col("out")).as("out"), sum(col("c")).as("inflow"))
         .select(col("node"), col("out"),
           (lit(15 * Unit / 100) +
-            expr(s"(85 * (inflow + ${share}L)) div 100")).as("rank"))
+            expr(s"(inflow + ${share}L) div 20 * 17")).as("rank"))
       val (ck, ckRdd) = tracked(next)
       val s = stats(ck) // materializes ck; superseded round now releasable
       release(rankRdd)

@@ -52,7 +52,7 @@ object GraphRank {
           FROM it${k - 1}),
         it$k AS (
           SELECT g.node, g.out,
-            ${15 * U / 100} + (85 * (coalesce(inf.v, 0) + (SELECT dm FROM st${k - 1}) // (SELECT n FROM st${k - 1}))) // 100 AS rank
+            ${15 * U / 100} + (coalesce(inf.v, 0) + (SELECT dm FROM st${k - 1}) // (SELECT n FROM st${k - 1})) // 20 * 17 AS rank
           FROM deg g LEFT JOIN (
             SELECT e.d AS node, sum(r.rank // r.out) AS v
             FROM it${k - 1} r JOIN e ON r.node = e.s

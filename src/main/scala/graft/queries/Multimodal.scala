@@ -158,7 +158,12 @@ object Multimodal {
       lit(5) + col("frame_idx") * FrameBytes, lit(FrameBytes))
     media
       .select(col("doc_id"), col("content"),
-        explode(sequence(lit(0), nFrames - 1, lit(FrameStride)))
+        // guard: a blob shorter than the header has 0 frames — explode
+        // of the empty array yields no rows (sequence(0, -1, k) would
+        // throw), matching the oracle's empty generate_series
+        explode(when(nFrames > 0,
+          sequence(lit(0), nFrames - 1, lit(FrameStride)))
+          .otherwise(array()))
           .as("frame_idx"))
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         length(frame).cast("long").as("frame_bytes"),

@@ -22,7 +22,7 @@ class PageRankSpec extends SparkSpec {
         _.map { case (s, _) => rank(s) / out(s) }.sum).toMap
       rank = nodes.map(v =>
         v -> (15 * PageRank.Unit / 100 +
-          85 * (inflow.getOrElse(v, 0L) + dm / n) / 100)).toMap
+          (inflow.getOrElse(v, 0L) + dm / n) / 20 * 17)).toMap
     }
     rank
   }
