@@ -131,7 +131,8 @@ object Graft {
   /** Token-level sequence packing: per-doc (seq_first, seq_offset,
     * n_seqs) at a fixed context length
     * ([[graft.queries.Shards.packSequences]]). */
-  def packSequences(docs: DataFrame, contextLen: Long = 256): DataFrame =
+  def packSequences(docs: DataFrame,
+      contextLen: Long = queries.Shards.DefaultContextLen): DataFrame =
     queries.Shards.packSequences(docs, contextLen)
   /** Deterministic per-stratum sample in portable scrambled-id order
     * ([[graft.queries.Shards.stratifiedSample]]). */

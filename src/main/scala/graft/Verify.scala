@@ -9,6 +9,9 @@ object Verify {
     // optional extra args: run only the named queries (inner-loop use;
     // the driver always passes exactly two args = full surface)
     val subset = args.drop(2).toSet
+    val unknown = subset.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, // a typo would otherwise run 0 queries, exit 0
+      s"unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)

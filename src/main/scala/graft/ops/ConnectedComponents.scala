@@ -38,7 +38,7 @@ object ConnectedComponents {
       src: String = "src",
       dst: String = "dst",
       maxRounds: Int = 64,
-      localFinishEdges: Long = 1000000L): DataFrame =
+      localFinishEdges: Long = 200000L): DataFrame =
     connectedComponentsInstrumented(edges, src, dst, maxRounds,
       localFinishEdges)._1
 
@@ -50,13 +50,16 @@ object ConnectedComponents {
     * @param localFinishEdges canonical-edge-count threshold below which
     *        the fixpoint finishes as one driver-side union-find (see the
     *        local-finish note in the body); 0 forces the fully
-    *        distributed iteration. */
+    *        distributed iteration. The default (200k edges ≈ a few MB
+    *        of primitive pairs) is sized so the collect is trivially
+    *        safe on any driver; raise it only with driver heap to
+    *        spare. */
   def connectedComponentsInstrumented(
       edges: DataFrame,
       src: String = "src",
       dst: String = "dst",
       maxRounds: Int = 64,
-      localFinishEdges: Long = 1000000L): (DataFrame, Int) = {
+      localFinishEdges: Long = 200000L): (DataFrame, Int) = {
 
     // tracked checkpoints: see graft.ops.Checkpoints for why each
     // round's blocks must be released explicitly
@@ -111,12 +114,13 @@ object ConnectedComponents {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      e.collect().foreach { row =>
-        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
-        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
-      }
       val spark = edges.sparkSession
       import spark.implicits._
+      // primitive-pair collect (no GenericRow per edge)
+      e.as[(Long, Long)].collect().foreach { case (cNode, pNode) =>
+        val (a, b) = (find(cNode), find(pNode))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
       val labelled = parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "lbl")
       val labels = nodes
         .join(broadcast(labelled), nodes("n") === labelled("node"), "left")

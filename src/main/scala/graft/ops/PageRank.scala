@@ -66,7 +66,13 @@ object PageRank {
       .select(col(src).cast("long").as("s"), col(dst).cast("long").as("d"))
       .filter(col("s").isNotNull && col("d").isNotNull)
       .distinct())
-    val e = if (eCk.count() <= broadcastEdgesBelow) broadcast(eCk) else eCk
+    val eCount = eCk.count()
+    if (eCount == 0L) { // no surviving edges -> no nodes, not a 0/0 share
+      release(eRdd)
+      return edges.sparkSession.range(0)
+        .select(col("id").as("node"), col("id").as("rank"))
+    }
+    val e = if (eCount <= broadcastEdgesBelow) broadcast(eCk) else eCk
     val nodes = e.select(col("s").as("node"))
       .union(e.select(col("d").as("node"))).distinct()
     // (node, out) once; every iteration's rank frame carries `out` so no

@@ -62,7 +62,11 @@ object Shards {
     * express, and the reason loaders need these offsets). Same
     * scale shape as H4: the absolute token offset is the distributed
     * [[ScaleOps.prefixSum]], everything after is a map stage. */
-  def packSequences(docs: DataFrame, contextLen: Long = 256): DataFrame = {
+  /** Default trainer context length (shared with the H8 oracle so the
+    * two cannot drift). */
+  val DefaultContextLen = 256L
+
+  def packSequences(docs: DataFrame, contextLen: Long = DefaultContextLen): DataFrame = {
     require(contextLen > 0, "contextLen must be positive")
     val toks = docs.select(col("doc_id"),
       size(words(col("text"))).cast("long").as("n_tokens"))
@@ -90,10 +94,10 @@ object Shards {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         FROM toks)
       SELECT doc_id, n_tokens,
-        (cum_tokens - n_tokens) // 256 AS seq_first,
-        (cum_tokens - n_tokens) % 256 AS seq_offset,
+        (cum_tokens - n_tokens) // $DefaultContextLen AS seq_first,
+        (cum_tokens - n_tokens) % $DefaultContextLen AS seq_offset,
         CAST(CASE WHEN n_tokens > 0
-          THEN (cum_tokens - 1) // 256 - (cum_tokens - n_tokens) // 256 + 1
+          THEN (cum_tokens - 1) // $DefaultContextLen - (cum_tokens - n_tokens) // $DefaultContextLen + 1
           ELSE 0 END AS BIGINT) AS n_seqs
       FROM cum ORDER BY doc_id"""))
 

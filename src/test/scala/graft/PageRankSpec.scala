@@ -61,6 +61,13 @@ class PageRankSpec extends SparkSpec {
     assert(got(2L) > got(3L), "hub authority propagates one hop")
   }
 
+  test("empty and all-null edge frames yield an empty result, not a crash") {
+    assert(sparkRank(Seq.empty, 3).isEmpty)
+    val nulls = Seq((Some(1L), Option.empty[Long]))
+      .toDF("src", "dst")
+    assert(PageRank.pageRank(nulls, iterations = 3).count() == 0)
+  }
+
   test("duplicate edges collapse and self loops are ordinary edges") {
     val base = Seq(1L -> 2L, 2L -> 1L)
     assert(sparkRank(base ++ base, 3) == sparkRank(base, 3))
