@@ -142,6 +142,12 @@ object Graft {
     * per-doc keep/rate columns ([[graft.queries.Shards.domainMix]]). */
   def domainMix(docs: DataFrame, group: String = "lang"): DataFrame =
     queries.Shards.domainMix(docs, group)
+  /** Long-format column profile (col_name, metric, value) — Deequ-style
+    * stats in one scan ([[graft.queries.Profile.profile]]). */
+  def profile(df: DataFrame, numericCols: Seq[String],
+      stringCols: Seq[String] = Nil, tsCols: Seq[String] = Nil,
+      exactDistinct: Boolean = true): DataFrame =
+    queries.Profile.profile(df, numericCols, stringCols, tsCols, exactDistinct)
   /** Per-dimension int8 min/max quantization of an embedding column
     * ([[graft.queries.Quantize.quantizeInt8]]). */
   def quantizeInt8(embeddings: DataFrame): DataFrame =

@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.{Exact, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data profiling & validation (SURVEY.md §2 I1/I2) — the Deequ-style
+  * quality layer a pipeline runs before trusting 100 TB of input:
+  * per-column statistics (completeness, distinctness, ranges, means)
+  * and declarative constraint checks (ranges, domains, key uniqueness,
+  * referential integrity) with violation counts.
+  *
+  * Scale shape (I1): ONE global aggregation computes every metric for
+  * every profiled column in a single scan (map-side combinable; the
+  * result is one row, exploded to long format driver-side-free). The
+  * exact `count_distinct` metrics force an Expand of the input — the
+  * right call for the oracle-checked row; at true corpus scale pass
+  * `exactDistinct = false` to use HLL `approx_count_distinct`, which
+  * keeps the scan single-pass with bounded sketches. (I2): each
+  * row-level check is a conditional sum in one shared aggregation;
+  * the key-uniqueness and referential checks are the only ones that
+  * shuffle, on the key columns they verify.
+  */
+object Profile {
+
+  private def entry(colName: String, metric: String, value: Column): Column =
+    struct(lit(colName).as("col_name"), lit(metric).as("metric"),
+      value.cast("double").as("value"))
+
+  /** Long-format profile (col_name, metric, value) of the given
+    * numeric / string / timestamp columns. Metrics: n (non-null),
+    * n_null, n_distinct, and per kind min/max/mean (numeric),
+    * min_len/max_len/avg_len (string), min/max epoch millis
+    * (timestamp). */
+  def profile(
+      df: DataFrame,
+      numericCols: Seq[String],
+      stringCols: Seq[String] = Nil,
+      tsCols: Seq[String] = Nil,
+      exactDistinct: Boolean = true): DataFrame = {
+    def nd(c: String): Column =
+      if (exactDistinct) count_distinct(col(c)) else approx_count_distinct(c)
+    def common(c: String): Seq[Column] = Seq(
+      entry(c, "n", count(col(c))),
+      entry(c, "n_null", count(lit(1)) - count(col(c))),
+      entry(c, "n_distinct", nd(c)))
+    // timezone-free epoch (TPC-H timestamps read as TIMESTAMP_NTZ)
+    def epochMs(c: String): Column =
+      expr(s"timestampdiff(MILLISECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', $c)")
+    val entries: Seq[Column] =
+      numericCols.flatMap(c => common(c) ++ Seq(
+        entry(c, "min", min(col(c))),
+        entry(c, "max", max(col(c))),
+        entry(c, "mean", Exact.davg(col(c))))) ++
+      stringCols.flatMap(c => common(c) ++ Seq(
+        entry(c, "min_len", min(length(col(c)))),
+        entry(c, "max_len", max(length(col(c)))),
+        entry(c, "avg_len", Exact.davg(length(col(c)))))) ++
+      tsCols.flatMap(c => common(c) ++ Seq(
+        entry(c, "min_epoch_ms", min(epochMs(c))),
+        entry(c, "max_epoch_ms", max(epochMs(c)))))
+    df.agg(array(entries: _*).as("e"))
+      .select(explode(col("e")).as("e"))
+      .select(col("e.col_name"), col("e.metric"), col("e.value"))
+      .orderBy("col_name", "metric")
+  }
+
+  val qProfile: Q = Q(
+    "q_profile",
+    (s, d) => profile(Tables.orders(s, d),
+      numericCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+      stringCols = Seq("o_orderstatus", "o_orderpriority"),
+      tsCols = Seq("o_orderdate")),
+    Some {
+      def common(c: String): Seq[(String, String, String)] = Seq(
+        (c, "n", s"COUNT($c)::DOUBLE"),
+        (c, "n_null", s"(COUNT(*) - COUNT($c))::DOUBLE"),
+        (c, "n_distinct", s"COUNT(DISTINCT $c)::DOUBLE"))
+      val rows: Seq[(String, String, String)] =
+        Seq("o_orderkey", "o_custkey", "o_totalprice").flatMap(c => common(c) ++ Seq(
+          (c, "min", s"MIN($c)::DOUBLE"),
+          (c, "max", s"MAX($c)::DOUBLE"),
+          (c, "mean", Exact.sqlDavg(c)))) ++
+        Seq("o_orderstatus", "o_orderpriority").flatMap(c => common(c) ++ Seq(
+          (c, "min_len", s"MIN(length($c))::DOUBLE"),
+          (c, "max_len", s"MAX(length($c))::DOUBLE"),
+          (c, "avg_len", Exact.sqlDavg(s"length($c)")))) ++
+        Seq("o_orderdate").flatMap(c => common(c) ++ Seq(
+          (c, "min_epoch_ms", s"MIN(epoch_ms($c::TIMESTAMP))::DOUBLE"),
+          (c, "max_epoch_ms", s"MAX(epoch_ms($c::TIMESTAMP))::DOUBLE")))
+      rows.map { case (cn, m, v) =>
+        s"SELECT '$cn' AS col_name, '$m' AS metric, $v AS value FROM orders"
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name, metric")
+    })
+
+  /** Declarative row-level constraint checks over lineitem:
+    * (check, violations, passed). The five value checks share ONE
+    * aggregation pass; uniqueness and referential integrity each add
+    * one keyed shuffle. */
+  def lineitemChecks(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    def viol(name: String, bad: Column): Column =
+      struct(lit(name).as("check_name"),
+        sum(when(bad, 1L).otherwise(0L)).as("violations"))
+    val rowChecks = lineitem.agg(array(
+      viol("quantity_in_1_50", !(col("l_quantity") >= 1 && col("l_quantity") <= 50)),
+      viol("discount_in_0_1", !(col("l_discount") >= 0 && col("l_discount") <= 1)),
+      viol("extendedprice_positive", !(col("l_extendedprice") > 0)),
+      viol("orderkey_not_null", col("l_orderkey").isNull),
+      viol("returnflag_domain", !col("l_returnflag").isin("A", "N", "R"))).as("e"))
+      .select(explode(col("e")).as("e"))
+      .select(col("e.check_name"), col("e.violations"))
+    val dupKeys = lineitem
+      .groupBy("l_orderkey", "l_linenumber").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("violations"))
+      .select(lit("orderkey_linenumber_unique").as("check_name"), col("violations"))
+    val orphans = lineitem
+      .join(orders.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("orderkey_in_orders").as("check_name"), col("violations"))
+    rowChecks.unionByName(dupKeys).unionByName(orphans)
+      .select(col("check_name"), col("violations"),
+        when(col("violations") === 0, 1L).otherwise(0L).as("passed"))
+      .orderBy("check_name")
+  }
+
+  val qChecks: Q = Q(
+    "q_quality_checks",
+    (s, d) => lineitemChecks(Tables.lineitem(s, d), Tables.orders(s, d)),
+    Some("""WITH rowchecks AS (
+        SELECT * FROM (
+          SELECT 'quantity_in_1_50' AS check_name, sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50) THEN 1 ELSE 0 END) AS violations FROM lineitem
+          UNION ALL
+          SELECT 'discount_in_0_1', sum(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 1) THEN 1 ELSE 0 END) FROM lineitem
+          UNION ALL
+          SELECT 'extendedprice_positive', sum(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) FROM lineitem
+          UNION ALL
+          SELECT 'orderkey_not_null', sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) FROM lineitem
+          UNION ALL
+          SELECT 'returnflag_domain', sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) FROM lineitem
+          UNION ALL
+          SELECT 'orderkey_linenumber_unique',
+            coalesce((SELECT sum(c - 1) FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber) g), 0)
+          UNION ALL
+          SELECT 'orderkey_in_orders',
+            (SELECT count(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+        ))
+      SELECT check_name, CAST(violations AS BIGINT) AS violations,
+        CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+      FROM rowchecks ORDER BY check_name"""))
+
+  val all: Seq[Q] = Seq(qProfile, qChecks)
+}

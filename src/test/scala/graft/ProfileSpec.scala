@@ -1,0 +1,63 @@
+package graft
+
+import graft.queries.Profile
+import org.apache.spark.sql.functions._
+
+/** Data profiling & validation (SURVEY.md §2 I1/I2) semantics. */
+class ProfileSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("profile counts nulls, distincts and ranges on a known frame") {
+    val df = Seq(
+      (Some(1L), Some("ab")), (Some(2L), None),
+      (Some(2L), Some("xyz")), (None, Some("ab")))
+      .toDF("k", "s")
+    val got = Profile.profile(df, numericCols = Seq("k"), stringCols = Seq("s"))
+      .as[(String, String, Double)].collect()
+      .map { case (c, m, v) => (c, m) -> v }.toMap
+    assert(got(("k", "n")) == 3.0 && got(("k", "n_null")) == 1.0)
+    assert(got(("k", "n_distinct")) == 2.0)
+    assert(got(("k", "min")) == 1.0 && got(("k", "max")) == 2.0)
+    assert(got(("s", "n_distinct")) == 2.0)
+    assert(got(("s", "min_len")) == 2.0 && got(("s", "max_len")) == 3.0)
+  }
+
+  test("approx-distinct path stays within HLL tolerance of exact") {
+    val docs = Tables.documents(spark, sfDir)
+    val exact = Profile.profile(docs, Seq("doc_id"), Seq("source"))
+      .filter($"metric" === "n_distinct")
+      .as[(String, String, Double)].collect().map(r => r._1 -> r._3).toMap
+    val approx = Profile.profile(docs, Seq("doc_id"), Seq("source"),
+      exactDistinct = false)
+      .filter($"metric" === "n_distinct")
+      .as[(String, String, Double)].collect().map(r => r._1 -> r._3).toMap
+    exact.foreach { case (c, v) =>
+      assert(math.abs(approx(c) - v) <= math.max(2.0, v * 0.1), s"col $c")
+    }
+  }
+
+  test("quality checks flag planted violations exactly") {
+    val li = Tables.lineitem(spark, sfDir)
+    val bad = li.limit(2)
+      .withColumn("l_quantity", lit(999.0)) // range violation x2
+      .withColumn("l_orderkey", lit(-1L))   // orphan key x2
+    val checks = Profile.lineitemChecks(li.unionByName(bad), Tables.orders(spark, sfDir))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(checks("quantity_in_1_50") == ((2L, 0L)))
+    assert(checks("orderkey_in_orders") == ((2L, 0L)))
+    assert(checks("orderkey_not_null") == ((0L, 1L)))
+    // on the raw corpus: every value/domain/referential check passes,
+    // and the key-uniqueness violation count equals the independently
+    // computed duplicate mass (the synthetic lineitem actually HAS
+    // duplicate (orderkey, linenumber) pairs — the check must see them)
+    val clean = Profile.lineitemChecks(li, Tables.orders(spark, sfDir))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val dupMass = li.count() -
+      li.select("l_orderkey", "l_linenumber").distinct().count()
+    assert(clean("orderkey_linenumber_unique")._1 == dupMass)
+    (clean - "orderkey_linenumber_unique").foreach { case (name, (_, passed)) =>
+      assert(passed == 1L, s"check $name should pass on the raw corpus")
+    }
+  }
+}
