@@ -93,4 +93,19 @@ class GraftFacadeSpec extends SparkSpec {
     assert(hits.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
     assert(hits.head.getLong(1) == 2L) // doc 0: 'cat' + 'mat'
   }
+
+  test("round-4 facade methods run end to end on user frames") {
+    import spark.implicits._
+    assert(Graft.blockDedup(docs).count() == docs.count())
+    assert(Graft.modelQuality(docs).columns.toSeq ==
+      Seq("doc_id", "n_tokens", "model_score", "keep"))
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(Graft.pageRank(edges).count() == 3)
+    assert(Graft.snapshotDiff(docs, docs).filter($"status" =!= "same").count() == 0)
+    val emb = Seq((1L, Array(0f, 1f)), (2L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Graft.quantizeInt8(emb).count() == 4)
+    assert(Graft.packSequences(docs).count() == docs.count())
+    val prof = Graft.profile(docs, Seq("doc_id"), Seq("text"))
+    assert(prof.count() == 12) // 6 metrics per column
+  }
 }
