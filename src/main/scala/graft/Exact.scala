@@ -47,4 +47,13 @@ object Exact {
   /** SQL fragment for the oracle side of [[davg]]. */
   def sqlDavg(expr: String): String =
     s"CAST(ROUND(SUM(CAST(($expr) AS DECIMAL(38,10))), 4) AS DOUBLE) / COUNT($expr)"
+
+  /** Timezone-free epoch milliseconds of a TIMESTAMP_NTZ column, by
+    * name (`unix_millis` rejects NTZ, and casting through TIMESTAMP
+    * would drag the session timezone into the value). Backticked so
+    * reserved words / spaced names stay plain column references.
+    * DuckDB oracle twin: `epoch_ms(c::TIMESTAMP)`. */
+  def epochMillisNtz(colName: String): Column =
+    org.apache.spark.sql.functions.expr(
+      s"timestampdiff(MILLISECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', `$colName`)")
 }

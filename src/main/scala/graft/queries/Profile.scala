@@ -45,8 +45,7 @@ object Profile {
       entry(c, "n_null", count(lit(1)) - count(col(c))),
       entry(c, "n_distinct", nd(c)))
     // timezone-free epoch (TPC-H timestamps read as TIMESTAMP_NTZ)
-    def epochMs(c: String): Column =
-      expr(s"timestampdiff(MILLISECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', $c)")
+    def epochMs(c: String): Column = Exact.epochMillisNtz(c)
     val entries: Seq[Column] =
       numericCols.flatMap(c => common(c) ++ Seq(
         entry(c, "min", min(col(c))),
@@ -94,19 +93,30 @@ object Profile {
     })
 
   /** Declarative row-level constraint checks over lineitem:
-    * (check, violations, passed). The five value checks share ONE
-    * aggregation pass; uniqueness and referential integrity each add
-    * one keyed shuffle. */
+    * (check_name, violations, passed). Range/domain checks count
+    * non-null violators; each checked column carries a paired
+    * completeness check so an all-NULL column cannot sail through the
+    * gate. All row-level checks share ONE aggregation pass; uniqueness
+    * and referential integrity each add one keyed shuffle. */
   def lineitemChecks(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    // coalesce twice: the predicate (a NULL value must not slip past a
+    // range check as "not violated" — its absence is the paired
+    // completeness check's job, so range checks count non-null
+    // violators only and completeness counts the NULLs) and the sum
+    // (empty input must report 0 violations, not NULL)
     def viol(name: String, bad: Column): Column =
       struct(lit(name).as("check_name"),
-        sum(when(bad, 1L).otherwise(0L)).as("violations"))
+        coalesce(sum(when(coalesce(bad, lit(false)), 1L).otherwise(0L)),
+          lit(0L)).as("violations"))
     val rowChecks = lineitem.agg(array(
       viol("quantity_in_1_50", !(col("l_quantity") >= 1 && col("l_quantity") <= 50)),
+      viol("quantity_not_null", col("l_quantity").isNull),
       viol("discount_in_0_1", !(col("l_discount") >= 0 && col("l_discount") <= 1)),
+      viol("discount_not_null", col("l_discount").isNull),
       viol("extendedprice_positive", !(col("l_extendedprice") > 0)),
       viol("orderkey_not_null", col("l_orderkey").isNull),
-      viol("returnflag_domain", !col("l_returnflag").isin("A", "N", "R"))).as("e"))
+      viol("returnflag_domain", !col("l_returnflag").isin("A", "N", "R")),
+      viol("returnflag_not_null", col("l_returnflag").isNull)).as("e"))
       .select(explode(col("e")).as("e"))
       .select(col("e.check_name"), col("e.violations"))
     val dupKeys = lineitem
@@ -128,15 +138,21 @@ object Profile {
     (s, d) => lineitemChecks(Tables.lineitem(s, d), Tables.orders(s, d)),
     Some("""WITH rowchecks AS (
         SELECT * FROM (
-          SELECT 'quantity_in_1_50' AS check_name, sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50) THEN 1 ELSE 0 END) AS violations FROM lineitem
+          SELECT 'quantity_in_1_50' AS check_name, coalesce(sum(CASE WHEN coalesce(NOT (l_quantity >= 1 AND l_quantity <= 50), false) THEN 1 ELSE 0 END), 0) AS violations FROM lineitem
           UNION ALL
-          SELECT 'discount_in_0_1', sum(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 1) THEN 1 ELSE 0 END) FROM lineitem
+          SELECT 'quantity_not_null', coalesce(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END), 0) FROM lineitem
           UNION ALL
-          SELECT 'extendedprice_positive', sum(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) FROM lineitem
+          SELECT 'discount_in_0_1', coalesce(sum(CASE WHEN coalesce(NOT (l_discount >= 0 AND l_discount <= 1), false) THEN 1 ELSE 0 END), 0) FROM lineitem
           UNION ALL
-          SELECT 'orderkey_not_null', sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) FROM lineitem
+          SELECT 'discount_not_null', coalesce(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END), 0) FROM lineitem
           UNION ALL
-          SELECT 'returnflag_domain', sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) FROM lineitem
+          SELECT 'extendedprice_positive', coalesce(sum(CASE WHEN coalesce(NOT (l_extendedprice > 0), false) THEN 1 ELSE 0 END), 0) FROM lineitem
+          UNION ALL
+          SELECT 'orderkey_not_null', coalesce(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), 0) FROM lineitem
+          UNION ALL
+          SELECT 'returnflag_domain', coalesce(sum(CASE WHEN coalesce(l_returnflag NOT IN ('A','N','R'), false) THEN 1 ELSE 0 END), 0) FROM lineitem
+          UNION ALL
+          SELECT 'returnflag_not_null', coalesce(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END), 0) FROM lineitem
           UNION ALL
           SELECT 'orderkey_linenumber_unique',
             coalesce((SELECT sum(c - 1) FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber) g), 0)

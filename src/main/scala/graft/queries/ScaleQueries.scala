@@ -68,11 +68,7 @@ object ScaleQueries {
     "q_asof_prev_order",
     (s, d) => {
       val orders = Tables.orders(s, d)
-      // timestampdiff is timezone-free on TIMESTAMP_NTZ (unix_millis
-      // rejects NTZ, and casting through TIMESTAMP would drag the
-      // session timezone into the key)
-      val millis = expr(
-        "timestampdiff(MILLISECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', o_orderdate)")
+      val millis = graft.Exact.epochMillisNtz("o_orderdate")
       val t = millis * (1L << 20) + col("o_orderkey")
       val facts = orders.select(col("o_custkey"), col("o_orderkey"),
         (t - 1).as("__ft"))

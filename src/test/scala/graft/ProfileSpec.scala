@@ -37,6 +37,21 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("all-NULL column is caught by completeness, empty input reports zeros") {
+    val li = Tables.lineitem(spark, sfDir)
+    // corrupt drop: discount decodes as all-NULL — the range check sees
+    // no non-null violators, the completeness check must fail instead
+    val corrupt = li.withColumn("l_discount", lit(null).cast("double"))
+    val checks = Profile.lineitemChecks(corrupt, Tables.orders(spark, sfDir))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(checks("discount_in_0_1")._2 == 1L, "range check counts non-null only")
+    assert(checks("discount_not_null") == ((li.count(), 0L)), "completeness flags it")
+    // empty input: zeros everywhere, no NULL violations
+    val empty = Profile.lineitemChecks(li.limit(0), Tables.orders(spark, sfDir))
+      .as[(String, Long, Long)].collect()
+    assert(empty.nonEmpty && empty.forall(r => r._2 == 0L && r._3 == 1L))
+  }
+
   test("quality checks flag planted violations exactly") {
     val li = Tables.lineitem(spark, sfDir)
     val bad = li.limit(2)
