@@ -92,6 +92,29 @@ object ScaleProbe {
     val (nPairs, tMh) = time { Graft.minhashPairs(docs).count() }
     println(f"minhash+LSH pairs    $total%9d docs  $tMh%7.1f s  ${total / tMh}%9.0f docs/s  ($nPairs pairs)")
 
+    // Block-level dedup REWRITES the corpus (two wide shuffles — the
+    // floor for this op). Every planted twin shares its base doc's
+    // first 7 of 8 blocks (~7 excised per twin). The 60-token docs also
+    // end in a 4-token TAIL block living in a 50^4 ≈ 6e6 space, so tail
+    // blocks birthday-collide legitimately (~n²/2·50⁻⁴ ≈ 20k at 505k
+    // docs — cross-doc duplicate text IS what the operator excises);
+    // full 8-token blocks (50^8 space) contribute ~0. The bound brackets
+    // planted + tail-birthday mass so a pair-manufacturing regression
+    // (the failure mode narrow hashes showed elsewhere) still trips it.
+    val (bdStats, tBd) = time {
+      graft.queries.Blocks.blockDedup(docs)
+        .agg(sum(col("n_blocks")), sum(col("n_kept"))).head()
+    }
+    val excised = bdStats.getLong(0) - bdStats.getLong(1)
+    val twinBlocks = 7L * (nDocs / 100)
+    val tailBirthday = (total.toDouble * total / 2 / math.pow(50, 4)).toLong
+    val (lo, hi) = (twinBlocks + tailBirthday / 2, twinBlocks + 2 * tailBirthday + total / 100)
+    println(f"block dedup          $total%9d docs  $tBd%7.1f s  ${total / tBd}%9.0f docs/s  ($excised blocks excised)")
+    assert(excised >= lo && excised <= hi,
+      s"excised $excised outside [$lo, $hi] (planted $twinBlocks + tail-birthday ~$tailBirthday) — " +
+        "rewrite is either missing planted dups or manufacturing phantom ones")
+    println(f"block dedup mass     ${"check"}%9s       $excised in [$lo, $hi]  PASS")
+
     val (nSim, tSh) = time { Graft.simhashPairs(docs).count() }
     println(f"simhash pairs        $total%9d docs  $tSh%7.1f s  ${total / tSh}%9.0f docs/s  ($nSim pairs)")
     // The 28-bit predecessor emitted ~3M borderline pairs at 1e5 docs
