@@ -41,4 +41,41 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_pii_scrub")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(2000))
   }
+
+  test("q_quality_model is a shuffle-free map stage plus only the output sort") {
+    val p = plan("q_quality_model")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the orderBy range exchange, got $exchanges:\n${p.take(2000)}")
+    assert(!p.contains("Join"), "a join crept into a pure map stage")
+  }
+
+  test("q_frame_sample never joins or aggregates — pure generate over the scan") {
+    val p = plan("q_frame_sample")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(2000))
+    assert(p.contains("Generate explode"), "frame decimation should be a generator")
+  }
+
+  test("q_dedup_blocks carries exactly its two wide shuffles plus the output sort") {
+    val p = plan("q_dedup_blocks")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"window + reassembly = 2 hash exchanges, got $hashEx")
+  }
+
+  test("q_profile computes every metric in one aggregation over one scan") {
+    val p = plan("q_profile")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"profile must not rescan per metric, got $scans scans")
+  }
+
+  test("q_embed_quantize broadcasts the 64-row stats, never shuffles the corpus") {
+    val p = plan("q_embed_quantize")
+    assert(p.contains("BroadcastHashJoin"), "per-dimension stats should broadcast")
+    assert(!p.contains("SortMergeJoin"), "stats join fell back to sort-merge")
+  }
+
+  test("q_attribution keeps the interval as a residual on one keyed join") {
+    val p = plan("q_attribution")
+    val joins = "Join".r.findAllIn(p).size
+    assert(joins <= 2, s"one purchase-click join expected, got $joins join nodes")
+  }
 }
