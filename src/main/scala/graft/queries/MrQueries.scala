@@ -36,6 +36,48 @@ object MrQueries {
             FROM documents) t
       WHERE w <> '' GROUP BY w ORDER BY word"""))
 
+  /** A2b: the reference's SECOND flagship mrapp — indexer.go
+    * (/root/reference/src/mrapps/indexer.go:20-39) — through the
+    * string-typed `runJob` veneer verbatim: map emits each distinct
+    * word once per document with the document name, reduce sorts the
+    * names and formats `"<n> doc1,doc2,…"`. Tokens are lowercased
+    * letter-runs (the repo-wide portability convention, same deviation
+    * as A3/A4); doc names are zero-padded so the reference's LEXICAL
+    * value sort is also the numeric order the oracle reproduces.
+    *
+    * Scale note: `runJob` materializes each key's values as a Seq —
+    * faithful to the reference reduce contract, and exactly as
+    * stopword-fragile as the reference itself. A4's two-phase capped
+    * inverted index is the scale-safe form; this row exists for
+    * MR-API parity. */
+  val qMrIndexer: Q = Q(
+    "q_mr_indexer",
+    (s, d) => {
+      import s.implicits._
+      val files = Tables.documents(s, d)
+        .select(format_string("doc%08d", col("doc_id")), col("text"))
+        .as[(String, String)]
+      MapReduce
+        .runJob(
+          files,
+          (doc, text) => text.toLowerCase.split("[^a-z]+")
+            .filter(_.nonEmpty).distinct.toSeq
+            .map(w => graft.mr.KeyValue(w, doc)),
+          (_, docs) => s"${docs.size} ${docs.sorted.mkString(",")}")
+        .toDF("word", "entry")
+        .orderBy("word")
+    },
+    Some("""WITH dw AS (
+        SELECT DISTINCT
+          'doc' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS dn, w
+        FROM (SELECT doc_id,
+                unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+              FROM documents) t
+        WHERE w <> '')
+      SELECT w AS word,
+        CAST(count(*) AS VARCHAR) || ' ' || string_agg(dn, ',' ORDER BY dn) AS entry
+      FROM dw GROUP BY w ORDER BY word"""))
+
   /** A7: KV-log replay — the kvraft data capability (linearizable keyed
     * state from an op log; /root/reference/src/kvraft) re-expressed as
     * batch last-writer-wins reconstruction: for each key (user), the state
@@ -80,5 +122,5 @@ object MrQueries {
         FROM events) t
       WHERE rn = 1 ORDER BY user_id"""))
 
-  val all: Seq[Q] = Seq(qMrWordcount, qKvReplay)
+  val all: Seq[Q] = Seq(qMrWordcount, qMrIndexer, qKvReplay)
 }
