@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The reference's own workload, timed both ways, so `bench_vs_baseline`
+  * for the A-family is a measured number instead of a proxy.
+  *
+  * The reference benchmark is `mrsequential.go` running the wc and
+  * indexer mrapps over the eight Project Gutenberg books
+  * (/root/reference/src/main/test-mr.sh:24-39 uses exactly this as its
+  * correctness baseline). No Go toolchain ships in this container, so
+  * the sequential side is mrsequential.go re-expressed 1:1 in Scala —
+  * same algorithm (read every file, map, one big sort, scan-and-reduce
+  * per distinct key, write mr-out-0), same map/reduce functions
+  * (wc.go:21-44, indexer.go:20-40), same single thread. JVM-vs-Go is
+  * not a perfectly level field, but both runs share this JVM, so the
+  * graft-vs-sequential RATIO is honest.
+  *
+  * The Spark side is the A2/A2b path: the SAME map/reduce closures
+  * through [[graft.mr.MapReduce.runJob]], executed distributed. Inputs
+  * are replicated `xN` times (docName suffixed per copy, as N distinct
+  * crawl shards would be) to show the crossover: at 1x the books are
+  * ~13 MB and the sequential loop wins on startup cost; a 100 TB corpus
+  * is the x-large end where the shuffle path is the only one standing.
+  *
+  * Output: one JSON line per (app, replication, side) with wall seconds;
+  * the driver-facing numbers land in BASELINE.json's `a_family_anchor`.
+  */
+object BaselineAnchor {
+
+  // wc.go:22-23 / indexer.go:22: words are maximal runs of letters.
+  private def splitWords(s: String): Iterator[String] = new Iterator[String] {
+    private var i = 0
+    private def skipNonLetters(): Unit =
+      while (i < s.length && !Character.isLetter(s.charAt(i))) i += 1
+    skipNonLetters()
+    def hasNext: Boolean = i < s.length
+    def next(): String = {
+      val start = i
+      while (i < s.length && Character.isLetter(s.charAt(i))) i += 1
+      val w = s.substring(start, i)
+      skipNonLetters()
+      w
+    }
+  }
+
+  // wc.go Map/Reduce
+  private def wcMap(doc: String, contents: String): Seq[mr.KeyValue] =
+    splitWords(contents).map(w => mr.KeyValue(w, "1")).toSeq
+  private def wcReduce(key: String, values: Seq[String]): String =
+    values.length.toString
+
+  // indexer.go Map/Reduce
+  private def idxMap(doc: String, contents: String): Seq[mr.KeyValue] =
+    splitWords(contents).toSet.iterator.map((w: String) => mr.KeyValue(w, doc)).toSeq
+  private def idxReduce(key: String, values: Seq[String]): String = {
+    val sorted = values.sorted
+    s"${sorted.length} ${sorted.mkString(",")}"
+  }
+
+  /** mrsequential.go:36-86 verbatim: accumulate, sort by key, group-scan,
+    * reduce, write "key value" lines. */
+  private def sequential(
+      files: Seq[(String, String)],
+      mapF: (String, String) => Seq[mr.KeyValue],
+      reduceF: (String, Seq[String]) => String,
+      out: java.nio.file.Path): Unit = {
+    val intermediate = scala.collection.mutable.ArrayBuffer.empty[mr.KeyValue]
+    files.foreach { case (name, contents) => intermediate ++= mapF(name, contents) }
+    val sorted = intermediate.sortBy(_.key)
+    val w = java.nio.file.Files.newBufferedWriter(out)
+    var i = 0
+    while (i < sorted.length) {
+      var j = i + 1
+      while (j < sorted.length && sorted(j).key == sorted(i).key) j += 1
+      val values = (i until j).map(sorted(_).value)
+      w.write(s"${sorted(i).key} ${reduceF(sorted(i).key, values)}\n")
+      i = j
+    }
+    w.close()
+  }
+
+  private def time[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val bookDir = new java.io.File("/root/reference/src/main")
+    val books = bookDir.listFiles().filter(_.getName.matches("pg-.*\\.txt"))
+      .sortBy(_.getName)
+      .map(f => f.getName -> new String(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)).toSeq
+    require(books.nonEmpty, "no pg-*.txt books found")
+
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val apps = Seq(
+      ("wc", wcMap _, wcReduce _),
+      ("indexer", idxMap _, idxReduce _))
+
+    // Spark warm-up (JIT + codegen), not timed.
+    apps.foreach { case (_, m, r) =>
+      graft.mr.MapReduce.runJob(books.take(2).toDS(), m, r)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    val results = for {
+      n <- Seq(1, 20)
+      (app, mapF, reduceF) <- apps
+    } yield {
+      val replicated =
+        if (n == 1) books
+        else (0 until n).flatMap(i => books.map { case (d, c) => (s"$d#$i", c) })
+      val (_, seqSec) = time {
+        sequential(replicated, mapF, reduceF,
+          java.nio.file.Files.createTempFile("mr-out", ".txt"))
+      }
+      // Same one-record-per-file input model as the reference coordinator;
+      // enough partitions that every core maps (files are few but large).
+      val ds = spark.createDataset(replicated)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val (_, sparkSec) = time {
+        graft.mr.MapReduce.runJob(ds, mapF, reduceF)
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"""{"app":"$app","replication":$n,"files":${replicated.size},"sequential_sec":$seqSec%.3f,"graft_spark_sec":$sparkSec%.3f}""")
+      (app, n, seqSec, sparkSec)
+    }
+    val summary = results.map { case (app, n, s, g) =>
+      s""""${app}_x$n":{"sequential_sec":${f"$s%.3f"},"graft_spark_sec":${f"$g%.3f"}}"""
+    }.mkString("{", ",", "}")
+    println(s"""ANCHOR $summary""")
+    spark.stop()
+  }
+}

@@ -20,9 +20,13 @@ object Bench {
       fn(spark, dir).write.format("noop").mode("overwrite").save()
     // Warm-up pass at the smallest SF: JIT + codegen-cache + parquet
     // footer costs land here, not on whichever query happens to run first.
+    // Sweep after each so leftover checkpoint/persist blocks from one
+    // query can't pressure the next (the r4 lesson: 7 unchanged queries
+    // regressed >2x purely from cross-query block accumulation).
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn, "/root/testdata/sf0.001")
       catch { case _: Throwable => () }
+      graft.ops.Release.sweep(spark)
     }
     // min of two timed passes per query: local container contention adds
     // multi-second noise; the min is the honest steady-state cost.
@@ -37,8 +41,17 @@ object Bench {
           -1.0
       }
     }
+    // Per-query isolation: both timed passes run back-to-back (so a
+    // query's own PlanCache reuse is measured, as a real repeat caller
+    // would see), then EVERYTHING it pinned is released before the next
+    // query. storage_mb_held records what each query left behind pre-
+    // sweep — a leak shows up as a nonzero row, self-diagnosing.
+    val held = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val (a, b) = (timed(fn), timed(fn))
+      val (_, mem, disk) = graft.ops.Release.held(spark)
+      held(name) = (mem + disk) / (1024 * 1024)
+      graft.ops.Release.sweep(spark)
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val failed = results.collect { case (k, v) if v < 0 => k }
@@ -46,7 +59,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val heldJson = held.collect { case (k, v) if v > 0 => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"storage_mb_held":$heldJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,7 +19,9 @@ object BenchOne {
         fn(spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"ONE $q ${times.min}%.2f s")
+      val (n, mem, disk) = graft.ops.Release.held(spark)
+      graft.ops.Release.sweep(spark)
+      println(f"ONE $q ${times.min}%.2f s  (held $n rdds ${(mem + disk) / 1048576} MB, swept)")
     }
     spark.stop()
   }

@@ -19,6 +19,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object Graft {
 
+  /** Release every block the library pinned in this session: iterative
+    * operators' result-backing checkpoints and [[ops.PlanCache]] memos.
+    * Call between independent queries in a long-lived session, AFTER
+    * fully consuming prior results (checkpoint-backed frames are not
+    * re-usable past the sweep — their lineage was truncated). */
+  def releaseCaches(spark: SparkSession): Unit = ops.Release.sweep(spark)
+
   // ---- MapReduce surface (reference parity) ----
   val mapReduce: graft.mr.MapReduce.type = graft.mr.MapReduce
   def wordCount(docs: DataFrame): DataFrame = queries.TextQueries.wordCount(docs)

@@ -23,7 +23,20 @@ final class PlanCache(capacity: Int) {
   private type Key = (SparkSession, LogicalPlan)
   private[this] val entries =
     scala.collection.mutable.LinkedHashMap.empty[Key, DataFrame]
+  PlanCache.register(this)
 
+  /** Unpersist and forget every memo (all sessions) — see
+    * [[PlanCache.clearAll]] / [[Release.sweep]]. */
+  def clear(): Unit = synchronized {
+    entries.valuesIterator.foreach(_.unpersist(blocking = false))
+    entries.clear()
+  }
+
+  /** Staleness note: the memo key is the canonicalized ANALYZED plan,
+    * so rewriting the files behind the same path within one session
+    * serves the pre-rewrite corpus. Fine for immutable inputs (the
+    * benchmark parquet, any append-only lake layout); after an
+    * in-place rewrite call [[clear]] (or [[Release.sweep]]). */
   /** The persisted memo of `df` (MEMORY_AND_DISK), creating and caching
     * it on first sight of the plan. */
   def memo(df: DataFrame): DataFrame = synchronized {
@@ -43,4 +56,16 @@ final class PlanCache(capacity: Int) {
         f
     }
   }
+}
+
+object PlanCache {
+  // Every instance is a static singleton on a query object; the
+  // registry lets Release.sweep drop all memos without each call site
+  // knowing which caches exist.
+  private[this] val instances =
+    new java.util.concurrent.ConcurrentLinkedQueue[PlanCache]()
+  private[ops] def register(pc: PlanCache): Unit = instances.add(pc)
+
+  /** Drop (and unpersist) every memo in every [[PlanCache]]. */
+  def clearAll(): Unit = instances.forEach(_.clear())
 }

@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-wide cache release — the hygiene pass between independent
+  * queries sharing one JVM/session.
+  *
+  * Several operators legitimately pin block storage past their own
+  * call: iterative ops ([[ConnectedComponents]], [[PageRank]],
+  * `ScaleOps.prefixSum`) return frames backed by a `localCheckpoint`
+  * (lineage is truncated, so those blocks must survive until the
+  * consumer's action), and [[PlanCache]] memos persist frames for
+  * reuse across calls. In a long-lived session running many unrelated
+  * queries those blocks accumulate, squeeze execution memory, and
+  * slow everything that follows (observed: 7 unrelated queries >2x
+  * slower in a 66-query sweep). Call [[sweep]] once a query's results
+  * are fully consumed to return the session to a clean-storage state.
+  */
+object Release {
+
+  /** Storage currently held: (persisted RDD count, memory bytes,
+    * disk bytes). Cheap — reads driver-side block stats only. */
+  def held(spark: SparkSession): (Int, Long, Long) = {
+    val infos = spark.sparkContext.getRDDStorageInfo
+    (infos.length, infos.map(_.memSize).sum, infos.map(_.diskSize).sum)
+  }
+
+  /** Unpersist every persisted/checkpointed RDD in the session and
+    * drop all [[PlanCache]] memos. Blocking, so storage is verifiably
+    * empty on return. Frames returned by iterative operators are NOT
+    * usable after this (their lineage was truncated at the released
+    * checkpoint) — sweep only after results are consumed. */
+  def sweep(spark: SparkSession): Unit = {
+    PlanCache.clearAll()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+}

@@ -156,5 +156,30 @@ object Curation {
       WHERE doc_id NOT IN (SELECT id_b FROM mh_pairs)
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(qCurate, qCurateCc)
+  /** G6's batch twin as an oracle row: quality gate + exact content
+    * dedup, NO near-dup stage — exactly the batch semantics
+    * [[graft.streaming.Streams.curateStream]] converges to (proved by
+    * the StreamsSpec differential on kept content). Registering it
+    * with its own DuckDB oracle closes the G6 chain:
+    * stream == batch (spec) and batch == DuckDB (hash). */
+  val qStreamCurateBatch: Q = Q(
+    "q_stream_curate_batch",
+    (s, d) => curate(Tables.documents(s, d), dropNearDups = false)
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .orderBy("doc_id"),
+    Some(s"""WITH ${TextAnalysis.sqlQualityCte("documents")},
+      qualified AS (
+        SELECT d.doc_id, d.text, d.source, q.quality_score
+        FROM documents d JOIN q_scores q USING (doc_id)
+        WHERE q.quality_score >= 0.3),
+      keyed AS (
+        SELECT *, md5(${sqlNormText("text")}) AS k1,
+               ${sqlPolyHash(sqlNormText("text"))} AS k2
+        FROM qualified)
+      SELECT doc_id, source, quality_score FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY k1, k2) AS m FROM keyed) t
+      WHERE doc_id = m
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(qCurate, qCurateCc, qStreamCurateBatch)
 }

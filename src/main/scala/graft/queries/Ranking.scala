@@ -16,21 +16,29 @@ import org.apache.spark.sql.functions._
   * operator under [[graft.GraftExtensions]], so the exchange carries at
   * most k rows per doc per partition instead of every (doc, term) pair.
   *
-  * As lazy plans, the df/stats branches re-evaluate the tf subtree
-  * (column pruning makes the two aggregates differ, so exchange reuse
-  * can't fire); at corpus scale, persist or checkpoint the tf frame —
-  * it is the (doc, term, tf) matrix a production index materializes
-  * anyway — and both branches read the cached exchange instead.
+  * The df/stats branches would re-evaluate the tf subtree as lazy
+  * plans (column pruning makes the two aggregates differ, so exchange
+  * reuse can't fire), so the tf frame is memo-persisted
+  * ([[graft.ops.PlanCache]]): every consumer reads the one cached
+  * (doc, term, tf) matrix — which a production index materializes
+  * anyway — and the corpus is tokenized exactly once per call site.
   */
 object Ranking {
 
+  /** Memo of the tf matrix shared by every ranking branch (see
+    * [[graft.ops.PlanCache]]; released by [[graft.ops.Release]]). */
+  private[this] val tfCache = new graft.ops.PlanCache(capacity = 2)
+
   /** The (doc_id, term, tf) matrix and its (term, df) marginal — the
-    * shared base of [[topTerms]], [[tfidf]], and (inlined per query
-    * term) [[searchBm25]]. */
+    * shared base of [[topTerms]], [[tfidf]], [[unigramXent]], and
+    * (inlined per query term) [[searchBm25]]. The tf side is persisted
+    * via the plan-keyed memo, so the corpus scan + (doc_id, term)
+    * aggregation run once even though consumers branch over it 2–3
+    * times in one plan. */
   private def termFreqs(docs: DataFrame): (DataFrame, DataFrame) = {
-    val tf = docs
+    val tf = tfCache.memo(docs
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     (tf, tf.groupBy("term").agg(count(lit(1)).as("df")))
   }
 

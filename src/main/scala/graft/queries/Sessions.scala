@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Exact, Q, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -98,5 +98,57 @@ object Sessions {
       event_type, count(*) AS n, ${sqlDsum("value")} AS total
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
 
-  val all: Seq[Q] = Seq(qSessionize, qStreamWindow)
+  /** G3 in batch form: first-seen dedup — keep each key's earliest row
+    * under `order`. The same content-set semantics as the streaming
+    * [[graft.streaming.Streams.dedup]] (there state-backed within the
+    * watermark, here exact over the whole frame); the rank==1 filter
+    * rewrites to the bounded-heap TopKPerKey operator, so the shuffle
+    * carries at most one row per key per partition — never the full
+    * duplicate fan-in.
+    *
+    * `order` must be a total order within each key (as with any
+    * keep-first contract, ties make the survivor ill-defined). */
+  def firstSeen(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty && order.nonEmpty, "keys and order must be non-empty")
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** G3's batch twin as an oracle row. event_id is unique in the events
+    * table, so the duplicates a stream would see are synthesized
+    * deterministically: events with event_id % 10 < 3 get a "retry"
+    * copy 1 s later with a shifted value — first-seen must keep every
+    * ORIGINAL row (the +100 value would hash-mismatch if a retry ever
+    * survived). Closes the G3 chain: stream == batch (StreamsSpec
+    * differential) and batch == DuckDB (this hash oracle). */
+  val qStreamDedupBatch: Q = Q(
+    "q_stream_dedup_batch",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val retries = ev.filter(col("event_id") % 10 < 3)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 SECOND"))
+        .withColumn("value", col("value") + lit(100.0))
+      firstSeen(ev.unionByName(retries), Seq("event_id"), Seq(col("ts")))
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH base AS (
+        SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value FROM events),
+      input AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT event_id, ts + INTERVAL 1 SECOND, user_id, event_type, value + 100.0
+        FROM base WHERE event_id % 10 < 3),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+        FROM input)
+      SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        user_id, event_type, value
+      FROM ranked WHERE rn = 1
+      ORDER BY event_id"""))
+
+  val all: Seq[Q] = Seq(qSessionize, qStreamWindow, qStreamDedupBatch)
 }

@@ -29,6 +29,21 @@ class PlanShapeSpec extends SparkSpec {
       assert(plan(q).contains("TopKPerKey"), s"$q lost the TopKPerKey rewrite")
   }
 
+  test("ranking memo-persists the tf matrix: every branch reads the cache, no rescan") {
+    graft.ops.Release.sweep(spark) // drop any memo a prior test created
+    // node-typed counts, not string counts: the InMemoryRelation DUMP
+    // embeds its own build-plan FileScan, which a regex would miscount
+    val sp = SparkEntry.queries("q_tfidf")(spark, sfDir).queryExecution.sparkPlan
+    val fileScans = sp.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.size
+    val memScans = sp.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s }.size
+    assert(fileScans == 0 && memScans >= 2,
+      s"tf and df branches must both read the persisted tf matrix " +
+        s"(got $fileScans file scans, $memScans cache scans):\n${sp.toString.take(2000)}")
+    graft.ops.Release.sweep(spark)
+  }
+
   test("q_bm25 takes the global top-k without a full sort") {
     assert(plan("q_bm25").contains("TakeOrderedAndProject"))
   }
