@@ -217,7 +217,7 @@ object ScaleProbe {
         pmod(xxhash64(col("id") * 31 + 7), lit(nPr)).as("dst")))
     val (pr, tPr) = time {
       graft.ops.PageRank.pageRank(prEdges, iterations = 3,
-        broadcastEdgesBelow = 0L).persist()
+        broadcastEdgesBelow = 0L, broadcastRanksBelow = 0L).persist()
     }
     val prStats = pr.agg(count(lit(1)), sum(col("rank")),
       max(col("rank")), min(col("rank"))).head()
@@ -290,6 +290,50 @@ object ScaleProbe {
       big.withColumn("rn", rank().over(w)).filter(col("rn") <= 5).count()
     }
     println(f"  (window rank form) $nRows%9d rows  $tWin%7.1f s  ${nRows / tWin}%9.0f rows/s")
+
+    // Trained-centroid IVF at ANN scale: 1M 16-d vectors in 32 planted
+    // clusters (hash-random centers ±1, per-vector noise ±0.1). The
+    // timed run is the full library path — KMeans fit (k=100 sub-cells)
+    // + probed search for all 10k %100 queries. Recall@5 is then
+    // measured on a 100-query subsample against its exact brute-force
+    // ground truth (the full 10k x 1M GT would be 1e10 dots — the very
+    // thing IVF exists to avoid).
+    import graft.functions.VectorFunctions.{cosineFrom, dot, norm2}
+    val nVec = 1000000L
+    val vDims = 16
+    val emb = spark.range(nVec).select(col("id").as("vec_id"),
+        array((0 until vDims).map { d =>
+          ((pmod(xxhash64(col("id") % 32 * 31 + d), lit(2000L)).cast("double") / 1000.0 - 1.0) +
+            (pmod(xxhash64(col("id") * 17 + d), lit(2000L)).cast("double") / 10000.0 - 0.1))
+            .cast("float")
+        }: _*).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    emb.count() // generation is setup, not the measured path
+    val (nIvfRows, tIvf) = time {
+      graft.queries.Similarity.annIvfTrained(emb, cells = 100, probes = 3).count()
+    }
+    println(f"IVF trained (k=100)  $nVec%9d vecs  $tIvf%7.1f s  ${nVec / tIvf}%9.0f vecs/s  ($nIvfRows result rows)")
+    val vv = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    val sub = vv.filter(col("vec_id") % 10000 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val gtW = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val gt = sub.join(vv, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2")).as("cos"))
+      .withColumn("rn", row_number().over(gtW)).filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val ivfSub = graft.queries.Similarity.annIvfTrained(emb, cells = 100, probes = 3)
+      .filter(col("q_id") % 10000 === 0)
+      .select(col("q_id"), col("neighbor_id").as("vec_id"))
+    val nGt = gt.count()
+    val hit = gt.join(ivfSub, Seq("q_id", "vec_id"), "left_semi").count()
+    val recall = hit.toDouble / nGt
+    println(f"IVF trained recall@5 ${"check"}%9s       $recall%.3f over ${nGt / 5} queries")
+    assert(recall >= 0.7,
+      f"trained-IVF recall $recall%.3f below 0.7 — probed cells are missing true neighbors")
+    println(f"IVF recall floor     ${"check"}%9s       $recall%.3f >= 0.7  PASS")
+    emb.unpersist()
+
     spark.stop()
   }
 }

@@ -51,13 +51,24 @@ object PageRank {
     *        per iteration instead of three. AQE would make this call
     *        itself, but the checkpointed edge scan has no size estimate,
     *        so the planner assumes huge and sort-merges every round.
-    *        Above the threshold every iteration shuffle-joins as usual. */
+    *        Above the threshold every iteration shuffle-joins as usual.
+    * @param broadcastRanksBelow node-count threshold under which the
+    *        RANK side broadcasts instead (~24 B/row): for the common
+    *        dense-graph shape (nodes ≪ edges — the sf0.1 supply graph
+    *        is 21k nodes to 1.18M edges), shipping the per-iteration
+    *        rank frame to the executors means the big edge list NEVER
+    *        moves — each round is one map-side join over the pinned
+    *        edge blocks plus the partial-agg shuffle of ≤ nodes×
+    *        partitions rows. Preferred over the edge broadcast when
+    *        both could fire; at web scale neither does and the
+    *        shuffle join is the path. */
   def pageRank(
       edges: DataFrame,
       src: String = "src",
       dst: String = "dst",
       iterations: Int = 5,
-      broadcastEdgesBelow: Long = 1000000L): DataFrame = {
+      broadcastEdgesBelow: Long = 1000000L,
+      broadcastRanksBelow: Long = 1000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1") // 0 would return
     // a frame whose released checkpoint blocks can never be re-read
     import Checkpoints.{tracked, release}
@@ -101,8 +112,11 @@ object PageRank {
       // zero rows keep every node present so ONE groupBy replaces the
       // groupBy + left-join-back pair (out rides along: -1 on contrib
       // rows, the real degree on each node's zero row, max() recovers it)
-      val contribs = rank.filter(col("out") > 0)
-        .join(e, rank("node") === e("s"))
+      val contributors = rank.filter(col("out") > 0)
+      val contribs = (
+        if (n <= broadcastRanksBelow)
+          eCk.join(broadcast(contributors), contributors("node") === eCk("s"))
+        else contributors.join(e, contributors("node") === e("s")))
         .select(col("d").as("node"), lit(-1L).as("out"),
           expr("rank div out").as("c"))
       val zeros = rank.select(col("node"), col("out"), lit(0L).as("c"))

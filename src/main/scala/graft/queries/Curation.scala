@@ -29,10 +29,12 @@ object Curation {
     * Plan shape: the exact-dedup stage ([[Dedup.exactSurvivors]])
     * windows over a narrow (doc_id, hashes) projection and semi-joins
     * the survivors back, so no stage ever shuffles document text —
-    * only 8–40-byte keys. The branches (survivor ids, anti-join left
-    * side, pair generation) each re-evaluate the gated-input subtree,
-    * as lazy plans do — persist `docs` (the scan dominates) or the
-    * returned frame when running at corpus scale. */
+    * only 8–40-byte keys. With `dropNearDups` the survivor frame feeds
+    * BOTH the pair generation and the anti-join left side, so it is
+    * memo-persisted ([[graft.ops.PlanCache]]) — the quality+window
+    * chain over the corpus runs once, not once per branch. The persist
+    * is itself lazy (nothing executes until an action; the first
+    * branch evaluated populates the cache for the other). */
   /** @param maxRepRatio additionally drop docs whose most-repeated word
     *        2-gram exceeds this fraction of all 2-grams
     *        ([[TextAnalysis.repetitionStats]]'s `rep_ratio` — the
@@ -50,11 +52,12 @@ object Curation {
         TextAnalysis.repetitionStats(docs)
           .filter(col("rep_ratio") <= maxRepRatio).select("doc_id"),
         Seq("doc_id"), "left_semi")
-    val afterExact = Dedup.exactSurvivors(
+    val survivors = Dedup.exactSurvivors(
       gated.join(quality, "doc_id")
         .filter(col("quality_score") >= minQuality))
-    if (!dropNearDups) afterExact
+    if (!dropNearDups) survivors
     else {
+      val afterExact = survivorCache.memo(survivors)
       val nearDrop = Dedup.minhashPairs(afterExact)
         .select(col("id_b").as("doc_id")).distinct()
       afterExact.join(nearDrop, Seq("doc_id"), "left_anti")

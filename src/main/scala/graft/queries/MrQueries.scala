@@ -55,7 +55,12 @@ object MrQueries {
     (s, d) => {
       import s.implicits._
       val files = Tables.documents(s, d)
-        .select(format_string("doc%08d", col("doc_id")), col("text"))
+        // %012d: 12 digits holds any doc_id below 10^12, so the padded
+        // form never truncates and lexical order == numeric order for
+        // the whole supported id range (DuckDB's lpad TRUNCATES past
+        // the target width, so a narrower pad would silently diverge
+        // between the engines at doc_id >= 10^8)
+        .select(format_string("doc%012d", col("doc_id")), col("text"))
         .as[(String, String)]
       MapReduce
         .runJob(
@@ -69,7 +74,7 @@ object MrQueries {
     },
     Some("""WITH dw AS (
         SELECT DISTINCT
-          'doc' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS dn, w
+          'doc' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS dn, w
         FROM (SELECT doc_id,
                 unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
               FROM documents) t

@@ -25,7 +25,8 @@ class PlanShapeSpec extends SparkSpec {
     // (q_window_rank keeps its plain window by design: a running-sum
     // window sits between the rank and its filter, so the rewrite
     // precondition — Filter directly over the rank window — fails)
-    for (q <- Seq("q_tfidf", "q_stratified_sample"))
+    // q_stream_dedup_batch is the k=1 (first-seen) form of the idiom
+    for (q <- Seq("q_tfidf", "q_stratified_sample", "q_stream_dedup_batch"))
       assert(plan(q).contains("TopKPerKey"), s"$q lost the TopKPerKey rewrite")
   }
 
