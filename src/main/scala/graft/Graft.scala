@@ -105,6 +105,10 @@ object Graft {
   def annIvf(embeddings: DataFrame): DataFrame = queries.Similarity.annIvf(embeddings)
   def annIvfTrained(embeddings: DataFrame, cells: Int = 10, probes: Int = 3): DataFrame =
     queries.Similarity.annIvfTrained(embeddings, cells, probes)
+  def annIvfPq(
+      embeddings: DataFrame, cells: Int = 10, probes: Int = 3,
+      m: Int = 8, ksub: Int = 16, rescore: Int = 50, dims: Int = 64): DataFrame =
+    queries.Similarity.annIvfPq(embeddings, cells, probes, m, ksub, rescore, dims)
   /** Leave-one-out kNN label classification over the IVF index — the
     * per-label embedding-quality eval
     * ([[graft.queries.Similarity.knnLabelIvf]]). */

@@ -438,6 +438,121 @@ object Similarity {
     topkPerQuery(scored)
   }
 
+  /** E3 at full production shape: IVF-PQ with asymmetric-distance
+    * shortlisting and exact rescore — the index layout 100 TB ANN
+    * actually runs on. Vectors are unit-normalized, coarse-quantized
+    * into KMeans `cells` (as [[annIvfTrained]]), then PRODUCT-quantized:
+    * the `dims` dimensions split into `m` contiguous subspaces, each
+    * with its own seeded KMeans(`ksub`) codebook, so a stored vector is
+    * `m` small codes (4 bits each at ksub=16) instead of `dims` floats —
+    * 32–64× smaller, and the candidate join shuffles (vec_id, cell,
+    * code[m]) rows, NEVER raw embeddings. Queries score candidates by
+    * ADC (asymmetric distance): one m×ksub inner-product table per
+    * query against the codebooks, candidate score = m table lookups.
+    * The ADC top-`rescore` shortlist then joins BACK to the embeddings
+    * (a shortlist-sized equi-join) for exact-cosine reranking, so
+    * quantization error costs recall only past the shortlist boundary —
+    * the standard two-stage design (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011).
+    *
+    * Codebooks land in the plan as literals: m×ksub×(dims/m) = dims·ksub
+    * doubles — grows with DIMENSION, not corpus (unlike the coarse
+    * centroids at cells ≈ √N, which broadcast as a frame). Library-only
+    * like [[annIvfTrained]] (iterative fits aren't SQL-expressible);
+    * determinism + recall floors are pinned by AnnRecallSpec.
+    *
+    * At 100 TB: fit both quantizers on a sample; `cells` → √N;
+    * `ksub` → 256 (byte codes); the ADC stage's shuffle volume is
+    * probes·N/cells codes per query, each m bytes. */
+  def annIvfPq(
+      embeddings: DataFrame,
+      cells: Int = 10,
+      probes: Int = 3,
+      m: Int = 8,
+      ksub: Int = 16,
+      rescore: Int = 50,
+      dims: Int = 64,
+      seed: Long = 0xC0FFEEL): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
+    val dsub = dims / m
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = withNorms(embeddings)
+    // unit-normalize once: cos(q, x) = <q̂, x̂>, so inner products
+    // against normalized codebook centroids approximate cosine directly
+    val unit = v.withColumn("u",
+      transform(col("embedding"), x => x.cast("double") / sqrt(col("n2"))))
+    // coarse quantizer (cells): one KMeans over the full unit vectors
+    val feat = unit.withColumn("features", array_to_vector(col("u")))
+    val coarse = new KMeans().setK(cells).setSeed(seed)
+      .setFeaturesCol("features").fit(feat)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = coarse.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) =>
+        val arr = c.toArray; (i.toLong, arr, arr.map(x => x * x).sum) }
+      .toDF("c_id", "c_emb", "c_n2")
+    // product codebooks: one seeded KMeans per subspace slice
+    val codebooks = (0 until m).map { j =>
+      val subFeat = unit.withColumn("features",
+        array_to_vector(slice(col("u"), j * dsub + 1, dsub)))
+      new KMeans().setK(ksub).setSeed(seed + j + 1)
+        .setFeaturesCol("features").fit(subFeat)
+        .clusterCenters.map(_.toArray)
+    }
+    val cbLit = array(codebooks.map(cb =>
+      array(cb.map(cent => array(cent.map(lit): _*)): _*)): _*)
+    // encode: per subspace, the L2-nearest codebook entry (first-match
+    // tie-break via array_position — deterministic)
+    val codeCol = array((0 until m).map { j =>
+      val sub = slice(col("u"), j * dsub + 1, dsub)
+      val dists = transform(element_at(cbLit, j + 1), cent =>
+        aggregate(zip_with(sub, cent, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+    // the stored index: NARROW rows only — never the embedding
+    val assigned = coarse.transform(feat)
+      .withColumn("code", codeCol)
+      .select(col("vec_id"), col("prediction").cast("long").as("cell"), col("code"))
+    // query side: probe the nearest cells; one ADC table per query
+    // (tables[j][c] = <q̂_j, codebook[j][c]>)
+    val qs = queries(v).withColumn("q_u",
+      transform(col("q_emb"), x => x.cast("double") / sqrt(col("q_n2"))))
+    val tablesCol = array((0 until m).map { j =>
+      val qsub = slice(col("q_u"), j * dsub + 1, dsub)
+      transform(element_at(cbLit, j + 1), cent =>
+        aggregate(zip_with(qsub, cent, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x))
+    }: _*)
+    val byQ = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val probed = qs.join(broadcast(cents), lit(true))
+      .withColumn("c_cos",
+        cosineFrom(dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= probes)
+      .withColumn("tables", tablesCol)
+      .select(col("q_id"), col("tables"), col("c_id").as("cell"))
+    // ADC scoring: m lookups per candidate, no float vectors in flight
+    val adcW = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = probed.join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adc",
+        aggregate(zip_with(col("tables"), col("code"),
+          (t, c) => element_at(t, c + 1)), lit(0.0), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(adcW))
+      .filter(col("rn") <= rescore)
+      .select(col("q_id"), col("vec_id"))
+    // exact rescore of the shortlist: shortlist-sized joins back to the
+    // raw vectors — the only stage that touches floats again
+    val scored = shortlist
+      .join(v, Seq("vec_id"))
+      .join(queries(v), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2")).as("cos"))
+    topkPerQuery(scored)
+  }
+
   /** Fixed-point quantization scale for [[labelCentroids]]: 2^12, so the
     * multiply is a pure exponent shift (exact in binary FP). */
   private val CentroidQ = 4096.0

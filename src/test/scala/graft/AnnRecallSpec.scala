@@ -43,6 +43,26 @@ class AnnRecallSpec extends SparkSpec {
     assert(run1 == run2, "trained IVF is not run-to-run deterministic")
   }
 
+  test("IVF-PQ with exact rescore reaches the trained-IVF recall floor, deterministically") {
+    def run(): Set[(Long, Long)] = graft.queries.Similarity
+      .annIvfPq(Tables.embeddings(spark, sfDir))
+      .select("q_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val run1 = run()
+    // the ADC stage only SHORTLISTS (top-50 of ~N/cells·probes
+    // candidates); exact rescore then ranks, so recall is bounded by
+    // cell-probing (the trained-IVF floor), not by quantization error
+    val recall = (exact & run1).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF-PQ recall $recall")
+    assert(run1 == run(), "IVF-PQ is not run-to-run deterministic")
+  }
+
+  test("IVF-PQ output is well-formed: self-free, rank-bounded, full top-5 per query") {
+    val df = graft.queries.Similarity.annIvfPq(Tables.embeddings(spark, sfDir))
+    assert(df.filter("q_id = neighbor_id").count() == 0)
+    assert(df.filter("rank < 1 or rank > 5").count() == 0)
+  }
+
   test("banded embedding dedup recovers the brute-force threshold pairs") {
     // sf0.01 plants exactly one cos >= 0.5 pair (sf0.001 has none);
     // 16 tables x 4 bits has ~0.97 theoretical recall at the threshold,
