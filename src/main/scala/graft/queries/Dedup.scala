@@ -56,6 +56,13 @@ object Dedup {
     * JVM lifetime (mechanics in [[graft.ops.PlanCache]]). */
   private[this] val cachedShingles = new graft.ops.PlanCache(capacity = 4)
 
+  /** Memo for [[jaccardPairsPrefix]]'s ranked-prefix frame: the df-agg +
+    * per-doc rank window chain feeds BOTH sides of the candidate
+    * self-join, so without the persist it runs twice per call. Its own
+    * cache (not [[cachedShingles]]) so prefix frames never evict the
+    * more widely shared signature memos. */
+  private[this] val prefixCache = new graft.ops.PlanCache(capacity = 2)
+
   /** Distinct mixed 3-shingle hashes of a text column — the signature
     * base shared by every dedup operator AND the streaming near-dup
     * detector ([[graft.streaming.Streams.nearDupStream]]), which can't
@@ -382,7 +389,9 @@ object Dedup {
         .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
       val ex = hs.select(col("doc_id"), col("n"), explode(col("hs")).as("s"))
       val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
-      val prefixes = ex.join(dfreq, "s")
+      // memo-persisted: both sides of the candidate self-join read this
+      // frame — one df-agg + rank-window evaluation, not two
+      val prefixes = prefixCache.memo(ex.join(dfreq, "s")
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
         // ceil over doubles can round UP past the exact product
@@ -390,7 +399,7 @@ object Dedup {
         // the prefix below the lossless bound; nudging down by an epsilon
         // errs toward a longer prefix — more candidates, never a miss
         .filter(col("rk") <= col("n") - ceil(col("n") * minJaccard - 1e-9) + 1)
-        .select(col("doc_id"), col("s"), col("n"), col("rk"))
+        .select(col("doc_id"), col("s"), col("n"), col("rk")))
       // length filter (also from the PPJoin family): J ≥ t forces
       // t·|A| ≤ |B| ≤ |A|/t, so wildly different-sized docs never reach
       // the rescore no matter what rare shingle they share. Same epsilon
