@@ -212,7 +212,7 @@ object ScaleProbe {
     // targets must outrank the median node.
     val nPr = 2000000L
     val prEdges = spark.range(nPr).select(col("id").as("src"),
-      pmod(xxhash64(col("id")), col("id") / 2 + 1).as("dst"))
+      pmod(xxhash64(col("id")), expr("id div 2") + 1).as("dst"))
       .unionByName(spark.range(nPr).select(col("id").as("src"),
         pmod(xxhash64(col("id") * 31 + 7), lit(nPr)).as("dst")))
     val (pr, tPr) = time {

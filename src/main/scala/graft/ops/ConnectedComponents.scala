@@ -47,6 +47,11 @@ object ConnectedComponents {
     * asserts the O(log n) regime on a worst-case chain; the probe
     * passes `localFinishEdges = 0` to exercise the iteration).
     *
+    * Returns round = -1 when the graph resolved through the driver-side
+    * local finish (edge count ≤ `localFinishEdges`), so a caller using
+    * rounds as a convergence signal can tell "collapsed locally" apart
+    * from a genuine zero-round (empty) or N-round distributed run.
+    *
     * @param localFinishEdges canonical-edge-count threshold below which
     *        the fixpoint finishes as one driver-side union-find (see the
     *        local-finish note in the body); 0 forces the fully
@@ -129,7 +134,7 @@ object ConnectedComponents {
         .localCheckpoint() // eager, same contract as the iterative path
       release(rawRdd)
       release(eRdd)
-      return (labels, 0)
+      return (labels, -1) // sentinel: resolved via local finish, not rounds
     }
 
     var sig = sig0

@@ -147,10 +147,11 @@ object Similarity {
       topkPerQuery(scored)
   }
 
-  val qAnnBruteforce: Q = Q(
-    "q_ann_bruteforce",
-    (s, d) => annBruteforce(Tables.embeddings(s, d)),
-    Some(s"""WITH v AS (SELECT vec_id, embedding,
+  /** Exact top-k as DuckDB SQL — the oracle for [[annBruteforce]] and
+    * for any ANN variant run in a provably-exhaustive configuration
+    * ([[annIvfPq]] with all cells probed + untruncated shortlist). */
+  private def bruteforceSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding,
         ${sqlNorm2("embedding")} AS n2 FROM embeddings),
       q AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2 FROM v WHERE vec_id % 100 = 0),
       scored AS (SELECT q_id, vec_id,
@@ -160,7 +161,12 @@ object Similarity {
         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
         FROM scored)
       SELECT q_id, rank, vec_id AS neighbor_id, cos
-      FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank"""))
+      FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank"""
+
+  val qAnnBruteforce: Q = Q(
+    "q_ann_bruteforce",
+    (s, d) => annBruteforce(Tables.embeddings(s, d)),
+    Some(bruteforceSql))
 
   private val LshTables = 8
   private val LshBits = 6
@@ -553,6 +559,24 @@ object Similarity {
     topkPerQuery(scored)
   }
 
+  /** E7's oracle row: [[annIvfPq]] in a provably-exhaustive
+    * configuration — `probes = cells` (every cell probed, so every
+    * vector is a candidate regardless of what KMeans learned) and an
+    * untruncated ADC shortlist — makes the exact-rescore stage see ALL
+    * candidates, so the output is identical to brute-force top-k by
+    * construction while still exercising the full PQ machinery (encode,
+    * ADC tables, code lookups, rescore join). The DuckDB oracle is the
+    * brute-force SQL: a candidate lost anywhere in the PQ plumbing
+    * breaks the hash, the [[graft.queries.Dedup]] D4b losslessness
+    * pattern. Approximate-mode recall floors live in AnnRecallSpec;
+    * small m/ksub keep the seeded fits cheap (they cannot affect the
+    * exhaustive result). */
+  val qAnnIvfPq: Q = Q(
+    "q_ann_ivfpq",
+    (s, d) => annIvfPq(Tables.embeddings(s, d), cells = 4, probes = 4,
+      m = 4, ksub = 8, rescore = Int.MaxValue),
+    Some(bruteforceSql))
+
   /** Fixed-point quantization scale for [[labelCentroids]]: 2^12, so the
     * multiply is a pure exponent shift (exact in binary FP). */
   private val CentroidQ = 4096.0
@@ -605,5 +629,5 @@ object Similarity {
 
   val all: Seq[Q] =
     Seq(qDedupEmbedding, qDedupEmbeddingLsh, qAnnBruteforce, qAnnLsh, qAnnIvf,
-      qKnnLabel, qEmbedCentroids)
+      qAnnIvfPq, qKnnLabel, qEmbedCentroids)
 }
