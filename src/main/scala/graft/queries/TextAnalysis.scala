@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Memo of [[collocations]]' unigram/bigram count frames (see
+    * [[graft.ops.PlanCache]]; released by [[graft.ops.Release]]). */
+  private[this] val countCache = new graft.ops.PlanCache(capacity = 4)
+
   private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopEs = Seq("el", "la", "de", "que", "y", "en", "un")
   private val stopDe = Seq("der", "die", "das", "und", "ist", "von", "mit")
@@ -245,6 +249,86 @@ object TextAnalysis {
       FROM sh LEFT JOIN rep ON sh.doc_id = rep.doc_id
       ORDER BY sh.doc_id"""))
 
+  /** C12: bigram collocation mining by pointwise mutual information —
+    * the corpus-statistics pass behind phrase extraction, tokenizer
+    * audits, and vocabulary induction in a training-data pipeline
+    * (Church & Hanks 1990). A bigram's PMI compares its observed corpus
+    * frequency against independence:
+    * `pmi = ln(p(w1,w2) / (p(w1)·p(w2)))` with `p(w1,w2) = n_pair /
+    * n_big` and `p(w) = c_w / n_uni`.
+    *
+    * Scale shape: ONE corpus scan per counting branch (unigrams,
+    * bigrams), each a map-side-combinable hash agg whose key space is
+    * vocabulary-sized, never corpus-sized — both count frames are
+    * memo-persisted ([[graft.ops.PlanCache]]), since the plan branches
+    * over each 2–3 times (w1 join, w2 join, total) and exchange reuse
+    * can't collapse differently-pruned subtrees; without the memo the
+    * corpus is tokenized ~5×. The two count totals ride as 1-row
+    * broadcast frames; the unigram joins hit the minCount-filtered
+    * bigram frame (collocation candidates, tiny) and shuffle
+    * (word, count) pairs only — no text, no broadcast of the unbounded
+    * vocabulary. Global top-N is `orderBy().limit()` =
+    * TakeOrderedAndProject (per-partition bounded heaps + driver merge
+    * of topN rows), NOT a single-partition window.
+    *
+    * Determinism: counts are exact integers and `lift` (the PMI
+    * argument, `p(w1,w2) / (p(w1)·p(w2))`) is a fixed-order
+    * product/division of count-valued doubles — exact below 2^53,
+    * hash-exact cross-engine. `pmi = ln(lift)` is API-only: JVM
+    * `Math.log` and libm disagree by 1 ULP on some arguments (observed
+    * at lift = 1.4190603030910545), so the oracle row compares `lift`
+    * and drops `pmi` — same ranking (ln is monotone), no
+    * engine-dependent transcendental in the hash. */
+  def collocations(docs: DataFrame, minCount: Long = 5L, topN: Int = 25): DataFrame = {
+    val toks = words(col("text"))
+    val uni = countCache.memo(docs.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w")))
+    val big = countCache.memo(docs.select(explode(shingles(toks, 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_pair")))
+    val nUni = uni.agg(sum(col("c_w")).as("n_uni"))
+    val nBig = big.agg(sum(col("n_pair")).as("n_big"))
+    val u1 = uni.select(col("w").as("w1"), col("c_w").as("c_w1"))
+    val u2 = uni.select(col("w").as("w2"), col("c_w").as("c_w2"))
+    big.filter(col("n_pair") >= minCount)
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+      .join(u1, "w1").join(u2, "w2")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBig))
+      .select(col("bigram"), col("n_pair"), col("c_w1"), col("c_w2"),
+        (col("n_pair").cast("double") * col("n_uni").cast("double") *
+          col("n_uni").cast("double") /
+          (col("c_w1").cast("double") * col("c_w2").cast("double") *
+            col("n_big").cast("double"))).as("lift"))
+      .withColumn("pmi", log(col("lift")))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(topN)
+  }
+
+  val qCollocations: Q = Q(
+    "q_collocations",
+    (s, d) => collocations(Tables.documents(s, d)).drop("pmi"),
+    Some {
+      val sh2 = sqlShingles("w", 2)
+      s"""WITH toks AS (
+        SELECT doc_id, list_filter(${sqlWords("text")}, t -> t <> '') AS w
+        FROM documents),
+      uni AS (SELECT unnest(w) AS wd FROM toks),
+      uc AS (SELECT wd, count(*) AS c_w FROM uni GROUP BY 1),
+      bigs AS (SELECT unnest($sh2) AS bigram FROM toks),
+      bc AS (SELECT bigram, count(*) AS n_pair FROM bigs GROUP BY 1),
+      tot AS (SELECT (SELECT sum(c_w) FROM uc) AS n_uni,
+                     (SELECT sum(n_pair) FROM bc) AS n_big)
+      SELECT bigram, n_pair, u1.c_w AS c_w1, u2.c_w AS c_w2,
+        (n_pair::DOUBLE * n_uni::DOUBLE * n_uni::DOUBLE) /
+           (u1.c_w::DOUBLE * u2.c_w::DOUBLE * n_big::DOUBLE) AS lift
+      FROM bc CROSS JOIN tot
+      JOIN uc u1 ON string_split(bigram, ' ')[1] = u1.wd
+      JOIN uc u2 ON string_split(bigram, ' ')[2] = u2.wd
+      WHERE n_pair >= 5
+      ORDER BY lift DESC, bigram LIMIT 25"""
+    })
+
   val all: Seq[Q] =
-    Seq(qTokens, qLangId, qQuality, qFingerprint, qShingles, qRepetition)
+    Seq(qTokens, qLangId, qQuality, qFingerprint, qShingles, qRepetition,
+      qCollocations)
 }
