@@ -20,6 +20,10 @@ object Similarity {
 
   private val TopK = 5
 
+  /** Memo of [[annIvfPq]]'s normalized feature frame (see
+    * [[graft.ops.PlanCache]]; released by [[graft.ops.Release]]). */
+  private[this] val featCache = new graft.ops.PlanCache(capacity = 2)
+
   /** Attach squared norms (computed once per vector). */
   private def withNorms(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
@@ -478,7 +482,8 @@ object Similarity {
       ksub: Int = 16,
       rescore: Int = 50,
       dims: Int = 64,
-      seed: Long = 0xC0FFEEL): DataFrame = {
+      seed: Long = 0xC0FFEEL,
+      maxIter: Int = 20): DataFrame = {
     require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
     val dsub = dims / m
     import org.apache.spark.ml.clustering.KMeans
@@ -488,9 +493,11 @@ object Similarity {
     // against normalized codebook centroids approximate cosine directly
     val unit = v.withColumn("u",
       transform(col("embedding"), x => x.cast("double") / sqrt(col("n2"))))
-    // coarse quantizer (cells): one KMeans over the full unit vectors
-    val feat = unit.withColumn("features", array_to_vector(col("u")))
-    val coarse = new KMeans().setK(cells).setSeed(seed)
+    // memo-persist the normalized frame: the 1 + m KMeans fits, the
+    // encode transform, and the query side all branch over it — without
+    // the memo each fit re-scans and re-normalizes the corpus
+    val feat = featCache.memo(unit.withColumn("features", array_to_vector(col("u"))))
+    val coarse = new KMeans().setK(cells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").fit(feat)
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -500,10 +507,10 @@ object Similarity {
       .toDF("c_id", "c_emb", "c_n2")
     // product codebooks: one seeded KMeans per subspace slice
     val codebooks = (0 until m).map { j =>
-      val subFeat = unit.withColumn("features",
+      val subFeat = feat.withColumn("sub_features",
         array_to_vector(slice(col("u"), j * dsub + 1, dsub)))
-      new KMeans().setK(ksub).setSeed(seed + j + 1)
-        .setFeaturesCol("features").fit(subFeat)
+      new KMeans().setK(ksub).setSeed(seed + j + 1).setMaxIter(maxIter)
+        .setFeaturesCol("sub_features").fit(subFeat)
         .clusterCenters.map(_.toArray)
     }
     val cbLit = array(codebooks.map(cb =>
@@ -574,7 +581,7 @@ object Similarity {
   val qAnnIvfPq: Q = Q(
     "q_ann_ivfpq",
     (s, d) => annIvfPq(Tables.embeddings(s, d), cells = 4, probes = 4,
-      m = 4, ksub = 8, rescore = Int.MaxValue),
+      m = 4, ksub = 8, rescore = Int.MaxValue, maxIter = 4),
     Some(bruteforceSql))
 
   /** Fixed-point quantization scale for [[labelCentroids]]: 2^12, so the
