@@ -50,6 +50,11 @@ object Graft {
   def topTerms(docs: DataFrame, k: Int = 5): DataFrame = queries.Ranking.topTerms(docs, k)
   /** Real-valued tf·idf scores per (doc, term). */
   def tfidf(docs: DataFrame): DataFrame = queries.Ranking.tfidf(docs)
+  /** Top bigram collocations by PMI — `lift` is the cross-engine-exact
+    * ratio, `pmi = ln(lift)`
+    * ([[graft.queries.TextAnalysis.collocations]]). */
+  def collocations(docs: DataFrame, minCount: Long = 5L, topN: Int = 25): DataFrame =
+    queries.TextAnalysis.collocations(docs, minCount, topN)
   /** BM25 retrieval of a term disjunction ([[graft.queries.Ranking.searchBm25]]). */
   def searchBm25(docs: DataFrame, terms: Seq[String], k: Int = 15): DataFrame =
     queries.Ranking.searchBm25(docs, terms, k)
