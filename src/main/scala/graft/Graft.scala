@@ -114,6 +114,19 @@ object Graft {
       embeddings: DataFrame, cells: Int = 10, probes: Int = 3,
       m: Int = 8, ksub: Int = 16, rescore: Int = 50, dims: Int = 64): DataFrame =
     queries.Similarity.annIvfPq(embeddings, cells, probes, m, ksub, rescore, dims)
+  /** Fit the IVF-PQ index once ([[graft.queries.Similarity.buildPqIndex]]);
+    * its narrow `(vec_id, cell, code[m])` frame is the persistable
+    * artifact searches run against. */
+  def buildPqIndex(
+      embeddings: DataFrame, cells: Int = 10, m: Int = 8,
+      ksub: Int = 16, dims: Int = 64): queries.Similarity.PqIndex =
+    queries.Similarity.buildPqIndex(embeddings, cells, m, ksub, dims)
+  /** ADC search of a fitted PQ index with exact rescore
+    * ([[graft.queries.Similarity.searchPqIndex]]). */
+  def searchPqIndex(
+      idx: queries.Similarity.PqIndex, vectors: DataFrame,
+      queryVecs: DataFrame, probes: Int = 3, rescore: Int = 50): DataFrame =
+    queries.Similarity.searchPqIndex(idx, vectors, queryVecs, probes, rescore)
   /** Leave-one-out kNN label classification over the IVF index — the
     * per-label embedding-quality eval
     * ([[graft.queries.Similarity.knnLabelIvf]]). */

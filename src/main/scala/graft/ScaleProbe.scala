@@ -277,6 +277,23 @@ object ScaleProbe {
     assert(xStats.getLong(0) == total, s"unigramXent dropped docs: ${xStats.getLong(0)} of $total")
     println(f"unigram coverage     ${"check"}%9s       one score per doc  PASS")
 
+    // Collocation mining: two vocabulary-sized count aggs over ~30M
+    // unigrams / ~30M bigrams. The synthetic vocab is 50 tokens, so
+    // every bigram clears minCount and the candidate set is <= 2500
+    // rows — the shape where the counting scans, not the PMI join,
+    // are the cost (exactly the 100 TB regime). Lift must be finite
+    // and positive (counts can't be zero for a surviving candidate).
+    val (collocs, tCo) = time {
+      Graft.collocations(docs, minCount = 5L, topN = 25).collect()
+    }
+    assert(collocs.length == 25, s"expected 25 collocations, got ${collocs.length}")
+    val lifts = collocs.map(_.getAs[Double]("lift"))
+    assert(lifts.forall(l => l > 0 && !l.isInfinite && !l.isNaN),
+      s"non-finite or non-positive lift in ${lifts.mkString(",")}")
+    assert(lifts.sameElements(lifts.sortBy(-_)),
+      "collocations not ordered by lift desc")
+    println(f"collocations         $total%9d docs  $tCo%7.1f s  ${total / tCo}%9.0f docs/s  (top lift ${lifts.head}%.3f)")
+
     val nRows = 30000000L
     val big = spark.range(nRows).select(
       pmod(col("id"), lit(1000)).as("k"),

@@ -484,6 +484,39 @@ object Similarity {
       dims: Int = 64,
       seed: Long = 0xC0FFEEL,
       maxIter: Int = 20): DataFrame = {
+    val idx = buildPqIndex(embeddings, cells, m, ksub, dims, seed, maxIter)
+    searchPqIndex(idx, embeddings,
+      embeddings.filter(col("vec_id") % 100 === 0), probes, rescore)
+  }
+
+  /** A fitted IVF-PQ index (see [[buildPqIndex]]): the broadcastable
+    * coarse-centroid frame, the per-subspace codebooks (driver-side
+    * model state — dims·ksub doubles, dimension-scaled), and the
+    * narrow stored `index` frame `(vec_id, cell, code[m])` — the
+    * artifact a production pipeline writes to parquet ONCE and then
+    * searches many times. `index` is 32–64× smaller than the raw
+    * embeddings (4-bit codes at ksub=16, byte codes at ksub=256). */
+  final case class PqIndex(
+      cents: DataFrame,
+      codebooks: Seq[Array[Array[Double]]],
+      index: DataFrame,
+      m: Int,
+      ksub: Int,
+      dims: Int)
+
+  /** Fit the IVF-PQ index over `(vec_id, embedding)`: coarse KMeans
+    * into `cells`, one seeded KMeans(`ksub`) codebook per subspace
+    * slice, and the encode pass producing the stored index. The build
+    * is the expensive half ([[annIvfPq]] for the cost model); searches
+    * against the returned [[PqIndex]] are candidate-join-sized. */
+  def buildPqIndex(
+      embeddings: DataFrame,
+      cells: Int = 10,
+      m: Int = 8,
+      ksub: Int = 16,
+      dims: Int = 64,
+      seed: Long = 0xC0FFEEL,
+      maxIter: Int = 20): PqIndex = {
     require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
     val dsub = dims / m
     import org.apache.spark.ml.clustering.KMeans
@@ -493,9 +526,9 @@ object Similarity {
     // against normalized codebook centroids approximate cosine directly
     val unit = v.withColumn("u",
       transform(col("embedding"), x => x.cast("double") / sqrt(col("n2"))))
-    // memo-persist the normalized frame: the 1 + m KMeans fits, the
-    // encode transform, and the query side all branch over it — without
-    // the memo each fit re-scans and re-normalizes the corpus
+    // memo-persist the normalized frame: the 1 + m KMeans fits and the
+    // encode transform all branch over it — without the memo each fit
+    // re-scans and re-normalizes the corpus
     val feat = featCache.memo(unit.withColumn("features", array_to_vector(col("u"))))
     val coarse = new KMeans().setK(cells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").fit(feat)
@@ -513,8 +546,7 @@ object Similarity {
         .setFeaturesCol("sub_features").fit(subFeat)
         .clusterCenters.map(_.toArray)
     }
-    val cbLit = array(codebooks.map(cb =>
-      array(cb.map(cent => array(cent.map(lit): _*)): _*)): _*)
+    val cbLit = codebookLit(codebooks)
     // encode: per subspace, the L2-nearest codebook entry (first-match
     // tie-break via array_position — deterministic)
     val codeCol = array((0 until m).map { j =>
@@ -528,18 +560,43 @@ object Similarity {
     val assigned = coarse.transform(feat)
       .withColumn("code", codeCol)
       .select(col("vec_id"), col("prediction").cast("long").as("cell"), col("code"))
-    // query side: probe the nearest cells; one ADC table per query
-    // (tables[j][c] = <q̂_j, codebook[j][c]>)
-    val qs = queries(v).withColumn("q_u",
+    PqIndex(cents, codebooks, assigned, m, ksub, dims)
+  }
+
+  private def codebookLit(codebooks: Seq[Array[Array[Double]]]): Column =
+    array(codebooks.map(cb =>
+      array(cb.map(cent => array(cent.map(lit): _*)): _*)): _*)
+
+  /** ADC search of a fitted [[PqIndex]]: `queryVecs` `(vec_id,
+    * embedding)` probe their nearest cells, score the cells' candidates
+    * by m table lookups (no float vectors in flight), and the
+    * top-`rescore` shortlist reranks by exact cosine against `vectors`
+    * (the raw-embedding frame the index was built over — a
+    * shortlist-sized equi-join, the only stage that touches floats).
+    * Query ids present in the index are excluded from their own
+    * results (self-match). */
+  def searchPqIndex(
+      idx: PqIndex,
+      vectors: DataFrame,
+      queryVecs: DataFrame,
+      probes: Int = 3,
+      rescore: Int = 50): DataFrame = {
+    val dsub = idx.dims / idx.m
+    val cbLit = codebookLit(idx.codebooks)
+    val v = withNorms(vectors)
+    val q = withNorms(queryVecs).select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    // one ADC table per query: tables[j][c] = <q̂_j, codebook[j][c]>
+    val qs = q.withColumn("q_u",
       transform(col("q_emb"), x => x.cast("double") / sqrt(col("q_n2"))))
-    val tablesCol = array((0 until m).map { j =>
+    val tablesCol = array((0 until idx.m).map { j =>
       val qsub = slice(col("q_u"), j * dsub + 1, dsub)
       transform(element_at(cbLit, j + 1), cent =>
         aggregate(zip_with(qsub, cent, (a, b) => a * b),
           lit(0.0), (acc, x) => acc + x))
     }: _*)
     val byQ = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
-    val probed = qs.join(broadcast(cents), lit(true))
+    val probed = qs.join(broadcast(idx.cents), lit(true))
       .withColumn("c_cos",
         cosineFrom(dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
       .withColumn("rn", row_number().over(byQ))
@@ -548,7 +605,7 @@ object Similarity {
       .select(col("q_id"), col("tables"), col("c_id").as("cell"))
     // ADC scoring: m lookups per candidate, no float vectors in flight
     val adcW = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
-    val shortlist = probed.join(assigned, Seq("cell"))
+    val shortlist = probed.join(idx.index, Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("adc",
         aggregate(zip_with(col("tables"), col("code"),
@@ -560,7 +617,7 @@ object Similarity {
     // raw vectors — the only stage that touches floats again
     val scored = shortlist
       .join(v, Seq("vec_id"))
-      .join(queries(v), Seq("q_id"))
+      .join(q, Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2")).as("cos"))
     topkPerQuery(scored)
