@@ -67,6 +67,12 @@ object Graft {
     queries.Dedup.jaccardPairs(docs, minJaccard)
   def jaccardPairsPrefix(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
     queries.Dedup.jaccardPairsPrefix(docs, minJaccard)
+  /** Partial-duplicate pairs by shingle containment / overlap
+    * coefficient — catches a short doc quoted inside a long one, which
+    * Jaccard structurally misses
+    * ([[graft.queries.Dedup.containmentPairs]]). */
+  def containmentPairs(docs: DataFrame, minContainment: Double = 0.5): DataFrame =
+    queries.Dedup.containmentPairs(docs, minContainment)
   def embeddingDupPairs(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame =
     queries.Similarity.embeddingDupPairs(embeddings, minCosine)
   def embeddingDupPairsLsh(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame =

@@ -370,6 +370,57 @@ object Dedup {
       WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5
       ORDER BY id_a, id_b"""))
 
+  /** D12: shingle CONTAINMENT pairs — the partial-duplicate detector
+    * Jaccard structurally misses. A short doc quoted verbatim inside a
+    * long one has J = |A|/|B| ≈ 0 however perfect the inclusion, but
+    * containment C(A→B) = |A∩B|/|A| = 1; the pair survives when either
+    * direction (equivalently the overlap coefficient
+    * |A∩B|/min(|A|,|B|)) clears the threshold. The quote-extraction /
+    * boilerplate-inclusion case every corpus audit needs alongside D4.
+    *
+    * Scale shape: identical to [[jaccardPairs]] — one posting-list
+    * self-join on 8-byte shingle hashes (AQE skew-join handles hot
+    * shingles), one count agg per surviving pair. The D4b prefix-filter
+    * machinery extends to containment with the overlap-coefficient
+    * bound (prefix length n − ⌈t·min-size⌉ + 1); at this threshold the
+    * naive join IS the oracle-checked row, as for D4.
+    *
+    * Determinism: integer counts, one double division per direction. */
+  def containmentPairs(docs: DataFrame, minContainment: Double = 0.5): DataFrame = {
+      val hs = hashedShingles(docs)
+        .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
+      val ex = hs.select(col("doc_id"), col("n"), explode(col("hs")).as("s"))
+      ex.as("a").join(ex.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_common"),
+          first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+        .withColumn("containment_a", col("n_common").cast("double") / col("na"))
+        .withColumn("containment_b", col("n_common").cast("double") / col("nb"))
+        .filter(greatest(col("containment_a"), col("containment_b")) >= minContainment)
+        .select(col("id_a"), col("id_b"), col("n_common"),
+          col("containment_a"), col("containment_b"))
+        .orderBy("id_a", "id_b")
+  }
+
+  val qNgramContainment: Q = Q(
+    "q_ngram_containment",
+    (s, d) => containmentPairs(Tables.documents(s, d)),
+    Some(s"""WITH $sqlShingleCte,
+      ex AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS s FROM hashes),
+      common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common,
+               any_value(a.n) AS na, any_value(b.n) AS nb
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, n_common,
+        CAST(n_common AS DOUBLE) / na AS containment_a,
+        CAST(n_common AS DOUBLE) / nb AS containment_b
+      FROM common
+      WHERE greatest(CAST(n_common AS DOUBLE) / na,
+                     CAST(n_common AS DOUBLE) / nb) >= 0.5
+      ORDER BY id_a, id_b"""))
+
   /** D4 scale path: EXACT n-gram Jaccard via prefix filtering (PPJoin
     * family — Xiao, Wang, Lin & Yu, "Efficient Similarity Joins for Near
     * Duplicate Detection", WWW'08). Order every doc's shingles by a
@@ -447,5 +498,6 @@ object Dedup {
     qNgramJaccard.oracle)
 
   val all: Seq[Q] =
-    Seq(qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard, qNgramJaccardPrefix)
+    Seq(qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard,
+      qNgramContainment, qNgramJaccardPrefix)
 }
