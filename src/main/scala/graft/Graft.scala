@@ -177,6 +177,12 @@ object Graft {
     * per-doc keep/rate columns ([[graft.queries.Shards.domainMix]]). */
   def domainMix(docs: DataFrame, group: String = "lang"): DataFrame =
     queries.Shards.domainMix(docs, group)
+  /** Temperature-based domain mixing (target share ∝ tokens^alpha;
+    * 0.5 = the standard multilingual compromise)
+    * ([[graft.queries.Shards.domainMixTemperature]]). */
+  def domainMixTemperature(
+      docs: DataFrame, group: String = "lang", alpha: Double = 0.5): DataFrame =
+    queries.Shards.domainMixTemperature(docs, group, alpha)
   /** Long-format column profile (col_name, metric, value) — Deequ-style
     * stats in one scan ([[graft.queries.Profile.profile]]). */
   def profile(df: DataFrame, numericCols: Seq[String],

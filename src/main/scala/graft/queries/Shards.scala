@@ -218,5 +218,87 @@ object Shards {
       GROUP BY lang
       ORDER BY lang"""))
 
-  val all: Seq[Q] = Seq(qPackShards, qPackSequences, qStratifiedSample, qDomainMix)
+  /** H6b: temperature-based domain mixing (the UniMax / multilingual-
+    * BERT sampling family): instead of equalizing token budgets, each
+    * group's target share is ∝ `g_tokens^alpha` — `alpha = 1` keeps the
+    * natural distribution, `alpha → 0` approaches uniform, and the
+    * default 0.5 is the standard compromise that upsamples tail
+    * domains without flattening the head.
+    *
+    * Determinism at `alpha = 0.5`: the weight is `sqrt` (a basic IEEE
+    * op — correctly rounded, bit-identical in any engine, unlike
+    * `pow`), quantized to 2^20 fixed-point integers (round-half-away
+    * matches cross-engine) and INTEGER-summed for the normalizer, so
+    * no float sum depends on row order; the per-group rate is then a
+    * fixed-order chain of exact-operand IEEE ops. Other `alpha`s go
+    * through `pow` — deterministic within Spark, but `pow` is not
+    * cross-engine bit-stable, so only the 0.5 configuration carries
+    * the oracle.
+    *
+    * Scale shape: identical to [[domainMix]] — one corpus-scan token
+    * agg to group stats, windows only over the #groups-row frame, the
+    * rate map broadcast back onto a pure map-filter. */
+  def domainMixTemperature(
+      docs: DataFrame,
+      group: String = "lang",
+      alpha: Double = 0.5): DataFrame = {
+    val per = docs.select(col("doc_id"), col(group),
+      size(words(col("text"))).cast("long").as("n_tokens"),
+      (((col("doc_id") % ScrambleP) * ScrambleA) % ScrambleP)
+        .cast("double").as("scramble"))
+    val gstats = per.groupBy(col(group))
+      .agg(sum(col("n_tokens")).as("g_tokens"))
+    val weight =
+      if (alpha == 0.5) sqrt(col("g_tokens").cast("double"))
+      else pow(col("g_tokens").cast("double"), lit(alpha))
+    val w = Window.partitionBy()
+    val rated = gstats
+      .withColumn("q", round(weight * lit(1048576.0)).cast("long"))
+      .withColumn("q_sum", sum(col("q")).over(w))
+      .withColumn("t_tokens", sum(col("g_tokens")).over(w))
+      .withColumn("rate", least(lit(1.0),
+        ((col("q").cast("double") / col("q_sum").cast("double")) *
+          col("t_tokens").cast("double")) / col("g_tokens").cast("double")))
+      .select(col(group), col("rate"))
+    per.join(broadcast(rated), group)
+      .withColumn("keep", col("scramble") < col("rate") * lit(ScrambleP.toDouble))
+  }
+
+  val qDomainMixTemp: Q = Q(
+    "q_domain_mix_temp",
+    (s, d) => domainMixTemperature(Tables.documents(s, d))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_before"),
+        sum(col("n_tokens")).as("tok_before"),
+        min(col("rate")).as("rate"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_after"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("tok_after"))
+      .orderBy("lang"),
+    Some(s"""WITH per AS (
+        SELECT doc_id, lang,
+          CAST(len(list_filter(${sqlWords("text")}, t -> t <> '')) AS BIGINT) AS n_tokens,
+          CAST(((doc_id % $ScrambleP) * $ScrambleA) % $ScrambleP AS DOUBLE) AS scramble
+        FROM documents),
+      g AS (SELECT lang, sum(n_tokens) AS g_tokens FROM per GROUP BY 1),
+      g2 AS (SELECT lang, g_tokens,
+          CAST(round(sqrt(CAST(g_tokens AS DOUBLE)) * 1048576.0::DOUBLE) AS BIGINT) AS q
+        FROM g),
+      t AS (SELECT sum(q) AS q_sum, sum(g_tokens) AS t_tokens FROM g2),
+      rated AS (
+        SELECT lang, LEAST(1.0::DOUBLE,
+          ((CAST(q AS DOUBLE) / CAST(q_sum AS DOUBLE))
+            * CAST(t_tokens AS DOUBLE)) / CAST(g_tokens AS DOUBLE)) AS rate
+        FROM g2 CROSS JOIN t)
+      SELECT lang,
+        count(*) AS n_before,
+        CAST(sum(n_tokens) AS BIGINT) AS tok_before,
+        min(rate) AS rate,
+        CAST(sum(CASE WHEN scramble < rate * 1000000007.0::DOUBLE THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+        CAST(sum(CASE WHEN scramble < rate * 1000000007.0::DOUBLE THEN n_tokens ELSE 0 END) AS BIGINT) AS tok_after
+      FROM per JOIN rated USING (lang)
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  val all: Seq[Q] =
+    Seq(qPackShards, qPackSequences, qStratifiedSample, qDomainMix, qDomainMixTemp)
 }

@@ -35,6 +35,8 @@ class GraftFacadeSpec extends SparkSpec {
     assert(mh.contains((0L, 1L)))
     val sh = Graft.simhashPairs(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(sh.contains((0L, 1L)))
+    val ct = Graft.containmentPairs(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ct.contains((0L, 1L)))
   }
 
   test("curate drops junk, exact dups, and near dups; keeps the clean survivors") {

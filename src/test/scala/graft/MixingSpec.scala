@@ -99,4 +99,28 @@ class MixingSpec extends SparkSpec {
     assert(keptIds == keptIds)
     assert(keptIds.nonEmpty)
   }
+
+  test("temperature mixing: alpha=1 keeps the natural distribution, alpha interpolates") {
+    import spark.implicits._
+    // skewed corpus: group a has 4x group b's token mass
+    val docs = (1L to 50L).map(i =>
+      (i, if (i <= 40) "a" else "b", tokens(10, "t"))).toDF("doc_id", "lang", "text")
+    def rates(alpha: Double): Map[String, Double] =
+      Shards.domainMixTemperature(docs, "lang", alpha)
+        .select("lang", "rate").distinct()
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // alpha = 1: target share == natural share, every rate is 1
+    val natural = rates(1.0)
+    assert(natural.values.forall(_ == 1.0), s"alpha=1 resampled: $natural")
+    // alpha = 0.5: the over-represented group is downsampled, the tail
+    // kept whole; sqrt weighting must downsample LESS aggressively than
+    // uniform equalization (rate between domainMix's and 1)
+    val temp = rates(0.5)
+    val uniform = Shards.domainMix(docs, "lang")
+      .select("lang", "rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(temp("b") == 1.0, s"tail group resampled: $temp")
+    assert(temp("a") < 1.0 && temp("a") > uniform("a"),
+      s"sqrt rate ${temp("a")} not between uniform ${uniform("a")} and 1")
+  }
 }
