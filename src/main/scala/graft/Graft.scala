@@ -189,6 +189,10 @@ object Graft {
       stringCols: Seq[String] = Nil, tsCols: Seq[String] = Nil,
       exactDistinct: Boolean = true): DataFrame =
     queries.Profile.profile(df, numericCols, stringCols, tsCols, exactDistinct)
+  /** Equi-width histogram of a numeric column
+    * ([[graft.queries.Profile.histogram]]). */
+  def histogram(df: DataFrame, c: String, buckets: Int = 10): DataFrame =
+    queries.Profile.histogram(df, c, buckets)
   /** Per-dimension int8 min/max quantization of an embedding column
     * ([[graft.queries.Quantize.quantizeInt8]]). */
   def quantizeInt8(embeddings: DataFrame): DataFrame =

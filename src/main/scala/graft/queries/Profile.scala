@@ -164,5 +164,66 @@ object Profile {
         CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
       FROM rowchecks ORDER BY check_name"""))
 
-  val all: Seq[Q] = Seq(qProfile, qChecks)
+  /** I3: equi-width histogram of a numeric column — the distribution
+    * view [[profile]]'s scalar metrics can't give (skew, modes, gaps).
+    * Bucket of x = `min(buckets-1, floor((x-lo)·buckets/(hi-lo)))`
+    * (the max value clamps into the last bucket); a constant column
+    * (hi == lo) lands wholly in bucket 0. NULLs are excluded — their
+    * count is [[profile]]'s `n_null` metric.
+    *
+    * Scale shape: one 2-value extrema aggregation broadcast back onto
+    * a map stage, then a map-side-combinable count on ≤ `buckets`
+    * keys. Two scans of one pruned column; the extrema scan is the
+    * same pass `profile` already makes, so a combined trust sweep
+    * shares it.
+    *
+    * Determinism: the bucket expression is a fixed-order chain of IEEE
+    * ops on identical operands — bit-identical cross-engine; counts
+    * are integers; bucket bounds derive from (lo, hi, index) the same
+    * way in both engines. */
+  def histogram(df: DataFrame, c: String, buckets: Int = 10): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val x = col(c).cast("double")
+    val stats = df.filter(col(c).isNotNull)
+      .agg(min(x).as("lo"), max(x).as("hi"))
+    val b = lit(buckets)
+    val bucket = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(lit(buckets - 1).cast("long"),
+        floor((x - col("lo")) * b.cast("double") / (col("hi") - col("lo")))
+          .cast("long")))
+    df.filter(col(c).isNotNull)
+      .crossJoin(broadcast(stats))
+      .select(bucket.as("bucket"), col("lo"), col("hi"))
+      .groupBy("bucket", "lo", "hi")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (col("lo") + col("bucket").cast("double") * (col("hi") - col("lo")) /
+          b.cast("double")).as("bucket_lo"),
+        (col("lo") + (col("bucket") + 1).cast("double") * (col("hi") - col("lo")) /
+          b.cast("double")).as("bucket_hi"),
+        col("n"))
+      .orderBy("bucket")
+  }
+
+  val qHistogram: Q = Q(
+    "q_histogram",
+    (s, d) => histogram(Tables.orders(s, d), "o_totalprice"),
+    Some("""WITH src AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+        WHERE o_totalprice IS NOT NULL),
+      st AS (SELECT min(x) AS lo, max(x) AS hi FROM src),
+      bk AS (
+        SELECT CASE WHEN hi = lo THEN 0
+          ELSE LEAST(9, CAST(floor((x - lo) * 10.0::DOUBLE / (hi - lo)) AS BIGINT))
+          END AS bucket, lo, hi
+        FROM src CROSS JOIN st)
+      SELECT bucket,
+        lo + CAST(bucket AS DOUBLE) * (hi - lo) / 10.0::DOUBLE AS bucket_lo,
+        lo + CAST(bucket + 1 AS DOUBLE) * (hi - lo) / 10.0::DOUBLE AS bucket_hi,
+        count(*) AS n
+      FROM bk
+      GROUP BY bucket, lo, hi
+      ORDER BY bucket"""))
+
+  val all: Seq[Q] = Seq(qProfile, qChecks, qHistogram)
 }

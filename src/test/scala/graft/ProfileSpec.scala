@@ -75,4 +75,21 @@ class ProfileSpec extends SparkSpec {
       assert(passed == 1L, s"check $name should pass on the raw corpus")
     }
   }
+
+  test("histogram: exact buckets, max-clamp, null exclusion, constant column") {
+    import spark.implicits._
+    // values 0..9 over [0, 9]: bucket width 0.9, value v -> floor(v/0.9)
+    // except v=9 which clamps into bucket 9; one NULL must vanish
+    val df = ((0 to 9).map(v => Some(v.toDouble)) :+ None).toDF("x")
+    val h = Profile.histogram(df, "x", buckets = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(h.values.sum == 10L, "null row leaked into the histogram")
+    assert(h(9L) == 1L, "max value must clamp into the last bucket")
+    assert(h.keys.forall(b => b >= 0 && b <= 9))
+    // constant column: everything in bucket 0, bounds degenerate
+    val const = Seq(5.0, 5.0, 5.0).toDF("x")
+    val hc = Profile.histogram(const, "x").collect()
+    assert(hc.length == 1 && hc.head.getLong(0) == 0L && hc.head.getLong(3) == 3L)
+    assert(hc.head.getDouble(1) == 5.0 && hc.head.getDouble(2) == 5.0)
+  }
 }
