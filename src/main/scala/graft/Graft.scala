@@ -55,6 +55,18 @@ object Graft {
     * ([[graft.queries.TextAnalysis.collocations]]). */
   def collocations(docs: DataFrame, minCount: Long = 5L, topN: Int = 25): DataFrame =
     queries.TextAnalysis.collocations(docs, minCount, topN)
+  /** Learn a BPE merge table from the corpus (Sennrich '16; bounded
+    * top-`maxDictWords` dict — [[graft.queries.Tokenizer.bpeLearn]]). */
+  def bpeLearn(docs: DataFrame, merges: Int, maxDictWords: Int = 50000): DataFrame =
+    queries.Tokenizer.bpeLearn(docs, merges, maxDictWords)
+  /** Learned merges as the driver-side table [[bpeStats]] consumes. */
+  def bpeLearnMerges(docs: DataFrame, merges: Int,
+      maxDictWords: Int = 50000): Seq[((String, String), String)] =
+    queries.Tokenizer.bpeLearnMerges(docs, merges, maxDictWords)
+  /** Per-doc tokenizer-fertility stats under a learned merge table
+    * ([[graft.queries.Tokenizer.bpeStats]]). */
+  def bpeStats(docs: DataFrame, merges: Seq[((String, String), String)]): DataFrame =
+    queries.Tokenizer.bpeStats(docs, merges)
   /** BM25 retrieval of a term disjunction ([[graft.queries.Ranking.searchBm25]]). */
   def searchBm25(docs: DataFrame, terms: Seq[String], k: Int = 15): DataFrame =
     queries.Ranking.searchBm25(docs, terms, k)

@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training over the corpus (SURVEY.md §2 C13) — the
+  * vocabulary-induction step an LLM pipeline runs before token
+  * counting/packing means anything (Sennrich, Haddow & Birch, "Neural
+  * Machine Translation of Rare Words with Subword Units", ACL 2016).
+  *
+  * Scale shape — the sentencepiece/fastBPE trainer shape, not a naive
+  * corpus loop: the ONLY corpus-sized work is one word-frequency
+  * aggregation (map-side combinable, vocabulary-sized output). The
+  * top-`maxDictWords` dict then collects to the driver — bounded the
+  * same way [[graft.ops.ConnectedComponents]]' local finish is: at any
+  * corpus scale the top 50k words cover ~99.9% of token mass, the
+  * collect is a few MB, and the merge loop's cost is
+  * O(merges × dict size), independent of corpus bytes. Encoding
+  * ([[bpeStats]]) runs the imperative merge automaton once per
+  * DISTINCT word (a vocabulary-sized typed map with the rank table
+  * broadcast — per-row imperative logic, the documented last-resort
+  * case), and the corpus only joins on the word key.
+  *
+  * Determinism: merge selection breaks ties by (count DESC, pair
+  * lexicographic ASC); encoding merges the lowest-rank pair first,
+  * all adjacent occurrences left-to-right — both engine-free integer/
+  * string rules, so the merge table and every encoding are
+  * reproducible run to run and cluster to cluster. Library-only like
+  * the trained-IVF fit: the iterative merge loop is not
+  * SQL-expressible, so this ships behind TokenizerSpec (hand-computed
+  * classic example) instead of a DuckDB oracle. */
+object Tokenizer {
+
+  /** End-of-word marker (Sennrich '16): lets a merge distinguish
+    * word-final from word-internal contexts. */
+  val EndOfWord = "</w>"
+
+  /** Word-frequency dict: the one corpus-sized aggregation. */
+  private def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Learn `merges` BPE merges from the corpus; returns them in rank
+    * order as ((left, right), merged). */
+  def bpeLearnMerges(
+      docs: DataFrame,
+      merges: Int,
+      maxDictWords: Int = 50000): Seq[((String, String), String)] = {
+    // bounded dict: top words by mass, deterministic tie-break
+    val dict = wordCounts(docs)
+      .orderBy(col("n").desc, col("word"))
+      .limit(maxDictWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var syms: Array[(Vector[String], Long)] = dict.map { case (w, n) =>
+      (w.map(_.toString).toVector :+ EndOfWord, n)
+    }
+    val out = Vector.newBuilder[((String, String), String)]
+    var k = 0
+    var exhausted = false
+    while (k < merges && !exhausted) {
+      val counts = collection.mutable.HashMap.empty[(String, String), Long]
+      for ((s, n) <- syms; i <- 0 until s.length - 1)
+        counts.updateWith((s(i), s(i + 1)))(c => Some(c.getOrElse(0L) + n))
+      if (counts.isEmpty) exhausted = true
+      else {
+        // highest count; ties broken by pair lexicographic order
+        val best = counts.keys.minBy { p => (-counts(p), p._1, p._2) }
+        val merged = best._1 + best._2
+        out += ((best, merged))
+        syms = syms.map { case (s, n) => (mergeAll(s, best, merged), n) }
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  /** All adjacent occurrences of `pair`, left-to-right (non-overlapping). */
+  private def mergeAll(
+      s: Vector[String], pair: (String, String), merged: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      if (i < s.length - 1 && s(i) == pair._1 && s(i + 1) == pair._2) {
+        b += merged; i += 2
+      } else { b += s(i); i += 1 }
+    }
+    b.result()
+  }
+
+  /** The learned merge table as a frame: (rank, left, right, merged). */
+  def bpeLearn(docs: DataFrame, merges: Int, maxDictWords: Int = 50000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeLearnMerges(docs, merges, maxDictWords).zipWithIndex
+      .map { case (((l, r), m), i) => (i.toLong, l, r, m) }
+      .toDF("rank", "left", "right", "merged")
+  }
+
+  /** Encode one word with a rank table: repeatedly merge the
+    * LOWEST-rank adjacent pair (all occurrences) until none applies —
+    * the standard greedy BPE encoder. */
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    var s = word.map(_.toString).toVector :+ EndOfWord
+    var done = false
+    while (!done && s.length > 1) {
+      var best: (String, String) = null
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < s.length - 1) {
+        val r = ranks.getOrElse((s(i), s(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = (s(i), s(i + 1)) }
+        i += 1
+      }
+      if (best == null) done = true
+      else s = mergeAll(s, best, best._1 + best._2)
+    }
+    s
+  }
+
+  /** Per-doc tokenizer-fertility stats under a learned merge table:
+    * (doc_id, n_words, n_bpe_tokens, fertility = bpe/words). The merge
+    * automaton runs once per DISTINCT word (vocabulary-sized typed
+    * map, rank table broadcast); the corpus side only joins on the
+    * word key and aggregates. */
+  def bpeStats(
+      docs: DataFrame,
+      merges: Seq[((String, String), String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = spark.sparkContext.broadcast(
+      merges.map(_._1).zipWithIndex.toMap)
+    val perWord = docs.select(explode(words(col("text"))).as("word"))
+      .distinct().as[String]
+      .map(w => (w, encodeWord(w, ranks.value).length.toLong))
+      .toDF("word", "n_subtokens")
+    docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .join(perWord, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_subtokens")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  /** Convenience: encode every distinct corpus word, returning
+    * (word, tokens) — the inspection/export view of a learned vocab. */
+  def bpeEncodeWords(
+      docsOrWords: DataFrame,
+      merges: Seq[((String, String), String)]): DataFrame = {
+    val spark = docsOrWords.sparkSession
+    import spark.implicits._
+    val ranks = spark.sparkContext.broadcast(
+      merges.map(_._1).zipWithIndex.toMap)
+    val src: Dataset[String] =
+      if (docsOrWords.columns.contains("text"))
+        docsOrWords.select(explode(words(col("text"))).as("word"))
+          .distinct().as[String]
+      else docsOrWords.select(col(docsOrWords.columns.head)).as[String]
+    src.map(w => (w, encodeWord(w, ranks.value)))
+      .toDF("word", "tokens")
+      .orderBy("word")
+  }
+}

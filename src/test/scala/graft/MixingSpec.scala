@@ -122,5 +122,8 @@ class MixingSpec extends SparkSpec {
     assert(temp("b") == 1.0, s"tail group resampled: $temp")
     assert(temp("a") < 1.0 && temp("a") > uniform("a"),
       s"sqrt rate ${temp("a")} not between uniform ${uniform("a")} and 1")
+    // alpha = 0: pow(g, 0) = 1 exactly, all weights equal -> the rate
+    // formula collapses to domainMix's uniform equalization, bit-equal
+    assert(rates(0.0) == uniform, "alpha=0 diverged from uniform domainMix")
   }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.queries.Tokenizer
+import org.apache.spark.sql.functions._
+
+/** BPE trainer/encoder contract (C13) against the hand-computable
+  * classic corpus from Sennrich et al. '16: low×5, lower×2, newest×6,
+  * widest×3. Pair counts are fully derivable by hand, so the expected
+  * merge sequence — including the deterministic (count DESC, pair ASC)
+  * tie-breaks — is pinned exactly. */
+class TokenizerSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val W = Tokenizer.EndOfWord
+
+  private lazy val docs = {
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    Seq((1L, text)).toDF("doc_id", "text")
+  }
+
+  test("merge sequence matches the hand computation, ties broken deterministically") {
+    val merges = Tokenizer.bpeLearnMerges(docs, merges = 4)
+    // counts: (e,s)=(s,t)=(t,</w>)=9 tie -> lexicographic: (e,s) first;
+    // then (es,t)=9 beats (t,</w>)=9 lexicographically; then
+    // (est,</w>)=9; then (l,o)=(o,w)=7 tie -> (l,o)
+    assert(merges.map(_._1) == Seq(
+      ("e", "s"), ("es", "t"), ("est", W), ("l", "o")))
+    assert(merges.map(_._2) == Seq("es", "est", s"est$W", "lo"))
+  }
+
+  test("greedy encoding applies merges by rank: 'lowest' -> lo w est</w>") {
+    val merges = Tokenizer.bpeLearnMerges(docs, merges = 4)
+    val ranks = merges.map(_._1).zipWithIndex.toMap
+    assert(Tokenizer.encodeWord("lowest", ranks) == Vector("lo", "w", s"est$W"))
+    // unseen characters pass through as singletons
+    assert(Tokenizer.encodeWord("xy", ranks) == Vector("x", "y", W))
+  }
+
+  test("merge loop stops when no pair remains; empty corpus learns nothing") {
+    // single repeated char: 'aa' has pairs (a,a) then (aa,</w>) then done
+    val tiny = Seq((1L, "aa aa")).toDF("doc_id", "text")
+    val m = Tokenizer.bpeLearnMerges(tiny, merges = 10)
+    assert(m.length == 2, s"expected exhaustion after 2 merges, got $m")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Tokenizer.bpeLearnMerges(empty, merges = 3).isEmpty)
+  }
+
+  test("bpeStats: per-doc fertility from distinct-word encoding") {
+    val two = Seq(
+      (1L, "low low lowest"),
+      (2L, "newest")).toDF("doc_id", "text")
+    val merges = Tokenizer.bpeLearnMerges(docs, merges = 4)
+    val got = Tokenizer.bpeStats(two, merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // low -> [lo, w</w>]? no: merges are (e,s),(es,t),(est,</w>),(l,o):
+    // low = l o w </w> -> lo w </w> = 3 tokens; lowest -> lo w est</w> = 3
+    assert(got(1L) == ((3L, 9L)), s"doc 1: ${got(1L)}")
+    // newest = n e w e s t </w> -> n e w est</w> = 4 tokens
+    assert(got(2L) == ((1L, 4L)), s"doc 2: ${got(2L)}")
+  }
+
+  test("learned merge table frame carries rank order") {
+    val df = Tokenizer.bpeLearn(docs, merges = 4).collect()
+    assert(df.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(df.head.getString(3) == "es")
+  }
+
+  test("encoding round-trip: concatenated tokens reconstruct the word") {
+    val merges = Tokenizer.bpeLearnMerges(docs, merges = 4)
+    val enc = Tokenizer.bpeEncodeWords(docs, merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1))
+    assert(enc.nonEmpty)
+    for ((w, toks) <- enc)
+      assert(toks.mkString.stripSuffix(W) == w, s"$w -> $toks")
+  }
+}
