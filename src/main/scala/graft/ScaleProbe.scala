@@ -283,6 +283,21 @@ object ScaleProbe {
     // rows — the shape where the counting scans, not the PMI join,
     // are the cost (exactly the 100 TB regime). Lift must be finite
     // and positive (counts can't be zero for a surviving candidate).
+    // BPE training: the corpus-sized cost is ONE word-frequency agg;
+    // the merge loop is dict-bounded (50-word synthetic vocab here, so
+    // merges exhaust when every word is a single symbol). Determinism
+    // of the full merge sequence is the assertion that matters — a
+    // nondeterministic tie-break would silently fork vocabularies
+    // between training runs.
+    val (bpe1, tBpe) = time {
+      graft.queries.Tokenizer.bpeLearnMerges(docs, merges = 300)
+    }
+    val bpe2 = graft.queries.Tokenizer.bpeLearnMerges(docs, merges = 300)
+    assert(bpe1 == bpe2, "BPE merge sequence not deterministic across runs")
+    assert(bpe1.nonEmpty && bpe1.length < 300,
+      s"50-word vocab should exhaust below 300 merges, got ${bpe1.length}")
+    println(f"bpe train            $total%9d docs  $tBpe%7.1f s  ${total / tBpe}%9.0f docs/s  (${bpe1.length} merges to exhaustion, deterministic)")
+
     val (collocs, tCo) = time {
       Graft.collocations(docs, minCount = 5L, topN = 25).collect()
     }
