@@ -19,11 +19,16 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object Graft {
 
-  /** Release every block the library pinned in this session: iterative
-    * operators' result-backing checkpoints and [[ops.PlanCache]] memos.
-    * Call between independent queries in a long-lived session, AFTER
-    * fully consuming prior results (checkpoint-backed frames are not
-    * re-usable past the sweep — their lineage was truncated). */
+  /** Release ALL persisted/checkpointed blocks in the session — the
+    * library's pins (iterative operators' result-backing checkpoints,
+    * [[ops.PlanCache]] memos) AND any caller-owned `.persist()`
+    * (Spark's block registry doesn't distinguish owners; caller
+    * persists are recompute-safe but will silently re-scan their
+    * source afterwards). Call between independent queries in a
+    * long-lived session, AFTER fully consuming prior results
+    * (checkpoint-backed frames are not re-usable past the sweep —
+    * their lineage was truncated) and not while another thread's
+    * query is mid-action. */
   def releaseCaches(spark: SparkSession): Unit = ops.Release.sweep(spark)
 
   // ---- MapReduce surface (reference parity) ----

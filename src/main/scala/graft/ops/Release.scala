@@ -27,9 +27,14 @@ object Release {
 
   /** Unpersist every persisted/checkpointed RDD in the session and
     * drop all [[PlanCache]] memos. Blocking, so storage is verifiably
-    * empty on return. Frames returned by iterative operators are NOT
-    * usable after this (their lineage was truncated at the released
-    * checkpoint) — sweep only after results are consumed. */
+    * empty on return. Session-WIDE, not library-scoped: Spark's block
+    * registry doesn't record who persisted what, so caller-owned
+    * `.persist()` frames are released too (recompute-safe — they
+    * silently fall back to re-scanning their source). Frames returned
+    * by iterative operators are NOT usable after this (their lineage
+    * was truncated at the released checkpoint) — sweep only after
+    * results are consumed, and not concurrently with another thread's
+    * in-flight action. */
   def sweep(spark: SparkSession): Unit = {
     PlanCache.clearAll()
     spark.sparkContext.getPersistentRDDs.values

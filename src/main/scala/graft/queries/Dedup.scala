@@ -335,35 +335,47 @@ object Dedup {
     * |A∩B| / (|A|+|B|-|A∩B|). */
   /** Public API: exact shingle-Jaccard pairs over any (doc_id, text)
     * frame. */
-  def jaccardPairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-      val hs = hashedShingles(docs)
-        .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
-      // join on the 8-byte shingle hash, not the shingle string: same
-      // pairs (collisions are shared-hash-deterministic and reproduced by
-      // the oracle), a fraction of the shuffle bytes
-      val ex = hs.select(col("doc_id"), col("n"), explode(col("hs")).as("s"))
-      ex.as("a").join(ex.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("n_common"),
-          first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
-        .withColumn("jaccard",
-          col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
-        .filter(col("jaccard") >= minJaccard)
-        .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
-        .orderBy("id_a", "id_b")
+  /** Shared posting-list core of [[jaccardPairs]] and
+    * [[containmentPairs]]: (id_a, id_b, n_common, na, nb) for every doc
+    * pair sharing ≥ 1 shingle. Joins on the 8-byte shingle hash, not
+    * the shingle string — same pairs (collisions are
+    * shared-hash-deterministic and reproduced by the oracle), a
+    * fraction of the shuffle bytes; `first(n)` is deterministic (n is
+    * functionally dependent on the doc id). */
+  private def sharedShinglePairs(docs: DataFrame): DataFrame = {
+    val hs = hashedShingles(docs)
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
+    val ex = hs.select(col("doc_id"), col("n"), explode(col("hs")).as("s"))
+    ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
   }
 
-  val qNgramJaccard: Q = Q(
-    "q_ngram_jaccard",
-    (s, d) => jaccardPairs(Tables.documents(s, d)),
-    Some(s"""WITH $sqlShingleCte,
+  /** Oracle-side twin of [[sharedShinglePairs]] — a `common` CTE over
+    * the shingle-hash CTEs. */
+  private def sqlSharedPairsCte: String =
+    s"""$sqlShingleCte,
       ex AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS s FROM hashes),
       common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common,
                any_value(a.n) AS na, any_value(b.n) AS nb
         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
+        GROUP BY 1, 2)"""
+
+  def jaccardPairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    sharedShinglePairs(docs)
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  val qNgramJaccard: Q = Q(
+    "q_ngram_jaccard",
+    (s, d) => jaccardPairs(Tables.documents(s, d)),
+    Some(s"""WITH $sqlSharedPairsCte
       SELECT id_a, id_b, n_common,
         CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
       FROM common
@@ -386,33 +398,19 @@ object Dedup {
     * naive join IS the oracle-checked row, as for D4.
     *
     * Determinism: integer counts, one double division per direction. */
-  def containmentPairs(docs: DataFrame, minContainment: Double = 0.5): DataFrame = {
-      val hs = hashedShingles(docs)
-        .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
-      val ex = hs.select(col("doc_id"), col("n"), explode(col("hs")).as("s"))
-      ex.as("a").join(ex.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("n_common"),
-          first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
-        .withColumn("containment_a", col("n_common").cast("double") / col("na"))
-        .withColumn("containment_b", col("n_common").cast("double") / col("nb"))
-        .filter(greatest(col("containment_a"), col("containment_b")) >= minContainment)
-        .select(col("id_a"), col("id_b"), col("n_common"),
-          col("containment_a"), col("containment_b"))
-        .orderBy("id_a", "id_b")
-  }
+  def containmentPairs(docs: DataFrame, minContainment: Double = 0.5): DataFrame =
+    sharedShinglePairs(docs)
+      .withColumn("containment_a", col("n_common").cast("double") / col("na"))
+      .withColumn("containment_b", col("n_common").cast("double") / col("nb"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= minContainment)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        col("containment_a"), col("containment_b"))
+      .orderBy("id_a", "id_b")
 
   val qNgramContainment: Q = Q(
     "q_ngram_containment",
     (s, d) => containmentPairs(Tables.documents(s, d)),
-    Some(s"""WITH $sqlShingleCte,
-      ex AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS s FROM hashes),
-      common AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common,
-               any_value(a.n) AS na, any_value(b.n) AS nb
-        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
+    Some(s"""WITH $sqlSharedPairsCte
       SELECT id_a, id_b, n_common,
         CAST(n_common AS DOUBLE) / na AS containment_a,
         CAST(n_common AS DOUBLE) / nb AS containment_b

@@ -168,8 +168,12 @@ object Profile {
     * view [[profile]]'s scalar metrics can't give (skew, modes, gaps).
     * Bucket of x = `min(buckets-1, floor((x-lo)·buckets/(hi-lo)))`
     * (the max value clamps into the last bucket); a constant column
-    * (hi == lo) lands wholly in bucket 0. NULLs are excluded — their
-    * count is [[profile]]'s `n_null` metric.
+    * (hi == lo) lands wholly in bucket 0. NULLs and NaNs are
+    * excluded — NULL's count is [[profile]]'s `n_null` metric, and a
+    * NaN would otherwise poison `max` (NaN sorts greatest in Spark),
+    * collapsing EVERY row into bucket 0 with NaN bounds — the
+    * opposite of what a dirty-data audit should report (DuckDB also
+    * errors on CAST(floor(NaN)), so the engines would diverge).
     *
     * Scale shape: one 2-value extrema aggregation broadcast back onto
     * a map stage, then a map-side-combinable count on ≤ `buckets`
@@ -184,14 +188,14 @@ object Profile {
   def histogram(df: DataFrame, c: String, buckets: Int = 10): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val x = col(c).cast("double")
-    val stats = df.filter(col(c).isNotNull)
-      .agg(min(x).as("lo"), max(x).as("hi"))
+    val clean = df.filter(col(c).isNotNull && !isnan(x))
+    val stats = clean.agg(min(x).as("lo"), max(x).as("hi"))
     val b = lit(buckets)
     val bucket = when(col("hi") === col("lo"), lit(0L))
       .otherwise(least(lit(buckets - 1).cast("long"),
         floor((x - col("lo")) * b.cast("double") / (col("hi") - col("lo")))
           .cast("long")))
-    df.filter(col(c).isNotNull)
+    clean
       .crossJoin(broadcast(stats))
       .select(bucket.as("bucket"), col("lo"), col("hi"))
       .groupBy("bucket", "lo", "hi")
@@ -210,7 +214,7 @@ object Profile {
     (s, d) => histogram(Tables.orders(s, d), "o_totalprice"),
     Some("""WITH src AS (
         SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
-        WHERE o_totalprice IS NOT NULL),
+        WHERE o_totalprice IS NOT NULL AND NOT isnan(CAST(o_totalprice AS DOUBLE))),
       st AS (SELECT min(x) AS lo, max(x) AS hi FROM src),
       bk AS (
         SELECT CASE WHEN hi = lo THEN 0

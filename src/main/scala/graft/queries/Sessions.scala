@@ -110,9 +110,13 @@ object Sessions {
     * keep-first contract, ties make the survivor ill-defined). */
   def firstSeen(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
     require(keys.nonEmpty && order.nonEmpty, "keys and order must be non-empty")
-    df.withColumn("__rn", row_number().over(
+    // collision-guarded internal name: withColumn would silently
+    // REPLACE (and drop() then remove) a caller column of the same name
+    val rn = "__graft_first_seen_rn"
+    require(!df.columns.contains(rn), s"input frame already has a $rn column")
+    df.withColumn(rn, row_number().over(
         Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
-      .filter(col("__rn") === 1).drop("__rn")
+      .filter(col(rn) === 1).drop(rn)
   }
 
   /** G3's batch twin as an oracle row. event_id is unique in the events

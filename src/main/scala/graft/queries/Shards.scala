@@ -227,13 +227,17 @@ object Shards {
     *
     * Determinism at `alpha = 0.5`: the weight is `sqrt` (a basic IEEE
     * op — correctly rounded, bit-identical in any engine, unlike
-    * `pow`), quantized to 2^20 fixed-point integers (round-half-away
-    * matches cross-engine) and INTEGER-summed for the normalizer, so
-    * no float sum depends on row order; the per-group rate is then a
-    * fixed-order chain of exact-operand IEEE ops. Other `alpha`s go
-    * through `pow` — deterministic within Spark, but `pow` is not
-    * cross-engine bit-stable, so only the 0.5 configuration carries
-    * the oracle.
+    * `pow`), normalized by the LARGEST group's weight (so the
+    * quantized value is bounded by 2^20 — a raw `weight · 2^20` would
+    * overflow Long for alpha near 1 on a ≥ tens-of-TB group and
+    * silently wrap every rate negative), quantized to 2^20 fixed-point
+    * integers (round-half-away matches cross-engine; floored at 1 so a
+    * nonempty group can never round to a zero rate) and INTEGER-summed
+    * for the normalizer, so no float sum depends on row order; the
+    * per-group rate is then a fixed-order chain of exact-operand IEEE
+    * ops. Other `alpha`s go through `pow` — deterministic within
+    * Spark, but `pow` is not cross-engine bit-stable, so only the 0.5
+    * configuration carries the oracle.
     *
     * Scale shape: identical to [[domainMix]] — one corpus-scan token
     * agg to group stats, windows only over the #groups-row frame, the
@@ -253,7 +257,10 @@ object Shards {
       else pow(col("g_tokens").cast("double"), lit(alpha))
     val w = Window.partitionBy()
     val rated = gstats
-      .withColumn("q", round(weight * lit(1048576.0)).cast("long"))
+      .withColumn("w_raw", weight)
+      .withColumn("w_max", max(col("w_raw")).over(w))
+      .withColumn("q", greatest(lit(1L),
+        round((col("w_raw") / col("w_max")) * lit(1048576.0)).cast("long")))
       .withColumn("q_sum", sum(col("q")).over(w))
       .withColumn("t_tokens", sum(col("g_tokens")).over(w))
       .withColumn("rate", least(lit(1.0),
@@ -280,9 +287,11 @@ object Shards {
           CAST(((doc_id % $ScrambleP) * $ScrambleA) % $ScrambleP AS DOUBLE) AS scramble
         FROM documents),
       g AS (SELECT lang, sum(n_tokens) AS g_tokens FROM per GROUP BY 1),
+      gw AS (SELECT lang, g_tokens, sqrt(CAST(g_tokens AS DOUBLE)) AS w_raw FROM g),
       g2 AS (SELECT lang, g_tokens,
-          CAST(round(sqrt(CAST(g_tokens AS DOUBLE)) * 1048576.0::DOUBLE) AS BIGINT) AS q
-        FROM g),
+          GREATEST(1, CAST(round((w_raw / (SELECT max(w_raw) FROM gw))
+            * 1048576.0::DOUBLE) AS BIGINT)) AS q
+        FROM gw),
       t AS (SELECT sum(q) AS q_sum, sum(g_tokens) AS t_tokens FROM g2),
       rated AS (
         SELECT lang, LEAST(1.0::DOUBLE,

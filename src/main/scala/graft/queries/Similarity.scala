@@ -20,9 +20,11 @@ object Similarity {
 
   private val TopK = 5
 
-  /** Memo of [[annIvfPq]]'s normalized feature frame (see
-    * [[graft.ops.PlanCache]]; released by [[graft.ops.Release]]). */
-  private[this] val featCache = new graft.ops.PlanCache(capacity = 2)
+  /** Memo of [[annIvfPq]]'s normalized feature frame and the encoded
+    * PQ index (see [[graft.ops.PlanCache]]; released by
+    * [[graft.ops.Release]]). Capacity 4 = two corpora × (features +
+    * index) before LRU eviction. */
+  private[this] val featCache = new graft.ops.PlanCache(capacity = 4)
 
   /** Attach squared norms (computed once per vector). */
   private def withNorms(embeddings: DataFrame): DataFrame =
@@ -518,6 +520,13 @@ object Similarity {
       seed: Long = 0xC0FFEEL,
       maxIter: Int = 20): PqIndex = {
     require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
+    // fail loudly on a dims mismatch: slice() past the embedding length
+    // returns EMPTY subspaces, every distance ties at 0.0 and recall
+    // silently collapses — one tiny job at build time buys the guard
+    val sample = embeddings.select(size(col("embedding")).as("d")).limit(1).collect()
+    require(sample.nonEmpty, "buildPqIndex: embeddings frame is empty")
+    require(sample.head.getInt(0) == dims,
+      s"dims=$dims but embeddings have ${sample.head.getInt(0)} dimensions")
     val dsub = dims / m
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -556,10 +565,14 @@ object Similarity {
           lit(0.0), (acc, x) => acc + x))
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }: _*)
-    // the stored index: NARROW rows only — never the embedding
-    val assigned = coarse.transform(feat)
+    // the stored index: NARROW rows only — never the embedding.
+    // Memo-persisted: the index is the build-once artifact — without
+    // the memo every search action re-runs the full-corpus encode
+    // (coarse transform + m×ksub×dsub distance arithmetic per vector),
+    // which is the dominant build cost
+    val assigned = featCache.memo(coarse.transform(feat)
       .withColumn("code", codeCol)
-      .select(col("vec_id"), col("prediction").cast("long").as("cell"), col("code"))
+      .select(col("vec_id"), col("prediction").cast("long").as("cell"), col("code")))
     PqIndex(cents, codebooks, assigned, m, ksub, dims)
   }
 

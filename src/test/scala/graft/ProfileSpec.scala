@@ -91,5 +91,12 @@ class ProfileSpec extends SparkSpec {
     val hc = Profile.histogram(const, "x").collect()
     assert(hc.length == 1 && hc.head.getLong(0) == 0L && hc.head.getLong(3) == 3L)
     assert(hc.head.getDouble(1) == 5.0 && hc.head.getDouble(2) == 5.0)
+    // a NaN must be excluded like NULL, not poison max() (NaN sorts
+    // greatest in Spark) and collapse every row into bucket 0
+    val dirty = Seq(0.0, 4.5, 9.0, Double.NaN).toDF("x")
+    val hd = Profile.histogram(dirty, "x").collect()
+    assert(hd.map(_.getLong(3)).sum == 3L, "NaN row leaked into the histogram")
+    assert(hd.map(_.getLong(0)).toSet == Set(0L, 5L, 9L),
+      s"NaN poisoned the extrema: buckets ${hd.map(_.getLong(0)).mkString(",")}")
   }
 }
