@@ -47,6 +47,14 @@ class PqIndexSpec extends SparkSpec {
     assert(narrow.forall { case (_, rank, _) => rank >= 1 && rank <= 5 })
   }
 
+  test("searches read the memo-persisted index, not a fresh full-corpus encode") {
+    val idx = queries.Similarity.buildPqIndex(emb, cells = 4, m = 4, ksub = 8)
+    val plan = queries.Similarity.searchPqIndex(idx, emb, queriesDf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      "PqIndex.index lost its persist — every search would re-encode the corpus")
+  }
+
   test("the stored index is narrow: cell + m small codes, no embeddings") {
     val idx = queries.Similarity.buildPqIndex(emb, cells = 4, m = 4, ksub = 8)
     assert(idx.index.columns.toSeq == Seq("vec_id", "cell", "code"))
