@@ -75,4 +75,29 @@ class TokenizerSpec extends SparkSpec {
     for ((w, toks) <- enc)
       assert(toks.mkString.stripSuffix(W) == w, s"$w -> $toks")
   }
+
+  test("fuzz: reconstruction and determinism hold for arbitrary words under a fuzzed vocab") {
+    val rnd = new scala.util.Random(0xBEEF)
+    def randWord(): String =
+      (1 to (1 + rnd.nextInt(12))).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    val corpus = Seq.fill(300)(randWord())
+    val fuzzDocs = corpus.grouped(20).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val merges = Tokenizer.bpeLearnMerges(fuzzDocs, merges = 60)
+    assert(merges == Tokenizer.bpeLearnMerges(fuzzDocs, merges = 60),
+      "fuzzed merge sequence not deterministic")
+    val ranks = merges.map(_._1).zipWithIndex.toMap
+    // encode corpus words AND unseen words: reconstruction must hold
+    // for both, and every emitted token must be a vocab symbol (a
+    // single char, </w>, or a learned merge product)
+    val vocab = merges.map(_._2).toSet ++ ('a' to 'f').map(_.toString) + W
+    for (w <- corpus.distinct ++ Seq.fill(100)(randWord())) {
+      val toks = Tokenizer.encodeWord(w, ranks)
+      assert(toks.mkString.stripSuffix(W) == w, s"$w -> $toks")
+      for (t <- toks)
+        assert(vocab.contains(t) || vocab.contains(t.stripSuffix(W)),
+          s"token $t of $w is not a vocab symbol")
+    }
+  }
 }
