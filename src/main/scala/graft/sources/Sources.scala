@@ -61,6 +61,12 @@ object Sources {
   /** CSV with an explicit schema and a header row. */
   def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** ORC — the other columnar lake format (Hive-ecosystem
+    * interchange). Same splittable, predicate-pushdown-capable scan
+    * path as parquet in Spark; schema explicit as everywhere else. */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }
 
 /** Output connectors (SURVEY.md §2 "sinks"). */
@@ -83,6 +89,13 @@ object Sinks {
   /** CSV with header. */
   def csv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** ORC, optionally hive-partitioned (same layout contract as
+    * [[parquet]]). */
+  def orc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
 
   /** Compact a parquet dataset into files sized toward `targetFileMB`
     * (count derived from the current on-disk footprint via the Hadoop

@@ -87,4 +87,19 @@ class SourcesSpec extends SparkSpec {
     assert(back.orderBy("r_regionkey").collect().toSeq ==
       df.orderBy("r_regionkey").collect().toSeq)
   }
+
+  test("orc sink/source round trip with predicate pushdown") {
+    val dir = tmpDir("orc")
+    val df = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    Sinks.orc(df, s"$dir/orders")
+    val back = Sources.orc(spark, s"$dir/orders", df.schema)
+    assert(back.count() == df.count())
+    assert(back.orderBy("o_orderkey").collect().toSeq ==
+      df.orderBy("o_orderkey").collect().toSeq)
+    // ORC scans must push filters like parquet scans do
+    val plan = back.filter(col("o_totalprice") > 1000.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice)"), plan.take(500))
+  }
 }
