@@ -52,7 +52,11 @@ object Bench {
       val (_, mem, disk) = graft.ops.Release.held(spark)
       held(name) = (mem + disk) / (1024 * 1024)
       graft.ops.Release.sweep(spark)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val best = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      // Short per-query progress line: survives truncated log captures
+      // that would lose the front of one huge final JSON line.
+      println(f"bench $name%-28s ${best}%8.3f s")
+      name -> best
     }
     val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -61,7 +65,15 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val heldJson = held.collect { case (k, v) if v > 0 => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"storage_mb_held":$heldJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"storage_mb_held":$heldJson,"sf":"$sfDir"}"""
+    // The file is the durable artifact: stdout captures have twice lost
+    // timings to tail-truncation of the single long JSON line.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/bench_out.json"),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println(s"bench_out.json write failed: $e") }
+    println(json)
     spark.stop()
   }
 }

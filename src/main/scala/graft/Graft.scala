@@ -28,7 +28,14 @@ object Graft {
     * long-lived session, AFTER fully consuming prior results
     * (checkpoint-backed frames are not re-usable past the sweep —
     * their lineage was truncated) and not while another thread's
-    * query is mid-action. */
+    * query is mid-action.
+    *
+    * Input-mutation contract: [[ops.PlanCache]] memos key on the
+    * analyzed plan, so rewriting the files BEHIND an already-queried
+    * path in-session would keep serving the pre-rewrite corpus.
+    * Inputs are assumed immutable for a session (the append-only /
+    * immutable-lake norm); after an in-place rewrite, call THIS to
+    * invalidate every memo before querying the path again. */
   def releaseCaches(spark: SparkSession): Unit = ops.Release.sweep(spark)
 
   // ---- MapReduce surface (reference parity) ----

@@ -168,18 +168,23 @@ object Profile {
     * view [[profile]]'s scalar metrics can't give (skew, modes, gaps).
     * Bucket of x = `min(buckets-1, floor((x-lo)·buckets/(hi-lo)))`
     * (the max value clamps into the last bucket); a constant column
-    * (hi == lo) lands wholly in bucket 0. NULLs and NaNs are
-    * excluded — NULL's count is [[profile]]'s `n_null` metric, and a
-    * NaN would otherwise poison `max` (NaN sorts greatest in Spark),
-    * collapsing EVERY row into bucket 0 with NaN bounds — the
+    * (hi == lo) lands wholly in bucket 0. Only FINITE values bucket:
+    * a NaN would poison `max` (NaN sorts greatest in Spark) and one
+    * ±Inf row would make an extremum infinite — either way every
+    * finite value collapses into bucket 0 with garbage bounds, the
     * opposite of what a dirty-data audit should report (DuckDB also
-    * errors on CAST(floor(NaN)), so the engines would diverge).
+    * diverges on both: CAST(floor(NaN)) errors, floor(Inf-Inf)
+    * null-skips). Instead the dirty tallies are EXPLICIT output rows
+    * with NULL bounds — `bucket -1` = NULL count, `-2` = NaN count,
+    * `-3` = ±Inf count — so the audit is self-contained (no
+    * cross-referencing [[profile]]'s n_null) and a dirty column is
+    * visible in the same glance as its distribution.
     *
-    * Scale shape: one 2-value extrema aggregation broadcast back onto
-    * a map stage, then a map-side-combinable count on ≤ `buckets`
-    * keys. Two scans of one pruned column; the extrema scan is the
-    * same pass `profile` already makes, so a combined trust sweep
-    * shares it.
+    * Scale shape: one aggregation over the pruned column (finite
+    * extrema + the three dirty counts, all map-side combinable)
+    * collected as a single driver row and re-entering the plan as
+    * literals, then a map-side-combinable count on ≤ `buckets` keys.
+    * Two scans of one pruned column.
     *
     * Determinism: the bucket expression is a fixed-order chain of IEEE
     * ops on identical operands — bit-identical cross-engine; counts
@@ -187,46 +192,77 @@ object Profile {
     * way in both engines. */
   def histogram(df: DataFrame, c: String, buckets: Int = 10): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
     val x = col(c).cast("double")
-    val clean = df.filter(col(c).isNotNull && !isnan(x))
-    val stats = clean.agg(min(x).as("lo"), max(x).as("hi"))
+    val infinite = x === Double.PositiveInfinity || x === Double.NegativeInfinity
+    val finite = col(c).isNotNull && !isnan(x) && !infinite
+    val st = df.agg(
+      min(when(finite, x)).as("lo"),
+      max(when(finite, x)).as("hi"),
+      count(when(col(c).isNull, lit(1))).as("n_null"),
+      count(when(isnan(x), lit(1))).as("n_nan"),
+      count(when(infinite, lit(1))).as("n_inf")).head()
+    val (lo, hi) =
+      if (st.isNullAt(0)) (0.0, 0.0) else (st.getDouble(0), st.getDouble(1))
     val b = lit(buckets)
-    val bucket = when(col("hi") === col("lo"), lit(0L))
-      .otherwise(least(lit(buckets - 1).cast("long"),
-        floor((x - col("lo")) * b.cast("double") / (col("hi") - col("lo")))
-          .cast("long")))
-    clean
-      .crossJoin(broadcast(stats))
-      .select(bucket.as("bucket"), col("lo"), col("hi"))
-      .groupBy("bucket", "lo", "hi")
+    val loL = lit(lo)
+    val hiL = lit(hi)
+    val bucket =
+      if (hi == lo) lit(0L)
+      else least(lit(buckets - 1).cast("long"),
+        floor((x - loL) * b.cast("double") / (hiL - loL)).cast("long"))
+    val finiteRows = df.filter(finite)
+      .select(bucket.as("bucket"))
+      .groupBy("bucket")
       .agg(count(lit(1)).as("n"))
       .select(col("bucket"),
-        (col("lo") + col("bucket").cast("double") * (col("hi") - col("lo")) /
-          b.cast("double")).as("bucket_lo"),
-        (col("lo") + (col("bucket") + 1).cast("double") * (col("hi") - col("lo")) /
-          b.cast("double")).as("bucket_hi"),
+        (loL + col("bucket").cast("double") * (hiL - loL) / b.cast("double"))
+          .as("bucket_lo"),
+        (loL + (col("bucket") + 1).cast("double") * (hiL - loL) / b.cast("double"))
+          .as("bucket_hi"),
         col("n"))
-      .orderBy("bucket")
+    val dirtyRows = Seq((-1L, st.getLong(2)), (-2L, st.getLong(3)), (-3L, st.getLong(4)))
+      .toDF("bucket", "n")
+      .select(col("bucket"), lit(null).cast("double").as("bucket_lo"),
+        lit(null).cast("double").as("bucket_hi"), col("n"))
+    finiteRows.unionByName(dirtyRows).orderBy("bucket")
   }
 
   val qHistogram: Q = Q(
     "q_histogram",
     (s, d) => histogram(Tables.orders(s, d), "o_totalprice"),
     Some("""WITH src AS (
-        SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
-        WHERE o_totalprice IS NOT NULL AND NOT isnan(CAST(o_totalprice AS DOUBLE))),
-      st AS (SELECT min(x) AS lo, max(x) AS hi FROM src),
+        SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders),
+      st AS (SELECT
+          min(CASE WHEN x IS NOT NULL AND NOT isnan(x) AND NOT isinf(x) THEN x END) AS lo,
+          max(CASE WHEN x IS NOT NULL AND NOT isnan(x) AND NOT isinf(x) THEN x END) AS hi,
+          count(CASE WHEN x IS NULL THEN 1 END) AS n_null,
+          count(CASE WHEN isnan(x) THEN 1 END) AS n_nan,
+          count(CASE WHEN isinf(x) THEN 1 END) AS n_inf
+        FROM src),
       bk AS (
         SELECT CASE WHEN hi = lo THEN 0
           ELSE LEAST(9, CAST(floor((x - lo) * 10.0::DOUBLE / (hi - lo)) AS BIGINT))
           END AS bucket, lo, hi
-        FROM src CROSS JOIN st)
-      SELECT bucket,
-        lo + CAST(bucket AS DOUBLE) * (hi - lo) / 10.0::DOUBLE AS bucket_lo,
-        lo + CAST(bucket + 1 AS DOUBLE) * (hi - lo) / 10.0::DOUBLE AS bucket_hi,
-        count(*) AS n
-      FROM bk
-      GROUP BY bucket, lo, hi
+        FROM src CROSS JOIN st
+        WHERE x IS NOT NULL AND NOT isnan(x) AND NOT isinf(x)),
+      fin AS (
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+          lo + CAST(bucket AS DOUBLE) * (hi - lo) / 10.0::DOUBLE AS bucket_lo,
+          lo + CAST(bucket + 1 AS DOUBLE) * (hi - lo) / 10.0::DOUBLE AS bucket_hi,
+          count(*) AS n
+        FROM bk
+        GROUP BY bucket, lo, hi),
+      dirty AS (
+        SELECT CAST(-1 AS BIGINT) AS bucket, CAST(NULL AS DOUBLE) AS bucket_lo,
+          CAST(NULL AS DOUBLE) AS bucket_hi, n_null AS n FROM st
+        UNION ALL
+        SELECT CAST(-2 AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), n_nan FROM st
+        UNION ALL
+        SELECT CAST(-3 AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), n_inf FROM st)
+      SELECT bucket, bucket_lo, bucket_hi, CAST(n AS BIGINT) AS n
+      FROM (SELECT * FROM fin UNION ALL SELECT * FROM dirty)
       ORDER BY bucket"""))
 
   val all: Seq[Q] = Seq(qProfile, qChecks, qHistogram)

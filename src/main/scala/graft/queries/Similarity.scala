@@ -20,10 +20,12 @@ object Similarity {
 
   private val TopK = 5
 
-  /** Memo of [[annIvfPq]]'s normalized feature frame and the encoded
-    * PQ index (see [[graft.ops.PlanCache]]; released by
-    * [[graft.ops.Release]]). Capacity 4 = two corpora × (features +
-    * index) before LRU eviction. */
+  /** Memo of [[buildPqIndex]]'s normalized feature frame (see
+    * [[graft.ops.PlanCache]]; released by [[graft.ops.Release]]).
+    * Capacity 4 = four corpora before LRU eviction. The encoded PQ
+    * index deliberately does NOT live here: its fitted-model plan
+    * never key-collides, so LRU churn would evict a still-referenced
+    * index — it is persisted by and owned by the [[PqIndex]] itself. */
   private[this] val featCache = new graft.ops.PlanCache(capacity = 4)
 
   /** Attach squared norms (computed once per vector). */
@@ -504,7 +506,12 @@ object Similarity {
       index: DataFrame,
       m: Int,
       ksub: Int,
-      dims: Int)
+      dims: Int) {
+    /** Drop the index frame's persist (idempotent; the build pins it so
+      * searches never re-run the full-corpus encode). The index stays
+      * usable afterwards — searches just recompute from lineage. */
+    def release(): Unit = index.unpersist(blocking = false)
+  }
 
   /** Fit the IVF-PQ index over `(vec_id, embedding)`: coarse KMeans
     * into `cells`, one seeded KMeans(`ksub`) codebook per subspace
@@ -522,11 +529,19 @@ object Similarity {
     require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
     // fail loudly on a dims mismatch: slice() past the embedding length
     // returns EMPTY subspaces, every distance ties at 0.0 and recall
-    // silently collapses — one tiny job at build time buys the guard
-    val sample = embeddings.select(size(col("embedding")).as("d")).limit(1).collect()
-    require(sample.nonEmpty, "buildPqIndex: embeddings frame is empty")
-    require(sample.head.getInt(0) == dims,
-      s"dims=$dims but embeddings have ${sample.head.getInt(0)} dimensions")
+    // silently collapses. One aggregation over the whole column (NOT a
+    // single arbitrary row — limit(1) would let a ragged frame pass the
+    // guard and still collapse for the offending rows) buys the
+    // guarantee; the build makes several full scans for the KMeans
+    // fits anyway, so the extra pass is noise.
+    val dimStats = embeddings
+      .agg(min(size(col("embedding"))).as("dmin"),
+        max(size(col("embedding"))).as("dmax"))
+      .head()
+    require(!dimStats.isNullAt(0), "buildPqIndex: embeddings frame is empty")
+    require(dimStats.getInt(0) == dims && dimStats.getInt(1) == dims,
+      s"dims=$dims but embedding widths span " +
+        s"[${dimStats.getInt(0)}, ${dimStats.getInt(1)}]")
     val dsub = dims / m
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -566,13 +581,18 @@ object Similarity {
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }: _*)
     // the stored index: NARROW rows only — never the embedding.
-    // Memo-persisted: the index is the build-once artifact — without
-    // the memo every search action re-runs the full-corpus encode
-    // (coarse transform + m×ksub×dsub distance arithmetic per vector),
-    // which is the dominant build cost
-    val assigned = featCache.memo(coarse.transform(feat)
+    // Persisted, and OWNED by the returned PqIndex (not the shared
+    // featCache LRU: fitted-model transform plans never key-collide,
+    // so each build would insert a fresh entry and a few builds later
+    // a still-referenced index would silently lose its persist and
+    // every search would re-run the full-corpus encode — coarse
+    // transform + m×ksub×dsub distance arithmetic per vector, the
+    // dominant build cost). Release via PqIndex.release() (or
+    // Release.sweep's session-wide pass).
+    val assigned = coarse.transform(feat)
       .withColumn("code", codeCol)
-      .select(col("vec_id"), col("prediction").cast("long").as("cell"), col("code")))
+      .select(col("vec_id"), col("prediction").cast("long").as("cell"), col("code"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     PqIndex(cents, codebooks, assigned, m, ksub, dims)
   }
 
@@ -586,14 +606,18 @@ object Similarity {
     * top-`rescore` shortlist reranks by exact cosine against `vectors`
     * (the raw-embedding frame the index was built over — a
     * shortlist-sized equi-join, the only stage that touches floats).
-    * Query ids present in the index are excluded from their own
-    * results (self-match). */
+    * With `excludeSelf` (the default, for queryVecs drawn from the
+    * indexed vectors) a query id is excluded from its own results
+    * (self-match); pass `excludeSelf = false` when `queryVecs` is an
+    * EXTERNAL frame whose id space is unrelated to the index — there a
+    * coincidental id collision must not drop a real neighbor. */
   def searchPqIndex(
       idx: PqIndex,
       vectors: DataFrame,
       queryVecs: DataFrame,
       probes: Int = 3,
-      rescore: Int = 50): DataFrame = {
+      rescore: Int = 50,
+      excludeSelf: Boolean = true): DataFrame = {
     val dsub = idx.dims / idx.m
     val cbLit = codebookLit(idx.codebooks)
     val v = withNorms(vectors)
@@ -618,8 +642,9 @@ object Similarity {
       .select(col("q_id"), col("tables"), col("c_id").as("cell"))
     // ADC scoring: m lookups per candidate, no float vectors in flight
     val adcW = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))
-    val shortlist = probed.join(idx.index, Seq("cell"))
-      .filter(col("q_id") =!= col("vec_id"))
+    val candidates = probed.join(idx.index, Seq("cell"))
+    val shortlist = (if (excludeSelf) candidates.filter(col("q_id") =!= col("vec_id"))
+      else candidates)
       .withColumn("adc",
         aggregate(zip_with(col("tables"), col("code"),
           (t, c) => element_at(t, c + 1)), lit(0.0), (acc, x) => acc + x))

@@ -78,25 +78,38 @@ class ProfileSpec extends SparkSpec {
 
   test("histogram: exact buckets, max-clamp, null exclusion, constant column") {
     import spark.implicits._
+    def buckets(rows: Array[org.apache.spark.sql.Row]): Map[Long, Long] =
+      rows.map(r => r.getLong(0) -> r.getLong(3)).toMap
     // values 0..9 over [0, 9]: bucket width 0.9, value v -> floor(v/0.9)
-    // except v=9 which clamps into bucket 9; one NULL must vanish
+    // except v=9 which clamps into bucket 9; one NULL must vanish from
+    // the finite buckets and surface as the bucket=-1 tally
     val df = ((0 to 9).map(v => Some(v.toDouble)) :+ None).toDF("x")
-    val h = Profile.histogram(df, "x", buckets = 10)
-      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
-    assert(h.values.sum == 10L, "null row leaked into the histogram")
+    val h = buckets(Profile.histogram(df, "x", buckets = 10).collect())
+    assert(h.filter(_._1 >= 0).values.sum == 10L, "null row leaked into the histogram")
+    assert(h(-1L) == 1L && h(-2L) == 0L && h(-3L) == 0L,
+      "dirty tallies must be explicit rows")
     assert(h(9L) == 1L, "max value must clamp into the last bucket")
-    assert(h.keys.forall(b => b >= 0 && b <= 9))
+    assert(h.keys.forall(b => b >= -3 && b <= 9))
     // constant column: everything in bucket 0, bounds degenerate
     val const = Seq(5.0, 5.0, 5.0).toDF("x")
     val hc = Profile.histogram(const, "x").collect()
-    assert(hc.length == 1 && hc.head.getLong(0) == 0L && hc.head.getLong(3) == 3L)
-    assert(hc.head.getDouble(1) == 5.0 && hc.head.getDouble(2) == 5.0)
-    // a NaN must be excluded like NULL, not poison max() (NaN sorts
-    // greatest in Spark) and collapse every row into bucket 0
-    val dirty = Seq(0.0, 4.5, 9.0, Double.NaN).toDF("x")
-    val hd = Profile.histogram(dirty, "x").collect()
-    assert(hd.map(_.getLong(3)).sum == 3L, "NaN row leaked into the histogram")
-    assert(hd.map(_.getLong(0)).toSet == Set(0L, 5L, 9L),
-      s"NaN poisoned the extrema: buckets ${hd.map(_.getLong(0)).mkString(",")}")
+    val hcFin = hc.filter(_.getLong(0) >= 0)
+    assert(hcFin.length == 1 && hcFin.head.getLong(0) == 0L && hcFin.head.getLong(3) == 3L)
+    assert(hcFin.head.getDouble(1) == 5.0 && hcFin.head.getDouble(2) == 5.0)
+    // NaN and ±Inf must be excluded like NULL — a NaN poisons max()
+    // (NaN sorts greatest in Spark) and ONE Inf row makes hi infinite,
+    // either way collapsing every finite row into bucket 0 — and each
+    // must be tallied in its own dirty row with NULL bounds
+    val dirty = Seq(0.0, 4.5, 9.0, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity).toDF("x")
+    val rows = Profile.histogram(dirty, "x").collect()
+    val hd = buckets(rows)
+    assert(hd.filter(_._1 >= 0).values.sum == 3L, "NaN/Inf leaked into the histogram")
+    assert(hd.filter(_._1 >= 0).keySet == Set(0L, 5L, 9L),
+      s"NaN/Inf poisoned the extrema: buckets ${hd.keys.toSeq.sorted.mkString(",")}")
+    assert(hd(-1L) == 0L && hd(-2L) == 1L && hd(-3L) == 2L,
+      "NULL/NaN/Inf tallies must land in buckets -1/-2/-3")
+    assert(rows.filter(_.getLong(0) < 0).forall(r => r.isNullAt(1) && r.isNullAt(2)),
+      "dirty rows must carry NULL bounds")
   }
 }
