@@ -97,6 +97,11 @@ object Graft {
     * ([[graft.queries.Dedup.containmentPairs]]). */
   def containmentPairs(docs: DataFrame, minContainment: Double = 0.5): DataFrame =
     queries.Dedup.containmentPairs(docs, minContainment)
+  /** [[containmentPairs]] with the asymmetric prefix filter — identical
+    * output, candidates pruned by the smaller side's prefix
+    * ([[graft.queries.Dedup.containmentPairsPrefix]]). */
+  def containmentPairsPrefix(docs: DataFrame, minContainment: Double = 0.5): DataFrame =
+    queries.Dedup.containmentPairsPrefix(docs, minContainment)
   def embeddingDupPairs(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame =
     queries.Similarity.embeddingDupPairs(embeddings, minCosine)
   def embeddingDupPairsLsh(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame =
@@ -152,11 +157,20 @@ object Graft {
       ksub: Int = 16, dims: Int = 64): queries.Similarity.PqIndex =
     queries.Similarity.buildPqIndex(embeddings, cells, m, ksub, dims)
   /** ADC search of a fitted PQ index with exact rescore
-    * ([[graft.queries.Similarity.searchPqIndex]]). */
+    * ([[graft.queries.Similarity.searchPqIndex]]). Pass
+    * `excludeSelf = false` when `queryVecs` id space is unrelated to
+    * the indexed vectors. */
   def searchPqIndex(
       idx: queries.Similarity.PqIndex, vectors: DataFrame,
-      queryVecs: DataFrame, probes: Int = 3, rescore: Int = 50): DataFrame =
-    queries.Similarity.searchPqIndex(idx, vectors, queryVecs, probes, rescore)
+      queryVecs: DataFrame, probes: Int = 3, rescore: Int = 50,
+      excludeSelf: Boolean = true): DataFrame =
+    queries.Similarity.searchPqIndex(idx, vectors, queryVecs, probes, rescore, excludeSelf)
+  /** Disk-backed build-once PQ index: parquet index + centroids, text
+    * codebooks, built on first call per (cacheKey, params)
+    * ([[graft.queries.Similarity.pqIndexOnDisk]]). */
+  def pqIndexOnDisk(embeddings: DataFrame, cacheKey: String, cells: Int = 10,
+      m: Int = 8, ksub: Int = 16, dims: Int = 64): queries.Similarity.PqIndex =
+    queries.Similarity.pqIndexOnDisk(embeddings, cacheKey, cells, m, ksub, dims)
   /** Leave-one-out kNN label classification over the IVF index — the
     * per-label embedding-quality eval
     * ([[graft.queries.Similarity.knnLabelIvf]]). */

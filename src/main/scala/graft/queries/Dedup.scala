@@ -56,12 +56,14 @@ object Dedup {
     * JVM lifetime (mechanics in [[graft.ops.PlanCache]]). */
   private[this] val cachedShingles = new graft.ops.PlanCache(capacity = 4)
 
-  /** Memo for [[jaccardPairsPrefix]]'s ranked-prefix frame: the df-agg +
-    * per-doc rank window chain feeds BOTH sides of the candidate
-    * self-join, so without the persist it runs twice per call. Its own
+  /** Memo for [[jaccardPairsPrefix]]'s ranked-prefix frame and
+    * [[containmentPairsPrefix]]'s ranked posting frame: each df-agg +
+    * per-doc rank window chain feeds BOTH sides of its candidate
+    * join, so without the persist it runs twice per call. Its own
     * cache (not [[cachedShingles]]) so prefix frames never evict the
-    * more widely shared signature memos. */
-  private[this] val prefixCache = new graft.ops.PlanCache(capacity = 2)
+    * more widely shared signature memos. Capacity 4 = both prefix
+    * operators × two corpora. */
+  private[this] val prefixCache = new graft.ops.PlanCache(capacity = 4)
 
   /** Distinct mixed 3-shingle hashes of a text column — the signature
     * base shared by every dedup operator AND the streaming near-dup
@@ -265,6 +267,26 @@ object Dedup {
       SELECT id_a, id_b, est_jaccard FROM mh_pairs
       ORDER BY id_a, id_b"""))
 
+  /** G5's batch twin as an oracle row: the streaming near-dup detector
+    * ([[graft.streaming.Streams.nearDupStream]]) contracts to "flag
+    * each arrival against every PREVIOUSLY-seen near-duplicate under
+    * the same banded-MinHash keys". Over a static corpus arriving in
+    * doc_id order that is exactly the D2 pair set oriented
+    * later ← earlier (the stream's per-bucket registry admits docs in
+    * doc_id order; duplicate multi-band hits dedupe to the pair set).
+    * StreamingSpec's differential proves stream == batch D2; this row
+    * closes the chain with batch == DuckDB — leaving only G4/G7 (the
+    * genuinely non-SQL stateful streams) spec-only. */
+  val qStreamNeardupBatch: Q = Q(
+    "q_stream_neardup_batch",
+    (s, d) => minhashPairs(Tables.documents(s, d))
+      .select(col("id_b").as("doc_id"), col("id_a").as("matched_id"),
+        col("est_jaccard"))
+      .orderBy("doc_id", "matched_id"),
+    Some(s"""WITH ${sqlMinhashPairCtes("documents")}
+      SELECT id_b AS doc_id, id_a AS matched_id, est_jaccard FROM mh_pairs
+      ORDER BY doc_id, matched_id"""))
+
   /** D3: SimHash near-dup pairs at Hamming ≤ 5 over the 64-bit
     * fingerprint ([[graft.functions.NativeExpressions.SimHash64]]),
     * found via the 56-combo block join — exact vs brute force by
@@ -392,10 +414,9 @@ object Dedup {
     *
     * Scale shape: identical to [[jaccardPairs]] — one posting-list
     * self-join on 8-byte shingle hashes (AQE skew-join handles hot
-    * shingles), one count agg per surviving pair. The D4b prefix-filter
-    * machinery extends to containment with the overlap-coefficient
-    * bound (prefix length n − ⌈t·min-size⌉ + 1); at this threshold the
-    * naive join IS the oracle-checked row, as for D4.
+    * shingles), one count agg per surviving pair. This naive join is
+    * the oracle-checked baseline, as for D4; the prefix-filtered scale
+    * path is [[containmentPairsPrefix]].
     *
     * Determinism: integer counts, one double division per direction. */
   def containmentPairs(docs: DataFrame, minContainment: Double = 0.5): DataFrame =
@@ -495,7 +516,78 @@ object Dedup {
     (s, d) => jaccardPairsPrefix(Tables.documents(s, d)),
     qNgramJaccard.oracle)
 
+  /** D12 scale path: prefix-filtered EXACT containment — the
+    * overlap-coefficient extension of [[jaccardPairsPrefix]] its
+    * scaladoc sketches. C(pair) = |A∩B|/min(|A|,|B|) ≥ t forces
+    * O ≥ ⌈t·n_s⌉ for the SMALLER doc s, so s must contribute a common
+    * shingle within its first n_s − ⌈t·n_s⌉ + 1 shingles of the global
+    * (df asc, hash) order — the same prefix bound as Jaccard, applied
+    * to the smaller side only. The filter is necessarily ASYMMETRIC:
+    * containment has no size-ratio bound (a 10-shingle quote inside a
+    * 10k-shingle page qualifies at C=1), so the larger side must keep
+    * its FULL ranked posting list; losslessness still holds because
+    * the join only needs the smaller side pruned. Corpus-wide hot
+    * shingles rank last and fall out of every small doc's prefix, so
+    * they stop generating candidate pairs — the quadratic hot-key
+    * blowup of the naive join dies with them (candidates require a
+    * PREFIX occurrence, and prefixes hold only rare shingles).
+    *
+    * Positional filter (PPJoin §3.2 transplanted): the earliest common
+    * shingle of a qualifying pair is in the smaller prefix (minimality
+    * + order consistency), so min matched ranks (ri, rj) satisfy
+    * O ≤ 1 + min(n_s − ri, n_l − rj); pairs that can't reach ⌈t·n_s⌉
+    * die before the rescore. Same ceil-epsilon down-nudge as D4b: err
+    * toward extra candidates, never a miss — the exact full-set
+    * rescore keeps the output identical to [[containmentPairs]], and
+    * the driver oracle (the naive SQL) proves it per-row. */
+  def containmentPairsPrefix(docs: DataFrame, minContainment: Double = 0.5): DataFrame = {
+    val hs = hashedShingles(docs)
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
+    val ex = hs.select(col("doc_id"), col("n"), explode(col("hs")).as("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // memo-persisted: the prefix side filters this same ranked frame —
+    // one df-agg + rank-window evaluation feeds both join inputs
+    val ranked = prefixCache.memo(ex.join(dfreq, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .select(col("doc_id"), col("s"), col("n"), col("rk")))
+    val prefixes = ranked
+      .filter(col("rk") <= col("n") - ceil(col("n") * minContainment - 1e-9) + 1)
+    // smaller-side prefix × other-side full list; n-ties break by id so
+    // each unordered pair is generated in exactly one orientation
+    val cand = prefixes.as("x").join(ranked.as("y"),
+        col("x.s") === col("y.s") &&
+          (col("x.n") < col("y.n") ||
+            (col("x.n") === col("y.n") && col("x.doc_id") < col("y.doc_id"))))
+      .groupBy(col("x.doc_id").as("id_s"), col("y.doc_id").as("id_l"))
+      .agg(min(col("x.rk")).as("ri"), min(col("y.rk")).as("rj"),
+        first(col("x.n")).as("ns"), first(col("y.n")).as("nl"))
+      .filter(lit(1) + least(col("ns") - col("ri"), col("nl") - col("rj")) >=
+        ceil(col("ns") * minContainment - 1e-9))
+      .select(least(col("id_s"), col("id_l")).as("id_a"),
+        greatest(col("id_s"), col("id_l")).as("id_b"))
+    val a = hs.select(col("doc_id").as("id_a"), col("hs").as("hsa"), col("n").as("na"))
+    val b = hs.select(col("doc_id").as("id_b"), col("hs").as("hsb"), col("n").as("nb"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("n_common",
+        graft.functions.NativeExpressions.intersectSize(col("hsa"), col("hsb")))
+      .withColumn("containment_a", col("n_common").cast("double") / col("na"))
+      .withColumn("containment_b", col("n_common").cast("double") / col("nb"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= minContainment)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        col("containment_a"), col("containment_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Oracle: the NAIVE containment formulation (same SQL as D12) —
+    * hash-equality proves the asymmetric prefix pruning lossless. */
+  val qNgramContainmentPrefix: Q = Q(
+    "q_ngram_containment_prefix",
+    (s, d) => containmentPairsPrefix(Tables.documents(s, d)),
+    qNgramContainment.oracle)
+
   val all: Seq[Q] =
     Seq(qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard,
-      qNgramContainment, qNgramJaccardPrefix)
+      qNgramContainment, qNgramJaccardPrefix, qNgramContainmentPrefix,
+      qStreamNeardupBatch)
 }

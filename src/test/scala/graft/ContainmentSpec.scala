@@ -41,4 +41,27 @@ class ContainmentSpec extends SparkSpec {
     assert(!all.exists(r => r.getAs[Long]("id_a") == 3L || r.getAs[Long]("id_b") == 3L),
       "disjoint doc produced a containment pair")
   }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+    df.select("id_a", "id_b", "n_common")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+
+  test("prefix-filtered containment is lossless vs the naive join") {
+    // the asymmetric quote-host pair is the case the prefix filter
+    // must NOT lose: the quote (smaller side) prefixes; the host's
+    // full list catches it — plus the documents corpus for breadth.
+    // Shift the synthetic ids clear of the corpus id range: a doc_id
+    // collision would merge shingle sets and invalidate both plans.
+    import org.apache.spark.sql.functions.col
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    for (t <- Seq(0.3, 0.5, 0.9)) {
+      val naive = pairs(queries.Dedup.containmentPairs(corpus, t))
+      val pref = pairs(queries.Dedup.containmentPairsPrefix(corpus, t))
+      assert(pref == naive,
+        s"prefix filter diverged from naive at t=$t: " +
+          s"${pref.size} vs ${naive.size} pairs")
+      if (t <= 0.5) assert(naive.nonEmpty, s"empty differential at t=$t proves nothing")
+    }
+  }
 }

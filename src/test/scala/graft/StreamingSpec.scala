@@ -389,6 +389,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("q_stream_neardup_batch oracle row == the stream fed in doc_id order, oriented") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.NearDupHit
+    import StreamingSpec.Doc
+    // the twin's contract includes ORIENTATION (later arrival flagged
+    // against earlier): under doc_id-ordered arrival the stream's hits,
+    // deduped across bands, must equal the oracle row exactly
+    val twin = graft.queries.Dedup.qStreamNeardupBatch.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(twin.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[Doc].collect().toSeq.sortBy(_.doc_id)
+    val mem = MemoryStream[Doc]
+    val query = Streams.nearDupStream(mem.toDF())
+      .writeStream.format("memory").queryName("neardup_twin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(docs: _*)
+      query.processAllAvailable()
+      val got = spark.table("neardup_twin").as[NearDupHit].collect()
+        .map(h => (h.doc_id, h.matched_id, h.est_jaccard)).toSet
+      assert(got == twin, s"stream ${got.size} oriented hits vs twin ${twin.size}")
+    } finally query.stop()
+  }
+
   test("clickToPurchase emits exactly the batch attribution pairs on real events") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
