@@ -142,6 +142,32 @@ object ScaleProbe {
     val (nJac, tJp) = time { Graft.jaccardPairsPrefix(zdocs).count() }
     println(f"jaccard prefix       $zTotal%9d docs  $tJp%7.1f s  ${zTotal / tJp}%9.0f docs/s  ($nJac pairs; naive join would materialize ${naivePairs}%.2e rows)")
 
+    // Containment (D12 scale path) on the same Zipf corpus: the
+    // asymmetric prefix filter (prefix length keyed to the SMALLER
+    // doc's size) must survive the hot-shingle regime too — this row
+    // pins the runtime/candidate shape (the Zipf corpus has no >=0.5
+    // pairs, like the jaccard row above it).
+    val (nCont, tCp) = time { Graft.containmentPairsPrefix(zdocs).count() }
+    println(f"containment prefix   $zTotal%9d docs  $tCp%7.1f s  ${zTotal / tCp}%9.0f docs/s  ($nCont pairs)")
+    // Non-vacuous invariant on a corpus WITH planted near-dups (a twin
+    // per 100 docs sharing all base shingles): containment(A,B) >=
+    // jaccard(A,B) always, so at the same 0.5 threshold the
+    // jaccard-prefix pairs are a SUBSET of the containment-prefix
+    // pairs, and both must recover at least the planted twins. A
+    // missing pair means the asymmetric prefix pruned a true candidate.
+    val cdocs = syntheticDocs(spark, 20000L)
+    val jacS = Graft.jaccardPairsPrefix(cdocs).select("id_a", "id_b")
+    val contS = Graft.containmentPairsPrefix(cdocs).select("id_a", "id_b")
+    val (nJacS, nContS) = (jacS.count(), contS.count())
+    val jacMissing = jacS.join(contS, Seq("id_a", "id_b"), "left_anti").count()
+    assert(nJacS >= 200,
+      s"planted twins missing from jaccard-prefix: $nJacS pairs < 200 planted")
+    assert(jacMissing == 0,
+      s"$jacMissing jaccard>=0.5 pairs absent from containment>=0.5 — asymmetric prefix dropped true candidates")
+    assert(nContS >= nJacS, s"containment pairs $nContS < jaccard pairs $nJacS")
+    cdocs.unpersist()
+    println(f"containment superset ${"check"}%9s       $nJacS jaccard pairs all within $nContS containment pairs  PASS")
+
     // As-of join: 10M facts against a 1000-key × 500-epoch state
     // history. The broadcast variant binary-searches per fact; the
     // shuffle variant unions and sorts. The interval theta-join these
@@ -298,6 +324,25 @@ object ScaleProbe {
       s"50-word vocab should exhaust below 300 merges, got ${bpe1.length}")
     println(f"bpe train            $total%9d docs  $tBpe%7.1f s  ${total / tBpe}%9.0f docs/s  (${bpe1.length} merges to exhaustion, deterministic)")
 
+    // Incremental merge loop at the production vocab shape: a 50k-word
+    // dict x 4000 merges. The naive recount loop is O(merges × dict ×
+    // word length) — ~2×10^9 pair-count updates here, minutes of
+    // driver time — while the incremental scheme (heap + per-word
+    // delta updates, TokenizerSpec-pinned identical selection) touches
+    // only the words containing each merged pair. Driver-only cost by
+    // design: corpus size never enters this loop.
+    val brnd = new scala.util.Random(0xB9E)
+    val bigDict = Array.fill(60000)(
+        (1 to (3 + brnd.nextInt(10))).map(_ => ('a' + brnd.nextInt(26)).toChar).mkString)
+      .distinct.take(50000).map(w => w -> (1L + brnd.nextInt(1000)))
+    val (bigMerges, tBpeBig) = time {
+      graft.queries.Tokenizer.learnFromDict(bigDict, merges = 4000)
+    }
+    assert(bigMerges.length == 4000,
+      s"50k-word dict exhausted at ${bigMerges.length} of 4000 merges — implausible")
+    assert(bigMerges.distinct.length == 4000, "duplicate merge emitted")
+    println(f"bpe incremental      ${bigDict.length}%9d words $tBpeBig%7.1f s  ${4000 / tBpeBig}%9.0f merges/s  (4000-merge vocab)")
+
     val (collocs, tCo) = time {
       Graft.collocations(docs, minCount = 5L, topN = 25).collect()
     }
@@ -353,7 +398,8 @@ object ScaleProbe {
       .select(col("q_id"), col("vec_id"),
         cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2")).as("cos"))
       .withColumn("rn", row_number().over(gtW)).filter(col("rn") <= 5)
-      .select(col("q_id"), col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ivfSub = graft.queries.Similarity.annIvfTrained(emb, cells = 100, probes = 3)
       .filter(col("q_id") % 10000 === 0)
       .select(col("q_id"), col("neighbor_id").as("vec_id"))
@@ -364,6 +410,56 @@ object ScaleProbe {
     assert(recall >= 0.7,
       f"trained-IVF recall $recall%.3f below 0.7 — probed cells are missing true neighbors")
     println(f"IVF recall floor     ${"check"}%9s       $recall%.3f >= 0.7  PASS")
+
+    // IVF-PQ at the same 1M vectors: build ONCE (1 + m KMeans fits +
+    // the full-corpus encode — the expensive half), then search-only
+    // against the fitted index. Search ships only (vec_id, cell,
+    // code[4]) rows + ADC table lookups and must come in well under
+    // the build. Quality gate: EPSILON-recall (the ann-benchmarks
+    // metric) — a returned neighbor counts if its exact cosine is
+    // within eps of the query's true 5th-best. Exact-ID recall is the
+    // WRONG gate on this corpus by construction: each planted cluster
+    // holds ~31k near-identical vectors (cos ~0.9999 apart, inside PQ
+    // quantization error), so identifying the literal top-5 among them
+    // exceeds any bounded-rescore budget, while a plumbing bug (wrong
+    // cells, broken codes, empty slices) drops returned cosines to
+    // cross-cluster levels and still trips the eps gate.
+    val (pqIdx, tPqB) = time {
+      val i = graft.queries.Similarity.buildPqIndex(
+        emb, cells = 100, m = 4, ksub = 16, dims = vDims)
+      i.index.count() // materialize the persisted encode: that IS the build
+      i
+    }
+    val pqQueries = emb.filter(col("vec_id") % 10000 === 0)
+    val (pqRes, tPqS) = time {
+      val r = graft.queries.Similarity.searchPqIndex(pqIdx, emb, pqQueries,
+          probes = 3, rescore = 50)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      r
+    }
+    val nPqRows = pqRes.count()
+    println(f"IVF-PQ build (1M)    $nVec%9d vecs  $tPqB%7.1f s  ${nVec / tPqB}%9.0f vecs/s  (m=4 ksub=16 cells=100)")
+    println(f"IVF-PQ search-only   ${nVec / 10000}%9d qrys  $tPqS%7.1f s  ($nPqRows result rows)")
+    assert(nPqRows == (nVec / 10000) * 5, s"expected top-5 per query, got $nPqRows rows")
+    val gt5 = gt.groupBy("q_id").agg(min(col("cos")).as("cos5"))
+    val eps = 0.01
+    val nEpsOk = pqRes.join(gt5, "q_id")
+      .filter(col("cos") >= col("cos5") - eps).count()
+    val epsRecall = nEpsOk.toDouble / nPqRows
+    val idHit = gt.select("q_id", "vec_id").join(
+      pqRes.select(col("q_id"), col("neighbor_id").as("vec_id")),
+      Seq("q_id", "vec_id"), "left_semi").count()
+    println(f"IVF-PQ eps-recall@5  ${"check"}%9s       $epsRecall%.3f (eps=$eps; exact-id ${idHit.toDouble / nGt}%.3f over ${nGt / 5} queries)")
+    assert(epsRecall >= 0.95,
+      f"IVF-PQ eps-recall $epsRecall%.3f below 0.95 — returned neighbors are not near-equivalent to the true top-5")
+    println(f"PQ eps-recall floor  ${"check"}%9s       $epsRecall%.3f >= 0.95  PASS")
+    assert(tPqS < tPqB,
+      f"search-only ($tPqS%.1f s) not cheaper than the one-time build ($tPqB%.1f s) — the index isn't paying for itself")
+    println(f"PQ amortization      ${"check"}%9s       search $tPqS%.1f s < build $tPqB%.1f s  PASS")
+    pqRes.unpersist()
+    pqIdx.release()
+    gt.unpersist()
     emb.unpersist()
 
     spark.stop()

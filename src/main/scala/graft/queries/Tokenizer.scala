@@ -52,6 +52,113 @@ object Tokenizer {
       .orderBy(col("n").desc, col("word"))
       .limit(maxDictWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    learnFromDict(dict, merges)
+  }
+
+  /** Heap priority: highest count first, ties by pair lexicographic
+    * ASC (reversed string compares make the lexicographically smaller
+    * pair the "max"). */
+  private[this] val bestPairOrd: Ordering[(Long, (String, String))] =
+    new Ordering[(Long, (String, String))] {
+      def compare(a: (Long, (String, String)), b: (Long, (String, String))): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val l = b._2._1.compareTo(a._2._1)
+          if (l != 0) l else b._2._2.compareTo(a._2._2)
+        }
+      }
+    }
+
+  /** Adjacent-pair multiset of one symbol sequence. */
+  private def pairBag(s: Vector[String]): collection.mutable.HashMap[(String, String), Int] = {
+    val m = collection.mutable.HashMap.empty[(String, String), Int]
+    var i = 0
+    while (i < s.length - 1) {
+      m.updateWith((s(i), s(i + 1)))(c => Some(c.getOrElse(0) + 1))
+      i += 1
+    }
+    m
+  }
+
+  /** The driver-side merge loop with the standard INCREMENTAL pair
+    * bookkeeping (the sentencepiece/fastBPE scheme): global pair
+    * counts, a pair → {word → occurrences} index, and a lazy-deletion
+    * max-heap over (count, pair). Each merge touches only the words
+    * that CONTAIN the merged pair and re-derives count deltas from
+    * each touched word's before/after pair multisets — so every
+    * overlap edge case ("aaaa") inherits [[mergeAll]]'s exact
+    * left-to-right semantics, and a merge costs
+    * O(affected words × word length + log-heap), not
+    * O(dict × word length). A 32k-merge vocabulary over a 50k dict
+    * trains in minutes instead of re-counting ~5×10^8 pairs per merge.
+    * Selection is IDENTICAL to the naive recount loop — highest count,
+    * ties by pair lexicographic order — pinned by TokenizerSpec's
+    * incremental-vs-naive differential. */
+  private[graft] def learnFromDict(
+      dict: Array[(String, Long)], merges: Int): Seq[((String, String), String)] = {
+    import collection.mutable
+    val syms: Array[Vector[String]] =
+      dict.map { case (w, _) => w.map(_.toString).toVector :+ EndOfWord }
+    val freq: Array[Long] = dict.map(_._2)
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.HashMap[Int, Int]]
+    val heap = mutable.PriorityQueue.empty[(Long, (String, String))](bestPairOrd)
+    for (wi <- syms.indices) {
+      for ((p, c) <- pairBag(syms(wi))) {
+        pairCounts.updateWith(p)(x => Some(x.getOrElse(0L) + c.toLong * freq(wi)))
+        occ.getOrElseUpdate(p, mutable.HashMap.empty).update(wi, c)
+      }
+    }
+    pairCounts.foreach { case (p, c) => heap.enqueue((c, p)) }
+    val out = Vector.newBuilder[((String, String), String)]
+    var k = 0
+    var exhausted = false
+    while (k < merges && !exhausted) {
+      // lazy deletion: every CURRENT count has a live heap entry (one
+      // is pushed at every update), so discarding stale tops until one
+      // matches pairCounts yields the true (count desc, pair asc) max
+      var best: (String, String) = null
+      while (best == null && heap.nonEmpty) {
+        val (c, p) = heap.dequeue()
+        if (pairCounts.get(p).contains(c)) best = p
+      }
+      if (best == null) exhausted = true
+      else {
+        val merged = best._1 + best._2
+        out += ((best, merged))
+        val affected = occ.get(best).map(_.keysIterator.toArray).getOrElse(Array.empty)
+        for (wi <- affected) {
+          val before = syms(wi)
+          val after = mergeAll(before, best, merged)
+          syms(wi) = after
+          val oldBag = pairBag(before)
+          val newBag = pairBag(after)
+          for (p <- oldBag.keySet ++ newBag.keySet) {
+            val d = newBag.getOrElse(p, 0) - oldBag.getOrElse(p, 0)
+            if (d != 0) {
+              val nc = pairCounts.getOrElse(p, 0L) + d.toLong * freq(wi)
+              if (nc <= 0L) pairCounts.remove(p)
+              else { pairCounts.update(p, nc); heap.enqueue((nc, p)) }
+            }
+            val nOcc = newBag.getOrElse(p, 0)
+            if (nOcc == 0)
+              occ.get(p).foreach { m => m.remove(wi); if (m.isEmpty) occ.remove(p) }
+            else occ.getOrElseUpdate(p, mutable.HashMap.empty).update(wi, nOcc)
+          }
+        }
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  /** The naive recount loop the incremental trainer must match: full
+    * pair recount + argmax every merge. Kept as the differential
+    * reference for TokenizerSpec (and the honest statement of the
+    * selection rule). */
+  private[graft] def learnFromDictNaive(
+      dict: Array[(String, Long)], merges: Int): Seq[((String, String), String)] = {
     var syms: Array[(Vector[String], Long)] = dict.map { case (w, n) =>
       (w.map(_.toString).toVector :+ EndOfWord, n)
     }

@@ -100,4 +100,26 @@ class TokenizerSpec extends SparkSpec {
           s"token $t of $w is not a vocab symbol")
     }
   }
+
+  test("incremental trainer is merge-for-merge identical to the naive recount loop") {
+    val rnd = new scala.util.Random(0xF00D)
+    def randWord(alpha: Int, maxLen: Int): String =
+      (1 to (1 + rnd.nextInt(maxLen))).map(_ => ('a' + rnd.nextInt(alpha)).toChar).mkString
+    // small alphabets + repeated chars force dense ties and the
+    // overlapping-pair edge cases ("aaaa") where incremental
+    // bookkeeping schemes classically drift from the recount truth
+    val dicts = Seq(
+      Array("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L),
+      Array("aaaa" -> 7L, "aaab" -> 3L, "baaa" -> 2L, "abab" -> 5L),
+      Array.fill(120)(randWord(3, 8)).distinct.map(w => w -> (1L + rnd.nextInt(9))),
+      Array.fill(200)(randWord(6, 14)).distinct.map(w => w -> (1L + rnd.nextInt(50))))
+    for ((dict, di) <- dicts.zipWithIndex; m <- Seq(1, 7, 40, 400)) {
+      val inc = Tokenizer.learnFromDict(dict, m)
+      val naive = Tokenizer.learnFromDictNaive(dict, m)
+      assert(inc == naive,
+        s"dict #$di, merges=$m: incremental diverged at merge " +
+          s"${inc.zip(naive).indexWhere { case (a, b) => a != b }}: " +
+          s"inc=${inc.take(5)} naive=${naive.take(5)}")
+    }
+  }
 }
