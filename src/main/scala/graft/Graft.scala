@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 
 /** The library facade — every graft operator family as DataFrame-level
   * functions, for users who bring their own frames instead of the test
@@ -221,6 +221,15 @@ object Graft {
   def domainMixTemperature(
       docs: DataFrame, group: String = "lang", alpha: Double = 0.5): DataFrame =
     queries.Shards.domainMixTemperature(docs, group, alpha)
+  /** DSIR importance weights + top-k selection flag: score raw docs by
+    * hashed-n-gram likelihood ratio against a target domain sample
+    * ([[graft.queries.Selection.dsirWeights]]). */
+  def dsirWeights(docs: DataFrame, isTarget: Column, keep: Int = 50): DataFrame =
+    queries.Selection.dsirWeights(docs, isTarget, keep)
+  /** The DSIR-selected subset itself
+    * ([[graft.queries.Selection.dsirSample]]). */
+  def dsirSample(docs: DataFrame, isTarget: Column, keep: Int = 50): DataFrame =
+    queries.Selection.dsirSample(docs, isTarget, keep)
   /** Long-format column profile (col_name, metric, value) — Deequ-style
     * stats in one scan ([[graft.queries.Profile.profile]]). */
   def profile(df: DataFrame, numericCols: Seq[String],

@@ -343,6 +343,28 @@ object ScaleProbe {
     assert(bigMerges.distinct.length == 4000, "duplicate merge emitted")
     println(f"bpe incremental      ${bigDict.length}%9d words $tBpeBig%7.1f s  ${4000 / tBpeBig}%9.0f merges/s  (4000-merge vocab)")
 
+    // DSIR selection: the corpus-sized cost is one explode + two hash
+    // aggs (per-doc bucket counts, global bucket counts); the 4096-row
+    // model broadcasts back. Every raw doc must come out scored with a
+    // finite weight and the flag must mark exactly k docs — the shape
+    // check that matters (on this uniform-vocab corpus the weights
+    // themselves cluster near 0; discrimination is SelectionSpec's job).
+    val dsirTarget = col("doc_id") % 101 === 0
+    val (dsirStats, tDsir) = time {
+      Graft.dsirWeights(docs, dsirTarget, keep = 1000)
+        .agg(count(lit(1)), sum(col("selected")),
+          max(abs(col("weight")))).head()
+    }
+    val nRaw = docs.filter(!dsirTarget).count()
+    println(f"dsir selection       $total%9d docs  $tDsir%7.1f s  ${total / tDsir}%9.0f docs/s  (${dsirStats.getLong(0)} scored, |w|max ${dsirStats.getDouble(2)}%.3f)")
+    assert(dsirStats.getLong(0) == nRaw,
+      s"scored ${dsirStats.getLong(0)} of $nRaw raw docs — coverage hole")
+    assert(dsirStats.getLong(1) == 1000L,
+      s"selected ${dsirStats.getLong(1)} != k=1000")
+    assert(!dsirStats.getDouble(2).isNaN && !dsirStats.getDouble(2).isInfinite,
+      "non-finite DSIR weight at scale")
+    println(f"dsir coverage        ${"check"}%9s       all raw docs scored, exactly k selected  PASS")
+
     val (collocs, tCo) = time {
       Graft.collocations(docs, minCount = 5L, topN = 25).collect()
     }

@@ -15,7 +15,8 @@ object SparkEntry {
       ScaleQueries.all ++ ShardReplay.all ++ Curation.all ++ Clusters.all ++
       Scrub.all ++ SemiStructured.all ++ Ranking.all ++ Shards.all ++
       Contamination.all ++ Blocks.all ++ QualityModel.all ++ GraphRank.all ++
-      SnapshotDiff.all ++ Quantize.all ++ Attribution.all ++ Profile.all
+      SnapshotDiff.all ++ Quantize.all ++ Attribution.all ++ Profile.all ++
+      Selection.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
