@@ -1,27 +1,26 @@
 package graft
-
 import org.apache.spark.sql.SparkSession
 
-/** Single-query micro-bench for iteration: warm at sf0.001, min-of-2 at
-  * sf0.1 per named query. `sbt "runMain graft.BenchOne q_x q_y"`. */
+/** Single-query bench: warmup at sf0.001, then min-of-3 noop writes at
+  * the given SF dir — the inner loop for per-query plan iteration
+  * without paying the full Bench sweep.
+  * Run: `sbt "runMain graft.BenchOne <query> [sfDir]"`. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().withExtensions(new GraftExtensions)
-      .master("local[8]").config("spark.sql.shuffle.partitions", "8")
+      .master("local[28]").config("spark.sql.shuffle.partitions", "28")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- args) {
-      val fn = SparkEntry.queries(q)
-      fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val (n, mem, disk) = graft.ops.Release.held(spark)
+    val name = args(0); val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val fn = SparkEntry.queries(name)
+    fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    graft.ops.Release.sweep(spark)
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      println(f"pass$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
       graft.ops.Release.sweep(spark)
-      println(f"ONE $q ${times.min}%.2f s  (held $n rdds ${(mem + disk) / 1048576} MB, swept)")
     }
     spark.stop()
   }

@@ -54,14 +54,27 @@ object Selection {
     * shift — exact in binary FP on multiply and on the final divide). */
   private val Fp = 1048576.0
 
-  /** (doc_id, is_t, b): one row per feature occurrence. */
-  private def bucketed(docs: DataFrame, isTarget: Column): DataFrame = {
-    val toks = words(col("text"))
-    docs.select(col("doc_id"), isTarget.as("is_t"),
-        explode(concat(shingles(toks, 1), shingles(toks, 2))).as("f"))
-      .select(col("doc_id"), col("is_t"),
-        pmod(polyHash(col("f")), lit(B.toLong)).as("b"))
-  }
+  /** (doc_id, is_t, b): one row per feature occurrence. A NULL
+    * `isTarget` (e.g. `col("source") === lit("x")` over a null source)
+    * coalesces to raw — without it such docs would satisfy neither
+    * `is_t` nor `!is_t` and silently vanish from both cohorts.
+    *
+    * Features come from the native one-pass
+    * [[graft.functions.NativeExpressions.shingleHashes]] kernel
+    * (= [[graft.functions.TextFunctions.polyHash]] of each
+    * space-joined n-gram, the D4-mirrored hash the oracle reproduces);
+    * the HOF formulation (shingles + concat_ws + polyHash) re-derived
+    * the token array per element and benched 4× slower. explode_outer
+    * dodges generator pushdown's re-evaluation of the hash expression
+    * (the q_decontaminate lesson); the post-explode null filter is
+    * free. */
+  private def bucketed(docs: DataFrame, isTarget: Column): DataFrame =
+    docs.select(col("doc_id"), coalesce(isTarget, lit(false)).as("is_t"),
+        explode_outer(concat(
+          graft.functions.NativeExpressions.shingleHashes(col("text"), 1),
+          graft.functions.NativeExpressions.shingleHashes(col("text"), 2))).as("h"))
+      .filter(col("h").isNotNull)
+      .select(col("doc_id"), col("is_t"), pmod(col("h"), lit(B.toLong)).as("b"))
 
   /** Memo for the per-doc bucket-count matrix and the scored frame —
     * the C8-tf-matrix pattern: the model branch, the scoring branch,
@@ -84,22 +97,30 @@ object Selection {
       keep: Int = 50): DataFrame = {
     val perDocAll = selCache.memo(bucketed(docs, isTarget)
       .groupBy("doc_id", "is_t", "b").agg(count(lit(1)).as("c")))
+    // not memoized: both consumers (the totals head() and the model
+    // subplan) re-derive it from the persisted matrix with one
+    // B-row-output agg — cheaper than a persist barrier
     val bCounts = perDocAll.groupBy("b").agg(
       sum(when(col("is_t"), col("c")).otherwise(0L)).as("ct_t"),
       sum(when(col("is_t"), 0L).otherwise(col("c"))).as("ct_r"))
-    val totals = bCounts.agg(
-      sum(col("ct_t")).as("t_tot"), sum(col("ct_r")).as("r_tot"))
+    // totals ride as driver literals (the iterative-operator lesson
+    // from the verify gotchas): one head() over the B-row persisted
+    // counts frame instead of a crossJoin(broadcast(totalsDf)) subplan
+    // — each broadcast subtree is a separate serial job, and this
+    // chain had three of them. long→double conversion and the +B
+    // addition are the same IEEE ops DuckDB applies to its CAST, so
+    // the ln argument stays bit-identical.
+    val tot = bCounts.agg(sum(col("ct_t")), sum(col("ct_r"))).head()
+    val (tDen, rDen) =
+      (tot.getLong(0).toDouble + B.toDouble, tot.getLong(1).toDouble + B.toDouble)
     // model over the raw buckets (every scored doc's buckets are a
     // subset); target-absent buckets smooth to ct_t = 0. Operand
     // order mirrors the oracle SQL exactly — the ln argument must be
     // the same double on both engines.
     val model = bCounts.filter(col("ct_r") > 0)
-      .crossJoin(broadcast(totals))
       .select(col("b"),
-        round(log(((col("ct_t").cast("double") + lit(1.0)) /
-            (col("t_tot").cast("double") + lit(B.toDouble))) /
-          ((col("ct_r").cast("double") + lit(1.0)) /
-            (col("r_tot").cast("double") + lit(B.toDouble)))) * lit(Fp))
+        round(log(((col("ct_t").cast("double") + lit(1.0)) / lit(tDen)) /
+          ((col("ct_r").cast("double") + lit(1.0)) / lit(rDen))) * lit(Fp))
           .cast("long").as("lr_fp"))
     val scored = selCache.memo(perDocAll.filter(!col("is_t"))
       .join(broadcast(model), "b")

@@ -79,4 +79,12 @@ class SelectionSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().contains(500L),
       "featureless doc should drop out rather than score 0")
   }
+
+  test("NULL target predicate coalesces to raw instead of vanishing") {
+    val withNull = docs.unionByName(
+      Seq((600L, "alpha beta gamma delta", null: String)).toDF("doc_id", "text", "source"))
+    val ids = Graft.dsirWeights(withNull, col("source") === "tgt")
+      .select("doc_id").as[Long].collect()
+    assert(ids.contains(600L), "null-source doc dropped from the raw cohort")
+  }
 }
