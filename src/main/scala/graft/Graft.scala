@@ -264,6 +264,11 @@ object Graft {
     * ([[graft.queries.Contamination.decontamGate]]). */
   def decontamGate(train: DataFrame, eval: DataFrame): DataFrame =
     queries.Contamination.decontamGate(train, eval)
+  /** Contamination audit: overlapping (train, eval) doc pairs with
+    * shared-shingle counts
+    * ([[graft.queries.Contamination.decontaminatePairs]]). */
+  def decontaminatePairs(train: DataFrame, eval: DataFrame): DataFrame =
+    queries.Contamination.decontaminatePairs(train, eval)
   /** Unigram-LM cross-entropy quality score, ordered-fold determinism
     * ([[graft.queries.Ranking.unigramXent]]). */
   def unigramXent(docs: DataFrame, threshold: Double = 7.0): DataFrame =

@@ -294,6 +294,21 @@ object ScaleProbe {
       s"decontamination drift: $nFlagged flagged vs $nEval planted eval sources (+ <=60 near-dup twins)")
     println(f"decontam precision   ${"check"}%9s       flagged == planted + twins, no phantom hits  PASS")
 
+    // The pair-level audit must name exactly one eval doc per flagged
+    // train doc here: each eval doc is a clone of ONE source, sources
+    // are 499 apart (mutually shingle-disjoint at 8-gram width), so a
+    // flagged doc (the source or its near-dup twin) overlaps precisely
+    // the clone of itself. More pairs than flags = phantom matches;
+    // fewer = the audit lost a flagged doc.
+    val (nPairRows, tDp) = time {
+      Graft.decontaminatePairs(docs, evalDocs)
+        .agg(count(lit(1)), countDistinct(col("train_doc_id"))).head()
+    }
+    println(f"decontam pairs       $total%9d docs  $tDp%7.1f s  ${total / tDp}%9.0f docs/s  (${nPairRows.getLong(0)} pairs)")
+    assert(nPairRows.getLong(0) == nFlagged && nPairRows.getLong(1) == nFlagged,
+      s"pair audit: ${nPairRows.getLong(0)} pairs / ${nPairRows.getLong(1)} distinct train docs vs $nFlagged flagged")
+    println(f"decontam audit 1:1   ${"check"}%9s       one eval doc per flagged train doc  PASS")
+
     // Unigram-LM scoring: vocabulary model (50 terms here; vocab-sized
     // generally) broadcast back over the corpus, per-doc ordered folds.
     val (xStats, tUx) = time {

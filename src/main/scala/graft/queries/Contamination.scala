@@ -91,6 +91,28 @@ object Contamination {
         .filter(col("contaminated") === 1).select("doc_id"),
       Seq("doc_id"), "left_anti")
 
+  /** The audit form (D9b): WHICH eval doc each flagged training doc
+    * leaks, with the shared-shingle count — what a contamination
+    * review actually reads ([[decontaminate]] only says "something
+    * matched"). One row per overlapping (train, eval) pair.
+    *
+    * Same scale shape as the flag: the eval side explodes to
+    * benchmark-sized (eval_doc_id, shingle) rows and broadcasts; the
+    * corpus side is the same one-pass explode_outer (null shingles
+    * simply never match the inner join) and a map-side-combinable
+    * pair count. A train doc quoting k eval docs emits k rows —
+    * output is overlap-sized, not corpus-sized. */
+  def decontaminatePairs(train: DataFrame, eval: DataFrame): DataFrame = {
+    val evalEx = shingleSet(eval)
+      .select(col("doc_id").as("eval_doc_id"), explode(col("sh")).as("s"))
+    shingleSet(train)
+      .select(col("doc_id").as("train_doc_id"), explode_outer(col("sh")).as("s"))
+      .join(broadcast(evalEx), Seq("s"))
+      .groupBy("train_doc_id", "eval_doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("train_doc_id", "eval_doc_id")
+  }
+
   val qDecontaminate: Q = Q(
     "q_decontaminate",
     (s, d) => {
@@ -122,5 +144,30 @@ object Contamination {
       WHERE t.doc_id % $EvalMod <> 0
       ORDER BY t.doc_id"""))
 
-  val all: Seq[Q] = Seq(qDecontaminate)
+  val qDecontaminatePairs: Q = Q(
+    "q_decontaminate_pairs",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      decontaminatePairs(
+        docs.filter(col("doc_id") % EvalMod =!= 0),
+        docs.filter(col("doc_id") % EvalMod === 0))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, list_filter(${sqlWords("text")}, t -> t <> '') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(${sqlShingles("w", NgramK)}) AS sh
+        FROM toks),
+      eval_ex AS (
+        SELECT doc_id AS eval_doc_id, unnest(sh) AS s FROM sh
+        WHERE doc_id % $EvalMod = 0),
+      ex AS (
+        SELECT doc_id AS train_doc_id, unnest(sh) AS s FROM sh
+        WHERE doc_id % $EvalMod <> 0)
+      SELECT train_doc_id, eval_doc_id, count(*) AS n_shared
+      FROM ex JOIN eval_ex USING (s)
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
+  val all: Seq[Q] = Seq(qDecontaminate, qDecontaminatePairs)
 }
