@@ -221,6 +221,11 @@ object Graft {
   def domainMixTemperature(
       docs: DataFrame, group: String = "lang", alpha: Double = 0.5): DataFrame =
     queries.Shards.domainMixTemperature(docs, group, alpha)
+  /** Token-window chunking: overlapping `window`-token chunks per doc
+    * advancing by `stride`
+    * ([[graft.queries.TextAnalysis.chunkTokens]]). */
+  def chunkTokens(docs: DataFrame, window: Int = 128, stride: Int = 64): DataFrame =
+    queries.TextAnalysis.chunkTokens(docs, window, stride)
   /** DSIR importance weights + top-k selection flag: score raw docs by
     * hashed-n-gram likelihood ratio against a target domain sample
     * ([[graft.queries.Selection.dsirWeights]]). */

@@ -328,7 +328,62 @@ object TextAnalysis {
       ORDER BY lift DESC, bigram LIMIT 25"""
     })
 
+  /** C14: token-window chunking — the context-window prep step before
+    * embedding / eval scoring / packed pretraining of long documents:
+    * each doc becomes overlapping windows of `window` tokens advancing
+    * by `stride` (the last window keeps the tail, shorter than
+    * `window` when the doc doesn't divide evenly; docs shorter than
+    * one window yield exactly one chunk; token-less docs yield none).
+    *
+    * Scale shape: pure per-row generation — one tokenizer pass, a
+    * sequence-explode of ceil((len−window)/stride)+1 chunk indices,
+    * and slices of the already-materialized token array. No shuffle
+    * at all until the presentation sort; at 100 TB this is a map-only
+    * stage that composes with downstream embedding or packing.
+    *
+    * `stride ≤ window` is required: a gap stride would fabricate
+    * empty chunks past the tail (and silently drop tokens — never a
+    * chunking contract anyone wants). */
+  def chunkTokens(docs: DataFrame, window: Int = 128, stride: Int = 64): DataFrame = {
+    require(window >= 1 && stride >= 1, s"window=$window, stride=$stride must be >= 1")
+    require(stride <= window,
+      s"stride=$stride > window=$window would skip tokens and emit empty tail chunks")
+    val (w, s) = (lit(window), lit(stride))
+    docs.select(col("doc_id"), words(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("len"))
+      .filter(col("len") > 0)
+      .select(col("doc_id"), col("toks"), col("len"),
+        explode(sequence(lit(0L),
+          when(col("len") <= window, lit(0L))
+            .otherwise(floor((col("len") - window + (stride - 1)) / stride)))).as("k"))
+      .select(col("doc_id"), col("k").as("chunk_idx"),
+        (col("k") * s + 1).as("start_tok"),
+        least(w.cast("long"), col("len") - (col("k") * s + 1) + 1).as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), (col("k") * s + 1).cast("int"), w))
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val qChunkTokens: Q = Q(
+    "q_chunk_tokens",
+    (s, d) => chunkTokens(Tables.documents(s, d), window = 32, stride = 16),
+    Some(s"""WITH toks AS (
+        SELECT doc_id, list_filter(${sqlWords("text")}, t -> t <> '') AS w
+        FROM documents),
+      t2 AS (SELECT doc_id, w, len(w) AS len FROM toks WHERE len(w) > 0),
+      ks AS (
+        SELECT doc_id, w, len,
+          unnest(range(0, CASE WHEN len <= 32 THEN 1
+            ELSE 1 + (len - 32 + 15) // 16 END)) AS k
+        FROM t2)
+      SELECT doc_id, k AS chunk_idx,
+        k * 16 + 1 AS start_tok,
+        least(32, len - (k * 16 + 1) + 1) AS n_tokens,
+        array_to_string(w[(k * 16 + 1):(k * 16 + 32)], ' ') AS chunk_text
+      FROM ks
+      ORDER BY doc_id, chunk_idx"""))
+
   val all: Seq[Q] =
     Seq(qTokens, qLangId, qQuality, qFingerprint, qShingles, qRepetition,
-      qCollocations)
+      qCollocations, qChunkTokens)
 }
