@@ -69,8 +69,11 @@ object Bench {
     // The file is the durable artifact: stdout captures have twice lost
     // timings to tail-truncation of the single long JSON line.
     try {
+      // cwd-relative: lands at the repo root under sbt, and works from
+      // any checkout (a hardcoded absolute path silently wrote the
+      // durable artifact elsewhere on other clones)
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/bench_out.json"),
+        java.nio.file.Paths.get("bench_out.json"),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"bench_out.json write failed: $e") }
     println(json)

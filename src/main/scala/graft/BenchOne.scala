@@ -7,6 +7,10 @@ import org.apache.spark.sql.SparkSession
   * Run: `sbt "runMain graft.BenchOne <query> [sfDir]"`. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: BenchOne <query-name> [sfDir]  (one query per run)")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder().withExtensions(new GraftExtensions)
       .master("local[28]").config("spark.sql.shuffle.partitions", "28")
       .config("spark.ui.enabled", "false")

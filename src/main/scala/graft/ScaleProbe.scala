@@ -156,8 +156,12 @@ object ScaleProbe {
     // pairs, and both must recover at least the planted twins. A
     // missing pair means the asymmetric prefix pruned a true candidate.
     val cdocs = syntheticDocs(spark, 20000L)
+    // persisted: each pair frame is a full prefix-join + exact-rescore
+    // plan, and both feed two actions (count + the left_anti check)
     val jacS = Graft.jaccardPairsPrefix(cdocs).select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contS = Graft.containmentPairsPrefix(cdocs).select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (nJacS, nContS) = (jacS.count(), contS.count())
     val jacMissing = jacS.join(contS, Seq("id_a", "id_b"), "left_anti").count()
     assert(nJacS >= 200,
@@ -165,7 +169,7 @@ object ScaleProbe {
     assert(jacMissing == 0,
       s"$jacMissing jaccard>=0.5 pairs absent from containment>=0.5 — asymmetric prefix dropped true candidates")
     assert(nContS >= nJacS, s"containment pairs $nContS < jaccard pairs $nJacS")
-    cdocs.unpersist()
+    jacS.unpersist(); contS.unpersist(); cdocs.unpersist()
     println(f"containment superset ${"check"}%9s       $nJacS jaccard pairs all within $nContS containment pairs  PASS")
 
     // As-of join: 10M facts against a 1000-key × 500-epoch state

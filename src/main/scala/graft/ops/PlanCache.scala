@@ -44,6 +44,10 @@ final class PlanCache(capacity: Int) {
     entries.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     entries.remove(key) match {
       case Some(f) =>
+        // re-persist a memo something unpersisted out-of-band (e.g. a
+        // released PqIndex): a hit must always hand back a frame that
+        // honors the memo contract, not silently recompute forever
+        if (f.storageLevel == StorageLevel.NONE) f.persist(StorageLevel.MEMORY_AND_DISK)
         entries.put(key, f) // re-insert at LRU tail
         f
       case None =>

@@ -453,23 +453,54 @@ object Dedup {
     *
     * Output is IDENTICAL to [[jaccardPairs]] — the driver oracle runs
     * the naive formulation, proving the pruning lossless. */
+  /** Sized shingle-set frame (doc_id, hs, n) — the input both
+    * prefix-filtered exact joins slice and rescore against. */
+  private def sizedShingles(docs: DataFrame): DataFrame =
+    hashedShingles(docs)
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
+
+  /** Memo-persisted ranked postings (doc_id, s, n, rk): every shingle
+    * of every doc ranked within its doc by the global (df asc, s)
+    * total order. Shared by [[jaccardPairsPrefix]] and
+    * [[containmentPairsPrefix]] — the SAME memo entry serves both for
+    * one corpus, so running both operators pays one df-agg +
+    * rank-window evaluation (and each operator's own two join sides
+    * read it once). */
+  private def rankedPostings(hs: DataFrame): DataFrame = {
+    val ex = hs.select(col("doc_id"), col("n"), explode(col("hs")).as("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    prefixCache.memo(ex.join(dfreq, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .select(col("doc_id"), col("s"), col("n"), col("rk")))
+  }
+
+  /** Exact full-set rescore of candidate (id_a, id_b) pairs: join the
+    * shingle sets back, compute `n_common`, let `score` apply the
+    * similarity formula + threshold, present ordered. Shared tail of
+    * the two prefix-filtered joins. */
+  private def rescorePairs(hs: DataFrame, cand: DataFrame)(
+      score: DataFrame => DataFrame): DataFrame = {
+    val a = hs.select(col("doc_id").as("id_a"), col("hs").as("hsa"), col("n").as("na"))
+    val b = hs.select(col("doc_id").as("id_b"), col("hs").as("hsb"), col("n").as("nb"))
+    score(cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("n_common",
+        graft.functions.NativeExpressions.intersectSize(col("hsa"), col("hsb"))))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Public API: prefix-filtered exact shingle-Jaccard pairs. */
   def jaccardPairsPrefix(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-      val hs = hashedShingles(docs)
-        .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
-      val ex = hs.select(col("doc_id"), col("n"), explode(col("hs")).as("s"))
-      val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
-      // memo-persisted: both sides of the candidate self-join read this
-      // frame — one df-agg + rank-window evaluation, not two
-      val prefixes = prefixCache.memo(ex.join(dfreq, "s")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
-        // ceil over doubles can round UP past the exact product
-        // (100 * 0.07 = 7.000000000000001 → ceil 8), which would SHRINK
-        // the prefix below the lossless bound; nudging down by an epsilon
-        // errs toward a longer prefix — more candidates, never a miss
+      val hs = sizedShingles(docs)
+      // ceil over doubles can round UP past the exact product
+      // (100 * 0.07 = 7.000000000000001 → ceil 8), which would SHRINK
+      // the prefix below the lossless bound; nudging down by an epsilon
+      // errs toward a longer prefix — more candidates, never a miss.
+      // The prefix filter sits ON TOP of the shared memo'd ranked frame
+      // (a codegen filter over cached rows), so jaccard and containment
+      // runs on one corpus share the expensive rank evaluation.
+      val prefixes = rankedPostings(hs)
         .filter(col("rk") <= col("n") - ceil(col("n") * minJaccard - 1e-9) + 1)
-        .select(col("doc_id"), col("s"), col("n"), col("rk")))
       // length filter (also from the PPJoin family): J ≥ t forces
       // t·|A| ≤ |B| ≤ |A|/t, so wildly different-sized docs never reach
       // the rescore no matter what rare shingle they share. Same epsilon
@@ -497,16 +528,12 @@ object Dedup {
         .filter(lit(1) + least(col("xn") - col("ri"), col("yn") - col("rj")) >=
           ceil((col("xn") + col("yn")) * alphaFrac - 1e-9))
         .select(col("id_a"), col("id_b"))
-      val a = hs.select(col("doc_id").as("id_a"), col("hs").as("hsa"), col("n").as("na"))
-      val b = hs.select(col("doc_id").as("id_b"), col("hs").as("hsb"), col("n").as("nb"))
-      cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
-        .withColumn("n_common",
-          graft.functions.NativeExpressions.intersectSize(col("hsa"), col("hsb")))
-        .withColumn("jaccard",
-          col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
-        .filter(col("jaccard") >= minJaccard)
-        .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
-        .orderBy("id_a", "id_b")
+      rescorePairs(hs, cand) { r =>
+        r.withColumn("jaccard",
+            col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+          .filter(col("jaccard") >= minJaccard)
+          .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+      }
   }
 
   /** Oracle: the NAIVE full-posting-list formulation (same SQL as D4) —
@@ -541,16 +568,8 @@ object Dedup {
     * rescore keeps the output identical to [[containmentPairs]], and
     * the driver oracle (the naive SQL) proves it per-row. */
   def containmentPairsPrefix(docs: DataFrame, minContainment: Double = 0.5): DataFrame = {
-    val hs = hashedShingles(docs)
-      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
-    val ex = hs.select(col("doc_id"), col("n"), explode(col("hs")).as("s"))
-    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
-    // memo-persisted: the prefix side filters this same ranked frame —
-    // one df-agg + rank-window evaluation feeds both join inputs
-    val ranked = prefixCache.memo(ex.join(dfreq, "s")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
-      .select(col("doc_id"), col("s"), col("n"), col("rk")))
+    val hs = sizedShingles(docs)
+    val ranked = rankedPostings(hs)
     val prefixes = ranked
       .filter(col("rk") <= col("n") - ceil(col("n") * minContainment - 1e-9) + 1)
     // smaller-side prefix × other-side full list; n-ties break by id so
@@ -566,17 +585,13 @@ object Dedup {
         ceil(col("ns") * minContainment - 1e-9))
       .select(least(col("id_s"), col("id_l")).as("id_a"),
         greatest(col("id_s"), col("id_l")).as("id_b"))
-    val a = hs.select(col("doc_id").as("id_a"), col("hs").as("hsa"), col("n").as("na"))
-    val b = hs.select(col("doc_id").as("id_b"), col("hs").as("hsb"), col("n").as("nb"))
-    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
-      .withColumn("n_common",
-        graft.functions.NativeExpressions.intersectSize(col("hsa"), col("hsb")))
-      .withColumn("containment_a", col("n_common").cast("double") / col("na"))
-      .withColumn("containment_b", col("n_common").cast("double") / col("nb"))
-      .filter(greatest(col("containment_a"), col("containment_b")) >= minContainment)
-      .select(col("id_a"), col("id_b"), col("n_common"),
-        col("containment_a"), col("containment_b"))
-      .orderBy("id_a", "id_b")
+    rescorePairs(hs, cand) { r =>
+      r.withColumn("containment_a", col("n_common").cast("double") / col("na"))
+        .withColumn("containment_b", col("n_common").cast("double") / col("nb"))
+        .filter(greatest(col("containment_a"), col("containment_b")) >= minContainment)
+        .select(col("id_a"), col("id_b"), col("n_common"),
+          col("containment_a"), col("containment_b"))
+    }
   }
 
   /** Oracle: the NAIVE containment formulation (same SQL as D12) —

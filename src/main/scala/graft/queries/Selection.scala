@@ -111,6 +111,9 @@ object Selection {
     // addition are the same IEEE ops DuckDB applies to its CAST, so
     // the ln argument stays bit-identical.
     val tot = bCounts.agg(sum(col("ct_t")), sum(col("ct_r"))).head()
+    require(!tot.isNullAt(0),
+      "dsirWeights: corpus has no features — every doc is empty or tokenizes " +
+        "to nothing (letter-run tokens); nothing to score")
     val (tDen, rDen) =
       (tot.getLong(0).toDouble + B.toDouble, tot.getLong(1).toDouble + B.toDouble)
     // model over the raw buckets (every scored doc's buckets are a

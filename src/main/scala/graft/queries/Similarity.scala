@@ -28,6 +28,12 @@ object Similarity {
     * index — it is persisted by and owned by the [[PqIndex]] itself. */
   private[this] val featCache = new graft.ops.PlanCache(capacity = 4)
 
+  /** Dedicated memo for stored PQ-index frames (see [[buildPqIndex]]):
+    * isolated from [[featCache]] so fitted-model feature traffic can't
+    * evict a live index, and capacity-bounded so dropped-handle builds
+    * can't leak persists. */
+  private[this] val pqIdxCache = new graft.ops.PlanCache(capacity = 4)
+
   /** Attach squared norms (computed once per vector). */
   private def withNorms(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
@@ -581,18 +587,19 @@ object Similarity {
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }: _*)
     // the stored index: NARROW rows only — never the embedding.
-    // Persisted, and OWNED by the returned PqIndex (not the shared
-    // featCache LRU: fitted-model transform plans never key-collide,
-    // so each build would insert a fresh entry and a few builds later
-    // a still-referenced index would silently lose its persist and
-    // every search would re-run the full-corpus encode — coarse
-    // transform + m×ksub×dsub distance arithmetic per vector, the
-    // dominant build cost). Release via PqIndex.release() (or
-    // Release.sweep's session-wide pass).
-    val assigned = coarse.transform(feat)
+    // Memo-persisted in the DEDICATED pqIdxCache: an unconditional
+    // .persist() leaked one full-corpus encode per build when callers
+    // drop the handle (annIvfPq never exposes it, so release() was
+    // unreachable and repeated same-corpus builds pinned fresh copies),
+    // while the SHARED featCache evicted still-referenced indexes
+    // under fitted-model traffic (the round-5 advice item). The
+    // dedicated LRU dedupes identical builds, unpersists evictees, and
+    // only competes with other PQ indexes; eviction under reference is
+    // recompute-safe. Release via PqIndex.release() (the memo
+    // re-persists on the next hit) or Release.sweep's session pass.
+    val assigned = pqIdxCache.memo(coarse.transform(feat)
       .withColumn("code", codeCol)
-      .select(col("vec_id"), col("prediction").cast("long").as("cell"), col("code"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("vec_id"), col("prediction").cast("long").as("cell"), col("code")))
     PqIndex(cents, codebooks, assigned, m, ksub, dims)
   }
 
@@ -691,6 +698,25 @@ object Similarity {
     * reads. `cacheKey` must uniquely identify the immutable corpus
     * behind `embeddings` (the test tables key on their sf dir); the
     * `v1` salt in the path versions the on-disk format. */
+  /** Artifact directory for a (`cacheKey`, params) disk index —
+    * exposed package-private so tests can clean up after themselves. */
+  private[graft] def pqIndexDiskBase(
+      cacheKey: String, cells: Int, m: Int, ksub: Int, dims: Int,
+      seed: Long, maxIter: Int): java.nio.file.Path = {
+    val key = s"v1|$cacheKey|$cells|$m|$ksub|$dims|$seed|$maxIter"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"graft_pqindex_$digest")
+  }
+
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+  }
+
   def pqIndexOnDisk(
       embeddings: DataFrame,
       cacheKey: String,
@@ -700,23 +726,32 @@ object Similarity {
       dims: Int = 64,
       seed: Long = 0xC0FFEEL,
       maxIter: Int = 20): PqIndex = diskIdxLock.synchronized {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val spark = embeddings.sparkSession
-    val key = s"v1|$cacheKey|$cells|$m|$ksub|$dims|$seed|$maxIter"
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_pqindex_$digest")
+    val base = pqIndexDiskBase(cacheKey, cells, m, ksub, dims, seed, maxIter)
     val cbFile = base.resolve("codebooks.txt")
     if (!Files.exists(cbFile)) {
+      // cross-PROCESS safety (diskIdxLock only covers this JVM): build
+      // the whole artifact in a process-unique sibling dir, then
+      // atomic-rename into place. Concurrent builders race on the
+      // rename; the loser keeps the winner's complete artifact and
+      // discards its own — base is never observable half-written, so
+      // the cbFile completion marker can't certify a mixed artifact.
+      val tmp = Paths.get(sys.props("java.io.tmpdir"),
+        s"${base.getFileName}.tmp.${ProcessHandle.current().pid()}")
+      deleteRecursively(tmp)
       val idx = buildPqIndex(embeddings, cells, m, ksub, dims, seed, maxIter)
-      idx.index.write.mode("overwrite").parquet(base.resolve("index").toString)
-      idx.cents.write.mode("overwrite").parquet(base.resolve("cents").toString)
+      idx.index.write.mode("overwrite").parquet(tmp.resolve("index").toString)
+      idx.cents.write.mode("overwrite").parquet(tmp.resolve("cents").toString)
       idx.release()
       val txt = idx.codebooks
         .map(cb => cb.map(_.mkString(",")).mkString(";")).mkString("\n")
-      Files.createDirectories(base)
-      // written LAST: its presence marks the artifact complete
-      Files.write(cbFile, txt.getBytes("UTF-8"))
+      Files.createDirectories(tmp)
+      Files.write(tmp.resolve("codebooks.txt"), txt.getBytes("UTF-8"))
+      try Files.move(tmp, base, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException => deleteRecursively(tmp)
+      }
     }
     val codebooks: Seq[Array[Array[Double]]] =
       new String(Files.readAllBytes(cbFile), "UTF-8")

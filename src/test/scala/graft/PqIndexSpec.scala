@@ -58,21 +58,29 @@ class PqIndexSpec extends SparkSpec {
   test("pqIndexOnDisk: builds once, reloads across calls, searches like a fresh build") {
     // unique cacheKey per run so the first call exercises the build+write path
     val cacheKey = s"$sfDir#spec-${System.nanoTime()}"
-    val fromDisk = queries.Similarity.pqIndexOnDisk(emb, cacheKey,
-      cells = 4, m = 4, ksub = 8)
-    val fresh = queries.Similarity.buildPqIndex(emb, cells = 4, m = 4, ksub = 8)
-    // codebooks round-trip bit-exactly through the text sidecar
-    assert(fromDisk.codebooks.map(_.toSeq.map(_.toSeq)) ==
-      fresh.codebooks.map(_.toSeq.map(_.toSeq)),
-      "codebooks diverged through the Double.toString round trip")
-    val a = results(queries.Similarity.searchPqIndex(fromDisk, emb, queriesDf))
-    val b = results(queries.Similarity.searchPqIndex(fresh, emb, queriesDf))
-    assert(a == b, "disk-backed index searches differently from a fresh build")
-    // second load must NOT rebuild: the artifact is complete on disk, so
-    // a reload round-trips purely through the files and matches again
-    val reload = queries.Similarity.pqIndexOnDisk(emb, cacheKey,
-      cells = 4, m = 4, ksub = 8)
-    assert(results(queries.Similarity.searchPqIndex(reload, emb, queriesDf)) == a)
+    try {
+      val fromDisk = queries.Similarity.pqIndexOnDisk(emb, cacheKey,
+        cells = 4, m = 4, ksub = 8)
+      val fresh = queries.Similarity.buildPqIndex(emb, cells = 4, m = 4, ksub = 8)
+      // codebooks round-trip bit-exactly through the text sidecar
+      assert(fromDisk.codebooks.map(_.toSeq.map(_.toSeq)) ==
+        fresh.codebooks.map(_.toSeq.map(_.toSeq)),
+        "codebooks diverged through the Double.toString round trip")
+      val a = results(queries.Similarity.searchPqIndex(fromDisk, emb, queriesDf))
+      val b = results(queries.Similarity.searchPqIndex(fresh, emb, queriesDf))
+      assert(a == b, "disk-backed index searches differently from a fresh build")
+      // second load must NOT rebuild: the artifact is complete on disk, so
+      // a reload round-trips purely through the files and matches again
+      val reload = queries.Similarity.pqIndexOnDisk(emb, cacheKey,
+        cells = 4, m = 4, ksub = 8)
+      assert(results(queries.Similarity.searchPqIndex(reload, emb, queriesDf)) == a)
+    } finally {
+      // the nanoTime key means no later run can ever reuse this
+      // artifact — delete it or every test run leaks a dir in /tmp
+      queries.Similarity.deleteRecursively(queries.Similarity.pqIndexDiskBase(
+        cacheKey, cells = 4, m = 4, ksub = 8, dims = 64,
+        seed = 0xC0FFEEL, maxIter = 20))
+    }
   }
 
   test("the stored index is narrow: cell + m small codes, no embeddings") {
