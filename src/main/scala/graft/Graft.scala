@@ -215,6 +215,11 @@ object Graft {
     * per-doc keep/rate columns ([[graft.queries.Shards.domainMix]]). */
   def domainMix(docs: DataFrame, group: String = "lang"): DataFrame =
     queries.Shards.domainMix(docs, group)
+  /** Seeded deterministic global shuffle: each doc's 1-based position
+    * in a reproducible pseudo-random epoch order
+    * ([[graft.queries.Shards.shuffleOrder]]). */
+  def shuffleOrder(docs: DataFrame, seed: Long = 0L): DataFrame =
+    queries.Shards.shuffleOrder(docs, seed)
   /** Temperature-based domain mixing (target share ∝ tokens^alpha;
     * 0.5 = the standard multilingual compromise)
     * ([[graft.queries.Shards.domainMixTemperature]]). */

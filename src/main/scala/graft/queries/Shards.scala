@@ -145,6 +145,55 @@ object Shards {
       WHERE rk <= 10
       ORDER BY source, rk"""))
 
+  /** H10: seeded deterministic global shuffle — the reproducible
+    * training-data ORDER every loader needs: `pos` is each doc's
+    * 1-based position in the (seeded LCG scramble, doc_id) total
+    * order, so the same (corpus, seed) yields the same epoch order on
+    * any engine, any partitioning, any rerun, and a different seed
+    * yields an unrelated order (epoch reshuffling without RNG state).
+    *
+    * Scale shape: position assignment is the H4 distributed prefix
+    * sum over a composite order key — one range exchange +
+    * per-partition counting + broadcast offsets, NEVER a global
+    * window dragging the corpus through one partition (the DuckDB
+    * oracle runs exactly that single-partition `row_number()`, so the
+    * hash match is the distribution-correctness proof).
+    *
+    * The composite key `scramble · 2^32 + doc_id` makes the order
+    * total (scramble collides for ids P apart) and stays inside Long
+    * for doc_id < 2^32 — beyond ~4.3e9 docs re-key ids first. */
+  def shuffleOrder(docs: DataFrame, seed: Long = 0L): DataFrame = {
+    require(seed >= 0 && seed < ScrambleP, s"seed must be in [0, $ScrambleP)")
+    // the seed SCALES the multiplier: any nonzero multiplier mod prime
+    // P is a bijection, and multipliers A apart give unrelated
+    // permutations. Two rejected designs, both caught by MixingSpec's
+    // seed-sensitivity check: an ADDITIVE seed rotates the value range
+    // (order-preserving except at the wraparound), and a +seed
+    // multiplier perturbs each scramble by only ±seed·id — far below
+    // the ~P/n gaps between 200 scrambles, so no ranks crossed and
+    // adjacent seeds produced the identical epoch order.
+    val mult = ((seed + 1) % ScrambleP) * ScrambleA % ScrambleP
+    require(mult != 0, s"degenerate seed: ((seed + 1) * $ScrambleA) % $ScrambleP == 0")
+    val keyed = docs.select(col("doc_id"),
+        (((col("doc_id") % ScrambleP) * mult) % ScrambleP).as("scramble"))
+      .select(col("doc_id"),
+        (col("scramble") * 4294967296L + col("doc_id")).as("ord_key"))
+      .withColumn("one", lit(1L))
+    graft.ops.ScaleOps.prefixSum(keyed, "ord_key", "one", "pos")
+      .select(col("doc_id"), col("pos"))
+      .orderBy("doc_id")
+  }
+
+  val qShuffleOrder: Q = Q(
+    "q_shuffle_order",
+    (s, d) => shuffleOrder(Tables.documents(s, d), seed = 42L),
+    Some(s"""SELECT doc_id,
+        row_number() OVER (ORDER BY
+          ((doc_id % $ScrambleP) * ((43 * ${ScrambleA}) % $ScrambleP)) % $ScrambleP,
+          doc_id) AS pos
+      FROM documents
+      ORDER BY doc_id"""))
+
   /** Domain-mix resampling (SURVEY.md §2 H6) — the "data mixing" stage
     * of a training-data pipeline: rebalance the corpus toward a target
     * token distribution over a grouping column (here: uniform across
@@ -309,5 +358,6 @@ object Shards {
       ORDER BY lang"""))
 
   val all: Seq[Q] =
-    Seq(qPackShards, qPackSequences, qStratifiedSample, qDomainMix, qDomainMixTemp)
+    Seq(qPackShards, qPackSequences, qStratifiedSample, qDomainMix, qDomainMixTemp,
+      qShuffleOrder)
 }

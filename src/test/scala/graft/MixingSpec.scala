@@ -126,4 +126,21 @@ class MixingSpec extends SparkSpec {
     // formula collapses to domainMix's uniform equalization, bit-equal
     assert(rates(0.0) == uniform, "alpha=0 diverged from uniform domainMix")
   }
+
+  test("shuffleOrder: a seeded permutation, stable across partitionings, seed-sensitive") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def order(df: org.apache.spark.sql.DataFrame, seed: Long): Seq[(Long, Long)] =
+      Shards.shuffleOrder(df, seed).as[(Long, Long)].collect().toSeq
+    val a = order(docs, 42L)
+    // a permutation: every position 1..n exactly once
+    assert(a.map(_._2).sorted == (1L to 200L), "pos is not a permutation")
+    // partitioning must not change the order (the prefix-sum contract)
+    assert(order(docs.repartition(13), 42L) == a, "order depends on partitioning")
+    // a different seed reshuffles; the same seed reproduces
+    assert(order(docs, 43L) != a, "seed does not change the order")
+    assert(order(docs, 42L) == a, "same seed not reproducible")
+    // not the identity order (the scramble actually shuffles)
+    assert(a.count { case (id, pos) => pos == id + 1 } < 20, "order is near-identity")
+  }
 }
