@@ -278,6 +278,22 @@ object ScaleProbe {
     assert(psTail == psTotal, s"prefix-sum tail $psTail != total $psTotal")
     println(f"prefix-sum total     ${"check"}%9s       tail == grand total  PASS")
 
+    // Seeded global shuffle on the same machinery: position assignment
+    // must stay a permutation at 5M docs (max == count == n, distinct
+    // positions == n — any prefix-sum drift or order-key collision
+    // breaks one of the three).
+    val nSh = 5000000L
+    val shIn = spark.range(nSh).select(col("id").as("doc_id"))
+    val (shStats, tSh2) = time {
+      graft.queries.Shards.shuffleOrder(shIn, seed = 7L)
+        .agg(count(lit(1)), max(col("pos")), countDistinct(col("pos"))).head()
+    }
+    println(f"shuffle order        $nSh%9d docs  $tSh2%7.1f s  ${nSh / tSh2}%9.0f docs/s")
+    assert(shStats.getLong(0) == nSh && shStats.getLong(1) == nSh &&
+      shStats.getLong(2) == nSh,
+      s"shuffle order not a permutation: ${shStats.mkString(", ")} vs $nSh")
+    println(f"shuffle permutation  ${"check"}%9s       n distinct positions, max == n  PASS")
+
     // Decontamination at corpus scale: the whole corpus as train, a
     // ~1-per-499 clone set as the "benchmark". Every eval doc's source
     // shares its entire shingle set and MUST flag; beyond those, only
