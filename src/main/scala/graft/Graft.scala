@@ -226,6 +226,15 @@ object Graft {
   def domainMixTemperature(
       docs: DataFrame, group: String = "lang", alpha: Double = 0.5): DataFrame =
     queries.Shards.domainMixTemperature(docs, group, alpha)
+  /** Incremental exact dedup: flag incoming docs already in a known
+    * corpus or duplicated within the batch
+    * ([[graft.queries.Dedup.dedupIncremental]]). */
+  def dedupIncremental(incoming: DataFrame, known: DataFrame): DataFrame =
+    queries.Dedup.dedupIncremental(incoming, known)
+  /** Quality-decile stratification via exact percentile thresholds
+    * ([[graft.queries.TextAnalysis.qualityDeciles]]). */
+  def qualityDeciles(docs: DataFrame): DataFrame =
+    queries.TextAnalysis.qualityDeciles(docs)
   /** Token-window chunking: overlapping `window`-token chunks per doc
     * advancing by `stride`
     * ([[graft.queries.TextAnalysis.chunkTokens]]). */

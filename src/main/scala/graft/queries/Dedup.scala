@@ -204,6 +204,63 @@ object Dedup {
     docs.join(ids, Seq("doc_id"), "left_semi")
   }
 
+  /** D13: INCREMENTAL exact dedup — the nightly-ingest flow: flag each
+    * incoming doc whose content already lives in the known corpus
+    * (`is_known`), or which an earlier doc of the same batch already
+    * carries (`is_dup_in_batch`, first-seen-by-doc_id like D1);
+    * `keep = 1` marks the rows a pipeline appends to the lake. Keys
+    * are the shared D1 (md5, poly) content pair, so batch, streaming,
+    * and incremental dedup can never drift apart.
+    *
+    * Scale shape: the known side collapses to DISTINCT 24-byte key
+    * pairs — the fingerprint set a production lake keeps precomputed
+    * (store `known.select(contentKeyCols)` as parquet and hand THAT in;
+    * text is never rescanned). The incoming batch pays one narrow
+    * window on its own keys and one key-equi-join against the
+    * fingerprints — broadcast when the lake index fits, shuffle on
+    * 24-byte rows otherwise. Nothing corpus-sized moves. */
+  def dedupIncremental(incoming: DataFrame, known: DataFrame): DataFrame = {
+    val (k1, k2) = contentKeyCols(col("text"))
+    val knownKeys = known.select(k1.as("k1"), k2.as("k2")).distinct()
+      .withColumn("__known", lit(1L))
+    val w = Window.partitionBy(col("k1"), col("k2"))
+    incoming.select(col("doc_id"), k1.as("k1"), k2.as("k2"))
+      .withColumn("__min", min(col("doc_id")).over(w))
+      .join(knownKeys, Seq("k1", "k2"), "left")
+      .select(col("doc_id"),
+        col("__known").isNotNull.as("is_known"),
+        (col("doc_id") =!= col("__min")).as("is_dup_in_batch"))
+      .withColumn("keep",
+        when(!col("is_known") && !col("is_dup_in_batch"), 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle split: docs with doc_id ≡ 0 (mod 3) play the known lake,
+    * the rest arrive as the incoming batch. */
+  val qDedupIncremental: Q = Q(
+    "q_dedup_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      dedupIncremental(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0))
+    },
+    Some(s"""WITH keyed AS (
+        SELECT doc_id, md5(${sqlNormText("text")}) AS k1,
+          ${sqlPolyHash(sqlNormText("text"))} AS k2 FROM documents),
+      known AS (SELECT DISTINCT k1, k2 FROM keyed WHERE doc_id % 3 = 0),
+      inc AS (
+        SELECT doc_id, k1, k2,
+          min(doc_id) OVER (PARTITION BY k1, k2) AS mn
+        FROM keyed WHERE doc_id % 3 <> 0)
+      SELECT inc.doc_id,
+        (known.k1 IS NOT NULL) AS is_known,
+        inc.doc_id <> mn AS is_dup_in_batch,
+        CAST(CASE WHEN known.k1 IS NULL AND inc.doc_id = mn
+          THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM inc LEFT JOIN known ON inc.k1 = known.k1 AND inc.k2 = known.k2
+      ORDER BY inc.doc_id"""))
+
   val qDedupExact: Q = Q(
     "q_dedup_exact",
     (s, d) => exactDuplicates(Tables.documents(s, d)),
@@ -602,7 +659,7 @@ object Dedup {
     qNgramContainment.oracle)
 
   val all: Seq[Q] =
-    Seq(qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard,
-      qNgramContainment, qNgramJaccardPrefix, qNgramContainmentPrefix,
-      qStreamNeardupBatch)
+    Seq(qDedupExact, qDedupIncremental, qDedupMinhash, qDedupSimhash,
+      qNgramJaccard, qNgramContainment, qNgramJaccardPrefix,
+      qNgramContainmentPrefix, qStreamNeardupBatch)
 }

@@ -153,6 +153,55 @@ object TextAnalysis {
         FROM documents) t ORDER BY doc_id"""
     })
 
+  /** C15: quality stratification — assign each doc its decile (1 = worst
+    * tenth … 10 = best) under the C3 quality score, the threshold-free
+    * form of "keep the top 30%": a pipeline filters `decile >= 8`
+    * instead of guessing an absolute score cutoff that drifts with the
+    * corpus.
+    *
+    * Scale shape: thresholds are ONE value-picking percentile_disc
+    * aggregation (exact order statistics — engine-portable where the
+    * interpolating percentile_cont is ULP-unstable), yielding a 1-row
+    * frame broadcast back onto a shuffle-free map stage; assignment is
+    * 9 integer comparisons per doc. The global ntile() window this
+    * replaces drags the whole corpus through ONE partition — the exact
+    * anti-pattern the H4 prefix sum also exists to avoid. Ties at a
+    * threshold fall into the LOWER decile on both engines (strict >
+    * comparisons), so decile populations are only approximately equal
+    * under heavy ties — the deterministic choice, not a bug. */
+  def qualityDeciles(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+      qualityScoreCol(col("text")).as("quality_score"))
+    val ths = scored.agg(
+      expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY quality_score)").as("t1"),
+      (2 to 9).map(i =>
+        expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY quality_score)")
+          .as(s"t$i")): _*)
+    scored.crossJoin(broadcast(ths))
+      .select(col("doc_id"), col("quality_score"),
+        (lit(1L) + (1 to 9).map(i =>
+          when(col("quality_score") > col(s"t$i"), 1L).otherwise(0L))
+          .reduce(_ + _)).as("decile"))
+      .orderBy("doc_id")
+  }
+
+  val qQualityDeciles: Q = Q(
+    "q_quality_deciles",
+    (s, d) => qualityDeciles(Tables.documents(s, d)),
+    Some {
+      val cases = (1 to 9)
+        .map(i => s"(CASE WHEN quality_score > t$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val qs = (1 to 9)
+        .map(i => s"quantile_disc(quality_score, 0.$i) AS t$i").mkString(", ")
+      s"""WITH ${sqlQualityCte("documents")},
+        ths AS (SELECT $qs FROM q_scores)
+        SELECT doc_id, quality_score,
+          CAST(1 + $cases AS BIGINT) AS decile
+        FROM q_scores CROSS JOIN ths
+        ORDER BY doc_id"""
+    })
+
   /** C4: document fingerprinting — md5 plus the portable 64-bit polynomial
     * rolling hash over normalized text (SURVEY.md §3). */
   /** Public API: md5 + rolling-hash fingerprints per doc. */
@@ -384,6 +433,6 @@ object TextAnalysis {
       ORDER BY doc_id, chunk_idx"""))
 
   val all: Seq[Q] =
-    Seq(qTokens, qLangId, qQuality, qFingerprint, qShingles, qRepetition,
-      qCollocations, qChunkTokens)
+    Seq(qTokens, qLangId, qQuality, qQualityDeciles, qFingerprint, qShingles,
+      qRepetition, qCollocations, qChunkTokens)
 }
