@@ -44,7 +44,9 @@ object Plans {
     "q_ann_ivfpq_search" -> "search-only against the disk index: parquet (vec_id, cell, codes) scan + broadcast centroids + ADC lookups — NO KMeans fit or corpus encode in the plan",
     "q_stream_neardup_batch" -> "D2 candidate pairs -> per-doc min-flagger agg; the streaming twin's state transition as one batch plan",
     "q_histogram" -> "2-row extrema agg broadcast onto a map stage, map-side-combinable count on <= buckets keys",
-    "q_dsir_weights" -> "feature explode -> two hash aggs, 4096-row ln-ratio model broadcast back, integer-sum weights, top-k via limits + broadcast semi-join (no global window)")
+    "q_dsir_weights" -> "feature explode -> two hash aggs, 4096-row ln-ratio model broadcast back, integer-sum weights, top-k via limits + broadcast semi-join (no global window)",
+    "q_dedup_incremental" -> "known side collapses to distinct 24-byte key pairs; incoming pays one narrow window + one key join — text never shuffles",
+    "q_quality_deciles" -> "one percentile_disc agg -> 1-row threshold broadcast -> shuffle-free comparison map; replaces the single-partition ntile window")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
