@@ -259,6 +259,10 @@ object Graft {
     * ([[graft.queries.Profile.histogram]]). */
   def histogram(df: DataFrame, c: String, buckets: Int = 10): DataFrame =
     queries.Profile.histogram(df, c, buckets)
+  /** One-pass Pearson correlation matrix over fixed-decimal numeric
+    * columns ([[graft.queries.Profile.correlations]]). */
+  def correlations(df: DataFrame, cols: Seq[String], scale: Double = 100.0): DataFrame =
+    queries.Profile.correlations(df, cols, scale)
   /** Per-dimension int8 min/max quantization of an embedding column
     * ([[graft.queries.Quantize.quantizeInt8]]). */
   def quantizeInt8(embeddings: DataFrame): DataFrame =

@@ -265,5 +265,100 @@ object Profile {
       FROM (SELECT * FROM fin UNION ALL SELECT * FROM dirty)
       ORDER BY bucket"""))
 
-  val all: Seq[Q] = Seq(qProfile, qChecks, qHistogram)
+  /** I4: one-pass Pearson correlation matrix over fixed-decimal numeric
+    * columns — the Deequ "Correlation" analyzer, computed the way a
+    * 100 TB profile must be: ALL moments (n, Σx, Σx², Σxy per pair) in
+    * ONE map-side-combinable aggregation over ONE scan; the k² final
+    * formula evaluations are O(columns²) driver arithmetic on the
+    * collected 1-row moment frame.
+    *
+    * Determinism: values quantize to integer units first
+    * (round(x·scale) — exact recovery for fixed-decimal data like
+    * prices/rates, where raw float sums are partition-order-dependent),
+    * the moment sums are exact DECIMAL(38) integer sums (commutative),
+    * and the corr formula is a short mirrored double chain over those
+    * exact integers — each step identically rounded on any engine, so
+    * the result is reproducible cluster-to-cluster and hash-matches
+    * DuckDB. Zero-variance columns yield NaN (0/0) on both engines;
+    * rows with NULLs make the moments NULL — profile completeness (I1)
+    * is the gate for that, not this analyzer. */
+  def correlations(
+      df: DataFrame, cols: Seq[String], scale: Double = 100.0): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to correlate")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = cols.sorted
+    val pairs = for {
+      i <- sorted.indices; j <- (i + 1) until sorted.size
+    } yield (sorted(i), sorted(j))
+    val quantized = df.select(sorted.map(c =>
+      round(col(c) * scale).cast("long").as(c)): _*)
+    val aggs =
+      sorted.map(c => sum(col(c).cast("decimal(38,0)")).as(s"s_$c")) ++
+      sorted.map(c => sum((col(c) * col(c)).cast("decimal(38,0)")).as(s"ss_$c")) ++
+      pairs.map { case (a, b) =>
+        sum((col(a) * col(b)).cast("decimal(38,0)")).as(s"sp_${a}_$b") }
+    val row = quantized.agg(count(lit(1)).as("n"), aggs: _*).head()
+    val n = row.getLong(0).toDouble
+    // decimal → double via an exact hi·2^26 + lo split: a direct cast
+    // of a > 2^53 sum rounds, and DuckDB's 128-bit-int cast rounds
+    // DIFFERENTLY (double-rounded halves — observed 1-ULP corr drift
+    // at sf0.1). hi and lo are each < 2^53 (exact casts, for sums up
+    // to 2^79), the multiply is an exponent shift (exact), and the one
+    // rounding add sees identical operands on both engines.
+    def m(name: String): Double = {
+      val bi = row.getDecimal(row.fieldIndex(name)).toBigInteger
+      val Array(hi, lo) = bi.divideAndRemainder(java.math.BigInteger.valueOf(1L << 26))
+      hi.doubleValue * 67108864.0 + lo.doubleValue
+    }
+    val out = pairs.map { case (a, b) =>
+      val (sa, sb) = (m(s"s_$a"), m(s"s_$b"))
+      val num = n * m(s"sp_${a}_$b") - sa * sb
+      val den = math.sqrt(n * m(s"ss_$a") - sa * sa) *
+        math.sqrt(n * m(s"ss_$b") - sb * sb)
+      (a, b, num / den)
+    }
+    out.toDF("col_x", "col_y", "corr").orderBy("col_x", "col_y")
+  }
+
+  private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  val qCorrelations: Q = Q(
+    "q_correlations",
+    (s, d) => correlations(Tables.lineitem(s, d), CorrCols),
+    Some {
+      val sorted = CorrCols.sorted
+      val pairs = for {
+        i <- sorted.indices; j <- (i + 1) until sorted.size
+      } yield (sorted(i), sorted(j))
+      val qCols = sorted.map(c =>
+        s"CAST(round($c * 100.0::DOUBLE) AS BIGINT) AS $c").mkString(", ")
+      // sum(BIGINT) is HUGEINT (exact). The hugeint→double cast
+      // double-rounds through 64-bit halves, so mirror the Spark
+      // driver's EXACT hi·2^26 + lo split instead: hi and lo cast
+      // exactly, the multiply is an exponent shift, the one rounding
+      // add sees the same operands as the JVM side.
+      def dbl(x: String) =
+        s"(CAST(($x) // 67108864 AS DOUBLE) * 67108864.0::DOUBLE + " +
+          s"CAST(($x) % 67108864 AS DOUBLE))"
+      val moments = (
+        sorted.map(c => s"sum($c) AS s_$c") ++
+        sorted.map(c => s"sum($c * $c) AS ss_$c") ++
+        pairs.map { case (a, b) => s"sum($a * $b) AS sp_${a}_$b" }).mkString(", ")
+      val rows = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_x, '$b' AS col_y,
+          (CAST(n AS DOUBLE) * ${dbl(s"sp_${a}_$b")}
+             - ${dbl(s"s_$a")} * ${dbl(s"s_$b")})
+          / (sqrt(CAST(n AS DOUBLE) * ${dbl(s"ss_$a")}
+               - ${dbl(s"s_$a")} * ${dbl(s"s_$a")})
+             * sqrt(CAST(n AS DOUBLE) * ${dbl(s"ss_$b")}
+               - ${dbl(s"s_$b")} * ${dbl(s"s_$b")})) AS corr
+          FROM m"""
+      }.mkString(" UNION ALL ")
+      s"""WITH q AS (SELECT $qCols FROM lineitem),
+        m AS (SELECT count(*) AS n, $moments FROM q)
+        $rows ORDER BY col_x, col_y"""
+    })
+
+  val all: Seq[Q] = Seq(qProfile, qChecks, qHistogram, qCorrelations)
 }
