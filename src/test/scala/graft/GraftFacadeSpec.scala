@@ -110,4 +110,29 @@ class GraftFacadeSpec extends SparkSpec {
     val prof = Graft.profile(docs, Seq("doc_id"), Seq("text"))
     assert(prof.count() == 12) // 6 metrics per column
   }
+
+  test("round-6 facade methods run end to end on user frames") {
+    import spark.implicits._
+    // incremental dedup: doc 1 is an exact dup of doc 0 — known side
+    // {0} flags incoming 1 as known; a batch-internal copy flags later
+    val known = docs.filter($"doc_id" === 0L)
+    val incoming = docs.filter($"doc_id" =!= 0L)
+      .unionByName(Seq((9L, "completely different words entirely here now",
+        "en", "book", 45L)).toDF(docs.columns: _*))
+    val inc = Graft.dedupIncremental(incoming, known)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getLong(3))).toMap
+    assert(inc(1L) == ((true, false, 0L)), s"dup-of-known got ${inc(1L)}")
+    assert(inc(2L) == ((false, false, 1L))) // near-dup text is NOT exact-known
+    assert(inc(3L) == ((false, false, 1L)))
+    assert(inc(9L) == ((false, true, 0L)), "batch-internal copy of doc 3 not flagged")
+    // deciles: 4 docs -> every decile populated at most once, all in 1..10
+    val dec = Graft.qualityDeciles(docs).select("decile").as[Long].collect()
+    assert(dec.forall(d => d >= 1 && d <= 10) && dec.length == 4)
+    // chunking + shuffle order + correlations smoke on user frames
+    assert(Graft.chunkTokens(docs, window = 3, stride = 2).count() > docs.count())
+    assert(Graft.shuffleOrder(docs, seed = 5L).count() == docs.count())
+    val num = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.5)).toDF("x", "y")
+    val corr = Graft.correlations(num, Seq("x", "y")).head().getDouble(2)
+    assert(corr > 0.99 && corr <= 1.0, s"near-perfect positive corr expected, got $corr")
+  }
 }
