@@ -278,6 +278,26 @@ object ScaleProbe {
     assert(psTail == psTotal, s"prefix-sum tail $psTail != total $psTotal")
     println(f"prefix-sum total     ${"check"}%9s       tail == grand total  PASS")
 
+    // One-pass correlation matrix at 5M rows (scale = 1: the ids are
+    // already integers; squares stay < 2^63 per row, the decimal sums
+    // absorb the 1.2e20 totals). A perfect linear pair must score
+    // ~1.0 and a hash-scattered pair ~0 — the two ends any moment
+    // bookkeeping error would move.
+    val nCo = 5000000L
+    val coIn = spark.range(nCo).select(
+      col("id").cast("double").as("x"),
+      (col("id") * 2).cast("double").as("y"),
+      pmod(xxhash64(col("id")), lit(1000003L)).cast("double").as("z"))
+    val (coRows, tCoM) = time {
+      graft.queries.Profile.correlations(coIn, Seq("x", "y", "z"), scale = 1.0)
+        .collect()
+    }
+    val coMap = coRows.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    println(f"correlations         $nCo%9d rows  $tCoM%7.1f s  ${nCo / tCoM}%9.0f rows/s  (xy ${coMap(("x","y"))}%.6f, xz ${coMap(("x","z"))}%.6f)")
+    assert(coMap(("x", "y")) > 0.999999, s"perfect linear pair scored ${coMap(("x", "y"))}")
+    assert(math.abs(coMap(("x", "z"))) < 0.01, s"hash-scattered pair scored ${coMap(("x", "z"))}")
+    println(f"correlation sanity   ${"check"}%9s       linear ~1, scattered ~0  PASS")
+
     // Seeded global shuffle on the same machinery: position assignment
     // must stay a permutation at 5M docs (max == count == n, distinct
     // positions == n — any prefix-sum drift or order-key collision
