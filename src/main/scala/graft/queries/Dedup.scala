@@ -204,6 +204,14 @@ object Dedup {
     docs.join(ids, Seq("doc_id"), "left_semi")
   }
 
+  /** The (k1, k2) content-fingerprint frame of a document corpus — the
+    * artifact [[dedupIncremental]]'s known side stores precomputed
+    * (24 bytes per doc; text never needs rescanning once written). */
+  def contentKeys(docs: DataFrame): DataFrame = {
+    val (k1, k2) = contentKeyCols(col("text"))
+    docs.select(k1.as("k1"), k2.as("k2"))
+  }
+
   /** D13: INCREMENTAL exact dedup — the nightly-ingest flow: flag each
     * incoming doc whose content already lives in the known corpus
     * (`is_known`), or which an earlier doc of the same batch already
@@ -213,16 +221,22 @@ object Dedup {
     * and incremental dedup can never drift apart.
     *
     * Scale shape: the known side collapses to DISTINCT 24-byte key
-    * pairs — the fingerprint set a production lake keeps precomputed
-    * (store `known.select(contentKeyCols)` as parquet and hand THAT in;
-    * text is never rescanned). The incoming batch pays one narrow
-    * window on its own keys and one key-equi-join against the
-    * fingerprints — broadcast when the lake index fits, shuffle on
-    * 24-byte rows otherwise. Nothing corpus-sized moves. */
+    * pairs — the fingerprint set a production lake keeps precomputed:
+    * store [[contentKeys]]`(lake)` as parquet once and hand the
+    * key frame in directly (any `known` WITHOUT a `text` column is
+    * treated as one), so the lake text is never rescanned. A raw
+    * document frame also works — it just pays the hash pass. The
+    * incoming batch pays one narrow window on its own keys and one
+    * key-equi-join against the fingerprints — broadcast when the lake
+    * index fits, shuffle on 24-byte rows otherwise. Nothing
+    * corpus-sized moves. */
   def dedupIncremental(incoming: DataFrame, known: DataFrame): DataFrame = {
     val (k1, k2) = contentKeyCols(col("text"))
-    val knownKeys = known.select(k1.as("k1"), k2.as("k2")).distinct()
-      .withColumn("__known", lit(1L))
+    val knownKeys =
+      (if (known.columns.contains("text")) contentKeys(known)
+       else known.select(col("k1"), col("k2")))
+        .distinct()
+        .withColumn("__known", lit(1L))
     val w = Window.partitionBy(col("k1"), col("k2"))
     incoming.select(col("doc_id"), k1.as("k1"), k2.as("k2"))
       .withColumn("__min", min(col("doc_id")).over(w))

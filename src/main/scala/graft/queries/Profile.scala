@@ -279,9 +279,12 @@ object Profile {
     * and the corr formula is a short mirrored double chain over those
     * exact integers — each step identically rounded on any engine, so
     * the result is reproducible cluster-to-cluster and hash-matches
-    * DuckDB. Zero-variance columns yield NaN (0/0) on both engines;
-    * rows with NULLs make the moments NULL — profile completeness (I1)
-    * is the gate for that, not this analyzer. */
+    * DuckDB. Zero-variance columns yield NaN (0/0) on both engines.
+    * NULL handling is LISTWISE deletion: rows with a NULL in ANY
+    * correlated column drop before the moments, so every moment is
+    * computed over the same support (mixing count(*) with null-skipping
+    * sums silently corrupts the formula); an empty or all-NULL input
+    * returns an empty frame. */
   def correlations(
       df: DataFrame, cols: Seq[String], scale: Double = 100.0): DataFrame = {
     require(cols.size >= 2, "need at least two columns to correlate")
@@ -292,13 +295,21 @@ object Profile {
       i <- sorted.indices; j <- (i + 1) until sorted.size
     } yield (sorted(i), sorted(j))
     val quantized = df.select(sorted.map(c =>
-      round(col(c) * scale).cast("long").as(c)): _*)
+      round(col(c) * scale).cast("long").as(c)): _*).na.drop()
+    // decimal(19,0) operands BEFORE the multiply: a per-row Long
+    // product overflows at |x·scale| ≳ 3e9 (epoch-millis territory) —
+    // ANSI kills the job, non-ANSI silently wraps. The (19,0)×(19,0)
+    // decimal product is exact through the 2^63-scale values Long
+    // quantization admits.
+    def dec(c: String) = col(c).cast("decimal(19,0)")
     val aggs =
       sorted.map(c => sum(col(c).cast("decimal(38,0)")).as(s"s_$c")) ++
-      sorted.map(c => sum((col(c) * col(c)).cast("decimal(38,0)")).as(s"ss_$c")) ++
+      sorted.map(c => sum((dec(c) * dec(c)).cast("decimal(38,0)")).as(s"ss_$c")) ++
       pairs.map { case (a, b) =>
-        sum((col(a) * col(b)).cast("decimal(38,0)")).as(s"sp_${a}_$b") }
+        sum((dec(a) * dec(b)).cast("decimal(38,0)")).as(s"sp_${a}_$b") }
     val row = quantized.agg(count(lit(1)).as("n"), aggs: _*).head()
+    if (row.getLong(0) == 0L)
+      return Seq.empty[(String, String, Double)].toDF("col_x", "col_y", "corr")
     val n = row.getLong(0).toDouble
     // decimal → double via an exact hi·2^26 + lo split: a direct cast
     // of a > 2^53 sum rounds, and DuckDB's 128-bit-int cast rounds
@@ -341,10 +352,13 @@ object Profile {
       def dbl(x: String) =
         s"(CAST(($x) // 67108864 AS DOUBLE) * 67108864.0::DOUBLE + " +
           s"CAST(($x) % 67108864 AS DOUBLE))"
+      // HUGEINT products mirror the Spark side's pre-multiply decimal
+      // widening (BIGINT * BIGINT overflows for epoch-scale values)
       val moments = (
         sorted.map(c => s"sum($c) AS s_$c") ++
-        sorted.map(c => s"sum($c * $c) AS ss_$c") ++
-        pairs.map { case (a, b) => s"sum($a * $b) AS sp_${a}_$b" }).mkString(", ")
+        sorted.map(c => s"sum(CAST($c AS HUGEINT) * $c) AS ss_$c") ++
+        pairs.map { case (a, b) =>
+          s"sum(CAST($a AS HUGEINT) * $b) AS sp_${a}_$b" }).mkString(", ")
       val rows = pairs.map { case (a, b) =>
         s"""SELECT '$a' AS col_x, '$b' AS col_y,
           (CAST(n AS DOUBLE) * ${dbl(s"sp_${a}_$b")}
@@ -355,7 +369,8 @@ object Profile {
                - ${dbl(s"s_$b")} * ${dbl(s"s_$b")})) AS corr
           FROM m"""
       }.mkString(" UNION ALL ")
-      s"""WITH q AS (SELECT $qCols FROM lineitem),
+      s"""WITH q AS (SELECT $qCols FROM lineitem
+          WHERE ${CorrCols.sorted.map(c => s"$c IS NOT NULL").mkString(" AND ")}),
         m AS (SELECT count(*) AS n, $moments FROM q)
         $rows ORDER BY col_x, col_y"""
     })

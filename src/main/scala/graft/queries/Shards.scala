@@ -161,9 +161,14 @@ object Shards {
     *
     * The composite key `scramble · 2^32 + doc_id` makes the order
     * total (scramble collides for ids P apart) and stays inside Long
-    * for doc_id < 2^32 — beyond ~4.3e9 docs re-key ids first. */
+    * for doc_id < 2^32; ids outside [0, 2^32) raise a per-row error
+    * rather than silently colliding — re-key wider ids first. */
   def shuffleOrder(docs: DataFrame, seed: Long = 0L): DataFrame = {
-    require(seed >= 0 && seed < ScrambleP, s"seed must be in [0, $ScrambleP)")
+    // seed = P-1 is excluded up front: (seed+1) ≡ 0 (mod P) would
+    // degenerate the multiplier to 0 — bounding the domain beats
+    // admitting a documented-valid seed that always crashes deeper in
+    require(seed >= 0 && seed < ScrambleP - 1,
+      s"seed must be in [0, ${ScrambleP - 1})")
     // the seed SCALES the multiplier: any nonzero multiplier mod prime
     // P is a bijection, and multipliers A apart give unrelated
     // permutations. Two rejected designs, both caught by MixingSpec's
@@ -173,11 +178,18 @@ object Shards {
     // the ~P/n gaps between 200 scrambles, so no ranks crossed and
     // adjacent seeds produced the identical epoch order.
     val mult = ((seed + 1) % ScrambleP) * ScrambleA % ScrambleP
-    require(mult != 0, s"degenerate seed: ((seed + 1) * $ScrambleA) % $ScrambleP == 0")
     val keyed = docs.select(col("doc_id"),
         (((col("doc_id") % ScrambleP) * mult) % ScrambleP).as("scramble"))
       .select(col("doc_id"),
-        (col("scramble") * 4294967296L + col("doc_id")).as("ord_key"))
+        // ids outside [0, 2^32) would COLLIDE in the packed key and
+        // silently break the total order (nondeterministic pos under
+        // retries/partitioning — the exact thing this operator exists
+        // to prevent). Fail loudly per-row instead; re-key wider ids.
+        (col("scramble") * 4294967296L +
+          when(col("doc_id") >= 0 && col("doc_id") < 4294967296L, col("doc_id"))
+            .otherwise(raise_error(concat(
+              lit("shuffleOrder: doc_id out of [0, 2^32) — packed order key would collide: "),
+              col("doc_id"))))).as("ord_key"))
       .withColumn("one", lit(1L))
     graft.ops.ScaleOps.prefixSum(keyed, "ord_key", "one", "pos")
       .select(col("doc_id"), col("pos"))

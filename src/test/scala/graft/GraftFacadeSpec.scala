@@ -135,4 +135,32 @@ class GraftFacadeSpec extends SparkSpec {
     val corr = Graft.correlations(num, Seq("x", "y")).head().getDouble(2)
     assert(corr > 0.99 && corr <= 1.0, s"near-perfect positive corr expected, got $corr")
   }
+
+  test("dedupIncremental accepts the precomputed fingerprint frame directly") {
+    import spark.implicits._
+    val keys = queries.Dedup.contentKeys(docs.filter($"doc_id" === 0L))
+    val viaKeys = Graft.dedupIncremental(docs.filter($"doc_id" =!= 0L), keys)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val viaText = Graft.dedupIncremental(
+        docs.filter($"doc_id" =!= 0L), docs.filter($"doc_id" === 0L))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaKeys == viaText, "keys-frame path diverged from the text-frame path")
+    assert(viaKeys(1L), "dup of known doc not flagged through the key frame")
+  }
+
+  test("correlations: listwise NULL deletion and empty-input handling") {
+    import spark.implicits._
+    // row 1 has a NULL y: it must drop from BOTH columns' moments —
+    // the remaining rows are perfectly linear, so corr == ~1.0 (mixed
+    // supports would pull it away from 1)
+    val withNull = Seq((1.0, Option.empty[Double]), (2.0, Some(4.0)),
+      (3.0, Some(6.0)), (4.0, Some(8.0))).toDF("x", "y")
+    val c = Graft.correlations(withNull, Seq("x", "y")).head().getDouble(2)
+    assert(c > 0.999999, s"listwise-deleted perfect line scored $c")
+    // empty and all-NULL inputs return empty frames, not NPEs
+    assert(Graft.correlations(withNull.filter($"x" > 99), Seq("x", "y")).count() == 0)
+    val allNull = Seq((Option.empty[Double], Option.empty[Double]))
+      .toDF("x", "y")
+    assert(Graft.correlations(allNull, Seq("x", "y")).count() == 0)
+  }
 }

@@ -143,4 +143,18 @@ class MixingSpec extends SparkSpec {
     // not the identity order (the scramble actually shuffles)
     assert(a.count { case (id, pos) => pos == id + 1 } < 20, "order is near-identity")
   }
+
+  test("shuffleOrder rejects the degenerate seed and colliding ids loudly") {
+    import spark.implicits._
+    val docs = (0L until 10L).map(i => (i, "x")).toDF("doc_id", "text")
+    // P-1 would zero the multiplier — excluded from the domain up front
+    intercept[IllegalArgumentException] {
+      Shards.shuffleOrder(docs, seed = 1000000006L)
+    }
+    // an id >= 2^32 would silently collide in the packed order key:
+    // must raise per-row, not return a nondeterministic order
+    val wide = docs.unionByName(Seq((4294967296L, "x")).toDF("doc_id", "text"))
+    val e = intercept[Exception] { Shards.shuffleOrder(wide).collect() }
+    assert(e.getMessage != null)
+  }
 }
