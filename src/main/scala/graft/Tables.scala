@@ -19,16 +19,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = tbl(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = tbl(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = tbl(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright. Sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`; here we truncate the
-    * long nanos to a microsecond timestamp (integer `div` — the values
-    * exceed 2^53, so a double division would corrupt them). DuckDB's
-    * `ts::TIMESTAMP` truncates ns→µs identically. */
-  def events(s: SparkSession, d: String): DataFrame =
-    tbl(s, d, "events").withColumn(
-      "ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  /** events.parquet's ts encoding has varied across driver-generated
+    * datasets: TIMESTAMP(NANOS) (read as a LONG under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — sessions must still
+    * set it so a nanos file doesn't fail the scan outright) or plain
+    * TIMESTAMP(MICROS) (read natively as a timestamp). Normalize both
+    * to a microsecond timestamp: long nanos truncate with integer
+    * `div` (the values exceed 2^53, so a double division would corrupt
+    * them) — DuckDB's `ts::TIMESTAMP` truncates ns→µs identically —
+    * and native timestamps (NTZ or LTZ; the session is pinned UTC so
+    * the two agree) pass through unchanged. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    val raw = tbl(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", expr("cast(ts as timestamp)"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")
 }

@@ -135,7 +135,10 @@ object Selection {
     val topk = scored
       .orderBy(col("w_fp").desc, col("doc_id")).limit(keep)
       .select(col("doc_id"), lit(1L).as("sel"))
-    scored.join(topk, Seq("doc_id"), "left")
+    // explicit broadcast: topk is ≤ `keep` rows by construction, but
+    // without the hint a planner misestimate at 100 TB would shuffle
+    // the whole scored corpus for a 50-row join
+    scored.join(broadcast(topk), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_feats"), col("weight"),
         coalesce(col("sel"), lit(0L)).as("selected"))
       .orderBy("doc_id")

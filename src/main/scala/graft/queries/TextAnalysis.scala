@@ -22,6 +22,12 @@ object TextAnalysis {
     * [[graft.ops.PlanCache]]; released by [[graft.ops.Release]]). */
   private[this] val countCache = new graft.ops.PlanCache(capacity = 4)
 
+  /** Memo of [[qualityDeciles]]' scored frame — dedicated so decile
+    * traffic can't evict the collocation count memos (and vice versa):
+    * the threshold branch and the assignment branch both read it, so
+    * the corpus is scanned and tokenized exactly once per call. */
+  private[this] val decCache = new graft.ops.PlanCache(capacity = 2)
+
   private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopEs = Seq("el", "la", "de", "que", "y", "en", "un")
   private val stopDe = Seq("der", "die", "das", "und", "ist", "von", "mit")
@@ -159,28 +165,65 @@ object TextAnalysis {
     * instead of guessing an absolute score cutoff that drifts with the
     * corpus.
     *
-    * Scale shape: thresholds are ONE value-picking percentile_disc
-    * aggregation (exact order statistics — engine-portable where the
-    * interpolating percentile_cont is ULP-unstable), yielding a 1-row
-    * frame broadcast back onto a shuffle-free map stage; assignment is
-    * 9 integer comparisons per doc. The global ntile() window this
-    * replaces drags the whole corpus through ONE partition — the exact
-    * anti-pattern the H4 prefix sum also exists to avoid. Ties at a
-    * threshold fall into the LOWER decile on both engines (strict >
+    * Scale shape — the bounded-histogram threshold pass (NOT
+    * percentile_disc): the score is quantized onto a FIXED-size integer
+    * grid (2^14 units per 1.0 of score, computed as one exact integer
+    * `num·2^14 div den` from the same integers the score divides — no
+    * float in the threshold domain at all), so the threshold input is a
+    * map-side-combinable count histogram over a key space bounded by
+    * the score RANGE (≤ ~101·2^14 ≈ 1.7M buckets whatever the corpus
+    * size — score ≤ (100·n_words + n_words)/(n_chars+1) ≲ 101/2). A
+    * `percentile_disc` over the raw near-unique-per-doc double instead
+    * buffers an O(corpus-distinct-values) value→count map into ONE
+    * final task — the single plan in this repo that died at 100 TB
+    * (round-6 verdict) and the reason for this shape. The cumulative
+    * pass runs over histogram ROWS only (single-partition window over
+    * ≤1.7M bounded rows — a spillable sort, not unbounded hash state),
+    * thresholds t_i are percentile_disc's own value-picking rule on the
+    * quantized domain (smallest unit u with 10·cum(u) ≥ i·n, all-integer
+    * — no ceil, no doubles), and assignment is 9 integer comparisons
+    * per doc against the broadcast 1-row threshold frame. The corpus is
+    * scanned ONCE: the scored frame is memo-persisted and both the
+    * histogram branch and the paint branch read the memo.
+    *
+    * Semantics: deciles of the QUANTIZED score — docs whose scores
+    * collide within 2^-14 share a bucket and therefore a decile, and
+    * ties at a threshold fall into the LOWER decile (strict >
     * comparisons), so decile populations are only approximately equal
-    * under heavy ties — the deterministic choice, not a bug. */
+    * under heavy ties. The deterministic, engine-portable choice; the
+    * oracle reproduces the full integer pipeline bit-for-bit. The
+    * reported `quality_score` column stays the raw C3 double. */
   def qualityDeciles(docs: DataFrame): DataFrame = {
-    val scored = docs.select(col("doc_id"),
-      qualityScoreCol(col("text")).as("quality_score"))
-    val ths = scored.agg(
-      expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY quality_score)").as("t1"),
+    val num = stopHits(words(col("text")), stopEn) * 100L +
+      size(words(col("text"))).cast("long")
+    val den = length(col("text")).cast("long") + 1L
+    val scored = decCache.memo(docs
+      .select(col("doc_id"),
+        (num.cast("double") / den).as("quality_score"),
+        num.as("q_num"), den.as("q_den"))
+      .withColumn("q_units", expr("q_num * 16384L div q_den"))
+      .drop("q_num", "q_den"))
+    val hist = scored.filter(col("q_units").isNotNull)
+      .groupBy("q_units").agg(count(lit(1)).as("cnt"))
+    import org.apache.spark.sql.expressions.Window
+    // single-partition windows are safe HERE only because the input is
+    // the bounded histogram, never the corpus
+    val wCum = Window.orderBy("q_units")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("q_units")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist.select(col("q_units"),
+      sum(col("cnt")).over(wCum).as("cum"),
+      sum(col("cnt")).over(wAll).as("n_tot"))
+    val ths = cum.agg(
+      min(when(col("cum") * 10L >= col("n_tot") * 1L, col("q_units"))).as("t1"),
       (2 to 9).map(i =>
-        expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY quality_score)")
+        min(when(col("cum") * 10L >= col("n_tot") * i.toLong, col("q_units")))
           .as(s"t$i")): _*)
     scored.crossJoin(broadcast(ths))
       .select(col("doc_id"), col("quality_score"),
         (lit(1L) + (1 to 9).map(i =>
-          when(col("quality_score") > col(s"t$i"), 1L).otherwise(0L))
+          when(col("q_units") > col(s"t$i"), 1L).otherwise(0L))
           .reduce(_ + _)).as("decile"))
       .orderBy("doc_id")
   }
@@ -189,17 +232,34 @@ object TextAnalysis {
     "q_quality_deciles",
     (s, d) => qualityDeciles(Tables.documents(s, d)),
     Some {
+      val toks = sqlWords("text")
+      val en = sqlStopHits(toks, stopEn)
       val cases = (1 to 9)
-        .map(i => s"(CASE WHEN quality_score > t$i THEN 1 ELSE 0 END)")
+        .map(i => s"(CASE WHEN q_units > t$i THEN 1 ELSE 0 END)")
         .mkString(" + ")
-      val qs = (1 to 9)
-        .map(i => s"quantile_disc(quality_score, 0.$i) AS t$i").mkString(", ")
-      s"""WITH ${sqlQualityCte("documents")},
-        ths AS (SELECT $qs FROM q_scores)
-        SELECT doc_id, quality_score,
-          CAST(1 + $cases AS BIGINT) AS decile
-        FROM q_scores CROSS JOIN ths
-        ORDER BY doc_id"""
+      val ths = (1 to 9)
+        .map(i => s"min(CASE WHEN cum * 10 >= n_tot * $i THEN q_units END) AS t$i")
+        .mkString(", ")
+      s"""WITH base AS (
+        SELECT doc_id,
+          ($en) * 100 + len(list_filter($toks, t -> t <> '')) AS q_num,
+          CAST(length(text) AS BIGINT) + 1 AS q_den
+        FROM documents),
+      q AS (
+        SELECT doc_id, CAST(q_num AS DOUBLE) / q_den AS quality_score,
+          (q_num * 16384) // q_den AS q_units
+        FROM base),
+      hist AS (SELECT q_units, count(*) AS cnt FROM q
+        WHERE q_units IS NOT NULL GROUP BY 1),
+      cum AS (SELECT q_units,
+        sum(cnt) OVER (ORDER BY q_units
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(cnt) OVER () AS n_tot FROM hist),
+      ths AS (SELECT $ths FROM cum)
+      SELECT doc_id, quality_score,
+        CAST(1 + $cases AS BIGINT) AS decile
+      FROM q CROSS JOIN ths
+      ORDER BY doc_id"""
     })
 
   /** C4: document fingerprinting — md5 plus the portable 64-bit polynomial

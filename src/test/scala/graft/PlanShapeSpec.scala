@@ -89,6 +89,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "stats join fell back to sort-merge")
   }
 
+  test("q_quality_deciles: bounded histogram thresholds, one corpus scan, no percentile state") {
+    graft.ops.Release.sweep(spark)
+    val qe = SparkEntry.queries("q_quality_deciles")(spark, sfDir).queryExecution
+    val p = qe.executedPlan.toString
+    // the round-6 killer: percentile_disc partials buffer an
+    // O(corpus-distinct-values) map into one final task
+    assert(!p.contains("percentile_disc") && !p.contains("ObjectHashAggregate"),
+      s"thresholds must come from the bounded count histogram:\n${p.take(2000)}")
+    val sp = qe.sparkPlan
+    val fileScans = sp.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.size
+    val memScans = sp.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s }.size
+    assert(fileScans == 0 && memScans >= 2,
+      s"histogram and paint branches must both read the scored memo " +
+        s"(got $fileScans file scans, $memScans cache scans):\n${sp.toString.take(2000)}")
+    graft.ops.Release.sweep(spark)
+  }
+
+  test("q_dsir_weights paints the top-k flag with a broadcast join") {
+    graft.ops.Release.sweep(spark)
+    val p = plan("q_dsir_weights")
+    // model join + topk paint join, both broadcast; neither may fall
+    // back to a corpus-wide shuffle join
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 2 && !p.contains("SortMergeJoin"),
+      s"model and topk paint joins must both broadcast (got $broadcasts):\n${p.take(2000)}")
+    graft.ops.Release.sweep(spark)
+  }
+
   test("q_attribution keeps the interval as a residual on one keyed join") {
     val p = plan("q_attribution")
     val joins = "Join".r.findAllIn(p).size
