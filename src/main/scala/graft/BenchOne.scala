@@ -11,8 +11,11 @@ object BenchOne {
       System.err.println("usage: BenchOne <query-name> [sfDir]  (one query per run)")
       sys.exit(2)
     }
+    // parallelism from the env (default 28 preserves prior numbers):
+    // hardcoded core counts bake machine-specific tuning into source
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "28")
     val spark = SparkSession.builder().withExtensions(new GraftExtensions)
-      .master("local[28]").config("spark.sql.shuffle.partitions", "28")
+      .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

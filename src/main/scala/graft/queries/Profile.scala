@@ -189,7 +189,13 @@ object Profile {
     * Determinism: the bucket expression is a fixed-order chain of IEEE
     * ops on identical operands — bit-identical cross-engine; counts
     * are integers; bucket bounds derive from (lo, hi, index) the same
-    * way in both engines. */
+    * way in both engines.
+    *
+    * NOTE — eager: the extrema/dirty-count aggregation runs a Spark
+    * job at DataFrame-CONSTRUCTION time (the bounds re-enter the plan
+    * as literals, the design that keeps the bucket pass one scan), so
+    * composing callers pay that action and input errors surface here,
+    * not at first consumption. */
   def histogram(df: DataFrame, c: String, buckets: Int = 10): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = df.sparkSession
@@ -318,7 +324,15 @@ object Profile {
     // to 2^79), the multiply is an exponent shift (exact), and the one
     // rounding add sees identical operands on both engines.
     def m(name: String): Double = {
-      val bi = row.getDecimal(row.fieldIndex(name)).toBigInteger
+      val i = row.fieldIndex(name)
+      // a decimal(38,0) overflow yields NULL under non-ANSI Spark —
+      // fail with the cause, not an NPE three calls later (DuckDB's
+      // HUGEINT fails differently on the same edge, so the engines
+      // would also silently diverge)
+      require(!row.isNullAt(i),
+        s"correlations: moment $name overflowed decimal(38) — values too " +
+          "large for exact integer moments at this scale/row count")
+      val bi = row.getDecimal(i).toBigInteger
       val Array(hi, lo) = bi.divideAndRemainder(java.math.BigInteger.valueOf(1L << 26))
       hi.doubleValue * 67108864.0 + lo.doubleValue
     }

@@ -700,10 +700,19 @@ object Similarity {
     * `v1` salt in the path versions the on-disk format. */
   /** Artifact directory for a (`cacheKey`, params) disk index —
     * exposed package-private so tests can clean up after themselves. */
+  /** Version of the BUILD SEMANTICS, folded into the disk-artifact key:
+    * bump whenever the fit/encode algorithm changes (KMeans behavior,
+    * code assignment, normalization). The `v1` path salt only versions
+    * the file LAYOUT — without this constant a build-logic change would
+    * silently serve a stale pre-change artifact persisted in
+    * java.io.tmpdir by an older JVM. (`cacheKey` remains the caller's
+    * contract for corpus identity: it must change when the data does.) */
+  private val PqBuildVersion = 1
+
   private[graft] def pqIndexDiskBase(
       cacheKey: String, cells: Int, m: Int, ksub: Int, dims: Int,
       seed: Long, maxIter: Int): java.nio.file.Path = {
-    val key = s"v1|$cacheKey|$cells|$m|$ksub|$dims|$seed|$maxIter"
+    val key = s"v1|b$PqBuildVersion|$cacheKey|$cells|$m|$ksub|$dims|$seed|$maxIter"
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"graft_pqindex_$digest")
@@ -750,7 +759,13 @@ object Similarity {
       Files.write(tmp.resolve("codebooks.txt"), txt.getBytes("UTF-8"))
       try Files.move(tmp, base, StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileSystemException => deleteRecursively(tmp)
+        case e: java.nio.file.FileSystemException =>
+          deleteRecursively(tmp)
+          // losing the cross-process rename race is fine (the winner's
+          // complete artifact is already in place); any OTHER failure
+          // (permissions, cross-device tmpdir) must surface HERE, not
+          // as a bare NoSuchFileException from the read below
+          if (!Files.exists(cbFile)) throw e
       }
     }
     val codebooks: Seq[Array[Array[Double]]] =
@@ -779,7 +794,34 @@ object Similarity {
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       val idx = pqIndexOnDisk(emb, cacheKey = d)
-      searchPqIndex(idx, emb, emb.filter(col("vec_id") % 100 === 0))
+      val res = searchPqIndex(idx, emb, emb.filter(col("vec_id") % 100 === 0))
+      // In-run correctness gate: this row has no SQL oracle (learned
+      // cells), so every run asserts the epsilon-recall floor against
+      // the exact brute-force frame (the ScaleProbe metric: a returned
+      // neighbor counts if its exact cosine is within eps of the
+      // query's true 5th-best) — the driver check now fails if the
+      // disk index or the ADC path degrades, instead of passing on row
+      // count alone. Costs one extra exact pass over the query set —
+      // the gate-row price, not the production search path.
+      //
+      // Floor 0.3 at eps=0.01: healthy approximate search at the
+      // production probes=3-of-10-cells setting measures 0.52–0.88
+      // across the synthetic SFs (eps-recall ≈ exact-id recall on
+      // unclustered vectors — near-equivalents are rare, unlike the
+      // planted-cluster 1M ScaleProbe corpus where it hits 0.95);
+      // plumbing breakage (wrong cells, broken codes, empty slices)
+      // drops it to ~0. A tight floor would false-fail the driver gate
+      // on driver testdata drift, zeroing the round.
+      val gt5 = annBruteforce(emb).groupBy("q_id").agg(min(col("cos")).as("cos5"))
+      val stats = res.join(gt5, "q_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cos") >= col("cos5") - lit(0.01), 1L).otherwise(0L)).as("ok"))
+        .head()
+      val (n, ok) = (stats.getLong(0), stats.getLong(1))
+      require(n > 0 && ok.toDouble / n >= 0.3,
+        s"q_ann_ivfpq_search eps-recall ${if (n == 0) "0 (no rows)" else f"${ok.toDouble / n}%.3f"} " +
+          s"below the 0.3 floor ($ok/$n result rows within eps=0.01 of the true 5th-best cosine)")
+      res
     },
     None)
 
