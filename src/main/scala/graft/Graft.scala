@@ -102,6 +102,11 @@ object Graft {
     * ([[graft.queries.Dedup.containmentPairsPrefix]]). */
   def containmentPairsPrefix(docs: DataFrame, minContainment: Double = 0.5): DataFrame =
     queries.Dedup.containmentPairsPrefix(docs, minContainment)
+  /** Exact-substring duplicate spans at word-n-gram granularity
+    * (Lee '22 ExactSubstr audit form —
+    * [[graft.queries.Dedup.dupSpans]]). */
+  def dupSpans(docs: DataFrame, n: Int = 5): DataFrame =
+    queries.Dedup.dupSpans(docs, n)
   def embeddingDupPairs(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame =
     queries.Similarity.embeddingDupPairs(embeddings, minCosine)
   def embeddingDupPairsLsh(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame =
@@ -220,6 +225,11 @@ object Graft {
     * ([[graft.queries.Shards.shuffleOrder]]). */
   def shuffleOrder(docs: DataFrame, seed: Long = 0L): DataFrame =
     queries.Shards.shuffleOrder(docs, seed)
+  /** Weighted sampling without replacement, Efraimidis–Spirakis A-ES
+    * over the seeded portable draw
+    * ([[graft.queries.Shards.weightedSample]]). */
+  def weightedSample(docs: DataFrame, k: Int = 25, seed: Long = 0L): DataFrame =
+    queries.Shards.weightedSample(docs, k, seed)
   /** Temperature-based domain mixing (target share ∝ tokens^alpha;
     * 0.5 = the standard multilingual compromise)
     * ([[graft.queries.Shards.domainMixTemperature]]). */

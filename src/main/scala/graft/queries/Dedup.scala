@@ -672,8 +672,91 @@ object Dedup {
     (s, d) => containmentPairsPrefix(Tables.documents(s, d)),
     qNgramContainment.oracle)
 
+  /** Memo of [[dupSpans]]' positional (doc, pos, hash) frame — its own
+    * cache so span traffic never evicts the dedup-family signature
+    * memos ([[cachedShingles]]); both the count branch and the paint
+    * branch read it, so the corpus is tokenized/hashed once. */
+  private[this] val spanCache = new graft.ops.PlanCache(capacity = 2)
+
+  /** D14: exact-substring duplicate SPANS (Lee et al. ACL'22
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * ExactSubstr, at word-`n`-gram granularity): for every doc, the
+    * maximal token intervals covered by word `n`-grams occurring more
+    * than once in the corpus. ANY second occurrence counts — another
+    * doc or a repeat inside the same doc (self-repetition is exactly
+    * what the suffix-array formulation also strips). D10
+    * ([[graft.queries.Blocks]]) REWRITES the corpus at fixed block
+    * granularity; this is the
+    * fine-grained audit/report a span-excision or boilerplate-analysis
+    * pass consumes.
+    *
+    * Output: (doc_id, span_start, span_end, n_dup_grams) — 1-based
+    * token positions; a span runs from the first duplicated n-gram's
+    * start through the LAST token of the last one (consecutive
+    * duplicated starts merged), n_dup_grams = merged start count.
+    *
+    * Scale shape: ONE native tokenize+hash pass (no n-gram strings
+    * materialized — [[graft.functions.NativeExpressions.ShingleHashes]]),
+    * the narrow (doc, pos, hash) frame memo-persisted and read by both
+    * branches; duplicated-hash detection is a map-side-combinable
+    * count agg on the hash; the paint join back is hash-keyed (the
+    * inverted-index shape — integer rows only, never text); span
+    * merging is a PER-DOC window (partitionBy doc_id — no global
+    * window). "Duplicated" means duplicated-up-to-shared-hash-
+    * collision (the C5/D2 contract), reproduced exactly by the oracle.
+    */
+  def dupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 1, s"n-gram length must be >= 1, got $n")
+    val grams = spanCache.memo(docs
+      .select(col("doc_id"), posexplode_outer(
+        graft.functions.NativeExpressions.shingleHashes(col("text"), n))
+        .as(Seq("p0", "h")))
+      .filter(col("h").isNotNull)
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("h")))
+    val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    grams.join(dupHashes, "h")
+      .select(col("doc_id"), col("p"))
+      .withColumn("grp", col("p") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_dup_grams"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  private val DupSpanN = 5
+
+  val qDupSpans: Q = Q(
+    "q_dup_spans",
+    (s, d) => dupSpans(Tables.documents(s, d), DupSpanN),
+    Some {
+      val sh = sqlShingles("w", DupSpanN)
+      s"""WITH toks AS (
+          SELECT doc_id, list_filter(${sqlWords("text")}, t -> t <> '') AS w
+          FROM documents),
+        sh AS (SELECT doc_id, ($sh) AS sh FROM toks),
+        g AS (SELECT doc_id,
+            CAST(generate_subscripts(sh, 1) AS BIGINT) AS p,
+            unnest(list_transform(sh, s -> ${sqlPolyHash("s")})) AS h
+          FROM sh),
+        dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        d AS (SELECT doc_id, p FROM g JOIN dup USING (h)),
+        i AS (SELECT doc_id, p,
+            p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+          FROM d)
+        SELECT doc_id, min(p) AS span_start,
+          max(p) + ${DupSpanN - 1} AS span_end,
+          count(*) AS n_dup_grams
+        FROM i GROUP BY doc_id, grp
+        ORDER BY doc_id, span_start"""
+    })
+
   val all: Seq[Q] =
     Seq(qDedupExact, qDedupIncremental, qDedupMinhash, qDedupSimhash,
       qNgramJaccard, qNgramContainment, qNgramJaccardPrefix,
-      qNgramContainmentPrefix, qStreamNeardupBatch)
+      qNgramContainmentPrefix, qStreamNeardupBatch, qDupSpans)
 }

@@ -206,6 +206,61 @@ object Shards {
       FROM documents
       ORDER BY doc_id"""))
 
+  /** H11: weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis, "Weighted random sampling with a reservoir", IPL 2006 —
+    * the A-ES scheme): draw `k` docs with inclusion probability
+    * proportional to a per-doc weight (here token count) by ranking
+    * every doc on key = ln(u)/w and taking the top `k` — the
+    * u^(1/w)-order draw, ln-monotone. The quality/length-weighted
+    * subsample step of a training-data pipeline ("take 10M docs
+    * ∝ weight") with NO RNG state: u is the portable seeded LCG
+    * scramble (the [[stratifiedSample]] draw, seed-scaled multiplier
+    * like [[shuffleOrder]]), so the draw is reproducible run to run
+    * and engine to engine; seed = epoch number.
+    *
+    * Determinism: ln(u) quantizes to 2^20 fixed point BEFORE the
+    * divide (the H9 rule — raw ln drifts 1 ULP JVM-vs-libm), so the
+    * key is ONE double division of identical exact integers in both
+    * engines; ties break on doc_id. Token-less docs are excluded:
+    * weight 0 means zero inclusion probability (and 1/w undefined).
+    *
+    * Scale shape: a pure shuffle-free map stage (scramble, ln,
+    * divide) + TakeOrderedAndProject top-k (per-partition bounded
+    * heaps, k-row driver merge). Nothing corpus-sized moves. */
+  def weightedSample(docs: DataFrame, k: Int = 25, seed: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(seed >= 0 && seed < ScrambleP - 1,
+      s"seed must be in [0, ${ScrambleP - 1})")
+    val mult = ((seed + 1) % ScrambleP) * ScrambleA % ScrambleP
+    docs.select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("weight"),
+        ((((col("doc_id") % ScrambleP) * mult) % ScrambleP + 1L).cast("double") /
+          ScrambleP.toDouble).as("u"))
+      .filter(col("weight") > 0)
+      .select(col("doc_id"), col("weight"),
+        (round(log(col("u")) * lit(1048576.0)).cast("long").cast("double") /
+          col("weight").cast("double")).as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val qWeightedSample: Q = Q(
+    "q_weighted_sample",
+    (s, d) => weightedSample(Tables.documents(s, d), k = 25, seed = 42L),
+    Some {
+      val mult = (43L * ScrambleA) % ScrambleP
+      val w = s"CAST(len(list_filter(${sqlWords("text")}, t -> t <> '')) AS BIGINT)"
+      s"""SELECT doc_id, weight, es_key FROM (
+          SELECT doc_id, $w AS weight,
+            CAST(CAST(round(ln(
+                CAST(((doc_id % ${ScrambleP}) * $mult) % ${ScrambleP} + 1 AS DOUBLE)
+                  / ${ScrambleP}.0::DOUBLE) * 1048576.0::DOUBLE) AS BIGINT) AS DOUBLE)
+              / CAST($w AS DOUBLE) AS es_key
+          FROM documents) t
+        WHERE weight > 0
+        ORDER BY es_key DESC, doc_id LIMIT 25"""
+    })
+
   /** Domain-mix resampling (SURVEY.md §2 H6) — the "data mixing" stage
     * of a training-data pipeline: rebalance the corpus toward a target
     * token distribution over a grouping column (here: uniform across
@@ -371,5 +426,5 @@ object Shards {
 
   val all: Seq[Q] =
     Seq(qPackShards, qPackSequences, qStratifiedSample, qDomainMix, qDomainMixTemp,
-      qShuffleOrder)
+      qShuffleOrder, qWeightedSample)
 }
