@@ -53,6 +53,11 @@ object Graft {
   def fingerprints(docs: DataFrame): DataFrame = queries.TextAnalysis.fingerprints(docs)
   def shingleStats(docs: DataFrame): DataFrame = queries.TextAnalysis.shingleStats(docs)
   def repetitionStats(docs: DataFrame): DataFrame = queries.TextAnalysis.repetitionStats(docs)
+  /** Gopher/MassiveWeb rule-based quality gate with per-rule flags
+    * ([[graft.queries.TextAnalysis.gopherRules]]). */
+  def gopherRules(docs: DataFrame, minWords: Long = 50L,
+      maxWords: Long = 100000L): DataFrame =
+    queries.TextAnalysis.gopherRules(docs, minWords, maxWords)
   /** Redact emails / IPv4s / phone numbers in `textCol`, appending
     * detection counts ([[graft.queries.Scrub.scrubPii]]). */
   def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame =

@@ -262,6 +262,121 @@ object TextAnalysis {
       ORDER BY doc_id"""
     })
 
+  /** The Gopher rule-filter stopword set (Rae et al. 2021, MassiveWeb:
+    * "contain at least two of the following stop words"). */
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** C16: Gopher/MassiveWeb rule-based quality gate (Rae et al. 2021,
+    * "Scaling Language Models: … Gopher", table A1) — the standard
+    * heuristic pre-filter of a crawl pipeline, reported as per-rule
+    * flags so a curator can audit WHICH rule fires, plus the composed
+    * `kept`:
+    *
+    *   r1_words   word count in [minWords, maxWords]
+    *   r2_wordlen mean word length in [3, 10] chars
+    *   r3_sym     symbol-to-word ratio (#, …, ...) ≤ 0.1
+    *   r4_bullet  ≤ 10% of lines start with a bullet (•, *, -)
+    *   r5_ell     ≤ 30% of lines end with an ellipsis
+    *   r6_alpha   ≥ 80% of words contain an alphabetic char
+    *   r7_stop    ≥ 2 distinct Gopher stopwords present
+    *
+    * "Words" here are WHITESPACE tokens (the paper's definition — r6
+    * is vacuous on letter-run tokens). Every ratio test is an integer
+    * CROSS-MULTIPLIED comparison (n_sym·10 ≤ n_words, not a double
+    * compare), so the gate is exact and engine-portable with no float
+    * anywhere.
+    *
+    * Scale shape: one shuffle-free codegen'd map stage over the scan
+    * (the C3/C11 shape) — at 100 TB this runs as a pure map with the
+    * presentation sort as the only exchange. */
+  def gopherRules(
+      docs: DataFrame,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      stops: Seq[String] = GopherStops): DataFrame = {
+    require(minWords >= 0 && minWords <= maxWords,
+      s"need 0 <= minWords <= maxWords, got [$minWords, $maxWords]")
+    require(stops.nonEmpty && stops.toSet.size == stops.size,
+      "stops must be non-empty and distinct")
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    val lines = split(col("text"), "\n")
+    val counted = docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      aggregate(transform(toks, t => length(t).cast("long")), lit(0L),
+        (a, x) => a + x).as("sum_chars"),
+      size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long").as("n_alpha"),
+      stops.map(s =>
+          when(array_contains(transform(toks, t => lower(t)), s), 1L).otherwise(0L))
+        .reduce(_ + _).as("n_stops"),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l => trim(l).rlike("^[•*-]"))).cast("long").as("n_bullet"),
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long").as("n_ell"),
+      size(regexp_extract_all(col("text"), lit("#|…|\\.\\.\\."), lit(0)))
+        .cast("long").as("n_sym"))
+    val flags = Seq(
+      "r1_words" -> (col("n_words") >= minWords && col("n_words") <= maxWords),
+      "r2_wordlen" -> (col("sum_chars") >= col("n_words") * 3L &&
+        col("sum_chars") <= col("n_words") * 10L),
+      "r3_sym" -> (col("n_sym") * 10L <= col("n_words")),
+      "r4_bullet" -> (col("n_bullet") * 10L <= col("n_lines")),
+      "r5_ell" -> (col("n_ell") * 10L <= col("n_lines") * 3L),
+      "r6_alpha" -> (col("n_alpha") * 10L >= col("n_words") * 8L),
+      "r7_stop" -> (col("n_stops") >= 2L))
+    counted.select(
+      col("doc_id") +: col("n_words") +:
+        (flags.map { case (n, c) => when(c, 1L).otherwise(0L).as(n) } :+
+          flags.map(_._2).reduce(_ && _).cast("long").as("kept")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Oracle row: minWords lowered to 10 (the synthetic docs run ~30
+    * words) and the stop set swapped to the corpus-bearing C3 English
+    * set — the paper's Gopher stop set shares only {the} with the
+    * synthetic vocabulary, which would pin r7 (and `kept`) to 0 for
+    * every row and verify nothing. Paper defaults stay the API
+    * defaults. */
+  val qGopherRules: Q = Q(
+    "q_gopher_rules",
+    (s, d) => gopherRules(Tables.documents(s, d), minWords = 10L, stops = stopEn),
+    Some {
+      val toks = s"list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+      val stops = stopEn
+        .map(s => s"CASE WHEN list_contains(lt, '$s') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH c AS (
+        SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_words,
+          CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS sum_chars,
+          CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+          CAST($stops AS BIGINT) AS n_stops,
+          CAST(len(lns) AS BIGINT) AS n_lines,
+          CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '^[•*-]'))) AS BIGINT) AS n_bullet,
+          CAST(len(list_filter(lns, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS BIGINT) AS n_ell,
+          CAST(len(regexp_extract_all(text, '#|…|\\.\\.\\.')) AS BIGINT) AS n_sym
+        FROM (SELECT doc_id, text, ($toks) AS toks,
+            list_transform(($toks), t -> lower(t)) AS lt,
+            string_split(text, chr(10)) AS lns
+          FROM documents) t)
+      SELECT doc_id, n_words,
+        CAST(CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS r1_words,
+        CAST(CASE WHEN sum_chars >= n_words * 3 AND sum_chars <= n_words * 10 THEN 1 ELSE 0 END AS BIGINT) AS r2_wordlen,
+        CAST(CASE WHEN n_sym * 10 <= n_words THEN 1 ELSE 0 END AS BIGINT) AS r3_sym,
+        CAST(CASE WHEN n_bullet * 10 <= n_lines THEN 1 ELSE 0 END AS BIGINT) AS r4_bullet,
+        CAST(CASE WHEN n_ell * 10 <= n_lines * 3 THEN 1 ELSE 0 END AS BIGINT) AS r5_ell,
+        CAST(CASE WHEN n_alpha * 10 >= n_words * 8 THEN 1 ELSE 0 END AS BIGINT) AS r6_alpha,
+        CAST(CASE WHEN n_stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r7_stop,
+        CAST(CASE WHEN n_words >= 10 AND n_words <= 100000
+          AND sum_chars >= n_words * 3 AND sum_chars <= n_words * 10
+          AND n_sym * 10 <= n_words
+          AND n_bullet * 10 <= n_lines
+          AND n_ell * 10 <= n_lines * 3
+          AND n_alpha * 10 >= n_words * 8
+          AND n_stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM c ORDER BY doc_id"""
+    })
+
   /** C4: document fingerprinting — md5 plus the portable 64-bit polynomial
     * rolling hash over normalized text (SURVEY.md §3). */
   /** Public API: md5 + rolling-hash fingerprints per doc. */
@@ -494,5 +609,5 @@ object TextAnalysis {
 
   val all: Seq[Q] =
     Seq(qTokens, qLangId, qQuality, qQualityDeciles, qFingerprint, qShingles,
-      qRepetition, qCollocations, qChunkTokens)
+      qRepetition, qCollocations, qChunkTokens, qGopherRules)
 }
