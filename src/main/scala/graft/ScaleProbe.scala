@@ -420,6 +420,63 @@ object ScaleProbe {
       "non-finite DSIR weight at scale")
     println(f"dsir coverage        ${"check"}%9s       all raw docs scored, exactly k selected  PASS")
 
+    // Duplicate-span detection on a planted-span corpus: tokens drawn
+    // from a 26^6 space (so RANDOM 5-gram collisions are ~0 at this
+    // scale — unlike the 50-word soup, where birthday 5-grams would
+    // drown the signal), every 100th doc twinned with tokens 11..20
+    // shared. Exactly the starts 11..16 duplicate in each twin-pair
+    // member → every span row must be precisely (11, 20, 6) and there
+    // must be exactly two rows per planted pair — both a missed-span
+    // and a phantom-span regression trip the assert. This assert is
+    // what caught the mod-1e9+7 poly-hash first cut: 26M grams
+    // birthday-collided into 677,398 span rows (vs 20,000 planted) at
+    // 1M docs — the operator now keys grams on md5.
+    val spanDocsDf = {
+      val alpha = lit(('a' to 'z').map(_.toString).toArray)
+      def tok(seed: Column, i: Column): Column = {
+        val h = pmod(xxhash64(seed * 64 + i), lit(308915776L)) // 26^6
+        concat((0 until 6).map(d =>
+          element_at(alpha,
+            ((h.divide(lit(math.pow(26, d)))).cast("long") % 26 + 1).cast("int"))): _*)
+      }
+      val base = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(30)),
+          i => tok(col("id"), i))).as("text"))
+      val twins = spark.range(nDocs).filter(col("id") % 100 === 0).select(
+        (col("id") + nDocs).as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(30)),
+          i => when(i >= 11 && i <= 20, tok(col("id"), i))
+            .otherwise(tok(col("id") + nDocs, i)))).as("text"))
+      base.unionByName(twins)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val spanTotal = spanDocsDf.count()
+    val plantedPairs = (nDocs + 99) / 100
+    val (spanAgg, tDs) = time {
+      Graft.dupSpans(spanDocsDf, n = 5)
+        .agg(count(lit(1)),
+          sum(when(col("span_start") === 11L && col("span_end") === 20L &&
+            col("n_dup_grams") === 6L, 1L).otherwise(0L))).head()
+    }
+    println(f"dup spans            $spanTotal%9d docs  $tDs%7.1f s  ${spanTotal / tDs}%9.0f docs/s  (${spanAgg.getLong(0)} spans)")
+    assert(spanAgg.getLong(0) == 2 * plantedPairs && spanAgg.getLong(1) == spanAgg.getLong(0),
+      s"dup spans: ${spanAgg.getLong(0)} rows (${spanAgg.getLong(1)} exact) vs ${2 * plantedPairs} planted — " +
+        "spans missed or phantom spans manufactured")
+    println(f"dup span extents     ${"check"}%9s       ${spanAgg.getLong(0)} spans all exactly (11,20,6)  PASS")
+    spanDocsDf.unpersist(blocking = false)
+    graft.ops.Release.sweep(spark)
+
+    // Weighted sampling: a pure map + TakeOrdered — the floor for any
+    // top-k draw. k rows out, every weight positive, heaviest-decile
+    // docs should dominate a uniform draw (A-ES bias sanity).
+    val (wsRows, tWs) = time {
+      Graft.weightedSample(docs, k = 1000, seed = 7L).collect()
+    }
+    println(f"weighted sample      $total%9d docs  $tWs%7.1f s  ${total / tWs}%9.0f docs/s  (k=${wsRows.length})")
+    assert(wsRows.length == 1000 && wsRows.forall(_.getLong(1) > 0L),
+      "weighted sample: wrong k or non-positive weight drawn")
+    println(f"weighted sample k    ${"check"}%9s       1000 rows, weights positive  PASS")
+
     val (collocs, tCo) = time {
       Graft.collocations(docs, minCount = 5L, topN = 25).collect()
     }

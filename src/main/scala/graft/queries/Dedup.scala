@@ -695,24 +695,33 @@ object Dedup {
     * start through the LAST token of the last one (consecutive
     * duplicated starts merged), n_dup_grams = merged start count.
     *
-    * Scale shape: ONE native tokenize+hash pass (no n-gram strings
-    * materialized — [[graft.functions.NativeExpressions.ShingleHashes]]),
-    * the narrow (doc, pos, hash) frame memo-persisted and read by both
-    * branches; duplicated-hash detection is a map-side-combinable
-    * count agg on the hash; the paint join back is hash-keyed (the
-    * inverted-index shape — integer rows only, never text); span
-    * merging is a PER-DOC window (partitionBy doc_id — no global
-    * window). "Duplicated" means duplicated-up-to-shared-hash-
-    * collision (the C5/D2 contract), reproduced exactly by the oracle.
+    * Key-width lesson (caught by the 1M-doc ScaleProbe, round 7): the
+    * first cut keyed grams on the mod-1e9+7 poly hash — fine for
+    * CANDIDATE generation (D2/D4 rescore exactly afterwards), fatal
+    * for a FINAL decision: ~26M grams birthday-collide into ~340k
+    * phantom "duplicated" hashes at just 1M docs (677k phantom span
+    * rows, measured), and there is no cheap rescore for spans. Grams
+    * therefore key on their md5 (128-bit — the D1 fingerprint
+    * pattern): collision-free in practice at any corpus size, and the
+    * oracle reproduces it exactly.
+    *
+    * Scale shape: one tokenize+shingle+md5 map pass, the (doc, pos,
+    * md5) frame memo-persisted and read by both branches;
+    * duplicated-key detection is a map-side-combinable count agg; the
+    * paint join back is key-equi (the inverted-index shape — 32-byte
+    * keys + integers, never text); span merging is a PER-DOC window
+    * (partitionBy doc_id — no global window).
     */
   def dupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
     require(n >= 1, s"n-gram length must be >= 1, got $n")
+    val toks = graft.functions.TextFunctions.words(col("text"))
     val grams = spanCache.memo(docs
-      .select(col("doc_id"), posexplode_outer(
-        graft.functions.NativeExpressions.shingleHashes(col("text"), n))
-        .as(Seq("p0", "h")))
-      .filter(col("h").isNotNull)
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("h")))
+      .select(col("doc_id"),
+        posexplode_outer(graft.functions.TextFunctions.shingles(toks, n))
+        .as(Seq("p0", "g")))
+      .filter(col("g").isNotNull)
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
+        md5(col("g")).as("h")))
     val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
     val w = Window.partitionBy("doc_id").orderBy("p")
@@ -741,7 +750,7 @@ object Dedup {
         sh AS (SELECT doc_id, ($sh) AS sh FROM toks),
         g AS (SELECT doc_id,
             CAST(generate_subscripts(sh, 1) AS BIGINT) AS p,
-            unnest(list_transform(sh, s -> ${sqlPolyHash("s")})) AS h
+            unnest(list_transform(sh, s -> md5(s))) AS h
           FROM sh),
         dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
         d AS (SELECT doc_id, p FROM g JOIN dup USING (h)),

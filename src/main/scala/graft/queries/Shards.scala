@@ -232,9 +232,11 @@ object Shards {
     require(seed >= 0 && seed < ScrambleP - 1,
       s"seed must be in [0, ${ScrambleP - 1})")
     val mult = ((seed + 1) % ScrambleP) * ScrambleA % ScrambleP
+    // pmod, not %: a negative doc_id would drive u <= 0 and ln(u) to
+    // null, silently ejecting the doc from the draw
     docs.select(col("doc_id"),
         size(words(col("text"))).cast("long").as("weight"),
-        ((((col("doc_id") % ScrambleP) * mult) % ScrambleP + 1L).cast("double") /
+        ((pmod(col("doc_id"), lit(ScrambleP)) * mult % ScrambleP + 1L).cast("double") /
           ScrambleP.toDouble).as("u"))
       .filter(col("weight") > 0)
       .select(col("doc_id"), col("weight"),
@@ -253,7 +255,7 @@ object Shards {
       s"""SELECT doc_id, weight, es_key FROM (
           SELECT doc_id, $w AS weight,
             CAST(CAST(round(ln(
-                CAST(((doc_id % ${ScrambleP}) * $mult) % ${ScrambleP} + 1 AS DOUBLE)
+                CAST((((doc_id % ${ScrambleP}) + ${ScrambleP}) % ${ScrambleP} * $mult) % ${ScrambleP} + 1 AS DOUBLE)
                   / ${ScrambleP}.0::DOUBLE) * 1048576.0::DOUBLE) AS BIGINT) AS DOUBLE)
               / CAST($w AS DOUBLE) AS es_key
           FROM documents) t
