@@ -264,7 +264,7 @@ object TextAnalysis {
 
   /** The Gopher rule-filter stopword set (Rae et al. 2021, MassiveWeb:
     * "contain at least two of the following stop words"). */
-  private val GopherStops =
+  private[graft] val GopherStops =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   /** C16: Gopher/MassiveWeb rule-based quality gate (Rae et al. 2021,
@@ -294,7 +294,18 @@ object TextAnalysis {
       docs: DataFrame,
       minWords: Long = 50L,
       maxWords: Long = 100000L,
-      stops: Seq[String] = GopherStops): DataFrame = {
+      stops: Seq[String] = GopherStops): DataFrame =
+    gopherFlags(docs, minWords, maxWords, stops).orderBy("doc_id")
+
+  /** The sort-free core of [[gopherRules]] — a pure stateless map
+    * stage, so it applies unchanged to a STREAMING frame
+    * ([[graft.streaming.Streams.gopherStream]]; streaming plans cannot
+    * sort). Same output contract minus the presentation order. */
+  private[graft] def gopherFlags(
+      docs: DataFrame,
+      minWords: Long,
+      maxWords: Long,
+      stops: Seq[String]): DataFrame = {
     require(minWords >= 0 && minWords <= maxWords,
       s"need 0 <= minWords <= maxWords, got [$minWords, $maxWords]")
     require(stops.nonEmpty && stops.toSet.size == stops.size,
@@ -328,7 +339,6 @@ object TextAnalysis {
       col("doc_id") +: col("n_words") +:
         (flags.map { case (n, c) => when(c, 1L).otherwise(0L).as(n) } :+
           flags.map(_._2).reduce(_ && _).cast("long").as("kept")): _*)
-      .orderBy("doc_id")
   }
 
   /** Oracle row: minWords lowered to 10 (the synthetic docs run ~30

@@ -280,6 +280,23 @@ object Streams {
       .drop("__k1", "__k2")
   }
 
+  /** G9: streaming Gopher rule gate at ingest — the batch C16
+    * [[graft.queries.TextAnalysis.gopherRules]] applied per arrival.
+    * The rule computation is a pure stateless map stage (per-doc
+    * integer counts + cross-multiplied comparisons, no aggregation,
+    * no state), so the batch core applies UNCHANGED to a streaming
+    * frame and stream output == batch output row-for-row by
+    * construction — the strongest stream/batch equivalence in the
+    * G-family (no survivor-identity caveats, no watermark). Filter
+    * `kept = 1` downstream, or keep the per-rule flags for audit
+    * sinks. */
+  def gopherStream(
+      docs: DataFrame,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      stops: Seq[String] = graft.queries.TextAnalysis.GopherStops): DataFrame =
+    graft.queries.TextAnalysis.gopherFlags(docs, minWords, maxWords, stops)
+
   /** G7: streaming decontamination at ingest — the gate form of the
     * batch [[graft.queries.Contamination.decontamGate]]: every arriving
     * doc whose distinct word-n-gram hashes overlap the held-out eval

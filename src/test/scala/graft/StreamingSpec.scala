@@ -529,4 +529,35 @@ class StreamingSpec extends SparkSpec {
       assert(last(2L) == ((2L, 1L, 22.0)))
     } finally query.stop()
   }
+
+  test("gopherStream output equals batch gopherRules row-for-row across batch splits") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Seq(
+      StreamingSpec.Doc(1L, "the cat and the dog have been with all of that " +
+        "good crew for many long years and they would sing songs all day"),
+      StreamingSpec.Doc(2L, "zzzz qqqq xxxx"), // short, no stopwords
+      StreamingSpec.Doc(3L, Seq.fill(12)("- the bullet of that line with be").mkString("\n")),
+      StreamingSpec.Doc(4L, "the numbers of that set with be " + (1 to 40).mkString(" ")))
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val query = Streams.gopherStream(mem.toDF(), minWords = 10L)
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(docs.take(2): _*)
+      query.processAllAvailable()
+      mem.addData(docs.drop(2): _*)
+      query.processAllAvailable()
+      val got = spark.table("gopher_stream").collect()
+        .map(r => r.toSeq.toList).toSet
+      val want = graft.Graft.gopherRules(
+        docs.toDF().select(col("doc_id"), col("text")), minWords = 10L)
+        .collect().map(r => r.toSeq.toList).toSet
+      assert(got == want, s"stream $got vs batch $want")
+      // the planted violations actually discriminate
+      val kept = spark.table("gopher_stream")
+        .collect().map(r => r.getLong(0) -> r.getLong(r.length - 1)).toMap
+      assert(kept(1L) == 1L && kept(2L) == 0L && kept(3L) == 0L && kept(4L) == 0L, kept)
+    } finally query.stop()
+  }
 }
