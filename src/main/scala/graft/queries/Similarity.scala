@@ -793,7 +793,15 @@ object Similarity {
     "q_ann_ivfpq_search",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val idx = pqIndexOnDisk(emb, cacheKey = d)
+      // cacheKey folds a cheap corpus fingerprint (count + id span) in
+      // with the path: the driver REGENERATES the test tables behind
+      // the same paths between rounds (observed round 7 — row counts
+      // changed), and `cacheKey = d` alone would serve a stale disk
+      // index built from the previous corpus out of java.io.tmpdir.
+      // One small agg job; the build it guards costs seconds.
+      val fp = emb.agg(count(lit(1)), min(col("vec_id")), max(col("vec_id"))).head()
+      val idx = pqIndexOnDisk(emb,
+        cacheKey = s"$d|n=${fp.getLong(0)}|ids=${fp.getLong(1)}..${fp.getLong(2)}")
       val res = searchPqIndex(idx, emb, emb.filter(col("vec_id") % 100 === 0))
       // In-run correctness gate: this row has no SQL oracle (learned
       // cells), so every run asserts the epsilon-recall floor against
