@@ -692,8 +692,18 @@ object Dedup {
     *
     * Output: (doc_id, span_start, span_end, n_dup_grams) — 1-based
     * token positions; a span runs from the first duplicated n-gram's
-    * start through the LAST token of the last one (consecutive
-    * duplicated starts merged), n_dup_grams = merged start count.
+    * start through the LAST token of the last one, n_dup_grams =
+    * merged start count. Merging is by INTERVAL OVERLAP/ADJACENCY,
+    * not consecutive starts: a gram at `p` covers `[p, p+n-1]`, and a
+    * new span opens only when the next duplicated start leaves an
+    * uncovered token gap (`p - prev_p > n`). Two duplicated grams at
+    * `p` and `p+2` with `p+1` NOT duplicated (each flank matches
+    * elsewhere, the middle doesn't) therefore yield ONE maximal
+    * interval, never two overlapping rows — spans are disjoint, so a
+    * consumer may sum or excise `span_end - span_start + 1` directly.
+    * Positions within a doc are distinct (one md5 per (doc,p)), so
+    * the running-max interval end reduces to `lag(p) + n - 1` — a
+    * plain per-doc lag, no running-max window needed.
     *
     * Key-width lesson (caught by the 1M-doc ScaleProbe, round 7): the
     * first cut keyed grams on the mod-1e9+7 poly hash — fine for
@@ -727,7 +737,9 @@ object Dedup {
     val w = Window.partitionBy("doc_id").orderBy("p")
     grams.join(dupHashes, "h")
       .select(col("doc_id"), col("p"))
-      .withColumn("grp", col("p") - row_number().over(w))
+      .withColumn("newspan",
+        when(col("p") - lag(col("p"), 1).over(w) > n, 1).otherwise(0))
+      .withColumn("grp", sum(col("newspan")).over(w))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("p")).as("span_start"),
         (max(col("p")) + (n - 1)).as("span_end"),
@@ -755,12 +767,16 @@ object Dedup {
         dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
         d AS (SELECT doc_id, p FROM g JOIN dup USING (h)),
         i AS (SELECT doc_id, p,
-            p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
-          FROM d)
+            CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                 > $DupSpanN THEN 1 ELSE 0 END AS newspan
+          FROM d),
+        j AS (SELECT doc_id, p,
+            sum(newspan) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+          FROM i)
         SELECT doc_id, min(p) AS span_start,
           max(p) + ${DupSpanN - 1} AS span_end,
           count(*) AS n_dup_grams
-        FROM i GROUP BY doc_id, grp
+        FROM j GROUP BY doc_id, grp
         ORDER BY doc_id, span_start"""
     })
 

@@ -20,6 +20,23 @@ class SpanSampleSpec extends SparkSpec {
     assert(spans == Seq((1L, 3L, 8L, 2L), (2L, 1L, 6L, 2L)), spans)
   }
 
+  test("dupSpans unions overlapping intervals from non-consecutive dup starts") {
+    // doc 1's grams at p=1 ("a b c d e") and p=3 ("c d e f g") each
+    // match another doc, but the middle gram at p=2 ("b c d e f")
+    // matches nothing — the two covering intervals [1,5] and [3,7]
+    // overlap and must merge to ONE maximal span [1,7], not two
+    // overlapping rows
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "z1 z2 a b c d e"),
+      (3L, "c d e f g q1 q2"))
+      .toDF("doc_id", "text")
+    val spans = Graft.dupSpans(docs, n = 5).collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans == Seq((1L, 1L, 7L, 2L), (2L, 3L, 7L, 1L), (3L, 1L, 5L, 1L)),
+      spans)
+  }
+
   test("dupSpans counts self-repetition inside one doc; unique docs yield nothing") {
     val docs = Seq(
       (1L, "x y z w v a b c x y z w v"), // "x y z w v" repeats at 1 and 9
