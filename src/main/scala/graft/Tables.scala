@@ -35,7 +35,18 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw.withColumn("ts", expr("cast(ts as timestamp)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // session tz is pinned UTC, so NTZ -> LTZ is a pure relabel
+        raw.withColumn("ts", expr("cast(ts as timestamp)"))
+      case other =>
+        // fail LOUDLY on a new driver encoding: a permissive cast would
+        // coerce e.g. a string or int32 ts (possibly to nulls) and
+        // silently drift every downstream events query
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported parquet encoding $other — expected " +
+            "INT64 nanos (legacy.parquet.nanosAsLong), TIMESTAMP, or " +
+            "TIMESTAMP_NTZ; teach Tables.events this encoding explicitly")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")

@@ -301,6 +301,12 @@ object TextAnalysis {
     * stage, so it applies unchanged to a STREAMING frame
     * ([[graft.streaming.Streams.gopherStream]]; streaming plans cannot
     * sort). Same output contract minus the presentation order. */
+  /** Explicit whitespace character class shared by the Spark split and
+    * the DuckDB oracle's `string_split_regex` — both Java regex and
+    * RE2 read it identically, unlike `\s` (Java includes `\x0B`, RE2
+    * doesn't). */
+  private[graft] val GopherWs = "[ \\t\\n\\f\\r\\x0B]"
+
   private[graft] def gopherFlags(
       docs: DataFrame,
       minWords: Long,
@@ -310,7 +316,11 @@ object TextAnalysis {
       s"need 0 <= minWords <= maxWords, got [$minWords, $maxWords]")
     require(stops.nonEmpty && stops.toSet.size == stops.size,
       "stops must be non-empty and distinct")
-    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    // ONE whitespace definition for both engines: Java's \s includes
+    // vertical tab \x0B, RE2's (DuckDB) does not, so a doc containing
+    // \x0B would tokenize differently cross-engine under bare \s+. The
+    // explicit class below is what the SQL oracle uses verbatim.
+    val toks = filter(split(col("text"), GopherWs + "+"), t => t =!= "")
     val lines = split(col("text"), "\n")
     val counted = docs.select(
       col("doc_id"),
@@ -323,7 +333,8 @@ object TextAnalysis {
         .reduce(_ + _).as("n_stops"),
       size(lines).cast("long").as("n_lines"),
       size(filter(lines, l => trim(l).rlike("^[•*-]"))).cast("long").as("n_bullet"),
-      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long").as("n_ell"),
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)" + GopherWs + "*$")))
+        .cast("long").as("n_ell"),
       size(regexp_extract_all(col("text"), lit("#|…|\\.\\.\\."), lit(0)))
         .cast("long").as("n_sym"))
     val flags = Seq(
@@ -351,7 +362,7 @@ object TextAnalysis {
     "q_gopher_rules",
     (s, d) => gopherRules(Tables.documents(s, d), minWords = 10L, stops = stopEn),
     Some {
-      val toks = s"list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+      val toks = s"list_filter(string_split_regex(text, '${GopherWs}+'), t -> t <> '')"
       val stops = stopEn
         .map(s => s"CASE WHEN list_contains(lt, '$s') THEN 1 ELSE 0 END")
         .mkString(" + ")
@@ -363,7 +374,7 @@ object TextAnalysis {
           CAST($stops AS BIGINT) AS n_stops,
           CAST(len(lns) AS BIGINT) AS n_lines,
           CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '^[•*-]'))) AS BIGINT) AS n_bullet,
-          CAST(len(list_filter(lns, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS BIGINT) AS n_ell,
+          CAST(len(list_filter(lns, l -> regexp_matches(l, '(\\.\\.\\.|…)${GopherWs}*$$'))) AS BIGINT) AS n_ell,
           CAST(len(regexp_extract_all(text, '#|…|\\.\\.\\.')) AS BIGINT) AS n_sym
         FROM (SELECT doc_id, text, ($toks) AS toks,
             list_transform(($toks), t -> lower(t)) AS lt,

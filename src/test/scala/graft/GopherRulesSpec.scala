@@ -53,6 +53,14 @@ class GopherRulesSpec extends SparkSpec {
     assert(f("r7_stop") == 0L && f("kept") == 0L, f)
   }
 
+  test("vertical tab separates words like any other whitespace") {
+    // the explicit [ \t\n\f\r\x0B] class must split on \x0B — RE2's \s
+    // wouldn't, and the oracle uses the same class, so this pins the
+    // shared whitespace definition on the Spark side
+    val f = flags(goodText.replace(' ', '\u000B'))
+    assert(f("n_words") == flags(goodText)("n_words"), f)
+  }
+
   test("mean word length out of range fails r2") {
     val f = flags(Seq.fill(30)("a I") .mkString(" ") + " the of")
     assert(f("r2_wordlen") == 0L && f("kept") == 0L, f)
