@@ -1,6 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // Keeps the calibration loop's result observable so JIT can't elide it.
+  @volatile private var calSink = 0L
+
+  /** Fixed-work calibration probe — the sweep's ambient-contention
+    * detector (the round-7 lesson: a noisy neighbor during the sweep
+    * reported 2–14x phantom regressions on untouched queries, and the
+    * artifact had no way to tell). Two constant workloads, one number:
+    * a single-threaded 150M-step LCG (pure CPU — slows only if cores
+    * are contended) and a tiny fixed 8-partition Spark sum (scheduler +
+    * thread-pool — slows if the executor pool is starved). Timed
+    * before the sweep, every ~10 queries, and after; the JSON carries
+    * the raw series plus max/min drift so a reader (or the driver) can
+    * discount or re-run a sweep whose probes aren't flat. ~0.4 s per
+    * probe on a quiet machine — ~4 s total on a 90-query sweep. */
+  private def calibrate(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 150000000) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      i += 1
+    }
+    calSink ^= x
+    spark.range(0, 20000000, 1, 8).selectExpr("sum(id)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -28,6 +55,9 @@ object Bench {
       catch { case _: Throwable => () }
       graft.ops.Release.sweep(spark)
     }
+    calibrate(spark) // JIT-warm the probe itself; discard
+    val calibrations = scala.collection.mutable.ArrayBuffer.empty[Double]
+    calibrations += calibrate(spark)
     // min of two timed passes per query: local container contention adds
     // multi-second noise; the min is the honest steady-state cost.
     // A failing query reports -1.0 (never its time-to-exception) so a
@@ -47,7 +77,11 @@ object Bench {
     // query. storage_mb_held records what each query left behind pre-
     // sweep — a leak shows up as a nonzero row, self-diagnosing.
     val held = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % 10 == 0) {
+        calibrations += calibrate(spark)
+        println(f"bench [calibration]             ${calibrations.last}%8.3f s")
+      }
       val (a, b) = (timed(fn), timed(fn))
       val (_, mem, disk) = graft.ops.Release.held(spark)
       held(name) = (mem + disk) / (1024 * 1024)
@@ -58,14 +92,24 @@ object Bench {
       println(f"bench $name%-28s ${best}%8.3f s")
       name -> best
     }
+    calibrations += calibrate(spark)
     val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val heldJson = held.collect { case (k, v) if v > 0 => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"storage_mb_held":$heldJson,"sf":"$sfDir"}"""
+    // Drift = slowest probe / fastest probe across the sweep. ~1.0 on a
+    // quiet machine; >1.5 means ambient load varied DURING the sweep and
+    // per-query numbers near slow probes are suspect — re-run before
+    // reading any regression off this artifact (round-7 lesson).
+    val calDrift = calibrations.max / calibrations.min
+    if (calDrift > 1.5)
+      System.err.println(f"bench WARNING: calibration drift ${calDrift}%.2fx -- " +
+        "ambient contention during the sweep; timings unreliable, re-run")
+    val calJson = calibrations.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"storage_mb_held":$heldJson,"calibration_s":$calJson,"calibration_drift":${f"$calDrift%.3f"},"sf":"$sfDir"}"""
     // The file is the durable artifact: stdout captures have twice lost
     // timings to tail-truncation of the single long JSON line.
     try {
