@@ -58,6 +58,11 @@ object Graft {
   def gopherRules(docs: DataFrame, minWords: Long = 50L,
       maxWords: Long = 100000L): DataFrame =
     queries.TextAnalysis.gopherRules(docs, minWords, maxWords)
+  /** Gopher repetition-filter gate: duplicate line/paragraph fractions
+    * and dominant 2–4-gram char coverage, with per-rule flags
+    * ([[graft.queries.TextAnalysis.gopherRepetition]]). */
+  def gopherRepetition(docs: DataFrame): DataFrame =
+    queries.TextAnalysis.gopherRepetition(docs)
   /** Redact emails / IPv4s / phone numbers in `textCol`, appending
     * detection counts ([[graft.queries.Scrub.scrubPii]]). */
   def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame =

@@ -47,7 +47,8 @@ object Plans {
     "q_dsir_weights" -> "feature explode -> two hash aggs, 4096-row ln-ratio model broadcast back, integer-sum weights, top-k via limits + broadcast semi-join (no global window)",
     "q_dedup_incremental" -> "known side collapses to distinct 24-byte key pairs; incoming pays one narrow window + one key join — text never shuffles",
     "q_quality_deciles" -> "bounded fixed-point histogram agg -> cumulative window over histogram ROWS only -> 1-row threshold broadcast -> shuffle-free comparison map over the memoized scored frame; no percentile_disc state, no corpus-sized single partition anywhere",
-    "q_dup_spans" -> "memoized (doc, pos, md5) frame read by both branches; duplicated-key count agg + key-equi paint join (no text), per-doc window merges consecutive starts — 128-bit keys because a narrow candidate hash birthday-manufactures phantom spans (ScaleProbe-caught)",
+    "q_dup_spans" -> "memoized (doc, pos, md5) frame read by both branches; duplicated-key count agg + key-equi paint join (no text), per-doc window merges by interval-overlap gap rule — 128-bit keys because a narrow candidate hash birthday-manufactures phantom spans (ScaleProbe-caught)",
+    "q_gopher_rep" -> "repetition gate: line/paragraph dup fractions + dominant 2-4-gram coverage, ALL inside one map stage (per-row sorted fold, no (doc,gram) explode+regroup); presentation sort is the only exchange",
     "q_weighted_sample" -> "pure map stage (scramble, quantized ln, one divide) + TakeOrderedAndProject; no shuffle at all")
 
   def main(args: Array[String]): Unit = {

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.functions._
 
@@ -398,6 +398,144 @@ object TextAnalysis {
       FROM c ORDER BY doc_id"""
     })
 
+  /** Max char coverage of any single word `n`-gram in a token array:
+    * `max over distinct n-grams of (occurrences x token chars of the
+    * gram)`. Computed SHUFFLE-FREE as a per-row fold: sort the gram
+    * array (equal grams become adjacent), then one pass tracking
+    * (previous gram, current run length, best coverage so far) —
+    * O(G log G) per doc instead of the O(G^2) count-inside-transform
+    * formulation, and no (doc, gram) explode+regroup exchange. Using
+    * the numeric max over all grams (not "chars of the argmax-by-count
+    * gram") makes the statistic deterministic without a tie-break
+    * rule. Gram char length excludes the n-1 joining spaces
+    * [[graft.functions.TextFunctions.shingles]] inserts. */
+  private def topGramCover(toks: Column, n: Int): Column =
+    aggregate(array_sort(shingles(toks, n)),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"),
+            run * (length(g).cast("long") - (n - 1))).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** C17: Gopher REPETITION filters (Rae et al. '21 "Scaling Language
+    * Models" Table A1's repetition block — the companion of C16's
+    * [[gopherRules]] quality block; a MassiveWeb-style pipeline runs
+    * both). Per doc:
+    *   r1_dupline  ≤ 30% of lines are repeats of another line
+    *   r2_duppara  ≤ 30% of paragraphs are repeats
+    *   r3_top2     dominant 2-gram covers ≤ 20% of token chars
+    *   r4_top3     dominant 3-gram covers ≤ 18%
+    *   r5_top4     dominant 4-gram covers ≤ 16%
+    *
+    * Definitions (shared verbatim with the DuckDB oracle): lines are
+    * `\n`-split segments, paragraphs `\n\n`-split, both space-trimmed
+    * with empties dropped; "repeats" = n_segments − n_distinct (the
+    * first occurrence is free, every further copy counts). Words are
+    * [[GopherWs]] whitespace tokens; dominant-n-gram coverage is
+    * [[topGramCover]]'s numeric max, denominated in total token chars.
+    * C6 ([[repetitionScores]]) reports the single most-repeated 2-gram
+    * for ANALYSIS; this is the integer GATE over lines, paragraphs,
+    * and 2–4-grams. Every test is an integer cross-multiplied
+    * comparison — no float anywhere, exact and engine-portable.
+    *
+    * Scale shape: one shuffle-free map stage over the scan (the C16
+    * shape — the gram fold stays inside the row), presentation sort is
+    * the only exchange. At 100 TB: pure map, no skew surface. */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    val toksC = filter(split(col("text"), GopherWs + "+"), t => t =!= "")
+    val linesC = filter(transform(split(col("text"), "\n"), l => trim(l)),
+      l => l =!= "")
+    val parasC = filter(transform(split(col("text"), "\n\n"), p => trim(p)),
+      p => p =!= "")
+    val counted = docs.select(
+      col("doc_id"),
+      size(linesC).cast("long").as("n_lines"),
+      (size(linesC) - size(array_distinct(linesC))).cast("long").as("dup_lines"),
+      size(parasC).cast("long").as("n_paras"),
+      (size(parasC) - size(array_distinct(parasC))).cast("long").as("dup_paras"),
+      aggregate(transform(toksC, t => length(t).cast("long")), lit(0L),
+        (a, x) => a + x).as("sum_chars"),
+      topGramCover(toksC, 2).as("top2_chars"),
+      topGramCover(toksC, 3).as("top3_chars"),
+      topGramCover(toksC, 4).as("top4_chars"))
+    val flags = Seq(
+      "r1_dupline" -> (col("dup_lines") * 10L <= col("n_lines") * 3L),
+      "r2_duppara" -> (col("dup_paras") * 10L <= col("n_paras") * 3L),
+      "r3_top2" -> (col("top2_chars") * 5L <= col("sum_chars")),
+      "r4_top3" -> (col("top3_chars") * 50L <= col("sum_chars") * 9L),
+      "r5_top4" -> (col("top4_chars") * 25L <= col("sum_chars") * 4L))
+    counted.select(
+      col("doc_id") +: col("n_lines") +: col("dup_lines") +: col("n_paras") +:
+        col("dup_paras") +: col("sum_chars") +: col("top2_chars") +:
+        col("top3_chars") +: col("top4_chars") +:
+        (flags.map { case (nm, c) => when(c, 1L).otherwise(0L).as(nm) } :+
+          flags.map(_._2).reduce(_ && _).cast("long").as("kept")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Oracle row: the DuckDB side computes dominant-gram coverage the
+    * NAIVE way (explode grams, GROUP BY (doc, gram), max of
+    * count×chars) — hash-equality against [[topGramCover]]'s sorted
+    * single-pass fold doubles as the fold's losslessness proof (the
+    * D4b pattern). */
+  val qGopherRep: Q = Q(
+    "q_gopher_rep",
+    (s, d) => gopherRepetition(Tables.documents(s, d)),
+    Some {
+      def top(n: Int): String = {
+        val sh = sqlShingles("w", n)
+        s"""(SELECT doc_id, CAST(max(c * (length(g) - ${n - 1})) AS BIGINT)
+              AS top${n}_chars
+            FROM (SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, unnest($sh) AS g FROM base)
+              GROUP BY doc_id, g)
+            GROUP BY doc_id)"""
+      }
+      s"""WITH base AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(text, '${GopherWs}+'), t -> t <> '') AS w,
+          list_filter(list_transform(string_split(text, chr(10)),
+            l -> trim(l)), l -> l <> '') AS lns,
+          list_filter(list_transform(string_split(text, chr(10)||chr(10)),
+            p -> trim(p)), p -> p <> '') AS ps
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+          CAST(len(lns) AS BIGINT) AS n_lines,
+          CAST(len(lns) - len(list_distinct(lns)) AS BIGINT) AS dup_lines,
+          CAST(len(ps) AS BIGINT) AS n_paras,
+          CAST(len(ps) - len(list_distinct(ps)) AS BIGINT) AS dup_paras,
+          CAST(coalesce(list_sum(list_transform(w, t -> length(t))), 0)
+            AS BIGINT) AS sum_chars
+        FROM base),
+      sel AS (
+        SELECT c.doc_id, n_lines, dup_lines, n_paras, dup_paras, sum_chars,
+          CAST(coalesce(top2_chars, 0) AS BIGINT) AS top2_chars,
+          CAST(coalesce(top3_chars, 0) AS BIGINT) AS top3_chars,
+          CAST(coalesce(top4_chars, 0) AS BIGINT) AS top4_chars
+        FROM c
+          LEFT JOIN ${top(2)} t2 ON c.doc_id = t2.doc_id
+          LEFT JOIN ${top(3)} t3 ON c.doc_id = t3.doc_id
+          LEFT JOIN ${top(4)} t4 ON c.doc_id = t4.doc_id)
+      SELECT doc_id, n_lines, dup_lines, n_paras, dup_paras, sum_chars,
+        top2_chars, top3_chars, top4_chars,
+        CAST(CASE WHEN dup_lines * 10 <= n_lines * 3 THEN 1 ELSE 0 END AS BIGINT) AS r1_dupline,
+        CAST(CASE WHEN dup_paras * 10 <= n_paras * 3 THEN 1 ELSE 0 END AS BIGINT) AS r2_duppara,
+        CAST(CASE WHEN top2_chars * 5 <= sum_chars THEN 1 ELSE 0 END AS BIGINT) AS r3_top2,
+        CAST(CASE WHEN top3_chars * 50 <= sum_chars * 9 THEN 1 ELSE 0 END AS BIGINT) AS r4_top3,
+        CAST(CASE WHEN top4_chars * 25 <= sum_chars * 4 THEN 1 ELSE 0 END AS BIGINT) AS r5_top4,
+        CAST(CASE WHEN dup_lines * 10 <= n_lines * 3
+          AND dup_paras * 10 <= n_paras * 3
+          AND top2_chars * 5 <= sum_chars
+          AND top3_chars * 50 <= sum_chars * 9
+          AND top4_chars * 25 <= sum_chars * 4 THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM sel ORDER BY doc_id"""
+    })
+
   /** C4: document fingerprinting — md5 plus the portable 64-bit polynomial
     * rolling hash over normalized text (SURVEY.md §3). */
   /** Public API: md5 + rolling-hash fingerprints per doc. */
@@ -630,5 +768,5 @@ object TextAnalysis {
 
   val all: Seq[Q] =
     Seq(qTokens, qLangId, qQuality, qQualityDeciles, qFingerprint, qShingles,
-      qRepetition, qCollocations, qChunkTokens, qGopherRules)
+      qRepetition, qCollocations, qChunkTokens, qGopherRules, qGopherRep)
 }
