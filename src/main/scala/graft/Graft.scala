@@ -121,6 +121,12 @@ object Graft {
     queries.Similarity.embeddingDupPairs(embeddings, minCosine)
   def embeddingDupPairsLsh(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame =
     queries.Similarity.embeddingDupPairsLsh(embeddings, minCosine)
+  /** SemDeDup: within-cluster semantic dedup, keeping the pair member
+    * less similar to its centroid
+    * ([[graft.queries.Similarity.semanticDedup]]). */
+  def semanticDedup(embeddings: DataFrame, cells: Int = 10,
+      minCosine: Double = 0.9): DataFrame =
+    queries.Similarity.semanticDedup(embeddings, cells, minCosine)
   /** Pairwise near-dup output → transitive dedup clusters
     * ([[graft.ops.ConnectedComponents]], O(log n)-round star algorithm). */
   def dedupClusters(docs: DataFrame): DataFrame = queries.Clusters.dedupClusters(docs)

@@ -921,7 +921,98 @@ object Similarity {
       FROM agg
       ORDER BY label, dim"""))
 
+  /** D15: SemDeDup (Abbas et al. '23 "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): cluster the
+    * embeddings, find within-cluster pairs above a cosine threshold,
+    * and from each such pair KEEP the member LESS similar to its
+    * cluster centroid (the paper's rule — edge-of-cluster examples
+    * carry more signal; ties keep the smaller vec_id). Output is one
+    * row per vector: (vec_id, cell, c_cos, kept).
+    *
+    * Clustering here is the E3 deterministic coarse index (first
+    * `cells` vectors as centroids, best-cell assignment by cosine) so
+    * the WHOLE pipeline — assignment, pairing, keep rule — reproduces
+    * exactly in SQL; swap in [[annIvfTrained]]'s seeded-KMeans
+    * centroids (driver-side literals, same plan shape) when cluster
+    * quality matters more than oracle-ability. Within a cluster the
+    * pairing is EXACT (no banding), which is the paper's formulation:
+    * the cluster bound IS the candidate filter — the D5b shape with
+    * `cell` as the bucket key, narrow rows into the join, vectors only
+    * touched at the rescore.
+    *
+    * Cross-cluster near-dup pairs are NOT examined — that is the
+    * SemDeDup contract (and its cost model): k trades recall for the
+    * O(N²/k) pair bound, exactly as in the paper.
+    *
+    * Scale shape: one broadcast-centroid assignment map, one equi-join
+    * on `cell` whose per-cell quadratic term is bounded by cell size
+    * (grow `cells` toward √N so cells stay ~√N), a distinct over loser
+    * ids (narrow), and a final left anti-ish paint join. No all-pairs
+    * anywhere; embeddings shuffle once, keyed by cell. */
+  def semanticDedup(
+      embeddings: DataFrame,
+      cells: Int = 10,
+      minCosine: Double = 0.9): DataFrame = {
+    val v = withNorms(embeddings)
+    val cents = v.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
+    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = v.join(broadcast(cents), lit(true))
+      .withColumn("c_cos",
+        cosineFrom(dot(col("embedding"), col("c_emb")), col("n2"), col("c_n2")))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        col("c_id").as("cell"), col("c_cos"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"), col("n2").as("na"), col("c_cos").as("ca"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"), col("n2").as("nb"), col("c_cos").as("cb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosineFrom(dot(col("ea"), col("eb")), col("na"), col("nb")))
+      .filter(col("cos") >= minCosine)
+    // the pair member MORE similar to the centroid is dropped; id_a <
+    // id_b always, so the tie branch keeps the smaller id
+    val losers = pairs
+      .select(when(col("ca") > col("cb"), col("id_a")).otherwise(col("id_b"))
+        .as("vec_id"))
+      .distinct()
+    assigned
+      .join(losers.withColumn("dropped", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("c_cos"),
+        when(col("dropped").isNotNull, 0L).otherwise(1L).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle row: threshold lowered to 0.4 — the synthetic embeddings'
+    * within-cell cosines top out near 0.5 (measured 0.47/0.49/0.53 at
+    * the three SFs), so the paper's 0.9 would drop nothing and verify
+    * nothing; 0.4 drops a measured 13–227 pairs per SF. Paper-scale
+    * defaults stay the API defaults (the C16 pattern). */
+  val qDedupSemantic: Q = Q(
+    "q_dedup_semantic",
+    (s, d) => semanticDedup(Tables.embeddings(s, d), minCosine = 0.4),
+    Some(s"""WITH v AS (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM embeddings),
+      c AS (SELECT vec_id AS c_id, embedding AS c_emb, n2 AS c_n2 FROM v WHERE vec_id < 10),
+      ac AS (SELECT v.vec_id, v.embedding, v.n2, c.c_id,
+          ${sqlDot("v.embedding", "c.c_emb")} / (sqrt(v.n2) * sqrt(c.c_n2)) AS c_cos
+        FROM v CROSS JOIN c),
+      assigned AS (SELECT vec_id, embedding, n2, c_id AS cell, c_cos FROM (
+          SELECT vec_id, embedding, n2, c_id, c_cos,
+            row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
+          FROM ac) t WHERE rn = 1),
+      pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.c_cos AS ca, b.c_cos AS cb
+        FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ${sqlDot("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4),
+      losers AS (SELECT DISTINCT CASE WHEN ca > cb THEN id_a ELSE id_b END AS vec_id
+        FROM pairs)
+      SELECT a.vec_id, a.cell, a.c_cos,
+        CAST(CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM assigned a LEFT JOIN losers l ON a.vec_id = l.vec_id
+      ORDER BY a.vec_id"""))
+
   val all: Seq[Q] =
     Seq(qDedupEmbedding, qDedupEmbeddingLsh, qAnnBruteforce, qAnnLsh, qAnnIvf,
-      qAnnIvfPq, qAnnIvfPqSearch, qKnnLabel, qEmbedCentroids)
+      qAnnIvfPq, qAnnIvfPqSearch, qKnnLabel, qEmbedCentroids, qDedupSemantic)
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** D15 [[graft.queries.Similarity.semanticDedup]] on planted frames:
+  * the SemDeDup keep rule (drop the pair member closer to its
+  * centroid), within-cluster scoping, and determinism. */
+class SemanticDedupSpec extends SparkSpec {
+
+  private val dims = 8
+
+  /** Unit-ish vectors: a base direction per "cluster" plus a small
+    * deterministic per-id perturbation on another axis. */
+  private def vec(axis: Int, eps: Double, epsAxis: Int): Seq[Float] =
+    (0 until dims).map(i =>
+      (if (i == axis) 1.0f else 0.0f) +
+        (if (i == epsAxis) eps.toFloat else 0.0f)).toSeq
+
+  private def frame(rows: Seq[(Long, Seq[Float])]) = {
+    val schema = StructType(Seq(StructField("vec_id", LongType, false),
+      StructField("embedding", ArrayType(FloatType, false), false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, e) => Row(id, e) }, 3),
+      schema)
+  }
+
+  test("near-identical vectors in one cluster: the centroid-closer one drops") {
+    // centroids are vec_id < 2: id 0 spans axis 0, id 1 spans axis 1.
+    // ids 10 and 11 both sit on axis 0 (cluster 0); id 10 is EXACTLY
+    // the centroid direction, id 11 is slightly off-axis -> cos(10,11)
+    // ~ 0.995 >= 0.9, and id 10 (closer to the centroid) must drop.
+    val rows = Seq(
+      0L -> vec(0, 0.0, 1), 1L -> vec(1, 0.0, 2),
+      10L -> vec(0, 0.0, 3), 11L -> vec(0, 0.1, 3),
+      20L -> vec(1, 0.1, 4)) // cluster 1, no near-dup partner
+    val out = Graft.semanticDedup(frame(rows), cells = 2, minCosine = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(10L) == 0L, s"centroid-closest dup must drop: $out")
+    assert(out(11L) == 1L && out(20L) == 1L, out)
+    assert(out(0L) == 0L || out(0L) == 1L) // centroid rows are ordinary members
+  }
+
+  test("cross-cluster near-dups are NOT dropped (SemDeDup contract)") {
+    // ids 10 and 20 are nearly parallel but land in different clusters
+    // (each sits on its own centroid's axis with a small shared tilt);
+    // semanticDedup must not compare them
+    val rows = Seq(
+      0L -> vec(0, 0.0, 1), 1L -> vec(1, 0.0, 2),
+      10L -> vec(0, 0.05, 3), 20L -> vec(1, 0.05, 3))
+    val out = Graft.semanticDedup(frame(rows), cells = 2, minCosine = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val cellOf = out.map(t => t._1 -> t._2).toMap
+    assert(cellOf(10L) != cellOf(20L), s"test premise: different cells, got $out")
+    assert(out.filter(t => t._1 >= 10L).forall(_._3 == 1L), out)
+  }
+
+  test("exact duplicate pair: tie on centroid cosine keeps the smaller id") {
+    val rows = Seq(
+      0L -> vec(0, 0.0, 1), 1L -> vec(1, 0.0, 2),
+      10L -> vec(0, 0.1, 3), 11L -> vec(0, 0.1, 3))
+    val out = Graft.semanticDedup(frame(rows), cells = 2, minCosine = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(10L) == 1L && out(11L) == 0L, out)
+  }
+
+  test("deterministic and partitioning-invariant; kept+dropped partition the corpus") {
+    val rows = (0L until 60L).map(i =>
+      i -> vec((i % 4).toInt, 0.01 * (i % 7), (4 + i % 4).toInt))
+    val a = Graft.semanticDedup(frame(rows).repartition(1), cells = 4,
+      minCosine = 0.95).collect().toSeq
+    val b = Graft.semanticDedup(frame(rows).repartition(7), cells = 4,
+      minCosine = 0.95).collect().toSeq
+    assert(a == b && a.size == 60)
+    assert(a.map(_.getLong(3)).forall(k => k == 0L || k == 1L))
+    assert(a.map(_.getLong(3)).sum < 60, "some rows must drop")
+    graft.ops.Release.sweep(spark)
+  }
+}
