@@ -466,6 +466,57 @@ object ScaleProbe {
     spanDocsDf.unpersist(blocking = false)
     graft.ops.Release.sweep(spark)
 
+    // Hot-gram skew regime: ONE boilerplate 5-gram (a licence-header /
+    // template stanza) planted at positions 1..5 of 30% of the corpus,
+    // so a single gram key carries 0.3n of the paint join's matched
+    // rows — the skew the uniform census above never exercises. All
+    // OTHER tokens are INJECTIVE in (doc, pos) (base-26 digits of
+    // doc·64+pos, no hashing), so the expected census is exact:
+    // precisely 0.3n span rows, every one (1, 5, 1) — gram p=1 is the
+    // only duplicated gram (p=2 already covers an injective token).
+    // The wall-time gate is RELATIVE to the uniform probe above (same
+    // operator, same corpus size, same machine minutes apart): an
+    // absolute budget would re-create the round-7 ambient-noise trap.
+    // Under AQE the 1-row duplicated-hash side broadcasts and the
+    // per-doc window sees ≤ 1 row per hot doc, so the hot run should
+    // land near the uniform run, not at a skew cliff.
+    val hotDocsDf = {
+      val alpha = lit(('a' to 'z').map(_.toString).toArray)
+      // injective letter token: 7 base-26 digits of doc*64+pos
+      // (injective for doc*64+pos < 26^7 ≈ 8e9, i.e. any probe size)
+      def utok(i: Column): Column = {
+        val v = col("id") * 64 + i
+        concat((0 until 7).map(d =>
+          element_at(alpha,
+            ((v.divide(lit(math.pow(26, d)))).cast("long") % 26 + 1).cast("int"))): _*)
+      }
+      val boiler = Seq("licenseq", "headerzz", "allq", "rightsq", "reservedq")
+      spark.range(nDocs).select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(30)),
+            i => when(col("id") % 10 < 3 && i <= 5,
+                element_at(lit(boiler.toArray), i.cast("int")))
+              .otherwise(utok(i)))).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val nHot = hotDocsDf.filter(col("doc_id") % 10 < 3).count()
+    val (hotAgg, tHot) = time {
+      Graft.dupSpans(hotDocsDf, n = 5)
+        .agg(count(lit(1)),
+          sum(when(col("span_start") === 1L && col("span_end") === 5L &&
+            col("n_dup_grams") === 1L, 1L).otherwise(0L))).head()
+    }
+    println(f"dup spans, hot gram  $nDocs%9d docs  $tHot%7.1f s  ${nDocs / tHot}%9.0f docs/s  (${hotAgg.getLong(0)} spans on 1 corpus-hot gram)")
+    assert(hotAgg.getLong(0) == nHot && hotAgg.getLong(1) == nHot,
+      s"hot-gram spans: ${hotAgg.getLong(0)} rows (${hotAgg.getLong(1)} exact) vs $nHot planted — " +
+        "phantom spans, missed spans, or wrong extents under a corpus-hot gram")
+    val hotBudget = 3.0 * math.max(tDs, 1.0)
+    assert(tHot <= hotBudget,
+      f"hot-gram span run $tHot%.1f s blew the ${hotBudget}%.1f s budget " +
+        f"(3x the uniform census's $tDs%.1f s) — gram-key skew is biting the paint join")
+    println(f"hot-gram skew gate   ${"check"}%9s       $nHot spans exact, $tHot%.1f s <= 3x uniform ($tDs%.1f s)  PASS")
+    hotDocsDf.unpersist(blocking = false)
+    graft.ops.Release.sweep(spark)
+
     // Weighted sampling: a pure map + TakeOrdered — the floor for any
     // top-k draw. k rows out, every weight positive, heaviest-decile
     // docs should dominate a uniform draw (A-ES bias sanity).
