@@ -49,7 +49,9 @@ object Plans {
     "q_quality_deciles" -> "bounded fixed-point histogram agg -> cumulative window over histogram ROWS only -> 1-row threshold broadcast -> shuffle-free comparison map over the memoized scored frame; no percentile_disc state, no corpus-sized single partition anywhere",
     "q_dup_spans" -> "memoized (doc, pos, md5) frame read by both branches; duplicated-key count agg + key-equi paint join (no text), per-doc window merges by interval-overlap gap rule — 128-bit keys because a narrow candidate hash birthday-manufactures phantom spans (ScaleProbe-caught)",
     "q_gopher_rep" -> "repetition gate: line/paragraph dup fractions + dominant 2-4-gram coverage, ALL inside one map stage (per-row sorted fold, no (doc,gram) explode+regroup); presentation sort is the only exchange",
-    "q_weighted_sample" -> "pure map stage (scramble, quantized ln, one divide) + TakeOrderedAndProject; no shuffle at all")
+    "q_weighted_sample" -> "pure map stage (scramble, quantized ln, one divide) + TakeOrderedAndProject; no shuffle at all",
+    "q_dedup_semantic" -> "SemDeDup: cell-keyed within-cluster candidate join (never all-pairs), centroid distances as a narrow broadcast, keep-rule window on fixed-width keys",
+    "q_pack_sequences_bpe" -> "BPE-weighted packing: distinct-word encoder map (rank table broadcast) -> word-keyed fertility join + per-doc agg -> left join restores wordless docs -> H8 distributed prefix sum; corpus text never shuffles")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

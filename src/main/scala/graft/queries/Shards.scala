@@ -68,8 +68,13 @@ object Shards {
 
   def packSequences(docs: DataFrame, contextLen: Long = DefaultContextLen): DataFrame = {
     require(contextLen > 0, "contextLen must be positive")
-    val toks = docs.select(col("doc_id"),
-      size(words(col("text"))).cast("long").as("n_tokens"))
+    packFromCounts(docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_tokens")), contextLen)
+  }
+
+  /** The shared H8 packing tail: distributed prefix sum over a
+    * (doc_id, n_tokens) frame, then the pure-map sequence geometry. */
+  private def packFromCounts(toks: DataFrame, contextLen: Long): DataFrame =
     ScaleOps.prefixSum(toks, "doc_id", "n_tokens", "cum_tokens")
       .select(col("doc_id"), col("n_tokens"),
         expr(s"(cum_tokens - n_tokens) div $contextLen").as("seq_first"),
@@ -79,6 +84,43 @@ object Shards {
             expr(s"(cum_tokens - n_tokens) div $contextLen") + 1)
           .otherwise(0L).as("n_seqs"))
       .orderBy("doc_id")
+
+  /** H8b: sequence packing weighted by LEARNED BPE token counts — what
+    * a trainer's loader actually consumes. [[packSequences]] budgets by
+    * whitespace words; a real context window holds TOKENIZER tokens,
+    * and fertility (BPE tokens per word) varies by word, so the two
+    * packings drift apart exactly where it matters (rare/long words).
+    * Each doc's token count is Σ over its words of the word's encoded
+    * length under the C13 BPE encoder ([[Tokenizer.encodeWord]]) with a
+    * FIXED merge table ([[Tokenizer.FixedMerges]] by default — frozen
+    * tokenizers are the production posture; pass a freshly learned
+    * table to re-tokenize).
+    *
+    * Scale shape: the encoder automaton runs once per DISTINCT word
+    * (vocabulary-sized typed map, rank table broadcast — the C13
+    * encoder shape); the corpus side is one explode + key-equi join on
+    * the word + per-doc count agg (inverted-index shape, fixed-width
+    * values); wordless docs re-enter by a doc_id-keyed left join; the
+    * packing tail is the same distributed prefix sum as H8. The DuckDB
+    * oracle replays the ENTIRE path — including the greedy encoder,
+    * as a recursive CTE whose per-token-delimited `replace()` step is
+    * exactly [[Tokenizer.encodeWord]]'s left-to-right non-overlapping
+    * mergeAll — so the hash match proves the encoder, the fertility
+    * join, and the distributed prefix sum in one check. (The oracle's
+    * '|' delimiter is safe because [[words]] emits pure [a-z]+ runs.) */
+  def packSequencesBpe(
+      docs: DataFrame,
+      merges: Seq[((String, String), String)] = Tokenizer.FixedMerges,
+      contextLen: Long = DefaultContextLen): DataFrame = {
+    require(contextLen > 0, "contextLen must be positive")
+    val perWord = Tokenizer.bpeWordCounts(docs, merges)
+    val perDoc = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .join(perWord, "word")
+      .groupBy("doc_id").agg(sum(col("n_subtokens")).as("n_bpe"))
+    val toks = docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bpe"), lit(0L)).as("n_tokens"))
+    packFromCounts(toks, contextLen)
   }
 
   val qPackSequences: Q = Q(
@@ -100,6 +142,59 @@ object Shards {
           THEN (cum_tokens - 1) // $DefaultContextLen - (cum_tokens - n_tokens) // $DefaultContextLen + 1
           ELSE 0 END AS BIGINT) AS n_seqs
       FROM cum ORDER BY doc_id"""))
+
+  /** Oracle-side CTE chain replaying the frozen-table greedy encoder
+    * per distinct corpus word → `wc(word, n_sub)`. Must sit under a
+    * `WITH RECURSIVE`. The per-token-delimited `replace()` step is
+    * exactly [[Tokenizer.encodeWord]]'s left-to-right non-overlapping
+    * mergeAll ("|a||a||a|" → "|aa||a|"); the '|' delimiter is safe
+    * because [[words]] emits pure [a-z]+ runs. */
+  private def sqlBpeWordCounts: String =
+    s"""m(rank, l, r) AS (VALUES ${Tokenizer.fixedMergesSqlValues}),
+        dw AS (SELECT DISTINCT w AS word FROM (
+          SELECT unnest(list_filter(${sqlWords("text")}, t -> t <> '')) AS w
+          FROM documents)),
+        enc AS (
+          SELECT word,
+            regexp_replace(word, '(.)', '|\\1|', 'g') || '|</w>|' AS seq,
+            0 AS step
+          FROM dw
+          UNION ALL
+          SELECT e.word, replace(e.seq, b.pat, b.rep) AS seq, e.step + 1 AS step
+          FROM enc e, LATERAL (
+            SELECT '|' || m.l || '||' || m.r || '|' AS pat,
+                   '|' || m.l || m.r || '|' AS rep
+            FROM m
+            WHERE contains(e.seq, '|' || m.l || '||' || m.r || '|')
+            ORDER BY m.rank LIMIT 1) b),
+        wc AS (SELECT word,
+            (length(arg_max(seq, step))
+              - length(replace(arg_max(seq, step), '|', ''))) // 2 AS n_sub
+          FROM enc GROUP BY word)"""
+
+  val qPackSequencesBpe: Q = Q(
+    "q_pack_sequences_bpe",
+    (s, d) => packSequencesBpe(Tables.documents(s, d)),
+    Some(s"""WITH RECURSIVE
+        $sqlBpeWordCounts,
+        u AS (SELECT doc_id,
+            unnest(list_filter(${sqlWords("text")}, t -> t <> '')) AS word
+          FROM documents),
+        cnt AS (SELECT u.doc_id, CAST(sum(wc.n_sub) AS BIGINT) AS n
+          FROM u JOIN wc USING (word) GROUP BY u.doc_id),
+        toks AS (SELECT d.doc_id, COALESCE(c.n, 0) AS n_tokens
+          FROM documents d LEFT JOIN cnt c USING (doc_id)),
+        cum AS (SELECT doc_id, n_tokens,
+            CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+          FROM toks)
+        SELECT doc_id, n_tokens,
+          (cum_tokens - n_tokens) // $DefaultContextLen AS seq_first,
+          (cum_tokens - n_tokens) % $DefaultContextLen AS seq_offset,
+          CAST(CASE WHEN n_tokens > 0
+            THEN (cum_tokens - 1) // $DefaultContextLen - (cum_tokens - n_tokens) // $DefaultContextLen + 1
+            ELSE 0 END AS BIGINT) AS n_seqs
+        FROM cum ORDER BY doc_id"""))
 
   /** Multiplier/modulus of the portable id scrambler (a fixed LCG step —
     * reproducible in any engine, unlike xxhash). */
@@ -227,15 +322,23 @@ object Shards {
     * Scale shape: a pure shuffle-free map stage (scramble, ln,
     * divide) + TakeOrderedAndProject top-k (per-partition bounded
     * heaps, k-row driver merge). Nothing corpus-sized moves. */
-  def weightedSample(docs: DataFrame, k: Int = 25, seed: Long = 0L): DataFrame = {
+  def weightedSample(docs: DataFrame, k: Int = 25, seed: Long = 0L): DataFrame =
+    weightedSampleFrom(docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("weight")), k, seed)
+
+  /** The shared A-ES core over a prepared (doc_id, weight) frame —
+    * [[weightedSample]] feeds it whitespace token counts,
+    * [[weightedSampleBpe]] learned-tokenizer counts; any caller with
+    * its own weight column (quality scores, importance weights) can
+    * use it directly. */
+  def weightedSampleFrom(weighted: DataFrame, k: Int, seed: Long): DataFrame = {
     require(k > 0, "k must be positive")
     require(seed >= 0 && seed < ScrambleP - 1,
       s"seed must be in [0, ${ScrambleP - 1})")
     val mult = ((seed + 1) % ScrambleP) * ScrambleA % ScrambleP
     // pmod, not %: a negative doc_id would drive u <= 0 and ln(u) to
     // null, silently ejecting the doc from the draw
-    docs.select(col("doc_id"),
-        size(words(col("text"))).cast("long").as("weight"),
+    weighted.select(col("doc_id"), col("weight"),
         ((pmod(col("doc_id"), lit(ScrambleP)) * mult % ScrambleP + 1L).cast("double") /
           ScrambleP.toDouble).as("u"))
       .filter(col("weight") > 0)
@@ -244,6 +347,26 @@ object Shards {
           col("weight").cast("double")).as("es_key"))
       .orderBy(col("es_key").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** H11b: the A-ES draw weighted by LEARNED BPE token counts — the
+    * H8b re-weighting applied to sampling, so "take k docs ∝ tokens"
+    * prices docs in the units a trainer pays for them. Same scale
+    * shape as both parents: the per-doc count subplan is H8b's
+    * (distinct-word encoder map + word-keyed join + per-doc agg), the
+    * draw is a pure map + TakeOrderedAndProject. Wordless docs carry
+    * weight 0 and are excluded by the A-ES zero-weight rule — so no
+    * left-join resurrection is needed here, unlike packing. */
+  def weightedSampleBpe(
+      docs: DataFrame,
+      k: Int = 25,
+      seed: Long = 0L,
+      merges: Seq[((String, String), String)] = Tokenizer.FixedMerges): DataFrame = {
+    val perWord = Tokenizer.bpeWordCounts(docs, merges)
+    val perDoc = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .join(perWord, "word")
+      .groupBy("doc_id").agg(sum(col("n_subtokens")).as("weight"))
+    weightedSampleFrom(perDoc, k, seed)
   }
 
   val qWeightedSample: Q = Q(
@@ -259,6 +382,29 @@ object Shards {
                   / ${ScrambleP}.0::DOUBLE) * 1048576.0::DOUBLE) AS BIGINT) AS DOUBLE)
               / CAST($w AS DOUBLE) AS es_key
           FROM documents) t
+        WHERE weight > 0
+        ORDER BY es_key DESC, doc_id LIMIT 25"""
+    })
+
+  val qWeightedSampleBpe: Q = Q(
+    "q_weighted_sample_bpe",
+    (s, d) => weightedSampleBpe(Tables.documents(s, d), k = 25, seed = 42L),
+    Some {
+      val mult = (43L * ScrambleA) % ScrambleP
+      s"""WITH RECURSIVE
+          $sqlBpeWordCounts,
+          u AS (SELECT doc_id,
+              unnest(list_filter(${sqlWords("text")}, t -> t <> '')) AS word
+            FROM documents),
+          cnt AS (SELECT u.doc_id, CAST(sum(wc.n_sub) AS BIGINT) AS weight
+            FROM u JOIN wc USING (word) GROUP BY u.doc_id)
+        SELECT doc_id, weight, es_key FROM (
+          SELECT doc_id, weight,
+            CAST(CAST(round(ln(
+                CAST((((doc_id % ${ScrambleP}) + ${ScrambleP}) % ${ScrambleP} * $mult) % ${ScrambleP} + 1 AS DOUBLE)
+                  / ${ScrambleP}.0::DOUBLE) * 1048576.0::DOUBLE) AS BIGINT) AS DOUBLE)
+              / CAST(weight AS DOUBLE) AS es_key
+          FROM cnt) t
         WHERE weight > 0
         ORDER BY es_key DESC, doc_id LIMIT 25"""
     })
@@ -427,6 +573,7 @@ object Shards {
       ORDER BY lang"""))
 
   val all: Seq[Q] =
-    Seq(qPackShards, qPackSequences, qStratifiedSample, qDomainMix, qDomainMixTemp,
-      qShuffleOrder, qWeightedSample)
+    Seq(qPackShards, qPackSequences, qPackSequencesBpe, qStratifiedSample,
+      qDomainMix, qDomainMixTemp, qShuffleOrder, qWeightedSample,
+      qWeightedSampleBpe)
 }

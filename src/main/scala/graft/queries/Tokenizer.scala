@@ -225,6 +225,24 @@ object Tokenizer {
     s
   }
 
+  /** Per-DISTINCT-word BPE token counts under a merge table:
+    * (word, n_subtokens). The merge automaton runs once per distinct
+    * word (vocabulary-sized typed map, rank table broadcast) — the
+    * encoder shape [[bpeStats]] and the token-weighted packing twin
+    * ([[Shards.packSequencesBpe]]) share. */
+  def bpeWordCounts(
+      docs: DataFrame,
+      merges: Seq[((String, String), String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = spark.sparkContext.broadcast(
+      merges.map(_._1).zipWithIndex.toMap)
+    docs.select(explode(words(col("text"))).as("word"))
+      .distinct().as[String]
+      .map(w => (w, encodeWord(w, ranks.value).length.toLong))
+      .toDF("word", "n_subtokens")
+  }
+
   /** Per-doc tokenizer-fertility stats under a learned merge table:
     * (doc_id, n_words, n_bpe_tokens, fertility = bpe/words). The merge
     * automaton runs once per DISTINCT word (vocabulary-sized typed
@@ -233,14 +251,7 @@ object Tokenizer {
   def bpeStats(
       docs: DataFrame,
       merges: Seq[((String, String), String)]): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val ranks = spark.sparkContext.broadcast(
-      merges.map(_._1).zipWithIndex.toMap)
-    val perWord = docs.select(explode(words(col("text"))).as("word"))
-      .distinct().as[String]
-      .map(w => (w, encodeWord(w, ranks.value).length.toLong))
-      .toDF("word", "n_subtokens")
+    val perWord = bpeWordCounts(docs, merges)
     docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
       .join(perWord, "word")
       .groupBy("doc_id")
@@ -249,6 +260,46 @@ object Tokenizer {
         col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
       .orderBy("doc_id")
   }
+
+  /** A FROZEN 64-merge table, learned once by [[bpeLearnMerges]] on the
+    * sf0.001 documents table (`bpeLearnMerges(docs, 64)`, committed
+    * verbatim — rerunning the trainer reproduces it bit-for-bit). This
+    * is the production posture for token-weighted packing/sampling: a
+    * trainer consumes counts under a FIXED, pre-trained tokenizer
+    * (GPT-2's vocab, LLaMA's, …), not one relearned per corpus — so the
+    * table is an artifact, like a model checkpoint, and the oracle can
+    * replay it. Pairs are in rank order; merged symbol = left + right. */
+  val FixedMerges: Seq[((String, String), String)] = Seq(
+    ("e", "r"), ("e", EndOfWord), ("n", EndOfWord), ("o", "r"),
+    ("t", EndOfWord), ("er", EndOfWord), ("o", "w"), ("ow", EndOfWord),
+    ("l", "u"), ("i", "n"), ("y", EndOfWord), ("a", "r"),
+    ("p", "ar"), ("g", EndOfWord), ("a", "s"), ("h", EndOfWord),
+    ("a", EndOfWord), ("s", "t"), ("a", "t"), ("a", "n" + EndOfWord),
+    ("c", "an" + EndOfWord), ("s", "can" + EndOfWord), ("c", "o"),
+    ("co", "lu"), ("colu", "m"), ("colum", "n" + EndOfWord),
+    ("d", "ow" + EndOfWord), ("in", "dow" + EndOfWord),
+    ("w", "indow" + EndOfWord), ("d", "er" + EndOfWord),
+    ("or", "der" + EndOfWord), ("or", "t" + EndOfWord),
+    ("s", "ort" + EndOfWord), ("p", EndOfWord), ("par", "t" + EndOfWord),
+    ("u", "p" + EndOfWord), ("a", "g"), ("ag", "g" + EndOfWord),
+    ("a", "lu"), ("alu", "e" + EndOfWord), ("v", "alue" + EndOfWord),
+    ("in", "e" + EndOfWord), ("l", "ine" + EndOfWord),
+    ("e", "y" + EndOfWord), ("k", "ey" + EndOfWord),
+    ("i", "n" + EndOfWord), ("j", "o"), ("jo", "in" + EndOfWord),
+    ("er", "g"), ("erg", "e" + EndOfWord), ("m", "erge" + EndOfWord),
+    ("er", "y" + EndOfWord), ("g", "r"), ("gr", "o"),
+    ("gro", "up" + EndOfWord), ("q", "u"), ("qu", "ery" + EndOfWord),
+    ("c", "t"), ("ct", "or"), ("ctor", EndOfWord),
+    ("e", "ctor" + EndOfWord), ("v", "ector" + EndOfWord),
+    ("as", "h" + EndOfWord), ("h", "ash" + EndOfWord)
+  ).map { case (l, r) => ((l, r), l + r) }
+
+  /** [[FixedMerges]] as a DuckDB VALUES list `(rank, l, r)` — the
+    * oracle-side replay of the frozen table. */
+  def fixedMergesSqlValues: String =
+    FixedMerges.zipWithIndex
+      .map { case (((l, r), _), i) => s"($i, '$l', '$r')" }
+      .mkString(", ")
 
   /** Convenience: encode every distinct corpus word, returning
     * (word, tokens) — the inspection/export view of a learned vocab. */

@@ -75,6 +75,53 @@ class PrefixSumSpec extends SparkSpec {
     assert(out.exists(_.getLong(4) > 1))
   }
 
+  test("packSequencesBpe: counts match the driver-run encoder; wordless docs keep a slot") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val out = graft.queries.Shards.packSequencesBpe(docs).collect()
+    // reference: run the encoder automaton directly on every doc's words
+    val ranks = graft.queries.Tokenizer.FixedMerges.map(_._1).zipWithIndex.toMap
+    val ref = docs.select(col("doc_id"), col("text")).collect().map { r =>
+      val ws = r.getString(1).toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      r.getLong(0) -> ws.map(w =>
+        graft.queries.Tokenizer.encodeWord(w, ranks).length.toLong).sum
+    }.toMap
+    assert(out.length == ref.size)
+    out.foreach(r => assert(r.getLong(1) == ref(r.getLong(0)),
+      s"doc ${r.getLong(0)}: BPE count ${r.getLong(1)} != encoder's ${ref(r.getLong(0))}"))
+    // the twin must actually re-weight: fertility > 1 somewhere, so the
+    // BPE packing diverges from the whitespace packing
+    val wsCounts = graft.queries.Shards.packSequences(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.exists(r => r.getLong(1) != wsCounts(r.getLong(0))),
+      "BPE token counts identical to whitespace counts everywhere — no-op twin")
+    // a wordless doc still occupies a zero-width slot in the stream
+    val tiny = Seq((1L, "alpha beta"), (2L, "123 456"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val t = graft.queries.Shards.packSequencesBpe(tiny).collect()
+    assert(t.length == 3 && t.find(_.getLong(0) == 2L).get.getLong(1) == 0L)
+  }
+
+  test("weightedSampleBpe: drawn weights are the learned-tokenizer counts") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = graft.queries.Shards.weightedSampleBpe(docs, k = 10, seed = 3L).collect()
+    val ranks = graft.queries.Tokenizer.FixedMerges.map(_._1).zipWithIndex.toMap
+    val ref = docs.select(col("doc_id"), col("text")).collect().map { r =>
+      val ws = r.getString(1).toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      r.getLong(0) -> ws.map(w =>
+        graft.queries.Tokenizer.encodeWord(w, ranks).length.toLong).sum
+    }.toMap
+    assert(got.length == 10)
+    got.foreach(r => assert(r.getLong(1) == ref(r.getLong(0)),
+      s"doc ${r.getLong(0)}: drawn weight ${r.getLong(1)} != BPE count ${ref(r.getLong(0))}"))
+    // re-weighting is live: same seed, the BPE draw keys differ from the
+    // whitespace draw's wherever fertility > 1
+    val ws = graft.queries.Shards.weightedSample(docs, k = 10, seed = 3L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.exists(r => !ws.get(r.getLong(0)).contains(r.getDouble(2))),
+      "BPE draw keys identical to whitespace draw keys — re-weighting is a no-op")
+  }
+
   test("stratifiedSample: n per stratum, deterministic across runs") {
     val docs = Tables.documents(spark, sfDir)
     val a = Graft.stratifiedSample(docs, n = 7).collect().map(_.toSeq).toSeq
