@@ -117,6 +117,11 @@ object Graft {
     * [[graft.queries.Dedup.dupSpans]]). */
   def dupSpans(docs: DataFrame, n: Int = 5): DataFrame =
     queries.Dedup.dupSpans(docs, n)
+  /** ExactSubstr corpus rewriting: non-first duplicated spans excised,
+    * docs reassembled from surviving tokens
+    * ([[graft.queries.Dedup.exciseSpans]]). */
+  def exciseSpans(docs: DataFrame, n: Int = 5): DataFrame =
+    queries.Dedup.exciseSpans(docs, n)
   def embeddingDupPairs(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame =
     queries.Similarity.embeddingDupPairs(embeddings, minCosine)
   def embeddingDupPairsLsh(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame =
@@ -318,6 +323,11 @@ object Graft {
     * ([[graft.queries.Contamination.decontaminatePairs]]). */
   def decontaminatePairs(train: DataFrame, eval: DataFrame): DataFrame =
     queries.Contamination.decontaminatePairs(train, eval)
+  /** Contamination spans: WHERE each training doc overlaps the eval
+    * set, as disjoint maximal token intervals
+    * ([[graft.queries.Contamination.decontamSpans]]). */
+  def decontamSpans(train: DataFrame, eval: DataFrame): DataFrame =
+    queries.Contamination.decontamSpans(train, eval)
   /** Unigram-LM cross-entropy quality score, ordered-fold determinism
     * ([[graft.queries.Ranking.unigramXent]]). */
   def unigramXent(docs: DataFrame, threshold: Double = 7.0): DataFrame =

@@ -113,6 +113,82 @@ object Contamination {
       .orderBy("train_doc_id", "eval_doc_id")
   }
 
+  /** The span form (D9c): WHERE in each training doc the benchmark
+    * leak sits — maximal token intervals covered by [[NgramK]]-grams
+    * present anywhere in the eval set, the GPT-3 appendix-C procedure's
+    * actual removal unit (it excises a window around each collision,
+    * not the whole doc). [[decontaminate]] says "this doc leaks",
+    * [[decontaminatePairs]] says which benchmark doc; this says which
+    * tokens — the input a surgical redaction pass (or D16's excision
+    * machinery pointed at eval grams) consumes.
+    *
+    * Output: (doc_id, span_start, span_end, n_hit_grams), 1-based
+    * token positions, spans disjoint per doc (the D14 interval-union
+    * merge — a gram at `p` covers `[p, p + k - 1]`, and a new span
+    * opens only when the next hit start leaves an uncovered gap).
+    * Train docs with no hits emit nothing.
+    *
+    * Scale shape: eval reduces to a distinct benchmark-sized shingle
+    * frame and BROADCASTS (the D9 shape — exact strings, no hash false
+    * positives, because a contamination decision deletes training
+    * data); the corpus side is one positional shingle explode probed
+    * map-side; the interval merge is a per-doc window over (doc_id,
+    * int) rows only — hit-sized, not corpus-sized. */
+  def decontamSpans(train: DataFrame, eval: DataFrame): DataFrame = {
+    val evalSet = shingleSet(eval)
+      .select(explode(col("sh")).as("s")).distinct()
+    val pos = train.select(col("doc_id"),
+        posexplode(shingles(words(col("text")), NgramK)).as(Seq("p0", "s")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    pos.join(broadcast(evalSet), Seq("s"))
+      .select(col("doc_id"), col("p"))
+      .withColumn("newspan",
+        when(col("p") - lag(col("p"), 1).over(w) > NgramK, 1).otherwise(0))
+      .withColumn("grp", sum(col("newspan")).over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + (NgramK - 1)).as("span_end"),
+        count(lit(1)).as("n_hit_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_hit_grams"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  val qDecontamSpans: Q = Q(
+    "q_decontam_spans",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      decontamSpans(
+        docs.filter(col("doc_id") % EvalMod =!= 0),
+        docs.filter(col("doc_id") % EvalMod === 0))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, list_filter(${sqlWords("text")}, t -> t <> '') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, (${sqlShingles("w", NgramK)}) AS sh FROM toks),
+      eval_s AS (
+        SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % $EvalMod = 0),
+      g AS (
+        SELECT doc_id, CAST(generate_subscripts(sh, 1) AS BIGINT) AS p,
+          unnest(sh) AS s
+        FROM sh WHERE doc_id % $EvalMod <> 0),
+      hits AS (SELECT doc_id, p FROM g JOIN eval_s USING (s)),
+      i AS (SELECT doc_id, p,
+          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+               > $NgramK THEN 1 ELSE 0 END AS newspan
+        FROM hits),
+      j AS (SELECT doc_id, p,
+          sum(newspan) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM i)
+      SELECT doc_id, min(p) AS span_start,
+        max(p) + ${NgramK - 1} AS span_end,
+        count(*) AS n_hit_grams
+      FROM j GROUP BY doc_id, grp
+      ORDER BY doc_id, span_start"""))
+
   val qDecontaminate: Q = Q(
     "q_decontaminate",
     (s, d) => {
@@ -169,5 +245,5 @@ object Contamination {
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
-  val all: Seq[Q] = Seq(qDecontaminate, qDecontaminatePairs)
+  val all: Seq[Q] = Seq(qDecontaminate, qDecontaminatePairs, qDecontamSpans)
 }

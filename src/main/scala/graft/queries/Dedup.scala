@@ -751,6 +751,130 @@ object Dedup {
 
   private val DupSpanN = 5
 
+  /** D16 — ExactSubstr corpus REWRITING at token granularity (Lee et
+    * al. ACL'22 §4.2, the excision [[dupSpans]] only audits): every
+    * token covered by a duplicated n-gram occurrence that is NOT its
+    * gram's corpus-global first occurrence is removed, and each doc is
+    * reassembled from its surviving tokens. D10 rewrites at fixed
+    * block granularity (a near-dup block survives untouched); this is
+    * the fine-grained form — the duplicated run itself disappears,
+    * however it is aligned.
+    *
+    * Keep rule: per duplicated gram key, the occurrence with the
+    * smallest (doc_id, position) is the keeper. The pair packs into
+    * one BIGINT (`doc_id * 2^31 + p` — positions are per-doc token
+    * indexes, so `p < 2^31` holds for any physical document and
+    * doc_id < 2^32 for any corpus this library addresses) so the
+    * keeper is a map-side-combinable integer `min`, order-independent
+    * and exactly reproducible in SQL. A keeper's own tokens can still
+    * fall to a DIFFERENT key's non-keeper span overlapping them —
+    * excision is by covered token, the documented union semantics of
+    * [[dupSpans]].
+    *
+    * Output: (doc_id, n_tokens, n_excised, text_clean) for EVERY doc
+    * — `text_clean` is the space-joined surviving tokens (empty when
+    * everything was excised or the doc had no tokens).
+    *
+    * Scale shape: the (doc, pos, md5) frame is the SAME memo-persisted
+    * frame [[dupSpans]] reads (one tokenize+shingle+md5 pass serves
+    * both the audit and the rewrite); keeper detection is one integer
+    * agg on 16-byte keys; non-keeper spans merge per doc exactly as
+    * [[dupSpans]]; the excised-position explode is span-sized (spans
+    * are disjoint — no token double-counts); the only text shuffle is
+    * the per-doc reassembly groupBy, which any rewriting operator
+    * fundamentally needs (D10's shape). */
+  def exciseSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 1, s"n-gram length must be >= 1, got $n")
+    val toks = graft.functions.TextFunctions.words(col("text"))
+    val grams = spanCache.memo(docs
+      .select(col("doc_id"),
+        posexplode_outer(graft.functions.TextFunctions.shingles(toks, n))
+        .as(Seq("p0", "g")))
+      .filter(col("g").isNotNull)
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
+        md5(col("g")).as("h")))
+    val packed = grams.withColumn("occ", col("doc_id") * (1L << 31) + col("p"))
+    val keepers = packed.groupBy("h")
+      .agg(count(lit(1)).as("c"), min(col("occ")).as("keeper"))
+      .filter(col("c") >= 2).select("h", "keeper")
+    val nonKeeper = packed.join(keepers, "h")
+      .filter(col("occ") =!= col("keeper"))
+      .select(col("doc_id"), col("p"))
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val spans = nonKeeper
+      .withColumn("newspan",
+        when(col("p") - lag(col("p"), 1).over(w) > n, 1).otherwise(0))
+      .withColumn("grp", sum(col("newspan")).over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + (n - 1)).as("e"))
+    val excised = spans
+      .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("t"))
+    val tokens = docs
+      .select(col("doc_id"), posexplode(toks).as(Seq("t0", "tok")))
+      .select(col("doc_id"), (col("t0") + 1).cast("long").as("t"), col("tok"))
+    val rebuilt = tokens.join(excised, Seq("doc_id", "t"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("t"), col("tok")))),
+            x => x.getField("tok"))).as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"),
+        coalesce(size(toks).cast("long"), lit(0L)).as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_excised"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  val qExciseSpans: Q = Q(
+    "q_excise_spans",
+    (s, d) => exciseSpans(Tables.documents(s, d), DupSpanN),
+    Some {
+      val sh = sqlShingles("w", DupSpanN)
+      s"""WITH toks AS (
+          SELECT doc_id, list_filter(${sqlWords("text")}, t -> t <> '') AS w
+          FROM documents),
+        sh AS (SELECT doc_id, ($sh) AS sh FROM toks),
+        g AS (SELECT doc_id,
+            CAST(generate_subscripts(sh, 1) AS BIGINT) AS p,
+            unnest(list_transform(sh, s -> md5(s))) AS h
+          FROM sh),
+        pk AS (SELECT doc_id, p, h, doc_id * 2147483648 + p AS occ FROM g),
+        dup AS (SELECT h, min(occ) AS keeper FROM pk
+          GROUP BY h HAVING count(*) >= 2),
+        nk AS (SELECT doc_id, p FROM pk JOIN dup USING (h)
+          WHERE occ <> keeper),
+        i AS (SELECT doc_id, p,
+            CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                 > $DupSpanN THEN 1 ELSE 0 END AS newspan
+          FROM nk),
+        j AS (SELECT doc_id, p,
+            sum(newspan) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+          FROM i),
+        sp AS (SELECT doc_id, min(p) AS s,
+            max(p) + ${DupSpanN - 1} AS e
+          FROM j GROUP BY doc_id, grp),
+        ex AS (SELECT doc_id, unnest(generate_series(s, e)) AS t FROM sp),
+        tok AS (SELECT doc_id,
+            CAST(generate_subscripts(w, 1) AS BIGINT) AS t,
+            unnest(w) AS tok
+          FROM toks),
+        keep AS (SELECT doc_id, t, tok FROM tok
+          ANTI JOIN ex USING (doc_id, t)),
+        reb AS (SELECT doc_id,
+            string_agg(tok, ' ' ORDER BY t) AS text_clean,
+            count(*) AS n_kept
+          FROM keep GROUP BY doc_id)
+        SELECT c.doc_id,
+          CAST(len(c.w) AS BIGINT) AS n_tokens,
+          CAST(len(c.w) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_excised,
+          COALESCE(r.text_clean, '') AS text_clean
+        FROM toks c LEFT JOIN reb r USING (doc_id)
+        ORDER BY c.doc_id"""
+    })
+
   val qDupSpans: Q = Q(
     "q_dup_spans",
     (s, d) => dupSpans(Tables.documents(s, d), DupSpanN),
@@ -783,5 +907,5 @@ object Dedup {
   val all: Seq[Q] =
     Seq(qDedupExact, qDedupIncremental, qDedupMinhash, qDedupSimhash,
       qNgramJaccard, qNgramContainment, qNgramJaccardPrefix,
-      qNgramContainmentPrefix, qStreamNeardupBatch, qDupSpans)
+      qNgramContainmentPrefix, qStreamNeardupBatch, qDupSpans, qExciseSpans)
 }
