@@ -328,6 +328,13 @@ object Graft {
     * ([[graft.queries.Contamination.decontamSpans]]). */
   def decontamSpans(train: DataFrame, eval: DataFrame): DataFrame =
     queries.Contamination.decontamSpans(train, eval)
+  /** [[decontaminate]] behind a broadcast Bloom prefilter + exact
+    * rescore — bit-identical output, for reference sets too big to
+    * broadcast as strings
+    * ([[graft.queries.Contamination.decontaminateBloom]]). */
+  def decontaminateBloom(train: DataFrame, eval: DataFrame,
+      bits: Int = 1 << 20, probes: Int = 5): DataFrame =
+    queries.Contamination.decontaminateBloom(train, eval, bits, probes)
   /** Unigram-LM cross-entropy quality score, ordered-fold determinism
     * ([[graft.queries.Ranking.unigramXent]]). */
   def unigramXent(docs: DataFrame, threshold: Double = 7.0): DataFrame =

@@ -51,7 +51,9 @@ object Plans {
     "q_gopher_rep" -> "repetition gate: line/paragraph dup fractions + dominant 2-4-gram coverage, ALL inside one map stage (per-row sorted fold, no (doc,gram) explode+regroup); presentation sort is the only exchange",
     "q_weighted_sample" -> "pure map stage (scramble, quantized ln, one divide) + TakeOrderedAndProject; no shuffle at all",
     "q_dedup_semantic" -> "SemDeDup: cell-keyed within-cluster candidate join (never all-pairs), centroid distances as a narrow broadcast, keep-rule window on fixed-width keys",
-    "q_pack_sequences_bpe" -> "BPE-weighted packing: distinct-word encoder map (rank table broadcast) -> word-keyed fertility join + per-doc agg -> left join restores wordless docs -> H8 distributed prefix sum; corpus text never shuffles")
+    "q_pack_sequences_bpe" -> "BPE-weighted packing: distinct-word encoder map (rank table broadcast) -> word-keyed fertility join + per-doc agg -> left join restores wordless docs -> H8 distributed prefix sum; corpus text never shuffles",
+    "q_excise_spans" -> "ExactSubstr rewriting: shared memoized gram frame, packed-integer keeper min, span-sized excised-position explode, (doc_id, pos) integer anti-join; text shuffles ONLY in the per-doc reassembly groupBy",
+    "q_decontam_spans" -> "contamination spans: distinct eval shingles broadcast into a positional probe, per-doc interval-union window over hit-sized (doc_id, int) rows only")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

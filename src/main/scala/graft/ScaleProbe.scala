@@ -463,6 +463,26 @@ object ScaleProbe {
       s"dup spans: ${spanAgg.getLong(0)} rows (${spanAgg.getLong(1)} exact) vs ${2 * plantedPairs} planted — " +
         "spans missed or phantom spans manufactured")
     println(f"dup span extents     ${"check"}%9s       ${spanAgg.getLong(0)} spans all exactly (11,20,6)  PASS")
+
+    // Span EXCISION census on the same corpus: the keeper of every
+    // planted gram is the base twin (smaller doc_id, same positions),
+    // so the rewrite must remove EXACTLY tokens 11..20 from each
+    // high-id twin and nothing anywhere else — sum(n_excised) is an
+    // exact integer, and any phantom dup key or keeper-rule slip
+    // changes it. Every doc keeps its output row (n_tokens 30).
+    val (excAgg, tEx) = time {
+      Graft.exciseSpans(spanDocsDf, n = 5)
+        .agg(count(lit(1)), sum(col("n_excised")),
+          sum(when(col("n_excised") === 10L, 1L).otherwise(0L)),
+          sum(when(col("n_tokens") === 30L, 1L).otherwise(0L))).head()
+    }
+    println(f"span excision        $spanTotal%9d docs  $tEx%7.1f s  ${spanTotal / tEx}%9.0f docs/s  (${excAgg.getLong(1)} tokens excised)")
+    assert(excAgg.getLong(0) == spanTotal && excAgg.getLong(3) == spanTotal,
+      s"span excision: ${excAgg.getLong(0)} rows / ${excAgg.getLong(3)} with 30 tokens vs $spanTotal docs — rewrite dropped or malformed docs")
+    assert(excAgg.getLong(1) == 10L * plantedPairs && excAgg.getLong(2) == plantedPairs,
+      s"span excision: ${excAgg.getLong(1)} tokens excised over ${excAgg.getLong(2)} docs vs ${10L * plantedPairs} over $plantedPairs planted — " +
+        "keeper rule or span union drifted")
+    println(f"excision census      ${"check"}%9s       ${excAgg.getLong(2)} twins each lost exactly tokens 11..20, keepers intact  PASS")
     spanDocsDf.unpersist(blocking = false)
     graft.ops.Release.sweep(spark)
 

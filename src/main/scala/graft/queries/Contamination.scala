@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination (SURVEY.md §2 D9) — the training-data
@@ -113,6 +113,75 @@ object Contamination {
       .orderBy("train_doc_id", "eval_doc_id")
   }
 
+  /** Bloom-prefiltered decontamination (D9d) — the scale path for when
+    * the reference side outgrows an exact-string broadcast: a full
+    * eval-suite union or a blocklist corpus can reach 10^8+ distinct
+    * shingles (gigabytes of strings — undeliverable to every executor),
+    * but 2^27 Bloom BITS are 16 MB and broadcast anywhere. The probe is
+    * a pure codegen map (k xxhash64 probes + bit tests against a
+    * literal long array — no UDF, no join) that discards ~all of the
+    * corpus's shingles map-side; only the surviving fraction (true
+    * hits + the fpp sliver) reaches the EXACT join that removes false
+    * positives. Output is therefore bit-identical to [[decontaminate]]
+    * — the driver oracle doubles as the losslessness proof (the D4b
+    * pattern: optimized plan, naive contract).
+    *
+    * The filter builds distributedly (probe positions -> (word, mask)
+    * -> map-side-combinable `bit_or`) and only the finished bit array
+    * materializes on the driver — `bits/64` longs, a bounded driver
+    * state like C13's capped dict, NOT a corpus-sized collect. Sizing:
+    * fpp ≈ (1 - e^(-k·n/m))^k; the 2^20-bit default holds ~10^5 eval
+    * shingles at k=5 under 1% — at a real 10^8-shingle reference, size
+    * `bits` to ~10 m/n (2^30 bits = 128 MB, still broadcastable).
+    *
+    * Exactness is unconditional: an undersized filter only grows the
+    * rescore's input, never the output (asserted by the spec at
+    * bits=64, where nearly everything survives the prefilter). */
+  def decontaminateBloom(train: DataFrame, eval: DataFrame,
+      bits: Int = 1 << 20, probes: Int = 5): DataFrame = {
+    require(bits >= 64 && (bits & (bits - 1)) == 0,
+      s"bits must be a power of two >= 64, got $bits")
+    require(probes >= 1 && probes <= 16, s"probes must be in [1,16], got $probes")
+    val evalSet = shingleSet(eval)
+      .select(explode(col("sh")).as("s")).distinct()
+    def positions(s: Column): Seq[Column] =
+      (0 until probes).map(i => pmod(xxhash64(s, lit(i)), lit(bits.toLong)))
+    val words = evalSet
+      .select(explode(array(positions(col("s")).map(p =>
+        struct((p / 64).cast("int").as("w"),
+          call_function("shiftleft", lit(1L), (p % 64).cast("int")).as("m"))): _*))
+        .as("b"))
+      .groupBy(col("b.w")).agg(expr("bit_or(b.m)").as("m"))
+      .collect()
+    val lutArr = new Array[Long](bits / 64)
+    words.foreach(r => lutArr(r.getInt(0)) = r.getLong(1))
+    val lut = lit(lutArr)
+    def mightContain(s: Column): Column =
+      positions(s).map { p =>
+        call_function("shiftright",
+          element_at(lut, (p / 64).cast("int") + 1),
+          (p % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
+      }.reduce(_ && _)
+    val base = shingleSet(train)
+    // exact rescore join deliberately UNHINTED: survivors are tiny, and
+    // when the reference side is too big to broadcast this becomes the
+    // shuffle join of two small-to-moderate sides — never corpus-sized
+    val hits = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      .filter(mightContain(col("s")))
+      .join(evalSet, Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    base.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_shingles") > 0,
+          coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)).as("hit_ratio"),
+        when(coalesce(col("n_hit"), lit(0L)) > 0, 1L).otherwise(0L)
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** The span form (D9c): WHERE in each training doc the benchmark
     * leak sits — maximal token intervals covered by [[NgramK]]-grams
     * present anywhere in the eval set, the GPT-3 appendix-C procedure's
@@ -189,15 +258,10 @@ object Contamination {
       FROM j GROUP BY doc_id, grp
       ORDER BY doc_id, span_start"""))
 
-  val qDecontaminate: Q = Q(
-    "q_decontaminate",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      decontaminate(
-        docs.filter(col("doc_id") % EvalMod =!= 0),
-        docs.filter(col("doc_id") % EvalMod === 0))
-    },
-    Some(s"""WITH toks AS (
+  /** Shared by D9 and D9d — the Bloom-prefiltered plan must reproduce
+    * the exact flag bit-for-bit, so one oracle serves both (hash
+    * equality on D9d = the prefilter's losslessness proof). */
+  private val decontamOracle: String = s"""WITH toks AS (
         SELECT doc_id, list_filter(${sqlWords("text")}, t -> t <> '') AS w
         FROM documents),
       sh AS (
@@ -218,7 +282,27 @@ object Contamination {
         CAST(CASE WHEN COALESCE(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
       FROM sh t LEFT JOIN hits h USING (doc_id)
       WHERE t.doc_id % $EvalMod <> 0
-      ORDER BY t.doc_id"""))
+      ORDER BY t.doc_id"""
+
+  val qDecontaminate: Q = Q(
+    "q_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      decontaminate(
+        docs.filter(col("doc_id") % EvalMod =!= 0),
+        docs.filter(col("doc_id") % EvalMod === 0))
+    },
+    Some(decontamOracle))
+
+  val qDecontaminateBloom: Q = Q(
+    "q_decontaminate_bloom",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      decontaminateBloom(
+        docs.filter(col("doc_id") % EvalMod =!= 0),
+        docs.filter(col("doc_id") % EvalMod === 0))
+    },
+    Some(decontamOracle))
 
   val qDecontaminatePairs: Q = Q(
     "q_decontaminate_pairs",
@@ -245,5 +329,7 @@ object Contamination {
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
-  val all: Seq[Q] = Seq(qDecontaminate, qDecontaminatePairs, qDecontamSpans)
+  val all: Seq[Q] =
+    Seq(qDecontaminate, qDecontaminateBloom, qDecontaminatePairs,
+      qDecontamSpans)
 }
