@@ -122,6 +122,11 @@ object Graft {
     * ([[graft.queries.Dedup.exciseSpans]]). */
   def exciseSpans(docs: DataFrame, n: Int = 5): DataFrame =
     queries.Dedup.exciseSpans(docs, n)
+  /** Incremental near-dup ingest: incoming batch flagged against the
+    * known lake (MinHash bands) and within-batch, lake never self-pairs
+    * ([[graft.queries.Dedup.dedupIncrementalMinhash]]). */
+  def dedupIncrementalMinhash(incoming: DataFrame, known: DataFrame): DataFrame =
+    queries.Dedup.dedupIncrementalMinhash(incoming, known)
   def embeddingDupPairs(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame =
     queries.Similarity.embeddingDupPairs(embeddings, minCosine)
   def embeddingDupPairsLsh(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame =

@@ -93,7 +93,11 @@ object GraftExtensions {
       arity("graft_simhash_combos", 1)(args => SimHashCombos(args.head))),
     ("graft_max_multiplicity",
       info("graft_max_multiplicity", "_FUNC_(arr) - highest multiplicity of any value in a BIGINT array"),
-      arity("graft_max_multiplicity", 1)(args => MaxMultiplicity(args.head))))
+      arity("graft_max_multiplicity", 1)(args => MaxMultiplicity(args.head))),
+    ("graft_top_gram_cover",
+      info("graft_top_gram_cover", "_FUNC_(toks, n) - max char coverage of any word n-gram (occurrences x gram chars)"),
+      arity("graft_top_gram_cover", 2)(args =>
+        TopGramCover(args.head, intArg(args(1), "graft_top_gram_cover")))))
 
   /** Install the functions into a LIVE session's registry (the
     * extensions path only applies at session construction). */

@@ -860,6 +860,66 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Max char coverage of any word n-gram of a token array: max over
+    * distinct n-grams of occurrences × (gram chars excluding the n−1
+    * joining spaces). Gram identity is the `concat_ws(" ", …)` join —
+    * injective because tokens are whitespace-free — so this equals the
+    * HOF sort+fold formulation ([[graft.queries.TextAnalysis]]'s
+    * `topGramCoverHof`, kept as the semantic spec) and the naive
+    * explode+GROUP BY the DuckDB oracle runs. One hashing pass per
+    * row; the interpreted `aggregate(array_sort(...))` stack this
+    * replaces dominated C17's runtime (HOFs don't enter whole-stage
+    * codegen and re-evaluate per referencing column after projection
+    * collapse). */
+  case class TopGramCover(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_top_gram_cover"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (n < 1)
+        TypeCheckResult.TypeCheckFailure(s"$prettyName: n must be >= 1, got $n")
+      else requireType(prettyName,
+        child.dataType match {
+          case ArrayType(StringType, _) => true
+          case _ => false
+        }, "ARRAY<STRING>", child.dataType)
+
+    @transient private lazy val space = UTF8String.fromString(" ")
+
+    override def nullSafeEval(input: Any): Any = cover(input.asInstanceOf[ArrayData])
+
+    /** public: called from generated code too. */
+    def cover(arr: ArrayData): Long = {
+      val m = arr.numElements()
+      if (m < n) return 0L
+      val toks = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) { toks(i) = arr.getUTF8String(i); i += 1 }
+      val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+      var best = 0L
+      var p = 0
+      while (p + n <= m) {
+        val parts = new Array[UTF8String](n)
+        System.arraycopy(toks, p, parts, 0, n)
+        val g = UTF8String.concatWs(space, parts: _*)
+        val cnt = counts.computeIfAbsent(g, _ => Array(0L))
+        cnt(0) += 1
+        val cover = cnt(0) * (g.numChars().toLong - (n - 1))
+        if (cover > best) best = cover
+        p += 1
+      }
+      best
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val ref = ctx.addReferenceObj("coverer", this, classOf[TopGramCover].getName)
+        s"${ev.value} = $ref.cover($c);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): TopGramCover =
+      copy(child = newChild)
+  }
+
   // ---- Column wrappers ----
 
   private def expr(c: Column): Expression = Bridge.expression(c)
@@ -880,4 +940,6 @@ object NativeExpressions {
   def shingleHashes(c: Column, k: Int): Column = Bridge.column(ShingleHashes(expr(c), k))
   def tokens(c: Column): Column = Bridge.column(Tokens(expr(c)))
   def countIn(arr: Column, items: Seq[String]): Column = Bridge.column(CountIn(expr(arr), items))
+  def topGramCover(toks: Column, n: Int): Column =
+    Bridge.column(TopGramCover(expr(toks), n))
 }

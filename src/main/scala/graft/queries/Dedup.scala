@@ -275,6 +275,94 @@ object Dedup {
       FROM inc LEFT JOIN known ON inc.k1 = known.k1 AND inc.k2 = known.k2
       ORDER BY inc.doc_id"""))
 
+  /** D13b — incremental NEAR-dup ingest: [[dedupIncremental]]'s
+    * nightly-batch flow at MinHash granularity (a re-crawled page with
+    * a changed footer defeats the exact key; its signature doesn't).
+    * Per incoming doc: `is_near_known` (bands collide with a lake doc
+    * and estimated Jaccard >= 0.5, D2's threshold), `is_near_in_batch`
+    * (same against an EARLIER — smaller doc_id — batch doc, G5's
+    * registry orientation), `keep` = neither.
+    *
+    * The incremental shape, not a full-corpus D2 rerun: candidate
+    * generation joins ONLY incoming-side band keys against the union
+    * frame, restricted to partners that are known or earlier — the
+    * lake never pairs with itself, so nightly cost scales with the
+    * batch (x lake bucket density), not the lake. Doc ids must be
+    * disjoint across the two frames and later batches get larger ids
+    * (the D13 ingest contract). In production the lake side's
+    * signature/band frames are stored precomputed (the same "store the
+    * 24-byte keys, never rescan text" note as D13); deriving them from
+    * text here keeps the row oracle-checkable end-to-end.
+    *
+    * Restricting candidates loses nothing: any (incoming, known-or-
+    * earlier) pair the full D2 banding finds shares a bucket with the
+    * incoming side present, so the restricted join sees it too — the
+    * oracle computes the UNRESTRICTED pair set and filters by
+    * semantics, and hash equality is the losslessness proof. */
+  def dedupIncrementalMinhash(incoming: DataFrame, known: DataFrame): DataFrame = {
+    val all = incoming.select(col("doc_id"), col("text"))
+      .withColumn("__known", lit(false))
+      .unionByName(known.select(col("doc_id"), col("text"))
+        .withColumn("__known", lit(true)))
+    val sigs = minhashSigFrame(all.drop("__known"))
+    val bands = minhashBandFrame(sigs)
+      .join(all.select(col("doc_id"), col("__known")), "doc_id")
+    val cand = bands.filter(!col("__known")).as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          (col("y.__known") || col("y.doc_id") < col("x.doc_id")))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("pid"),
+        col("y.__known").as("pknown"))
+      .distinct()
+    val a = sigs.toDF(sigs.columns.map("a_" + _): _*)
+    val b = sigs.toDF(sigs.columns.map("b_" + _): _*)
+    val agree = (0 until MinhashK)
+      .map(i => when(col(s"a_s$i") === col(s"b_s$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val flags = cand
+      .join(a, col("doc_id") === col("a_doc_id"))
+      .join(b, col("pid") === col("b_doc_id"))
+      .filter(agree.cast("double") / MinhashK >= 0.5)
+      .groupBy("doc_id")
+      .agg(max(when(col("pknown"), 1).otherwise(0)).as("nk"),
+        max(when(!col("pknown"), 1).otherwise(0)).as("nb"))
+    incoming.select("doc_id")
+      .join(flags, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("nk"), lit(0)) === 1).as("is_near_known"),
+        (coalesce(col("nb"), lit(0)) === 1).as("is_near_in_batch"),
+        when(coalesce(col("nk"), lit(0)) === 0 &&
+          coalesce(col("nb"), lit(0)) === 0, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupIncrementalMinhash: Q = Q(
+    "q_dedup_incremental_minhash",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      dedupIncrementalMinhash(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0))
+    },
+    Some(s"""WITH ${sqlMinhashPairCtes("documents")},
+      ori AS (
+        SELECT id_a AS x, id_b AS y FROM mh_pairs
+        UNION ALL
+        SELECT id_b AS x, id_a AS y FROM mh_pairs),
+      inc AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0),
+      fl AS (
+        SELECT i.doc_id,
+          max(CASE WHEN o.y % 3 = 0 THEN 1 ELSE 0 END) AS nk,
+          max(CASE WHEN o.y % 3 <> 0 AND o.y < i.doc_id THEN 1 ELSE 0 END) AS nb
+        FROM inc i LEFT JOIN ori o ON o.x = i.doc_id
+        GROUP BY i.doc_id)
+      SELECT doc_id,
+        COALESCE(nk, 0) = 1 AS is_near_known,
+        COALESCE(nb, 0) = 1 AS is_near_in_batch,
+        CAST(CASE WHEN COALESCE(nk, 0) = 0 AND COALESCE(nb, 0) = 0
+          THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM fl ORDER BY doc_id"""))
+
   val qDedupExact: Q = Q(
     "q_dedup_exact",
     (s, d) => exactDuplicates(Tables.documents(s, d)),
@@ -294,23 +382,35 @@ object Dedup {
     * candidate pairs → signature-agreement filter. Candidate volume is
     * ~linear in corpus size for any fixed near-dup density, vs the
     * quadratic all-pairs join it replaces. */
+  /** (doc_id, s0..s{k-1}) MinHash signature frame — the per-doc map
+    * stage D2/D13b share (and what a production lake would store
+    * precomputed instead of re-deriving from text). */
+  private def minhashSigFrame(docs: DataFrame): DataFrame = {
+    val sigCols = (0 until MinhashK).map { i =>
+      element_at(col("sigv"), i + 1).as(s"s$i")
+    }
+    hashedShingles(docs)
+      .select(col("doc_id"),
+        graft.functions.NativeExpressions.minhashSigs(col("hs"), MinhashK).as("sigv"))
+      .select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** Signature frame -> (doc_id, band_idx, band_hash) LSH bucket keys. */
+  private def minhashBandFrame(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until MinhashBands).map { b =>
+      struct(lit(b).as("band_idx"),
+        (col(s"s${2 * b}") * P + col(s"s${2 * b + 1}")).as("band_hash"))
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx"), col("bd.band_hash"))
+  }
+
   /** Public API: MinHash+LSH near-dup pairs over any (doc_id, text)
     * frame. */
   def minhashPairs(docs: DataFrame): DataFrame = {
-      val sigCols = (0 until MinhashK).map { i =>
-        element_at(col("sigv"), i + 1).as(s"s$i")
-      }
-      val sigs = hashedShingles(docs)
-        .select(col("doc_id"),
-          graft.functions.NativeExpressions.minhashSigs(col("hs"), MinhashK).as("sigv"))
-        .select(col("doc_id") +: sigCols: _*)
-      val bandStructs = (0 until MinhashBands).map { b =>
-        struct(lit(b).as("band_idx"),
-          (col(s"s${2 * b}") * P + col(s"s${2 * b + 1}")).as("band_hash"))
-      }
-      val bands = sigs
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
-        .select(col("doc_id"), col("bd.band_idx"), col("bd.band_hash"))
+      val sigs = minhashSigFrame(docs)
+      val bands = minhashBandFrame(sigs)
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band_idx") === col("y.band_idx") &&
             col("x.band_hash") === col("y.band_hash") &&
@@ -905,7 +1005,8 @@ object Dedup {
     })
 
   val all: Seq[Q] =
-    Seq(qDedupExact, qDedupIncremental, qDedupMinhash, qDedupSimhash,
+    Seq(qDedupExact, qDedupIncremental, qDedupIncrementalMinhash,
+      qDedupMinhash, qDedupSimhash,
       qNgramJaccard, qNgramContainment, qNgramJaccardPrefix,
       qNgramContainmentPrefix, qStreamNeardupBatch, qDupSpans, qExciseSpans)
 }

@@ -400,16 +400,21 @@ object TextAnalysis {
 
   /** Max char coverage of any single word `n`-gram in a token array:
     * `max over distinct n-grams of (occurrences x token chars of the
-    * gram)`. Computed SHUFFLE-FREE as a per-row fold: sort the gram
-    * array (equal grams become adjacent), then one pass tracking
-    * (previous gram, current run length, best coverage so far) —
-    * O(G log G) per doc instead of the O(G^2) count-inside-transform
-    * formulation, and no (doc, gram) explode+regroup exchange. Using
-    * the numeric max over all grams (not "chars of the argmax-by-count
-    * gram") makes the statistic deterministic without a tie-break
-    * rule. Gram char length excludes the n-1 joining spaces
-    * [[graft.functions.TextFunctions.shingles]] inserts. */
-  private def topGramCover(toks: Column, n: Int): Column =
+    * gram)`. Using the numeric max over all grams (not "chars of the
+    * argmax-by-count gram") makes the statistic deterministic without
+    * a tie-break rule. Gram char length excludes the n-1 joining
+    * spaces [[graft.functions.TextFunctions.shingles]] inserts.
+    *
+    * This HOF sort+fold formulation is kept as the SEMANTIC SPEC the
+    * native kernel must match (GopherRepetitionSpec differential) —
+    * production runs [[graft.functions.NativeExpressions.topGramCover]]
+    * instead: Catalyst higher-order functions evaluate interpreted
+    * (outside whole-stage codegen) and, worse, re-evaluate once per
+    * REFERENCING column after projection collapse — three coverage
+    * columns feeding three flags and `kept` ran the fold stack 9x per
+    * row and made C17 the slowest row of the whole bench sweep
+    * (~18 s at sf0.1 vs ~0.8 s native). */
+  private[graft] def topGramCoverHof(toks: Column, n: Int): Column =
     aggregate(array_sort(shingles(toks, n)),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, g) => {
@@ -436,7 +441,7 @@ object TextAnalysis {
     * with empties dropped; "repeats" = n_segments − n_distinct (the
     * first occurrence is free, every further copy counts). Words are
     * [[GopherWs]] whitespace tokens; dominant-n-gram coverage is
-    * [[topGramCover]]'s numeric max, denominated in total token chars.
+    * [[graft.functions.NativeExpressions.topGramCover]]'s numeric max, denominated in total token chars.
     * C6 ([[repetitionScores]]) reports the single most-repeated 2-gram
     * for ANALYSIS; this is the integer GATE over lines, paragraphs,
     * and 2–4-grams. Every test is an integer cross-multiplied
@@ -459,9 +464,9 @@ object TextAnalysis {
       (size(parasC) - size(array_distinct(parasC))).cast("long").as("dup_paras"),
       aggregate(transform(toksC, t => length(t).cast("long")), lit(0L),
         (a, x) => a + x).as("sum_chars"),
-      topGramCover(toksC, 2).as("top2_chars"),
-      topGramCover(toksC, 3).as("top3_chars"),
-      topGramCover(toksC, 4).as("top4_chars"))
+      graft.functions.NativeExpressions.topGramCover(toksC, 2).as("top2_chars"),
+      graft.functions.NativeExpressions.topGramCover(toksC, 3).as("top3_chars"),
+      graft.functions.NativeExpressions.topGramCover(toksC, 4).as("top4_chars"))
     val flags = Seq(
       "r1_dupline" -> (col("dup_lines") * 10L <= col("n_lines") * 3L),
       "r2_duppara" -> (col("dup_paras") * 10L <= col("n_paras") * 3L),
@@ -479,7 +484,7 @@ object TextAnalysis {
 
   /** Oracle row: the DuckDB side computes dominant-gram coverage the
     * NAIVE way (explode grams, GROUP BY (doc, gram), max of
-    * count×chars) — hash-equality against [[topGramCover]]'s sorted
+    * count×chars) — hash-equality against the native kernel's hashed
     * single-pass fold doubles as the fold's losslessness proof (the
     * D4b pattern). */
   val qGopherRep: Q = Q(

@@ -58,6 +58,26 @@ class GopherRepetitionSpec extends SparkSpec {
     assert(f("top3_chars") == 3L, f)
   }
 
+  test("native kernel equals the HOF sort+fold spec on varied docs") {
+    // the production column is the hashed native kernel
+    // (NativeExpressions.TopGramCover); the HOF formulation stays as
+    // its semantic spec — drive both over docs with ties, unicode,
+    // self-overlap, and short tails
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      "a b a b c a b", "x x x x x", "solo", "", "tie ab tie cd tie ab",
+      "über älter über älter über", "p q r s t u v w p q r s",
+      "one two one two one two one two").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    for (n <- 2 to 4) {
+      val both = docs.select(
+        graft.functions.NativeExpressions.topGramCover(toks, n).as("native"),
+        graft.queries.TextAnalysis.topGramCoverHof(toks, n).as("hof")).collect()
+      both.foreach(r => assert(r.getLong(0) == r.getLong(1), s"n=$n ${r}"))
+    }
+  }
+
   test("whitespace-only and tiny docs are vacuously kept") {
     val f = flags("   \n  \n ")
     assert(f("n_lines") == 0L && f("sum_chars") == 0L && f("kept") == 1L, f)
