@@ -48,12 +48,14 @@ object Plans {
     "q_dedup_incremental" -> "known side collapses to distinct 24-byte key pairs; incoming pays one narrow window + one key join — text never shuffles",
     "q_quality_deciles" -> "bounded fixed-point histogram agg -> cumulative window over histogram ROWS only -> 1-row threshold broadcast -> shuffle-free comparison map over the memoized scored frame; no percentile_disc state, no corpus-sized single partition anywhere",
     "q_dup_spans" -> "memoized (doc, pos, md5) frame read by both branches; duplicated-key count agg + key-equi paint join (no text), per-doc window merges by interval-overlap gap rule — 128-bit keys because a narrow candidate hash birthday-manufactures phantom spans (ScaleProbe-caught)",
-    "q_gopher_rep" -> "repetition gate: line/paragraph dup fractions + dominant 2-4-gram coverage, ALL inside one map stage (per-row sorted fold, no (doc,gram) explode+regroup); presentation sort is the only exchange",
     "q_weighted_sample" -> "pure map stage (scramble, quantized ln, one divide) + TakeOrderedAndProject; no shuffle at all",
     "q_dedup_semantic" -> "SemDeDup: cell-keyed within-cluster candidate join (never all-pairs), centroid distances as a narrow broadcast, keep-rule window on fixed-width keys",
     "q_pack_sequences_bpe" -> "BPE-weighted packing: distinct-word encoder map (rank table broadcast) -> word-keyed fertility join + per-doc agg -> left join restores wordless docs -> H8 distributed prefix sum; corpus text never shuffles",
     "q_excise_spans" -> "ExactSubstr rewriting: shared memoized gram frame, packed-integer keeper min, span-sized excised-position explode, (doc_id, pos) integer anti-join; text shuffles ONLY in the per-doc reassembly groupBy",
-    "q_decontam_spans" -> "contamination spans: distinct eval shingles broadcast into a positional probe, per-doc interval-union window over hit-sized (doc_id, int) rows only")
+    "q_decontam_spans" -> "contamination spans: distinct eval shingles broadcast into a positional probe, per-doc interval-union window over hit-sized (doc_id, int) rows only",
+    "q_decontaminate_bloom" -> "Bloom-prefiltered decontamination: ONE corpus scan into a map-side-combinable (count, survivors) agg, survivors alone reach the exact rescore join; probe = codegen bit tests on a literal array",
+    "q_dedup_incremental_minhash" -> "incremental near-dup ingest: incoming band keys probe the union frame restricted to known-or-earlier partners; lake never self-pairs, shortlist-sized signature rescore",
+    "q_gopher_rep" -> "repetition gate: line/paragraph dup fractions + native TopGramCover kernels, one codegen map stage; presentation sort is the only exchange")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
