@@ -113,6 +113,16 @@ object Contamination {
       .orderBy("train_doc_id", "eval_doc_id")
   }
 
+  /** Built Bloom bit arrays, keyed by (analyzed eval plan, bits,
+    * probes) — a repeat caller (or the bench's second pass) reuses the
+    * finished filter instead of re-running the build job. JVM-local
+    * and bounded (`bits/64` longs per distinct reference set), the
+    * Similarity disk-index `computeIfAbsent` pattern; keying on the
+    * ANALYZED plan means a different eval frame — or the same path
+    * re-read through a new plan — builds fresh. */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Long]]()
+
   /** Bloom-prefiltered decontamination (D9d) — the scale path for when
     * the reference side outgrows an exact-string broadcast: a full
     * eval-suite union or a blocklist corpus can reach 10^8+ distinct
@@ -137,16 +147,6 @@ object Contamination {
     * Exactness is unconditional: an undersized filter only grows the
     * rescore's input, never the output (asserted by the spec at
     * bits=64, where nearly everything survives the prefilter). */
-  /** Built Bloom bit arrays, keyed by (analyzed eval plan, bits,
-    * probes) — a repeat caller (or the bench's second pass) reuses the
-    * finished filter instead of re-running the build job. JVM-local
-    * and bounded (`bits/64` longs per distinct reference set), the
-    * Similarity disk-index `computeIfAbsent` pattern; keying on the
-    * ANALYZED plan means a different eval frame — or the same path
-    * re-read through a new plan — builds fresh. */
-  private val bloomCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Long]]()
-
   def decontaminateBloom(train: DataFrame, eval: DataFrame,
       bits: Int = 1 << 20, probes: Int = 5): DataFrame = {
     require(bits >= 64 && (bits & (bits - 1)) == 0,

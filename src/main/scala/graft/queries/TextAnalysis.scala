@@ -450,7 +450,15 @@ object TextAnalysis {
     * Scale shape: one shuffle-free map stage over the scan (the C16
     * shape — the gram fold stays inside the row), presentation sort is
     * the only exchange. At 100 TB: pure map, no skew surface. */
-  def gopherRepetition(docs: DataFrame): DataFrame = {
+  def gopherRepetition(docs: DataFrame): DataFrame =
+    gopherRepFlags(docs).orderBy("doc_id")
+
+  /** The sort-free core of [[gopherRepetition]] — a pure stateless map
+    * stage like C16's [[gopherFlags]], so it applies unchanged to a
+    * STREAMING frame ([[graft.streaming.Streams.gopherRepStream]];
+    * streaming plans cannot sort). Same output contract minus the
+    * presentation order. */
+  private[graft] def gopherRepFlags(docs: DataFrame): DataFrame = {
     val toksC = filter(split(col("text"), GopherWs + "+"), t => t =!= "")
     val linesC = filter(transform(split(col("text"), "\n"), l => trim(l)),
       l => l =!= "")
@@ -479,7 +487,6 @@ object TextAnalysis {
         col("top3_chars") +: col("top4_chars") +:
         (flags.map { case (nm, c) => when(c, 1L).otherwise(0L).as(nm) } :+
           flags.map(_._2).reduce(_ && _).cast("long").as("kept")): _*)
-      .orderBy("doc_id")
   }
 
   /** Oracle row: the DuckDB side computes dominant-gram coverage the

@@ -297,6 +297,18 @@ object Streams {
       stops: Seq[String] = graft.queries.TextAnalysis.GopherStops): DataFrame =
     graft.queries.TextAnalysis.gopherFlags(docs, minWords, maxWords, stops)
 
+  /** G10: streaming Gopher REPETITION gate at ingest — C17's
+    * [[graft.queries.TextAnalysis.gopherRepetition]] applied per
+    * arrival. Like G9, the computation is a pure stateless map (per-doc
+    * integer counts — line/paragraph dup fractions and the native
+    * dominant-gram kernels — plus cross-multiplied comparisons, no
+    * aggregation, no state), so the batch core applies UNCHANGED to a
+    * streaming frame and stream output == batch output row-for-row by
+    * construction. Run both gates at ingest (`kept = 1` on each) for
+    * the full MassiveWeb-style rule screen. */
+  def gopherRepStream(docs: DataFrame): DataFrame =
+    graft.queries.TextAnalysis.gopherRepFlags(docs)
+
   /** G7: streaming decontamination at ingest — the gate form of the
     * batch [[graft.queries.Contamination.decontamGate]]: every arriving
     * doc whose distinct word-n-gram hashes overlap the held-out eval

@@ -560,4 +560,36 @@ class StreamingSpec extends SparkSpec {
       assert(kept(1L) == 1L && kept(2L) == 0L && kept(3L) == 0L && kept(4L) == 0L, kept)
     } finally query.stop()
   }
+
+  test("gopherRepStream output equals batch gopherRepetition row-for-row across batch splits") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Seq(
+      StreamingSpec.Doc(1L, (1 to 14).map { i =>
+        val u = ('a' + i).toChar // every token unique: no dominant gram
+        s"aa$u bb$u cc$u dd$u ee$u"
+      }.mkString("\n")),
+      StreamingSpec.Doc(2L, Seq.fill(9)("the same line repeats").mkString("\n")),
+      StreamingSpec.Doc(3L, "badger badger badger badger badger mushroom"),
+      StreamingSpec.Doc(4L, Seq.fill(3)("para one body\n\npara one body").mkString("\n\n")))
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val query = Streams.gopherRepStream(mem.toDF())
+      .writeStream.format("memory").queryName("gopher_rep_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(docs.take(2): _*)
+      query.processAllAvailable()
+      mem.addData(docs.drop(2): _*)
+      query.processAllAvailable()
+      val got = spark.table("gopher_rep_stream").collect()
+        .map(r => r.toSeq.toList).toSet
+      val want = graft.Graft.gopherRepetition(
+        docs.toDF().select(col("doc_id"), col("text")))
+        .collect().map(r => r.toSeq.toList).toSet
+      assert(got == want, s"stream $got vs batch $want")
+      val kept = spark.table("gopher_rep_stream")
+        .collect().map(r => r.getLong(0) -> r.getLong(r.length - 1)).toMap
+      assert(kept(1L) == 1L && kept(2L) == 0L && kept(3L) == 0L && kept(4L) == 0L, kept)
+    } finally query.stop()
+  }
 }
