@@ -92,6 +92,27 @@ object ScaleProbe {
     val (nPairs, tMh) = time { Graft.minhashPairs(docs).count() }
     println(f"minhash+LSH pairs    $total%9d docs  $tMh%7.1f s  ${total / tMh}%9.0f docs/s  ($nPairs pairs)")
 
+    // Incremental near-dup ingest census: the base docs play the lake,
+    // the planted twins arrive as the nightly batch. Each twin's only
+    // near-dup is its base (the D2 probe above finds EXACTLY the
+    // planted pairs), so the flags are an exact census: every twin
+    // near-known, none near-in-batch, nothing kept.
+    val twinCount = (nDocs + 99) / 100
+    val (incAgg, tIm) = time {
+      Graft.dedupIncrementalMinhash(
+        docs.filter(col("doc_id") >= nDocs),
+        docs.filter(col("doc_id") < nDocs))
+        .agg(count(lit(1)),
+          sum(when(col("is_near_known"), 1L).otherwise(0L)),
+          sum(when(col("is_near_in_batch"), 1L).otherwise(0L)),
+          sum(col("keep"))).head()
+    }
+    println(f"incremental minhash  $total%9d docs  $tIm%7.1f s  ${total / tIm}%9.0f docs/s  (${incAgg.getLong(1)} of ${incAgg.getLong(0)} incoming flagged near-known)")
+    assert(incAgg.getLong(0) == twinCount && incAgg.getLong(1) == twinCount &&
+      incAgg.getLong(2) == 0L && incAgg.getLong(3) == 0L,
+      s"incremental near-dup census: (rows, nk, nb, keep) = $incAgg vs $twinCount twins all near-known")
+    println(f"incremental census   ${"check"}%9s       every twin near-known to its base, none kept  PASS")
+
     // Block-level dedup REWRITES the corpus (two wide shuffles — the
     // floor for this op). Every planted twin shares its base doc's
     // first 7 of 8 blocks (~7 excised per twin). The 60-token docs also
@@ -348,6 +369,25 @@ object ScaleProbe {
     assert(nPairRows.getLong(0) == nFlagged && nPairRows.getLong(1) == nFlagged,
       s"pair audit: ${nPairRows.getLong(0)} pairs / ${nPairRows.getLong(1)} distinct train docs vs $nFlagged flagged")
     println(f"decontam audit 1:1   ${"check"}%9s       one eval doc per flagged train doc  PASS")
+
+    // Bloom-prefiltered decontamination must reproduce the exact flag
+    // bit-for-bit AT SCALE, not just on the sf oracles: compare by a
+    // commutative full-row hash digest over the integer columns (the
+    // ratio derives from them) — a false positive surviving rescore or
+    // a true hit lost to the filter moves it. bit_xor, not sum: a SUM
+    // of 1M xxhash64 values overflows BIGINT under ANSI mode.
+    def decontamDigest(df: org.apache.spark.sql.DataFrame) =
+      df.select(xxhash64(col("doc_id"), col("n_shingles"), col("n_hit"),
+          col("contaminated")).as("h"))
+        .agg(expr("bit_xor(h)"), count(lit(1))).head()
+    val (bloomDigest, tDb) = time {
+      decontamDigest(Graft.decontaminateBloom(docs, evalDocs))
+    }
+    println(f"decontaminate bloom  $total%9d docs  $tDb%7.1f s  ${total / tDb}%9.0f docs/s  (${bloomDigest.getLong(1)} rows digested)")
+    val exactDigest = decontamDigest(Graft.decontaminate(docs, evalDocs))
+    assert(bloomDigest == exactDigest,
+      s"bloom decontamination diverged from exact at scale: $bloomDigest vs $exactDigest")
+    println(f"bloom == exact       ${"check"}%9s       row-hash digests equal over ${exactDigest.getLong(1)} docs  PASS")
 
     // Unigram-LM scoring: vocabulary model (50 terms here; vocab-sized
     // generally) broadcast back over the corpus, per-doc ordered folds.
