@@ -887,13 +887,21 @@ object NativeExpressions {
 
     override def nullSafeEval(input: Any): Any = cover(input.asInstanceOf[ArrayData])
 
-    /** public: called from generated code too. */
+    /** public: called from generated code too. Null elements read as
+      * EMPTY tokens — pinned explicitly because the two array
+      * representations disagree (GenericArrayData hands concatWs a
+      * null, which it SKIPS; UnsafeArrayData reads the slot as ""), and
+      * a statistic must not depend on which side of a shuffle it ran. */
     def cover(arr: ArrayData): Long = {
       val m = arr.numElements()
       if (m < n) return 0L
       val toks = new Array[UTF8String](m)
       var i = 0
-      while (i < m) { toks(i) = arr.getUTF8String(i); i += 1 }
+      while (i < m) {
+        toks(i) =
+          if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+        i += 1
+      }
       val counts = new java.util.HashMap[UTF8String, Array[Long]]()
       var best = 0L
       var p = 0

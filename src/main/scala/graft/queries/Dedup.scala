@@ -834,22 +834,35 @@ object Dedup {
         md5(col("g")).as("h")))
     val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
+    mergeGramSpans(grams.join(dupHashes, "h").select(col("doc_id"), col("p")), n)
+      .withColumnRenamed("n_grams", "n_dup_grams")
+      .orderBy("doc_id", "span_start")
+  }
+
+  private val DupSpanN = 5
+
+  /** The interval-union merge D14/D16/D9c share: distinct 1-based
+    * per-doc positions `p`, each covering `[p, p+n-1]`, reduce to
+    * DISJOINT maximal spans — a new span opens only when the next
+    * start leaves an uncovered token gap (`p - prev_p > n`; positions
+    * are distinct per doc, so the running covering end is just
+    * `lag(p) + n - 1`). One per-doc window over (doc_id, int) rows.
+    * Output: (doc_id, span_start, span_end, n_grams). Each operator's
+    * DuckDB oracle restates the same three-step merge in SQL — change
+    * the gap rule in both places. */
+  private[queries] def mergeGramSpans(pos: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("p")
-    grams.join(dupHashes, "h")
-      .select(col("doc_id"), col("p"))
+    pos
       .withColumn("newspan",
         when(col("p") - lag(col("p"), 1).over(w) > n, 1).otherwise(0))
       .withColumn("grp", sum(col("newspan")).over(w))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("p")).as("span_start"),
         (max(col("p")) + (n - 1)).as("span_end"),
-        count(lit(1)).as("n_dup_grams"))
+        count(lit(1)).as("n_grams"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
-        col("n_dup_grams"))
-      .orderBy("doc_id", "span_start")
+        col("n_grams"))
   }
-
-  private val DupSpanN = 5
 
   /** D16 — ExactSubstr corpus REWRITING at token granularity (Lee et
     * al. ACL'22 §4.2, the excision [[dupSpans]] only audits): every
@@ -893,22 +906,25 @@ object Dedup {
       .filter(col("g").isNotNull)
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
         md5(col("g")).as("h")))
-    val packed = grams.withColumn("occ", col("doc_id") * (1L << 31) + col("p"))
+    // The packing domain is ENFORCED, not just documented: an id
+    // outside [0, 2^32) (or an absurd 2^31-token doc) would make
+    // min(occ) pick the wrong keeper silently under non-ANSI overflow.
+    // assert_true returns NULL when the check passes, so the coalesce
+    // folds it into occ and the optimizer cannot prune the guard.
+    val domainOk = col("doc_id").between(0L, (1L << 32) - 1) && col("p") < (1L << 31)
+    val packed = grams.withColumn("occ",
+      col("doc_id") * (1L << 31) + col("p") +
+        coalesce(assert_true(domainOk,
+          lit("exciseSpans: doc_id outside [0, 2^32) or p >= 2^31 — packed keeper key would overflow")).cast("long"), lit(0L)))
     val keepers = packed.groupBy("h")
       .agg(count(lit(1)).as("c"), min(col("occ")).as("keeper"))
       .filter(col("c") >= 2).select("h", "keeper")
     val nonKeeper = packed.join(keepers, "h")
       .filter(col("occ") =!= col("keeper"))
       .select(col("doc_id"), col("p"))
-    val w = Window.partitionBy("doc_id").orderBy("p")
-    val spans = nonKeeper
-      .withColumn("newspan",
-        when(col("p") - lag(col("p"), 1).over(w) > n, 1).otherwise(0))
-      .withColumn("grp", sum(col("newspan")).over(w))
-      .groupBy(col("doc_id"), col("grp"))
-      .agg(min(col("p")).as("s"), (max(col("p")) + (n - 1)).as("e"))
-    val excised = spans
-      .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("t"))
+    val excised = mergeGramSpans(nonKeeper, n)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("t"))
     val tokens = docs
       .select(col("doc_id"), posexplode(toks).as(Seq("t0", "tok")))
       .select(col("doc_id"), (col("t0") + 1).cast("long").as("t"), col("tok"))

@@ -78,6 +78,20 @@ class GopherRepetitionSpec extends SparkSpec {
     }
   }
 
+  test("native kernel pins null array elements as empty tokens") {
+    // the two ArrayData representations disagree on nulls (skip vs
+    // empty); the kernel pins empty so results can't depend on which
+    // side of a shuffle a row evaluated on
+    import org.apache.spark.sql.functions._
+    val c = spark.range(1).select(
+      graft.functions.NativeExpressions.topGramCover(
+        array(lit("a"), lit(null).cast("string"), lit("a"),
+          lit(null).cast("string")), 2).as("c"))
+      .head().getLong(0)
+    // grams: ("a","")x2 and ("","a") -> best = 2 occurrences x 1 char
+    assert(c == 2L, c)
+  }
+
   test("whitespace-only and tiny docs are vacuously kept") {
     val f = flags("   \n  \n ")
     assert(f("n_lines") == 0L && f("sum_chars") == 0L && f("kept") == 1L, f)
