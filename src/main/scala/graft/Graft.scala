@@ -333,6 +333,11 @@ object Graft {
     * ([[graft.queries.Contamination.decontamSpans]]). */
   def decontamSpans(train: DataFrame, eval: DataFrame): DataFrame =
     queries.Contamination.decontamSpans(train, eval)
+  /** MassiveWeb-style staging audit: rule gates → repetition gates →
+    * exact dedup → decontamination, per-doc stage flags in ONE plan
+    * ([[graft.queries.Curation.pipelineAudit]]). */
+  def pipelineAudit(docs: DataFrame, eval: DataFrame): DataFrame =
+    queries.Curation.pipelineAudit(docs, eval)
   /** [[decontaminate]] behind a broadcast Bloom prefilter + exact
     * rescore — bit-identical output, for reference sets too big to
     * broadcast as strings

@@ -55,7 +55,8 @@ object Plans {
     "q_decontam_spans" -> "contamination spans: distinct eval shingles broadcast into a positional probe, per-doc interval-union window over hit-sized (doc_id, int) rows only",
     "q_decontaminate_bloom" -> "Bloom-prefiltered decontamination: ONE corpus scan into a map-side-combinable (count, survivors) agg, survivors alone reach the exact rescore join; probe = codegen bit tests on a literal array",
     "q_dedup_incremental_minhash" -> "incremental near-dup ingest: incoming band keys probe the union frame restricted to known-or-earlier partners; lake never self-pairs, shortlist-sized signature rescore",
-    "q_gopher_rep" -> "repetition gate: line/paragraph dup fractions + native TopGramCover kernels, one codegen map stage; presentation sort is the only exchange")
+    "q_gopher_rep" -> "repetition gate: line/paragraph dup fractions + native TopGramCover kernels, one codegen map stage; presentation sort is the only exchange",
+    "q_pipeline_audit" -> "composed MassiveWeb staging: two shuffle-free gate maps, dedup window on 24-byte keys of the gated subset, broadcast-eval contamination probe, doc_id-keyed flag joins")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

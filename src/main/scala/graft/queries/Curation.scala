@@ -165,6 +165,125 @@ object Curation {
     * the StreamsSpec differential on kept content). Registering it
     * with its own DuckDB oracle closes the G6 chain:
     * stream == batch (spec) and batch == DuckDB (hash). */
+  /** D17 — the MassiveWeb/Gopher pipeline STAGING AUDIT (Rae '21's
+    * order: rule gates → repetition gates → dedup → decontamination)
+    * as ONE declarative plan: per training doc, which stage takes it
+    * out. The composed form of C16 + C17 + D1 + D9 — each stage's
+    * semantics is exactly its standalone oracle-checked operator, and
+    * the composed oracle reuses the SAME SQL fragment builders, so
+    * pipeline and stages cannot drift.
+    *
+    * Output (doc_id, pass_rules, pass_rep, is_dup, contaminated, kept):
+    *  - `pass_rules` — C16 gate (oracle-row params: minWords 10,
+    *    corpus-bearing stop set);
+    *  - `pass_rep` — C17 repetition gate (paper thresholds);
+    *  - `is_dup` — among docs passing BOTH gates, 1 unless the doc is
+    *    the min-doc_id owner of its D1 content-key group. Dedup runs
+    *    AFTER gating, as the paper stages it: a gated-out doc never
+    *    shields a kept duplicate (docs failing the gates report 0 —
+    *    the stage never saw them);
+    *  - `contaminated` — the D9 flag vs the eval frame, unconditional
+    *    (a leak is a leak whatever the earlier stages decided);
+    *  - `kept` — passes all four.
+    *
+    * Scale shape: both gates are shuffle-free map stages; the dedup
+    * window partitions on 24-byte content keys of the GATED subset
+    * only; contamination is the broadcast-eval probe; the final
+    * assembly joins doc_id-keyed flag frames — text never shuffles. */
+  def pipelineAudit(docs: DataFrame, eval: DataFrame): DataFrame = {
+    val rules = TextAnalysis
+      .gopherFlags(docs, 10L, 100000L, TextAnalysis.CorpusStops)
+      .select(col("doc_id"), col("kept").as("pass_rules"))
+    val rep = TextAnalysis.gopherRepFlags(docs)
+      .select(col("doc_id"), col("kept").as("pass_rep"))
+    val (k1, k2) = Dedup.contentKeyCols(col("text"))
+    val gatedKeys = docs.select(col("doc_id"), k1.as("k1"), k2.as("k2"))
+      .join(rules.filter(col("pass_rules") === 1L).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .join(rep.filter(col("pass_rep") === 1L).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k1", "k2")
+    val dupFlag = gatedKeys
+      .withColumn("is_dup",
+        when(col("doc_id") =!= min(col("doc_id")).over(w), 1L).otherwise(0L))
+      .select("doc_id", "is_dup")
+    val contam = Contamination.decontaminate(docs, eval)
+      .select(col("doc_id"), col("contaminated"))
+    docs.select("doc_id")
+      .join(rules, "doc_id")
+      .join(rep, "doc_id")
+      .join(dupFlag, Seq("doc_id"), "left")
+      .join(contam, "doc_id")
+      .select(col("doc_id"), col("pass_rules"), col("pass_rep"),
+        coalesce(col("is_dup"), lit(0L)).as("is_dup"),
+        col("contaminated"),
+        when(col("pass_rules") === 1L && col("pass_rep") === 1L &&
+          coalesce(col("is_dup"), lit(0L)) === 0L &&
+          col("contaminated") === 0L, 1L).otherwise(0L).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val qPipelineAudit: Q = Q(
+    "q_pipeline_audit",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      pipelineAudit(
+        docs.filter(col("doc_id") % Contamination.EvalMod =!= 0),
+        docs.filter(col("doc_id") % Contamination.EvalMod === 0))
+    },
+    Some {
+      val train =
+        s"(SELECT * FROM documents WHERE doc_id % ${Contamination.EvalMod} <> 0)"
+      val k = Contamination.NgramK
+      s"""WITH ${TextAnalysis.sqlGopherCountsCte(train)},
+      ${TextAnalysis.sqlGopherRepCtes(train)},
+      rules AS (SELECT doc_id,
+          CAST(CASE WHEN ${TextAnalysis.sqlGopherKeptCond}
+            THEN 1 ELSE 0 END AS BIGINT) AS pass_rules
+        FROM gc),
+      rep AS (SELECT doc_id,
+          CAST(CASE WHEN ${TextAnalysis.sqlGopherRepKeptCond}
+            THEN 1 ELSE 0 END AS BIGINT) AS pass_rep
+        FROM rsel),
+      pkeys AS (SELECT doc_id,
+          md5(${sqlNormText("text")}) AS kk1,
+          ${sqlPolyHash(sqlNormText("text"))} AS kk2
+        FROM $train),
+      gated AS (SELECT k.doc_id, kk1, kk2
+        FROM pkeys k JOIN rules USING (doc_id) JOIN rep USING (doc_id)
+        WHERE pass_rules = 1 AND pass_rep = 1),
+      dupf AS (SELECT doc_id,
+          CAST(CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY kk1, kk2)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        FROM gated),
+      ptoks AS (SELECT doc_id,
+          list_filter(${sqlWords("text")}, t -> t <> '') AS pw
+        FROM documents),
+      psh AS (SELECT doc_id,
+          list_distinct(${sqlShingles("pw", k)}) AS sh FROM ptoks),
+      peval AS (SELECT DISTINCT unnest(sh) AS s FROM psh
+        WHERE doc_id % ${Contamination.EvalMod} = 0),
+      pex AS (SELECT doc_id, unnest(sh) AS s FROM psh
+        WHERE doc_id % ${Contamination.EvalMod} <> 0),
+      phits AS (SELECT doc_id, count(*) AS n_hit
+        FROM pex JOIN peval USING (s) GROUP BY 1),
+      contam AS (SELECT t.doc_id,
+          CAST(CASE WHEN COALESCE(h.n_hit, 0) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS contaminated
+        FROM psh t LEFT JOIN phits h USING (doc_id)
+        WHERE t.doc_id % ${Contamination.EvalMod} <> 0)
+      SELECT r.doc_id, pass_rules, pass_rep,
+        CAST(COALESCE(is_dup, 0) AS BIGINT) AS is_dup, contaminated,
+        CAST(CASE WHEN pass_rules = 1 AND pass_rep = 1
+          AND COALESCE(is_dup, 0) = 0 AND contaminated = 0
+          THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM rules r
+        JOIN rep USING (doc_id)
+        LEFT JOIN dupf USING (doc_id)
+        JOIN contam USING (doc_id)
+      ORDER BY r.doc_id"""
+    })
+
   val qStreamCurateBatch: Q = Q(
     "q_stream_curate_batch",
     (s, d) => curate(Tables.documents(s, d), dropNearDups = false)
@@ -184,5 +303,6 @@ object Curation {
       WHERE doc_id = m
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(qCurate, qCurateCc, qStreamCurateBatch)
+  val all: Seq[Q] =
+    Seq(qCurate, qCurateCc, qPipelineAudit, qStreamCurateBatch)
 }

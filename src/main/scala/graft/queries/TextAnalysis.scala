@@ -358,15 +358,20 @@ object TextAnalysis {
     * synthetic vocabulary, which would pin r7 (and `kept`) to 0 for
     * every row and verify nothing. Paper defaults stay the API
     * defaults. */
-  val qGopherRules: Q = Q(
-    "q_gopher_rules",
-    (s, d) => gopherRules(Tables.documents(s, d), minWords = 10L, stops = stopEn),
-    Some {
-      val toks = s"list_filter(string_split_regex(text, '${GopherWs}+'), t -> t <> '')"
-      val stops = stopEn
-        .map(s => s"CASE WHEN list_contains(lt, '$s') THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH c AS (
+  /** The corpus-bearing stop set the C16/C18 oracle rows gate on (the
+    * paper's Gopher stop set shares only {the} with the synthetic
+    * vocabulary and would pin r7 to 0 everywhere). */
+  private[queries] val CorpusStops: Seq[String] = stopEn
+
+  /** C16's counts CTE body over `tbl` (any table or parenthesized
+    * subquery) — shared by the flags oracle below and the D17
+    * composed-pipeline oracle, so the two can never drift. */
+  private[queries] def sqlGopherCountsCte(tbl: String): String = {
+    val toks = s"list_filter(string_split_regex(text, '${GopherWs}+'), t -> t <> '')"
+    val stops = CorpusStops
+      .map(s => s"CASE WHEN list_contains(lt, '$s') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""gc AS (
         SELECT doc_id,
           CAST(len(toks) AS BIGINT) AS n_words,
           CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS sum_chars,
@@ -379,7 +384,26 @@ object TextAnalysis {
         FROM (SELECT doc_id, text, ($toks) AS toks,
             list_transform(($toks), t -> lower(t)) AS lt,
             string_split(text, chr(10)) AS lns
-          FROM documents) t)
+          FROM $tbl) t)"""
+  }
+
+  /** C16's composed kept condition over the [[sqlGopherCountsCte]]
+    * columns (minWords = 10, the oracle-row setting). */
+  private[queries] val sqlGopherKeptCond: String =
+    """n_words >= 10 AND n_words <= 100000
+          AND sum_chars >= n_words * 3 AND sum_chars <= n_words * 10
+          AND n_sym * 10 <= n_words
+          AND n_bullet * 10 <= n_lines
+          AND n_ell * 10 <= n_lines * 3
+          AND n_alpha * 10 >= n_words * 8
+          AND n_stops >= 2"""
+
+  val qGopherRules: Q = Q(
+    "q_gopher_rules",
+    (s, d) =>
+      gopherRules(Tables.documents(s, d), minWords = 10L, stops = CorpusStops),
+    Some {
+      s"""WITH ${sqlGopherCountsCte("documents")}
       SELECT doc_id, n_words,
         CAST(CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS r1_words,
         CAST(CASE WHEN sum_chars >= n_words * 3 AND sum_chars <= n_words * 10 THEN 1 ELSE 0 END AS BIGINT) AS r2_wordlen,
@@ -388,14 +412,8 @@ object TextAnalysis {
         CAST(CASE WHEN n_ell * 10 <= n_lines * 3 THEN 1 ELSE 0 END AS BIGINT) AS r5_ell,
         CAST(CASE WHEN n_alpha * 10 >= n_words * 8 THEN 1 ELSE 0 END AS BIGINT) AS r6_alpha,
         CAST(CASE WHEN n_stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r7_stop,
-        CAST(CASE WHEN n_words >= 10 AND n_words <= 100000
-          AND sum_chars >= n_words * 3 AND sum_chars <= n_words * 10
-          AND n_sym * 10 <= n_words
-          AND n_bullet * 10 <= n_lines
-          AND n_ell * 10 <= n_lines * 3
-          AND n_alpha * 10 >= n_words * 8
-          AND n_stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS kept
-      FROM c ORDER BY doc_id"""
+        CAST(CASE WHEN $sqlGopherKeptCond THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM gc ORDER BY doc_id"""
     })
 
   /** Max char coverage of any single word `n`-gram in a token array:
@@ -494,28 +512,29 @@ object TextAnalysis {
     * count×chars) — hash-equality against the native kernel's hashed
     * single-pass fold doubles as the fold's losslessness proof (the
     * D4b pattern). */
-  val qGopherRep: Q = Q(
-    "q_gopher_rep",
-    (s, d) => gopherRepetition(Tables.documents(s, d)),
-    Some {
-      def top(n: Int): String = {
-        val sh = sqlShingles("w", n)
-        s"""(SELECT doc_id, CAST(max(c * (length(g) - ${n - 1})) AS BIGINT)
-              AS top${n}_chars
-            FROM (SELECT doc_id, g, count(*) AS c
-              FROM (SELECT doc_id, unnest($sh) AS g FROM base)
-              GROUP BY doc_id, g)
-            GROUP BY doc_id)"""
-      }
-      s"""WITH base AS (
+  /** C17's base/counts/sel CTE chain over `tbl` (CTE names rbase, rc,
+    * rsel — collision-free when combined with [[sqlGopherCountsCte]]
+    * in the D17 composed-pipeline oracle, which shares this builder
+    * with the flags oracle below). */
+  private[queries] def sqlGopherRepCtes(tbl: String): String = {
+    def top(n: Int): String = {
+      val sh = sqlShingles("w", n)
+      s"""(SELECT doc_id, CAST(max(c * (length(g) - ${n - 1})) AS BIGINT)
+            AS top${n}_chars
+          FROM (SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id, unnest($sh) AS g FROM rbase)
+            GROUP BY doc_id, g)
+          GROUP BY doc_id)"""
+    }
+    s"""rbase AS (
         SELECT doc_id,
           list_filter(string_split_regex(text, '${GopherWs}+'), t -> t <> '') AS w,
           list_filter(list_transform(string_split(text, chr(10)),
             l -> trim(l)), l -> l <> '') AS lns,
           list_filter(list_transform(string_split(text, chr(10)||chr(10)),
             p -> trim(p)), p -> p <> '') AS ps
-        FROM documents),
-      c AS (
+        FROM $tbl),
+      rc AS (
         SELECT doc_id,
           CAST(len(lns) AS BIGINT) AS n_lines,
           CAST(len(lns) - len(list_distinct(lns)) AS BIGINT) AS dup_lines,
@@ -523,16 +542,31 @@ object TextAnalysis {
           CAST(len(ps) - len(list_distinct(ps)) AS BIGINT) AS dup_paras,
           CAST(coalesce(list_sum(list_transform(w, t -> length(t))), 0)
             AS BIGINT) AS sum_chars
-        FROM base),
-      sel AS (
-        SELECT c.doc_id, n_lines, dup_lines, n_paras, dup_paras, sum_chars,
+        FROM rbase),
+      rsel AS (
+        SELECT rc.doc_id, n_lines, dup_lines, n_paras, dup_paras, sum_chars,
           CAST(coalesce(top2_chars, 0) AS BIGINT) AS top2_chars,
           CAST(coalesce(top3_chars, 0) AS BIGINT) AS top3_chars,
           CAST(coalesce(top4_chars, 0) AS BIGINT) AS top4_chars
-        FROM c
-          LEFT JOIN ${top(2)} t2 ON c.doc_id = t2.doc_id
-          LEFT JOIN ${top(3)} t3 ON c.doc_id = t3.doc_id
-          LEFT JOIN ${top(4)} t4 ON c.doc_id = t4.doc_id)
+        FROM rc
+          LEFT JOIN ${top(2)} t2 ON rc.doc_id = t2.doc_id
+          LEFT JOIN ${top(3)} t3 ON rc.doc_id = t3.doc_id
+          LEFT JOIN ${top(4)} t4 ON rc.doc_id = t4.doc_id)"""
+  }
+
+  /** C17's composed kept condition over the `rsel` columns. */
+  private[queries] val sqlGopherRepKeptCond: String =
+    """dup_lines * 10 <= n_lines * 3
+          AND dup_paras * 10 <= n_paras * 3
+          AND top2_chars * 5 <= sum_chars
+          AND top3_chars * 50 <= sum_chars * 9
+          AND top4_chars * 25 <= sum_chars * 4"""
+
+  val qGopherRep: Q = Q(
+    "q_gopher_rep",
+    (s, d) => gopherRepetition(Tables.documents(s, d)),
+    Some {
+      s"""WITH ${sqlGopherRepCtes("documents")}
       SELECT doc_id, n_lines, dup_lines, n_paras, dup_paras, sum_chars,
         top2_chars, top3_chars, top4_chars,
         CAST(CASE WHEN dup_lines * 10 <= n_lines * 3 THEN 1 ELSE 0 END AS BIGINT) AS r1_dupline,
@@ -540,12 +574,8 @@ object TextAnalysis {
         CAST(CASE WHEN top2_chars * 5 <= sum_chars THEN 1 ELSE 0 END AS BIGINT) AS r3_top2,
         CAST(CASE WHEN top3_chars * 50 <= sum_chars * 9 THEN 1 ELSE 0 END AS BIGINT) AS r4_top3,
         CAST(CASE WHEN top4_chars * 25 <= sum_chars * 4 THEN 1 ELSE 0 END AS BIGINT) AS r5_top4,
-        CAST(CASE WHEN dup_lines * 10 <= n_lines * 3
-          AND dup_paras * 10 <= n_paras * 3
-          AND top2_chars * 5 <= sum_chars
-          AND top3_chars * 50 <= sum_chars * 9
-          AND top4_chars * 25 <= sum_chars * 4 THEN 1 ELSE 0 END AS BIGINT) AS kept
-      FROM sel ORDER BY doc_id"""
+        CAST(CASE WHEN $sqlGopherRepKeptCond THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM rsel ORDER BY doc_id"""
     })
 
   /** C4: document fingerprinting — md5 plus the portable 64-bit polynomial

@@ -52,4 +52,51 @@ class PipelineSpec extends SparkSpec {
     val paired = labels.count()
     assert(cluster.count() == afterExact.count() - (paired - multi))
   }
+
+  test("pipelineAudit stages flags as the paper orders them") {
+    import spark.implicits._
+    // passes both gates: 35 words (>= 10), 7 corpus stopwords, every
+    // token distinct (no dominant gram — a SHORT doc fails r5_top4
+    // purely because one 4-gram is >16% of its chars), and a tag token
+    // every 5 positions so docs with different tags share no 8-gram
+    // (keeps the contamination stage planted, not accidental)
+    def good(t: String) = Seq(
+      s"the cat ${t}aa big house", s"and dog ${t}bb warm garden",
+      s"of bird ${t}cc tall market", s"to fish ${t}dd wide basket",
+      s"a goat ${t}ee ripe apple", s"in lamb ${t}ff sweet pear",
+      s"is wolf ${t}gg fresh plum").mkString(" ")
+    val eval = Seq((0L, good("evl"))).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, good("one")),               // clean: kept
+      (2L, good("two")),               // content-dup of 5 (gated pair)
+      (3L, "tiny doc"),                // fails rule gate (word count)
+      (4L, Seq.fill(9)("same line of the text here and there again").mkString("\n")), // fails rep gate
+      (5L, good("two")),               // dup of 2 -> larger id excised
+      (6L, "tiny doc"),                // content-dup of 3 but BOTH gated out -> is_dup 0
+      (7L, good("evl")))               // contaminated (quotes the eval doc)
+      .toDF("doc_id", "text")
+    val out = Graft.pipelineAudit(train, eval).collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    // "tiny doc" also fails the rep gate: its ONE 2-gram covers 100%
+    // of its chars — the short-doc r3 regime, stage-faithful here
+    assert(out == Seq(
+      (1L, 1L, 1L, 0L, 0L, 1L),
+      (2L, 1L, 1L, 0L, 0L, 1L),
+      (3L, 0L, 0L, 0L, 0L, 0L),
+      (4L, 1L, 0L, 0L, 0L, 0L),
+      (5L, 1L, 1L, 1L, 0L, 0L),
+      (6L, 0L, 0L, 0L, 0L, 0L),
+      (7L, 1L, 1L, 0L, 1L, 0L)), out)
+    // differential vs the standalone stages on the same frames
+    val rules = graft.queries.TextAnalysis.gopherRules(train, minWords = 10L,
+      stops = Seq("the", "a", "of", "and", "to", "in", "is"))
+      .select($"doc_id", $"kept").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, pr, _, _, _, _) => assert(rules(id) == pr, id) }
+    val contam = Graft.decontaminate(train, eval)
+      .select($"doc_id", $"contaminated").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, _, _, _, c, _) => assert(contam(id) == c, id) }
+    graft.ops.Release.sweep(spark)
+  }
 }
