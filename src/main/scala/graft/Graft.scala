@@ -336,8 +336,10 @@ object Graft {
   /** MassiveWeb-style staging audit: rule gates → repetition gates →
     * exact dedup → decontamination, per-doc stage flags in ONE plan
     * ([[graft.queries.Curation.pipelineAudit]]). */
-  def pipelineAudit(docs: DataFrame, eval: DataFrame): DataFrame =
-    queries.Curation.pipelineAudit(docs, eval)
+  def pipelineAudit(docs: DataFrame, eval: DataFrame,
+      minWords: Long = 50L,
+      stops: Seq[String] = queries.TextAnalysis.GopherStops): DataFrame =
+    queries.Curation.pipelineAudit(docs, eval, minWords, stops)
   /** [[decontaminate]] behind a broadcast Bloom prefilter + exact
     * rescore — bit-identical output, for reference sets too big to
     * broadcast as strings

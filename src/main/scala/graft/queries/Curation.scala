@@ -159,12 +159,6 @@ object Curation {
       WHERE doc_id NOT IN (SELECT id_b FROM mh_pairs)
       ORDER BY doc_id"""))
 
-  /** G6's batch twin as an oracle row: quality gate + exact content
-    * dedup, NO near-dup stage — exactly the batch semantics
-    * [[graft.streaming.Streams.curateStream]] converges to (proved by
-    * the StreamsSpec differential on kept content). Registering it
-    * with its own DuckDB oracle closes the G6 chain:
-    * stream == batch (spec) and batch == DuckDB (hash). */
   /** D17 — the MassiveWeb/Gopher pipeline STAGING AUDIT (Rae '21's
     * order: rule gates → repetition gates → dedup → decontamination)
     * as ONE declarative plan: per training doc, which stage takes it
@@ -190,28 +184,35 @@ object Curation {
     * window partitions on 24-byte content keys of the GATED subset
     * only; contamination is the broadcast-eval probe; the final
     * assembly joins doc_id-keyed flag frames — text never shuffles. */
-  def pipelineAudit(docs: DataFrame, eval: DataFrame): DataFrame = {
-    val rules = TextAnalysis
-      .gopherFlags(docs, 10L, 100000L, TextAnalysis.CorpusStops)
-      .select(col("doc_id"), col("kept").as("pass_rules"))
-    val rep = TextAnalysis.gopherRepFlags(docs)
-      .select(col("doc_id"), col("kept").as("pass_rep"))
-    val (k1, k2) = Dedup.contentKeyCols(col("text"))
-    val gatedKeys = docs.select(col("doc_id"), k1.as("k1"), k2.as("k2"))
-      .join(rules.filter(col("pass_rules") === 1L).select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      .join(rep.filter(col("pass_rep") === 1L).select("doc_id"),
-        Seq("doc_id"), "left_semi")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("k1", "k2")
-    val dupFlag = gatedKeys
-      .withColumn("is_dup",
-        when(col("doc_id") =!= min(col("doc_id")).over(w), 1L).otherwise(0L))
-      .select("doc_id", "is_dup")
+  /** @param minWords C16 gate floor — PAPER default (50), like
+    *        `gopherRules`; the oracle row passes 10 + the
+    *        corpus-bearing stop set (the C16 oracle-row settings), so
+    *        the gates discriminate on the synthetic corpus.
+    * @param stops C16 stopword-presence set, paper default. */
+  def pipelineAudit(docs: DataFrame, eval: DataFrame,
+      minWords: Long = 50L,
+      stops: Seq[String] = TextAnalysis.GopherStops): DataFrame = {
+    // ONE evaluation of both gate map stages: the flags frame feeds
+    // the gated-subset filter AND the final flag join — memo-persisted
+    // so the regex tokenization + native kernels run once per doc, not
+    // once per referencing branch
+    val flags = pipeFlagCache.memo(
+      TextAnalysis.gopherFlags(docs, minWords, 100000L, stops)
+        .select(col("doc_id"), col("kept").as("pass_rules"))
+        .join(TextAnalysis.gopherRepFlags(docs)
+          .select(col("doc_id"), col("kept").as("pass_rep")), "doc_id"))
+    // dedup = THE D1 operator over the gated sub-corpus (content keys
+    // computed only for docs the gates admit): any future change to
+    // D1's survivor rule flows through here by construction
+    val gatedDocs = docs.join(
+      flags.filter(col("pass_rules") === 1L && col("pass_rep") === 1L)
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val dupFlag = Dedup.exactDuplicates(gatedDocs)
+      .select(col("doc_id"), col("is_dup").cast("long").as("is_dup"))
     val contam = Contamination.decontaminate(docs, eval)
       .select(col("doc_id"), col("contaminated"))
-    docs.select("doc_id")
-      .join(rules, "doc_id")
-      .join(rep, "doc_id")
+    flags
       .join(dupFlag, Seq("doc_id"), "left")
       .join(contam, "doc_id")
       .select(col("doc_id"), col("pass_rules"), col("pass_rep"),
@@ -223,13 +224,18 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Memo of [[pipelineAudit]]'s gate-flags frame (see
+    * [[graft.ops.PlanCache]]; released by [[graft.ops.Release]]). */
+  private[this] val pipeFlagCache = new graft.ops.PlanCache(capacity = 2)
+
   val qPipelineAudit: Q = Q(
     "q_pipeline_audit",
     (s, d) => {
       val docs = Tables.documents(s, d)
       pipelineAudit(
         docs.filter(col("doc_id") % Contamination.EvalMod =!= 0),
-        docs.filter(col("doc_id") % Contamination.EvalMod === 0))
+        docs.filter(col("doc_id") % Contamination.EvalMod === 0),
+        minWords = 10L, stops = TextAnalysis.CorpusStops)
     },
     Some {
       val train =
@@ -284,6 +290,12 @@ object Curation {
       ORDER BY r.doc_id"""
     })
 
+  /** G6's batch twin as an oracle row: quality gate + exact content
+    * dedup, NO near-dup stage — exactly the batch semantics
+    * [[graft.streaming.Streams.curateStream]] converges to (proved by
+    * the StreamsSpec differential on kept content). Registering it
+    * with its own DuckDB oracle closes the G6 chain:
+    * stream == batch (spec) and batch == DuckDB (hash). */
   val qStreamCurateBatch: Q = Q(
     "q_stream_curate_batch",
     (s, d) => curate(Tables.documents(s, d), dropNearDups = false)

@@ -352,12 +352,6 @@ object TextAnalysis {
           flags.map(_._2).reduce(_ && _).cast("long").as("kept")): _*)
   }
 
-  /** Oracle row: minWords lowered to 10 (the synthetic docs run ~30
-    * words) and the stop set swapped to the corpus-bearing C3 English
-    * set — the paper's Gopher stop set shares only {the} with the
-    * synthetic vocabulary, which would pin r7 (and `kept`) to 0 for
-    * every row and verify nothing. Paper defaults stay the API
-    * defaults. */
   /** The corpus-bearing stop set the C16/C18 oracle rows gate on (the
     * paper's Gopher stop set shares only {the} with the synthetic
     * vocabulary and would pin r7 to 0 everywhere). */
@@ -398,6 +392,12 @@ object TextAnalysis {
           AND n_alpha * 10 >= n_words * 8
           AND n_stops >= 2"""
 
+  /** Oracle row: minWords lowered to 10 (the synthetic docs run ~30
+    * words) and the stop set swapped to the corpus-bearing C3 English
+    * set — the paper's Gopher stop set shares only {the} with the
+    * synthetic vocabulary, which would pin r7 (and `kept`) to 0 for
+    * every row and verify nothing. Paper defaults stay the API
+    * defaults. */
   val qGopherRules: Q = Q(
     "q_gopher_rules",
     (s, d) =>

@@ -75,9 +75,11 @@ class PipelineSpec extends SparkSpec {
       (6L, "tiny doc"),                // content-dup of 3 but BOTH gated out -> is_dup 0
       (7L, good("evl")))               // contaminated (quotes the eval doc)
       .toDF("doc_id", "text")
-    val out = Graft.pipelineAudit(train, eval).collect().toSeq.map(r =>
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-        r.getLong(5)))
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    val out = Graft.pipelineAudit(train, eval, minWords = 10L, stops = stops)
+      .collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))
     // "tiny doc" also fails the rep gate: its ONE 2-gram covers 100%
     // of its chars — the short-doc r3 regime, stage-faithful here
     assert(out == Seq(
@@ -88,11 +90,22 @@ class PipelineSpec extends SparkSpec {
       (5L, 1L, 1L, 1L, 0L, 0L),
       (6L, 0L, 0L, 0L, 0L, 0L),
       (7L, 1L, 1L, 0L, 1L, 0L)), out)
-    // differential vs the standalone stages on the same frames
-    val rules = graft.queries.TextAnalysis.gopherRules(train, minWords = 10L,
-      stops = Seq("the", "a", "of", "and", "to", "in", "is"))
+    // differential vs EVERY standalone stage on the same frames
+    val rules = graft.queries.TextAnalysis
+      .gopherRules(train, minWords = 10L, stops = stops)
       .select($"doc_id", $"kept").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     out.foreach { case (id, pr, _, _, _, _) => assert(rules(id) == pr, id) }
+    val rep = Graft.gopherRepetition(train)
+      .select($"doc_id", $"kept").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, _, pp, _, _, _) => assert(rep(id) == pp, id) }
+    val gatedIds = out.filter(o => o._2 == 1L && o._3 == 1L).map(_._1).toSet
+    val dup = Graft.exactDuplicates(train.filter($"doc_id".isin(gatedIds.toSeq: _*)))
+      .select($"doc_id", $"is_dup").collect()
+      .map(r => r.getLong(0) -> (if (r.getBoolean(1)) 1L else 0L)).toMap
+    out.foreach { case (id, _, _, d, _, _) =>
+      assert(dup.getOrElse(id, 0L) == d, id)
+    }
     val contam = Graft.decontaminate(train, eval)
       .select($"doc_id", $"contaminated").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
