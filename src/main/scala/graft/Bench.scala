@@ -100,11 +100,15 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val heldJson = held.collect { case (k, v) if v > 0 => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // Drift = slowest probe / fastest probe across the sweep. ~1.0 on a
-    // quiet machine; >1.5 means ambient load varied DURING the sweep and
+    // Drift = slowest probe / MEDIAN probe across the sweep. ~1.0 on a
+    // quiet machine; >1.5 means ambient load spiked DURING the sweep and
     // per-query numbers near slow probes are suspect — re-run before
     // reading any regression off this artifact (round-7 lesson).
-    val calDrift = calibrations.max / calibrations.min
+    // Median, not min, as the baseline: one idle-fast probe (e.g. the
+    // first, on a cold empty block cache) would otherwise flag a
+    // perfectly quiet sweep as contended.
+    val calSorted = calibrations.sorted
+    val calDrift = calibrations.max / calSorted(calSorted.size / 2)
     if (calDrift > 1.5)
       System.err.println(f"bench WARNING: calibration drift ${calDrift}%.2fx -- " +
         "ambient contention during the sweep; timings unreliable, re-run")
