@@ -347,6 +347,13 @@ object Graft {
   def decontaminateBloom(train: DataFrame, eval: DataFrame,
       bits: Int = 1 << 20, probes: Int = 5): DataFrame =
     queries.Contamination.decontaminateBloom(train, eval, bits, probes)
+  /** [[decontaminateBloom]]'s large-reference twin: the bits ride a
+    * SparkContext.broadcast probed by a UDF — for filters past the
+    * plan-literal sweet spot (~2^24 bits)
+    * ([[graft.queries.Contamination.decontaminateBloomBroadcast]]). */
+  def decontaminateBloomBroadcast(train: DataFrame, eval: DataFrame,
+      bits: Int = 1 << 20, probes: Int = 5): DataFrame =
+    queries.Contamination.decontaminateBloomBroadcast(train, eval, bits, probes)
   /** Unigram-LM cross-entropy quality score, ordered-fold determinism
     * ([[graft.queries.Ranking.unigramXent]]). */
   def unigramXent(docs: DataFrame, threshold: Double = 7.0): DataFrame =

@@ -247,6 +247,92 @@ object Contamination {
     * released by [[graft.ops.Release]]). */
   private[this] val bloomFrameCache = new graft.ops.PlanCache(capacity = 2)
 
+  /** [[decontaminateBloom]]'s LARGE-REFERENCE form: identical output
+    * (exactness still comes from the rescore join), but the bit array
+    * rides a `SparkContext.broadcast` probed by a Scala UDF instead of
+    * a plan literal — the right trade beyond ~2^24 bits, where a
+    * literal would bloat every task binary and make plan comparisons
+    * element-wise over millions of longs. The broadcast ships once per
+    * executor over the torrent protocol however many stages read it.
+    *
+    * Build and probe share one pure-Scala FNV-1a-style 64-bit hash
+    * seeded per probe index (they only need to agree with EACH OTHER —
+    * a Bloom prefilter's hash family is internal, and any false
+    * positive dies in the rescore). Prefer [[decontaminateBloom]]
+    * (codegen probe, no UDF boundary) until reference size forces this
+    * form. */
+  def decontaminateBloomBroadcast(train: DataFrame, eval: DataFrame,
+      bits: Int = 1 << 20, probes: Int = 5): DataFrame = {
+    require(bits >= 64 && (bits & (bits - 1)) == 0,
+      s"bits must be a power of two >= 64, got $bits")
+    require(probes >= 1 && probes <= 16, s"probes must be in [1,16], got $probes")
+    val evalSet = shingleSet(eval)
+      .select(explode(col("sh")).as("s")).distinct()
+    def fnv(s: String, seed: Int): Long = {
+      var h = 0xcbf29ce484222325L ^ (seed * 0x9E3779B97F4A7C15L)
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+      h
+    }
+    val nProbes = probes
+    val mask = bits - 1
+    val posUdf = udf { s: String =>
+      (0 until nProbes).map(i => (fnv(s, i) & mask.toLong).toInt).toArray
+    }
+    // -bits namespaces this FNV-hash family's filters away from the
+    // literal form's xxhash64 filters — same eval frame, same sizing,
+    // but the bit patterns are incompatible
+    val cacheKey =
+      (eval.queryExecution.analyzed.canonicalized, -bits, probes)
+    val lutArr = bloomCached(cacheKey) {
+      val words = evalSet
+        .select(explode(posUdf(col("s"))).as("p"))
+        .select((col("p") / 64).cast("int").as("w"),
+          call_function("shiftleft", lit(1L), pmod(col("p"), lit(64)).cast("int")).as("m"))
+        .groupBy(col("w")).agg(expr("bit_or(m)").as("m"))
+        .collect()
+      val arr = new Array[Long](bits / 64)
+      words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+      arr
+    }
+    val bc = train.sparkSession.sparkContext.broadcast(lutArr)
+    val probeUdf = udf { s: String =>
+      if (s == null) false
+      else {
+        val lut = bc.value
+        var i = 0
+        var ok = true
+        while (ok && i < nProbes) {
+          val p = (fnv(s, i) & mask.toLong).toInt
+          ok = ((lut(p >>> 6) >>> (p & 63)) & 1L) == 1L
+          i += 1
+        }
+        ok
+      }
+    }
+    val perDoc = bloomFrameCache.memo(
+      shingleSet(train)
+        .select(col("doc_id"), explode_outer(col("sh")).as("s"))
+        .groupBy("doc_id")
+        .agg(count(col("s")).as("n_shingles"),
+          collect_list(when(probeUdf(col("s")), col("s"))).as("cand")))
+    val nHit = perDoc
+      .select(col("doc_id"), explode(col("cand")).as("s"))
+      .join(evalSet, Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    perDoc.select(col("doc_id"), col("n_shingles"))
+      .join(nHit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_shingles") > 0,
+          coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)).as("hit_ratio"),
+        when(coalesce(col("n_hit"), lit(0L)) > 0, 1L).otherwise(0L)
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** The span form (D9c): WHERE in each training doc the benchmark
     * leak sits — maximal token intervals covered by [[NgramK]]-grams
     * present anywhere in the eval set, the GPT-3 appendix-C procedure's

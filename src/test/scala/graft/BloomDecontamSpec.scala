@@ -49,6 +49,18 @@ class BloomDecontamSpec extends SparkSpec {
     assert(bloom == exact)
   }
 
+  test("the broadcast-UDF large-reference twin equals the exact flag too") {
+    val (train, eval) = corpus
+    val exact = collected(Graft.decontaminate(train, eval))
+    val bc = collected(Graft.decontaminateBloomBroadcast(train, eval))
+    assert(bc == exact)
+    // and at a pathological 64-bit sizing (own FNV family, all probes
+    // colliding) — exactness must come from the rescore here as well
+    val tiny = collected(
+      Graft.decontaminateBloomBroadcast(train, eval, bits = 64, probes = 2))
+    assert(tiny == exact)
+  }
+
   test("an empty eval side flags nothing and keeps every train row") {
     val (train, _) = corpus
     val eval = Seq.empty[(Long, String)].toDF("doc_id", "text")
