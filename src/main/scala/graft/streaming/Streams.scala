@@ -309,6 +309,59 @@ object Streams {
   def gopherRepStream(docs: DataFrame): DataFrame =
     graft.queries.TextAnalysis.gopherRepFlags(docs)
 
+  /** G11: the streaming INGEST pipeline — the D17 curation flow at
+    * micro-batch granularity, composed from the same oracle-checked
+    * stages: each arriving batch is (1) gate-screened (C16 ∧ C17 —
+    * stateless maps, applied directly), (2) near-dup-flagged against
+    * the FIXED known lake and within the batch (D13b's restricted
+    * band join — the lake never self-pairs), and (3) decontaminated
+    * against the eval set (D9's gate form). Survivors reach `each`.
+    *
+    * Cross-batch dedup state is the LAKE-APPEND flow, deliberately
+    * outside this operator: in production each batch's survivors are
+    * appended to the lake's signature store before the next batch runs
+    * (the D13 "store the keys precomputed" note), so batch N+1 sees
+    * batch N through `known`. Within one call, `known` is fixed —
+    * exactly D13b's contract, which is what makes each micro-batch's
+    * output equal the batch pipeline run on that batch alone
+    * (StreamingSpec's differential). */
+  def ingestStream(
+      docs: DataFrame,
+      known: DataFrame,
+      evalDocs: DataFrame,
+      minWords: Long = 50L,
+      stops: Seq[String] = graft.queries.TextAnalysis.GopherStops)(
+      each: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        each(ingestBatch(batch, known, evalDocs, minWords, stops))
+      }
+      .start()
+
+  /** One micro-batch of [[ingestStream]] as a batch plan — shared by
+    * the stream wrapper and the spec differential. */
+  private[graft] def ingestBatch(
+      batch: DataFrame,
+      known: DataFrame,
+      evalDocs: DataFrame,
+      minWords: Long,
+      stops: Seq[String]): DataFrame = {
+    import graft.queries.{Contamination, Dedup, TextAnalysis}
+    val gated = batch
+      .join(TextAnalysis.gopherFlags(batch, minWords, 100000L, stops)
+        .filter(org.apache.spark.sql.functions.col("kept") === 1L)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(TextAnalysis.gopherRepFlags(batch)
+        .filter(org.apache.spark.sql.functions.col("kept") === 1L)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    val keep = Dedup.dedupIncrementalMinhash(gated, known)
+      .filter(org.apache.spark.sql.functions.col("keep") === 1L)
+      .select("doc_id")
+    Contamination.decontamGate(
+      gated.join(keep, Seq("doc_id"), "left_semi"), evalDocs)
+  }
+
   /** G7: streaming decontamination at ingest — the gate form of the
     * batch [[graft.queries.Contamination.decontamGate]]: every arriving
     * doc whose distinct word-n-gram hashes overlap the held-out eval

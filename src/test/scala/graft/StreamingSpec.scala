@@ -561,6 +561,50 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ingestStream survivors equal the per-batch ingest pipeline across batch splits") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    // 35-word docs, all tokens distinct, a tag token every 5 positions
+    // (same construction as PipelineSpec: passes both gates, and docs
+    // with different tags share no shingles beyond the template slots)
+    def good(t: String) = Seq(
+      s"the cat ${t}aa big house", s"and dog ${t}bb warm garden",
+      s"of bird ${t}cc tall market", s"to fish ${t}dd wide basket",
+      s"a goat ${t}ee ripe apple", s"in lamb ${t}ff sweet pear",
+      s"is wolf ${t}gg fresh plum").mkString(" ")
+    val known = Seq((100L, good("lke"))).toDF("doc_id", "text")
+    val eval = Seq((200L, good("evl"))).toDF("doc_id", "text")
+    val batch1 = Seq(
+      StreamingSpec.Doc(1L, good("one")),   // survives
+      StreamingSpec.Doc(2L, good("lke")),   // near-dup of the lake doc
+      StreamingSpec.Doc(3L, "tiny doc"))    // fails the gates
+    val batch2 = Seq(
+      StreamingSpec.Doc(4L, good("two")),   // survives
+      StreamingSpec.Doc(5L, good("two")),   // within-batch dup of 4
+      StreamingSpec.Doc(6L, good("evl")))   // quotes the eval doc
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val query = Streams.ingestStream(mem.toDF(), known, eval,
+      minWords = 10L, stops = stops) { surv =>
+      got ++= surv.select("doc_id").collect().map(_.getLong(0))
+    }
+    try {
+      mem.addData(batch1: _*)
+      query.processAllAvailable()
+      mem.addData(batch2: _*)
+      query.processAllAvailable()
+      assert(got.sorted == Seq(1L, 4L), got)
+      // differential: stream == the batch pipeline applied per batch
+      val want = Seq(batch1, batch2).flatMap { b =>
+        Streams.ingestBatch(
+          b.toDF().select(col("doc_id"), col("text")), known, eval,
+          10L, stops).select("doc_id").collect().map(_.getLong(0))
+      }
+      assert(got.sorted == want.sorted, s"stream $got vs batch $want")
+    } finally query.stop()
+  }
+
   test("gopherRepStream output equals batch gopherRepetition row-for-row across batch splits") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
