@@ -108,12 +108,27 @@ object Bench {
     // first, on a cold empty block cache) would otherwise flag a
     // perfectly quiet sweep as contended.
     val calSorted = calibrations.sorted
-    val calDrift = calibrations.max / calSorted(calSorted.size / 2)
+    val calMedian = calSorted(calSorted.size / 2)
+    val calDrift = calibrations.max / calMedian
     if (calDrift > 1.5)
       System.err.println(f"bench WARNING: calibration drift ${calDrift}%.2fx -- " +
         "ambient contention during the sweep; timings unreliable, re-run")
+    // Absolute elevation check, the relative drift's blind spot: the
+    // probes are FIXED work, so their absolute time is comparable
+    // across runs. Contention covering half or more of the sweep
+    // raises the median along with the max and reads as drift ~1.0 —
+    // exactly the round-7 across-the-board-slowdown shape. 0.42 s is
+    // the quiet-machine probe median pinned from the clean r8 artifact
+    // (series 0.36–0.55 s, median 0.410); a sweep whose median exceeds
+    // 1.5x that floor is elevated END-TO-END even if internally flat.
+    val CalQuietMedianS = 0.42
+    val calAbs = calMedian / CalQuietMedianS
+    if (calAbs > 1.5)
+      System.err.println(f"bench WARNING: calibration median ${calMedian}%.3f s is " +
+        f"${calAbs}%.2fx the quiet-machine floor ($CalQuietMedianS%.2f s) -- " +
+        "the WHOLE sweep ran under ambient load; timings unreliable, re-run")
     val calJson = calibrations.map(c => f"$c%.3f").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"storage_mb_held":$heldJson,"calibration_s":$calJson,"calibration_drift":${f"$calDrift%.3f"},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"storage_mb_held":$heldJson,"calibration_s":$calJson,"calibration_drift":${f"$calDrift%.3f"},"calibration_median_s":${f"$calMedian%.3f"},"calibration_abs":${f"$calAbs%.3f"},"sf":"$sfDir"}"""
     // The file is the durable artifact: stdout captures have twice lost
     // timings to tail-truncation of the single long JSON line.
     try {

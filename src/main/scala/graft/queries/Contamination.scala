@@ -132,9 +132,55 @@ object Contamination {
   private val bloomCache =
     scala.collection.mutable.LinkedHashMap.empty[BloomKey, Array[Long]]
 
+  /** Broadcast handles for [[decontaminateBloomBroadcast]]'s bit
+    * arrays, keyed like [[bloomCache]] — a repeat caller reuses the
+    * already-shipped broadcast instead of re-broadcasting an identical
+    * array per call (which accumulates executor-side broadcast blocks
+    * until the GC-driven ContextCleaner catches up). Evicted handles
+    * are `unpersist`ed (frees the executor copies immediately; the
+    * driver value survives so a still-lazy frame built against an
+    * evicted filter re-ships on demand rather than crashing — why this
+    * is unpersist, not destroy). [[clearBloomCache]] destroys them:
+    * the caller is declaring the underlying reference data changed, so
+    * any frame still holding the old handle is already wrong. */
+  private val broadcastCache = scala.collection.mutable.LinkedHashMap
+    .empty[BloomKey, org.apache.spark.broadcast.Broadcast[Array[Long]]]
+
   /** Drop every built Bloom filter (e.g. after rewriting a reference
     * set in place under the same path). */
-  def clearBloomCache(): Unit = bloomCache.synchronized(bloomCache.clear())
+  def clearBloomCache(): Unit = {
+    bloomCache.synchronized(bloomCache.clear())
+    broadcastCache.synchronized {
+      broadcastCache.valuesIterator.foreach(b =>
+        scala.util.Try(b.destroy()))
+      broadcastCache.clear()
+    }
+  }
+
+  private def broadcastCached(key: BloomKey,
+      sc: org.apache.spark.SparkContext)(build: => Array[Long])
+      : org.apache.spark.broadcast.Broadcast[Array[Long]] = {
+    val hit = broadcastCache.synchronized {
+      broadcastCache.remove(key).map { v => broadcastCache.put(key, v); v }
+    }
+    hit.getOrElse {
+      val arr = build // outside the lock: may run a Spark job
+      broadcastCache.synchronized {
+        broadcastCache.get(key) match {
+          case Some(v) => v // lost race keeps first
+          case None =>
+            val bc = sc.broadcast(arr)
+            while (broadcastCache.size >= BloomCacheCap) {
+              val (k0, old) = broadcastCache.head
+              broadcastCache.remove(k0)
+              scala.util.Try(old.unpersist(blocking = false))
+            }
+            broadcastCache.put(key, bc)
+            bc
+        }
+      }
+    }
+  }
 
   private def bloomCached(key: BloomKey)(build: => Array[Long]): Array[Long] = {
     val hit = bloomCache.synchronized {
@@ -285,18 +331,23 @@ object Contamination {
     // but the bit patterns are incompatible
     val cacheKey =
       (eval.queryExecution.analyzed.canonicalized, -bits, probes)
-    val lutArr = bloomCached(cacheKey) {
-      val words = evalSet
-        .select(explode(posUdf(col("s"))).as("p"))
-        .select((col("p") / 64).cast("int").as("w"),
-          call_function("shiftleft", lit(1L), pmod(col("p"), lit(64)).cast("int")).as("m"))
-        .groupBy(col("w")).agg(expr("bit_or(m)").as("m"))
-        .collect()
-      val arr = new Array[Long](bits / 64)
-      words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
-      arr
+    // The HANDLE is cached, not just the array: re-broadcasting an
+    // identical bit array per call leaked executor broadcast blocks in
+    // long-lived sessions (cleaned only when the driver GC'd the
+    // handle) — a repeat caller now reuses the already-shipped blocks.
+    val bc = broadcastCached(cacheKey, train.sparkSession.sparkContext) {
+      bloomCached(cacheKey) {
+        val words = evalSet
+          .select(explode(posUdf(col("s"))).as("p"))
+          .select((col("p") / 64).cast("int").as("w"),
+            call_function("shiftleft", lit(1L), pmod(col("p"), lit(64)).cast("int")).as("m"))
+          .groupBy(col("w")).agg(expr("bit_or(m)").as("m"))
+          .collect()
+        val arr = new Array[Long](bits / 64)
+        words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+        arr
+      }
     }
-    val bc = train.sparkSession.sparkContext.broadcast(lutArr)
     val probeUdf = udf { s: String =>
       if (s == null) false
       else {

@@ -326,13 +326,29 @@ object Dedup {
       .groupBy("doc_id")
       .agg(max(when(col("pknown"), 1).otherwise(0)).as("nk"),
         max(when(!col("pknown"), 1).otherwise(0)).as("nb"))
+    // The id-disjointness contract is ENFORCED, not just documented
+    // (the exciseSpans domain-guard pattern): an overlapping doc_id
+    // would put two texts under one id in the union, silently
+    // multiplying the band join and the signature rescore across
+    // mismatched (doc_id, text) pairs — and re-crawl ingest, this
+    // operator's own motivating use case, plausibly reuses ids. The
+    // check is an ids-only join + 1-row count (metadata-cheap), and
+    // the assert folds into `keep` via coalesce so the optimizer
+    // cannot prune it.
+    val clash = incoming.select(col("doc_id"))
+      .join(known.select(col("doc_id")), Seq("doc_id"))
+      .agg(count(lit(1)).as("__clash"))
     incoming.select("doc_id")
       .join(flags, Seq("doc_id"), "left")
+      .crossJoin(clash)
       .select(col("doc_id"),
         (coalesce(col("nk"), lit(0)) === 1).as("is_near_known"),
         (coalesce(col("nb"), lit(0)) === 1).as("is_near_in_batch"),
-        when(coalesce(col("nk"), lit(0)) === 0 &&
-          coalesce(col("nb"), lit(0)) === 0, 1L).otherwise(0L).as("keep"))
+        (when(coalesce(col("nk"), lit(0)) === 0 &&
+          coalesce(col("nb"), lit(0)) === 0, 1L).otherwise(0L) +
+          coalesce(assert_true(col("__clash") === 0,
+            lit("dedupIncrementalMinhash: incoming and known doc_ids must be disjoint"))
+            .cast("long"), lit(0L))).as("keep"))
       .orderBy("doc_id")
   }
 
@@ -935,8 +951,13 @@ object Dedup {
           transform(array_sort(collect_list(struct(col("t"), col("tok")))),
             x => x.getField("tok"))).as("text_clean"),
         count(lit(1)).as("n_kept"))
+    // greatest, not bare coalesce: under legacy sizeOfNull a null text
+    // makes size() return -1 (not null), which coalesce passes through
+    // and the doc would report n_tokens = n_excised = -1. greatest
+    // skips nulls AND clamps the -1, so null text degrades to 0 under
+    // either sizeOfNull setting (the shingles otherwise(array()) rule).
     docs.select(col("doc_id"),
-        coalesce(size(toks).cast("long"), lit(0L)).as("n_tokens"))
+        greatest(size(toks), lit(0)).cast("long").as("n_tokens"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_excised"),

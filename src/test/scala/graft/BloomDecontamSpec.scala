@@ -61,6 +61,22 @@ class BloomDecontamSpec extends SparkSpec {
     assert(tiny == exact)
   }
 
+  test("repeat broadcast calls reuse the handle; clearBloomCache rebuilds") {
+    val (train, eval) = corpus
+    val exact = collected(Graft.decontaminate(train, eval))
+    // two calls against the same eval frame: the second must hit the
+    // broadcast-handle cache (no fresh broadcast per call — the
+    // long-lived-session block-accumulation fix) and stay exact
+    val first = collected(Graft.decontaminateBloomBroadcast(train, eval))
+    val second = collected(Graft.decontaminateBloomBroadcast(train, eval))
+    assert(first == exact && second == exact)
+    // clearing destroys the cached handles; the next call must rebuild
+    // a fresh filter + broadcast and still be exact
+    graft.queries.Contamination.clearBloomCache()
+    val rebuilt = collected(Graft.decontaminateBloomBroadcast(train, eval))
+    assert(rebuilt == exact)
+  }
+
   test("an empty eval side flags nothing and keeps every train row") {
     val (train, _) = corpus
     val eval = Seq.empty[(Long, String)].toDF("doc_id", "text")

@@ -52,6 +52,17 @@ class ExciseSpansSpec extends SparkSpec {
       (3L, 0L, 0L, "")), out)
   }
 
+  test("exciseSpans degrades a null text to an empty zero-count row") {
+    // under legacy sizeOfNull size() returns -1 for null input; the
+    // greatest(...) clamp keeps the row at (0, 0, "") either way
+    val docs = Seq((1L, "p q r s t u v"), (2L, null))
+      .toDF("doc_id", "text")
+    val out = rows(Graft.exciseSpans(docs, n = 5))
+    assert(out == Seq(
+      (1L, 7L, 0L, "p q r s t u v"),
+      (2L, 0L, 0L, "")), out)
+  }
+
   test("exciseSpans unions overlapping non-keeper spans (no double counts)") {
     // doc 2's grams at p=1 ("a b c d e") and p=3 ("c d e f g") are each
     // duplicated with their keepers in docs 0 and 1 (keeper = smallest

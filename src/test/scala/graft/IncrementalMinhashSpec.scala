@@ -72,6 +72,18 @@ class IncrementalMinhashSpec extends SparkSpec {
     assert(expected.exists(_._2) && expected.exists(_._3) && expected.exists(_._4 == 1L))
   }
 
+  test("overlapping incoming/known doc_ids fail the disjointness guard") {
+    // re-crawl ingest plausibly reuses ids; an overlap would silently
+    // multiply the band join across mismatched (doc_id, text) pairs,
+    // so the contract is enforced in-plan (assert_true folded into keep)
+    val known = Seq((0L, textA), (2L, textB)).toDF("doc_id", "text")
+    val incoming = Seq((1L, textC), (2L, textD)).toDF("doc_id", "text")
+    val e = intercept[Exception] { run(incoming, known) }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("must be disjoint")), e)
+  }
+
   test("is partitioning-invariant") {
     val docs = (0L until 24L).map(i =>
       (i, if (i % 5 == 0) textA else s"own${i} words${i} for${i} doc${i} number${i} with no overlap anywhere else at all"))
