@@ -300,13 +300,25 @@ object Dedup {
     * oracle computes the UNRESTRICTED pair set and filters by
     * semantics, and hash equality is the losslessness proof. */
   def dedupIncrementalMinhash(incoming: DataFrame, known: DataFrame): DataFrame = {
-    val all = incoming.select(col("doc_id"), col("text"))
+    // The known side accepts EITHER a raw (doc_id, text) frame (pays
+    // the signature pass — what the oracle row does, keeping the flow
+    // checkable end-to-end) OR a precomputed (doc_id, s0..s15)
+    // signature frame — the artifact [[minhashSignatures]] builds and
+    // [[graft.sources.Sinks.appendSignatures]] stores, so a production
+    // lake's text is never rescanned (the D13 key-frame contract at
+    // MinHash granularity). Band keys derive from signatures map-side,
+    // so the stored sigs are the complete near-dup state.
+    val knownSigs =
+      if (known.columns.contains("text"))
+        minhashSigFrame(known.select(col("doc_id"), col("text")))
+      else known
+        .select(col("doc_id") +: (0 until MinhashK).map(i => col(s"s$i")): _*)
+        .filter(col("s0").isNotNull) // shingle-less lake docs carry no signature
+    val sigs = minhashSigFrame(incoming.select(col("doc_id"), col("text")))
       .withColumn("__known", lit(false))
-      .unionByName(known.select(col("doc_id"), col("text"))
-        .withColumn("__known", lit(true)))
-    val sigs = minhashSigFrame(all.drop("__known"))
-    val bands = minhashBandFrame(sigs)
-      .join(all.select(col("doc_id"), col("__known")), "doc_id")
+      .unionByName(knownSigs.withColumn("__known", lit(true)))
+    val bands = minhashBandFrame(sigs.drop("__known"))
+      .join(sigs.select(col("doc_id"), col("__known")), "doc_id")
     val cand = bands.filter(!col("__known")).as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_hash") === col("y.band_hash") &&
@@ -314,8 +326,9 @@ object Dedup {
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("pid"),
         col("y.__known").as("pknown"))
       .distinct()
-    val a = sigs.toDF(sigs.columns.map("a_" + _): _*)
-    val b = sigs.toDF(sigs.columns.map("b_" + _): _*)
+    val sigsOnly = sigs.drop("__known")
+    val a = sigsOnly.toDF(sigsOnly.columns.map("a_" + _): _*)
+    val b = sigsOnly.toDF(sigsOnly.columns.map("b_" + _): _*)
     val agree = (0 until MinhashK)
       .map(i => when(col(s"a_s$i") === col(s"b_s$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -399,8 +412,16 @@ object Dedup {
     * ~linear in corpus size for any fixed near-dup density, vs the
     * quadratic all-pairs join it replaces. */
   /** (doc_id, s0..s{k-1}) MinHash signature frame — the per-doc map
-    * stage D2/D13b share (and what a production lake would store
-    * precomputed instead of re-deriving from text). */
+    * stage D2/D13b share, and the artifact a production lake stores
+    * precomputed instead of re-deriving from text:
+    * [[dedupIncrementalMinhash]] accepts this frame directly as its
+    * known side, and [[graft.sources.Sinks.appendSignatures]] appends
+    * it (with the D1 content keys) per ingest batch — the lake-append
+    * flow that lets batch N+1 see batch N's survivors. Docs with no
+    * 3-shingle (under ~3 tokens) carry no signature and are absent. */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSigFrame(docs.select(col("doc_id"), col("text")))
+
   private def minhashSigFrame(docs: DataFrame): DataFrame = {
     val sigCols = (0 until MinhashK).map { i =>
       element_at(col("sigv"), i + 1).as(s"s$i")

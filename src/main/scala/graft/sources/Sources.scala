@@ -130,6 +130,48 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dst)
   }
 
+  /** The lake SIGNATURE STORE's row layout: per doc, the D1 exact
+    * content keys (k1 = md5, k2 = poly hash of normalized text) plus
+    * the D13b MinHash signature (s0..s{k-1}; null for docs too short
+    * to shingle). ~150 bytes/doc — the "store the keys precomputed,
+    * never rescan text" artifact both incremental dedup flows read:
+    * `dedupIncremental` takes the (k1, k2) columns, and
+    * `dedupIncrementalMinhash` the (doc_id, s0..) columns, directly. */
+  def signatureFrame(docs: DataFrame): DataFrame = {
+    import graft.queries.Dedup
+    val (k1, k2) = Dedup.contentKeyCols(col("text"))
+    docs.select(col("doc_id"), k1.as("k1"), k2.as("k2"))
+      .join(Dedup.minhashSignatures(docs), Seq("doc_id"), "left")
+  }
+
+  /** Append one ingest batch's signature rows to the signature store
+    * at `dir` — the LAKE-APPEND flow: call this on each batch's
+    * SURVIVORS after incremental dedup, and the next batch's
+    * [[readSignatures]] sees them as `known`
+    * ([[graft.streaming.Streams.ingestStreamAppend]] wires this into
+    * foreachBatch). Parquet append: each batch lands as new files, no
+    * rewrite of prior state; run [[compactParquet]] periodically when
+    * micro-batches leave many small files. */
+  def appendSignatures(docs: DataFrame, dir: String): Unit =
+    signatureFrame(docs).write.mode(SaveMode.Append).parquet(dir)
+
+  /** The current signature store at `dir`, or an empty frame of the
+    * same schema when nothing has been appended yet (the first batch
+    * of a fresh lake). */
+  def readSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(
+      Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("k1", StringType, nullable = true),
+        StructField("k2", LongType, nullable = true)) ++
+        (0 until graft.queries.Dedup.MinhashK).map(i =>
+          StructField(s"s$i", LongType, nullable = true)))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   /** Bucketed external table: the data lands pre-shuffled (and
     * per-bucket sorted) on `bucketCols`, so every later equi-join or
     * aggregation on those keys plans WITHOUT an exchange — at 100 TB,

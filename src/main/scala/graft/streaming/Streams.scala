@@ -317,14 +317,12 @@ object Streams {
     * band join — the lake never self-pairs), and (3) decontaminated
     * against the eval set (D9's gate form). Survivors reach `each`.
     *
-    * Cross-batch dedup state is the LAKE-APPEND flow, deliberately
-    * outside this operator: in production each batch's survivors are
-    * appended to the lake's signature store before the next batch runs
-    * (the D13 "store the keys precomputed" note), so batch N+1 sees
-    * batch N through `known`. Within one call, `known` is fixed —
-    * exactly D13b's contract, which is what makes each micro-batch's
-    * output equal the batch pipeline run on that batch alone
-    * (StreamingSpec's differential). */
+    * Cross-batch dedup state is the LAKE-APPEND flow: within one call
+    * `known` is FIXED — exactly D13b's contract, which is what makes
+    * each micro-batch's output equal the batch pipeline run on that
+    * batch alone (StreamingSpec's differential). For the production
+    * form where batch N+1 sees batch N's survivors through the lake's
+    * signature store, use [[ingestStreamAppend]]. */
   def ingestStream(
       docs: DataFrame,
       known: DataFrame,
@@ -336,6 +334,65 @@ object Streams {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         each(ingestBatch(batch, known, evalDocs, minWords, stops))
+      }
+      .start()
+
+  /** G11's production form — [[ingestStream]] with the CROSS-BATCH
+    * dedup loop closed: the known lake is the signature store at
+    * `lakeDir`, and each micro-batch's survivors are APPENDED to it
+    * ([[graft.sources.Sinks.appendSignatures]]) before the batch
+    * completes, so batch N+1's near-dup flags see batch N's survivors
+    * as `is_near_known` — the real nightly-crawl shape, where a
+    * re-crawled page arriving days after its original is still caught.
+    *
+    * Correctness of the ordering: Structured Streaming runs
+    * foreachBatch micro-batches SEQUENTIALLY (batch N's function
+    * returns before batch N+1 starts), so the append is always
+    * visible to the next batch's [[graft.sources.Sinks.readSignatures]]
+    * — no cross-batch race. Each batch therefore equals a sequential
+    * batch replay: gates → D13b against (initial lake ∪ all prior
+    * survivors) → decontamination (StreamingSpec's multi-batch
+    * differential pins exactly that).
+    *
+    * Scale shape: the store holds ~150 bytes/doc (D1 keys + MinHash
+    * signature — never text), appended as new parquet files per batch
+    * and re-read per batch; at 100 TB-lake scale the read is a
+    * columnar scan of key columns only, and the D13b restricted join
+    * keeps per-batch cost proportional to the batch. Exactly-once: on
+    * batch replay after a failure the append can double-write a
+    * survivor's signature row — duplicate signature ROWS only widen
+    * the candidate set (same flags — the rescore dedups by partner
+    * id via max), they never change `keep`, so the store is
+    * effectively idempotent for dedup purposes; compact it
+    * periodically ([[graft.sources.Sinks.compactParquet]]). */
+  def ingestStreamAppend(
+      docs: DataFrame,
+      lakeDir: String,
+      evalDocs: DataFrame,
+      minWords: Long = 50L,
+      stops: Seq[String] = graft.queries.TextAnalysis.GopherStops)(
+      each: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // anti-join out the batch's OWN ids: on replay-after-append the
+        // store already holds this batch's survivors, which would (a)
+        // trip D13b's id-disjointness guard and (b) flag every
+        // survivor as a near-dup of itself. Excluding them makes the
+        // replayed batch see exactly the pre-append store.
+        val known = graft.sources.Sinks.readSignatures(spark, lakeDir)
+          .join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
+        val surv = ingestBatch(batch, known, evalDocs, minWords, stops)
+        surv.persist()
+        try {
+          // append FIRST, then hand to the caller: if `each` throws,
+          // the batch re-runs and the double-append is harmless (see
+          // idempotence note above); the reverse order could emit
+          // survivors whose signatures never landed.
+          graft.sources.Sinks.appendSignatures(surv, lakeDir)
+          each(surv)
+        } finally { surv.unpersist(); () }
       }
       .start()
 

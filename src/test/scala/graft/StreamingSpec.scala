@@ -605,6 +605,73 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ingestStreamAppend: batch N+1 sees batch N's survivors through the lake store") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    def good(t: String) = Seq(
+      s"the cat ${t}aa big house", s"and dog ${t}bb warm garden",
+      s"of bird ${t}cc tall market", s"to fish ${t}dd wide basket",
+      s"a goat ${t}ee ripe apple", s"in lamb ${t}ff sweet pear",
+      s"is wolf ${t}gg fresh plum").mkString(" ")
+    val root = java.nio.file.Files.createTempDirectory("graft-lake")
+    val lakeDir = root.resolve("sigs").toString
+    val seed = Seq((100L, good("lke"))).toDF("doc_id", "text")
+    graft.sources.Sinks.appendSignatures(seed, lakeDir)
+    val eval = Seq((200L, good("evl"))).toDF("doc_id", "text")
+    val batch1 = Seq(
+      StreamingSpec.Doc(1L, good("one")),          // survives
+      StreamingSpec.Doc(2L, good("lke")),          // near-dup of the SEED lake doc
+      StreamingSpec.Doc(3L, "tiny doc"))           // fails the gates
+    val batch2 = Seq(
+      StreamingSpec.Doc(4L, good("one") + " coda"), // near-dup of batch-1 SURVIVOR 1
+      StreamingSpec.Doc(5L, good("two")),           // survives
+      StreamingSpec.Doc(6L, good("evl")))           // quotes the eval doc
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val query = Streams.ingestStreamAppend(mem.toDF(), lakeDir, eval,
+      minWords = 10L, stops = stops) { surv =>
+      perBatch += surv.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    }
+    try {
+      mem.addData(batch1: _*)
+      query.processAllAvailable()
+      mem.addData(batch2: _*)
+      query.processAllAvailable()
+      // the cross-batch catch: doc 4 is a near-dup of doc 1 (a BATCH-1
+      // survivor, not in the seed lake) — under the fixed-known
+      // ingestStream it could only be flagged in-batch; the lake-append
+      // flow drops it as near-known
+      assert(perBatch.toSeq == Seq(Seq(1L), Seq(5L)), perBatch)
+      // differential: the stream equals an independent sequential batch
+      // replay accumulating the signature store in memory
+      var known = graft.sources.Sinks.signatureFrame(seed)
+      val replay = Seq(batch1, batch2).map { b =>
+        val surv = Streams.ingestBatch(
+          b.toDF().select(col("doc_id"), col("text")), known, eval, 10L, stops)
+        known = known.unionByName(graft.sources.Sinks.signatureFrame(surv))
+        surv.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      }
+      assert(perBatch.toSeq == replay, s"stream $perBatch vs replay $replay")
+      // and doc 4's flag really is is_near_known (cross-batch), not in-batch
+      val flags = graft.queries.Dedup.dedupIncrementalMinhash(
+        batch2.toDF().select(col("doc_id"), col("text")),
+        graft.sources.Sinks.readSignatures(spark, lakeDir)
+          .join(batch2.toDF().select(col("doc_id")), Seq("doc_id"), "left_anti"))
+        .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+      assert(flags(4L) == ((true, false)), flags)
+      // replay-after-append self-heals: re-running batch 2 against the
+      // post-append store (own ids excluded, as the stream wrapper does)
+      // yields the same survivors — the exactly-once story
+      val rerun = Streams.ingestBatch(
+        batch2.toDF().select(col("doc_id"), col("text")),
+        graft.sources.Sinks.readSignatures(spark, lakeDir)
+          .join(batch2.toDF().select(col("doc_id")), Seq("doc_id"), "left_anti"),
+        eval, 10L, stops).select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(rerun == Seq(5L), rerun)
+    } finally query.stop()
+  }
+
   test("gopherRepStream output equals batch gopherRepetition row-for-row across batch splits") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
