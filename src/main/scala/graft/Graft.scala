@@ -131,10 +131,21 @@ object Graft {
     queries.Similarity.embeddingDupPairs(embeddings, minCosine)
   def embeddingDupPairsLsh(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame =
     queries.Similarity.embeddingDupPairsLsh(embeddings, minCosine)
+  /** The capstone producing pipeline: gates → exact dedup → decontam →
+    * ExactSubstr excision → epoch shuffle → BPE-weighted packing
+    * ([[graft.queries.Curation.pipelineProduce]]). */
+  def pipelineProduce(docs: DataFrame, eval: DataFrame,
+      minWords: Long = 50L,
+      stops: Seq[String] = queries.TextAnalysis.GopherStops,
+      merges: Seq[((String, String), String)] = queries.Tokenizer.FixedMerges,
+      contextLen: Long = queries.Shards.DefaultContextLen,
+      seed: Long = 0L): DataFrame =
+    queries.Curation.pipelineProduce(docs, eval, minWords, stops, merges,
+      contextLen, seed)
   /** SemDeDup: within-cluster semantic dedup, keeping the pair member
-    * less similar to its centroid
-    * ([[graft.queries.Similarity.semanticDedup]]). */
-  def semanticDedup(embeddings: DataFrame, cells: Int = 10,
+    * less similar to its centroid; `cells <= 0` auto-sizes to
+    * ceil(sqrt(N)) ([[graft.queries.Similarity.semanticDedup]]). */
+  def semanticDedup(embeddings: DataFrame, cells: Int = 0,
       minCosine: Double = 0.9): DataFrame =
     queries.Similarity.semanticDedup(embeddings, cells, minCosine)
   /** Pairwise near-dup output → transitive dedup clusters

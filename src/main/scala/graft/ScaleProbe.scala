@@ -707,6 +707,97 @@ object ScaleProbe {
     gt.unpersist()
     emb.unpersist()
 
+    // SemDeDup at 1M vectors — the one operator whose quadratic term
+    // lives INSIDE cells, so what this probe pins is the sizing: auto
+    // cells = ceil(sqrt(N)) (~1005 here) bounds assignment (N·k) and
+    // within-cell exact pairing (Σ occ²) at ~N^1.5 total work. The
+    // corpus is hash-random 16-d directions (so first-k deterministic
+    // centroids see a BALANCED direction distribution — the regime the
+    // operator contracts for; direction-skewed corpora need trained
+    // centroids, per the scaladoc), with every 100th vector twinned at
+    // cos ~0.9999. At minCosine = 0.99 random 16-d pairs clear the
+    // threshold with probability ~1e-12 (5e8 candidate pairs -> ~0
+    // phantoms), so dropped == co-located planted twins, an exact-ish
+    // census: >= 90% of twins (a pair legitimately splits when its
+    // best-vs-second centroid gap is under the twin noise), <= planted
+    // (any excess = phantom drops).
+    def semVec(seed: Column, noise: Boolean): Column =
+      array((0 until vDims).map { d =>
+        val base = pmod(xxhash64(seed * 31 + d), lit(2000L))
+          .cast("double") / 1000.0 - 1.0
+        (if (noise)
+          base + (pmod(xxhash64(seed * 17 + d + 3), lit(200L))
+            .cast("double") / 10000.0 - 0.01)
+        else base).cast("float")
+      }: _*)
+    val nSem = 1000000L
+    val semPlanted = (nSem + 99) / 100
+    val semBase = spark.range(nSem)
+      .select(col("id").as("vec_id"), semVec(col("id"), noise = false).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val semAll = semBase.unionByName(
+        spark.range(nSem).filter(col("id") % 100 === 0)
+          .select((col("id") + nSem).as("vec_id"),
+            semVec(col("id"), noise = true).as("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val semTotal = semAll.count()
+    semBase.count()
+    // JIT/codegen warmup at 1/50 scale: the twinned run is timed first
+    // and would otherwise carry the whole plan shape's compilation cost
+    // that the uniform run then gets for free — skewing the relative
+    // gate below in one direction only
+    Graft.semanticDedup(semAll.filter(col("vec_id") % 50 === 0),
+      minCosine = 0.99).write.format("noop").mode("overwrite").save()
+    val semOut = Graft.semanticDedup(semAll, minCosine = 0.99)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (semAgg, tSem) = time {
+      semOut.agg(count(lit(1)), sum(lit(1L) - col("kept"))).head()
+    }
+    println(f"semdedup (auto k)    $semTotal%9d vecs  $tSem%7.1f s  ${semTotal / tSem}%9.0f vecs/s  (${semAgg.getLong(1)} dropped of $semPlanted planted twins)")
+    assert(semAgg.getLong(0) == semTotal,
+      s"semanticDedup emitted ${semAgg.getLong(0)} rows for $semTotal vectors")
+    assert(semAgg.getLong(1) >= semPlanted * 9 / 10 && semAgg.getLong(1) <= semPlanted,
+      s"semdedup census: ${semAgg.getLong(1)} dropped vs $semPlanted planted twins — " +
+        "phantom drops or cell-split losses beyond the boundary allowance")
+    println(f"semdedup census      ${"check"}%9s       dropped in [${semPlanted * 9 / 10}, $semPlanted]  PASS")
+    // Occupancy census — the auto-sizing invariant itself: Σ occ² is
+    // the exact within-cell candidate-pair mass (×2); it must stay
+    // within a small factor of the balanced N^1.5, and no single cell
+    // may hoard the corpus. This is the bound whose absence was the
+    // round-8 watch item ("cells = 10 makes pairing O((N/10)²)").
+    val kAuto = math.ceil(math.sqrt(semTotal.toDouble)).toLong
+    val occ = semOut.groupBy("cell")
+      .agg(count(lit(1)).as("occ"))
+      .agg(sum(col("occ") * col("occ")), max(col("occ")), count(lit(1))).head()
+    val pairMass = occ.getLong(0)
+    val massBudget = 10L * semTotal * kAuto // 10 x the balanced Σocc² = N²/k
+    println(f"semdedup occupancy   ${occ.getLong(2)}%9d cells       max ${occ.getLong(1)}, Σocc² ${pairMass}%.2e")
+    assert(pairMass <= massBudget,
+      f"semdedup cell mass $pairMass%.2e exceeds ${massBudget}%.2e (10x balanced) — occupancy skew is making cells quadratic")
+    assert(occ.getLong(1) <= 50L * kAuto,
+      s"hottest cell holds ${occ.getLong(1)} vectors (~${occ.getLong(1) / kAuto}x sqrt(N)) — a direction cluster is hoarding")
+    println(f"semdedup cell bound  ${"check"}%9s       Σocc² <= 10x balanced, max cell <= 50x sqrt(N)  PASS")
+    semOut.unpersist()
+    // Wall-time gate, the D14 hot-vs-uniform pattern: the same operator
+    // on the twin-less base corpus minutes apart — a relative gate (an
+    // absolute budget would re-create the round-7 ambient-noise trap).
+    // The twinned run adds only the planted pairs' loser plumbing, so
+    // 3x headroom flags any structural blowup in the pair/loser path.
+    val (semUniAgg, tSemUni) = time {
+      Graft.semanticDedup(semBase, minCosine = 0.99)
+        .agg(count(lit(1)), sum(lit(1L) - col("kept"))).head()
+    }
+    println(f"semdedup uniform     $nSem%9d vecs  $tSemUni%7.1f s  ${nSem / tSemUni}%9.0f vecs/s  (${semUniAgg.getLong(1)} dropped)")
+    assert(semUniAgg.getLong(1) <= 2L,
+      s"${semUniAgg.getLong(1)} drops on the twin-less corpus — phantom near-dups at minCosine 0.99")
+    val (tSlow, tFast) = (math.max(tSem, tSemUni), math.min(tSem, tSemUni))
+    assert(tSlow <= 3.0 * math.max(tFast, 1.0),
+      f"semdedup runs diverge: twinned $tSem%.1f s vs uniform $tSemUni%.1f s — structural cost, not noise")
+    println(f"semdedup time gate   ${"check"}%9s       twinned $tSem%.1f s within 3x of uniform $tSemUni%.1f s  PASS")
+    semAll.unpersist()
+    semBase.unpersist()
+    graft.ops.Release.sweep(spark)
+
     spark.stop()
   }
 }

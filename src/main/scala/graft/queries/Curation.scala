@@ -290,6 +290,137 @@ object Curation {
       ORDER BY r.doc_id"""
     })
 
+  /** The CAPSTONE "corpus in, training shards out" pipeline — the
+    * PRODUCING form of [[pipelineAudit]] (which only reports flags):
+    * every stage an oracle-checked operator, composed as one
+    * declarative plan:
+    *
+    *  1. gate screen — C16 rules ∧ C17 repetition (stateless maps);
+    *  2. exact dedup — D1 survivors of the gated subset (min-doc_id);
+    *  3. decontamination — D9's gate form drops eval leaks;
+    *  4. ExactSubstr excision — D16 rewrites the SURVIVING sub-corpus
+    *     (first occurrence keeps, later duplicated runs excised);
+    *  5. epoch shuffle — H10's seeded order over the cleaned docs;
+    *  6. BPE-weighted packing — H8b token counts of the CLEANED text
+    *     under the frozen merge table, packed by the distributed
+    *     prefix sum IN EPOCH ORDER (the loader's actual layout; the
+    *     audit-family rows pack in doc_id order).
+    *
+    * Output, one row per produced doc: (doc_id, pos, n_tokens,
+    * seq_first, seq_offset, n_seqs) — n_tokens is the BPE count of
+    * the excised text, pos the epoch position, and the seq_* geometry
+    * locates the doc inside the fixed-context training sequences.
+    *
+    * The DuckDB oracle chains the SAME fragment builders as the
+    * standalone rows (C16/C17 count CTEs + kept conditions, the D16
+    * excision chain, the H8b recursive-CTE encoder replay, H10's
+    * scramble) — the D6/D17 technique, so no stage can drift from its
+    * standalone oracle. Scale shape: gates are maps, dedup/decontam
+    * shuffle keys, excision is D16's shape, the shuffle+packing tail
+    * is two distributed prefix sums; the only text shuffles are D16's
+    * reassembly groupBy and the word-keyed fertility join. */
+  def pipelineProduce(docs: DataFrame, eval: DataFrame,
+      minWords: Long = 50L,
+      stops: Seq[String] = TextAnalysis.GopherStops,
+      merges: Seq[((String, String), String)] = Tokenizer.FixedMerges,
+      contextLen: Long = Shards.DefaultContextLen,
+      seed: Long = 0L): DataFrame = {
+    import graft.functions.TextFunctions.words
+    val gated = docs
+      .join(TextAnalysis.gopherFlags(docs, minWords, 100000L, stops)
+        .filter(col("kept") === 1L).select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(TextAnalysis.gopherRepFlags(docs)
+        .filter(col("kept") === 1L).select("doc_id"), Seq("doc_id"), "left_semi")
+    val clean = Contamination.decontamGate(Dedup.exactSurvivors(gated), eval)
+    // memo-persisted: the cleaned-text frame feeds the epoch order,
+    // the distinct-word encoder map, AND the fertility join — without
+    // it the whole gate+dedup+decontam+excision chain runs per branch
+    val cleanDocs = produceCache.memo(
+      Dedup.exciseSpans(clean)
+        .select(col("doc_id"), col("text_clean").as("text")))
+    val ordered = Shards.shuffleOrder(cleanDocs, seed)
+    val perDoc = cleanDocs
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .join(Tokenizer.bpeWordCounts(cleanDocs, merges), "word")
+      .groupBy("doc_id").agg(sum(col("n_subtokens")).as("n_bpe"))
+    val toks = ordered.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("n_bpe"), lit(0L)).as("n_tokens"))
+    graft.ops.ScaleOps.prefixSum(toks, "pos", "n_tokens", "cum_tokens")
+      .select(col("doc_id"), col("pos"), col("n_tokens"),
+        expr(s"(cum_tokens - n_tokens) div $contextLen").as("seq_first"),
+        expr(s"(cum_tokens - n_tokens) % $contextLen").as("seq_offset"),
+        when(col("n_tokens") > 0,
+          expr(s"(cum_tokens - 1) div $contextLen") -
+            expr(s"(cum_tokens - n_tokens) div $contextLen") + 1)
+          .otherwise(0L).as("n_seqs"))
+      .orderBy("doc_id")
+  }
+
+  /** Memo of [[pipelineProduce]]'s cleaned-text frame (see
+    * [[graft.ops.PlanCache]]; released by [[graft.ops.Release]]). */
+  private[this] val produceCache = new graft.ops.PlanCache(capacity = 2)
+
+  val qPipelineProduce: Q = Q(
+    "q_pipeline_produce",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      pipelineProduce(
+        docs.filter(col("doc_id") % Contamination.EvalMod =!= 0),
+        docs.filter(col("doc_id") % Contamination.EvalMod === 0),
+        minWords = 10L, stops = TextAnalysis.CorpusStops, seed = 42L)
+    },
+    Some {
+      val train =
+        s"(SELECT * FROM documents WHERE doc_id % ${Contamination.EvalMod} <> 0)"
+      val k = Contamination.NgramK
+      val (a, p) = (Shards.ScrambleA, Shards.ScrambleP)
+      val ctx = Shards.DefaultContextLen
+      s"""WITH RECURSIVE ${TextAnalysis.sqlGopherCountsCte(train)},
+      ${TextAnalysis.sqlGopherRepCtes(train)},
+      prules AS (SELECT doc_id FROM gc WHERE ${TextAnalysis.sqlGopherKeptCond}),
+      prep AS (SELECT doc_id FROM rsel WHERE ${TextAnalysis.sqlGopherRepKeptCond}),
+      pgated AS (SELECT d.doc_id, d.text FROM $train d
+        JOIN prules USING (doc_id) JOIN prep USING (doc_id)),
+      pkeys2 AS (SELECT doc_id, text, md5(${sqlNormText("text")}) AS kk1,
+          ${sqlPolyHash(sqlNormText("text"))} AS kk2 FROM pgated),
+      psurv AS (SELECT doc_id, text FROM (
+          SELECT *, min(doc_id) OVER (PARTITION BY kk1, kk2) AS mm FROM pkeys2) t
+        WHERE doc_id = mm),
+      ptk AS (SELECT doc_id, list_filter(${sqlWords("text")}, t -> t <> '') AS pw
+        FROM psurv),
+      pshg AS (SELECT doc_id, list_distinct(${sqlShingles("pw", k)}) AS sh FROM ptk),
+      pevt AS (SELECT doc_id, list_filter(${sqlWords("text")}, t -> t <> '') AS pw
+        FROM documents WHERE doc_id % ${Contamination.EvalMod} = 0),
+      pevs AS (SELECT DISTINCT unnest(list_distinct(${sqlShingles("pw", k)})) AS s
+        FROM pevt),
+      pexp AS (SELECT doc_id, unnest(sh) AS s FROM pshg),
+      phit AS (SELECT DISTINCT pexp.doc_id FROM pexp JOIN pevs USING (s)),
+      pclean AS (SELECT s.doc_id, s.text FROM psurv s ANTI JOIN phit USING (doc_id)),
+      ${Dedup.sqlExciseCtes("pclean")},
+      pord AS (SELECT doc_id, row_number() OVER (ORDER BY
+          ((doc_id % $p) * ((43 * $a) % $p)) % $p, doc_id) AS pos FROM xout),
+      ${Shards.sqlBpeWordCountsFrom("xout", "text_clean")},
+      pu AS (SELECT doc_id,
+          unnest(list_filter(${sqlWords("text_clean")}, t -> t <> '')) AS word
+        FROM xout),
+      pcnt AS (SELECT pu.doc_id, CAST(sum(wc.n_sub) AS BIGINT) AS n
+        FROM pu JOIN wc USING (word) GROUP BY pu.doc_id),
+      ptoks2 AS (SELECT x.doc_id, o.pos, COALESCE(c.n, 0) AS n_tokens
+        FROM xout x JOIN pord o USING (doc_id) LEFT JOIN pcnt c USING (doc_id)),
+      pcum AS (SELECT doc_id, pos, n_tokens,
+          CAST(sum(n_tokens) OVER (ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM ptoks2)
+      SELECT doc_id, pos, n_tokens,
+        (cum_tokens - n_tokens) // $ctx AS seq_first,
+        (cum_tokens - n_tokens) % $ctx AS seq_offset,
+        CAST(CASE WHEN n_tokens > 0
+          THEN (cum_tokens - 1) // $ctx - (cum_tokens - n_tokens) // $ctx + 1
+          ELSE 0 END AS BIGINT) AS n_seqs
+      FROM pcum ORDER BY doc_id"""
+    })
+
   /** G6's batch twin as an oracle row: quality gate + exact content
     * dedup, NO near-dup stage — exactly the batch semantics
     * [[graft.streaming.Streams.curateStream]] converges to (proved by
@@ -316,5 +447,5 @@ object Curation {
       ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(qCurate, qCurateCc, qPipelineAudit, qStreamCurateBatch)
+    Seq(qCurate, qCurateCc, qPipelineAudit, qPipelineProduce, qStreamCurateBatch)
 }

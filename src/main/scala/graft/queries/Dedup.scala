@@ -986,52 +986,62 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val qExciseSpans: Q = Q(
-    "q_excise_spans",
-    (s, d) => exciseSpans(Tables.documents(s, d), DupSpanN),
-    Some {
-      val sh = sqlShingles("w", DupSpanN)
-      s"""WITH toks AS (
-          SELECT doc_id, list_filter(${sqlWords("text")}, t -> t <> '') AS w
-          FROM documents),
-        sh AS (SELECT doc_id, ($sh) AS sh FROM toks),
-        g AS (SELECT doc_id,
-            CAST(generate_subscripts(sh, 1) AS BIGINT) AS p,
-            unnest(list_transform(sh, s -> md5(s))) AS h
-          FROM sh),
-        pk AS (SELECT doc_id, p, h, doc_id * 2147483648 + p AS occ FROM g),
-        dup AS (SELECT h, min(occ) AS keeper FROM pk
-          GROUP BY h HAVING count(*) >= 2),
-        nk AS (SELECT doc_id, p FROM pk JOIN dup USING (h)
-          WHERE occ <> keeper),
-        i AS (SELECT doc_id, p,
-            CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
-                 > $DupSpanN THEN 1 ELSE 0 END AS newspan
-          FROM nk),
-        j AS (SELECT doc_id, p,
-            sum(newspan) OVER (PARTITION BY doc_id ORDER BY p) AS grp
-          FROM i),
-        sp AS (SELECT doc_id, min(p) AS s,
-            max(p) + ${DupSpanN - 1} AS e
-          FROM j GROUP BY doc_id, grp),
-        ex AS (SELECT doc_id, unnest(generate_series(s, e)) AS t FROM sp),
-        tok AS (SELECT doc_id,
-            CAST(generate_subscripts(w, 1) AS BIGINT) AS t,
-            unnest(w) AS tok
-          FROM toks),
-        keep AS (SELECT doc_id, t, tok FROM tok
-          ANTI JOIN ex USING (doc_id, t)),
-        reb AS (SELECT doc_id,
-            string_agg(tok, ' ' ORDER BY t) AS text_clean,
-            count(*) AS n_kept
-          FROM keep GROUP BY doc_id)
-        SELECT c.doc_id,
+  /** Oracle-side CTE chain of [[exciseSpans]] parameterized on the
+    * source relation, ending in `xout(doc_id, n_tokens, n_excised,
+    * text_clean)` — reused verbatim by the standalone D16 row and the
+    * composed producing pipeline ([[Curation]]'s capstone), so the
+    * excision stage cannot drift between them. CTE names are
+    * x-prefixed to compose cleanly next to the other fragment
+    * builders. `tbl` must expose (doc_id, text). */
+  private[queries] def sqlExciseCtes(tbl: String): String = {
+    val sh = sqlShingles("w", DupSpanN)
+    s"""xtoks AS (
+        SELECT doc_id, list_filter(${sqlWords("text")}, t -> t <> '') AS w
+        FROM $tbl),
+      xsh AS (SELECT doc_id, ($sh) AS sh FROM xtoks),
+      xg AS (SELECT doc_id,
+          CAST(generate_subscripts(sh, 1) AS BIGINT) AS p,
+          unnest(list_transform(sh, s -> md5(s))) AS h
+        FROM xsh),
+      xpk AS (SELECT doc_id, p, h, doc_id * 2147483648 + p AS occ FROM xg),
+      xdup AS (SELECT h, min(occ) AS keeper FROM xpk
+        GROUP BY h HAVING count(*) >= 2),
+      xnk AS (SELECT doc_id, p FROM xpk JOIN xdup USING (h)
+        WHERE occ <> keeper),
+      xi AS (SELECT doc_id, p,
+          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+               > $DupSpanN THEN 1 ELSE 0 END AS newspan
+        FROM xnk),
+      xj AS (SELECT doc_id, p,
+          sum(newspan) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM xi),
+      xsp AS (SELECT doc_id, min(p) AS s,
+          max(p) + ${DupSpanN - 1} AS e
+        FROM xj GROUP BY doc_id, grp),
+      xex AS (SELECT doc_id, unnest(generate_series(s, e)) AS t FROM xsp),
+      xtok AS (SELECT doc_id,
+          CAST(generate_subscripts(w, 1) AS BIGINT) AS t,
+          unnest(w) AS tok
+        FROM xtoks),
+      xkeep AS (SELECT doc_id, t, tok FROM xtok
+        ANTI JOIN xex USING (doc_id, t)),
+      xreb AS (SELECT doc_id,
+          string_agg(tok, ' ' ORDER BY t) AS text_clean,
+          count(*) AS n_kept
+        FROM xkeep GROUP BY doc_id),
+      xout AS (SELECT c.doc_id,
           CAST(len(c.w) AS BIGINT) AS n_tokens,
           CAST(len(c.w) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_excised,
           COALESCE(r.text_clean, '') AS text_clean
-        FROM toks c LEFT JOIN reb r USING (doc_id)
-        ORDER BY c.doc_id"""
-    })
+        FROM xtoks c LEFT JOIN xreb r USING (doc_id))"""
+  }
+
+  val qExciseSpans: Q = Q(
+    "q_excise_spans",
+    (s, d) => exciseSpans(Tables.documents(s, d), DupSpanN),
+    Some(s"""WITH ${sqlExciseCtes("documents")}
+      SELECT doc_id, n_tokens, n_excised, text_clean
+      FROM xout ORDER BY doc_id"""))
 
   val qDupSpans: Q = Q(
     "q_dup_spans",

@@ -149,11 +149,11 @@ object Shards {
     * exactly [[Tokenizer.encodeWord]]'s left-to-right non-overlapping
     * mergeAll ("|a||a||a|" → "|aa||a|"); the '|' delimiter is safe
     * because [[words]] emits pure [a-z]+ runs. */
-  private def sqlBpeWordCounts: String =
+  private[queries] def sqlBpeWordCountsFrom(tbl: String, textCol: String): String =
     s"""m(rank, l, r) AS (VALUES ${Tokenizer.fixedMergesSqlValues}),
         dw AS (SELECT DISTINCT w AS word FROM (
-          SELECT unnest(list_filter(${sqlWords("text")}, t -> t <> '')) AS w
-          FROM documents)),
+          SELECT unnest(list_filter(${sqlWords(textCol)}, t -> t <> '')) AS w
+          FROM $tbl)),
         enc AS (
           SELECT word,
             regexp_replace(word, '(.)', '|\\1|', 'g') || '|</w>|' AS seq,
@@ -171,6 +171,8 @@ object Shards {
             (length(arg_max(seq, step))
               - length(replace(arg_max(seq, step), '|', ''))) // 2 AS n_sub
           FROM enc GROUP BY word)"""
+
+  private def sqlBpeWordCounts: String = sqlBpeWordCountsFrom("documents", "text")
 
   val qPackSequencesBpe: Q = Q(
     "q_pack_sequences_bpe",
@@ -198,8 +200,8 @@ object Shards {
 
   /** Multiplier/modulus of the portable id scrambler (a fixed LCG step —
     * reproducible in any engine, unlike xxhash). */
-  private val ScrambleA = 2654435761L
-  private val ScrambleP = 1000000007L
+  private[queries] val ScrambleA = 2654435761L
+  private[queries] val ScrambleP = 1000000007L
 
   /** Deterministic stratified sample: the `n` docs per stratum that rank
     * first in scrambled-id order — a fixed, engine-portable pseudo-random

@@ -944,26 +944,53 @@ object Similarity {
     * SemDeDup contract (and its cost model): k trades recall for the
     * O(N²/k) pair bound, exactly as in the paper.
     *
-    * Scale shape: one broadcast-centroid assignment map, one equi-join
-    * on `cell` whose per-cell quadratic term is bounded by cell size
-    * (grow `cells` toward √N so cells stay ~√N), a distinct over loser
-    * ids (narrow), and a final left anti-ish paint join. No all-pairs
-    * anywhere; embeddings shuffle once, keyed by cell. */
+    * Scale shape: one broadcast-centroid assignment whose argmax is a
+    * MAP-SIDE-COMBINABLE struct-max (the broadcast nested-loop join
+    * emits a vector's `cells` candidate rows in one partition, so the
+    * partial agg collapses them to one row before anything shuffles —
+    * the previous row_number window shuffled the full N x cells joined
+    * frame, embeddings included, which at 1M x 1000 is a ~100 GB
+    * exchange for an argmax); then one equi-join on `cell` whose
+    * per-cell quadratic term is bounded by cell size, a distinct over
+    * loser ids (narrow), and a final left anti-ish paint join. No
+    * all-pairs anywhere; embeddings shuffle once, keyed by cell.
+    *
+    * Cell sizing: `cells <= 0` (the default) sizes AUTOMATICALLY to
+    * ceil(sqrt(N)) — one count() action — which balances the two
+    * O-terms (assignment N·k, pairing N²/k) at N^1.5 total work, the
+    * scaladoc rule the fixed default used to leave to the caller. Pass
+    * `cells` explicitly to pin the plan fully lazy (the oracle row
+    * does, keeping the SQL twin literal). A direction-skewed corpus
+    * can still overload one cell (occupancy ~s·N makes that cell's
+    * pairing quadratic in s·N — ScaleProbe's occupancy census pins the
+    * balanced regime); for such corpora swap in trained centroids,
+    * which split dense directions where first-k centroids cannot. */
   def semanticDedup(
       embeddings: DataFrame,
-      cells: Int = 10,
+      cells: Int = 0,
       minCosine: Double = 0.9): DataFrame = {
+    val k =
+      if (cells > 0) cells
+      else math.max(2, math.ceil(math.sqrt(
+        embeddings.count().toDouble)).toInt)
     val v = withNorms(embeddings)
-    val cents = v.filter(col("vec_id") < cells)
+    val cents = v.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
-    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
-    val assigned = v.join(broadcast(cents), lit(true))
-      .withColumn("c_cos",
-        cosineFrom(dot(col("embedding"), col("c_emb")), col("n2"), col("c_n2")))
-      .withColumn("rn", row_number().over(byVec))
-      .filter(col("rn") === 1)
+    // argmax by (c_cos desc, c_id asc) == max of struct(c_cos, -c_id):
+    // identical selection to the row_number form, but partial-aggregable
+    val best = v.join(broadcast(cents), lit(true))
+      .select(col("vec_id"),
+        struct(
+          cosineFrom(dot(col("embedding"), col("c_emb")), col("n2"), col("c_n2"))
+            .as("c_cos"),
+          (lit(0L) - col("c_id")).as("nid")).as("cand"))
+      .groupBy("vec_id")
+      .agg(max(col("cand")).as("m"))
+      .select(col("vec_id"), (lit(0L) - col("m.nid")).as("cell"),
+        col("m.c_cos").as("c_cos"))
+    val assigned = v.join(best, Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("n2"),
-        col("c_id").as("cell"), col("c_cos"))
+        col("cell"), col("c_cos"))
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
       col("embedding").as("ea"), col("n2").as("na"), col("c_cos").as("ca"))
     val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
@@ -992,7 +1019,7 @@ object Similarity {
     * defaults stay the API defaults (the C16 pattern). */
   val qDedupSemantic: Q = Q(
     "q_dedup_semantic",
-    (s, d) => semanticDedup(Tables.embeddings(s, d), minCosine = 0.4),
+    (s, d) => semanticDedup(Tables.embeddings(s, d), cells = 10, minCosine = 0.4),
     Some(s"""WITH v AS (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM embeddings),
       c AS (SELECT vec_id AS c_id, embedding AS c_emb, n2 AS c_n2 FROM v WHERE vec_id < 10),
       ac AS (SELECT v.vec_id, v.embedding, v.n2, c.c_id,

@@ -112,4 +112,68 @@ class PipelineSpec extends SparkSpec {
     out.foreach { case (id, _, _, _, c, _) => assert(contam(id) == c, id) }
     graft.ops.Release.sweep(spark)
   }
+
+  test("pipelineProduce: audit-kept doc set, excised tokens, epoch-order packing") {
+    import spark.implicits._
+    def good(t: String) = Seq(
+      s"the cat ${t}aa big house", s"and dog ${t}bb warm garden",
+      s"of bird ${t}cc tall market", s"to fish ${t}dd wide basket",
+      s"a goat ${t}ee ripe apple", s"in lamb ${t}ff sweet pear",
+      s"is wolf ${t}gg fresh plum").mkString(" ")
+    // a 10-token run shared by docs 8 and 9: the later (doc_id, pos)
+    // occurrence — doc 9's copy — is the one D16 excises
+    val tail = "amber boulder cinder dapple ember fennel garnet hollow indigo juniper"
+    val eval = Seq((0L, good("evl"))).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, good("one")),             // kept
+      (2L, good("two")),             // kept; dup partner of 5
+      (3L, "tiny doc"),              // gated out
+      (5L, good("two")),             // dup of 2 -> dropped
+      (7L, good("evl")),             // contaminated -> dropped
+      (8L, good("exa") + " " + tail), // kept; keeper of the tail grams
+      (9L, good("exb") + " " + tail)) // kept; tail excised
+      .toDF("doc_id", "text")
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    val out = Graft.pipelineProduce(train, eval, minWords = 10L,
+        stops = stops, seed = 3L)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // produced ids == pipelineAudit's kept set under the same params
+    val keptIds = Graft.pipelineAudit(train, eval, minWords = 10L, stops = stops)
+      .filter($"kept" === 1L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet == keptIds && keptIds == Set(1L, 2L, 8L, 9L), out)
+    // epoch positions are a permutation of 1..n
+    assert(out.map(_._2).sorted == (1L to out.size).toSeq, out)
+    // excision flows into the token weights: doc 9 loses the tail AND
+    // the shared boundary run ("fresh plum" precedes the tail in both
+    // docs, so grams spanning the seam duplicate too — covered-token
+    // union semantics), while keeper doc 8 keeps everything
+    val tok = out.map(o => o._1 -> o._3).toMap
+    assert(tok(9L) < tok(1L) && tok(1L) < tok(8L), tok)
+    // differential vs the standalone operators: n_tokens must equal
+    // D16's text_clean run through the C13 fertility counter
+    val cleanSub = train.filter($"doc_id".isin(1L, 2L, 8L, 9L))
+    val expectTok = graft.queries.Tokenizer.bpeStats(
+        Graft.exciseSpans(cleanSub)
+          .select($"doc_id", $"text_clean".as("text")),
+        graft.queries.Tokenizer.FixedMerges)
+      .select($"doc_id", $"n_bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.forall(o => expectTok(o._1) == o._3), s"$out vs $expectTok")
+    // packing geometry reconstructs from (pos, n_tokens) by prefix sum
+    val ctx = graft.queries.Shards.DefaultContextLen
+    var cum = 0L
+    out.sortBy(_._2).foreach { case (id, _, n, first, off, nseq) =>
+      assert(first == cum / ctx && off == cum % ctx, id)
+      assert(nseq == (if (n > 0) (cum + n - 1) / ctx - cum / ctx + 1 else 0L), id)
+      cum += n
+    }
+    // seed sensitivity: a different epoch yields a different order
+    val pos7 = Graft.pipelineProduce(train, eval, minWords = 10L,
+        stops = stops, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(o => o._1 -> o._2).toMap != pos7)
+    graft.ops.Release.sweep(spark)
+  }
 }

@@ -64,6 +64,18 @@ class SemanticDedupSpec extends SparkSpec {
     assert(out(10L) == 1L && out(11L) == 0L, out)
   }
 
+  test("auto cell sizing equals an explicit ceil(sqrt(N)) run") {
+    // 60 vectors -> auto k = ceil(sqrt(60)) = 8; the unset-cells call
+    // must produce exactly the cells=8 plan's output
+    val rows = (0L until 60L).map(i =>
+      i -> vec((i % 4).toInt, 0.01 * (i % 7), (4 + i % 4).toInt))
+    val auto = Graft.semanticDedup(frame(rows), minCosine = 0.95).collect().toSeq
+    val explicit = Graft.semanticDedup(frame(rows), cells = 8,
+      minCosine = 0.95).collect().toSeq
+    assert(auto == explicit && auto.size == 60)
+    assert(auto.map(_.getLong(1)).distinct.size > 1, "auto sizing must use >1 cell")
+  }
+
   test("deterministic and partitioning-invariant; kept+dropped partition the corpus") {
     val rows = (0L until 60L).map(i =>
       i -> vec((i % 4).toInt, 0.01 * (i % 7), (4 + i % 4).toInt))
