@@ -117,6 +117,12 @@ object Graft {
     * [[graft.queries.Dedup.dupSpans]]). */
   def dupSpans(docs: DataFrame, n: Int = 5): DataFrame =
     queries.Dedup.dupSpans(docs, n)
+  /** Exact-substring duplicate spans at CHAR granularity — the paper's
+    * byte-level fidelity on an ASCII corpus; catches runs word
+    * tokenization segments differently
+    * ([[graft.queries.Dedup.dupSpansChar]]). */
+  def dupSpansChar(docs: DataFrame, k: Int = 50): DataFrame =
+    queries.Dedup.dupSpansChar(docs, k)
   /** ExactSubstr corpus rewriting: non-first duplicated spans excised,
     * docs reassembled from surviving tokens
     * ([[graft.queries.Dedup.exciseSpans]]). */

@@ -859,6 +859,14 @@ object Dedup {
     * keys + integers, never text); span merging is a PER-DOC window
     * (partitionBy doc_id — no global window).
     */
+  /** Fidelity note (Lee '22 delta): the paper's ExactSubstr is
+    * BYTE-level (suffix array over the raw corpus); this operator works
+    * at word-n-gram granularity, so duplicated runs that word
+    * tokenization segments differently — runs inside one long word,
+    * across punctuation/digit variants, or shorter than n words — are
+    * not flagged. [[dupSpansChar]] closes that gap at char granularity
+    * (== bytes on this ASCII corpus); CharSpanSpec plants a case the
+    * word form provably misses. */
   def dupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
     require(n >= 1, s"n-gram length must be >= 1, got $n")
     val toks = graft.functions.TextFunctions.words(col("text"))
@@ -877,6 +885,76 @@ object Dedup {
   }
 
   private val DupSpanN = 5
+
+  /** Char-gram width of [[dupSpansChar]]'s oracle row (the API default
+    * stays the paper's 50; the synthetic docs are short). */
+  private val DupSpanCharK = 20
+
+  /** D14b — exact-substring duplicate spans at CHARACTER granularity:
+    * per doc, the maximal char intervals `[span_start, span_end]`
+    * (1-based, inclusive) covered by char-`k`-grams occurring >= 2x in
+    * the corpus. This is the fidelity gap [[dupSpans]] leaves open:
+    * Lee '22's suffix-array formulation is BYTE-level, so it catches
+    * duplicated runs that word tokenization segments differently — a
+    * 60-char run shared verbatim inside one long word, across
+    * punctuation/digit variants, or spanning fewer than n words never
+    * yields n identical word-grams, and the word form misses it
+    * (CharSpanSpec plants exactly such a case). On this ASCII corpus
+    * char positions == byte positions, so `k = 50` reproduces the
+    * paper's 50-byte duplication threshold exactly.
+    *
+    * Same machinery as D14, re-based on chars: grams key on md5 (the
+    * 128-bit decision-key rule), duplicated-key detection is one
+    * map-side-combinable count on 16-byte keys, the paint join is
+    * key-equi, and the span merge is the shared [[mergeGramSpans]]
+    * with the gap rule at `k` chars. Cost note: the positional explode
+    * emits one row per CHARACTER (a ~6x fan-out over the word form —
+    * the declarative analogue of the suffix array's linear index);
+    * rows are (doc_id, long, md5) — text itself never shuffles. */
+  def dupSpansChar(docs: DataFrame, k: Int = 50): DataFrame = {
+    require(k >= 2, s"char-gram length must be >= 2, got $k")
+    val npos = (length(col("text")) - (k - 1)).cast("long")
+    val grams = docs
+      .select(col("doc_id"), col("text"),
+        // explicit empty-array guard: sequence(1, 0) would generate the
+        // DESCENDING [1, 0] in Spark, not an empty list
+        explode_outer(when(npos >= 1L, sequence(lit(1L), npos))
+          .otherwise(array())).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("doc_id"), col("p"),
+        md5(col("text").substr(col("p"), lit(k))).as("h"))
+    val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    mergeGramSpans(grams.join(dupHashes, "h").select(col("doc_id"), col("p")), k)
+      .withColumnRenamed("n_grams", "n_dup_grams")
+      .orderBy("doc_id", "span_start")
+  }
+
+  val qDupSpansChar: Q = Q(
+    "q_dup_spans_char",
+    (s, d) => dupSpansChar(Tables.documents(s, d), DupSpanCharK),
+    Some(s"""WITH cg AS (
+        SELECT doc_id,
+          CAST(unnest(generate_series(1, greatest(length(text) - ${DupSpanCharK - 1}, 0))) AS BIGINT) AS p,
+          text
+        FROM documents),
+      ch AS (SELECT doc_id, p,
+          md5(substr(text, CAST(p AS INT), $DupSpanCharK)) AS h
+        FROM cg),
+      cdup AS (SELECT h FROM ch GROUP BY h HAVING count(*) >= 2),
+      cd AS (SELECT doc_id, p FROM ch JOIN cdup USING (h)),
+      ci AS (SELECT doc_id, p,
+          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+               > $DupSpanCharK THEN 1 ELSE 0 END AS newspan
+        FROM cd),
+      cj AS (SELECT doc_id, p,
+          sum(newspan) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM ci)
+      SELECT doc_id, min(p) AS span_start,
+        max(p) + ${DupSpanCharK - 1} AS span_end,
+        count(*) AS n_dup_grams
+      FROM cj GROUP BY doc_id, grp
+      ORDER BY doc_id, span_start"""))
 
   /** The interval-union merge D14/D16/D9c share: distinct 1-based
     * per-doc positions `p`, each covering `[p, p+n-1]`, reduce to
@@ -933,6 +1011,14 @@ object Dedup {
     * are disjoint — no token double-counts); the only text shuffle is
     * the per-doc reassembly groupBy, which any rewriting operator
     * fundamentally needs (D10's shape). */
+  /** Fidelity note (Lee '22 delta): like [[dupSpans]], the excision
+    * unit here is the word n-gram, not the paper's byte — a duplicated
+    * run that word tokenization splits differently survives the
+    * rewrite (and the rebuilt text normalizes whitespace to single
+    * spaces). The char-granularity AUDIT is [[dupSpansChar]]; a
+    * char-level REWRITE would excise substrings of words, which for a
+    * training corpus is usually worse than leaving the variant intact
+    * — hence audit-only at char granularity, by choice. */
   def exciseSpans(docs: DataFrame, n: Int = 5): DataFrame = {
     require(n >= 1, s"n-gram length must be >= 1, got $n")
     val toks = graft.functions.TextFunctions.words(col("text"))
@@ -1076,5 +1162,6 @@ object Dedup {
     Seq(qDedupExact, qDedupIncremental, qDedupIncrementalMinhash,
       qDedupMinhash, qDedupSimhash,
       qNgramJaccard, qNgramContainment, qNgramJaccardPrefix,
-      qNgramContainmentPrefix, qStreamNeardupBatch, qDupSpans, qExciseSpans)
+      qNgramContainmentPrefix, qStreamNeardupBatch, qDupSpans, qDupSpansChar,
+      qExciseSpans)
 }
