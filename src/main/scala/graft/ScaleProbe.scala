@@ -389,6 +389,62 @@ object ScaleProbe {
       s"bloom decontamination diverged from exact at scale: $bloomDigest vs $exactDigest")
     println(f"bloom == exact       ${"check"}%9s       row-hash digests equal over ${exactDigest.getLong(1)} docs  PASS")
 
+    // decontaminateBloomBroadcast at its DESIGN POINT: a reference far
+    // past the plan-literal sweet spot — ~10^7 distinct shingles (a
+    // full eval-suite union / blocklist corpus), 2^27 filter bits
+    // (16 MB riding the torrent broadcast; a literal this size would
+    // bloat every task binary and make memo plan-compares element-wise
+    // over 2M longs). The reference mixes 200k fresh synthetic docs
+    // from the SAME vocab (so random cross-set 8-gram collisions
+    // exist and the exact rescore has real false positives to kill)
+    // with every 997th corpus doc verbatim (planted true hits). The
+    // digest equality with the exact flag is the correctness gate; the
+    // warm pass measures the repeat-caller path (cached broadcast
+    // handle + memoized per-doc frame — no rebuild, no re-broadcast).
+    val vocabB = lit((0 until 50).map(i =>
+      s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}x").toArray)
+    val evalBig = spark.range(200000L).select(
+        (col("id") + 20000000L).as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(60)),
+          i => element_at(vocabB,
+            (pmod(xxhash64(col("id") * 777 + i, lit(99L)), lit(50)) + 1).cast("int"))))
+          .as("text"))
+      .unionByName(docs.filter(col("doc_id") % 997 === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"), col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEvalBigSh = evalBig
+      .select(explode(array_distinct(
+        graft.functions.TextFunctions.shingles(
+          graft.functions.TextFunctions.words(col("text")),
+          graft.queries.Contamination.NgramK))).as("s"))
+      .distinct().count()
+    val nPlantedBig = docs.filter(col("doc_id") % 997 === 0).count()
+    val bigBits = 1 << 27
+    val (bbCold, tBbCold) = time {
+      decontamDigest(Graft.decontaminateBloomBroadcast(docs, evalBig,
+        bits = bigBits, probes = 5))
+    }
+    val (bbWarm, tBbWarm) = time {
+      decontamDigest(Graft.decontaminateBloomBroadcast(docs, evalBig,
+        bits = bigBits, probes = 5))
+    }
+    val (exactBig, tBbExact) = time {
+      decontamDigest(Graft.decontaminate(docs, evalBig))
+    }
+    val nFlaggedBig = Graft.decontaminateBloomBroadcast(docs, evalBig,
+        bits = bigBits, probes = 5)
+      .filter(col("contaminated") === 1).count()
+    println(f"bloom bcast 2^27     $nEvalBigSh%9d ref shingles  cold $tBbCold%6.1f s  warm $tBbWarm%6.1f s  exact $tBbExact%6.1f s  ($nFlaggedBig flagged)")
+    assert(bbCold == exactBig && bbWarm == exactBig,
+      s"broadcast-Bloom diverged from exact at the 2^27 design point: $bbCold / $bbWarm vs $exactBig")
+    assert(nFlaggedBig >= nPlantedBig,
+      s"only $nFlaggedBig flagged vs $nPlantedBig planted verbatim copies")
+    assert(nEvalBigSh >= 9000000L,
+      s"reference built only $nEvalBigSh distinct shingles — not the 10^7 design point")
+    println(f"bloom bcast == exact ${"check"}%9s       digests equal, $nPlantedBig planted all flagged, warm reuses handle  PASS")
+    evalBig.unpersist(blocking = false)
+    graft.queries.Contamination.clearBloomCache()
+
     // Unigram-LM scoring: vocabulary model (50 terms here; vocab-sized
     // generally) broadcast back over the corpus, per-doc ordered folds.
     val (xStats, tUx) = time {

@@ -458,6 +458,22 @@ object Similarity {
     topkPerQuery(scored)
   }
 
+  /** Trained-centroid ORACLE coverage — the E7 losslessness pattern
+    * applied to [[annIvfTrained]]: with `probes = cells` every query
+    * scores EVERY vector exactly once (each vector sits in exactly one
+    * KMeans cell, and probing all cells erases the partitioning), so
+    * the output is provably ≡ brute-force top-k whatever the fit
+    * produced — which makes the full trained path (ml.KMeans fit →
+    * transform assignment → broadcast-centroid probe → cell equi-join
+    * → exact rescore → ranking) oracle-checkable against the SQL brute
+    * force even though the iterative fit itself is not
+    * SQL-expressible. Probe-limited recall (the production setting)
+    * stays spec-gated: AnnRecallSpec + the 1M-vector ScaleProbe. */
+  val qAnnIvfTrainedExh: Q = Q(
+    "q_ann_ivf_trained_exh",
+    (s, d) => annIvfTrained(Tables.embeddings(s, d), cells = 10, probes = 10),
+    Some(bruteforceSql))
+
   /** E3 at full production shape: IVF-PQ with asymmetric-distance
     * shortlisting and exact rescore — the index layout 100 TB ANN
     * actually runs on. Vectors are unit-normalized, coarse-quantized
@@ -945,15 +961,28 @@ object Similarity {
     * O(N²/k) pair bound, exactly as in the paper.
     *
     * Scale shape: one broadcast-centroid assignment whose argmax is a
-    * MAP-SIDE-COMBINABLE struct-max (the broadcast nested-loop join
-    * emits a vector's `cells` candidate rows in one partition, so the
-    * partial agg collapses them to one row before anything shuffles —
-    * the previous row_number window shuffled the full N x cells joined
-    * frame, embeddings included, which at 1M x 1000 is a ~100 GB
-    * exchange for an argmax); then one equi-join on `cell` whose
-    * per-cell quadratic term is bounded by cell size, a distinct over
-    * loser ids (narrow), and a final left anti-ish paint join. No
-    * all-pairs anywhere; embeddings shuffle once, keyed by cell.
+    * MAP-SIDE-COMBINABLE `max` over ONE packed LONG per candidate —
+    * `round(c_cos·2^41)·2^21 + (2^21−1−c_id)`, i.e. (quantized cosine
+    * DESC, c_id ASC) lexicographically in a single primitive — so the
+    * aggregate is a true HashAggregate: the broadcast nested-loop join
+    * emits a vector's `cells` candidate rows locally and the partial
+    * agg collapses them before anything shuffles. Two rejected forms,
+    * both measured at 1M×1000: a row_number window (shuffles the full
+    * N×cells joined frame, embeddings included — ~100 GB exchange),
+    * and max-of-struct (structs have no mutable agg buffer, so Spark
+    * plans SortAggregate and SORTS the 10^9-row joined stream unless
+    * the input happens to carry ordering metadata — 10s on a cached
+    * spark.range, 114 s on the same data behind a union, and every
+    * parquet scan is the slow case). The exact double `c_cos` is then
+    * recovered by a narrow broadcast re-join on the chosen centroid (N
+    * dot products, not N×k). Quantization at 2^41 only affects
+    * assignment when two centroids' cosines differ by < 2^-41 (then
+    * the smaller c_id wins — deterministic, and mirrored exactly by
+    * the oracle's ORDER BY round(c_cos·2^41) DESC, c_id); then one
+    * equi-join on `cell` whose per-cell quadratic term is bounded by
+    * cell size, a distinct over loser ids (narrow), and a final left
+    * anti-ish paint join. No all-pairs anywhere; embeddings shuffle
+    * once, keyed by cell.
     *
     * Cell sizing: `cells <= 0` (the default) sizes AUTOMATICALLY to
     * ceil(sqrt(N)) — one count() action — which balances the two
@@ -973,24 +1002,35 @@ object Similarity {
       if (cells > 0) cells
       else math.max(2, math.ceil(math.sqrt(
         embeddings.count().toDouble)).toInt)
+    require(k < (1 << 21) - 1, s"cells must be < 2^21 - 1, got $k")
     val v = withNorms(embeddings)
     val cents = v.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
-    // argmax by (c_cos desc, c_id asc) == max of struct(c_cos, -c_id):
-    // identical selection to the row_number form, but partial-aggregable
+    // one packed primitive per candidate: (quantized c_cos, 2^21-1-c_id)
+    // lexicographic in a LONG, so argmax is a plain HashAggregate max.
+    // nanvl: a zero-norm vector's NaN cosine degrades to a -1.5
+    // sentinel (worse than any cosine, no Long overflow at 2^62) so
+    // the argmax stays total
+    val Q = (1L << 41).toDouble
+    val CellSlots = 1L << 21
+    val candKey = {
+      val cos = cosineFrom(dot(col("embedding"), col("c_emb")), col("n2"), col("c_n2"))
+      round(nanvl(cos, lit(-1.5)) * Q).cast("long") * CellSlots +
+        (lit(CellSlots - 1) - col("c_id"))
+    }
     val best = v.join(broadcast(cents), lit(true))
-      .select(col("vec_id"),
-        struct(
-          cosineFrom(dot(col("embedding"), col("c_emb")), col("n2"), col("c_n2"))
-            .as("c_cos"),
-          (lit(0L) - col("c_id")).as("nid")).as("cand"))
+      .select(col("vec_id"), candKey.as("ck"))
       .groupBy("vec_id")
-      .agg(max(col("cand")).as("m"))
-      .select(col("vec_id"), (lit(0L) - col("m.nid")).as("cell"),
-        col("m.c_cos").as("c_cos"))
+      .agg(max(col("ck")).as("ck"))
+      .select(col("vec_id"),
+        (lit(CellSlots - 1) - pmod(col("ck"), lit(CellSlots))).as("cell"))
+    // recover the EXACT double c_cos for the chosen centroid: a narrow
+    // broadcast equi-join + N dot products (not N x k)
     val assigned = v.join(best, Seq("vec_id"))
-      .select(col("vec_id"), col("embedding"), col("n2"),
-        col("cell"), col("c_cos"))
+      .join(broadcast(cents), col("cell") === col("c_id"))
+      .select(col("vec_id"), col("embedding"), col("n2"), col("cell"),
+        cosineFrom(dot(col("embedding"), col("c_emb")), col("n2"), col("c_n2"))
+          .as("c_cos"))
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
       col("embedding").as("ea"), col("n2").as("na"), col("c_cos").as("ca"))
     val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
@@ -1027,7 +1067,8 @@ object Similarity {
         FROM v CROSS JOIN c),
       assigned AS (SELECT vec_id, embedding, n2, c_id AS cell, c_cos FROM (
           SELECT vec_id, embedding, n2, c_id, c_cos,
-            row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY round(c_cos * 2199023255552.0::DOUBLE) DESC, c_id) AS rn
           FROM ac) t WHERE rn = 1),
       pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.c_cos AS ca, b.c_cos AS cb
         FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -1041,5 +1082,6 @@ object Similarity {
 
   val all: Seq[Q] =
     Seq(qDedupEmbedding, qDedupEmbeddingLsh, qAnnBruteforce, qAnnLsh, qAnnIvf,
-      qAnnIvfPq, qAnnIvfPqSearch, qKnnLabel, qEmbedCentroids, qDedupSemantic)
+      qAnnIvfTrainedExh, qAnnIvfPq, qAnnIvfPqSearch, qKnnLabel,
+      qEmbedCentroids, qDedupSemantic)
 }

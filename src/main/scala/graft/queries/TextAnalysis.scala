@@ -311,6 +311,21 @@ object TextAnalysis {
       docs: DataFrame,
       minWords: Long,
       maxWords: Long,
+      stops: Seq[String]): DataFrame =
+    gopherFlagsRetain(docs, minWords, maxWords, stops).select(
+      Seq("doc_id", "n_words", "r1_words", "r2_wordlen", "r3_sym",
+        "r4_bullet", "r5_ell", "r6_alpha", "r7_stop", "kept")
+        .map(col): _*)
+
+  /** [[gopherFlags]] with the INPUT columns retained (docs + counts +
+    * flags + kept) — the form a streaming composition filters in place
+    * ([[graft.streaming.Streams]]'s keyed ingest; a streaming plan
+    * cannot flag-join two derived streams). Same expressions, built
+    * once, so the two forms cannot drift. */
+  private[graft] def gopherFlagsRetain(
+      docs: DataFrame,
+      minWords: Long,
+      maxWords: Long,
       stops: Seq[String]): DataFrame = {
     require(minWords >= 0 && minWords <= maxWords,
       s"need 0 <= minWords <= maxWords, got [$minWords, $maxWords]")
@@ -322,21 +337,26 @@ object TextAnalysis {
     // explicit class below is what the SQL oracle uses verbatim.
     val toks = filter(split(col("text"), GopherWs + "+"), t => t =!= "")
     val lines = split(col("text"), "\n")
-    val counted = docs.select(
-      col("doc_id"),
-      size(toks).cast("long").as("n_words"),
-      aggregate(transform(toks, t => length(t).cast("long")), lit(0L),
-        (a, x) => a + x).as("sum_chars"),
-      size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long").as("n_alpha"),
-      stops.map(s =>
-          when(array_contains(transform(toks, t => lower(t)), s), 1L).otherwise(0L))
-        .reduce(_ + _).as("n_stops"),
-      size(lines).cast("long").as("n_lines"),
-      size(filter(lines, l => trim(l).rlike("^[•*-]"))).cast("long").as("n_bullet"),
-      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)" + GopherWs + "*$")))
-        .cast("long").as("n_ell"),
-      size(regexp_extract_all(col("text"), lit("#|…|\\.\\.\\."), lit(0)))
-        .cast("long").as("n_sym"))
+    val counted = docs
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("sum_chars",
+        aggregate(transform(toks, t => length(t).cast("long")), lit(0L),
+          (a, x) => a + x))
+      .withColumn("n_alpha",
+        size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long"))
+      .withColumn("n_stops",
+        stops.map(s =>
+            when(array_contains(transform(toks, t => lower(t)), s), 1L).otherwise(0L))
+          .reduce(_ + _))
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_bullet",
+        size(filter(lines, l => trim(l).rlike("^[•*-]"))).cast("long"))
+      .withColumn("n_ell",
+        size(filter(lines, l => l.rlike("(\\.\\.\\.|…)" + GopherWs + "*$")))
+          .cast("long"))
+      .withColumn("n_sym",
+        size(regexp_extract_all(col("text"), lit("#|…|\\.\\.\\."), lit(0)))
+          .cast("long"))
     val flags = Seq(
       "r1_words" -> (col("n_words") >= minWords && col("n_words") <= maxWords),
       "r2_wordlen" -> (col("sum_chars") >= col("n_words") * 3L &&
@@ -346,10 +366,10 @@ object TextAnalysis {
       "r5_ell" -> (col("n_ell") * 10L <= col("n_lines") * 3L),
       "r6_alpha" -> (col("n_alpha") * 10L >= col("n_words") * 8L),
       "r7_stop" -> (col("n_stops") >= 2L))
-    counted.select(
-      col("doc_id") +: col("n_words") +:
-        (flags.map { case (n, c) => when(c, 1L).otherwise(0L).as(n) } :+
-          flags.map(_._2).reduce(_ && _).cast("long").as("kept")): _*)
+    flags.foldLeft(counted) { case (df, (n, c)) =>
+        df.withColumn(n, when(c, 1L).otherwise(0L))
+      }
+      .withColumn("kept", flags.map(_._2).reduce(_ && _).cast("long"))
   }
 
   /** The corpus-bearing stop set the C16/C18 oracle rows gate on (the
@@ -476,35 +496,44 @@ object TextAnalysis {
     * STREAMING frame ([[graft.streaming.Streams.gopherRepStream]];
     * streaming plans cannot sort). Same output contract minus the
     * presentation order. */
-  private[graft] def gopherRepFlags(docs: DataFrame): DataFrame = {
+  private[graft] def gopherRepFlags(docs: DataFrame): DataFrame =
+    gopherRepFlagsRetain(docs).select(
+      Seq("doc_id", "n_lines", "dup_lines", "n_paras", "dup_paras",
+        "sum_chars", "top2_chars", "top3_chars", "top4_chars",
+        "r1_dupline", "r2_duppara", "r3_top2", "r4_top3", "r5_top4", "kept")
+        .map(col): _*)
+
+  /** [[gopherRepFlags]] with the input columns retained — the
+    * streaming-composition form, like [[gopherFlagsRetain]]. */
+  private[graft] def gopherRepFlagsRetain(docs: DataFrame): DataFrame = {
     val toksC = filter(split(col("text"), GopherWs + "+"), t => t =!= "")
     val linesC = filter(transform(split(col("text"), "\n"), l => trim(l)),
       l => l =!= "")
     val parasC = filter(transform(split(col("text"), "\n\n"), p => trim(p)),
       p => p =!= "")
-    val counted = docs.select(
-      col("doc_id"),
-      size(linesC).cast("long").as("n_lines"),
-      (size(linesC) - size(array_distinct(linesC))).cast("long").as("dup_lines"),
-      size(parasC).cast("long").as("n_paras"),
-      (size(parasC) - size(array_distinct(parasC))).cast("long").as("dup_paras"),
-      aggregate(transform(toksC, t => length(t).cast("long")), lit(0L),
-        (a, x) => a + x).as("sum_chars"),
-      graft.functions.NativeExpressions.topGramCover(toksC, 2).as("top2_chars"),
-      graft.functions.NativeExpressions.topGramCover(toksC, 3).as("top3_chars"),
-      graft.functions.NativeExpressions.topGramCover(toksC, 4).as("top4_chars"))
+    val counted = docs
+      .withColumn("n_lines", size(linesC).cast("long"))
+      .withColumn("dup_lines",
+        (size(linesC) - size(array_distinct(linesC))).cast("long"))
+      .withColumn("n_paras", size(parasC).cast("long"))
+      .withColumn("dup_paras",
+        (size(parasC) - size(array_distinct(parasC))).cast("long"))
+      .withColumn("sum_chars",
+        aggregate(transform(toksC, t => length(t).cast("long")), lit(0L),
+          (a, x) => a + x))
+      .withColumn("top2_chars", graft.functions.NativeExpressions.topGramCover(toksC, 2))
+      .withColumn("top3_chars", graft.functions.NativeExpressions.topGramCover(toksC, 3))
+      .withColumn("top4_chars", graft.functions.NativeExpressions.topGramCover(toksC, 4))
     val flags = Seq(
       "r1_dupline" -> (col("dup_lines") * 10L <= col("n_lines") * 3L),
       "r2_duppara" -> (col("dup_paras") * 10L <= col("n_paras") * 3L),
       "r3_top2" -> (col("top2_chars") * 5L <= col("sum_chars")),
       "r4_top3" -> (col("top3_chars") * 50L <= col("sum_chars") * 9L),
       "r5_top4" -> (col("top4_chars") * 25L <= col("sum_chars") * 4L))
-    counted.select(
-      col("doc_id") +: col("n_lines") +: col("dup_lines") +: col("n_paras") +:
-        col("dup_paras") +: col("sum_chars") +: col("top2_chars") +:
-        col("top3_chars") +: col("top4_chars") +:
-        (flags.map { case (nm, c) => when(c, 1L).otherwise(0L).as(nm) } :+
-          flags.map(_._2).reduce(_ && _).cast("long").as("kept")): _*)
+    flags.foldLeft(counted) { case (df, (nm, c)) =>
+        df.withColumn(nm, when(c, 1L).otherwise(0L))
+      }
+      .withColumn("kept", flags.map(_._2).reduce(_ && _).cast("long"))
   }
 
   /** Oracle row: the DuckDB side computes dominant-gram coverage the

@@ -39,6 +39,18 @@ final case class BucketEntry(doc_id: Long, sig: Seq[Long])
 /** An incoming doc flagged against a previously-seen near-duplicate. */
 final case class NearDupHit(doc_id: Long, matched_id: Long, est_jaccard: Double)
 
+/** One gated, banded row of [[Streams.ingestStreamKeyed]]. */
+final case class IngestBandRow(
+    doc_id: Long, band: Int, band_hash: Long, sig: Seq[Long],
+    contaminated: Boolean)
+
+/** Per-(doc, band) verdict emitted by the registry stage. */
+final case class IngestBandHit(doc_id: Long, matched: Boolean, contaminated: Boolean)
+
+/** Final per-doc ingest decision of [[Streams.ingestStreamKeyed]]. */
+final case class IngestDecision(
+    doc_id: Long, is_near_seen: Boolean, contaminated: Boolean, keep: Boolean)
+
 /** KV-store op (kvraft surface: Put / Append; Get is a lookup on the
   * emitted state). */
 final case class KvOp(ts: java.sql.Timestamp, key: String, op: String, value: String)
@@ -417,6 +429,120 @@ object Streams {
       .select("doc_id")
     Contamination.decontamGate(
       gated.join(keep, Seq("doc_id"), "left_semi"), evalDocs)
+  }
+
+  /** G11's KEYED-STATE form — the whole ingest decision as ONE
+    * Structured Streaming plan, no foreachBatch: gates (stateless
+    * maps, the retain forms of C16/C17 so the doc row flows through) →
+    * G5's per-bucket near-dup REGISTRY (cross-batch keyed state: every
+    * gated doc joins its band buckets; an arrival matching an earlier
+    * — by batch or by doc_id within the batch — registered doc at
+    * est-Jaccard >= `minEstJaccard` flags `is_near_seen`) → a per-doc
+    * conjunction stage → decontamination as a stateless membership
+    * probe against the benchmark-sized eval shingle set (a plan
+    * literal — the D9 broadcast probe without the join, which a plan
+    * already carrying two stateful stages cannot host; for reference
+    * sets past literal scale, prefilter with the D9d Bloom literal and
+    * rescore this way). `keep` = gated ∧ ¬near-seen ∧ ¬contaminated.
+    *
+    * vs [[ingestStreamAppend]]: the lake-append form externalizes
+    * cross-batch state to a parquet store (restart-durable, lake-sized,
+    * batch-granular); this form keeps it in the state store —
+    * lower-latency, checkpoint-durable, and the right shape when the
+    * dedup horizon is the STREAM itself rather than a pre-existing
+    * lake. Two chained flatMapGroupsWithState stages, both Append mode
+    * (the supported chaining).
+    *
+    * State bounds: the registry stage holds <= `maxPerBucket` entries
+    * of (doc_id, 16-long signature) per ACTIVE (band, band_hash)
+    * bucket — G5's FIFO cap, ~140 B/entry; buckets shard across
+    * executors. The per-doc conjunction stage retains NOTHING across
+    * batches: a doc's band rows all arrive in its own micro-batch, so
+    * the state is removed within the batch that created it. */
+  def ingestStreamKeyed(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      minWords: Long = 50L,
+      stops: Seq[String] = graft.queries.TextAnalysis.GopherStops,
+      minEstJaccard: Double = 0.5,
+      maxPerBucket: Int = 1024): Dataset[IngestDecision] = {
+    import docs.sparkSession.implicits._
+    import graft.queries.{Contamination, Dedup, TextAnalysis}
+    import graft.functions.TextFunctions.{shingles, words}
+    val gated = TextAnalysis.gopherRepFlagsRetain(
+        TextAnalysis.gopherFlagsRetain(
+            docs.select(col("doc_id"), col("text")), minWords, 100000L, stops)
+          .filter(col("kept") === 1L)
+          .select(col("doc_id"), col("text")))
+      .filter(col("kept") === 1L)
+      .select(col("doc_id"), col("text"))
+    // eval side is benchmark-sized by definition — its distinct shingle
+    // set ships as a typed literal, making the contamination flag a
+    // pure map stage (exact string membership, no hash FPs)
+    val evalShingles: Array[String] = evalDocs
+      .select(explode(array_distinct(
+        shingles(words(col("text")), Contamination.NgramK))).as("s"))
+      .distinct().as[String].collect()
+    val contaminatedCol =
+      if (evalShingles.isEmpty) lit(false)
+      else coalesce(arrays_overlap(
+        array_distinct(shingles(words(col("text")), Contamination.NgramK)),
+        lit(evalShingles)), lit(false))
+    val flagged = gated
+      .withColumn("contaminated", contaminatedCol)
+      .withColumn("hs", Dedup.shingleHashCol(col("text")))
+    val banded = flagged.filter(size(col("hs")) > 0)
+      .withColumn("sig", Dedup.minhashSigCol(col("hs")))
+      .select(col("doc_id"),
+        posexplode(Dedup.bandHashCol(col("sig"))).as(Seq("band", "band_hash")),
+        col("sig"), col("contaminated"))
+      .as[IngestBandRow]
+    def registry(
+        key: (Int, Long),
+        rows: Iterator[IngestBandRow],
+        state: GroupState[Seq[BucketEntry]]): Iterator[IngestBandHit] = {
+      var seen = state.getOption.getOrElse(Seq.empty)
+      val out = Seq.newBuilder[IngestBandHit]
+      rows.toSeq.sortBy(_.doc_id).foreach { r =>
+        if (!seen.exists(_.doc_id == r.doc_id)) {
+          val matched = seen.exists { s =>
+            val agree = r.sig.iterator.zip(s.sig.iterator)
+              .count { case (a, b) => a == b }
+            agree.toDouble / Dedup.MinhashK >= minEstJaccard
+          }
+          out += IngestBandHit(r.doc_id, matched, r.contaminated)
+          seen = seen :+ BucketEntry(r.doc_id, r.sig)
+          if (seen.size > maxPerBucket) seen = seen.takeRight(maxPerBucket)
+        }
+      }
+      state.update(seen)
+      out.result().iterator
+    }
+    def decide(
+        docId: Long,
+        rows: Iterator[IngestBandHit],
+        state: GroupState[Boolean]): Iterator[IngestDecision] = {
+      // a doc's band rows all arrive in one micro-batch: decide now,
+      // retain nothing (the state slot exists only within this call)
+      val rs = rows.toSeq
+      state.remove()
+      val near = rs.exists(_.matched)
+      val contam = rs.exists(_.contaminated)
+      Iterator.single(IngestDecision(docId, near, contam, !near && !contam))
+    }
+    val decisions = banded
+      .groupByKey(r => (r.band, r.band_hash))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(registry)
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(decide)
+    // docs too short to shingle never band: no near-dup surface, keep
+    // unless contaminated (a pure stateless branch, unioned in)
+    val bare = flagged
+      .filter(coalesce(size(col("hs")), lit(-1)) <= 0)
+      .select(col("doc_id"), col("contaminated"))
+      .as[(Long, Boolean)]
+      .map { case (id, c) => IngestDecision(id, false, c, !c) }
+    decisions.union(bare)
   }
 
   /** G7: streaming decontamination at ingest — the gate form of the

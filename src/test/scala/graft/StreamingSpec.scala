@@ -672,6 +672,75 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ingestStreamKeyed decisions equal sequential D13b replays across batch splits") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.IngestDecision
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    def good(t: String) = Seq(
+      s"the cat ${t}aa big house", s"and dog ${t}bb warm garden",
+      s"of bird ${t}cc tall market", s"to fish ${t}dd wide basket",
+      s"a goat ${t}ee ripe apple", s"in lamb ${t}ff sweet pear",
+      s"is wolf ${t}gg fresh plum").mkString(" ")
+    val eval = Seq((200L, good("evl"))).toDF("doc_id", "text")
+    val batches = Seq(
+      Seq(StreamingSpec.Doc(1L, good("one")),         // kept
+        StreamingSpec.Doc(2L, good("lke")),           // kept (first of its kind)
+        StreamingSpec.Doc(3L, "tiny doc")),           // gated out -> no decision row
+      Seq(StreamingSpec.Doc(4L, good("one") + " coda"), // CROSS-BATCH near-dup of 1
+        StreamingSpec.Doc(5L, good("two")),            // kept
+        StreamingSpec.Doc(6L, good("two") + " coda"),  // in-batch near-dup of 5
+        StreamingSpec.Doc(7L, good("evl"))),           // contaminated
+      Seq(StreamingSpec.Doc(8L, good("lke") + " coda"), // near-dup of batch-1 doc 2
+        StreamingSpec.Doc(9L, good("nine"))))          // kept
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val query = Streams.ingestStreamKeyed(mem.toDF(), eval,
+        minWords = 10L, stops = stops)
+      .writeStream.format("memory").queryName("ingest_keyed")
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b =>
+        mem.addData(b: _*)
+        query.processAllAvailable()
+      }
+      val got = spark.table("ingest_keyed").as[IngestDecision].collect()
+        .map(d => d.doc_id -> ((d.is_near_seen, d.contaminated, d.keep))).toMap
+      // planted expectations: gated-out docs emit nothing; 4, 6, 8 are
+      // near-seen (4 and 8 CROSS-batch — the keyed registry's whole
+      // point); 7 contaminated
+      assert(got.keySet == Set(1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L), got)
+      assert(got(4L) == ((true, false, false)) && got(8L) == ((true, false, false)), got)
+      assert(got(6L) == ((true, false, false)) && got(7L) == ((false, true, false)), got)
+      assert(Seq(1L, 2L, 5L, 9L).forall(id => got(id) == ((false, false, true))), got)
+      // differential: sequential D13b replays — batch i's gated docs
+      // against known = all EARLIER batches' gated docs; near =
+      // near_known OR near_in_batch; contamination via batch D9
+      def gate(b: Seq[StreamingSpec.Doc]) = {
+        val df = b.toDF().select(col("doc_id"), col("text"))
+        df.join(graft.queries.TextAnalysis
+            .gopherFlags(df, 10L, 100000L, stops)
+            .filter(col("kept") === 1L).select("doc_id"), Seq("doc_id"), "left_semi")
+          .join(graft.queries.TextAnalysis.gopherRepFlags(df)
+            .filter(col("kept") === 1L).select("doc_id"), Seq("doc_id"), "left_semi")
+      }
+      var known = gate(batches.head).limit(0)
+      val want = scala.collection.mutable.Map.empty[Long, (Boolean, Boolean, Boolean)]
+      batches.foreach { b =>
+        val g = gate(b)
+        val near = graft.queries.Dedup.dedupIncrementalMinhash(g, known)
+          .collect().map(r => r.getLong(0) ->
+            (r.getBoolean(1) || r.getBoolean(2))).toMap
+        val contam = graft.queries.Contamination.decontaminate(g, eval)
+          .collect().map(r => r.getLong(0) -> (r.getLong(4) == 1L)).toMap
+        near.keys.foreach { id =>
+          want(id) = (near(id), contam(id), !near(id) && !contam(id))
+        }
+        known = known.unionByName(g)
+      }
+      assert(got == want.toMap, s"stream $got vs replay $want")
+    } finally query.stop()
+  }
+
   test("gopherRepStream output equals batch gopherRepetition row-for-row across batch splits") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
