@@ -579,6 +579,31 @@ object ScaleProbe {
       s"span excision: ${excAgg.getLong(1)} tokens excised over ${excAgg.getLong(2)} docs vs ${10L * plantedPairs} over $plantedPairs planted — " +
         "keeper rule or span union drifted")
     println(f"excision census      ${"check"}%9s       ${excAgg.getLong(2)} twins each lost exactly tokens 11..20, keepers intact  PASS")
+
+    // Char-granularity span census (D14b) on the SAME corpus: tokens
+    // are 6 chars + separator, so the twins' shared tokens 11..20 are
+    // one identical char run [70, 140] (the flanking spaces match
+    // too). Each twin-pair member must report exactly ONE span
+    // covering that run; the flanking tokens differ EXCEPT when their
+    // boundary chars collide by chance (1/26 per side), so extents get
+    // a ±6-char (one-token) allowance, with n_grams tied to the span
+    // length — phantom spans, missed spans, and merge-rule drift all
+    // still trip it. Volume note: the per-char positional explode is
+    // ~7x the word form's rows (192M grams here) — the declarative
+    // analogue of the suffix array's linear index.
+    val (charAgg, tCs) = time {
+      Graft.dupSpansChar(spanDocsDf, k = 20)
+        .agg(count(lit(1)),
+          sum(when(col("span_start").between(64L, 70L) &&
+            col("span_end").between(140L, 146L) &&
+            col("n_dup_grams") === col("span_end") - col("span_start") - 18L,
+            1L).otherwise(0L))).head()
+    }
+    println(f"dup spans, char      $spanTotal%9d docs  $tCs%7.1f s  ${spanTotal / tCs}%9.0f docs/s  (${charAgg.getLong(0)} char spans)")
+    assert(charAgg.getLong(0) == 2 * plantedPairs && charAgg.getLong(1) == charAgg.getLong(0),
+      s"char spans: ${charAgg.getLong(0)} rows (${charAgg.getLong(1)} in-extent) vs ${2 * plantedPairs} planted — " +
+        "phantom char spans, missed spans, or wrong extents")
+    println(f"char span extents    ${"check"}%9s       ${charAgg.getLong(0)} spans all cover the planted run  PASS")
     spanDocsDf.unpersist(blocking = false)
     graft.ops.Release.sweep(spark)
 

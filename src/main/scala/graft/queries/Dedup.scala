@@ -809,11 +809,14 @@ object Dedup {
     (s, d) => containmentPairsPrefix(Tables.documents(s, d)),
     qNgramContainment.oracle)
 
-  /** Memo of [[dupSpans]]' positional (doc, pos, hash) frame — its own
-    * cache so span traffic never evicts the dedup-family signature
-    * memos ([[cachedShingles]]); both the count branch and the paint
-    * branch read it, so the corpus is tokenized/hashed once. */
-  private[this] val spanCache = new graft.ops.PlanCache(capacity = 2)
+  /** Memo of the positional (doc, pos, hash) frames behind
+    * [[dupSpans]]/[[exciseSpans]] (word grams) and [[dupSpansChar]]
+    * (char grams) — its own cache so span traffic never evicts the
+    * dedup-family signature memos ([[cachedShingles]]); each
+    * operator's count branch AND paint branch read the same entry, so
+    * the corpus is tokenized/hashed once per granularity. Capacity 3:
+    * word + char frames of one corpus plus one spare. */
+  private[this] val spanCache = new graft.ops.PlanCache(capacity = 3)
 
   /** D14: exact-substring duplicate SPANS (Lee et al. ACL'22
     * "Deduplicating Training Data Makes Language Models Better" —
@@ -914,7 +917,13 @@ object Dedup {
   def dupSpansChar(docs: DataFrame, k: Int = 50): DataFrame = {
     require(k >= 2, s"char-gram length must be >= 2, got $k")
     val npos = (length(col("text")) - (k - 1)).cast("long")
-    val grams = docs
+    // memo-persisted: the count branch and the paint join both read
+    // this frame (without it the per-char explode runs twice — 12 s ->
+    // ~6 s at sf0.1). Keys are the md5 BYTES (unhex), not the hex
+    // string: same 128-bit decision-key safety, half the shuffle bytes
+    // — the keys never appear in output, so the oracle (which computes
+    // its own span pipeline from text) is unaffected.
+    val grams = spanCache.memo(docs
       .select(col("doc_id"), col("text"),
         // explicit empty-array guard: sequence(1, 0) would generate the
         // DESCENDING [1, 0] in Spark, not an empty list
@@ -922,7 +931,7 @@ object Dedup {
           .otherwise(array())).as("p"))
       .filter(col("p").isNotNull)
       .select(col("doc_id"), col("p"),
-        md5(col("text").substr(col("p"), lit(k))).as("h"))
+        unhex(md5(col("text").substr(col("p"), lit(k)))).as("h")))
     val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
     mergeGramSpans(grams.join(dupHashes, "h").select(col("doc_id"), col("p")), k)
