@@ -213,6 +213,13 @@ object Graft {
       queryVecs: DataFrame, probes: Int = 3, rescore: Int = 50,
       excludeSelf: Boolean = true): DataFrame =
     queries.Similarity.searchPqIndex(idx, vectors, queryVecs, probes, rescore, excludeSelf)
+  /** Incremental index growth: encode a batch of NEW vectors with the
+    * existing centroids/codebooks (no refit) and append the narrow
+    * code rows — the vector-side lake-append flow
+    * ([[graft.queries.Similarity.appendToPqIndex]]). */
+  def appendToPqIndex(idx: queries.Similarity.PqIndex,
+      newVectors: DataFrame): queries.Similarity.PqIndex =
+    queries.Similarity.appendToPqIndex(idx, newVectors)
   /** Disk-backed build-once PQ index: parquet index + centroids, text
     * codebooks, built on first call per (cacheKey, params)
     * ([[graft.queries.Similarity.pqIndexOnDisk]]). */
@@ -379,6 +386,25 @@ object Graft {
     * ([[graft.queries.Similarity.labelCentroids]]). */
   def labelCentroids(embeddings: DataFrame): DataFrame =
     queries.Similarity.labelCentroids(embeddings)
+  /** C4-style line/page cleaning ([[graft.queries.LineFilters.c4Filters]]). */
+  def c4Filters(docs: DataFrame,
+      minWordsPerLine: Long = 3L, minKeptLines: Long = 5L,
+      requireTerminal: Boolean = true,
+      lineDropWords: Seq[String] = Seq("javascript"),
+      pageDropPhrases: Seq[String] = Seq("lorem ipsum")): DataFrame =
+    queries.LineFilters.c4Filters(docs, minWordsPerLine, minKeptLines,
+      requireTerminal, lineDropWords, pageDropPhrases)
+  /** k-gram duplication census ([[graft.queries.DupCensus.dupCensus]]). */
+  def dupCensus(docs: DataFrame, k: Int = queries.DupCensus.CensusK): DataFrame =
+    queries.DupCensus.dupCensus(docs, k)
+  /** Per-source BPE fertility census
+    * ([[graft.queries.TokenizerStats.bpeFertility]]). */
+  def bpeFertility(docs: DataFrame,
+      merges: Seq[((String, String), String)] = queries.Tokenizer.FixedMerges): DataFrame =
+    queries.TokenizerStats.bpeFertility(docs, merges)
+  /** Embedding snapshot drift ([[graft.queries.Profile.embedDrift]]). */
+  def embedDrift(snapA: DataFrame, snapB: DataFrame): DataFrame =
+    queries.Profile.embedDrift(snapA, snapB)
 
   // ---- Sources / sinks ----
   val sources: graft.sources.Sources.type = graft.sources.Sources

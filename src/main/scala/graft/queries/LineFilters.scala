@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** C18: C4-style line-structured page cleaning (Raffel et al. 2020,
+  * "Exploring the Limits of Transfer Learning with a Unified
+  * Text-to-Text Transformer", §2.2) — the classic line-level crawl
+  * screen that complements the Gopher DOCUMENT gates (C16/C17): C4
+  * filters WITHIN the page (keep only clean lines, then judge the page
+  * by what survived) where Gopher only scores the page whole.
+  *
+  * Line rules (a line survives iff ALL hold):
+  *   - ends in terminal punctuation (`.` `!` `?` `"`) — the paper's
+  *     sentence heuristic (`requireTerminal`, default on)
+  *   - carries at least `minWordsPerLine` whitespace words
+  *   - contains none of `lineDropWords` as a whole lowercased word
+  *     (the paper drops any line with the word "javascript")
+  *
+  * Page rules (the doc survives iff ALL hold):
+  *   - at least `minKeptLines` lines survived the line screen (the
+  *     paper's "at least 5 sentences" gate, counted here on surviving
+  *     lines — each ends in terminal punctuation under the default
+  *     config, so surviving lines are the sentence-bearing ones)
+  *   - the lowercased page contains none of `pageDropPhrases` as a
+  *     substring (the paper's "lorem ipsum" rule)
+  *   - the page contains no curly brace (the paper's code screen)
+  *
+  * Output per doc: line counts, the page flags, the composed `kept`,
+  * and `text_clean` — the surviving lines rejoined with `\n` (the
+  * paper's actual artifact; emitted for every doc so a caller can
+  * also use the line screen without the page gate). All flags are
+  * 0/1 longs and every threshold is an integer comparison (the C16
+  * rule) — no float anywhere.
+  *
+  * Scale shape: a pure shuffle-free codegen map stage over the scan
+  * (split / filter / concat on each row in place), identical to the
+  * C16/C17 gate shape — at 100 TB this is one pass with the
+  * presentation sort as the only exchange. Composes with the gate
+  * families: run C18 first (it REWRITES text), then score survivors.
+  *
+  * Correctness: the oracle row runs `requireTerminal = false`,
+  * `minKeptLines = 1`, `lineDropWords = Seq("dup")` — the synthetic
+  * corpus is single-line, punctuation-free `[a-z ]` text, so the
+  * paper defaults would zero every row and verify nothing (the C16
+  * precedent); under the oracle config the line word-count screen,
+  * the line-drop-word screen, the page gate, and the rewrite all
+  * have corpus action. The paper-default semantics (terminal
+  * punctuation, javascript lines, lorem-ipsum/brace pages,
+  * 5-sentence gate) are pinned by C4FilterSpec on planted multi-line
+  * pages.
+  */
+object LineFilters {
+
+  /** Terminal-punctuation line ending (C4 §2.2): `.`, `!`, `?`, or a
+    * closing double quote, allowing trailing whitespace. */
+  private val TerminalRe = "[.!?\"]" + TextAnalysis.GopherWs + "*$"
+
+  private def lineWords(l: Column): Column =
+    filter(split(lower(l), TextAnalysis.GopherWs + "+"), t => t =!= "")
+
+  def c4Filters(
+      docs: DataFrame,
+      minWordsPerLine: Long = 3L,
+      minKeptLines: Long = 5L,
+      requireTerminal: Boolean = true,
+      lineDropWords: Seq[String] = Seq("javascript"),
+      pageDropPhrases: Seq[String] = Seq("lorem ipsum")): DataFrame =
+    c4Flags(docs, minWordsPerLine, minKeptLines, requireTerminal,
+      lineDropWords, pageDropPhrases).orderBy("doc_id")
+
+  /** The sort-free core of [[c4Filters]] — a pure stateless map stage,
+    * so it applies unchanged to a STREAMING frame
+    * ([[graft.streaming.Streams.c4Stream]]; streaming plans cannot
+    * sort). Same output contract minus the presentation order. */
+  private[graft] def c4Flags(
+      docs: DataFrame,
+      minWordsPerLine: Long,
+      minKeptLines: Long,
+      requireTerminal: Boolean,
+      lineDropWords: Seq[String],
+      pageDropPhrases: Seq[String]): DataFrame = {
+    require(minWordsPerLine >= 0 && minKeptLines >= 0,
+      "thresholds must be non-negative")
+    require(lineDropWords.forall(w => w.nonEmpty && w == w.toLowerCase) &&
+      pageDropPhrases.forall(p => p.nonEmpty && p == p.toLowerCase),
+      "drop words/phrases must be non-empty lowercase")
+    def lineKept(l: Column): Column = {
+      val ws = lineWords(l)
+      val base = size(ws).cast("long") >= minWordsPerLine &&
+        !lineDropWords.map(w => array_contains(ws, w)).foldLeft(lit(false))(_ || _)
+      if (requireTerminal) base && rtrim(l).rlike(TerminalRe) else base
+    }
+    val lines = split(col("text"), "\n")
+    val keptLines = filter(lines, lineKept _)
+    docs
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("kl", keptLines)
+      .withColumn("n_kept_lines", size(col("kl")).cast("long"))
+      .withColumn("has_page_phrase",
+        when(pageDropPhrases.map(p => contains(lower(col("text")), lit(p)))
+          .foldLeft(lit(false))(_ || _), 1L).otherwise(0L))
+      .withColumn("has_brace",
+        when(contains(col("text"), lit("{")) || contains(col("text"), lit("}")), 1L)
+          .otherwise(0L))
+      .withColumn("kept",
+        when(col("n_kept_lines") >= minKeptLines &&
+          col("has_page_phrase") === 0L && col("has_brace") === 0L, 1L)
+          .otherwise(0L))
+      .withColumn("text_clean", concat_ws("\n", col("kl")))
+      .select("doc_id", "n_lines", "n_kept_lines", "has_page_phrase",
+        "has_brace", "kept", "text_clean")
+  }
+
+  /** The oracle row's line-drop word — "dup" rides in ~5% of synthetic
+    * docs, so the line screen, page gate, and rewrite all have corpus
+    * action ("javascript" never occurs and would verify nothing). */
+  private val OracleDropWord = "dup"
+
+  val qC4Filters: Q = Q(
+    "q_c4_filters",
+    (s, d) => c4Filters(Tables.documents(s, d),
+      minWordsPerLine = 3L, minKeptLines = 1L, requireTerminal = false,
+      lineDropWords = Seq(OracleDropWord)),
+    Some {
+      val ws = TextAnalysis.GopherWs
+      s"""WITH t AS (
+        SELECT doc_id, text, string_split(text, chr(10)) AS lns FROM documents),
+      k AS (
+        SELECT doc_id, text, CAST(len(lns) AS BIGINT) AS n_lines,
+          list_filter(lns, l ->
+            len(list_filter(string_split_regex(lower(l), '$ws+'), t -> t <> '')) >= 3
+            AND NOT list_contains(
+              list_filter(string_split_regex(lower(l), '$ws+'), t -> t <> ''),
+              '$OracleDropWord')) AS kl
+        FROM t)
+      SELECT doc_id, n_lines,
+        CAST(len(kl) AS BIGINT) AS n_kept_lines,
+        CAST(CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS BIGINT) AS has_page_phrase,
+        CAST(CASE WHEN contains(text, '{') OR contains(text, '}') THEN 1 ELSE 0 END AS BIGINT) AS has_brace,
+        CAST(CASE WHEN len(kl) >= 1
+          AND NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{') AND NOT contains(text, '}')
+          THEN 1 ELSE 0 END AS BIGINT) AS kept,
+        coalesce(array_to_string(kl, chr(10)), '') AS text_clean
+      FROM k ORDER BY doc_id"""
+    })
+
+  val all: Seq[Q] = Seq(qC4Filters)
+}

@@ -389,5 +389,99 @@ object Profile {
         $rows ORDER BY col_x, col_y"""
     })
 
-  val all: Seq[Q] = Seq(qProfile, qChecks, qHistogram, qCorrelations)
+  /** Fixed-point quantization scale for [[embedDrift]] centroids (the
+    * E5 rule: ×2^12 is a pure exponent shift, exact in binary FP). */
+  private val DriftQ = 4096.0
+
+  /** I5: embedding snapshot drift — the input-trust check for the
+    * VECTOR side of the lake (I1/I2 profile scalars; nothing watched
+    * the embeddings): given two snapshots of the same corpus (two
+    * crawl batches, or the same docs re-embedded after a model bump),
+    * per label report how far the label's centroid moved:
+    *
+    *   (label, n_a, n_b, max_abs_shift)
+    *
+    * max_abs_shift = the Chebyshev (max-over-dims) distance between
+    * the two per-label centroids of 1/4096-quantized components — the
+    * alarm that a label's population shifted (ingest drift) or an
+    * embedding-model change silently re-mapped the space, BEFORE an
+    * IVF/PQ index trained on snapshot A serves snapshot B traffic.
+    * A label present in only one snapshot reports the missing side's
+    * count as 0 and a NULL shift (no centroid to compare).
+    *
+    * Determinism: per (label, dim) the component sums are the E5
+    * integer fixed-point aggregation (order-independent, exact); each
+    * per-dim centroid is then ONE double division of two exact
+    * integers, the difference/abs are single IEEE ops on identical
+    * operands cross-engine, and the final max is commutative — no
+    * order-dependent float accumulation anywhere.
+    *
+    * Scale shape: two posexplode + hash-agg passes on label×dim keys
+    * (tiny, skew-free), a full outer join on that same key space, and
+    * a final agg to the label domain. Vectors never shuffle — only
+    * quantized (label, dim, sum) rows do. */
+  def embedDrift(snapA: DataFrame, snapB: DataFrame): DataFrame = {
+    def moments(df: DataFrame, nn: String, qn: String): DataFrame = df
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        round(col("v").cast("double") * DriftQ).cast("long").as("q"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as(nn), sum(col("q")).as(qn))
+    val a = moments(snapA, "n_a", "qa")
+    val b = moments(snapB, "n_b", "qb")
+    val na = coalesce(col("n_a"), lit(0L))
+    val nb = coalesce(col("n_b"), lit(0L))
+    a.join(b, Seq("label", "dim"), "full")
+      .select(col("label"), na.as("na"), nb.as("nb"),
+        when(na > 0L && nb > 0L,
+          abs(coalesce(col("qa"), lit(0L)).cast("double") / na -
+            coalesce(col("qb"), lit(0L)).cast("double") / nb) / DriftQ)
+          .as("shift"))
+      .groupBy("label")
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(col("shift")).as("max_abs_shift"))
+      .orderBy("label")
+  }
+
+  /** Oracle row: the deterministic parity split of the embeddings table
+    * plays the two snapshots (vec_id mod 2 — reproducible in SQL; real
+    * callers pass two actual snapshot frames). */
+  val qEmbedDrift: Q = Q(
+    "q_embed_drift",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      embedDrift(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1))
+    },
+    Some("""WITH exa AS (
+        SELECT CAST(label AS BIGINT) AS label,
+          CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+          unnest(embedding) AS v
+        FROM embeddings WHERE vec_id % 2 = 0),
+      aa AS (
+        SELECT label, dim, CAST(count(*) AS BIGINT) AS na,
+          CAST(sum(CAST(round(CAST(v AS DOUBLE) * 4096.0::DOUBLE) AS BIGINT)) AS BIGINT) AS qa
+        FROM exa GROUP BY 1, 2),
+      exb AS (
+        SELECT CAST(label AS BIGINT) AS label,
+          CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+          unnest(embedding) AS v
+        FROM embeddings WHERE vec_id % 2 = 1),
+      ab AS (
+        SELECT label, dim, CAST(count(*) AS BIGINT) AS nb,
+          CAST(sum(CAST(round(CAST(v AS DOUBLE) * 4096.0::DOUBLE) AS BIGINT)) AS BIGINT) AS qb
+        FROM exb GROUP BY 1, 2),
+      j AS (
+        SELECT coalesce(aa.label, ab.label) AS label,
+          coalesce(na, 0) AS na, coalesce(qa, 0) AS qa,
+          coalesce(nb, 0) AS nb, coalesce(qb, 0) AS qb
+        FROM aa FULL JOIN ab ON aa.label = ab.label AND aa.dim = ab.dim)
+      SELECT label, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        max(CASE WHEN na > 0 AND nb > 0
+          THEN abs(CAST(qa AS DOUBLE) / na - CAST(qb AS DOUBLE) / nb) / 4096.0::DOUBLE
+          END) AS max_abs_shift
+      FROM j GROUP BY label ORDER BY label"""))
+
+  val all: Seq[Q] = Seq(qProfile, qChecks, qHistogram, qCorrelations, qEmbedDrift)
 }

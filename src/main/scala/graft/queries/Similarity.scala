@@ -593,15 +593,7 @@ object Similarity {
         .clusterCenters.map(_.toArray)
     }
     val cbLit = codebookLit(codebooks)
-    // encode: per subspace, the L2-nearest codebook entry (first-match
-    // tie-break via array_position — deterministic)
-    val codeCol = array((0 until m).map { j =>
-      val sub = slice(col("u"), j * dsub + 1, dsub)
-      val dists = transform(element_at(cbLit, j + 1), cent =>
-        aggregate(zip_with(sub, cent, (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }: _*)
+    val codeCol = codeColFor(cbLit, m, dsub)
     // the stored index: NARROW rows only — never the embedding.
     // Memo-persisted in the DEDICATED pqIdxCache: an unconditional
     // .persist() leaked one full-corpus encode per build when callers
@@ -622,6 +614,20 @@ object Similarity {
   private def codebookLit(codebooks: Seq[Array[Array[Double]]]): Column =
     array(codebooks.map(cb =>
       array(cb.map(cent => array(cent.map(lit): _*)): _*)): _*)
+
+  /** PQ encode of the unit-vector column `u`: per subspace, the
+    * L2-nearest codebook entry (first-match tie-break via
+    * array_position — deterministic). ONE definition shared by
+    * [[buildPqIndex]] and [[appendToPqIndex]], so build-time and
+    * append-time codes cannot drift. */
+  private def codeColFor(cbLit: Column, m: Int, dsub: Int): Column =
+    array((0 until m).map { j =>
+      val sub = slice(col("u"), j * dsub + 1, dsub)
+      val dists = transform(element_at(cbLit, j + 1), cent =>
+        aggregate(zip_with(sub, cent, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
 
   /** ADC search of a fitted [[PqIndex]]: `queryVecs` `(vec_id,
     * embedding)` probe their nearest cells, score the cells' candidates
@@ -793,6 +799,78 @@ object Similarity {
       codebooks,
       spark.read.parquet(base.resolve("index").toString),
       m, ksub, dims)
+  }
+
+  /** E8: INCREMENTAL index growth — encode a batch of NEW vectors with
+    * the EXISTING coarse centroids and product codebooks (no refit) and
+    * append the narrow code rows to the index: the vector-side analog
+    * of the G11b lake-append flow, and the standard serving shape for a
+    * growing corpus between periodic retrains (Faiss's `add` on a
+    * trained index). A nightly embedding batch costs one batch-sized
+    * encode — never a corpus re-scan, never a KMeans refit.
+    *
+    * Codes come from [[codeColFor]] — the SAME expression the build
+    * uses, so append-time and build-time codes cannot drift. Cell
+    * assignment is nearest coarse centroid by L2 over unit vectors as
+    * a map-side-combinable packed-long `min` (the D15 argmax lesson:
+    * round(d·2^39)·2^21 + c_id orders by (quantized distance ASC, c_id
+    * ASC) in one primitive, so the broadcast nested-loop candidates
+    * collapse before anything shuffles, on any input). Assignment ties
+    * within 2^-39 go to the smaller c_id — KMeans.transform's own
+    * tie-break is equally arbitrary, and search correctness never
+    * depends on assignment (only recall does; the exhaustive-probe
+    * differential in IncrementalPqSpec is assignment-independent).
+    *
+    * Contracts enforced IN-PLAN (the D13b pattern): new vec_ids must be
+    * disjoint from the index (an overlapping id would serve two codes
+    * for one key — re-embedding jobs plausibly reuse ids), and batch
+    * vectors must match the index dims. Quantization error grows as
+    * the data distribution drifts from the trained codebooks — watch
+    * the batch with [[graft.queries.Profile.embedDrift]] against the
+    * training corpus and rebuild when the drift alarm fires. */
+  def appendToPqIndex(idx: PqIndex, newVectors: DataFrame): PqIndex = {
+    val dsub = idx.dims / idx.m
+    val dimStats = newVectors
+      .agg(min(size(col("embedding"))).as("dmin"),
+        max(size(col("embedding"))).as("dmax"))
+      .head()
+    require(!dimStats.isNullAt(0), "appendToPqIndex: newVectors frame is empty")
+    require(dimStats.getInt(0) == idx.dims && dimStats.getInt(1) == idx.dims,
+      s"index dims=${idx.dims} but new embedding widths span " +
+        s"[${dimStats.getInt(0)}, ${dimStats.getInt(1)}]")
+    val unit = withNorms(newVectors).withColumn("u",
+      transform(col("embedding"), x => x.cast("double") / sqrt(col("n2"))))
+    // d = ||u - c||^2 - 1 + 2 = c_n2 - 2<u,c> + 2 ∈ [0, 5] for unit u:
+    // the +2 shift keeps the quantized pack non-negative
+    val d2 = col("c_n2") -
+      lit(2.0) * aggregate(zip_with(col("u"), col("c_emb"), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x) + lit(2.0)
+    val cellIdDomain = coalesce(
+      assert_true(col("c_id") >= 0L && col("c_id") < (1L << 21),
+        lit("appendToPqIndex: c_id outside the 2^21 packing domain")).cast("long"),
+      lit(0L))
+    val packed = (round(d2 * lit(1L << 39).cast("double")).cast("long") *
+      (1L << 21)) + col("c_id") + cellIdDomain
+    val cells = unit.select(col("vec_id"), col("u"))
+      .join(broadcast(idx.cents), lit(true))
+      .groupBy("vec_id").agg(min(packed).as("p"))
+      .select(col("vec_id"), pmod(col("p"), lit(1L << 21)).as("cell"))
+    val codes = unit.select(col("vec_id"),
+      codeColFor(codebookLit(idx.codebooks), idx.m, dsub).as("code"))
+    // id-disjointness guard: ids-only join + 1-row count, assert folded
+    // into `cell` via coalesce so the optimizer cannot prune it
+    val clash = newVectors.select(col("vec_id"))
+      .join(idx.index.select(col("vec_id")), Seq("vec_id"))
+      .agg(count(lit(1)).as("__clash"))
+    val newRows = cells.join(codes, "vec_id")
+      .crossJoin(clash)
+      .select(col("vec_id"),
+        (col("cell") + coalesce(assert_true(col("__clash") === 0L,
+          lit("appendToPqIndex: new vec_ids overlap the index — " +
+            "re-embedded vectors must be removed from the index first"))
+          .cast("long"), lit(0L))).as("cell"),
+        col("code"))
+    idx.copy(index = idx.index.unionByName(newRows))
   }
 
   /** Per-JVM memo of `dir -> corpus cache key` for
@@ -1080,8 +1158,29 @@ object Similarity {
       FROM assigned a LEFT JOIN losers l ON a.vec_id = l.vec_id
       ORDER BY a.vec_id"""))
 
+  /** E8's oracle row (the E7/E3b losslessness pattern): build the index
+    * on HALF the corpus, [[appendToPqIndex]] the other half without
+    * refit, then search exhaustively (probes = cells, untruncated
+    * shortlist) — the exact-rescore stage sees every vector whatever
+    * cells/codes the append assigned, so output ≡ brute-force top-k
+    * over the UNION by construction, while exercising the full append
+    * path (batch encode, packed-argmin assignment, disjointness guard,
+    * union). The DuckDB oracle is the brute-force SQL: a vector lost
+    * or mis-keyed anywhere in the append breaks the hash. */
+  val qAnnPqAppend: Q = Q(
+    "q_ann_pq_append",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = buildPqIndex(emb.filter(col("vec_id") % 2 === 0),
+        cells = 4, m = 4, ksub = 8, maxIter = 4)
+      val grown = appendToPqIndex(idx, emb.filter(col("vec_id") % 2 === 1))
+      searchPqIndex(grown, emb, emb.filter(col("vec_id") % 100 === 0),
+        probes = 4, rescore = Int.MaxValue)
+    },
+    Some(bruteforceSql))
+
   val all: Seq[Q] =
     Seq(qDedupEmbedding, qDedupEmbeddingLsh, qAnnBruteforce, qAnnLsh, qAnnIvf,
-      qAnnIvfTrainedExh, qAnnIvfPq, qAnnIvfPqSearch, qKnnLabel,
+      qAnnIvfTrainedExh, qAnnIvfPq, qAnnIvfPqSearch, qAnnPqAppend, qKnnLabel,
       qEmbedCentroids, qDedupSemantic)
 }

@@ -321,6 +321,24 @@ object Streams {
   def gopherRepStream(docs: DataFrame): DataFrame =
     graft.queries.TextAnalysis.gopherRepFlags(docs)
 
+  /** G12: streaming C4 line screen at ingest — C18's
+    * [[graft.queries.LineFilters.c4Filters]] applied per arrival.
+    * Like G9/G10 the computation is a pure stateless map (per-line
+    * splits/filters + integer comparisons + the `text_clean` rejoin,
+    * no aggregation, no state), so the batch core applies UNCHANGED to
+    * a streaming frame and stream output == batch output row-for-row
+    * by construction. The natural ingest order is C18 FIRST (it
+    * rewrites text), then the G9/G10 gates on `text_clean`. */
+  def c4Stream(
+      docs: DataFrame,
+      minWordsPerLine: Long = 3L,
+      minKeptLines: Long = 5L,
+      requireTerminal: Boolean = true,
+      lineDropWords: Seq[String] = Seq("javascript"),
+      pageDropPhrases: Seq[String] = Seq("lorem ipsum")): DataFrame =
+    graft.queries.LineFilters.c4Flags(docs, minWordsPerLine, minKeptLines,
+      requireTerminal, lineDropWords, pageDropPhrases)
+
   /** G11: the streaming INGEST pipeline — the D17 curation flow at
     * micro-batch granularity, composed from the same oracle-checked
     * stages: each arriving batch is (1) gate-screened (C16 ∧ C17 —

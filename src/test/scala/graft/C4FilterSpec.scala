@@ -1,0 +1,81 @@
+package graft
+
+/** C18 [[graft.queries.LineFilters.c4Filters]] under the PAPER-DEFAULT
+  * config on planted multi-line pages — the oracle row runs a relaxed
+  * config (the synthetic corpus is single-line and punctuation-free),
+  * so the C4 semantics themselves (terminal punctuation, javascript
+  * lines, lorem-ipsum/brace pages, the sentence-count gate) are pinned
+  * here. */
+class C4FilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(
+      docs: org.apache.spark.sql.DataFrame,
+      minKeptLines: Long = 5L): Map[Long, (Long, Long, Long, Long, Long, String)] =
+    Graft.c4Filters(docs, minKeptLines = minKeptLines).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getString(6))).toMap
+
+  private val cleanPage =
+    "This is the first good sentence.\nAnd here is another fine line!\n" +
+      "Is this a question line?\nHe said \"quoted words end lines\"\n" +
+      "A fifth proper sentence here."
+
+  test("a clean 5-sentence page survives intact") {
+    val out = run(Seq((1L, cleanPage)).toDF("doc_id", "text"))
+    assert(out(1L) == (5L, 5L, 0L, 0L, 1L, cleanPage))
+  }
+
+  test("lines without terminal punctuation are dropped") {
+    val page = "A good terminal sentence.\nno punctuation on this line\n" +
+      "Another good one!"
+    val out = run(Seq((1L, page)).toDF("doc_id", "text"), minKeptLines = 1L)
+    assert(out(1L) == (3L, 2L, 0L, 0L, 1L,
+      "A good terminal sentence.\nAnother good one!"))
+  }
+
+  test("lines under the word minimum are dropped even when terminal") {
+    val out = run(Seq((1L, "Too short.\nThis one is long enough."))
+      .toDF("doc_id", "text"), minKeptLines = 1L)
+    assert(out(1L)._6 == "This one is long enough.")
+  }
+
+  test("a line containing the word javascript is dropped (word, not substring)") {
+    val page = "Please enable JavaScript to continue.\n" +
+      "The word javascripting is not the word itself.\n" +
+      "A perfectly normal sentence stays."
+    val out = run(Seq((1L, page)).toDF("doc_id", "text"), minKeptLines = 1L)
+    assert(out(1L)._6 ==
+      "The word javascripting is not the word itself.\n" +
+        "A perfectly normal sentence stays.")
+  }
+
+  test("lorem ipsum anywhere on the page kills the page, not just a line") {
+    val page = cleanPage + "\nSome Lorem Ipsum boilerplate appeared here."
+    val out = run(Seq((1L, page)).toDF("doc_id", "text"))
+    val (_, nKept, hasPhrase, _, kept, _) = out(1L)
+    assert(hasPhrase == 1L && kept == 0L && nKept >= 5L)
+  }
+
+  test("a curly brace kills the page") {
+    val page = cleanPage + "\nfunction f() { return 1; } is code."
+    val out = run(Seq((1L, page)).toDF("doc_id", "text"))
+    assert(out(1L)._4 == 1L && out(1L)._5 == 0L)
+  }
+
+  test("pages with fewer than minKeptLines surviving lines are dropped") {
+    val page = "Only one good sentence here.\nbad line\nalso bad"
+    val out = run(Seq((1L, page)).toDF("doc_id", "text"))
+    assert(out(1L)._2 == 1L && out(1L)._5 == 0L)
+    // ...but the line screen's rewrite is still emitted
+    assert(out(1L)._6 == "Only one good sentence here.")
+  }
+
+  test("the screen is partitioning-invariant") {
+    val docs = Seq((1L, cleanPage), (2L, "x\ny\nz"), (3L, ""))
+      .toDF("doc_id", "text")
+    val one = Graft.c4Filters(docs).collect().toSeq
+    val many = Graft.c4Filters(docs.repartition(7)).collect().toSeq
+    assert(one == many)
+  }
+}

@@ -772,4 +772,39 @@ class StreamingSpec extends SparkSpec {
       assert(kept(1L) == 1L && kept(2L) == 0L && kept(3L) == 0L && kept(4L) == 0L, kept)
     } finally query.stop()
   }
+
+  test("c4Stream output equals batch c4Filters row-for-row across batch splits") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clean = (1 to 6).map(i => s"Sentence number $i is perfectly fine.")
+      .mkString("\n")
+    val docs = Seq(
+      StreamingSpec.Doc(1L, clean),                        // kept intact
+      StreamingSpec.Doc(2L, clean + "\nSome Lorem Ipsum filler."), // page phrase
+      StreamingSpec.Doc(3L, "one good line only here.\nno punct\nshort."), // < 5 kept
+      StreamingSpec.Doc(4L, clean.replaceFirst("number 3",
+        "with javascript inside number 3")))               // drops one line
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val query = Streams.c4Stream(mem.toDF())
+      .writeStream.format("memory").queryName("c4_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(docs.take(2): _*)
+      query.processAllAvailable()
+      mem.addData(docs.drop(2): _*)
+      query.processAllAvailable()
+      val got = spark.table("c4_stream").collect()
+        .map(r => r.toSeq.toList).toSet
+      val want = graft.Graft.c4Filters(
+        docs.toDF().select(col("doc_id"), col("text")))
+        .collect().map(r => r.toSeq.toList).toSet
+      assert(got == want, s"stream $got vs batch $want")
+      val kept = spark.table("c4_stream")
+        .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+      assert(kept(1L) == 1L && kept(2L) == 0L && kept(3L) == 0L && kept(4L) == 1L, kept)
+      val nKept = spark.table("c4_stream")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(nKept(4L) == 5L, s"javascript line dropped: $nKept")
+    } finally query.stop()
+  }
 }
