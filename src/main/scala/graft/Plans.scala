@@ -56,7 +56,12 @@ object Plans {
     "q_decontaminate_bloom" -> "Bloom-prefiltered decontamination: ONE corpus scan into a map-side-combinable (count, survivors) agg, survivors alone reach the exact rescore join; probe = codegen bit tests on a literal array",
     "q_dedup_incremental_minhash" -> "incremental near-dup ingest: incoming band keys probe the union frame restricted to known-or-earlier partners; lake never self-pairs, shortlist-sized signature rescore",
     "q_gopher_rep" -> "repetition gate: line/paragraph dup fractions + native TopGramCover kernels, one codegen map stage; presentation sort is the only exchange",
-    "q_pipeline_audit" -> "composed MassiveWeb staging: two shuffle-free gate maps, dedup window on 24-byte keys of the gated subset, broadcast-eval contamination probe, doc_id-keyed flag joins")
+    "q_pipeline_audit" -> "composed MassiveWeb staging: two shuffle-free gate maps, dedup window on 24-byte keys of the gated subset, broadcast-eval contamination probe, doc_id-keyed flag joins",
+    "q_c4_filters" -> "C4 line screen: split/filter/rejoin per row in ONE codegen map stage; presentation sort is the only exchange",
+    "q_dup_census" -> "duplication census: grams leave the scan as md5 keys, (gram, doc) then (gram) map-side-combinable aggs, final agg on the tiny df domain — text never shuffles",
+    "q_bpe_fertility" -> "fertility census: distinct-word encoder map (rank table broadcast), corpus explode + broadcast word join, agg on the source domain; one text scan",
+    "q_embed_drift" -> "snapshot drift: two posexplode + integer hash aggs on label x dim keys, full outer join on that key space, label-domain final agg — vectors never shuffle",
+    "q_ann_pq_append" -> "incremental PQ append: batch-sized encode, broadcast-centroid candidates collapsed by a packed-long min HashAggregate BEFORE any exchange, ids-only disjointness probe, union with the built index")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
