@@ -875,6 +875,54 @@ object ScaleProbe {
     assert(tSlow <= 3.0 * math.max(tFast, 1.0),
       f"semdedup runs diverge: twinned $tSem%.1f s vs uniform $tSemUni%.1f s — structural cost, not noise")
     println(f"semdedup time gate   ${"check"}%9s       twinned $tSem%.1f s within 3x of uniform $tSemUni%.1f s  PASS")
+    // Incremental PQ append at 1M base vectors (E8), reusing the same
+    // corpus: the claim under test is the COST SHAPE — growing a
+    // trained index by a nightly batch prices one batch-sized encode
+    // (plus an ids-only disjointness probe), never the corpus-sized
+    // 1+m KMeans fits + full encode a rebuild pays. The 10k planted
+    // twins play the nightly batch; they exist ONLY in the appended
+    // rows, so a search that finds them proves the appended rows are
+    // live in the served index (not just counted).
+    val twinBatch = semAll.filter(col("vec_id") >= nSem)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTwins = twinBatch.count()
+    val (apIdx, tApBuild) = time {
+      val idx = graft.queries.Similarity.buildPqIndex(
+        semBase, cells = 64, m = 4, ksub = 16, dims = vDims, maxIter = 4)
+      idx.index.count() // materialize the persisted encode
+      idx
+    }
+    println(f"pq build             $nSem%9d vecs  $tApBuild%7.1f s  ${nSem / tApBuild}%9.0f vecs/s  (cells=64 m=4 ksub=16)")
+    val (grown, tApAppend) = time {
+      val g = graft.queries.Similarity.appendToPqIndex(apIdx, twinBatch)
+      val n = g.index.agg(sum(col("cell")), count(lit(1))).head().getLong(1)
+      assert(n == nSem + nTwins,
+        s"appended index holds $n rows, expected ${nSem + nTwins}")
+      g
+    }
+    println(f"pq append            $nTwins%9d vecs  $tApAppend%7.1f s  ${nTwins / tApAppend}%9.0f vecs/s  (batch encode + ids-only guard)")
+    assert(tApAppend <= tApBuild / 3.0,
+      f"append $tApAppend%.1f s is not clearly cheaper than rebuild $tApBuild%.1f s — " +
+        "the no-refit path is paying corpus-scale work")
+    // Served-index census: each sampled original's twin (cos ~0.9999,
+    // present only via the append) must come back as the top neighbor.
+    // Allowance: a twin legitimately escapes when the pair straddles a
+    // cell boundary and the twin's cell falls outside the probe set.
+    val apQueries = semBase.filter(col("vec_id") % 1000 === 0)
+    val top1 = graft.queries.Similarity.searchPqIndex(
+        grown, semAll, apQueries, probes = 4, rescore = 50)
+      .filter(col("rank") === 1)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("neighbor_id") === col("q_id") + nSem, 1L).otherwise(0L))
+          .as("hit"))
+      .head()
+    val (nQ, nHit) = (top1.getLong(0), top1.getLong(1))
+    println(f"pq append recall     $nQ%9d queries      twin top-1 $nHit ( ${100.0 * nHit / nQ}%.1f%% )")
+    assert(nQ == nSem / 1000 && nHit >= nQ * 9 / 10,
+      s"appended twins not served: $nHit/$nQ queries returned their twin top-1")
+    println(f"pq append gates      ${"check"}%9s       append <= build/3, twins served >= 90%%  PASS")
+    twinBatch.unpersist()
+    apIdx.release()
     semAll.unpersist()
     semBase.unpersist()
     graft.ops.Release.sweep(spark)

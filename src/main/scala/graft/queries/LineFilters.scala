@@ -92,7 +92,10 @@ object LineFilters {
         !lineDropWords.map(w => array_contains(ws, w)).foldLeft(lit(false))(_ || _)
       if (requireTerminal) base && rtrim(l).rlike(TerminalRe) else base
     }
-    val lines = split(col("text"), "\n")
+    // null text degrades to the empty page (1 empty line, 0 kept) —
+    // without the coalesce, size(split(null)) reports -1 under legacy
+    // sizeOfNull and every count/flag goes negative (the D16 lesson)
+    val lines = split(coalesce(col("text"), lit("")), "\n")
     val keptLines = filter(lines, lineKept _)
     docs
       .withColumn("n_lines", size(lines).cast("long"))

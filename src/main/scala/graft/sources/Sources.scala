@@ -172,6 +172,82 @@ object Sinks {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  /** Materialize a corpus as TRAINING-SHARD artifacts — the loader-
+    * facing tail of the H4 sharding (and of the D18 producing
+    * pipeline, which ends at assignments): hive-partitioned parquet
+    * with ONE coherent file per shard directory (`shard_id=N/`), plus
+    * a single-file manifest the loader trusts:
+    *
+    *   manifest: (shard_id, n_docs, n_tokens, fingerprint)
+    *
+    * `fingerprint` = bit_xor of xxhash64(doc_id, text) over the
+    * shard's docs — commutative, so it is partition-order independent
+    * (deterministic run to run on a cluster) yet any lost, duplicated,
+    * or altered doc flips it. [[verifyShards]] recomputes the same
+    * aggregate from the written data and diffs it against the
+    * manifest: the cheap narrow-scan integrity gate a loader runs
+    * before feeding a trainer, and the detector for a half-written or
+    * clobbered shard directory.
+    *
+    * Scale shape: the H4 distributed prefix sum assigns shards, one
+    * `repartition(shard_id)` clusters each shard into exactly one
+    * task (shards are token-budget-bounded, so file sizes are too),
+    * and the manifest is a map-side-combinable agg on the shard-id
+    * domain. Returns the manifest. */
+  def writeShards(docs: DataFrame, dir: String, budget: Long = 512): DataFrame = {
+    val spark = docs.sparkSession
+    val assigned = graft.queries.Shards.packShards(docs, budget)
+      .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+    val rows = docs.select(col("doc_id"), col("text"))
+      .join(assigned, "doc_id")
+    rows.repartition(col("shard_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard_id")
+      .parquet(s"$dir/data")
+    shardSummary(rows).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
+    spark.read.parquet(s"$dir/manifest")
+  }
+
+  /** The per-shard integrity aggregate both [[writeShards]] and
+    * [[verifyShards]] compute — one definition, so writer and verifier
+    * cannot drift. */
+  private def shardSummary(rows: DataFrame): DataFrame =
+    rows.groupBy("shard_id").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      expr("bit_xor(xxhash64(doc_id, text))").as("fingerprint"))
+
+  /** A written shard set, for a consumer: (doc_id, text, n_tokens,
+    * shard_id), partition-pruned when filtered on shard_id. */
+  def readShards(spark: SparkSession, dir: String): DataFrame =
+    // partition-column inference types shard_id as int; pin long so
+    // consumers and the manifest diff see one type
+    spark.read.parquet(s"$dir/data")
+      .withColumn("shard_id", col("shard_id").cast("long"))
+
+  /** Diff the written shard data against a manifest frame: one row per
+    * disagreeing shard (missing, extra, or content-changed). Empty =
+    * the artifact is intact. */
+  def diffManifest(data: DataFrame, manifest: DataFrame): DataFrame = {
+    val a = shardSummary(data).withColumnRenamed("n_docs", "a_docs")
+      .withColumnRenamed("n_tokens", "a_tokens")
+      .withColumnRenamed("fingerprint", "a_fp")
+    a.join(manifest, Seq("shard_id"), "full")
+      .filter(col("a_docs").isNull || col("n_docs").isNull ||
+        col("a_docs") =!= col("n_docs") ||
+        col("a_tokens") =!= col("n_tokens") ||
+        col("a_fp") =!= col("fingerprint"))
+      .select("shard_id")
+  }
+
+  /** The loader's pre-training integrity gate over a [[writeShards]]
+    * artifact: recompute the shard summaries from `dir/data` and diff
+    * against `dir/manifest`. Returns the disagreeing shard_ids (empty
+    * = intact). */
+  def verifyShards(spark: SparkSession, dir: String): DataFrame =
+    diffManifest(readShards(spark, dir),
+      spark.read.parquet(s"$dir/manifest"))
+
   /** Bucketed external table: the data lands pre-shuffled (and
     * per-bucket sorted) on `bucketCols`, so every later equi-join or
     * aggregation on those keys plans WITHOUT an exchange — at 100 TB,

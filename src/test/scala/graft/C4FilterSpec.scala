@@ -71,6 +71,21 @@ class C4FilterSpec extends SparkSpec {
     assert(out(1L)._6 == "Only one good sentence here.")
   }
 
+  test("null text degrades to the empty page, not negative counts") {
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, null.asInstanceOf[String]),
+        org.apache.spark.sql.Row(2L, cleanPage)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val out = run(docs)
+    assert(out(1L) == (1L, 0L, 0L, 0L, 0L, ""))
+    assert(out(2L)._5 == 1L)
+  }
+
   test("the screen is partitioning-invariant") {
     val docs = Seq((1L, cleanPage), (2L, "x\ny\nz"), (3L, ""))
       .toDF("doc_id", "text")

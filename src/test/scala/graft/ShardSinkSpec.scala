@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Sinks
+import org.apache.spark.sql.functions._
+
+/** [[graft.sources.Sinks.writeShards]] / `readShards` /
+  * `verifyShards`: the training-shard artifact round trip — layout
+  * (one file per shard directory), content equality, budget geometry,
+  * manifest integrity, determinism, and the tamper detector. */
+class ShardSinkSpec extends SparkSpec {
+
+  private def tmpDir(name: String): String = {
+    val d = Files.createTempDirectory(name)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("round trip: every doc comes back, in its assigned shard, one file per shard") {
+    val dir = tmpDir("shards")
+    val manifest = Sinks.writeShards(docs, dir, budget = 512)
+    val back = Sinks.readShards(spark, dir)
+    assert(back.count() == docs.count())
+    // content equality (doc_id, text)
+    assert(back.select("doc_id", "text").exceptAll(
+      docs.select("doc_id", "text")).isEmpty)
+    // assignment equality vs the H4 operator
+    val want = graft.queries.Shards.packShards(docs, 512)
+      .select("doc_id", "shard_id")
+    assert(back.select("doc_id", "shard_id").exceptAll(want).isEmpty)
+    // one coherent file per shard directory (materialize the file name
+    // first: input_file_name is nondeterministic, so it cannot sit
+    // inside an aggregate argument)
+    val filesPerShard = back
+      .select(col("shard_id"), input_file_name().as("f"))
+      .distinct()
+      .groupBy("shard_id").agg(count(lit(1)).as("nf"))
+      .agg(max(col("nf"))).head().getLong(0)
+    assert(filesPerShard == 1L, s"max files per shard dir: $filesPerShard")
+    // manifest totals equal corpus totals
+    val t = manifest.agg(sum("n_docs"), sum("n_tokens")).head()
+    val wt = graft.queries.Shards.packShards(docs, 512)
+      .agg(count(lit(1)), sum("n_tokens")).head()
+    assert(t.getLong(0) == wt.getLong(0) && t.getLong(1) == wt.getLong(1))
+  }
+
+  test("shard geometry: every shard except the last starts under budget and spills at most one doc") {
+    val dir = tmpDir("shards_geom")
+    Sinks.writeShards(docs, dir, budget = 512)
+    val geom = Sinks.readShards(spark, dir).groupBy("shard_id")
+      .agg(sum("n_tokens").as("tok"), max("n_tokens").as("mx"))
+    // a shard holds the docs whose pack START falls in its budget
+    // window, so its token sum is < budget + its largest doc
+    assert(geom.filter(col("tok") >= lit(512L) + col("mx")).isEmpty)
+  }
+
+  test("verifyShards passes on an intact artifact and flags a doctored manifest") {
+    val dir = tmpDir("shards_verify")
+    val manifest = Sinks.writeShards(docs, dir, budget = 512)
+    assert(Sinks.verifyShards(spark, dir).isEmpty)
+    val doctored = manifest.withColumn("fingerprint",
+      when(col("shard_id") === 0L, col("fingerprint") + 1L)
+        .otherwise(col("fingerprint")))
+    val bad = Sinks.diffManifest(Sinks.readShards(spark, dir), doctored)
+      .collect().map(_.getLong(0)).toSeq
+    assert(bad == Seq(0L), s"flagged: $bad")
+    // a missing manifest row flags too
+    val truncated = manifest.filter(col("shard_id") =!= 1L)
+    val bad2 = Sinks.diffManifest(Sinks.readShards(spark, dir), truncated)
+      .collect().map(_.getLong(0)).toSeq
+    assert(bad2 == Seq(1L), s"flagged: $bad2")
+  }
+
+  test("fingerprints are write-order independent (two writes agree)") {
+    val d1 = tmpDir("shards_a")
+    val d2 = tmpDir("shards_b")
+    val m1 = Sinks.writeShards(docs, d1, budget = 512).collect().toSet
+    val m2 = Sinks.writeShards(docs.repartition(17), d2, budget = 512)
+      .collect().toSet
+    assert(m1.map(_.toSeq) == m2.map(_.toSeq))
+  }
+}
