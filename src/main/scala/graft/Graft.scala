@@ -148,6 +148,17 @@ object Graft {
       seed: Long = 0L): DataFrame =
     queries.Curation.pipelineProduce(docs, eval, minWords, stops, merges,
       contextLen, seed)
+  /** The capstone's finale: the produced corpus written as shard FILES
+    * in epoch order, with the fingerprint manifest
+    * ([[graft.queries.Curation.produceShards]]). */
+  def produceShards(docs: DataFrame, eval: DataFrame, dir: String,
+      minWords: Long = 50L,
+      stops: Seq[String] = queries.TextAnalysis.GopherStops,
+      merges: Seq[((String, String), String)] = queries.Tokenizer.FixedMerges,
+      budget: Long = 512L,
+      seed: Long = 0L): DataFrame =
+    queries.Curation.produceShards(docs, eval, dir, minWords, stops, merges,
+      budget, seed)
   /** SemDeDup: within-cluster semantic dedup, keeping the pair member
     * less similar to its centroid; `cells <= 0` auto-sizes to
     * ceil(sqrt(N)) ([[graft.queries.Similarity.semanticDedup]]). */

@@ -325,6 +325,28 @@ object Curation {
       merges: Seq[((String, String), String)] = Tokenizer.FixedMerges,
       contextLen: Long = Shards.DefaultContextLen,
       seed: Long = 0L): DataFrame = {
+    val (_, toks) = produceCore(docs, eval, minWords, stops, merges, seed)
+    graft.ops.ScaleOps.prefixSum(toks, "pos", "n_tokens", "cum_tokens")
+      .select(col("doc_id"), col("pos"), col("n_tokens"),
+        expr(s"(cum_tokens - n_tokens) div $contextLen").as("seq_first"),
+        expr(s"(cum_tokens - n_tokens) % $contextLen").as("seq_offset"),
+        when(col("n_tokens") > 0,
+          expr(s"(cum_tokens - 1) div $contextLen") -
+            expr(s"(cum_tokens - n_tokens) div $contextLen") + 1)
+          .otherwise(0L).as("n_seqs"))
+      .orderBy("doc_id")
+  }
+
+  /** Stages 1–5 of [[pipelineProduce]] plus the BPE token counts — the
+    * shared core, so [[pipelineProduce]] (sequence geometry) and
+    * [[produceShards]] (artifact files) cannot drift: returns the
+    * memo-persisted cleaned-text frame and the epoch-ordered
+    * (doc_id, pos, n_tokens) frame. */
+  private def produceCore(docs: DataFrame, eval: DataFrame,
+      minWords: Long,
+      stops: Seq[String],
+      merges: Seq[((String, String), String)],
+      seed: Long): (DataFrame, DataFrame) = {
     import graft.functions.TextFunctions.words
     val gated = docs
       .join(TextAnalysis.gopherFlags(docs, minWords, 100000L, stops)
@@ -346,15 +368,34 @@ object Curation {
     val toks = ordered.join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("pos"),
         coalesce(col("n_bpe"), lit(0L)).as("n_tokens"))
-    graft.ops.ScaleOps.prefixSum(toks, "pos", "n_tokens", "cum_tokens")
+    (cleanDocs, toks)
+  }
+
+  /** The capstone's FINALE — [[pipelineProduce]] carried through to the
+    * on-disk training artifact: the produced (gated, deduped,
+    * decontaminated, excised) corpus written as shard files IN EPOCH
+    * ORDER via [[graft.sources.Sinks.writeShardRows]] — shard_id =
+    * floor(epoch-cumulative BPE tokens / budget), so each shard
+    * directory is a contiguous budget-sized slice of the epoch stream
+    * (pos is carried in the data; a loader sorts by it within a
+    * shard). Returns the written manifest; `verifyShards(dir)` is the
+    * loader's integrity gate. Same scale shape as the pipeline plus
+    * one clustering repartition on shard_id. */
+  def produceShards(docs: DataFrame, eval: DataFrame, dir: String,
+      minWords: Long = 50L,
+      stops: Seq[String] = TextAnalysis.GopherStops,
+      merges: Seq[((String, String), String)] = Tokenizer.FixedMerges,
+      budget: Long = 512L,
+      seed: Long = 0L): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val (cleanDocs, toks) = produceCore(docs, eval, minWords, stops, merges, seed)
+    val assigned = graft.ops.ScaleOps.prefixSum(toks, "pos", "n_tokens", "cum_tokens")
       .select(col("doc_id"), col("pos"), col("n_tokens"),
-        expr(s"(cum_tokens - n_tokens) div $contextLen").as("seq_first"),
-        expr(s"(cum_tokens - n_tokens) % $contextLen").as("seq_offset"),
-        when(col("n_tokens") > 0,
-          expr(s"(cum_tokens - 1) div $contextLen") -
-            expr(s"(cum_tokens - n_tokens) div $contextLen") + 1)
-          .otherwise(0L).as("n_seqs"))
-      .orderBy("doc_id")
+        expr(s"(cum_tokens - n_tokens) div $budget").as("shard_id"))
+    val rows = cleanDocs.join(assigned, "doc_id")
+      .select(col("doc_id"), col("text"), col("n_tokens"), col("pos"),
+        col("shard_id"))
+    graft.sources.Sinks.writeShardRows(rows, dir)
   }
 
   /** Memo of [[pipelineProduce]]'s cleaned-text frame (see

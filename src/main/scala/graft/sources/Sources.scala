@@ -195,11 +195,20 @@ object Sinks {
     * and the manifest is a map-side-combinable agg on the shard-id
     * domain. Returns the manifest. */
   def writeShards(docs: DataFrame, dir: String, budget: Long = 512): DataFrame = {
-    val spark = docs.sparkSession
     val assigned = graft.queries.Shards.packShards(docs, budget)
       .select(col("doc_id"), col("n_tokens"), col("shard_id"))
-    val rows = docs.select(col("doc_id"), col("text"))
-      .join(assigned, "doc_id")
+    writeShardRows(
+      docs.select(col("doc_id"), col("text")).join(assigned, "doc_id"), dir)
+  }
+
+  /** The shard writer both [[writeShards]] (doc_id-order sharding) and
+    * [[graft.queries.Curation.produceShards]] (epoch-order capstone
+    * artifact) share: `rows` must carry (doc_id, text, n_tokens,
+    * shard_id); any extra columns (e.g. the epoch `pos`) land in the
+    * data files. Writes `dir/data` (hive-partitioned, one coherent
+    * file per shard) + `dir/manifest`, returns the manifest. */
+  def writeShardRows(rows: DataFrame, dir: String): DataFrame = {
+    val spark = rows.sparkSession
     rows.repartition(col("shard_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("shard_id")
       .parquet(s"$dir/data")

@@ -74,6 +74,49 @@ class ShardSinkSpec extends SparkSpec {
     assert(bad2 == Seq(1L), s"flagged: $bad2")
   }
 
+  test("produceShards: the capstone artifact holds exactly the produced corpus, in epoch order") {
+    val dir = tmpDir("produce_shards")
+    val train = docs.filter(col("doc_id") % 23 =!= 0)
+    val eval = docs.filter(col("doc_id") % 23 === 0)
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    Graft.produceShards(train, eval, dir,
+      minWords = 10L, stops = stops, budget = 512L, seed = 42L)
+    assert(Sinks.verifyShards(spark, dir).isEmpty)
+    val back = Sinks.readShards(spark, dir)
+    // same docs, positions, and token counts as the pipeline row
+    val want = Graft.pipelineProduce(train, eval,
+      minWords = 10L, stops = stops, seed = 42L)
+      .select("doc_id", "pos", "n_tokens")
+    assert(back.select("doc_id", "pos", "n_tokens").exceptAll(want).isEmpty &&
+      want.exceptAll(back.select("doc_id", "pos", "n_tokens")).isEmpty)
+    // shards are contiguous epoch slices: positions never interleave
+    val ranges = back.groupBy("shard_id")
+      .agg(min("pos").as("lo"), max("pos").as("hi"))
+      .orderBy("shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    ranges.sliding(2).foreach {
+      case Array((s1, _, hi1), (s2, lo2, _)) =>
+        assert(hi1 < lo2, s"shards $s1/$s2 interleave: hi=$hi1 lo=$lo2")
+      case _ =>
+    }
+    // the shard texts are the EXCISED texts (capstone rewrite applied),
+    // never raw train text for any doc that lost tokens
+    val excised = Graft.exciseSpans(
+      graft.queries.Contamination.decontamGate(
+        graft.queries.Dedup.exactSurvivors(
+          train.join(
+            graft.queries.TextAnalysis.gopherRules(train, minWords = 10L,
+              stops = stops).filter(col("kept") === 1L).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .join(graft.queries.TextAnalysis.gopherRepetition(train)
+            .filter(col("kept") === 1L).select("doc_id"),
+            Seq("doc_id"), "left_semi")),
+        eval))
+      .select(col("doc_id"), col("text_clean").as("text"))
+    assert(back.select("doc_id", "text").exceptAll(excised).isEmpty &&
+      excised.exceptAll(back.select("doc_id", "text")).isEmpty)
+  }
+
   test("fingerprints are write-order independent (two writes agree)") {
     val d1 = tmpDir("shards_a")
     val d2 = tmpDir("shards_b")
