@@ -875,6 +875,69 @@ object ScaleProbe {
     assert(tSlow <= 3.0 * math.max(tFast, 1.0),
       f"semdedup runs diverge: twinned $tSem%.1f s vs uniform $tSemUni%.1f s — structural cost, not noise")
     println(f"semdedup time gate   ${"check"}%9s       twinned $tSem%.1f s within 3x of uniform $tSemUni%.1f s  PASS")
+    // The D18 CAPSTONE as one composed plan at 505k docs — the stages
+    // are individually probed above; what composition can still break
+    // is the plan itself (a missed memo re-running the 4-stage cleaning
+    // chain per consumer — exactly the class the D15 probe caught).
+    // Structure: train = the synthetic corpus (planted near-dup twins
+    // every 100 docs survive EXACT dedup, then ExactSubstr excision
+    // strips their duplicated runs); eval = verbatim copies of every
+    // 1000th base doc (decontamination must drop the base AND its twin
+    // — the twin shares every base 8-gram).
+    val capStops = Seq("aax", "abx", "acx", "adx", "aex", "afx") // corpus-bearing
+    // C16 stop set, wide enough that P(doc carries < 2 of them) ~ 1%
+    val capEval = docs.filter(col("doc_id") % 1000 === 0 && col("doc_id") < nDocs)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val (capOut, tCap) = time {
+      Graft.pipelineProduce(docs, capEval, minWords = 50L, stops = capStops)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val capAgg = capOut.agg(count(lit(1)).as("n"),
+      countDistinct(col("pos")).as("npos"), max(col("pos")).as("maxpos"),
+      sum(col("n_tokens")).as("toks"),
+      max(expr(s"seq_first * ${graft.queries.Shards.DefaultContextLen} + seq_offset + n_tokens")).as("endtok")).head()
+    println(f"capstone produce     $total%9d docs  $tCap%7.1f s  ${total / tCap}%9.0f docs/s  (${capAgg.getLong(0)} produced, ${capAgg.getLong(3)} BPE tokens)")
+    // epoch order is a permutation of the produced docs
+    assert(capAgg.getLong(1) == capAgg.getLong(0) &&
+      capAgg.getLong(2) == capAgg.getLong(0),
+      s"epoch positions are not a permutation: $capAgg")
+    // packing geometry is globally consistent: the furthest token edge
+    // equals the total token count (at the default contextLen)
+    assert(capAgg.getLong(4) == capAgg.getLong(3),
+      s"packing end ${capAgg.getLong(4)} != total tokens ${capAgg.getLong(3)}")
+    // decontamination: every eval-copied base doc AND its planted twin
+    // is gone (the twin shares all base 8-grams); spot the census on
+    // the id structure — base b (b %% 1000 == 0) and twin b + nDocs
+    val contamIds = capOut.filter(
+      (col("doc_id") % 1000 === 0 && col("doc_id") < nDocs) ||
+        (col("doc_id") >= nDocs && (col("doc_id") - nDocs) % 1000 === 0))
+      .count()
+    assert(contamIds == 0L,
+      s"$contamIds eval-leaked docs survived the capstone's decontamination stage")
+    // excision: surviving twins (near-dups, NOT exact dups) must have
+    // lost the bulk of their tokens to ExactSubstr — their text is the
+    // base doc's text plus one word, so nearly every gram is a
+    // duplicate occurrence losing to the base's keeper
+    val twinTok = capOut.filter(col("doc_id") >= nDocs)
+      .agg(count(lit(1)), avg(col("n_tokens"))).head()
+    val baseAvg = capOut.filter(col("doc_id") < nDocs)
+      .agg(avg(col("n_tokens"))).head().getDouble(0)
+    // every 10th twin's base is eval-copied, so that twin MUST fall to
+    // decontamination (shares all base grams): the twin census is
+    // bracketed — at most planted minus those, at least that minus the
+    // ~1% stop-gate tail
+    val twinHi = nDocs / 100 - nDocs / 1000
+    assert(twinTok.getLong(0) <= twinHi &&
+      twinTok.getLong(0) >= twinHi * 95 / 100,
+      s"${twinTok.getLong(0)} twins in output vs expected ~$twinHi — " +
+        "near-dups mishandled by gates/dedup/decontamination")
+    assert(twinTok.getDouble(1) < baseAvg / 2,
+      f"twin avg ${twinTok.getDouble(1)}%.1f tokens vs base avg $baseAvg%.1f — " +
+        "ExactSubstr excision did not strip the duplicated runs")
+    println(f"capstone census      ${"check"}%9s       permutation + packing exact, eval leaks 0, twins excised (${twinTok.getDouble(1)}%.1f vs $baseAvg%.1f tok avg)  PASS")
+    capOut.unpersist()
+    graft.ops.Release.sweep(spark)
+
     // Incremental PQ append at 1M base vectors (E8), reusing the same
     // corpus: the claim under test is the COST SHAPE — growing a
     // trained index by a nightly batch prices one batch-sized encode
