@@ -41,9 +41,11 @@ object DupCensus {
 
   def dupCensus(docs: DataFrame, k: Int = CensusK): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // md5 BYTES (unhex), not the hex string: same 128-bit key, half
+    // the shuffle bytes — the key never appears in output
     val grams = docs.select(col("doc_id"),
       explode(shingles(words(col("text")), k)).as("s"))
-      .select(col("doc_id"), md5(col("s")).as("g"))
+      .select(col("doc_id"), unhex(md5(col("s"))).as("g"))
     // (gram, doc) partial first: the countDistinct lands on pre-reduced
     // rows, and per-doc occ sums ride along in the same shuffle.
     val perGramDoc = grams.groupBy("g", "doc_id").agg(count(lit(1)).as("occ"))
