@@ -346,22 +346,28 @@ object Dedup {
     // mismatched (doc_id, text) pairs — and re-crawl ingest, this
     // operator's own motivating use case, plausibly reuses ids. The
     // check is an ids-only join + 1-row count (metadata-cheap), and
-    // the assert folds into `keep` via coalesce so the optimizer
-    // cannot prune it.
+    // the assert folds into EVERY flag column via coalesce, so any
+    // consumer that reads any of the three flags evaluates it — a
+    // keep-only fold would let `.select("doc_id", "is_near_known")`
+    // prune the guard away with the flags still corrupted. (An
+    // ids-only projection also prunes it, harmlessly: ids carry no
+    // rescored state.)
     val clash = incoming.select(col("doc_id"))
       .join(known.select(col("doc_id")), Seq("doc_id"))
       .agg(count(lit(1)).as("__clash"))
+    val guardL = coalesce(assert_true(col("__clash") === 0,
+      lit("dedupIncrementalMinhash: incoming and known doc_ids must be disjoint"))
+      .cast("long"), lit(0L))
+    val guardB = (guardL === 0L)
     incoming.select("doc_id")
       .join(flags, Seq("doc_id"), "left")
       .crossJoin(clash)
       .select(col("doc_id"),
-        (coalesce(col("nk"), lit(0)) === 1).as("is_near_known"),
-        (coalesce(col("nb"), lit(0)) === 1).as("is_near_in_batch"),
+        (guardB && (coalesce(col("nk"), lit(0)) === 1)).as("is_near_known"),
+        (guardB && (coalesce(col("nb"), lit(0)) === 1)).as("is_near_in_batch"),
         (when(coalesce(col("nk"), lit(0)) === 0 &&
           coalesce(col("nb"), lit(0)) === 0, 1L).otherwise(0L) +
-          coalesce(assert_true(col("__clash") === 0,
-            lit("dedupIncrementalMinhash: incoming and known doc_ids must be disjoint"))
-            .cast("long"), lit(0L))).as("keep"))
+          guardL).as("keep"))
       .orderBy("doc_id")
   }
 

@@ -540,6 +540,25 @@ object Similarity {
     * slice, and the encode pass producing the stored index. The build
     * is the expensive half ([[annIvfPq]] for the cost model); searches
     * against the returned [[PqIndex]] are candidate-join-sized. */
+  /** Fail loudly on a dims mismatch: slice() past the embedding length
+    * returns EMPTY subspaces, every distance ties at 0.0 and recall
+    * silently collapses. One aggregation over the whole column (NOT a
+    * single arbitrary row — limit(1) would let a ragged frame pass the
+    * guard and still collapse for the offending rows) buys the
+    * guarantee; PQ builds make several full scans for the KMeans fits
+    * anyway, so the extra pass is noise. ONE definition shared by
+    * [[buildPqIndex]] and [[appendToPqIndex]]. */
+  private def requireDims(vectors: DataFrame, dims: Int, what: String): Unit = {
+    val dimStats = vectors
+      .agg(min(size(col("embedding"))).as("dmin"),
+        max(size(col("embedding"))).as("dmax"))
+      .head()
+    require(!dimStats.isNullAt(0), s"$what: embeddings frame is empty")
+    require(dimStats.getInt(0) == dims && dimStats.getInt(1) == dims,
+      s"$what: dims=$dims but embedding widths span " +
+        s"[${dimStats.getInt(0)}, ${dimStats.getInt(1)}]")
+  }
+
   def buildPqIndex(
       embeddings: DataFrame,
       cells: Int = 10,
@@ -549,21 +568,7 @@ object Similarity {
       seed: Long = 0xC0FFEEL,
       maxIter: Int = 20): PqIndex = {
     require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
-    // fail loudly on a dims mismatch: slice() past the embedding length
-    // returns EMPTY subspaces, every distance ties at 0.0 and recall
-    // silently collapses. One aggregation over the whole column (NOT a
-    // single arbitrary row — limit(1) would let a ragged frame pass the
-    // guard and still collapse for the offending rows) buys the
-    // guarantee; the build makes several full scans for the KMeans
-    // fits anyway, so the extra pass is noise.
-    val dimStats = embeddings
-      .agg(min(size(col("embedding"))).as("dmin"),
-        max(size(col("embedding"))).as("dmax"))
-      .head()
-    require(!dimStats.isNullAt(0), "buildPqIndex: embeddings frame is empty")
-    require(dimStats.getInt(0) == dims && dimStats.getInt(1) == dims,
-      s"dims=$dims but embedding widths span " +
-        s"[${dimStats.getInt(0)}, ${dimStats.getInt(1)}]")
+    requireDims(embeddings, dims, "buildPqIndex")
     val dsub = dims / m
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -830,16 +835,21 @@ object Similarity {
     * training corpus and rebuild when the drift alarm fires. */
   def appendToPqIndex(idx: PqIndex, newVectors: DataFrame): PqIndex = {
     val dsub = idx.dims / idx.m
-    val dimStats = newVectors
-      .agg(min(size(col("embedding"))).as("dmin"),
-        max(size(col("embedding"))).as("dmax"))
-      .head()
-    require(!dimStats.isNullAt(0), "appendToPqIndex: newVectors frame is empty")
-    require(dimStats.getInt(0) == idx.dims && dimStats.getInt(1) == idx.dims,
-      s"index dims=${idx.dims} but new embedding widths span " +
-        s"[${dimStats.getInt(0)}, ${dimStats.getInt(1)}]")
-    val unit = withNorms(newVectors).withColumn("u",
-      transform(col("embedding"), x => x.cast("double") / sqrt(col("n2"))))
+    requireDims(newVectors, idx.dims, "appendToPqIndex")
+    // fail loudly on a zero/NaN-norm batch vector (a failed embed job's
+    // all-zeros row): its unit vector is 0/0 = NaN, which would either
+    // throw an opaque ANSI cast error inside the pack or silently
+    // mis-encode — surface it as this operator's own contract instead.
+    // Folded into n2 via coalesce so the optimizer cannot prune it.
+    val finiteN2 = coalesce(
+      assert_true(col("n2") > 0.0 && !isnan(col("n2")),
+        lit("appendToPqIndex: zero or non-finite embedding in the batch — " +
+          "drop or re-embed failed vectors before appending")).cast("double"),
+      lit(0.0))
+    val unit = withNorms(newVectors)
+      .withColumn("n2", col("n2") + finiteN2)
+      .withColumn("u",
+        transform(col("embedding"), x => x.cast("double") / sqrt(col("n2"))))
     // d = ||u - c||^2 - 1 + 2 = c_n2 - 2<u,c> + 2 ∈ [0, 5] for unit u:
     // the +2 shift keeps the quantized pack non-negative
     val d2 = col("c_n2") -
@@ -857,20 +867,35 @@ object Similarity {
       .select(col("vec_id"), pmod(col("p"), lit(1L << 21)).as("cell"))
     val codes = unit.select(col("vec_id"),
       codeColFor(codebookLit(idx.codebooks), idx.m, dsub).as("code"))
-    // id-disjointness guard: ids-only join + 1-row count, assert folded
-    // into `cell` via coalesce so the optimizer cannot prune it
+    // id-uniqueness guards, both folded into `cell` via coalesce so the
+    // optimizer cannot prune them: (a) new ids disjoint from the index
+    // (ids-only join + 1-row count), and (b) no id twice WITHIN the
+    // batch (a double-read upstream union) — the cells agg would
+    // collapse the duplicates while the codes side keeps both rows,
+    // emitting two index rows for one key
     val clash = newVectors.select(col("vec_id"))
       .join(idx.index.select(col("vec_id")), Seq("vec_id"))
       .agg(count(lit(1)).as("__clash"))
+    val dupes = newVectors
+      .agg((count(lit(1)) - countDistinct(col("vec_id"))).as("__dupes"))
     val newRows = cells.join(codes, "vec_id")
       .crossJoin(clash)
+      .crossJoin(dupes)
       .select(col("vec_id"),
-        (col("cell") + coalesce(assert_true(col("__clash") === 0L,
-          lit("appendToPqIndex: new vec_ids overlap the index — " +
-            "re-embedded vectors must be removed from the index first"))
-          .cast("long"), lit(0L))).as("cell"),
+        (col("cell") +
+          coalesce(assert_true(col("__clash") === 0L,
+            lit("appendToPqIndex: new vec_ids overlap the index — " +
+              "re-embedded vectors must be removed from the index first"))
+            .cast("long"), lit(0L)) +
+          coalesce(assert_true(col("__dupes") === 0L,
+            lit("appendToPqIndex: duplicate vec_ids within the batch — " +
+              "deduplicate the batch before appending"))
+            .cast("long"), lit(0L))).as("cell"),
         col("code"))
-    idx.copy(index = idx.index.unionByName(newRows))
+    // memo-persist the grown index like the build does its encode:
+    // without it every later action re-pays the batch encode AND the
+    // ids-only clash scan, compounding across chained nightly appends
+    idx.copy(index = pqIdxCache.memo(idx.index.unionByName(newRows)))
   }
 
   /** Per-JVM memo of `dir -> corpus cache key` for
@@ -1082,8 +1107,17 @@ object Similarity {
         embeddings.count().toDouble)).toInt)
     require(k < (1 << 21) - 1, s"cells must be < 2^21 - 1, got $k")
     val v = withNorms(embeddings)
-    val cents = v.filter(col("vec_id") < k)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
+    // centroids = the k SMALLEST vec_ids, re-keyed to their dense rank
+    // 0..k-1: identical to the old `vec_id < k` filter on dense-id
+    // corpora (the oracle row), but correct on ANY id space — a frame
+    // whose ids start at 10^6 (a filtered slice, a sharded partition)
+    // used to yield ZERO centroids and silently return an empty result
+    // for N input vectors; rank keys also keep c_id inside the 2^21
+    // packing domain regardless of raw id magnitude
+    val cents = v.orderBy(col("vec_id")).limit(k)
+      .withColumn("c_id",
+        row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1L)
+      .select(col("c_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
     // one packed primitive per candidate: (quantized c_cos, 2^21-1-c_id)
     // lexicographic in a LONG, so argmax is a plain HashAggregate max.
     // nanvl: a zero-norm vector's NaN cosine degrades to a -1.5

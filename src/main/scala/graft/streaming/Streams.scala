@@ -520,9 +520,25 @@ object Streams {
         rows: Iterator[IngestBandRow],
         state: GroupState[Seq[BucketEntry]]): Iterator[IngestBandHit] = {
       var seen = state.getOption.getOrElse(Seq.empty)
+      val inBatch = scala.collection.mutable.Set.empty[Long]
       val out = Seq.newBuilder[IngestBandHit]
       rows.toSeq.sortBy(_.doc_id).foreach { r =>
-        if (!seen.exists(_.doc_id == r.doc_id)) {
+        if (inBatch.contains(r.doc_id)) {
+          // the same id twice WITHIN one micro-batch's delivery to this
+          // bucket: the first copy already emitted this bucket's hit —
+          // suppress the repeat so the doc still gets ONE decision
+        } else if (seen.exists(_.doc_id == r.doc_id)) {
+          // a CROSS-batch re-delivery (at-least-once source replay, or
+          // a re-crawl reusing ids): it trivially matches its own
+          // registered signature, so emit the duplicate verdict — the
+          // doc must get an explicit keep=false decision, not vanish
+          // from the output stream (which is what silently skipping it
+          // here did; ingestStreamAppend handles the same case with an
+          // anti-join). Caveat: an id evicted by the maxPerBucket
+          // bound is indistinguishable from a new doc.
+          out += IngestBandHit(r.doc_id, matched = true, r.contaminated)
+          inBatch += r.doc_id
+        } else {
           val matched = seen.exists { s =>
             val agree = r.sig.iterator.zip(s.sig.iterator)
               .count { case (a, b) => a == b }
@@ -531,6 +547,7 @@ object Streams {
           out += IngestBandHit(r.doc_id, matched, r.contaminated)
           seen = seen :+ BucketEntry(r.doc_id, r.sig)
           if (seen.size > maxPerBucket) seen = seen.takeRight(maxPerBucket)
+          inBatch += r.doc_id
         }
       }
       state.update(seen)

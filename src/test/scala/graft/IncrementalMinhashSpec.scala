@@ -84,6 +84,21 @@ class IncrementalMinhashSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("must be disjoint")), e)
   }
 
+  test("the disjointness guard also fires for a flags-only consumer") {
+    // the guard used to fold only into `keep`: a caller selecting just
+    // the flags let column pruning drop the assert with the flags
+    // still corrupted — it now rides every flag column too
+    val known = Seq((0L, textA), (2L, textB)).toDF("doc_id", "text")
+    val incoming = Seq((1L, textC), (2L, textD)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      graft.queries.Dedup.dedupIncrementalMinhash(incoming, known)
+        .select("doc_id", "is_near_known").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("must be disjoint")), e)
+  }
+
   test("is partitioning-invariant") {
     val docs = (0L until 24L).map(i =>
       (i, if (i % 5 == 0) textA else s"own${i} words${i} for${i} doc${i} number${i} with no overlap anywhere else at all"))

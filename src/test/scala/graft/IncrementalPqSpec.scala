@@ -61,6 +61,32 @@ class IncrementalPqSpec extends SparkSpec {
       s"wrong failure: ${e.getMessage}")
   }
 
+  test("a duplicate vec_id WITHIN the batch fails loudly") {
+    // the cells agg would collapse the duplicates while the codes side
+    // keeps both rows — two index rows for one key, the exact state
+    // the scaladoc forbids; enforced in-plan like the overlap guard
+    val three = rest.filter(col("vec_id").isin(1L, 3L, 5L))
+    val doubled = three.unionByName(three)
+    val e = intercept[Exception] {
+      Similarity.appendToPqIndex(idxHalf, doubled)
+        .index.agg(sum(col("cell"))).head()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("duplicate"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
+  test("a zero-norm batch vector fails loudly, not as an opaque cast error") {
+    import spark.implicits._
+    val zeros = Seq((900002L, Seq.fill(64)(0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.appendToPqIndex(idxHalf, zeros)
+        .index.agg(sum(col("cell"))).head()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("zero or non-finite")), e)
+  }
+
   test("a dims mismatch or an empty batch fails fast") {
     import spark.implicits._
     val ragged = Seq((900001L, Seq(1f, 2f))).toDF("vec_id", "embedding")

@@ -76,6 +76,24 @@ class SemanticDedupSpec extends SparkSpec {
     assert(auto.map(_.getLong(1)).distinct.size > 1, "auto sizing must use >1 cell")
   }
 
+  test("a sparse/offset id space still yields k centroids and one row per vector") {
+    // the first cut selected centroids with `vec_id < k`: a frame whose
+    // ids start above k (a filtered slice, a sharded partition)
+    // silently got ZERO centroids and returned an EMPTY result. The
+    // rank-keyed selection must be id-space independent: shifting every
+    // id by a constant changes nothing but the reported vec_ids.
+    val rows = (0L until 60L).map(i =>
+      i -> vec((i % 4).toInt, 0.01 * (i % 7), (4 + i % 4).toInt))
+    val base = Graft.semanticDedup(frame(rows), cells = 4, minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    val shifted = Graft.semanticDedup(
+        frame(rows.map { case (id, v) => (id + 1000000L) -> v }),
+        cells = 4, minCosine = 0.95)
+      .collect().map(r => (r.getLong(0) - 1000000L, r.getLong(1), r.getLong(3))).toSeq
+    assert(shifted.size == 60, s"expected 60 rows, got ${shifted.size}")
+    assert(base == shifted, "dedup decisions must not depend on raw id magnitude")
+  }
+
   test("deterministic and partitioning-invariant; kept+dropped partition the corpus") {
     val rows = (0L until 60L).map(i =>
       i -> vec((i % 4).toInt, 0.01 * (i % 7), (4 + i % 4).toInt))

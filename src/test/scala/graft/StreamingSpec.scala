@@ -741,6 +741,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ingestStreamKeyed: a cross-batch re-delivered doc_id gets an explicit duplicate decision") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.IngestDecision
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    def good(t: String) = Seq(
+      s"the cat ${t}aa big house", s"and dog ${t}bb warm garden",
+      s"of bird ${t}cc tall market", s"to fish ${t}dd wide basket",
+      s"a goat ${t}ee ripe apple", s"in lamb ${t}ff sweet pear",
+      s"is wolf ${t}gg fresh plum").mkString(" ")
+    val eval = Seq((200L, good("evl"))).toDF("doc_id", "text")
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val query = Streams.ingestStreamKeyed(mem.toDF(), eval,
+        minWords = 10L, stops = stops)
+      .writeStream.format("memory").queryName("ingest_keyed_redeliver")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(StreamingSpec.Doc(1L, good("one")))
+      query.processAllAvailable()
+      // at-least-once replay: the SAME doc arrives again in a later
+      // batch — it must surface as an explicit keep=false duplicate,
+      // not silently produce no decision at all
+      mem.addData(StreamingSpec.Doc(1L, good("one")),
+        StreamingSpec.Doc(2L, good("two")))
+      query.processAllAvailable()
+      val rows = spark.table("ingest_keyed_redeliver").as[IngestDecision]
+        .collect().toSeq
+      val byDoc = rows.groupBy(_.doc_id)
+      assert(byDoc(1L).map(d => (d.is_near_seen, d.keep)).sorted ==
+        Seq((false, true), (true, false)),
+        s"doc 1 decisions: ${byDoc(1L)}")
+      assert(byDoc(2L).map(d => (d.is_near_seen, d.keep)) == Seq((false, true)))
+    } finally query.stop()
+  }
+
   test("gopherRepStream output equals batch gopherRepetition row-for-row across batch splits") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
