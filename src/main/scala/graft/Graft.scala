@@ -405,6 +405,9 @@ object Graft {
       pageDropPhrases: Seq[String] = Seq("lorem ipsum")): DataFrame =
     queries.LineFilters.c4Filters(docs, minWordsPerLine, minKeptLines,
       requireTerminal, lineDropWords, pageDropPhrases)
+  /** Intra-document line dedup ([[graft.queries.LineFilters.dedupLines]]). */
+  def dedupLines(docs: DataFrame): DataFrame =
+    queries.LineFilters.dedupLines(docs)
   /** k-gram duplication census ([[graft.queries.DupCensus.dupCensus]]). */
   def dupCensus(docs: DataFrame, k: Int = queries.DupCensus.CensusK): DataFrame =
     queries.DupCensus.dupCensus(docs, k)

@@ -116,6 +116,59 @@ object LineFilters {
         "has_brace", "kept", "text_clean")
   }
 
+  /** C20: INTRA-document line dedup — drop every line that repeats an
+    * earlier line of the SAME page (C4 §2.2 "discarded all but one of
+    * any three-sentence span occurring more than once" is the
+    * span-level cousin; the per-line form is the standard
+    * boilerplate/navigation scrub applied page-locally before any
+    * corpus-wide pass). Exact raw-line equality, first occurrence
+    * kept, order preserved:
+    *
+    *   (doc_id, n_lines, n_dup_lines, text_clean)
+    *
+    * Complements the corpus-wide rewriters: D10/D16 need a shuffle to
+    * see cross-doc duplication; a page's own repeated chrome needs
+    * none. Per-row cost is O(lines²) equality checks inside one
+    * codegen HOF chain — pages are bounded (thousands of lines at
+    * most), so this stays a pure shuffle-free map stage at any corpus
+    * size (the C16/C18 shape; the presentation sort is the only
+    * exchange). Null text degrades to the empty page (the C18 rule).
+    *
+    * The synthetic corpus is single-line, so the oracle row proves the
+    * cross-engine rule math (first-occurrence indexing, rejoin) with
+    * n_dup_lines pinned 0; the rewrite semantics on real multi-line
+    * pages are pinned by C4FilterSpec's planted cases. */
+  def dedupLines(docs: DataFrame): DataFrame = {
+    val lines = split(coalesce(col("text"), lit("")), "\n")
+    val keptIdx = filter(sequence(lit(1), size(lines)),
+      i => array_position(lines, element_at(lines, i)) === i.cast("long"))
+    docs
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("kl", transform(keptIdx, i => element_at(lines, i)))
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_lines") - size(col("kl"))).cast("long").as("n_dup_lines"),
+        concat_ws("\n", col("kl")).as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupLines: Q = Q(
+    "q_dedup_lines",
+    (s, d) => dedupLines(Tables.documents(s, d)),
+    Some("""WITH t AS (
+        SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS lns
+        FROM documents),
+      k AS (
+        SELECT doc_id, CAST(len(lns) AS BIGINT) AS n_lines,
+          list_transform(
+            list_filter(range(1, len(lns) + 1),
+              i -> list_position(lns, lns[i]) = i),
+            i -> lns[i]) AS kl
+        FROM t)
+      SELECT doc_id, n_lines,
+        CAST(n_lines - len(kl) AS BIGINT) AS n_dup_lines,
+        coalesce(array_to_string(kl, chr(10)), '') AS text_clean
+      FROM k ORDER BY doc_id"""))
+
   /** The oracle row's line-drop word — "dup" rides in ~5% of synthetic
     * docs, so the line screen, page gate, and rewrite all have corpus
     * action ("javascript" never occurs and would verify nothing). */
@@ -150,5 +203,5 @@ object LineFilters {
       FROM k ORDER BY doc_id"""
     })
 
-  val all: Seq[Q] = Seq(qC4Filters)
+  val all: Seq[Q] = Seq(qC4Filters, qDedupLines)
 }

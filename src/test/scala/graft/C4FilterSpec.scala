@@ -86,6 +86,19 @@ class C4FilterSpec extends SparkSpec {
     assert(out(2L)._5 == 1L)
   }
 
+  test("dedupLines: repeated lines drop, first occurrence and order survive") {
+    val page = "Nav menu here\nReal content sentence one.\nNav menu here\n" +
+      "Real content sentence two.\nNav menu here\nReal content sentence one."
+    val out = graft.queries.LineFilters.dedupLines(
+        Seq((1L, page), (2L, "a\nb\nc"), (3L, "")).toDF("doc_id", "text"))
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == (6L, 3L,
+      "Nav menu here\nReal content sentence one.\nReal content sentence two."))
+    assert(out(2L) == (3L, 0L, "a\nb\nc"))
+    assert(out(3L) == (1L, 0L, ""))
+  }
+
   test("the screen is partitioning-invariant") {
     val docs = Seq((1L, cleanPage), (2L, "x\ny\nz"), (3L, ""))
       .toDF("doc_id", "text")
