@@ -416,6 +416,15 @@ object Graft {
   def bpeFertility(docs: DataFrame,
       merges: Seq[((String, String), String)] = queries.Tokenizer.FixedMerges): DataFrame =
     queries.TokenizerStats.bpeFertility(docs, merges)
+  /** Feature-hashed document embeddings, sparse long-format
+    * ([[graft.queries.DocEmbed.docEmbed]]). */
+  def docEmbed(docs: DataFrame, dims: Int = queries.DocEmbed.DefaultDims): DataFrame =
+    queries.DocEmbed.docEmbed(docs, dims)
+  /** The dense (vec_id, embedding) form the E-family consumes
+    * ([[graft.queries.DocEmbed.docEmbedVectors]]). */
+  def docEmbedVectors(docs: DataFrame,
+      dims: Int = queries.DocEmbed.DefaultDims): DataFrame =
+    queries.DocEmbed.docEmbedVectors(docs, dims)
   /** Embedding snapshot drift ([[graft.queries.Profile.embedDrift]]). */
   def embedDrift(snapA: DataFrame, snapB: DataFrame): DataFrame =
     queries.Profile.embedDrift(snapA, snapB)

@@ -16,7 +16,8 @@ object SparkEntry {
       Scrub.all ++ SemiStructured.all ++ Ranking.all ++ Shards.all ++
       Contamination.all ++ Blocks.all ++ QualityModel.all ++ GraphRank.all ++
       SnapshotDiff.all ++ Quantize.all ++ Attribution.all ++ Profile.all ++
-      Selection.all ++ LineFilters.all ++ DupCensus.all ++ TokenizerStats.all
+      Selection.all ++ LineFilters.all ++ DupCensus.all ++ TokenizerStats.all ++
+      DocEmbed.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** E9: feature-hashed document embeddings (the hashing trick,
+  * Weinberger et al. ICML'09 — Spark ML's HashingTF with signed
+  * hashing) — the TEXT → VECTOR bridge that makes the corpus itself
+  * ANN-searchable with no external model: every word occurrence
+  * contributes sign(h) at dimension h mod d, where h is the portable
+  * polynomial hash (the engine's one shared hash — so the embedding
+  * reproduces bit-exactly in SQL, unlike murmur-based HashingTF). The
+  * signed variant keeps E[<v_a, v_b>] proportional to the true tf
+  * overlap (unsigned hashing biases it upward by the collision mass).
+  *
+  * Components are INTEGER sums of ±1 contributions — commutative,
+  * shuffle-safe, oracle-exact with no float anywhere; [[docEmbedVectors]]
+  * densifies them into the `(vec_id, embedding)` contract the whole
+  * E-family consumes (near-dup pairs via [[Similarity.embeddingDupPairs]],
+  * ANN via the IVF/PQ stack, SemDeDup via [[Similarity.semanticDedup]]).
+  *
+  * Scale shape: one tokenize+explode pass, one map-side-combinable
+  * hash agg on (doc_id, dim) keys — output is sparse (≤ min(words,
+  * dims) rows per doc), text never shuffles (only (doc_id, dim, ±1)
+  * partials). The densifier adds one doc_id-keyed agg. At 100 TB this
+  * is the cheapest possible corpus embedding: exactly one scan.
+  */
+object DocEmbed {
+
+  val DefaultDims = 64
+
+  /** Sparse long-format embedding: (doc_id, dim, q) with q = Σ over
+    * word occurrences hashing to `dim` of the occurrence's sign;
+    * zero-sum dims are ABSENT (sparse contract). Docs with no words
+    * emit no rows here — [[docEmbedVectors]] restores them as zero
+    * vectors. */
+  def docEmbed(docs: DataFrame, dims: Int = DefaultDims): DataFrame = {
+    require(dims >= 2, s"dims must be >= 2, got $dims")
+    docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .select(col("doc_id"), polyHash(col("word")).as("h"))
+      .select(col("doc_id"),
+        pmod(col("h"), lit(dims.toLong)).as("dim"),
+        // `div` = integer division (matches DuckDB's `//` on the
+        // non-negative hash; `/` would be a double division)
+        (pmod(expr(s"h div $dims"), lit(2L)) * 2L - 1L).as("s"))
+      .groupBy("doc_id", "dim")
+      .agg(sum(col("s")).as("q"))
+      .filter(col("q") =!= 0L)
+      .orderBy("doc_id", "dim")
+  }
+
+  /** The dense `(vec_id, embedding: array<float>)` form the E-family
+    * consumes — integer components cast to float (exact for |q| <
+    * 2^24; a word would need 16M+ occurrences in ONE doc to exceed
+    * that). Every input doc appears, wordless docs as zero vectors. */
+  def docEmbedVectors(docs: DataFrame, dims: Int = DefaultDims): DataFrame = {
+    val sparse = docEmbed(docs, dims)
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("q")))).as("m"))
+    docs.select(col("doc_id"))
+      .join(sparse, Seq("doc_id"), "left")
+      .select(col("doc_id").as("vec_id"),
+        transform(sequence(lit(0L), lit(dims - 1L)),
+          i => coalesce(element_at(col("m"), i), lit(0L)).cast("float"))
+          .as("embedding"))
+  }
+
+  /** Oracle row at 16 dims (64 would hash-check just as exactly but
+    * print 4× the rows for the same evidence). */
+  private val OracleDims = 16
+
+  val qDocEmbed: Q = Q(
+    "q_doc_embed",
+    (s, d) => docEmbed(Tables.documents(s, d), OracleDims),
+    Some(s"""WITH w AS (
+        SELECT doc_id,
+          unnest(list_filter(${sqlWords("text")}, t -> t <> '')) AS word
+        FROM documents),
+      h AS (
+        SELECT doc_id,
+          (${sqlPolyHash("word")}) % $OracleDims AS dim,
+          ((${sqlPolyHash("word")}) // $OracleDims) % 2 * 2 - 1 AS s
+        FROM w)
+      SELECT doc_id, CAST(dim AS BIGINT) AS dim, CAST(sum(s) AS BIGINT) AS q
+      FROM h GROUP BY doc_id, dim
+      HAVING sum(s) <> 0
+      ORDER BY doc_id, dim"""))
+
+  val all: Seq[Q] = Seq(qDocEmbed)
+}
