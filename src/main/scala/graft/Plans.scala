@@ -61,7 +61,9 @@ object Plans {
     "q_dup_census" -> "duplication census: grams leave the scan as md5 keys, (gram, doc) then (gram) map-side-combinable aggs, final agg on the tiny df domain — text never shuffles",
     "q_bpe_fertility" -> "fertility census: distinct-word encoder map (rank table broadcast), corpus explode + broadcast word join, agg on the source domain; one text scan",
     "q_embed_drift" -> "snapshot drift: two posexplode + integer hash aggs on label x dim keys, full outer join on that key space, label-domain final agg — vectors never shuffle",
-    "q_ann_pq_append" -> "incremental PQ append: batch-sized encode, broadcast-centroid candidates collapsed by a packed-long min HashAggregate BEFORE any exchange, ids-only disjointness probe, union with the built index")
+    "q_ann_pq_append" -> "incremental PQ append: batch-sized encode, broadcast-centroid candidates collapsed by a packed-long min HashAggregate BEFORE any exchange, ids-only disjointness probe, union with the built index",
+    "q_dedup_lines" -> "intra-doc line dedup: per-row HOF first-occurrence filter + rejoin in ONE codegen map stage; presentation sort is the only exchange",
+    "q_doc_embed" -> "hashing-trick embedding: one tokenize+explode pass into a map-side-combinable (doc_id, dim) integer agg; text never shuffles")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -875,6 +875,23 @@ object ScaleProbe {
     assert(tSlow <= 3.0 * math.max(tFast, 1.0),
       f"semdedup runs diverge: twinned $tSem%.1f s vs uniform $tSemUni%.1f s — structural cost, not noise")
     println(f"semdedup time gate   ${"check"}%9s       twinned $tSem%.1f s within 3x of uniform $tSemUni%.1f s  PASS")
+    // Feature-hashed corpus embedding (E9): ONE scan, one (doc, dim)
+    // agg — the text→vector bridge must stay a pure pipeline at scale.
+    // Census: every ±1 contribution is conserved, so Σ|q| ≤ total word
+    // occurrences with equality exactly when no (doc, dim) cell mixes
+    // signs — both computable without re-running the operator.
+    val (deAgg, tDe) = time {
+      Graft.docEmbed(docs)
+        .agg(sum(abs(col("q"))), count(lit(1))).head()
+    }
+    val occTotal = docs.select(explode(
+      graft.functions.TextFunctions.words(col("text")))).count()
+    println(f"doc embed (hashing)  $total%9d docs  $tDe%7.1f s  ${total / tDe}%9.0f docs/s  (${deAgg.getLong(1)} sparse cells, |q| mass ${deAgg.getLong(0)})")
+    assert(deAgg.getLong(0) <= occTotal && deAgg.getLong(0) > occTotal / 2,
+      s"signed mass ${deAgg.getLong(0)} vs $occTotal occurrences — " +
+        "contributions lost or manufactured")
+    println(f"doc embed census     ${"check"}%9s       |q| mass within (${occTotal / 2}, $occTotal]  PASS")
+
     // The D18 CAPSTONE as one composed plan at 505k docs — the stages
     // are individually probed above; what composition can still break
     // is the plan itself (a missed memo re-running the 4-stage cleaning

@@ -88,5 +88,53 @@ object DocEmbed {
       HAVING sum(s) <> 0
       ORDER BY doc_id, dim"""))
 
-  val all: Seq[Q] = Seq(qDocEmbed)
+  /** D15b: SemDeDup over the corpus's OWN hashed embeddings — the
+    * fully TEXT-NATIVE semantic dedup: documents → E9 signed-hash
+    * vectors → D15 cell-scoped near-dup decisions, one lazy plan, no
+    * external model anywhere. The oracle chains the E9 CTEs into
+    * [[Similarity.sqlSemanticDedupFrom]] (the same fragment the
+    * embeddings-table row uses), so the bridge and the dedup can
+    * never drift from their standalone rows — the D17/D18 composed-
+    * oracle technique applied across the text/vector boundary.
+    *
+    * minCosine = 0.9 (the SemDeDup paper default) has real corpus
+    * action here: bag-of-words vectors over the small synthetic
+    * vocabulary put ~15% of within-cell pairs above it. Every doc on
+    * this corpus hashes to a nonzero vector (verified at all 3 SFs);
+    * zero vectors in caller corpora degrade per [[Similarity
+    * .semanticDedup]]'s nanvl sentinel. */
+  val qDedupSemanticText: Q = Q(
+    "q_dedup_semantic_text",
+    (s, d) => Similarity.semanticDedup(
+      docEmbedVectors(Tables.documents(s, d), OracleDims),
+      cells = 10, minCosine = 0.9),
+    Some {
+      val (semCtes, semSelect) =
+        Similarity.sqlSemanticDedupFrom("vecs", 10, 0.9)
+      s"""WITH w AS (
+        SELECT doc_id,
+          unnest(list_filter(${sqlWords("text")}, t -> t <> '')) AS word
+        FROM documents),
+      hh AS (
+        SELECT doc_id,
+          (${sqlPolyHash("word")}) % $OracleDims AS dim,
+          ((${sqlPolyHash("word")}) // $OracleDims) % 2 * 2 - 1 AS s
+        FROM w),
+      sp AS (
+        SELECT doc_id, dim, CAST(sum(s) AS BIGINT) AS q
+        FROM hh GROUP BY doc_id, dim HAVING sum(s) <> 0),
+      mm AS (
+        SELECT doc_id,
+          map_from_entries(list(struct_pack(k := dim, v := q))) AS m
+        FROM sp GROUP BY doc_id),
+      vecs AS (
+        SELECT d.doc_id AS vec_id,
+          list_transform(range(0, $OracleDims),
+            i -> CAST(coalesce(map_extract(m, i)[1], 0) AS DOUBLE)) AS embedding
+        FROM documents d LEFT JOIN mm ON d.doc_id = mm.doc_id),
+      $semCtes
+      $semSelect"""
+    })
+
+  val all: Seq[Q] = Seq(qDocEmbed, qDedupSemanticText)
 }

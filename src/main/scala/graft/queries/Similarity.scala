@@ -1169,11 +1169,14 @@ object Similarity {
     * the three SFs), so the paper's 0.9 would drop nothing and verify
     * nothing; 0.4 drops a measured 13–227 pairs per SF. Paper-scale
     * defaults stay the API defaults (the C16 pattern). */
-  val qDedupSemantic: Q = Q(
-    "q_dedup_semantic",
-    (s, d) => semanticDedup(Tables.embeddings(s, d), cells = 10, minCosine = 0.4),
-    Some(s"""WITH v AS (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM embeddings),
-      c AS (SELECT vec_id AS c_id, embedding AS c_emb, n2 AS c_n2 FROM v WHERE vec_id < 10),
+  /** D15's oracle as a FRAGMENT over any CTE `src(vec_id, embedding)`
+    * with dense vec_ids from 0: the CTE chain (no leading WITH) plus
+    * the final SELECT — shared by the embeddings-table row and the
+    * E9-composed text row, so the two cannot drift. */
+  private[queries] def sqlSemanticDedupFrom(
+      src: String, cells: Int, minCosine: Double): (String, String) = (
+    s"""v AS (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM $src),
+      c AS (SELECT vec_id AS c_id, embedding AS c_emb, n2 AS c_n2 FROM v WHERE vec_id < $cells),
       ac AS (SELECT v.vec_id, v.embedding, v.n2, c.c_id,
           ${sqlDot("v.embedding", "c.c_emb")} / (sqrt(v.n2) * sqrt(c.c_n2)) AS c_cos
         FROM v CROSS JOIN c),
@@ -1184,13 +1187,21 @@ object Similarity {
           FROM ac) t WHERE rn = 1),
       pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.c_cos AS ca, b.c_cos AS cb
         FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        WHERE ${sqlDot("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4),
+        WHERE ${sqlDot("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) >= $minCosine),
       losers AS (SELECT DISTINCT CASE WHEN ca > cb THEN id_a ELSE id_b END AS vec_id
-        FROM pairs)
-      SELECT a.vec_id, a.cell, a.c_cos,
+        FROM pairs)""",
+    """SELECT a.vec_id, a.cell, a.c_cos,
         CAST(CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
       FROM assigned a LEFT JOIN losers l ON a.vec_id = l.vec_id
-      ORDER BY a.vec_id"""))
+      ORDER BY a.vec_id""")
+
+  val qDedupSemantic: Q = Q(
+    "q_dedup_semantic",
+    (s, d) => semanticDedup(Tables.embeddings(s, d), cells = 10, minCosine = 0.4),
+    Some {
+      val (ctes, sel) = sqlSemanticDedupFrom("embeddings", 10, 0.4)
+      s"WITH $ctes $sel"
+    })
 
   /** E8's oracle row (the E7/E3b losslessness pattern): build the index
     * on HALF the corpus, [[appendToPqIndex]] the other half without
