@@ -406,8 +406,8 @@ object Graft {
     queries.LineFilters.c4Filters(docs, minWordsPerLine, minKeptLines,
       requireTerminal, lineDropWords, pageDropPhrases)
   /** Intra-document line dedup ([[graft.queries.LineFilters.dedupLines]]). */
-  def dedupLines(docs: DataFrame): DataFrame =
-    queries.LineFilters.dedupLines(docs)
+  def dedupLines(docs: DataFrame, minLineChars: Int = 5): DataFrame =
+    queries.LineFilters.dedupLines(docs, minLineChars)
   /** k-gram duplication census ([[graft.queries.DupCensus.dupCensus]]). */
   def dupCensus(docs: DataFrame, k: Int = queries.DupCensus.CensusK): DataFrame =
     queries.DupCensus.dupCensus(docs, k)

@@ -36,7 +36,14 @@ object DocEmbed {
     * zero-sum dims are ABSENT (sparse contract). Docs with no words
     * emit no rows here — [[docEmbedVectors]] restores them as zero
     * vectors. */
-  def docEmbed(docs: DataFrame, dims: Int = DefaultDims): DataFrame = {
+  def docEmbed(docs: DataFrame, dims: Int = DefaultDims): DataFrame =
+    docEmbedSparse(docs, dims).orderBy("doc_id", "dim")
+
+  /** The sort-free core — [[docEmbedVectors]] consumes this directly:
+    * collect_list is order-sensitive, so building the dense form on
+    * the PRESENTATION-sorted frame would pay a full range exchange +
+    * sort of the sparse cells that the key-addressed map never needs. */
+  private def docEmbedSparse(docs: DataFrame, dims: Int): DataFrame = {
     require(dims >= 2, s"dims must be >= 2, got $dims")
     docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
       .select(col("doc_id"), polyHash(col("word")).as("h"))
@@ -48,7 +55,6 @@ object DocEmbed {
       .groupBy("doc_id", "dim")
       .agg(sum(col("s")).as("q"))
       .filter(col("q") =!= 0L)
-      .orderBy("doc_id", "dim")
   }
 
   /** The dense `(vec_id, embedding: array<float>)` form the E-family
@@ -56,7 +62,7 @@ object DocEmbed {
     * 2^24; a word would need 16M+ occurrences in ONE doc to exceed
     * that). Every input doc appears, wordless docs as zero vectors. */
   def docEmbedVectors(docs: DataFrame, dims: Int = DefaultDims): DataFrame = {
-    val sparse = docEmbed(docs, dims)
+    val sparse = docEmbedSparse(docs, dims)
       .groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("dim"), col("q")))).as("m"))
     docs.select(col("doc_id"))

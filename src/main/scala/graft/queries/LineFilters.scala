@@ -122,7 +122,10 @@ object LineFilters {
     * span-level cousin; the per-line form is the standard
     * boilerplate/navigation scrub applied page-locally before any
     * corpus-wide pass). Exact raw-line equality, first occurrence
-    * kept, order preserved:
+    * kept, order preserved; lines whose TRIMMED length is under
+    * `minLineChars` (blank paragraph separators, bullet markers) are
+    * exempt — they repeat by design, and deduping them would merge
+    * the page into one paragraph blob:
     *
     *   (doc_id, n_lines, n_dup_lines, text_clean)
     *
@@ -138,10 +141,17 @@ object LineFilters {
     * cross-engine rule math (first-occurrence indexing, rejoin) with
     * n_dup_lines pinned 0; the rewrite semantics on real multi-line
     * pages are pinned by C4FilterSpec's planted cases. */
-  def dedupLines(docs: DataFrame): DataFrame = {
+  def dedupLines(docs: DataFrame, minLineChars: Int = 5): DataFrame = {
+    require(minLineChars >= 0, s"minLineChars must be >= 0, got $minLineChars")
     val lines = split(coalesce(col("text"), lit("")), "\n")
-    val keptIdx = filter(sequence(lit(1), size(lines)),
-      i => array_position(lines, element_at(lines, i)) === i.cast("long"))
+    // structural lines are EXEMPT: blank paragraph separators, bullet
+    // markers, and other sub-threshold lines repeat by design — a
+    // naive full dedup would strip every "\n\n" after the first and
+    // merge the page into one paragraph blob (breaking downstream
+    // paragraph-sensitive gates like C17)
+    val keptIdx = filter(sequence(lit(1), size(lines)), i =>
+      length(trim(element_at(lines, i))) < minLineChars ||
+        array_position(lines, element_at(lines, i)) === i.cast("long"))
     docs
       .withColumn("n_lines", size(lines).cast("long"))
       .withColumn("kl", transform(keptIdx, i => element_at(lines, i)))
@@ -161,7 +171,7 @@ object LineFilters {
         SELECT doc_id, CAST(len(lns) AS BIGINT) AS n_lines,
           list_transform(
             list_filter(range(1, len(lns) + 1),
-              i -> list_position(lns, lns[i]) = i),
+              i -> length(trim(lns[i])) < 5 OR list_position(lns, lns[i]) = i),
             i -> lns[i]) AS kl
         FROM t)
       SELECT doc_id, n_lines,

@@ -841,8 +841,12 @@ object Similarity {
     // throw an opaque ANSI cast error inside the pack or silently
     // mis-encode — surface it as this operator's own contract instead.
     // Folded into n2 via coalesce so the optimizer cannot prune it.
+    // `> 0 && < +Inf` rejects all three failure shapes in one range
+    // check: NaN (every comparison false), zero, AND +Infinity — an
+    // Inf component squares into n2 = Inf, whose unit vector is
+    // Inf/Inf = NaN downstream, the same opaque-cast hazard as NaN
     val finiteN2 = coalesce(
-      assert_true(col("n2") > 0.0 && !isnan(col("n2")),
+      assert_true(col("n2") > 0.0 && col("n2") < Double.PositiveInfinity,
         lit("appendToPqIndex: zero or non-finite embedding in the batch — " +
           "drop or re-embed failed vectors before appending")).cast("double"),
       lit(0.0))

@@ -99,6 +99,23 @@ class C4FilterSpec extends SparkSpec {
     assert(out(3L) == (1L, 0L, ""))
   }
 
+  test("dedupLines: blank separators and bullet markers are structural, never deduped") {
+    val page = "First paragraph body here\n\nSecond paragraph body here\n\n" +
+      "-\n-\nThird paragraph body here"
+    val out = graft.queries.LineFilters.dedupLines(
+        Seq((1L, page)).toDF("doc_id", "text"))
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // both "" separators and both "-" bullets survive (trimmed length
+    // under the threshold); only >= minLineChars lines dedup
+    assert(out(1L) == (7L, 0L, page), out)
+    val page2 = page + "\nFirst paragraph body here"
+    val out2 = graft.queries.LineFilters.dedupLines(
+        Seq((1L, page2)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out2(1L) == page, "a repeated CONTENT line still dedupes")
+  }
+
   test("the screen is partitioning-invariant") {
     val docs = Seq((1L, cleanPage), (2L, "x\ny\nz"), (3L, ""))
       .toDF("doc_id", "text")

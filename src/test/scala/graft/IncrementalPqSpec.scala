@@ -75,16 +75,20 @@ class IncrementalPqSpec extends SparkSpec {
       s"wrong failure: ${e.getMessage}")
   }
 
-  test("a zero-norm batch vector fails loudly, not as an opaque cast error") {
+  test("zero-norm and infinite batch vectors fail loudly, not as opaque cast errors") {
     import spark.implicits._
-    val zeros = Seq((900002L, Seq.fill(64)(0f))).toDF("vec_id", "embedding")
-    val e = intercept[Exception] {
-      Similarity.appendToPqIndex(idxHalf, zeros)
-        .index.agg(sum(col("cell"))).head()
-    }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("zero or non-finite")), e)
+    for (bad <- Seq(Seq.fill(64)(0f),
+        Seq(Float.PositiveInfinity) ++ Seq.fill(63)(1f),
+        Seq(Float.NaN) ++ Seq.fill(63)(1f))) {
+      val frame = Seq((900002L, bad)).toDF("vec_id", "embedding")
+      val e = intercept[Exception] {
+        Similarity.appendToPqIndex(idxHalf, frame)
+          .index.agg(sum(col("cell"))).head()
+      }
+      assert(msgs(e).exists(_.contains("zero or non-finite")), e)
+    }
   }
 
   test("a dims mismatch or an empty batch fails fast") {
