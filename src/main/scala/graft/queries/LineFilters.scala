@@ -192,7 +192,8 @@ object LineFilters {
     Some {
       val ws = TextAnalysis.GopherWs
       s"""WITH t AS (
-        SELECT doc_id, text, string_split(text, chr(10)) AS lns FROM documents),
+        SELECT doc_id, coalesce(text, '') AS text,
+          string_split(coalesce(text, ''), chr(10)) AS lns FROM documents),
       k AS (
         SELECT doc_id, text, CAST(len(lns) AS BIGINT) AS n_lines,
           list_filter(lns, l ->

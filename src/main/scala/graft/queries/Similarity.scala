@@ -549,14 +549,22 @@ object Similarity {
     * anyway, so the extra pass is noise. ONE definition shared by
     * [[buildPqIndex]] and [[appendToPqIndex]]. */
   private def requireDims(vectors: DataFrame, dims: Int, what: String): Unit = {
-    val dimStats = vectors
+    val span = dimSpan(vectors)
+    require(span.isDefined, s"$what: embeddings frame is empty")
+    val (dmin, dmax) = span.get
+    require(dmin == dims && dmax == dims,
+      s"$what: dims=$dims but embedding widths span [$dmin, $dmax]")
+  }
+
+  /** (min, max) embedding width over the frame, or None when empty —
+    * the shared full-column scan behind [[requireDims]] and
+    * [[appendToPqIndex]]'s empty-batch no-op. */
+  private def dimSpan(vectors: DataFrame): Option[(Int, Int)] = {
+    val r = vectors
       .agg(min(size(col("embedding"))).as("dmin"),
         max(size(col("embedding"))).as("dmax"))
       .head()
-    require(!dimStats.isNullAt(0), s"$what: embeddings frame is empty")
-    require(dimStats.getInt(0) == dims && dimStats.getInt(1) == dims,
-      s"$what: dims=$dims but embedding widths span " +
-        s"[${dimStats.getInt(0)}, ${dimStats.getInt(1)}]")
+    if (r.isNullAt(0)) None else Some((r.getInt(0), r.getInt(1)))
   }
 
   def buildPqIndex(
@@ -835,7 +843,17 @@ object Similarity {
     * training corpus and rebuild when the drift alarm fires. */
   def appendToPqIndex(idx: PqIndex, newVectors: DataFrame): PqIndex = {
     val dsub = idx.dims / idx.m
-    requireDims(newVectors, idx.dims, "appendToPqIndex")
+    // an EMPTY batch is a no-op, not a contract violation: a nightly
+    // append job legitimately sees zero new vectors some nights, and
+    // the unchanged index is the right answer (the dims check below is
+    // vacuous over nothing anyway)
+    dimSpan(newVectors) match {
+      case None => return idx
+      case Some((dmin, dmax)) =>
+        require(dmin == idx.dims && dmax == idx.dims,
+          s"appendToPqIndex: dims=${idx.dims} but embedding widths span " +
+            s"[$dmin, $dmax]")
+    }
     // fail loudly on a zero/NaN-norm batch vector (a failed embed job's
     // all-zeros row): its unit vector is 0/0 = NaN, which would either
     // throw an opaque ANSI cast error inside the pack or silently

@@ -206,25 +206,37 @@ object Sinks {
     * artifact) share: `rows` must carry (doc_id, text, n_tokens,
     * shard_id); any extra columns (e.g. the epoch `pos`) land in the
     * data files. Writes `dir/data` (hive-partitioned, one coherent
-    * file per shard) + `dir/manifest`, returns the manifest. */
+    * file per shard) + `dir/manifest`, returns the manifest.
+    *
+    * The manifest is computed from a RE-READ of the just-written
+    * `dir/data` — the bytes the loader will actually consume — never
+    * from a second evaluation of the input plan: a nondeterministic
+    * upstream would otherwise certify a manifest that disagrees with
+    * the written files, which is exactly the corruption verifyShards
+    * exists to catch. */
   def writeShardRows(rows: DataFrame, dir: String): DataFrame = {
     val spark = rows.sparkSession
     rows.repartition(col("shard_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("shard_id")
       .parquet(s"$dir/data")
-    shardSummary(rows).coalesce(1)
+    shardSummary(readShards(spark, dir)).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
     spark.read.parquet(s"$dir/manifest")
   }
 
   /** The per-shard integrity aggregate both [[writeShards]] and
     * [[verifyShards]] compute — one definition, so writer and verifier
-    * cannot drift. */
-  private def shardSummary(rows: DataFrame): DataFrame =
+    * cannot drift. The fingerprint hashes EVERY data column (in sorted
+    * name order, so writer/reader column orders can't drift it), not
+    * just (doc_id, text): a corrupted `pos` (the capstone's loader
+    * sort key) or token array must flip it. */
+  private def shardSummary(rows: DataFrame): DataFrame = {
+    val dataCols = rows.columns.filterNot(_ == "shard_id").sorted
     rows.groupBy("shard_id").agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_tokens")).as("n_tokens"),
-      expr("bit_xor(xxhash64(doc_id, text))").as("fingerprint"))
+      expr(s"bit_xor(xxhash64(${dataCols.mkString(", ")}))").as("fingerprint"))
+  }
 
   /** A written shard set, for a consumer: (doc_id, text, n_tokens,
     * shard_id), partition-pruned when filtered on shard_id. */

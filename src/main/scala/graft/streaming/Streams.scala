@@ -528,14 +528,24 @@ object Streams {
           // bucket: the first copy already emitted this bucket's hit —
           // suppress the repeat so the doc still gets ONE decision
         } else if (seen.exists(_.doc_id == r.doc_id)) {
-          // a CROSS-batch re-delivery (at-least-once source replay, or
-          // a re-crawl reusing ids): it trivially matches its own
-          // registered signature, so emit the duplicate verdict — the
-          // doc must get an explicit keep=false decision, not vanish
-          // from the output stream (which is what silently skipping it
-          // here did; ingestStreamAppend handles the same case with an
-          // anti-join). Caveat: an id evicted by the maxPerBucket
-          // bound is indistinguishable from a new doc.
+          // a CROSS-batch re-delivery (at-least-once source replay):
+          // with the SAME signature it matches its own registered
+          // entry, so emit the duplicate verdict — the doc must get an
+          // explicit keep=false decision, not vanish from the output
+          // stream (ingestStreamAppend handles the same case with an
+          // anti-join). A re-delivery whose signature DIFFERS is an id
+          // REUSED for new content — the batch analog
+          // (dedupIncrementalMinhash) fails loudly on exactly this,
+          // and silently swallowing the new content as "a duplicate of
+          // itself" would lose a real document, so fail loudly here
+          // too. Caveat: an id evicted by the maxPerBucket bound is
+          // indistinguishable from a new doc.
+          val stored = seen.find(_.doc_id == r.doc_id).get
+          if (stored.sig != r.sig)
+            throw new IllegalStateException(
+              s"ingestStreamKeyed: doc_id ${r.doc_id} re-delivered with a " +
+                "DIFFERENT signature — ids must not be reused for new " +
+                "content (re-crawls must re-key)")
           out += IngestBandHit(r.doc_id, matched = true, r.contaminated)
           inBatch += r.doc_id
         } else {
