@@ -156,9 +156,23 @@ object Graft {
       stops: Seq[String] = queries.TextAnalysis.GopherStops,
       merges: Seq[((String, String), String)] = queries.Tokenizer.FixedMerges,
       budget: Long = 512L,
-      seed: Long = 0L): DataFrame =
+      seed: Long = 0L,
+      tokenize: Boolean = false): DataFrame =
     queries.Curation.produceShards(docs, eval, dir, minWords, stops, merges,
-      budget, seed)
+      budget, seed, tokenize)
+  /** Corpus → per-doc trainer-consumable token ids:
+    * (doc_id, tokens array<int>, n_tokens)
+    * ([[graft.queries.Tokenizer.tokenizeDocs]]). */
+  def tokenizeDocs(docs: DataFrame,
+      merges: Seq[((String, String), String)] = queries.Tokenizer.FixedMerges): DataFrame =
+    queries.Tokenizer.tokenizeDocs(docs, merges)
+  /** Corpus → tokenized training shards on disk, budgeted in BPE
+    * tokens, fingerprinted over the id arrays
+    * ([[graft.sources.Sinks.writeTokenizedShards]]). */
+  def writeTokenizedShards(docs: DataFrame, dir: String,
+      merges: Seq[((String, String), String)] = queries.Tokenizer.FixedMerges,
+      budget: Long = 512L): DataFrame =
+    graft.sources.Sinks.writeTokenizedShards(docs, dir, merges, budget)
   /** SemDeDup: within-cluster semantic dedup, keeping the pair member
     * less similar to its centroid; `cells <= 0` auto-sizes to
     * ceil(sqrt(N)) ([[graft.queries.Similarity.semanticDedup]]). */

@@ -63,7 +63,10 @@ object Plans {
     "q_embed_drift" -> "snapshot drift: two posexplode + integer hash aggs on label x dim keys, full outer join on that key space, label-domain final agg — vectors never shuffle",
     "q_ann_pq_append" -> "incremental PQ append: batch-sized encode, broadcast-centroid candidates collapsed by a packed-long min HashAggregate BEFORE any exchange, ids-only disjointness probe, union with the built index",
     "q_dedup_lines" -> "intra-doc line dedup: per-row HOF first-occurrence filter + rejoin in ONE codegen map stage; presentation sort is the only exchange",
-    "q_doc_embed" -> "hashing-trick embedding: one tokenize+explode pass into a map-side-combinable (doc_id, dim) integer agg; text never shuffles")
+    "q_doc_embed" -> "hashing-trick embedding: one tokenize+explode pass into a map-side-combinable (doc_id, dim) integer agg; text never shuffles",
+    "q_pipeline_produce" -> "capstone, ONE plan: gates+exact-dedup+decontam+D16 excision feed ONE memo-persisted cleaned-text frame; downstream of it, exactly two distributed prefix sums (H10 epoch shuffle, H8b token packing) and the broadcast rank/fertility joins — no exchange beyond those documented",
+    "q_dup_spans_char" -> "char-granularity ExactSubstr audit: per-char (doc, pos, md5) frame memoized ONCE for both branches (the memo is the documented cost vs suffix arrays — word-level q_dup_spans is the production path), duplicated-key paint join on 128-bit keys, per-doc interval-merge window",
+    "q_dedup_semantic_text" -> "text-native SemDeDup: E9's one-scan hashed-embedding agg feeds D15's cell-keyed candidate join unchanged — text never shuffles, vectors exist only as the narrow (doc, dim, sum) frame until the within-cell pairing")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

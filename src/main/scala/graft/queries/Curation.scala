@@ -380,13 +380,22 @@ object Curation {
     * (pos is carried in the data; a loader sorts by it within a
     * shard). Returns the written manifest; `verifyShards(dir)` is the
     * loader's integrity gate. Same scale shape as the pipeline plus
-    * one clustering repartition on shard_id. */
+    * one clustering repartition on shard_id.
+    *
+    * `tokenize = true` additionally materializes each produced doc's
+    * `tokens array<int>` ([[Tokenizer.tokenizeDocs]] of the CLEANED
+    * text — same encoder as the n_tokens counts, so len(tokens) ==
+    * n_tokens by construction) and the all-column fingerprint then
+    * certifies the ids themselves: "corpus in, trainable token ids
+    * out", end to end. Costs one extra read of the memo-persisted
+    * cleaned frame plus the per-doc reassembly shuffle. */
   def produceShards(docs: DataFrame, eval: DataFrame, dir: String,
       minWords: Long = 50L,
       stops: Seq[String] = TextAnalysis.GopherStops,
       merges: Seq[((String, String), String)] = Tokenizer.FixedMerges,
       budget: Long = 512L,
-      seed: Long = 0L): DataFrame = {
+      seed: Long = 0L,
+      tokenize: Boolean = false): DataFrame = {
     require(budget > 0, "budget must be positive")
     val (cleanDocs, toks) = produceCore(docs, eval, minWords, stops, merges, seed)
     val assigned = graft.ops.ScaleOps.prefixSum(toks, "pos", "n_tokens", "cum_tokens")
@@ -395,7 +404,10 @@ object Curation {
     val rows = cleanDocs.join(assigned, "doc_id")
       .select(col("doc_id"), col("text"), col("n_tokens"), col("pos"),
         col("shard_id"))
-    graft.sources.Sinks.writeShardRows(rows, dir)
+    val out = if (!tokenize) rows else rows.join(
+      Tokenizer.tokenizeDocs(cleanDocs, merges)
+        .select(col("doc_id"), col("tokens")), "doc_id")
+    graft.sources.Sinks.writeShardRows(out, dir)
   }
 
   /** Memo of [[pipelineProduce]]'s cleaned-text frame (see

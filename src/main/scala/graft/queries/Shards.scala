@@ -167,10 +167,11 @@ object Shards {
             FROM m
             WHERE contains(e.seq, '|' || m.l || '||' || m.r || '|')
             ORDER BY m.rank LIMIT 1) b),
+        wseq AS (SELECT word, arg_max(seq, step) AS fseq
+          FROM enc GROUP BY word),
         wc AS (SELECT word,
-            (length(arg_max(seq, step))
-              - length(replace(arg_max(seq, step), '|', ''))) // 2 AS n_sub
-          FROM enc GROUP BY word)"""
+            (length(fseq) - length(replace(fseq, '|', ''))) // 2 AS n_sub
+          FROM wseq)"""
 
   private def sqlBpeWordCounts: String = sqlBpeWordCountsFrom("documents", "text")
 

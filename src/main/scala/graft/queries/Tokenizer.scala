@@ -301,6 +301,68 @@ object Tokenizer {
       .map { case (((l, r), _), i) => s"($i, '$l', '$r')" }
       .mkString(", ")
 
+  /** Deterministic token-id vocabulary derived ONLY from a merge
+    * table — the standard BPE id assignment (base alphabet first, then
+    * merge outputs in learned rank order, as GPT-2/sentencepiece do):
+    * ids 0–25 the letters, 26 [[EndOfWord]], 27+rank each merge's
+    * output symbol. If two merges produce the same string (possible:
+    * (a,bc) and (ab,c)), the FIRST rank keeps the id — the symbol in
+    * an encoded sequence is just the string, so one id per string is
+    * exactly right. A committed table therefore fixes every id
+    * forever, and any engine can replay the mapping (see
+    * [[vocabSqlValues]]). The base alphabet is a–z only because
+    * [[graft.functions.TextFunctions.words]] emits pure [a-z]+ runs. */
+  def vocab(merges: Seq[((String, String), String)]): Seq[(String, Int)] = {
+    val all = (('a' to 'z').map(_.toString) :+ EndOfWord) ++ merges.map(_._2)
+    val seen = collection.mutable.HashSet.empty[String]
+    all.zipWithIndex.filter { case (s, _) => seen.add(s) }
+  }
+
+  /** [[vocab]] as a DuckDB VALUES list `(sym, id)` — the oracle-side
+    * replay of the id assignment. */
+  def vocabSqlValues(merges: Seq[((String, String), String)]): String =
+    vocab(merges).map { case (s, i) => s"('$s', $i)" }.mkString(", ")
+
+  /** Tokenize the corpus to trainer-consumable token IDS:
+    * (doc_id, tokens array<int>, n_tokens), tokens the concatenation
+    * of each word's greedy-BPE encoding under [[vocab]]'s ids, in word
+    * order; wordless docs keep an empty array. n_tokens = len(tokens)
+    * equals [[bpeWordCounts]]-derived counts by construction (same
+    * encoder), so H8b packing geometry and these arrays can't drift.
+    *
+    * Scale shape — the C13/H8b encoder split: the merge automaton runs
+    * once per DISTINCT word (vocabulary-sized typed map, rank + vocab
+    * tables broadcast); the corpus side is one posexplode + word-key
+    * join + per-doc reassembly agg (sort_array on the in-doc word
+    * position, then flatten). The reassembly groupBy is the one
+    * corpus-sized shuffle — unavoidable: the OUTPUT is a per-doc
+    * array, same width as the text itself. */
+  def tokenizeDocs(
+      docs: DataFrame,
+      merges: Seq[((String, String), String)] = FixedMerges): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = spark.sparkContext.broadcast(
+      merges.map(_._1).zipWithIndex.toMap)
+    val ids = spark.sparkContext.broadcast(vocab(merges).toMap)
+    val perWord = docs.select(explode(words(col("text"))).as("word"))
+      .distinct().as[String]
+      .map(w => (w, encodeWord(w, ranks.value).map(ids.value(_)).toArray))
+      .toDF("word", "toks")
+    val perDoc = docs
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("wpos", "word")))
+      .join(perWord, "word")
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("wpos"), col("toks")))),
+        s => s("toks"))).as("tokens"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tokens"), array().cast("array<int>")).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
+
   /** Convenience: encode every distinct corpus word, returning
     * (word, tokens) — the inspection/export view of a learned vocab. */
   def bpeEncodeWords(

@@ -90,5 +90,47 @@ object TokenizerStats {
       FROM d LEFT JOIN agg a USING (source)
       ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(qBpeFertility)
+  /** C13b: the tokenizer's OUTPUT oracled token-by-token — every
+    * (doc, position, token id) the trainer-facing
+    * [[Tokenizer.tokenizeDocs]] emits, exploded to long form so the
+    * DuckDB hash covers id assignment, per-word greedy encoding, AND
+    * word-order reassembly in one check. The oracle replays the whole
+    * path: the H8b recursive-CTE encoder gives each distinct word's
+    * final symbol sequence (`wseq`), [[Tokenizer.vocabSqlValues]]
+    * replays the id table, and a row_number over (word position,
+    * within-word position) rebuilds the global token positions. */
+  val qTokenizeIds: Q = Q(
+    "q_tokenize_ids",
+    (s, d) => Tokenizer.tokenizeDocs(Tables.documents(s, d))
+      .select(col("doc_id"),
+        posexplode(col("tokens")).as(Seq("pos", "token_id")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("token_id").cast("long").as("token_id"))
+      .orderBy("doc_id", "pos"),
+    Some(s"""WITH RECURSIVE
+        ${Shards.sqlBpeWordCountsFrom("documents", "text")},
+        vocab(sym, id) AS (VALUES ${Tokenizer.vocabSqlValues(Tokenizer.FixedMerges)}),
+        wsyms AS (SELECT word,
+            list_filter(string_split(fseq, '|'), s -> s <> '') AS syms
+          FROM wseq),
+        wsym AS (SELECT word,
+            CAST(generate_subscripts(syms, 1) AS BIGINT) AS ipos,
+            unnest(syms) AS sym
+          FROM wsyms),
+        wid AS (SELECT word, ipos, v.id FROM wsym JOIN vocab v USING (sym)),
+        dwords AS (SELECT doc_id,
+            CAST(generate_subscripts(ws, 1) AS BIGINT) AS wpos,
+            unnest(ws) AS word
+          FROM (SELECT doc_id,
+              list_filter(${sqlWords("text")}, t -> t <> '') AS ws
+            FROM documents)),
+        flat AS (SELECT d.doc_id, d.wpos, w.ipos, w.id
+          FROM dwords d JOIN wid w USING (word))
+      SELECT doc_id,
+        CAST(row_number() OVER (PARTITION BY doc_id
+          ORDER BY wpos, ipos) - 1 AS BIGINT) AS pos,
+        CAST(id AS BIGINT) AS token_id
+      FROM flat ORDER BY doc_id, pos"""))
+
+  val all: Seq[Q] = Seq(qBpeFertility, qTokenizeIds)
 }

@@ -201,6 +201,33 @@ object Sinks {
       docs.select(col("doc_id"), col("text")).join(assigned, "doc_id"), dir)
   }
 
+  /** [[writeShards]] carried to token IDS — "corpus in, trainable
+    * token ids out": each doc's `tokens array<int>` (the C13 greedy
+    * encoder under [[graft.queries.Tokenizer.vocab]]'s id table, per
+    * DISTINCT word with the rank table broadcast) lands alongside its
+    * text, `n_tokens` = len(tokens) is the BPE count (so shard budgets
+    * are TOKENIZER-token budgets, what a trainer's context window
+    * actually holds — the H8b correction applied to the artifact), and
+    * the shard assignment is the same H4 distributed prefix sum over
+    * those counts in doc_id order. The all-column fingerprint covers
+    * the token arrays, so [[verifyShards]] certifies the ids a loader
+    * will feed the trainer, not just the text they came from. */
+  def writeTokenizedShards(docs: DataFrame, dir: String,
+      merges: Seq[((String, String), String)] =
+        graft.queries.Tokenizer.FixedMerges,
+      budget: Long = 512L): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val toks = graft.queries.Tokenizer.tokenizeDocs(docs, merges)
+    val assigned = graft.ops.ScaleOps.prefixSum(
+      toks.select(col("doc_id"), col("n_tokens")),
+      "doc_id", "n_tokens", "cum_tokens")
+      .select(col("doc_id"),
+        expr(s"(cum_tokens - n_tokens) div $budget").as("shard_id"))
+    writeShardRows(
+      docs.select(col("doc_id"), col("text"))
+        .join(toks, "doc_id").join(assigned, "doc_id"), dir)
+  }
+
   /** The shard writer both [[writeShards]] (doc_id-order sharding) and
     * [[graft.queries.Curation.produceShards]] (epoch-order capstone
     * artifact) share: `rows` must carry (doc_id, text, n_tokens,

@@ -117,6 +117,89 @@ class ShardSinkSpec extends SparkSpec {
       excised.exceptAll(back.select("doc_id", "text")).isEmpty)
   }
 
+  test("tokenized shards: ids round-trip, Σ len(tokens) is the manifest count, counts match H8b") {
+    val dir = tmpDir("tok_shards")
+    val manifest = Sinks.writeTokenizedShards(docs, dir, budget = 512)
+    assert(Sinks.verifyShards(spark, dir).isEmpty)
+    val back = Sinks.readShards(spark, dir)
+    assert(back.count() == docs.count())
+    // the manifest's n_tokens IS the token mass of the arrays, per shard
+    val disagree = back.groupBy("shard_id")
+      .agg(sum(size(col("tokens")).cast("long")).as("arr_mass"))
+      .join(manifest, "shard_id")
+      .filter(col("arr_mass") =!= col("n_tokens"))
+    assert(disagree.isEmpty)
+    // per-doc len(tokens) equals the H8b packing row's BPE count
+    val h8b = graft.queries.Shards.packSequencesBpe(docs)
+      .select(col("doc_id"), col("n_tokens").as("want"))
+    val drift = back.select(col("doc_id"),
+        size(col("tokens")).cast("long").as("got"))
+      .join(h8b, "doc_id").filter(col("got") =!= col("want"))
+    assert(drift.isEmpty)
+    // budget geometry holds for token budgets too
+    val geom = back.groupBy("shard_id")
+      .agg(sum("n_tokens").as("tok"), max("n_tokens").as("mx"))
+    assert(geom.filter(col("tok") >= lit(512L) + col("mx")).isEmpty)
+  }
+
+  test("tokenized shards: ids decode back to the corpus words") {
+    import spark.implicits._
+    val dir = tmpDir("tok_decode")
+    Sinks.writeTokenizedShards(docs, dir, budget = 512)
+    val vocabDf = graft.queries.Tokenizer
+      .vocab(graft.queries.Tokenizer.FixedMerges)
+      .toDF("sym", "id")
+    // decoded = per-doc concat of each token's symbol, in token order;
+    // expected = concat of the doc's words, each with the </w> marker
+    // (encodeWord concatenates back to exactly word + </w>)
+    val decoded = Sinks.readShards(spark, dir)
+      .select(col("doc_id"), posexplode_outer(col("tokens")).as(Seq("p", "id")))
+      .join(vocabDf, Seq("id"), "left")
+      .groupBy("doc_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("p"), col("sym")))),
+        s => s("sym"))).as("got"))
+    val expected = docs.select(col("doc_id"),
+      concat_ws("", transform(
+        graft.functions.TextFunctions.words(col("text")),
+        w => concat(w, lit(graft.queries.Tokenizer.EndOfWord)))).as("want"))
+    assert(decoded.join(expected, "doc_id")
+      .filter(col("got") =!= col("want")).isEmpty)
+  }
+
+  test("the fingerprint covers the token arrays: a flipped id flags its shard") {
+    val dir = tmpDir("tok_tamper")
+    Sinks.writeTokenizedShards(docs, dir, budget = 512)
+    val tampered = Sinks.readShards(spark, dir)
+      .withColumn("tokens",
+        when(col("shard_id") === 2L, concat(col("tokens"), array(lit(-1))))
+          .otherwise(col("tokens")))
+    val bad = Sinks.diffManifest(tampered,
+        spark.read.parquet(s"$dir/manifest"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(bad == Seq(2L), s"flagged: $bad")
+  }
+
+  test("produceShards(tokenize = true): certified ids over the produced corpus") {
+    val dir = tmpDir("produce_tok")
+    val train = docs.filter(col("doc_id") % 23 =!= 0)
+    val eval = docs.filter(col("doc_id") % 23 === 0)
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    Graft.produceShards(train, eval, dir,
+      minWords = 10L, stops = stops, budget = 512L, seed = 42L,
+      tokenize = true)
+    assert(Sinks.verifyShards(spark, dir).isEmpty)
+    val back = Sinks.readShards(spark, dir)
+    // the ids are counted by the SAME encoder that budgeted the shards
+    assert(back.filter(size(col("tokens")).cast("long") =!= col("n_tokens")).isEmpty)
+    // identical production decisions to the text-only artifact
+    val want = Graft.pipelineProduce(train, eval,
+      minWords = 10L, stops = stops, seed = 42L)
+      .select("doc_id", "pos", "n_tokens")
+    assert(back.select("doc_id", "pos", "n_tokens").exceptAll(want).isEmpty &&
+      want.exceptAll(back.select("doc_id", "pos", "n_tokens")).isEmpty)
+  }
+
   test("fingerprints are write-order independent (two writes agree)") {
     val d1 = tmpDir("shards_a")
     val d2 = tmpDir("shards_b")
