@@ -591,6 +591,9 @@ object ScaleProbe {
     // still trip it. Volume note: the per-char positional explode is
     // ~7x the word form's rows (192M grams here) — the declarative
     // analogue of the suffix array's linear index.
+    def heldMb(): Double = spark.sparkContext.getRDDStorageInfo
+      .map(i => i.memSize + i.diskSize).sum / 1e6
+    val heldBefore = heldMb()
     val (charAgg, tCs) = time {
       Graft.dupSpansChar(spanDocsDf, k = 20)
         .agg(count(lit(1)),
@@ -599,7 +602,13 @@ object ScaleProbe {
             col("n_dup_grams") === col("span_end") - col("span_start") - 18L,
             1L).otherwise(0L))).head()
     }
-    println(f"dup spans, char      $spanTotal%9d docs  $tCs%7.1f s  ${spanTotal / tCs}%9.0f docs/s  (${charAgg.getLong(0)} char spans)")
+    // D14b holds NOTHING in block storage since round 10 (round-9
+    // finding: the all-chars memo pinned ~30 B x corpus chars; now one
+    // shuffle + a window count paints dup positions in a single pass);
+    // report what this run actually pinned so regressions show in
+    // probe diffs — expected 0.0 MB
+    val charHeld = heldMb() - heldBefore
+    println(f"dup spans, char      $spanTotal%9d docs  $tCs%7.1f s  ${spanTotal / tCs}%9.0f docs/s  (${charAgg.getLong(0)} char spans, $charHeld%.1f MB held)")
     assert(charAgg.getLong(0) == 2 * plantedPairs && charAgg.getLong(1) == charAgg.getLong(0),
       s"char spans: ${charAgg.getLong(0)} rows (${charAgg.getLong(1)} in-extent) vs ${2 * plantedPairs} planted — " +
         "phantom char spans, missed spans, or wrong extents")

@@ -916,20 +916,33 @@ object Dedup {
     * 128-bit decision-key rule), duplicated-key detection is one
     * map-side-combinable count on 16-byte keys, the paint join is
     * key-equi, and the span merge is the shared [[mergeGramSpans]]
-    * with the gap rule at `k` chars. Cost note: the positional explode
-    * emits one row per CHARACTER (a ~6x fan-out over the word form —
-    * the declarative analogue of the suffix array's linear index);
-    * rows are (doc_id, long, md5) — text itself never shuffles. */
+    * with the gap rule at `k` chars — EXCEPT that the dup-count /
+    * paint pair here is one window, not a count-agg + join. Cost note
+    * — the honest trade vs Lee '22's suffix arrays: the positional
+    * explode emits one row per CHARACTER (a ~6x fan-out over the word
+    * form — the declarative analogue of the suffix array's linear
+    * index). It runs ONCE, and NOTHING is persisted: the explode+md5
+    * map stage shuffles on h a single time, and `count() OVER
+    * (PARTITION BY h)` paints every gram occurrence with its corpus
+    * count in that same pass (sort-within-partition on the 16-byte
+    * key, spill-backed), so positions of duplicated grams flow
+    * straight to the span merge. Held state is transient shuffle
+    * spill the shuffle machinery ages out — not ~30 B x corpus chars
+    * pinned in executor block storage (round 9's finding against the
+    * all-chars memo), and not a second full explode either (the
+    * memo-free two-scan form re-ran the md5 map stage: measured 3.8x
+    * slower at sf0.1). A suffix array would avoid the 16-byte-per-char
+    * shuffle keys entirely, at the price of leaving the relational
+    * plan. Word-level [[dupSpans]]/[[exciseSpans]] remain the
+    * production path; this is the byte-fidelity audit. */
   def dupSpansChar(docs: DataFrame, k: Int = 50): DataFrame = {
     require(k >= 2, s"char-gram length must be >= 2, got $k")
     val npos = (length(col("text")) - (k - 1)).cast("long")
-    // memo-persisted: the count branch and the paint join both read
-    // this frame (without it the per-char explode runs twice — 12 s ->
-    // ~6 s at sf0.1). Keys are the md5 BYTES (unhex), not the hex
-    // string: same 128-bit decision-key safety, half the shuffle bytes
-    // — the keys never appear in output, so the oracle (which computes
-    // its own span pipeline from text) is unaffected.
-    val grams = spanCache.memo(docs
+    // Keys are the md5 BYTES (unhex), not the hex string: same 128-bit
+    // decision-key safety, half the shuffle bytes — the keys never
+    // appear in output, so the oracle (which computes its own span
+    // pipeline from text) is unaffected.
+    val grams = docs
       .select(col("doc_id"), col("text"),
         // explicit empty-array guard: sequence(1, 0) would generate the
         // DESCENDING [1, 0] in Spark, not an empty list
@@ -937,10 +950,16 @@ object Dedup {
           .otherwise(array())).as("p"))
       .filter(col("p").isNotNull)
       .select(col("doc_id"), col("p"),
-        unhex(md5(col("text").substr(col("p"), lit(k)))).as("h")))
-    val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select("h")
-    mergeGramSpans(grams.join(dupHashes, "h").select(col("doc_id"), col("p")), k)
+        unhex(md5(col("text").substr(col("p"), lit(k)))).as("h"))
+    // one shuffle on h, and the corpus count rides the same pass as the
+    // paint (exchange reuse across a count-agg + join pair is defeated
+    // by column pruning — the count branch's exchange shrinks to
+    // h-only and no longer matches the paint side's, so the explode
+    // would run twice; a window can't be pruned apart)
+    val dupPos = grams
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("c") >= 2).select(col("doc_id"), col("p"))
+    mergeGramSpans(dupPos, k)
       .withColumnRenamed("n_grams", "n_dup_grams")
       .orderBy("doc_id", "span_start")
   }
