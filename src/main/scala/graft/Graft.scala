@@ -179,6 +179,12 @@ object Graft {
   def semanticDedup(embeddings: DataFrame, cells: Int = 0,
       minCosine: Double = 0.9): DataFrame =
     queries.Similarity.semanticDedup(embeddings, cells, minCosine)
+  /** SemDeDup over seeded-KMeans centroids instead of the first-k
+    * vectors — same pipeline, trained cells
+    * ([[graft.queries.Similarity.semanticDedupTrained]]). */
+  def semanticDedupTrained(embeddings: DataFrame, cells: Int = 10,
+      minCosine: Double = 0.9, seed: Long = 0xC0FFEEL): DataFrame =
+    queries.Similarity.semanticDedupTrained(embeddings, cells, minCosine, seed)
   /** Pairwise near-dup output → transitive dedup clusters
     * ([[graft.ops.ConnectedComponents]], O(log n)-round star algorithm). */
   def dedupClusters(docs: DataFrame): DataFrame = queries.Clusters.dedupClusters(docs)

@@ -1140,6 +1140,17 @@ object Similarity {
       .withColumn("c_id",
         row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1L)
       .select(col("c_id"), col("embedding").as("c_emb"), col("n2").as("c_n2"))
+    semanticDedupCore(v, cents, minCosine)
+  }
+
+  /** The SemDeDup pipeline downstream of centroid choice — assignment
+    * argmax, exact-cosine recovery, within-cell pairing, keep rule —
+    * shared by [[semanticDedup]] (deterministic first-k centroids) and
+    * [[semanticDedupTrained]] (seeded-KMeans centroids), so the two
+    * variants cannot drift. `v` is [[withNorms]] output; `cents` is
+    * (c_id, c_emb, c_n2) with c_id dense in [0, 2^21-1). */
+  private def semanticDedupCore(
+      v: DataFrame, cents: DataFrame, minCosine: Double): DataFrame = {
     // one packed primitive per candidate: (quantized c_cos, 2^21-1-c_id)
     // lexicographic in a LONG, so argmax is a plain HashAggregate max.
     // nanvl: a zero-norm vector's NaN cosine degrades to a -1.5
@@ -1196,9 +1207,19 @@ object Similarity {
     * the final SELECT — shared by the embeddings-table row and the
     * E9-composed text row, so the two cannot drift. */
   private[queries] def sqlSemanticDedupFrom(
-      src: String, cells: Int, minCosine: Double): (String, String) = (
+      src: String, cells: Int, minCosine: Double): (String, String) =
+    sqlSemanticDedupWithCents(src,
+      s"SELECT vec_id AS c_id, embedding AS c_emb, n2 AS c_n2 FROM v WHERE vec_id < $cells",
+      minCosine)
+
+  /** [[sqlSemanticDedupFrom]] with the centroid CTE body injectable —
+    * the trained row passes a VALUES list of driver-side fit literals;
+    * everything downstream (assignment, pairing, keep) is the SAME
+    * fragment, so the two oracles cannot drift. */
+  private[queries] def sqlSemanticDedupWithCents(
+      src: String, centsSelect: String, minCosine: Double): (String, String) = (
     s"""v AS (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM $src),
-      c AS (SELECT vec_id AS c_id, embedding AS c_emb, n2 AS c_n2 FROM v WHERE vec_id < $cells),
+      c AS ($centsSelect),
       ac AS (SELECT v.vec_id, v.embedding, v.n2, c.c_id,
           ${sqlDot("v.embedding", "c.c_emb")} / (sqrt(v.n2) * sqrt(c.c_n2)) AS c_cos
         FROM v CROSS JOIN c),
@@ -1225,6 +1246,92 @@ object Similarity {
       s"WITH $ctes $sel"
     })
 
+  /** Centroid stash for [[qDedupSemanticTrained]]'s oracle: the query
+    * fn records its last fit's (c_id, c_emb, c_n2) here, and the oracle
+    * SQL — which Verify builds AFTER running every query (it re-derives
+    * SparkEntry.allQueries for the oracleSql dump) — embeds those exact
+    * literals. The dumped SQL therefore always describes the same fit
+    * that produced the checked parquet, whatever partitioning the run
+    * used; `Double.toString` round-trips bit-exactly into DuckDB (the
+    * E2 plane-literal precedent). */
+  private val lastTrainedCents =
+    new java.util.concurrent.atomic.AtomicReference[Seq[(Long, Array[Double], Double)]]()
+
+  /** D15c: SemDeDup with TRAINED centroids — [[semanticDedup]]'s exact
+    * pipeline (cosine-argmax assignment, within-cell pairing, the
+    * edge-of-cluster keep rule) over seeded-KMeans cluster centers
+    * instead of the first-k vectors, for corpora whose dense directions
+    * first-k centroids tile badly (the D15 scaladoc's own caveat).
+    * Assignment stays COSINE argmax against the fitted centers (not
+    * `model.transform`'s euclidean rule) so the trained variant shares
+    * [[semanticDedupCore]] verbatim with the oracle-literal technique:
+    * the fit is driver-side model state, metadata-scale by nature, and
+    * lands in the plan as a broadcast frame exactly as in
+    * [[annIvfTrained]]. At 100 TB: fit on a sample, `cells` → √N. */
+  def semanticDedupTrained(
+      embeddings: DataFrame,
+      cells: Int = 10,
+      minCosine: Double = 0.9,
+      seed: Long = 0xC0FFEEL): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(cells > 0 && cells < (1 << 21) - 1,
+      s"cells must be in [1, 2^21 - 1), got $cells")
+    val v = withNorms(embeddings)
+    val feat = v.withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(cells).setSeed(seed)
+      .setFeaturesCol("features").fit(feat)
+    // c_n2 via the same left fold the oracle's literal gets: driver-side
+    // doubles, bit-exact both ways
+    val centRows = model.clusterCenters.toSeq.zipWithIndex.map {
+      case (c, i) =>
+        val arr = c.toArray
+        (i.toLong, arr, arr.map(x => x * x).sum)
+    }
+    lastTrainedCents.set(centRows)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = centRows.toDF("c_id", "c_emb", "c_n2")
+    semanticDedupCore(v, cents, minCosine)
+  }
+
+  /** Trained-centroid SemDeDup oracle row — stronger than the E3b
+    * exhaustion pattern because the CELL STRUCTURE is exercised: the
+    * fitted centers are injected into the oracle's assignment CTE as
+    * literals (see [[lastTrainedCents]]), and DuckDB replays
+    * assignment → pairing → keep over them, hashing the full trained
+    * pipeline. Threshold 0.4 as in q_dedup_semantic (the synthetic
+    * embeddings' within-cell cosines top out near 0.5). */
+  // a DEF, not a val: the oracle literal block must re-evaluate at
+  // SparkEntry.oracleSql time (after the fit has stashed), not freeze
+  // at object init
+  def qDedupSemanticTrained: Q = Q(
+    "q_dedup_semantic_trained",
+    (s, d) =>
+      semanticDedupTrained(Tables.embeddings(s, d), cells = 10, minCosine = 0.4),
+    Some {
+      Option(lastTrainedCents.get()) match {
+        case None =>
+          // the query has not run in this JVM, so no fit exists to
+          // describe: emit a loud 0-row mismatch, never a silent pass
+          // (unreachable in the driver's flow — Verify runs every query
+          // before dumping oracle SQL)
+          "SELECT CAST(NULL AS BIGINT) AS vec_id WHERE FALSE"
+        case Some(cs) =>
+          // every double goes through a VARCHAR cast: '0.1'::DOUBLE is
+          // strtod (correctly rounded, bit-exact round-trip) while a
+          // bare 17-digit literal parses DECIMAL first and DuckDB's
+          // DECIMAL->DOUBLE cast is 1 ULP off on some values (measured)
+          def dlit(d: Double): String = s"'$d'::DOUBLE"
+          val rows = cs.map { case (id, emb, n2) =>
+            s"($id::BIGINT, ${emb.map(dlit).mkString("[", ", ", "]")}, ${dlit(n2)})"
+          }.mkString(",\n        ")
+          val (ctes, sel) = sqlSemanticDedupWithCents("embeddings",
+            s"SELECT * FROM (VALUES $rows) AS t(c_id, c_emb, c_n2)", 0.4)
+          s"WITH $ctes $sel"
+      }
+    })
+
   /** E8's oracle row (the E7/E3b losslessness pattern): build the index
     * on HALF the corpus, [[appendToPqIndex]] the other half without
     * refit, then search exhaustively (probes = cells, untruncated
@@ -1246,8 +1353,10 @@ object Similarity {
     },
     Some(bruteforceSql))
 
-  val all: Seq[Q] =
+  // a def so qDedupSemanticTrained's oracle re-evaluates per access
+  // (see its stash note); the other Qs are immutable either way
+  def all: Seq[Q] =
     Seq(qDedupEmbedding, qDedupEmbeddingLsh, qAnnBruteforce, qAnnLsh, qAnnIvf,
       qAnnIvfTrainedExh, qAnnIvfPq, qAnnIvfPqSearch, qAnnPqAppend, qKnnLabel,
-      qEmbedCentroids, qDedupSemantic)
+      qEmbedCentroids, qDedupSemantic, qDedupSemanticTrained)
 }

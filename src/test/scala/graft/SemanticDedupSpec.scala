@@ -106,4 +106,44 @@ class SemanticDedupSpec extends SparkSpec {
     assert(a.map(_.getLong(3)).sum < 60, "some rows must drop")
     graft.ops.Release.sweep(spark)
   }
+
+  test("trained centroids: planted twins still resolve, exactly one of each pair drops") {
+    // 4 axis clusters, 15 vectors each with a per-member-UNIQUE tilt
+    // (0.03 spacing keeps every within-cluster base pair's cosine
+    // under 0.9997), plus one near-identical pair planted per cluster
+    // (ids 100+c and 200+c share the direction of cluster c with
+    // tilts 0.001/0.002 — cosine ~ 1-1e-7). At minCosine 0.9999 the
+    // planted pairs are the ONLY qualifying pairs whatever cell
+    // boundaries the fit draws, so exactly 4 rows drop — and each
+    // pair must land in one trained cell for the drop to happen.
+    val rows = (0L until 60L).map(i =>
+      i -> vec((i % 4).toInt, 0.03 * (i / 4 + 1), (4 + i % 4).toInt)) ++
+      (0 until 4).flatMap(c => Seq(
+        (100L + c) -> vec(c, 0.001, 4 + c),
+        (200L + c) -> vec(c, 0.002, 4 + c)))
+    val out = Graft.semanticDedupTrained(frame(rows), cells = 4,
+      minCosine = 0.9999).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.length == 68, s"one row per vector, got ${out.length}")
+    val cellOf = out.map(t => t._1 -> t._2).toMap
+    val keptOf = out.map(t => t._1 -> t._3).toMap
+    (0 until 4).foreach { c =>
+      assert(cellOf(100L + c) == cellOf(200L + c),
+        s"planted twins of cluster $c must share a trained cell: $cellOf")
+      assert(keptOf(100L + c) + keptOf(200L + c) == 1L,
+        s"exactly one twin of cluster $c must drop: $keptOf")
+    }
+    assert(out.map(_._3).sum == 64L, s"only the 4 planted twins drop: $out")
+  }
+
+  test("trained run is deterministic for a fixed seed and matches across partitionings") {
+    val rows = (0L until 60L).map(i =>
+      i -> vec((i % 4).toInt, 0.01 * (i % 7), (4 + i % 4).toInt))
+    val a = Graft.semanticDedupTrained(frame(rows).repartition(1), cells = 3,
+      minCosine = 0.95).collect().toSeq
+    val b = Graft.semanticDedupTrained(frame(rows).repartition(1), cells = 3,
+      minCosine = 0.95).collect().toSeq
+    assert(a == b && a.size == 60, "same seed, same partitioning => identical output")
+    graft.ops.Release.sweep(spark)
+  }
 }
