@@ -77,11 +77,16 @@ object Bench {
     // query. storage_mb_held records what each query left behind pre-
     // sweep — a leak shows up as a nonzero row, self-diagnosing.
     val held = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // probeOf(name) = index of the latest probe timed BEFORE the query
+    // ran; with the probe at index +1 those bracket the query in time —
+    // the pair a reader should judge this query's reading by.
+    val probeOf = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val results = SparkEntry.queries.toSeq.zipWithIndex.map { case ((name, fn), i) =>
       if (i > 0 && i % 10 == 0) {
         calibrations += calibrate(spark)
         println(f"bench [calibration]             ${calibrations.last}%8.3f s")
       }
+      probeOf(name) = calibrations.size - 1
       val (a, b) = (timed(fn), timed(fn))
       val (_, mem, disk) = graft.ops.Release.held(spark)
       held(name) = (mem + disk) / (1024 * 1024)
@@ -128,7 +133,20 @@ object Bench {
         f"${calAbs}%.2fx the quiet-machine floor ($CalQuietMedianS%.2f s) -- " +
         "the WHOLE sweep ran under ambient load; timings unreliable, re-run")
     val calJson = calibrations.map(c => f"$c%.3f").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"storage_mb_held":$heldJson,"calibration_s":$calJson,"calibration_drift":${f"$calDrift%.3f"},"calibration_median_s":${f"$calMedian%.3f"},"calibration_abs":${f"$calAbs%.3f"},"sf":"$sfDir"}"""
+    // Per-query contention attribution (the round-9 lesson: a sweep
+    // self-flagged as contended, but readers still had to diff probe
+    // timestamps by hand to tell WHICH rows to discard): each query is
+    // bracketed by two fixed-work probes; if either ran >1.5x the
+    // sweep median, this query's reading is mechanically `suspect` —
+    // discard it and BenchOne the query on a quiet machine instead of
+    // reading a regression off the artifact.
+    val suspectJson = probeOf.flatMap { case (name, s) =>
+      val near = math.max(calibrations(s),
+        calibrations(math.min(s + 1, calibrations.size - 1)))
+      val drift = near / calMedian
+      if (drift > 1.5) Some(s"\"" + name + "\":" + f"$drift%.2f") else None
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"storage_mb_held":$heldJson,"calibration_s":$calJson,"calibration_drift":${f"$calDrift%.3f"},"calibration_median_s":${f"$calMedian%.3f"},"calibration_abs":${f"$calAbs%.3f"},"suspect":$suspectJson,"sf":"$sfDir"}"""
     // The file is the durable artifact: stdout captures have twice lost
     // timings to tail-truncation of the single long JSON line.
     try {
