@@ -161,58 +161,133 @@ object LineFilters {
       .orderBy("doc_id")
   }
 
-  val qDedupLines: Q = Q(
-    "q_dedup_lines",
-    (s, d) => dedupLines(Tables.documents(s, d)),
-    Some("""WITH t AS (
+  /** C20's oracle as a CTE chain + SELECT over any `tbl(doc_id, text)`
+    * (no leading WITH) — shared by the documents row and the derived
+    * multi-line pages row, so the two cannot drift. */
+  private[queries] def sqlDedupLinesFrom(tbl: String): String =
+    s"""dt AS (
         SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS lns
-        FROM documents),
-      k AS (
+        FROM $tbl),
+      dk AS (
         SELECT doc_id, CAST(len(lns) AS BIGINT) AS n_lines,
           list_transform(
             list_filter(range(1, len(lns) + 1),
               i -> length(trim(lns[i])) < 5 OR list_position(lns, lns[i]) = i),
             i -> lns[i]) AS kl
-        FROM t)
+        FROM dt)
       SELECT doc_id, n_lines,
         CAST(n_lines - len(kl) AS BIGINT) AS n_dup_lines,
         coalesce(array_to_string(kl, chr(10)), '') AS text_clean
-      FROM k ORDER BY doc_id"""))
+      FROM dk ORDER BY doc_id"""
+
+  val qDedupLines: Q = Q(
+    "q_dedup_lines",
+    (s, d) => dedupLines(Tables.documents(s, d)),
+    Some(s"WITH ${sqlDedupLinesFrom("documents")}"))
 
   /** The oracle row's line-drop word — "dup" rides in ~5% of synthetic
     * docs, so the line screen, page gate, and rewrite all have corpus
     * action ("javascript" never occurs and would verify nothing). */
   private val OracleDropWord = "dup"
 
-  val qC4Filters: Q = Q(
-    "q_c4_filters",
-    (s, d) => c4Filters(Tables.documents(s, d),
-      minWordsPerLine = 3L, minKeptLines = 1L, requireTerminal = false,
-      lineDropWords = Seq(OracleDropWord)),
-    Some {
-      val ws = TextAnalysis.GopherWs
-      s"""WITH t AS (
+  /** C18's oracle as a CTE chain + SELECT over any `tbl(doc_id, text)`
+    * (no leading WITH), `minKeptLines` parameterized — shared by the
+    * documents row and the derived multi-line pages row. */
+  private[queries] def sqlC4FiltersFrom(tbl: String, minKeptLines: Int): String = {
+    val ws = TextAnalysis.GopherWs
+    s"""ct AS (
         SELECT doc_id, coalesce(text, '') AS text,
-          string_split(coalesce(text, ''), chr(10)) AS lns FROM documents),
-      k AS (
+          string_split(coalesce(text, ''), chr(10)) AS lns FROM $tbl),
+      ck AS (
         SELECT doc_id, text, CAST(len(lns) AS BIGINT) AS n_lines,
           list_filter(lns, l ->
             len(list_filter(string_split_regex(lower(l), '$ws+'), t -> t <> '')) >= 3
             AND NOT list_contains(
               list_filter(string_split_regex(lower(l), '$ws+'), t -> t <> ''),
               '$OracleDropWord')) AS kl
-        FROM t)
+        FROM ct)
       SELECT doc_id, n_lines,
         CAST(len(kl) AS BIGINT) AS n_kept_lines,
         CAST(CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS BIGINT) AS has_page_phrase,
         CAST(CASE WHEN contains(text, '{') OR contains(text, '}') THEN 1 ELSE 0 END AS BIGINT) AS has_brace,
-        CAST(CASE WHEN len(kl) >= 1
+        CAST(CASE WHEN len(kl) >= $minKeptLines
           AND NOT contains(lower(text), 'lorem ipsum')
           AND NOT contains(text, '{') AND NOT contains(text, '}')
           THEN 1 ELSE 0 END AS BIGINT) AS kept,
         coalesce(array_to_string(kl, chr(10)), '') AS text_clean
-      FROM k ORDER BY doc_id"""
-    })
+      FROM ck ORDER BY doc_id"""
+  }
 
-  val all: Seq[Q] = Seq(qC4Filters, qDedupLines)
+  val qC4Filters: Q = Q(
+    "q_c4_filters",
+    (s, d) => c4Filters(Tables.documents(s, d),
+      minWordsPerLine = 3L, minKeptLines = 1L, requireTerminal = false,
+      lineDropWords = Seq(OracleDropWord)),
+    Some(s"WITH ${sqlC4FiltersFrom("documents", 1)}"))
+
+  /** Deterministic multi-line PAGES derived in-query from the
+    * single-line synthetic corpus, so the LINE-structured operators
+    * get corpus-scale hash evidence on input that actually has lines
+    * (their documents-table rows pin the indexing math, but every
+    * n_dup_lines there is 0 and every page is its own single line):
+    * each page = `groupSize` consecutive docs' texts joined with
+    * BLANK-LINE separators (so both line and paragraph structure
+    * exist), with the group's first text repeated at the end — a
+    * planted intra-page duplicate line/paragraph per page. Both
+    * engines build the frame by the same doc_id-ordered group-concat,
+    * so the derivation itself is part of what the hash checks. */
+  private[graft] def pagesFrom(docs: DataFrame, groupSize: Int = 10): DataFrame = {
+    val sorted = transform(
+      array_sort(collect_list(struct(col("doc_id").as("i"),
+        coalesce(col("text"), lit("")).as("t")))),
+      s => s("t"))
+    docs.groupBy(expr(s"doc_id div $groupSize").as("doc_id"))
+      .agg(concat_ws("\n\n", concat(sorted, slice(sorted, 1, 1))).as("text"))
+  }
+
+  /** [[pagesFrom]] as DuckDB CTEs `pg, pages(doc_id, text)`. */
+  private[queries] def sqlPagesCtes(tbl: String, groupSize: Int = 10): String =
+    s"""pg AS (SELECT doc_id // $groupSize AS doc_id,
+        list(coalesce(text, '') ORDER BY doc_id) AS ts
+      FROM $tbl GROUP BY 1),
+      pages AS (SELECT doc_id,
+        array_to_string(ts || [ts[1]], chr(10) || chr(10)) AS text
+      FROM pg)"""
+
+  /** C18 over the derived pages: 11 candidate text lines per page
+    * (10 members + the planted repeat) behind blank separators; the
+    * 10-kept-lines gate turns on exactly when the line screen eats
+    * ≥2 of them, so n_kept_lines AND kept both vary at corpus scale. */
+  val qC4FiltersPages: Q = Q(
+    "q_c4_filters_pages",
+    (s, d) => c4Filters(pagesFrom(Tables.documents(s, d)),
+      minWordsPerLine = 3L, minKeptLines = 10L, requireTerminal = false,
+      lineDropWords = Seq(OracleDropWord)),
+    Some(s"WITH ${sqlPagesCtes("documents")}, ${sqlC4FiltersFrom("pages", 10)}"))
+
+  /** C20 over the derived pages: every page carries one planted
+    * duplicate line, and the blank separators exercise the
+    * structural-line exemption corpus-wide (deduping them would merge
+    * each page into one paragraph blob). */
+  val qDedupLinesPages: Q = Q(
+    "q_dedup_lines_pages",
+    (s, d) => dedupLines(pagesFrom(Tables.documents(s, d))),
+    Some(s"WITH ${sqlPagesCtes("documents")}, ${sqlDedupLinesFrom("pages")}"))
+
+  /** C17 over the derived pages: line/paragraph dup fractions with
+    * real multi-line, multi-paragraph input — dup_lines and dup_paras
+    * are nonzero on every page (the planted repeat), so the r1/r2
+    * fraction gates and the blank-line/paragraph trimming all carry
+    * corpus-scale hash evidence (their documents-table row pins them
+    * at the single-line degenerate point). */
+  val qGopherRepPages: Q = Q(
+    "q_gopher_rep_pages",
+    (s, d) => TextAnalysis.gopherRepetition(pagesFrom(Tables.documents(s, d))),
+    Some(s"WITH ${sqlPagesCtes("documents")}, " +
+      s"${TextAnalysis.sqlGopherRepCtes("pages")} " +
+      TextAnalysis.sqlGopherRepSelect))
+
+  val all: Seq[Q] =
+    Seq(qC4Filters, qDedupLines, qC4FiltersPages, qDedupLinesPages,
+      qGopherRepPages)
 }

@@ -591,12 +591,10 @@ object TextAnalysis {
           AND top3_chars * 50 <= sum_chars * 9
           AND top4_chars * 25 <= sum_chars * 4"""
 
-  val qGopherRep: Q = Q(
-    "q_gopher_rep",
-    (s, d) => gopherRepetition(Tables.documents(s, d)),
-    Some {
-      s"""WITH ${sqlGopherRepCtes("documents")}
-      SELECT doc_id, n_lines, dup_lines, n_paras, dup_paras, sum_chars,
+  /** The final SELECT over [[sqlGopherRepCtes]]'s `rsel` — shared by
+    * the documents row and the derived-pages row (LineFilters). */
+  private[queries] val sqlGopherRepSelect: String =
+    s"""SELECT doc_id, n_lines, dup_lines, n_paras, dup_paras, sum_chars,
         top2_chars, top3_chars, top4_chars,
         CAST(CASE WHEN dup_lines * 10 <= n_lines * 3 THEN 1 ELSE 0 END AS BIGINT) AS r1_dupline,
         CAST(CASE WHEN dup_paras * 10 <= n_paras * 3 THEN 1 ELSE 0 END AS BIGINT) AS r2_duppara,
@@ -605,7 +603,11 @@ object TextAnalysis {
         CAST(CASE WHEN top4_chars * 25 <= sum_chars * 4 THEN 1 ELSE 0 END AS BIGINT) AS r5_top4,
         CAST(CASE WHEN $sqlGopherRepKeptCond THEN 1 ELSE 0 END AS BIGINT) AS kept
       FROM rsel ORDER BY doc_id"""
-    })
+
+  val qGopherRep: Q = Q(
+    "q_gopher_rep",
+    (s, d) => gopherRepetition(Tables.documents(s, d)),
+    Some(s"WITH ${sqlGopherRepCtes("documents")}\n      " + sqlGopherRepSelect))
 
   /** C4: document fingerprinting — md5 plus the portable 64-bit polynomial
     * rolling hash over normalized text (SURVEY.md §3). */

@@ -123,4 +123,23 @@ class C4FilterSpec extends SparkSpec {
     val many = Graft.c4Filters(docs.repartition(7)).collect().toSeq
     assert(one == many)
   }
+
+  test("pagesFrom: doc_id-ordered group concat with the planted trailing duplicate") {
+    // 2 groups of 3: page text must be the members' texts in doc_id
+    // order behind blank-line separators, with the FIRST member's text
+    // repeated at the end — so each page plants exactly one duplicate
+    // line and one duplicate paragraph for the line-operator oracles
+    val docs = Seq(5L -> "cc cc", 3L -> "aa aa", 4L -> "bb bb",
+      10L -> "xx xx", 11L -> "yy yy")
+      .toDF("doc_id", "text")
+    val out = graft.queries.LineFilters.pagesFrom(docs, groupSize = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "aa aa\n\nbb bb\n\ncc cc\n\naa aa", out)
+    assert(out(3L) == "xx xx\n\nyy yy\n\nxx xx", out)
+    // and dedupLines over the derived page reports exactly the plant
+    val dup = graft.queries.LineFilters.dedupLines(
+        graft.queries.LineFilters.pagesFrom(docs, groupSize = 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dup == Map(1L -> 1L, 3L -> 1L), dup)
+  }
 }
