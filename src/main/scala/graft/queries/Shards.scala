@@ -149,8 +149,10 @@ object Shards {
     * exactly [[Tokenizer.encodeWord]]'s left-to-right non-overlapping
     * mergeAll ("|a||a||a|" → "|aa||a|"); the '|' delimiter is safe
     * because [[words]] emits pure [a-z]+ runs. */
-  private[queries] def sqlBpeWordCountsFrom(tbl: String, textCol: String): String =
-    s"""m(rank, l, r) AS (VALUES ${Tokenizer.fixedMergesSqlValues}),
+  private[queries] def sqlBpeWordCountsFrom(
+      tbl: String, textCol: String,
+      merges: Seq[((String, String), String)] = Tokenizer.FixedMerges): String =
+    s"""m(rank, l, r) AS (VALUES ${Tokenizer.mergesSqlValues(merges)}),
         dw AS (SELECT DISTINCT w AS word FROM (
           SELECT unnest(list_filter(${sqlWords(textCol)}, t -> t <> '')) AS w
           FROM $tbl)),

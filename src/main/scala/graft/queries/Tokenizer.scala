@@ -294,12 +294,57 @@ object Tokenizer {
     ("as", "h" + EndOfWord), ("h", "ash" + EndOfWord)
   ).map { case (l, r) => ((l, r), l + r) }
 
-  /** [[FixedMerges]] as a DuckDB VALUES list `(rank, l, r)` — the
-    * oracle-side replay of the frozen table. */
-  def fixedMergesSqlValues: String =
-    FixedMerges.zipWithIndex
+  /** LEARNED merge table at production-ish replay depth: the first 96
+    * merges of `bpeLearnMerges(sf0.1 documents, budget = 512)`,
+    * committed verbatim (`runMain graft.LearnMerges` reproduces it
+    * bit-for-bit — the trainer is deterministic). The budget of 512
+    * is NOT reachable on this corpus: the synthetic vocabulary is 31
+    * distinct words, so the trainer exhausts at 107 merges with every
+    * word a single symbol — fertility 1.0 everywhere, which would
+    * leave the fertility join/census with nothing to verify. Depth 96
+    * is the deepest committed prefix that keeps corpus action (mean
+    * fertility 1.355, 5 words still multi-token) while exercising the
+    * oracle's recursive-CTE encoder replay at ~6 merge steps per word
+    * — the realistic-depth proof the 64-merge [[FixedMerges]] row
+    * doesn't give. */
+  val LearnedMerges: Seq[((String, String), String)] = Seq(
+    ("e", "</w>"), ("e", "r"), ("i", "n"), ("o", "r"),
+    ("s", "t"), ("er", "</w>"), ("o", "w"), ("ow", "</w>"),
+    ("t", "a"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("n", "</w>"), ("g", "</w>"), ("t", "</w>"), ("h", "</w>"),
+    ("y", "</w>"), ("p", "</w>"), ("u", "p</w>"), ("k", "</w>"),
+    ("par", "k</w>"), ("s", "park</w>"), ("d", "ow</w>"), ("in", "dow</w>"),
+    ("w", "indow</w>"), ("er", "g"), ("erg", "e</w>"), ("m", "erge</w>"),
+    ("b", "l"), ("bl", "e</w>"), ("ta", "ble</w>"), ("c", "o"),
+    ("co", "lu"), ("colu", "m"), ("colum", "n</w>"), ("c", "t"),
+    ("ct", "or"), ("ctor", "</w>"), ("e", "ctor</w>"), ("v", "ector</w>"),
+    ("a", "m"), ("am", "</w>"), ("e", "am</w>"), ("r", "eam</w>"),
+    ("st", "ream</w>"), ("a", "lu"), ("alu", "e</w>"), ("v", "alue</w>"),
+    ("a", "ta"), ("ata", "</w>"), ("d", "ata</w>"), ("a", "l"),
+    ("al", "l"), ("all", "</w>"), ("m", "all</w>"), ("s", "mall</w>"),
+    ("in", "</w>"), ("j", "o"), ("jo", "in</w>"), ("f", "i"),
+    ("fi", "l"), ("fil", "t"), ("filt", "er</w>"), ("b", "i"),
+    ("bi", "g</w>"), ("g", "r"), ("gr", "o"), ("gro", "up</w>"),
+    ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"), ("c", "u"),
+    ("cu", "st"), ("cust", "o"), ("custo", "m"), ("custom", "er</w>"),
+    ("or", "t</w>"), ("s", "ort</w>"), ("d", "er</w>"), ("or", "der</w>"),
+    ("l", "ow</w>"), ("s", "low</w>"), ("in", "e</w>"), ("l", "ine</w>"),
+    ("par", "t</w>"), ("a", "st"), ("ast", "</w>"), ("f", "ast</w>"),
+    ("h", "e</w>"), ("r", "ow</w>"), ("t", "he</w>"), ("a", "g"),
+    ("ag", "g</w>"), ("e", "y</w>"), ("k", "ey</w>"), ("er", "y</w>")
+  ).map { case (l, r) => ((l, r), l + r) }
+
+  /** A merge table as a DuckDB VALUES list `(rank, l, r)` — the
+    * oracle-side replay input. Safe to inline: merge symbols are
+    * [a-z] and the `</w>` marker only (no quote escaping needed). */
+  def mergesSqlValues(merges: Seq[((String, String), String)]): String =
+    merges.zipWithIndex
       .map { case (((l, r), _), i) => s"($i, '$l', '$r')" }
       .mkString(", ")
+
+  /** [[FixedMerges]] as a DuckDB VALUES list `(rank, l, r)` — the
+    * oracle-side replay of the frozen table. */
+  def fixedMergesSqlValues: String = mergesSqlValues(FixedMerges)
 
   /** Deterministic token-id vocabulary derived ONLY from a merge
     * table — the standard BPE id assignment (base alphabet first, then

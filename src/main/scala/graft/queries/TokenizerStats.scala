@@ -64,11 +64,16 @@ object TokenizerStats {
       .orderBy("source")
   }
 
+  /** Oracle row: runs on [[Tokenizer.LearnedMerges]] — the 96-deep
+    * table learned from sf0.1 — so the recursive-CTE encoder replay is
+    * proved at realistic depth (~6 merge steps per word vs the 64-merge
+    * frozen table's 2–3) while H8b keeps [[Tokenizer.FixedMerges]]
+    * exercised; mean fertility 1.355 keeps the census non-degenerate. */
   val qBpeFertility: Q = Q(
     "q_bpe_fertility",
-    (s, d) => bpeFertility(Tables.documents(s, d)),
+    (s, d) => bpeFertility(Tables.documents(s, d), Tokenizer.LearnedMerges),
     Some(s"""WITH RECURSIVE
-        ${Shards.sqlBpeWordCountsFrom("documents", "text")},
+        ${Shards.sqlBpeWordCountsFrom("documents", "text", Tokenizer.LearnedMerges)},
         d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
           FROM documents GROUP BY source),
         u AS (SELECT source,

@@ -122,4 +122,19 @@ class TokenizerSpec extends SparkSpec {
           s"inc=${inc.take(5)} naive=${naive.take(5)}")
     }
   }
+
+  test("the committed LearnedMerges table reproduces from sf0.1 bit-for-bit") {
+    // the C19 oracle row replays this exact table; a drifted commit
+    // (stale regeneration, hand edit) would silently re-pin the oracle
+    // to a tokenizer the trainer no longer produces. Budget 512 is
+    // deliberately unreachable: the 31-word synthetic vocab exhausts
+    // the trainer at 107 merges, and the committed prefix stops at 96
+    // to keep fertility variation (see Tokenizer.LearnedMerges doc).
+    val learned = Tokenizer.bpeLearnMerges(
+      Tables.documents(spark, "/root/testdata/sf0.1"), 512)
+    assert(learned.size == 107, s"trainer exhaustion moved: ${learned.size}")
+    assert(learned.take(96) == Tokenizer.LearnedMerges,
+      "committed LearnedMerges no longer matches the trainer output — " +
+        "regenerate with `runMain graft.LearnMerges /root/testdata/sf0.1 512`")
+  }
 }
