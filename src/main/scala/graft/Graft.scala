@@ -160,6 +160,19 @@ object Graft {
       tokenize: Boolean = false): DataFrame =
     queries.Curation.produceShards(docs, eval, dir, minWords, stops, merges,
       budget, seed, tokenize)
+  /** Scheduled compaction of a streaming-ingest staging lake into the
+    * epoch-shard artifact ([[graft.queries.Curation.compactShards]]):
+    * the close of the stream→artifact loop. */
+  def compactShards(spark: org.apache.spark.sql.SparkSession,
+      stagingDir: String, eval: DataFrame, dir: String,
+      minWords: Long = 50L,
+      stops: Seq[String] = queries.TextAnalysis.GopherStops,
+      merges: Seq[((String, String), String)] = queries.Tokenizer.FixedMerges,
+      budget: Long = 512L,
+      seed: Long = 0L,
+      tokenize: Boolean = false): DataFrame =
+    queries.Curation.compactShards(spark, stagingDir, eval, dir, minWords,
+      stops, merges, budget, seed, tokenize)
   /** Corpus → per-doc trainer-consumable token ids:
     * (doc_id, tokens array<int>, n_tokens)
     * ([[graft.queries.Tokenizer.tokenizeDocs]]). */

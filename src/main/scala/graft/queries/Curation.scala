@@ -410,6 +410,37 @@ object Curation {
     graft.sources.Sinks.writeShardRows(out, dir)
   }
 
+  /** The STREAMING→ARTIFACT close of the loop: scheduled compaction of
+    * [[graft.streaming.Streams.ingestStreamAppend]]'s staging lake
+    * (micro-batch survivor docs accumulated as appended parquet) into
+    * the D18 epoch-shard artifact via [[produceShards]]. The staging
+    * rows first collapse by doc_id — a replayed micro-batch
+    * double-appends identical (doc_id, text) rows, so the distinct is
+    * the exactly-once repair, mirroring the signature store's
+    * idempotence — then the FULL producing pipeline runs over the
+    * accumulated lake: the stream's per-batch screens (gates → D13b →
+    * decontamination) are a conservative prefilter of the batch
+    * pipeline's own gates → exact-dedup → decontamination, so on a
+    * corpus whose near-dups are exact duplicates the compacted
+    * artifact is IDENTICAL to batch [[produceShards]] over the
+    * concatenated input (StreamingSpec pins this end to end), and the
+    * re-run screens cost one pass over survivors only. Excision and
+    * the epoch shuffle run here, corpus-wide over the lake — span
+    * duplication and epoch order are lake-level properties no
+    * per-batch view can compute. */
+  def compactShards(spark: org.apache.spark.sql.SparkSession,
+      stagingDir: String, eval: DataFrame, dir: String,
+      minWords: Long = 50L,
+      stops: Seq[String] = TextAnalysis.GopherStops,
+      merges: Seq[((String, String), String)] = Tokenizer.FixedMerges,
+      budget: Long = 512L,
+      seed: Long = 0L,
+      tokenize: Boolean = false): DataFrame =
+    produceShards(
+      spark.read.parquet(stagingDir).select("doc_id", "text")
+        .dropDuplicates("doc_id"),
+      eval, dir, minWords, stops, merges, budget, seed, tokenize)
+
   /** Memo of [[pipelineProduce]]'s cleaned-text frame (see
     * [[graft.ops.PlanCache]]; released by [[graft.ops.Release]]). */
   private[this] val produceCache = new graft.ops.PlanCache(capacity = 2)

@@ -400,7 +400,8 @@ object Streams {
       lakeDir: String,
       evalDocs: DataFrame,
       minWords: Long = 50L,
-      stops: Seq[String] = graft.queries.TextAnalysis.GopherStops)(
+      stops: Seq[String] = graft.queries.TextAnalysis.GopherStops,
+      stagingDir: Option[String] = None)(
       each: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
@@ -421,6 +422,16 @@ object Streams {
           // idempotence note above); the reverse order could emit
           // survivors whose signatures never landed.
           graft.sources.Sinks.appendSignatures(surv, lakeDir)
+          // staging lake for SCHEDULED COMPACTION
+          // ([[graft.queries.Curation.compactShards]]): survivor DOC
+          // rows (id + text, not just signatures) accumulate here; a
+          // replayed batch double-appends identical rows, which the
+          // compactor's dropDuplicates(doc_id) erases — same
+          // idempotence contract as the signature store.
+          stagingDir.foreach(d => surv
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("text"))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(d))
           each(surv)
         } finally { surv.unpersist(); () }
       }

@@ -672,6 +672,70 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream -> staging lake -> compactShards equals batch produceShards end to end") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    def good(t: String) = Seq(
+      s"the cat ${t}aa big house", s"and dog ${t}bb warm garden",
+      s"of bird ${t}cc tall market", s"to fish ${t}dd wide basket",
+      s"a goat ${t}ee ripe apple", s"in lamb ${t}ff sweet pear",
+      s"is wolf ${t}gg fresh plum").mkString(" ")
+    val root = java.nio.file.Files.createTempDirectory("graft-compact")
+    val (lakeDir, stagingDir) =
+      (root.resolve("sigs").toString, root.resolve("staging").toString)
+    val (dirA, dirB) =
+      (root.resolve("shardsStream").toString, root.resolve("shardsBatch").toString)
+    val eval = Seq((900L, good("evl"))).toDF("doc_id", "text")
+    // planted EXACT duplicates only (in-batch 12 of 11, cross-batch 23
+    // of 11): the stream's near-dup screen and the batch pipeline's
+    // exact dedup then agree by construction, so the compacted
+    // artifact must be bit-identical to the batch one. Doc 31 fails
+    // the gates; doc 32 quotes the eval doc (decontamination).
+    val batches = Seq(
+      Seq(StreamingSpec.Doc(11L, good("one")), StreamingSpec.Doc(12L, good("one")),
+        StreamingSpec.Doc(13L, good("two"))),
+      Seq(StreamingSpec.Doc(21L, good("three")), StreamingSpec.Doc(23L, good("one"))),
+      Seq(StreamingSpec.Doc(31L, "tiny doc"), StreamingSpec.Doc(32L, good("evl")),
+        StreamingSpec.Doc(33L, good("four"))))
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val query = Streams.ingestStreamAppend(mem.toDF(), lakeDir, eval,
+      minWords = 10L, stops = stops, stagingDir = Some(stagingDir)) { _ => () }
+    try {
+      batches.foreach { b => mem.addData(b: _*); query.processAllAvailable() }
+    } finally query.stop()
+    // scheduled compaction: staging lake -> epoch-shard artifact
+    val manifestA = Graft.compactShards(spark, stagingDir, eval, dirA,
+      minWords = 10L, stops = stops, budget = 64L, seed = 7L)
+    // the batch twin on the concatenated input
+    val manifestB = Graft.produceShards(batches.flatten.toDF(), eval, dirB,
+      minWords = 10L, stops = stops, budget = 64L, seed = 7L)
+    // loader integrity gate clean on the compacted artifact
+    assert(graft.sources.Sinks.verifyShards(spark, dirA).isEmpty,
+      "compacted artifact failed verifyShards")
+    def rows(d: String) = graft.sources.Sinks.readShards(spark, d)
+      .select("doc_id", "text", "n_tokens", "pos", "shard_id")
+      .collect().map(_.toSeq).toSet
+    val (a, b) = (rows(dirA), rows(dirB))
+    assert(a == b, s"compacted artifact diverged from batch produceShards:\n" +
+      s"stream-only: ${a.diff(b).take(3)}\nbatch-only: ${b.diff(a).take(3)}")
+    // survivors are exactly the gate/dedup/decontam-clean set: first
+    // copies 11, 13, 21, 33 (12/23 exact dups, 31 gated, 32 contaminated)
+    assert(a.map(_.head) == Set(11L, 13L, 21L, 33L), a.map(_.head))
+    assert(manifestA.collect().map(_.toSeq).toSet ==
+      manifestB.collect().map(_.toSeq).toSet, "manifests diverged")
+    // replay tolerance: double-append one batch's survivors to staging
+    // (the failure-replay shape) — compaction output is unchanged
+    batches(1).toDF().select(col("doc_id"), col("text"))
+      .join(Seq(21L).toDF("doc_id"), Seq("doc_id"), "left_semi")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(stagingDir)
+    val dirC = root.resolve("shardsReplay").toString
+    Graft.compactShards(spark, stagingDir, eval, dirC,
+      minWords = 10L, stops = stops, budget = 64L, seed = 7L)
+    assert(rows(dirC) == b, "replayed staging rows changed the compacted artifact")
+    graft.ops.Release.sweep(spark)
+  }
+
   test("ingestStreamKeyed decisions equal sequential D13b replays across batch splits") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
