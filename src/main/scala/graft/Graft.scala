@@ -92,6 +92,11 @@ object Graft {
   /** BM25 retrieval of a term disjunction ([[graft.queries.Ranking.searchBm25]]). */
   def searchBm25(docs: DataFrame, terms: Seq[String], k: Int = 15): DataFrame =
     queries.Ranking.searchBm25(docs, terms, k)
+  /** Hybrid retrieval: per-query-doc BM25 + E9 embedding cosine fused
+    * by Reciprocal Rank Fusion ([[graft.queries.Ranking.hybridSearch]]). */
+  def hybridSearch(docs: DataFrame, qMod: Long = 250L, poolK: Int = 20,
+      k: Int = 10): DataFrame =
+    queries.Ranking.hybridSearch(docs, qMod, poolK, k)
 
   // ---- Deduplication ----
   def exactDuplicates(docs: DataFrame): DataFrame = queries.Dedup.exactDuplicates(docs)

@@ -68,7 +68,8 @@ object Plans {
     "q_dup_spans_char" -> "char-granularity ExactSubstr audit, SINGLE-pass: one explode+md5 map stage, one shuffle on the 128-bit key, count() OVER (PARTITION BY h) paints corpus counts in that same pass (sort-within-partition, spill-backed), dup positions flow to the per-doc interval-merge window — NOTHING persisted (the all-chars memo held ~30 B x corpus chars; word-level q_dup_spans is the production path)",
     "q_dedup_semantic_text" -> "text-native SemDeDup: E9's one-scan hashed-embedding agg feeds D15's cell-keyed candidate join unchanged — text never shuffles, vectors exist only as the narrow (doc, dim, sum) frame until the within-cell pairing",
     "q_dedup_semantic_trained" -> "trained SemDeDup: seeded-KMeans centers enter as a broadcast metadata frame, then the D15 core unchanged — packed-long HashAggregate argmax assignment (no exchange before the partial agg), cell-keyed pairing, keep-rule paint join; the fit is driver-side model state, never in the distributed plan",
-    "q_tokenize_ids" -> "id-level tokenization: DISTINCT-word encoder map with the merge-rank table broadcast, word-keyed id join back onto the positional explode, per-doc sort-collect reassembly — the corpus pays one text scan and shuffles only (doc_id, pos, id) integers")
+    "q_tokenize_ids" -> "id-level tokenization: DISTINCT-word encoder map with the merge-rank table broadcast, word-keyed id join back onto the positional explode, per-doc sort-collect reassembly — the corpus pays one text scan and shuffles only (doc_id, pos, id) integers",
+    "q_hybrid_search" -> "hybrid retrieval: memoized tf + sparse-embedding frames, posting-list and dim-keyed candidate joins (stats broadcast), every per-query ranking window rewritten to TopKPerKeyPartial/Final, one poolK-bounded full-outer fuse join")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

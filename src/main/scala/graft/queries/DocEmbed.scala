@@ -43,7 +43,7 @@ object DocEmbed {
     * collect_list is order-sensitive, so building the dense form on
     * the PRESENTATION-sorted frame would pay a full range exchange +
     * sort of the sparse cells that the key-addressed map never needs. */
-  private def docEmbedSparse(docs: DataFrame, dims: Int): DataFrame = {
+  private[queries] def docEmbedSparse(docs: DataFrame, dims: Int): DataFrame = {
     require(dims >= 2, s"dims must be >= 2, got $dims")
     docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
       .select(col("doc_id"), polyHash(col("word")).as("h"))

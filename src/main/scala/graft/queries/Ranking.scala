@@ -237,5 +237,199 @@ object Ranking {
       LIMIT 15"""
     })
 
-  val all: Seq[Q] = Seq(qTfidf, qBm25, qUnigramXent)
+  /** E10: HYBRID retrieval — document-query search fusing sparse
+    * (BM25) and dense (E9 hashed-embedding cosine) rankings by
+    * Reciprocal Rank Fusion (Cormack, Clarke & Buettcher SIGIR'09:
+    * rrf(d) = Σ_lists 1/(rrfK + rank_d); rank-based, so the two
+    * retrievers' incomparable score scales never mix). Queries are
+    * corpus docs (`doc_id % qMod == 0` — the ANN family's query
+    * convention); each retriever contributes its top `poolK` per
+    * query, the fused list returns top `k`.
+    *
+    * Text side is per-query-doc BM25: the (q, term) DISTINCT sets
+    * join the shared tf matrix — the classic sparse-retrieval
+    * posting-list join, with per-(q, doc) scores summed by the C10
+    * ordered-fold contract (sort by term, left fold from 0.0 — never
+    * a float sum() aggregate) so scores are bit-identical in DuckDB.
+    * Vector side is the E9 SPARSE frame joined on dim: the dot
+    * product is an INTEGER sum (commutative, shuffle-safe), norms are
+    * integer, and the one float op per pair is the final cosine
+    * divide — the same exactness contract as D15b. Fusion is two
+    * fixed-order reciprocal terms; rank ties cannot occur (row_number)
+    * and rrf ties break by doc_id.
+    *
+    * Scale shape: both sides are candidate-bounded joins — the text
+    * side by posting lists (selective at real vocabulary sizes; the
+    * synthetic 31-word vocab makes it artificially dense), the vector
+    * side by shared nonzero dims (swap in D5b LSH buckets or the E3
+    * IVF cells when the query set grows past broadcast scale) — then
+    * per-query top-poolK windows (TopKPerKey under the extensions)
+    * and one poolK-bounded full-outer fuse join. Self-matches are
+    * excluded. Missing-side ranks surface as -1 sentinels (the
+    * nullable-int oracle contract). */
+  def hybridSearch(
+      docs: DataFrame,
+      qMod: Long = 250L,
+      poolK: Int = 20,
+      k: Int = 10,
+      rrfK: Int = 60,
+      dims: Int = 16,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(qMod > 0 && poolK > 0 && k > 0 && rrfK > 0,
+      "qMod, poolK, k, rrfK must be positive")
+    val (tf, df) = termFreqs(docs)
+    // ---- text ranking: per-query-doc BM25 over the posting-list join
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = tf.filter(col("doc_id") % qMod === 0)
+      .select(col("doc_id").as("q_id"), col("term"))
+    val part = qterms
+      .join(tf.withColumnRenamed("doc_id", "doc_id_d"), Seq("term"))
+      .filter(col("q_id") =!= col("doc_id_d"))
+      .join(broadcast(df), Seq("term"))
+      .join(dl.withColumnRenamed("doc_id", "doc_id_d"), Seq("doc_id_d"))
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id_d").as("doc_id"), col("term"),
+        (log(lit(1.0) +
+          (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("p"))
+    val byScore = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_text").desc, col("doc_id"))
+    val textRanked = part.groupBy("q_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("p")))).as("ps"))
+      .select(col("q_id"), col("doc_id"),
+        aggregate(col("ps"), lit(0.0), (acc, x) => acc + x.getField("p"))
+          .as("score_text"))
+      .withColumn("rank_text", row_number().over(byScore))
+      .filter(col("rank_text") <= poolK)
+      .select("q_id", "doc_id", "rank_text")
+    // ---- vector ranking: E9 sparse embeddings, integer dot, exact
+    // cosine. The UNSORTED sparse core (docEmbed's presentation sort
+    // would cost a range exchange none of the joins need), memoized:
+    // three consumers (norms, query side, dot probe) would otherwise
+    // re-run the tokenize+hash scan per branch — the same pruning-
+    // defeats-exchange-reuse story as the tf matrix above
+    val emb = tfCache.memo(DocEmbed.docEmbedSparse(docs, dims))
+    val n2 = emb.groupBy("doc_id").agg(sum(col("q") * col("q")).as("n2"))
+    val qv = emb.filter(col("doc_id") % qMod === 0)
+      .select(col("doc_id").as("q_id"), col("dim"), col("q").as("qa"))
+    val dot = qv.join(emb.select(col("doc_id"), col("dim"), col("q").as("qb")),
+        Seq("dim"))
+      .filter(col("q_id") =!= col("doc_id"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("qa") * col("qb")).as("dot"))
+    val byCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    val vecRanked = dot
+      .join(n2.withColumnRenamed("doc_id", "q_id").withColumnRenamed("n2", "qn2"),
+        Seq("q_id"))
+      .join(n2, Seq("doc_id"))
+      .select(col("q_id"), col("doc_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
+          .as("cos"))
+      .withColumn("rank_vec", row_number().over(byCos))
+      .filter(col("rank_vec") <= poolK)
+      .select("q_id", "doc_id", "rank_vec")
+    // ---- reciprocal rank fusion over the union of the two pools
+    val byRrf = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    textRanked.join(vecRanked, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("rank_text")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("rank_vec")), lit(0.0)))
+          .as("rrf"),
+        coalesce(col("rank_text"), lit(-1)).as("rank_text"),
+        coalesce(col("rank_vec"), lit(-1)).as("rank_vec"))
+      .withColumn("rank", row_number().over(byRrf))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "doc_id", "rrf", "rank_text", "rank_vec")
+      .orderBy("q_id", "rank")
+  }
+
+  val qHybridSearch: Q = Q(
+    "q_hybrid_search",
+    (s, d) => hybridSearch(Tables.documents(s, d)),
+    Some {
+      val ws = sqlWords("text")
+      s"""WITH toks AS (
+        SELECT doc_id, unnest(list_filter($ws, t -> t <> '')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      stats AS (SELECT count(*) AS n,
+          CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      qterms AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id % 250 = 0),
+      part AS (
+        SELECT q.q_id, t.doc_id, t.term,
+          ln(1.0::DOUBLE + (s.n - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE))
+            * (t.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+            / (t.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                + 0.75::DOUBLE * l.dl / s.avgdl)) AS p
+        FROM qterms q
+        JOIN tf t USING (term)
+        JOIN df f USING (term)
+        JOIN dl l ON l.doc_id = t.doc_id
+        CROSS JOIN stats s
+        WHERE t.doc_id <> q.q_id),
+      text_scored AS (
+        SELECT q_id, doc_id,
+          list_reduce(list_prepend(0.0::DOUBLE, list(p ORDER BY term)),
+            (acc, x) -> acc + x) AS score_text
+        FROM part GROUP BY q_id, doc_id),
+      text_ranked AS (
+        SELECT q_id, doc_id, rank_text FROM (
+          SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+            ORDER BY score_text DESC, doc_id) AS rank_text
+          FROM text_scored) t WHERE rank_text <= 20),
+      w AS (SELECT doc_id, unnest(list_filter($ws, t -> t <> '')) AS word
+        FROM documents),
+      hh AS (
+        SELECT doc_id, (${sqlPolyHash("word")}) % 16 AS dim,
+          ((${sqlPolyHash("word")}) // 16) % 2 * 2 - 1 AS s
+        FROM w),
+      emb AS (SELECT doc_id, dim, sum(s) AS q FROM hh GROUP BY 1, 2
+        HAVING sum(s) <> 0),
+      nn AS (SELECT doc_id, sum(q * q) AS n2 FROM emb GROUP BY 1),
+      dot AS (
+        SELECT a.doc_id AS q_id, bb.doc_id, sum(a.q * bb.q) AS dot
+        FROM emb a JOIN emb bb USING (dim)
+        WHERE a.doc_id % 250 = 0 AND bb.doc_id <> a.doc_id
+        GROUP BY 1, 2),
+      vec_ranked AS (
+        SELECT q_id, doc_id, rank_vec FROM (
+          SELECT d.q_id, d.doc_id, row_number() OVER (PARTITION BY d.q_id
+            ORDER BY CAST(d.dot AS DOUBLE)
+              / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nd.n2 AS DOUBLE)))
+              DESC, d.doc_id) AS rank_vec
+          FROM dot d
+          JOIN nn nq ON nq.doc_id = d.q_id
+          JOIN nn nd ON nd.doc_id = d.doc_id) t WHERE rank_vec <= 20),
+      fused AS (
+        SELECT coalesce(t.q_id, v.q_id) AS q_id,
+          coalesce(t.doc_id, v.doc_id) AS doc_id,
+          coalesce(1.0::DOUBLE / (60.0::DOUBLE + t.rank_text), 0.0::DOUBLE)
+            + coalesce(1.0::DOUBLE / (60.0::DOUBLE + v.rank_vec), 0.0::DOUBLE)
+            AS rrf,
+          CAST(coalesce(t.rank_text, -1) AS INT) AS rank_text,
+          CAST(coalesce(v.rank_vec, -1) AS INT) AS rank_vec
+        FROM text_ranked t
+        FULL OUTER JOIN vec_ranked v
+          ON t.q_id = v.q_id AND t.doc_id = v.doc_id)
+      SELECT q_id, CAST(rank AS INT) AS rank, doc_id, rrf, rank_text, rank_vec
+      FROM (
+        SELECT q_id, doc_id, rrf, rank_text, rank_vec,
+          row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank
+        FROM fused) t
+      WHERE rank <= 10
+      ORDER BY q_id, rank"""
+    })
+
+  val all: Seq[Q] = Seq(qTfidf, qBm25, qUnigramXent, qHybridSearch)
 }

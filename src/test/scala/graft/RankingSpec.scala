@@ -107,4 +107,39 @@ class RankingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Ranking.searchBm25(docs, Seq.empty))
     intercept[IllegalArgumentException](Ranking.searchBm25(docs, Seq("a", "a")))
   }
+
+  test("hybridSearch: a verbatim twin tops both retrievers and the fused list") {
+    import spark.implicits._
+    val q = "red fox jumps over lazy dog near quiet river bank today"
+    val docs = Seq(
+      0L -> q,                                                // the query doc
+      7L -> q,                                                // verbatim twin
+      8L -> "red fox jumps over lazy dog near big noisy road today",
+      9L -> "green bird sings under bright warm sun every single morning",
+      11L -> "blue fish swims beside tall dark rocks during cold night")
+      .toDF("doc_id", "text")
+    val out = Graft.hybridSearch(docs, qMod = 250L, poolK = 4, k = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4), r.getInt(5)))
+    assert(out.forall(_._1 == 0L), s"only doc 0 queries at qMod 250: ${out.toSeq}")
+    assert(out.forall(_._3 != 0L), "self-matches must be excluded")
+    val top = out.find(_._2 == 1).get
+    assert(top._3 == 7L && top._5 == 1 && top._6 == 1,
+      s"the verbatim twin must lead both rankings and the fusion: ${out.toSeq}")
+    // rrf is exactly the two reciprocal terms of the reported ranks
+    out.foreach { case (_, _, _, rrf, rt, rv) =>
+      val want = (if (rt > 0) 1.0 / (60.0 + rt) else 0.0) +
+        (if (rv > 0) 1.0 / (60.0 + rv) else 0.0)
+      assert(rrf == want, s"rrf $rrf != recomputed $want for ranks ($rt, $rv)")
+    }
+    // ranks are dense from 1 and ordered
+    assert(out.map(_._2).sorted.toSeq == (1 to out.length).toSeq)
+    // deterministic across partitionings
+    val again = Graft.hybridSearch(docs.repartition(7), qMod = 250L,
+      poolK = 4, k = 4).collect().map(_.toSeq).toSeq
+    assert(again == out.map(p => Seq(p._1, p._2, p._3, p._4, p._5, p._6)).toSeq
+      .map(identity), "hybridSearch must be partitioning-invariant")
+    graft.ops.Release.sweep(spark)
+  }
 }
