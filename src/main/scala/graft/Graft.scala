@@ -92,6 +92,13 @@ object Graft {
   /** BM25 retrieval of a term disjunction ([[graft.queries.Ranking.searchBm25]]). */
   def searchBm25(docs: DataFrame, terms: Seq[String], k: Int = 15): DataFrame =
     queries.Ranking.searchBm25(docs, terms, k)
+  /** Per-paragraph language split, CCNet-style: each paragraph votes,
+    * the page keeps its majority language's paragraphs
+    * ([[graft.queries.TextAnalysis.langSplitParas]]). */
+  def langSplitParas(docs: DataFrame,
+      stopsByLang: Seq[(String, Seq[String])] =
+        queries.TextAnalysis.DefaultLangStops): DataFrame =
+    queries.TextAnalysis.langSplitParas(docs, stopsByLang)
   /** Hybrid retrieval: per-query-doc BM25 + E9 embedding cosine fused
     * by Reciprocal Rank Fusion ([[graft.queries.Ranking.hybridSearch]]). */
   def hybridSearch(docs: DataFrame, qMod: Long = 250L, poolK: Int = 20,

@@ -435,11 +435,21 @@ object Curation {
       merges: Seq[((String, String), String)] = Tokenizer.FixedMerges,
       budget: Long = 512L,
       seed: Long = 0L,
-      tokenize: Boolean = false): DataFrame =
+      tokenize: Boolean = false): DataFrame = {
+    // a missing staging lake means the stream staged nothing: fail
+    // with intent instead of an opaque scan error — and never write
+    // an artifact for it, because a scheduled compactor pointed at a
+    // production `dir` would otherwise replace a good artifact with
+    // an empty one
+    val p = new org.apache.hadoop.fs.Path(stagingDir)
+    require(p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p),
+      s"staging lake $stagingDir does not exist — nothing to compact " +
+        "(did the stream run with stagingDir set?)")
     produceShards(
       spark.read.parquet(stagingDir).select("doc_id", "text")
         .dropDuplicates("doc_id"),
       eval, dir, minWords, stops, merges, budget, seed, tokenize)
+  }
 
   /** Memo of [[pipelineProduce]]'s cleaned-text frame (see
     * [[graft.ops.PlanCache]]; released by [[graft.ops.Release]]). */

@@ -96,6 +96,159 @@ object TextAnalysis {
       GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""
     })
 
+  /** C21: per-PARAGRAPH language split (the CCNet shape, Wenzek '20 —
+    * language identified per paragraph, the document keeping only its
+    * majority language's paragraphs) — the screen the DOC-level C2
+    * vote can't express: a page pasted together from
+    * different-language fragments keeps its dominant language's
+    * paragraphs, rewritten in place, instead of being scored (and
+    * possibly dropped) whole. Per page: paragraphs = blank-line
+    * splits; each paragraph votes by C2's stopword rule and fixed
+    * precedence (en ≥ es ≥ de ≥ fr, no-signal → und); `page_lang` =
+    * the paragraph-vote majority under the same precedence (all-und →
+    * und, and then every paragraph is kept); `text_clean` = the
+    * page_lang paragraphs rejoined with blank lines, original order.
+    *
+    * Scale shape: integer HOF counting inside ONE shuffle-free codegen
+    * map stage over the scan (the C16/C18 gate shape) — the
+    * presentation sort is the only exchange at any corpus size.
+    * Output: (doc_id, n_paras, n_en, n_es, n_de, n_fr, n_und,
+    * page_lang, n_kept, text_clean). */
+  /** The language vote table: label -> stopword list, in PRECEDENCE
+    * order (earlier labels win count ties — C2's en >= es >= de >= fr
+    * chain generalized). The API default is the real-language posture;
+    * the oracle row swaps in corpus-vocabulary token families (the
+    * C16 parameterization precedent) because the synthetic corpus has
+    * no actual multilingual text and every real-language election
+    * would degenerate to en/und, leaving three branches unverified. */
+  val DefaultLangStops: Seq[(String, Seq[String])] =
+    Seq("en" -> stopEn, "es" -> stopEs, "de" -> stopDe, "fr" -> stopFr)
+
+  def langSplitParas(
+      docs: DataFrame,
+      stopsByLang: Seq[(String, Seq[String])] = DefaultLangStops): DataFrame = {
+    require(stopsByLang.nonEmpty &&
+      stopsByLang.map(_._1).toSet.size == stopsByLang.size &&
+      !stopsByLang.exists(_._1 == "und"),
+      "stopsByLang labels must be distinct and not 'und'")
+    def pred(p: Column): Column = {
+      val t = words(p)
+      val hits = stopsByLang.map { case (l, sw) => (l, stopHits(t, sw)) }
+      val chain = hits.zipWithIndex.foldLeft(
+        when(hits.map(_._2).reduce(_ + _) === 0, "und")) {
+        case (acc, ((l, h), i)) =>
+          val cond = hits.drop(i + 1).map(_._2)
+            .foldLeft(lit(true))((c, r) => c && h >= r)
+          acc.when(cond, l)
+      }
+      chain.otherwise(stopsByLang.last._1)
+    }
+    def nOf(l: String): Column =
+      size(filter(col("preds"), p => p === l)).cast("long")
+    val counted = docs
+      .withColumn("paras", split(coalesce(col("text"), lit("")), "\n\n"))
+      .withColumn("preds", transform(col("paras"), pred _))
+    val withCounts = stopsByLang.foldLeft(
+        counted.withColumn("n_und", nOf("und"))) {
+      case (df, (l, _)) => df.withColumn(s"n_$l", nOf(l))
+    }
+    val pageLang = stopsByLang.zipWithIndex.foldLeft(
+      when(stopsByLang.map(p => col(s"n_${p._1}")).reduce(_ + _) === 0L, "und")) {
+      case (acc, ((l, _), i)) =>
+        val cond = stopsByLang.drop(i + 1)
+          .map(p => col(s"n_${p._1}"))
+          .foldLeft(lit(true))((c, r) => c && col(s"n_$l") >= r)
+        acc.when(cond, l)
+    }.otherwise(stopsByLang.last._1)
+    withCounts
+      .withColumn("page_lang", pageLang)
+      .withColumn("ki", filter(sequence(lit(1), size(col("paras"))),
+        i => element_at(col("preds"), i) === col("page_lang")))
+      .select(Seq(col("doc_id"), size(col("paras")).cast("long").as("n_paras")) ++
+        stopsByLang.map(p => col(s"n_${p._1}")) ++ Seq(col("n_und"),
+        col("page_lang"), size(col("ki")).cast("long").as("n_kept"),
+        concat_ws("\n\n",
+          transform(col("ki"), i => element_at(col("paras"), i))).as("text_clean")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** C21's oracle row runs over the derived multi-line pages frame
+    * (LineFilters.pagesFrom) — grouped pages mix doc vocabularies, so
+    * majority election, minority drops, and the rewrite all have
+    * corpus action — and votes over CORPUS-VOCABULARY token families
+    * instead of the real-language default lists (the C16
+    * parameterization precedent: the synthetic corpus has no actual
+    * multilingual text, so every real-language election would elect
+    * en and leave the es/de/fr branches unverified; under the token
+    * families every branch wins pages at sf0.01). */
+  private[queries] val OracleLangStops: Seq[(String, Seq[String])] = Seq(
+    "struct" -> Seq("table", "row", "column", "line"),
+    "flow" -> Seq("stream", "batch", "window", "merge"),
+    "calc" -> Seq("agg", "group", "order", "sort"),
+    "store" -> Seq("key", "value", "hash", "vector"))
+
+  /** [[langSplitParas]]'s oracle SQL over any `tbl(doc_id, text)` for
+    * a given vote table — generated from the SAME list the Spark side
+    * consumes, so the two cannot drift. */
+  private[queries] def sqlLangSplitParasFrom(
+      tbl: String, stopsByLang: Seq[(String, Seq[String])]): String = {
+    def hits(sw: Seq[String]) = sqlStopHits(sqlWords("para"), sw)
+    val labeled = stopsByLang.map { case (l, sw) => (l, hits(sw)) }
+    val predCase = {
+      val zero = s"WHEN ${labeled.map(x => s"(${x._2})").mkString(" + ")} = 0 THEN 'und'"
+      val arms = labeled.zipWithIndex.map { case ((l, h), i) =>
+        val rest = labeled.drop(i + 1)
+        if (rest.isEmpty) s"ELSE '$l'"
+        else s"WHEN ${rest.map(r => s"($h) >= (${r._2})").mkString(" AND ")} THEN '$l'"
+      }
+      s"CASE $zero ${arms.mkString(" ")} END"
+    }
+    val nCols = stopsByLang.map { case (l, _) =>
+      s"CAST(count(*) FILTER (pl = '$l') AS BIGINT) AS n_$l" }.mkString(",\n          ")
+    val pageCase = {
+      val zero = s"WHEN ${stopsByLang.map(p => s"n_${p._1}").mkString(" + ")} = 0 THEN 'und'"
+      val arms = stopsByLang.zipWithIndex.map { case ((l, _), i) =>
+        val rest = stopsByLang.drop(i + 1)
+        if (rest.isEmpty) s"ELSE '$l'"
+        else s"WHEN ${rest.map(r => s"n_$l >= n_${r._1}").mkString(" AND ")} THEN '$l'"
+      }
+      s"CASE $zero ${arms.mkString(" ")} END"
+    }
+    val nSel = stopsByLang.map(p => s"g.n_${p._1}").mkString(", ")
+    s"""lp AS (SELECT doc_id,
+          string_split(coalesce(text, ''), chr(10) || chr(10)) AS paras
+        FROM $tbl),
+      pp AS (SELECT doc_id,
+          CAST(generate_subscripts(paras, 1) AS BIGINT) AS i,
+          unnest(paras) AS para
+        FROM lp),
+      pv AS (SELECT doc_id, i, para, $predCase AS pl FROM pp),
+      pa AS (SELECT doc_id,
+          CAST(count(*) AS BIGINT) AS n_paras,
+          $nCols,
+          CAST(count(*) FILTER (pl = 'und') AS BIGINT) AS n_und
+        FROM pv GROUP BY doc_id),
+      pmaj AS (SELECT *, $pageCase AS page_lang FROM pa),
+      kp AS (SELECT v.doc_id,
+          CAST(count(*) AS BIGINT) AS n_kept,
+          array_to_string(list(v.para ORDER BY v.i), chr(10) || chr(10)) AS text_clean
+        FROM pv v JOIN pmaj g ON v.doc_id = g.doc_id AND v.pl = g.page_lang
+        GROUP BY v.doc_id)
+      SELECT g.doc_id, g.n_paras, $nSel, g.n_und,
+        g.page_lang,
+        CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        coalesce(k.text_clean, '') AS text_clean
+      FROM pmaj g LEFT JOIN kp k ON g.doc_id = k.doc_id
+      ORDER BY g.doc_id"""
+  }
+
+  val qLangParas: Q = Q(
+    "q_lang_paras",
+    (s, d) => langSplitParas(
+      LineFilters.pagesFrom(Tables.documents(s, d)), OracleLangStops),
+    Some(s"WITH ${LineFilters.sqlPagesCtes("documents")},\n      " +
+      sqlLangSplitParasFrom("pages", OracleLangStops)))
+
   /** The quality score as a bare column — (stop_hits·100 + n_words) /
     * (n_chars + 1), the same signal [[qualityScores]] reports — for
     * callers that need it inside another plan (the streaming curation
@@ -841,5 +994,6 @@ object TextAnalysis {
 
   val all: Seq[Q] =
     Seq(qTokens, qLangId, qQuality, qQualityDeciles, qFingerprint, qShingles,
-      qRepetition, qCollocations, qChunkTokens, qGopherRules, qGopherRep)
+      qRepetition, qCollocations, qChunkTokens, qGopherRules, qGopherRep,
+      qLangParas)
 }
