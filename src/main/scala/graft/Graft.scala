@@ -92,6 +92,12 @@ object Graft {
   /** BM25 retrieval of a term disjunction ([[graft.queries.Ranking.searchBm25]]). */
   def searchBm25(docs: DataFrame, terms: Seq[String], k: Int = 15): DataFrame =
     queries.Ranking.searchBm25(docs, terms, k)
+  /** The C4 three-sentence rule: corpus-wide excision of repeated
+    * sentence n-grams, first occurrence kept
+    * ([[graft.queries.Dedup.exciseSentenceSpans]]). */
+  def exciseSentenceSpans(docs: DataFrame, n: Int = 3,
+      splitRe: String = queries.Dedup.SentenceSplitRe): DataFrame =
+    queries.Dedup.exciseSentenceSpans(docs, n, splitRe)
   /** Per-paragraph language split, CCNet-style: each paragraph votes,
     * the page keeps its majority language's paragraphs
     * ([[graft.queries.TextAnalysis.langSplitParas]]). */

@@ -964,6 +964,85 @@ object ScaleProbe {
     capOut.unpersist()
     graft.ops.Release.sweep(spark)
 
+    // STREAM → ARTIFACT at 505k: the staging lake written batch-wise
+    // (5 appends, one replayed — the failure-retry shape), then ONE
+    // scheduled compaction to epoch-shard files. Equality-by-census vs
+    // the capstone above: compactShards re-runs the same screens over
+    // the same logical corpus with the same seed, so produced doc and
+    // token totals must MATCH the pipelineProduce numbers exactly, the
+    // replayed batch must change nothing (dropDuplicates repair), and
+    // verifyShards must come back clean on the written artifact.
+    val compactRoot = java.nio.file.Files.createTempDirectory("graft-probe-compact")
+    val stagingDir = compactRoot.resolve("staging").toString
+    val shardsDir = compactRoot.resolve("shards").toString
+    val (_, tStage) = time {
+      (0 until 5).foreach { b =>
+        docs.filter(col("doc_id") % 5 === b)
+          .select(col("doc_id"), col("text"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(stagingDir)
+      }
+      // replay batch 2 verbatim: identical rows double-appended
+      docs.filter(col("doc_id") % 5 === 2)
+        .select(col("doc_id"), col("text"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(stagingDir)
+    }
+    val (compactManifest, tCompact) = time {
+      Graft.compactShards(spark, stagingDir, capEval, shardsDir,
+        minWords = 50L, stops = capStops, budget = 1L << 20)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val cm = compactManifest.agg(count(lit(1)), sum(col("n_docs")),
+      sum(col("n_tokens"))).head()
+    println(f"compact shards       $total%9d docs  $tCompact%7.1f s  ${total / tCompact}%9.0f docs/s  (${cm.getLong(0)} shards, ${cm.getLong(1)} docs, ${cm.getLong(2)} tokens; staged in $tStage%.1f s)")
+    assert(cm.getLong(1) == capAgg.getLong(0) && cm.getLong(2) == capAgg.getLong(3),
+      s"compacted artifact (${cm.getLong(1)} docs, ${cm.getLong(2)} tokens) != " +
+        s"capstone census (${capAgg.getLong(0)}, ${capAgg.getLong(3)}) — " +
+        "staging/dedup/compaction drifted from the batch pipeline")
+    val shardDiff = graft.sources.Sinks.verifyShards(spark, shardsDir).count()
+    assert(shardDiff == 0L, s"$shardDiff shards failed the loader integrity diff")
+    // budget geometry: every shard but the last stays within one doc of
+    // the token budget (a doc may straddle the boundary)
+    val geo = graft.sources.Sinks.readShards(spark, shardsDir)
+      .groupBy("shard_id").agg(sum(col("n_tokens")).as("t")).agg(
+        max(when(col("shard_id") < cm.getLong(0) - 1, col("t"))).as("maxfull")).head()
+    assert(geo.getLong(0) >= (1L << 20) && geo.getLong(0) <= (1L << 20) + 200L,
+      s"full-shard token mass ${geo.getLong(0)} strayed from the 2^20 budget")
+    println(f"compact integrity    ${"check"}%9s       census == capstone, verifyShards clean, replay erased, budget-tight shards  PASS")
+    compactManifest.unpersist()
+    graft.queries.Similarity.deleteRecursively(compactRoot)
+    graft.ops.Release.sweep(spark)
+
+    // HYBRID RETRIEVAL (E10) at 100k zipf docs + planted verbatim
+    // twins: with a 50k-token vocabulary the posting-list join is
+    // SELECTIVE (the regime real corpora live in — the oracle row's
+    // 31-word corpus is the dense worst case), and each query's twin
+    // must come back fused-rank-1 in ~every case (cosine exactly 1.0
+    // guarantees vec rank 1; BM25 rank 1 is probabilistic only when a
+    // third doc out-scores the query's own term profile).
+    val nHy = 100000L
+    val hyBase = zipfDocs(spark, nHy)
+    val hyTwins = hyBase.filter(col("doc_id") % 5000 === 0)
+      .select((col("doc_id") + nHy).as("doc_id"), col("text"))
+    val hyDocs = hyBase.unionByName(hyTwins)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hyTotal = hyDocs.count()
+    val (hyTop, tHy) = time {
+      Graft.hybridSearch(hyDocs, qMod = 5000L, poolK = 20, k = 10)
+        .filter(col("q_id") < nHy && col("rank") === 1)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("doc_id") === col("q_id") + nHy, 1L).otherwise(0L)).as("twin"),
+          sum(when(col("rank_vec") === 1, 1L).otherwise(0L)).as("vec1")).head()
+    }
+    val nHyQ = nHy / 5000
+    println(f"hybrid search        $hyTotal%9d docs  $tHy%7.1f s  ${hyTotal / tHy}%9.0f docs/s  ($nHyQ queries, twin fused-top1 ${hyTop.getLong(1)})")
+    assert(hyTop.getLong(0) == nHyQ,
+      s"${hyTop.getLong(0)} fused lists vs $nHyQ queries")
+    assert(hyTop.getLong(1) >= nHyQ * 9 / 10,
+      s"planted twins fused-top1 only ${hyTop.getLong(1)}/$nHyQ — fusion or a retriever drifted")
+    println(f"hybrid twin gate     ${"check"}%9s       ${hyTop.getLong(1)}/$nHyQ twins fused rank 1 (>= 90%%)  PASS")
+    hyDocs.unpersist()
+    graft.ops.Release.sweep(spark)
+
     // Incremental PQ append at 1M base vectors (E8), reusing the same
     // corpus: the claim under test is the COST SHAPE — growing a
     // trained index by a nightly batch prices one batch-sized encode

@@ -1192,10 +1192,161 @@ object Dedup {
         ORDER BY doc_id, span_start"""
     })
 
+  /** Default sentence boundary for [[exciseSentenceSpans]]: terminal
+    * punctuation followed by whitespace — the C4 posture. */
+  val SentenceSplitRe = "(?<=[.!?])\\s+"
+
+  /** Unit separator between the sentences of one shingle key — cannot
+    * occur in text split on whitespace/newlines, so two different
+    * sentence sequences can never concatenate to the same key (a space
+    * join would be ambiguous: sentences contain spaces). */
+  private val SentSep = "\u001f" // == chr(31) in the oracle
+
+  /** D20 — the C4 three-sentence rule itself (Raffel '20 §2.2:
+    * "discarded all but one of any three-sentence span occurring more
+    * than once in the data set"), the SENTENCE-granularity member of
+    * the ExactSubstr family: [[exciseSpans]] rewrites at word grams,
+    * [[dupSpansChar]] audits at chars, this excises at sentence
+    * `n`-grams — corpus-wide, so the cross-page boilerplate C20's
+    * page-local scrub cannot see (a legal disclaimer pasted under
+    * thousands of pages) disappears everywhere but its first
+    * occurrence. Sentences = `splitRe` splits, trimmed, empties
+    * dropped (blanks are separators, not sentences); keep rule,
+    * interval merge, and packed-key domain guard are exactly D16's;
+    * `text_clean` = surviving sentences joined by one space (the
+    * rewrite canonicalizes separators, as D16 does for word runs).
+    * Output: (doc_id, n_sents, n_excised, text_clean).
+    *
+    * Scale shape: ONE tokenize+shingle+md5 pass — the keeper rule
+    * rides a single (count, min) window over the h partition (the
+    * round's D14b lesson: a count-agg + paint-join pair re-runs the
+    * explode or holds a memo; a window cannot be pruned apart), then
+    * the per-doc interval merge and a sentence-keyed anti-join
+    * rebuild. Nothing persists; keys are md5 (the 128-bit
+    * final-decision rule).
+    *
+    * The oracle row runs n = 1 with newline sentences over the
+    * derived pages frame (the C16/C18 parameterization: the
+    * punctuation-free synthetic corpus has no terminal-punctuation
+    * sentences, and disjoint page groups share no 3-sentence run —
+    * but they DO share single lines, via planted intra-page repeats
+    * and cross-page duplicate doc texts, so n = 1 excises corpus-wide
+    * with real action). The paper-default n = 3 semantics are pinned
+    * by SentenceSpanSpec's planted cross-page runs. */
+  def exciseSentenceSpans(
+      docs: DataFrame,
+      n: Int = 3,
+      splitRe: String = SentenceSplitRe): DataFrame = {
+    require(n >= 1, s"sentence-gram length must be >= 1, got $n")
+    val sents = filter(
+      transform(split(coalesce(col("text"), lit("")), splitRe), x => trim(x)),
+      x => x =!= "")
+    val withS = docs.select(col("doc_id"), sents.as("s"))
+    val nsh = size(col("s")) - (n - 1)
+    val grams = withS
+      .select(col("doc_id"),
+        posexplode_outer(when(nsh >= 1,
+            transform(sequence(lit(1), nsh),
+              i => md5(concat_ws(SentSep, slice(col("s"), i, lit(n))))))
+          .otherwise(array().cast("array<string>")))
+          .as(Seq("p0", "h")))
+      .filter(col("h").isNotNull)
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("h"))
+    val domainOk =
+      col("doc_id").between(0L, (1L << 32) - 1) && col("p") < (1L << 31)
+    val packed = grams.withColumn("occ",
+      col("doc_id") * (1L << 31) + col("p") +
+        coalesce(assert_true(domainOk,
+          lit("exciseSentenceSpans: doc_id outside [0, 2^32) or p >= 2^31 — packed keeper key would overflow")).cast("long"), lit(0L)))
+    val byH = Window.partitionBy("h")
+    val nonKeeper = packed
+      .withColumn("c", count(lit(1)).over(byH))
+      .withColumn("keeper", min(col("occ")).over(byH))
+      .filter(col("c") >= 2 && col("occ") =!= col("keeper"))
+      .select(col("doc_id"), col("p"))
+    val excised = mergeGramSpans(nonKeeper, n)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("t"))
+    val sentRows = withS
+      .select(col("doc_id"), posexplode(col("s")).as(Seq("t0", "sent")))
+      .select(col("doc_id"), (col("t0") + 1).cast("long").as("t"), col("sent"))
+    val rebuilt = sentRows.join(excised, Seq("doc_id", "t"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("t"), col("sent")))),
+            x => x.getField("sent"))).as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    withS
+      .select(col("doc_id"),
+        greatest(size(col("s")), lit(0)).cast("long").as("n_sents"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sents"),
+        (col("n_sents") - coalesce(col("n_kept"), lit(0L))).as("n_excised"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle gram width for the row (see [[exciseSentenceSpans]] doc). */
+  private val SentOracleN = 1
+
+  val qExciseSentences: Q = Q(
+    "q_excise_sentences",
+    (s, d) => exciseSentenceSpans(
+      LineFilters.pagesFrom(Tables.documents(s, d)),
+      n = SentOracleN, splitRe = "\n"),
+    Some {
+      val n = SentOracleN
+      s"""WITH ${LineFilters.sqlPagesCtes("documents")},
+      sn AS (SELECT doc_id,
+          list_filter(list_transform(
+            string_split(coalesce(text, ''), chr(10)), x -> trim(x)),
+            x -> x <> '') AS s
+        FROM pages),
+      sg AS (SELECT doc_id,
+          CAST(generate_subscripts(sh, 1) AS BIGINT) AS p,
+          unnest(sh) AS h
+        FROM (SELECT doc_id,
+            list_transform(range(1, greatest(len(s) - ${n - 1}, 0) + 1),
+              i -> md5(array_to_string(list_slice(s, i, i + ${n - 1}), chr(31)))) AS sh
+          FROM sn)),
+      spk AS (SELECT doc_id, p, doc_id * 2147483648 + p AS occ, h FROM sg),
+      swin AS (SELECT doc_id, p, occ,
+          count(*) OVER (PARTITION BY h) AS c,
+          min(occ) OVER (PARTITION BY h) AS keeper
+        FROM spk),
+      snk AS (SELECT doc_id, p FROM swin WHERE c >= 2 AND occ <> keeper),
+      si AS (SELECT doc_id, p,
+          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > $n
+            THEN 1 ELSE 0 END AS newspan
+        FROM snk),
+      sj AS (SELECT doc_id, p,
+          sum(newspan) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM si),
+      ssp AS (SELECT doc_id, min(p) AS a, max(p) + ${n - 1} AS b
+        FROM sj GROUP BY doc_id, grp),
+      sx AS (SELECT doc_id, unnest(range(a, b + 1)) AS t FROM ssp),
+      ssr AS (SELECT doc_id,
+          CAST(generate_subscripts(s, 1) AS BIGINT) AS t,
+          unnest(s) AS sent
+        FROM sn),
+      skept AS (SELECT r.doc_id,
+          CAST(count(*) AS BIGINT) AS n_kept,
+          array_to_string(list(r.sent ORDER BY r.t), ' ') AS text_clean
+        FROM ssr r LEFT JOIN sx ON sx.doc_id = r.doc_id AND sx.t = r.t
+        WHERE sx.t IS NULL
+        GROUP BY r.doc_id)
+      SELECT n.doc_id, CAST(len(n.s) AS BIGINT) AS n_sents,
+        CAST(len(n.s) - coalesce(k.n_kept, 0) AS BIGINT) AS n_excised,
+        coalesce(k.text_clean, '') AS text_clean
+      FROM sn n LEFT JOIN skept k ON n.doc_id = k.doc_id
+      ORDER BY n.doc_id"""
+    })
+
   val all: Seq[Q] =
     Seq(qDedupExact, qDedupIncremental, qDedupIncrementalMinhash,
       qDedupMinhash, qDedupSimhash,
       qNgramJaccard, qNgramContainment, qNgramJaccardPrefix,
       qNgramContainmentPrefix, qStreamNeardupBatch, qDupSpans, qDupSpansChar,
-      qExciseSpans)
+      qExciseSpans, qExciseSentences)
 }
