@@ -69,7 +69,9 @@ object Plans {
     "q_dedup_semantic_text" -> "text-native SemDeDup: E9's one-scan hashed-embedding agg feeds D15's cell-keyed candidate join unchanged — text never shuffles, vectors exist only as the narrow (doc, dim, sum) frame until the within-cell pairing",
     "q_dedup_semantic_trained" -> "trained SemDeDup: seeded-KMeans centers enter as a broadcast metadata frame, then the D15 core unchanged — packed-long HashAggregate argmax assignment (no exchange before the partial agg), cell-keyed pairing, keep-rule paint join; the fit is driver-side model state, never in the distributed plan",
     "q_tokenize_ids" -> "id-level tokenization: DISTINCT-word encoder map with the merge-rank table broadcast, word-keyed id join back onto the positional explode, per-doc sort-collect reassembly — the corpus pays one text scan and shuffles only (doc_id, pos, id) integers",
-    "q_hybrid_search" -> "hybrid retrieval: memoized tf + sparse-embedding frames, posting-list and dim-keyed candidate joins (stats broadcast), every per-query ranking window rewritten to TopKPerKeyPartial/Final, one poolK-bounded full-outer fuse join")
+    "q_hybrid_search" -> "hybrid retrieval: memoized tf + sparse-embedding frames, posting-list and dim-keyed candidate joins (stats broadcast), every per-query ranking window rewritten to TopKPerKeyPartial/Final, one poolK-bounded full-outer fuse join",
+    "q_excise_sentences" -> "sentence-granularity ExactSubstr, SINGLE pass: one split+shingle+md5 explode, keeper rule as a (count, min) window on the 128-bit key partition (no memo, no paint join — the D14b lesson applied to the D16 keeper form), shared interval merge, sentence-keyed anti-join rebuild",
+    "q_lang_paras" -> "per-paragraph language split: pages group-concat, then ONE shuffle-free codegen map stage (paragraph votes, majority election, rewrite all as integer HOFs in place); presentation sort is the only exchange after the pages agg")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

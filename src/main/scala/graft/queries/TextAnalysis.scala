@@ -172,82 +172,6 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** C21's oracle row runs over the derived multi-line pages frame
-    * (LineFilters.pagesFrom) — grouped pages mix doc vocabularies, so
-    * majority election, minority drops, and the rewrite all have
-    * corpus action — and votes over CORPUS-VOCABULARY token families
-    * instead of the real-language default lists (the C16
-    * parameterization precedent: the synthetic corpus has no actual
-    * multilingual text, so every real-language election would elect
-    * en and leave the es/de/fr branches unverified; under the token
-    * families every branch wins pages at sf0.01). */
-  private[queries] val OracleLangStops: Seq[(String, Seq[String])] = Seq(
-    "struct" -> Seq("table", "row", "column", "line"),
-    "flow" -> Seq("stream", "batch", "window", "merge"),
-    "calc" -> Seq("agg", "group", "order", "sort"),
-    "store" -> Seq("key", "value", "hash", "vector"))
-
-  /** [[langSplitParas]]'s oracle SQL over any `tbl(doc_id, text)` for
-    * a given vote table — generated from the SAME list the Spark side
-    * consumes, so the two cannot drift. */
-  private[queries] def sqlLangSplitParasFrom(
-      tbl: String, stopsByLang: Seq[(String, Seq[String])]): String = {
-    def hits(sw: Seq[String]) = sqlStopHits(sqlWords("para"), sw)
-    val labeled = stopsByLang.map { case (l, sw) => (l, hits(sw)) }
-    val predCase = {
-      val zero = s"WHEN ${labeled.map(x => s"(${x._2})").mkString(" + ")} = 0 THEN 'und'"
-      val arms = labeled.zipWithIndex.map { case ((l, h), i) =>
-        val rest = labeled.drop(i + 1)
-        if (rest.isEmpty) s"ELSE '$l'"
-        else s"WHEN ${rest.map(r => s"($h) >= (${r._2})").mkString(" AND ")} THEN '$l'"
-      }
-      s"CASE $zero ${arms.mkString(" ")} END"
-    }
-    val nCols = stopsByLang.map { case (l, _) =>
-      s"CAST(count(*) FILTER (pl = '$l') AS BIGINT) AS n_$l" }.mkString(",\n          ")
-    val pageCase = {
-      val zero = s"WHEN ${stopsByLang.map(p => s"n_${p._1}").mkString(" + ")} = 0 THEN 'und'"
-      val arms = stopsByLang.zipWithIndex.map { case ((l, _), i) =>
-        val rest = stopsByLang.drop(i + 1)
-        if (rest.isEmpty) s"ELSE '$l'"
-        else s"WHEN ${rest.map(r => s"n_$l >= n_${r._1}").mkString(" AND ")} THEN '$l'"
-      }
-      s"CASE $zero ${arms.mkString(" ")} END"
-    }
-    val nSel = stopsByLang.map(p => s"g.n_${p._1}").mkString(", ")
-    s"""lp AS (SELECT doc_id,
-          string_split(coalesce(text, ''), chr(10) || chr(10)) AS paras
-        FROM $tbl),
-      pp AS (SELECT doc_id,
-          CAST(generate_subscripts(paras, 1) AS BIGINT) AS i,
-          unnest(paras) AS para
-        FROM lp),
-      pv AS (SELECT doc_id, i, para, $predCase AS pl FROM pp),
-      pa AS (SELECT doc_id,
-          CAST(count(*) AS BIGINT) AS n_paras,
-          $nCols,
-          CAST(count(*) FILTER (pl = 'und') AS BIGINT) AS n_und
-        FROM pv GROUP BY doc_id),
-      pmaj AS (SELECT *, $pageCase AS page_lang FROM pa),
-      kp AS (SELECT v.doc_id,
-          CAST(count(*) AS BIGINT) AS n_kept,
-          array_to_string(list(v.para ORDER BY v.i), chr(10) || chr(10)) AS text_clean
-        FROM pv v JOIN pmaj g ON v.doc_id = g.doc_id AND v.pl = g.page_lang
-        GROUP BY v.doc_id)
-      SELECT g.doc_id, g.n_paras, $nSel, g.n_und,
-        g.page_lang,
-        CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
-        coalesce(k.text_clean, '') AS text_clean
-      FROM pmaj g LEFT JOIN kp k ON g.doc_id = k.doc_id
-      ORDER BY g.doc_id"""
-  }
-
-  val qLangParas: Q = Q(
-    "q_lang_paras",
-    (s, d) => langSplitParas(
-      LineFilters.pagesFrom(Tables.documents(s, d)), OracleLangStops),
-    Some(s"WITH ${LineFilters.sqlPagesCtes("documents")},\n      " +
-      sqlLangSplitParasFrom("pages", OracleLangStops)))
 
   /** The quality score as a bare column — (stop_hits·100 + n_words) /
     * (n_chars + 1), the same signal [[qualityScores]] reports — for
@@ -994,6 +918,5 @@ object TextAnalysis {
 
   val all: Seq[Q] =
     Seq(qTokens, qLangId, qQuality, qQualityDeciles, qFingerprint, qShingles,
-      qRepetition, qCollocations, qChunkTokens, qGopherRules, qGopherRep,
-      qLangParas)
+      qRepetition, qCollocations, qChunkTokens, qGopherRules, qGopherRep)
 }

@@ -163,4 +163,30 @@ class GraftFacadeSpec extends SparkSpec {
       .toDF("x", "y")
     assert(Graft.correlations(allNull, Seq("x", "y")).count() == 0)
   }
+
+  test("no oracle SQL is poisoned by object-initialization order") {
+    // the round-10 full gate caught a CIRCULAR object init: a Q val in
+    // TextAnalysis touching LineFilters during construction made
+    // LineFilters read TextAnalysis vals that had not initialized yet
+    // — Scala silently interpolates those as literal "null" into the
+    // oracle SQL (e.g. the GopherWs regex became 'null+'), and only
+    // rows built during the poisoned window failed. The cycle is
+    // broken (pages-derived rows live in LineFilters); this pins the
+    // symptom so a reintroduced cycle fails fast in ANY suite order.
+    val oracles = SparkEntry.allQueries.flatMap(q => q.oracle.map(q.name -> _))
+    assert(oracles.nonEmpty)
+    oracles.foreach { case (name, sql) =>
+      assert(!sql.contains("null+") && !sql.contains("nullnull") &&
+        !sql.contains("'null'") && !sql.contains("(null)"),
+        s"$name oracle contains an init-order null artifact")
+    }
+    // and the C4/gopher rows carry the real whitespace class
+    val ws = graft.queries.TextAnalysis.GopherWs
+    assert(ws != null && ws.nonEmpty)
+    Seq("q_c4_filters", "q_c4_filters_pages", "q_gopher_rep_pages")
+      .foreach { n =>
+        val sql = SparkEntry.oracleSql(n)
+        assert(sql.contains(ws), s"$n oracle lost the GopherWs class")
+      }
+  }
 }
