@@ -141,6 +141,11 @@ object Graft {
     * ([[graft.queries.Dedup.dupSpansChar]]). */
   def dupSpansChar(docs: DataFrame, k: Int = 50): DataFrame =
     queries.Dedup.dupSpansChar(docs, k)
+  /** Same spans via suffix-array rank doubling — no hashing in the
+    * decision path, exact at any corpus size
+    * ([[graft.queries.SuffixDedup.dupSpansSuffix]]). */
+  def dupSpansSuffix(docs: DataFrame, k: Int = 50): DataFrame =
+    queries.SuffixDedup.dupSpansSuffix(docs, k)
   /** ExactSubstr corpus rewriting: non-first duplicated spans excised,
     * docs reassembled from surviving tokens
     * ([[graft.queries.Dedup.exciseSpans]]). */

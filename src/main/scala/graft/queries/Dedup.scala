@@ -897,7 +897,7 @@ object Dedup {
 
   /** Char-gram width of [[dupSpansChar]]'s oracle row (the API default
     * stays the paper's 50; the synthetic docs are short). */
-  private val DupSpanCharK = 20
+  private[queries] val DupSpanCharK = 20
 
   /** D14b — exact-substring duplicate spans at CHARACTER granularity:
     * per doc, the maximal char intervals `[span_start, span_end]`

@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.Q
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** D21 — ExactSubstr duplicate spans by SUFFIX-ARRAY RANK DOUBLING
+  * (Lee et al. ACL'22's actual formulation, re-expressed relationally).
+  *
+  * [[Dedup.dupSpansChar]] (D14b) decides "this char-`k`-gram occurs
+  * >= 2x" by grouping on the gram's md5 — collision-free *in practice*
+  * (128-bit keys), but still a probabilistic decision key, and each
+  * shuffled row carries 16 hash bytes. This operator reaches the
+  * IDENTICAL output with no hashing anywhere: it builds the corpus's
+  * suffix ranks by prefix doubling — the Manber–Myers construction,
+  * each round expressed as two windows — and reads "duplicated" off
+  * the final rank groups by exact symbol comparison. Exact by
+  * construction at any corpus size; the oracle row reuses D14b's
+  * DuckDB SQL verbatim, so the hash-green result doubles as a
+  * differential proof that the two algorithms agree gram-for-gram
+  * (the D4b losslessness pattern, applied across algorithms).
+  *
+  * Rank construction (per round, prefix length `h` -> `h + shift`):
+  *   1. `r2 = lead(r, shift) over (partition by doc_id order by p)` —
+  *      suffixes never cross document boundaries (the separator in the
+  *      concatenated-corpus formulation), so the pair lookup is a
+  *      per-doc window, null past the doc end -> sentinel -1.
+  *   2. `r' = min(gid) over (partition by r, r2)` where
+  *      `gid = doc_id * 2^20 + p` is the position's unique global id.
+  * Min-gid ranks are INJECTIVE per group (disjoint groups of unique
+  * gids have distinct minima), so rank equality <=> same group <=>
+  * the prefixes compare equal symbol-by-symbol, inductively down to
+  * the `ascii()` base ranks — never "probably equal". Dense re-ranking
+  * (the textbook presentation) would need a global running number;
+  * min-gid needs only a map-side-combinable `min` and keeps every
+  * round a plain 16-byte-key window. The last round uses
+  * `shift = k - h` (overlapping windows — equality of `[p, p+h-1]`
+  * and `[p+k-h, p+k-1]` covers all `k` chars once `h >= k/2`, the
+  * sparse-table LCP trick), and computes `count(*)` over the same
+  * partition instead of a new rank: a position starts a duplicated
+  * `k`-gram iff its final group has >= 2 members. Span merging is the
+  * shared [[Dedup.mergeGramSpans]], so output shape and semantics are
+  * exactly D14b's: disjoint maximal `[span_start, span_end]` char
+  * intervals, 1-based inclusive, `n_dup_grams` merged starts.
+  *
+  * Sentinel safety: real ranks are >= 1 (printable-ASCII base, gid >= 1
+  * minima), so -1 never aliases one; a suffix shorter than its window
+  * hits a sentinel at some doubling level (positions past the doc end
+  * do not exist), which puts short suffixes in their own groups — the
+  * final `p <= len - k + 1` filter then drops them from output.
+  *
+  * Scale shape vs D14b: ceil(log2 k) + 1 rounds, each two shuffles of
+  * (long, long, long) rows — ~24 B/char integer traffic per round vs
+  * the hash form's single 16 B/char shuffle. At 100 TB each round is a
+  * Terasort-shaped integer sort, the best-understood distributed
+  * primitive; nothing is persisted across rounds, and the early
+  * rounds' coarse groups (char pairs at h=1) hash-spread fine because
+  * the per-group aggregate is a combinable min/count, not a sort-rank.
+  * Stopping at prefix length `k` matches D14b's fixed-threshold
+  * semantics; the full Lee '22 suffix array doubles to max doc length
+  * (log L rounds) to expose maximal duplicates at EVERY length — the
+  * same loop, more rounds. The md5 form (one shuffle) remains the
+  * cheap path; this is the exact one, and the cross-check that the
+  * cheap path's "collision-free in practice" holds on this corpus.
+  */
+object SuffixDedup {
+
+  /** Packing domain for `gid = doc_id * 2^20 + p`: doc ids below
+    * 2^43, docs below 2^20 chars (1 MiB). Enforced in-plan. */
+  private val PosBits = 20
+
+  def dupSpansSuffix(docs: DataFrame, k: Int = 50): DataFrame = {
+    require(k >= 2, s"char-gram length must be >= 2, got $k")
+    val txt = coalesce(col("text"), lit(""))
+    val lenC = length(txt).cast("long")
+    val domainOk =
+      col("doc_id").between(0L, (1L << (63 - PosBits)) - 1) &&
+        col("len") < (1L << PosBits)
+    // one row per character; the in-plan guard rides the base rank so
+    // column pruning cannot drop it (every later column derives from r)
+    val chars = docs
+      .select(col("doc_id"), txt.as("text"), lenC.as("len"))
+      .select(col("doc_id"), col("text"), col("len"),
+        explode_outer(when(col("len") >= 1L, sequence(lit(1L), col("len")))
+          .otherwise(array())).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("doc_id"), col("p"), col("len"),
+        (ascii(col("text").substr(col("p"), lit(1))).cast("long") +
+          coalesce(assert_true(domainOk,
+            lit(s"dupSpansSuffix: doc_id >= 2^${63 - PosBits} or doc longer " +
+              s"than 2^$PosBits chars — gid packing would overflow"))
+            .cast("long"), lit(0L))).as("r"))
+
+    val gid = col("doc_id") * (1L << PosBits) + col("p")
+    var cur = chars
+    var h = 1
+    var dupPos: DataFrame = null
+    while (h < k) {
+      val shift = math.min(h, k - h)
+      val paired = cur.withColumn("r2",
+        coalesce(lead(col("r"), shift)
+          .over(Window.partitionBy("doc_id").orderBy("p")), lit(-1L)))
+      val wg = Window.partitionBy("r", "r2")
+      if (h + shift >= k) {
+        dupPos = paired
+          .withColumn("c", count(lit(1)).over(wg))
+          .filter(col("c") >= 2 && col("p") <= col("len") - (k - 1))
+          .select(col("doc_id"), col("p"))
+      } else {
+        cur = paired
+          .withColumn("nr", min(gid).over(wg))
+          .select(col("doc_id"), col("p"), col("len"), col("nr").as("r"))
+      }
+      h += shift
+    }
+    Dedup.mergeGramSpans(dupPos, k)
+      .withColumnRenamed("n_grams", "n_dup_grams")
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** Oracle = D14b's SQL verbatim (same k): hash-green means the
+    * suffix-rank and md5-gram algorithms agree on every span. */
+  val qDupSpansSuffix: Q = Q(
+    "q_dup_spans_sa",
+    (s, d) => dupSpansSuffix(Tables.documents(s, d), Dedup.DupSpanCharK),
+    Dedup.qDupSpansChar.oracle)
+
+  val all: Seq[Q] = Seq(qDupSpansSuffix)
+}
