@@ -347,6 +347,15 @@ object Graft {
     * ([[graft.queries.Shards.weightedSample]]). */
   def weightedSample(docs: DataFrame, k: Int = 25, seed: Long = 0L): DataFrame =
     queries.Shards.weightedSample(docs, k, seed)
+  /** Deterministic source-keyed train/val/test assignment —
+    * `polyHash(source) mod 100` buckets, no RNG state
+    * ([[graft.queries.Splits.splitAssign]]). */
+  def splitAssign(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    queries.Splits.splitAssign(docs, trainPct, valPct)
+  /** Near-dup pairs that cross the split boundary — the leakage /
+    * eval-contamination audit ([[graft.queries.Splits.splitLeakage]]). */
+  def splitLeakage(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    queries.Splits.splitLeakage(docs, trainPct, valPct)
   /** Temperature-based domain mixing (target share ∝ tokens^alpha;
     * 0.5 = the standard multilingual compromise)
     * ([[graft.queries.Shards.domainMixTemperature]]). */
