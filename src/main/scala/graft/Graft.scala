@@ -463,6 +463,12 @@ object Graft {
   def labelCentroids(embeddings: DataFrame): DataFrame =
     queries.Similarity.labelCentroids(embeddings)
   /** C4-style line/page cleaning ([[graft.queries.LineFilters.c4Filters]]). */
+  /** Train the quality-filter model on-cluster: full-batch perceptron
+    * over E9 hashed features, labels from the C16 gate; returns the
+    * integer training trajectory (iter, dim, w, n_mistakes)
+    * ([[graft.queries.QualityTrain.trainQualityModel]]). */
+  def trainQualityModel(docs: DataFrame, dims: Int = 16, iters: Int = 5): DataFrame =
+    queries.QualityTrain.trainQualityModel(docs, dims, iters)
   def c4Filters(docs: DataFrame,
       minWordsPerLine: Long = 3L, minKeptLines: Long = 5L,
       requireTerminal: Boolean = true,

@@ -77,21 +77,31 @@ object DocEmbed {
     * print 4× the rows for the same evidence). */
   private val OracleDims = 16
 
+  /** The E9 sparse-embedding CTE chain over `tbl`, ending in
+    * `esp (doc_id, dim, q)` — shared by the E9 row, the D15b
+    * text-native SemDeDup row, and C22's trained quality model, so
+    * the bridge cannot drift between its consumers. CTE names are
+    * prefixed `e` to stay collision-free when chained into larger
+    * oracles. */
+  private[queries] def sqlDocEmbedSparseCtes(tbl: String, dims: Int): String =
+    s"""ew AS (
+        SELECT doc_id,
+          unnest(list_filter(${sqlWords("text")}, t -> t <> '')) AS word
+        FROM $tbl),
+      eh AS (
+        SELECT doc_id,
+          (${sqlPolyHash("word")}) % $dims AS dim,
+          ((${sqlPolyHash("word")}) // $dims) % 2 * 2 - 1 AS s
+        FROM ew),
+      esp AS (
+        SELECT doc_id, CAST(dim AS BIGINT) AS dim, CAST(sum(s) AS BIGINT) AS q
+        FROM eh GROUP BY doc_id, dim HAVING sum(s) <> 0)"""
+
   val qDocEmbed: Q = Q(
     "q_doc_embed",
     (s, d) => docEmbed(Tables.documents(s, d), OracleDims),
-    Some(s"""WITH w AS (
-        SELECT doc_id,
-          unnest(list_filter(${sqlWords("text")}, t -> t <> '')) AS word
-        FROM documents),
-      h AS (
-        SELECT doc_id,
-          (${sqlPolyHash("word")}) % $OracleDims AS dim,
-          ((${sqlPolyHash("word")}) // $OracleDims) % 2 * 2 - 1 AS s
-        FROM w)
-      SELECT doc_id, CAST(dim AS BIGINT) AS dim, CAST(sum(s) AS BIGINT) AS q
-      FROM h GROUP BY doc_id, dim
-      HAVING sum(s) <> 0
+    Some(s"""WITH ${sqlDocEmbedSparseCtes("documents", OracleDims)}
+      SELECT doc_id, dim, q FROM esp
       ORDER BY doc_id, dim"""))
 
   /** D15b: SemDeDup over the corpus's OWN hashed embeddings — the
@@ -117,22 +127,11 @@ object DocEmbed {
     Some {
       val (semCtes, semSelect) =
         Similarity.sqlSemanticDedupFrom("vecs", 10, 0.9)
-      s"""WITH w AS (
-        SELECT doc_id,
-          unnest(list_filter(${sqlWords("text")}, t -> t <> '')) AS word
-        FROM documents),
-      hh AS (
-        SELECT doc_id,
-          (${sqlPolyHash("word")}) % $OracleDims AS dim,
-          ((${sqlPolyHash("word")}) // $OracleDims) % 2 * 2 - 1 AS s
-        FROM w),
-      sp AS (
-        SELECT doc_id, dim, CAST(sum(s) AS BIGINT) AS q
-        FROM hh GROUP BY doc_id, dim HAVING sum(s) <> 0),
+      s"""WITH ${sqlDocEmbedSparseCtes("documents", OracleDims)},
       mm AS (
         SELECT doc_id,
           map_from_entries(list(struct_pack(k := dim, v := q))) AS m
-        FROM sp GROUP BY doc_id),
+        FROM esp GROUP BY doc_id),
       vecs AS (
         SELECT d.doc_id AS vec_id,
           list_transform(range(0, $OracleDims),
