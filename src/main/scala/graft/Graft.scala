@@ -497,6 +497,13 @@ object Graft {
       dims: Int = queries.DocEmbed.DefaultDims): DataFrame =
     queries.DocEmbed.docEmbedVectors(docs, dims)
   /** Embedding snapshot drift ([[graft.queries.Profile.embedDrift]]). */
+  /** Grouped approximate quantiles via GK sketches — the scale path
+    * past exact order statistics; exact when accuracy >= group size
+    * ([[graft.queries.Profile.approxQuantiles]]). */
+  def approxQuantiles(df: DataFrame, valueCol: String, groupCol: String,
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+      accuracy: Int = 1000): DataFrame =
+    queries.Profile.approxQuantiles(df, valueCol, groupCol, probs, accuracy)
   def embedDrift(snapA: DataFrame, snapB: DataFrame): DataFrame =
     queries.Profile.embedDrift(snapA, snapB)
 

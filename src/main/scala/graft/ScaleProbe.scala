@@ -613,6 +613,29 @@ object ScaleProbe {
       s"char spans: ${charAgg.getLong(0)} rows (${charAgg.getLong(1)} in-extent) vs ${2 * plantedPairs} planted — " +
         "phantom char spans, missed spans, or wrong extents")
     println(f"char span extents    ${"check"}%9s       ${charAgg.getLong(0)} spans all cover the planted run  PASS")
+
+    // Suffix-array rank-doubling form (D21) on the SAME corpus: the
+    // census must equal the md5 form's exactly — the cross-algorithm
+    // differential at probe scale, where a birthday-collision in the
+    // hash form or a rank-injectivity slip in the doubling would
+    // finally have room to show. Cost shape: ceil(log2 20)+1 = 5
+    // rounds x (per-doc lead window + pair-partition window) over the
+    // ~192M per-char rows — 2 log k Terasort-shaped integer shuffles
+    // vs the md5 form's single hashed pass; the honest price of
+    // hash-free exactness, reported here so the trade stays measured.
+    val (saAgg, tSa) = time {
+      Graft.dupSpansSuffix(spanDocsDf, k = 20)
+        .agg(count(lit(1)),
+          sum(when(col("span_start").between(64L, 70L) &&
+            col("span_end").between(140L, 146L) &&
+            col("n_dup_grams") === col("span_end") - col("span_start") - 18L,
+            1L).otherwise(0L))).head()
+    }
+    println(f"dup spans, SA        $spanTotal%9d docs  $tSa%7.1f s  ${spanTotal / tSa}%9.0f docs/s  (${saAgg.getLong(0)} spans, ${tSa / tCs}%.1fx the md5 form)")
+    assert(saAgg.getLong(0) == charAgg.getLong(0) && saAgg.getLong(1) == charAgg.getLong(1),
+      s"suffix-array spans: ${saAgg.getLong(0)} rows (${saAgg.getLong(1)} in-extent) vs md5 form's " +
+        s"${charAgg.getLong(0)} (${charAgg.getLong(1)}) — the two ExactSubstr algorithms disagree at scale")
+    println(f"SA == md5 census     ${"check"}%9s       both algorithms report identical span censuses  PASS")
     spanDocsDf.unpersist(blocking = false)
     graft.ops.Release.sweep(spark)
 

@@ -483,5 +483,65 @@ object Profile {
           END) AS max_abs_shift
       FROM j GROUP BY label ORDER BY label"""))
 
-  val all: Seq[Q] = Seq(qProfile, qChecks, qHistogram, qCorrelations, qEmbedDrift)
+  /** I6: grouped APPROXIMATE quantiles — the sketch path the exact
+    * `q_percentiles` row cannot take at 100 TB (exact order statistics
+    * sort the group; a quantile sketch is one map-side-combinable
+    * aggregation with bounded state). Spark's built-in
+    * `approx_percentile` (Greenwald–Khanna summaries, codegen'd):
+    * rank error is bounded by n/accuracy per group, and the sketches
+    * merge associatively, so the plan is a single scan + one narrow
+    * shuffle of per-partition sketches whatever the corpus size.
+    *
+    * Oracle technique (the E7 losslessness pattern, applied to a
+    * SKETCH): at `accuracy >= group size` GK compression never drops
+    * a sample, so the summary holds every value and the query is
+    * EXACT — equal to `quantile_disc` — and merge-order independent
+    * (nothing approximated, so partitioning cannot show). The oracle
+    * row runs at that exhaustive setting; callers at corpus scale
+    * drop `accuracy` to the memory they can afford (the default
+    * 1000 ≈ 0.1% rank error), where the result may legitimately vary
+    * with partitioning — the documented sketch contract, spec'd via
+    * the rank-error bound instead of a hash. */
+  def approxQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+      accuracy: Int = 1000): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be in [0, 1], got $probs")
+    require(accuracy >= 1, s"accuracy must be positive, got $accuracy")
+    df.groupBy(groupCol)
+      .agg(count(col(valueCol)).as("n"),
+        percentile_approx(col(valueCol),
+          array(probs.map(lit): _*), lit(accuracy)).as("quantiles"))
+      .orderBy(groupCol)
+  }
+
+  /** Accuracy at which the GK summary is exhaustive for any SF's
+    * groups (largest group at sf0.1 is 15k rows; 10M leaves margin). */
+  private val ExactAccuracy = 10000000
+
+  val qApproxQuantiles: Q = Q(
+    "q_approx_quantiles",
+    (s, d) => {
+      val probs = Seq(0.25, 0.5, 0.75, 0.95)
+      approxQuantiles(Tables.customer(s, d), "c_acctbal", "c_mktsegment",
+          probs, ExactAccuracy)
+        .select(col("c_mktsegment"), col("n"),
+          element_at(col("quantiles"), 1).as("p25"),
+          element_at(col("quantiles"), 2).as("p50"),
+          element_at(col("quantiles"), 3).as("p75"),
+          element_at(col("quantiles"), 4).as("p95"))
+    },
+    Some("""SELECT c_mktsegment, count(c_acctbal) AS n,
+        quantile_disc(c_acctbal, 0.25) AS p25,
+        quantile_disc(c_acctbal, 0.5)  AS p50,
+        quantile_disc(c_acctbal, 0.75) AS p75,
+        quantile_disc(c_acctbal, 0.95) AS p95
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  val all: Seq[Q] =
+    Seq(qProfile, qChecks, qHistogram, qCorrelations, qEmbedDrift,
+      qApproxQuantiles)
 }
