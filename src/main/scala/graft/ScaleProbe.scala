@@ -618,11 +618,13 @@ object ScaleProbe {
     // census must equal the md5 form's exactly — the cross-algorithm
     // differential at probe scale, where a birthday-collision in the
     // hash form or a rank-injectivity slip in the doubling would
-    // finally have room to show. Cost shape: ceil(log2 20)+1 = 5
-    // rounds x (per-doc lead window + pair-partition window) over the
-    // ~192M per-char rows — 2 log k Terasort-shaped integer shuffles
-    // vs the md5 form's single hashed pass; the honest price of
-    // hash-free exactness, reported here so the trade stays measured.
+    // finally have room to show. Cost shape: the 7-char base pack
+    // seeds rank_7 in the map stage, then two doubling rounds
+    // (7 -> 14 -> 20), each a per-doc lead window + a pair-partition
+    // window over the ~192M per-char rows — four Terasort-shaped
+    // integer shuffles vs the md5 form's single hashed pass; the
+    // honest price of hash-free exactness, reported so the trade
+    // stays measured.
     val (saAgg, tSa) = time {
       Graft.dupSpansSuffix(spanDocsDf, k = 20)
         .agg(count(lit(1)),
@@ -1025,11 +1027,19 @@ object ScaleProbe {
     assert(shardDiff == 0L, s"$shardDiff shards failed the loader integrity diff")
     // budget geometry: every shard but the last stays within one doc of
     // the token budget (a doc may straddle the boundary)
-    val geo = graft.sources.Sinks.readShards(spark, shardsDir)
+    // tolerance = the largest single doc in the artifact: a shard
+    // closes when cumulative tokens REACH the budget, so the overshoot
+    // is bounded by the straddling doc, not a fixed constant (a fixed
+    // +200 margin tripped at the 100k probe size, where one ~203-token
+    // doc straddled the boundary — the geometry was correct)
+    val shardRows = graft.sources.Sinks.readShards(spark, shardsDir)
+    val maxDocTok = shardRows.agg(max(col("n_tokens"))).head().getLong(0)
+    val geo = shardRows
       .groupBy("shard_id").agg(sum(col("n_tokens")).as("t")).agg(
         max(when(col("shard_id") < cm.getLong(0) - 1, col("t"))).as("maxfull")).head()
-    assert(geo.getLong(0) >= (1L << 20) && geo.getLong(0) <= (1L << 20) + 200L,
-      s"full-shard token mass ${geo.getLong(0)} strayed from the 2^20 budget")
+    assert(geo.getLong(0) >= (1L << 20) && geo.getLong(0) < (1L << 20) + maxDocTok,
+      s"full-shard token mass ${geo.getLong(0)} strayed from the 2^20 budget " +
+        s"(max single doc $maxDocTok)")
     println(f"compact integrity    ${"check"}%9s       census == capstone, verifyShards clean, replay erased, budget-tight shards  PASS")
     compactManifest.unpersist()
     graft.queries.Similarity.deleteRecursively(compactRoot)

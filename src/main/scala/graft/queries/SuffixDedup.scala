@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   * Min-gid ranks are INJECTIVE per group (disjoint groups of unique
   * gids have distinct minima), so rank equality <=> same group <=>
   * the prefixes compare equal symbol-by-symbol, inductively down to
-  * the `ascii()` base ranks — never "probably equal". Dense re-ranking
+  * the base-pack ranks — never "probably equal". Dense re-ranking
   * (the textbook presentation) would need a global running number;
   * min-gid needs only a map-side-combinable `min` and keeps every
   * round a plain 16-byte-key window. The last round uses
@@ -51,13 +51,17 @@ import org.apache.spark.sql.functions._
   * do not exist), which puts short suffixes in their own groups — the
   * final `p <= len - k + 1` filter then drops them from output.
   *
-  * Scale shape vs D14b: ceil(log2 k) + 1 rounds, each two shuffles of
+  * Scale shape vs D14b: doubling starts from the 7-char base pack
+  * (rank_7 computed in the base map — 7 ASCII chars in base 128 fit
+  * one long, injective on content with no window), so k = 20 is TWO
+  * rounds (7 → 14 → 20) and k = 50 three, each round two shuffles of
   * (long, long, long) rows — ~24 B/char integer traffic per round vs
-  * the hash form's single 16 B/char shuffle. At 100 TB each round is a
+  * the hash form's single 16 B/char shuffle; k <= 7 needs no doubling
+  * at all (one count window on the pack). At 100 TB each round is a
   * Terasort-shaped integer sort, the best-understood distributed
-  * primitive; nothing is persisted across rounds, and the early
-  * rounds' coarse groups (char pairs at h=1) hash-spread fine because
-  * the per-group aggregate is a combinable min/count, not a sort-rank.
+  * primitive; nothing is persisted across rounds, and the base pack's
+  * groups hash-spread fine because the per-group aggregate is a
+  * combinable min/count, not a sort-rank.
   * Stopping at prefix length `k` matches D14b's fixed-threshold
   * semantics; the full Lee '22 suffix array doubles to max doc length
   * (log L rounds) to expose maximal duplicates at EVERY length — the
@@ -71,6 +75,16 @@ object SuffixDedup {
     * 2^43, docs below 2^20 chars (1 MiB). Enforced in-plan. */
   private val PosBits = 20
 
+  /** Base-rank width: the first `BaseChars` chars of every suffix pack
+    * into ONE long (ASCII < 128, so base 128: 128^7 = 2^49), giving
+    * rank_7 directly in the base map — injective on CONTENT, not just
+    * group-consistent, with no window at all. Doubling then starts at
+    * h = 7 instead of h = 1, cutting k = 20 from five rounds to two
+    * (7 → 14 → 20) and k = 50 to three (7 → 14 → 28 → 50). Past-end
+    * chars pack as 0 (`ascii('')`), below every real ASCII value, so
+    * short-suffix packs can never alias a full window's. */
+  private val BaseChars = 7
+
   def dupSpansSuffix(docs: DataFrame, k: Int = 50): DataFrame = {
     require(k >= 2, s"char-gram length must be >= 2, got $k")
     val txt = coalesce(col("text"), lit(""))
@@ -78,6 +92,12 @@ object SuffixDedup {
     val domainOk =
       col("doc_id").between(0L, (1L << (63 - PosBits)) - 1) &&
         col("len") < (1L << PosBits)
+    val base = math.min(BaseChars, k)
+    // big-endian base-128 pack of chars [p, p + base - 1]
+    def pack: Column = (0 until base)
+      .map(j => ascii(col("text").substr(col("p") + j, lit(1))).cast("long") *
+        math.pow(128, base - 1 - j).toLong)
+      .reduce(_ + _)
     // one row per character; the in-plan guard rides the base rank so
     // column pruning cannot drop it (every later column derives from r)
     val chars = docs
@@ -87,16 +107,21 @@ object SuffixDedup {
           .otherwise(array())).as("p"))
       .filter(col("p").isNotNull)
       .select(col("doc_id"), col("p"), col("len"),
-        (ascii(col("text").substr(col("p"), lit(1))).cast("long") +
-          coalesce(assert_true(domainOk,
-            lit(s"dupSpansSuffix: doc_id >= 2^${63 - PosBits} or doc longer " +
-              s"than 2^$PosBits chars — gid packing would overflow"))
-            .cast("long"), lit(0L))).as("r"))
+        (pack + coalesce(assert_true(domainOk,
+          lit(s"dupSpansSuffix: doc_id >= 2^${63 - PosBits} or doc longer " +
+            s"than 2^$PosBits chars — gid packing would overflow"))
+          .cast("long"), lit(0L))).as("r"))
 
     val gid = col("doc_id") * (1L << PosBits) + col("p")
     var cur = chars
-    var h = 1
-    var dupPos: DataFrame = null
+    var h = base
+    var dupPos: DataFrame =
+      if (h >= k)
+        // k <= 7: the base pack IS rank_k — one count window, done
+        cur.withColumn("c", count(lit(1)).over(Window.partitionBy("r")))
+          .filter(col("c") >= 2 && col("p") <= col("len") - (k - 1))
+          .select(col("doc_id"), col("p"))
+      else null
     while (h < k) {
       val shift = math.min(h, k - h)
       val paired = cur.withColumn("r2",
