@@ -302,6 +302,9 @@ object Graft {
   // ---- Multimodal ----
   def binaryMeta(media: DataFrame): DataFrame = queries.Multimodal.binaryMeta(media)
   def mediaFeatures(media: DataFrame): DataFrame = queries.Multimodal.mediaFeatures(media)
+  /** Perceptual-hash near-duplicate media pairs (blockhash fingerprint +
+    * the D3 banded Hamming join — [[graft.queries.Multimodal.mediaNearDup]]). */
+  def mediaNearDup(media: DataFrame): DataFrame = queries.Multimodal.mediaNearDup(media)
 
   // ---- Sessions / streams ----
   def sessionizeNative(events: DataFrame, gapMinutes: Long = 30): DataFrame =

@@ -115,6 +115,68 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** 64-bit blockhash fingerprint: the input's bytes cut into 64
+    * length-proportional windows (window i = bytes [(L·i)>>6, (L·(i+1))>>6),
+    * which partition the string exactly), bit i = [[PolyHash]] of window i
+    * mod 2. ONE pass over the bytes — the compositional 64×substr+hash
+    * formulation evaluates O(64·L) and its expression tree blows the
+    * whole-stage-codegen size limit (observed: codegen disabled for the F4
+    * fingerprint stage). Empty windows (L < 64) hash to 0 → bit 0, matching
+    * `substr`'s empty-string result. Byte == char for the ASCII inputs
+    * graft feeds it (the PolyHash caveat), so this equals the char-wise
+    * substr SQL formulation exactly. */
+  case class BlockHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_block_hash64"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(prettyName, isStr(child.dataType), "STRING", child.dataType)
+
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[UTF8String].getBytes
+      val L = b.length.toLong
+      var fp = 0L
+      var pos = 0
+      var i = 0
+      while (i < 64) {
+        val end = ((L * (i + 1)) >> 6).toInt
+        var acc = 0L
+        while (pos < end) { acc = (acc * 31 + (b(pos) & 0xff)) % P; pos += 1 }
+        fp |= (acc & 1L) << i
+        i += 1
+      }
+      fp
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val b = ctx.freshName("b")
+        val len = ctx.freshName("len")
+        val fp = ctx.freshName("fp")
+        val pos = ctx.freshName("pos")
+        val end = ctx.freshName("end")
+        val acc = ctx.freshName("acc")
+        val i = ctx.freshName("i")
+        s"""
+        byte[] $b = $c.getBytes();
+        long $len = (long) $b.length;
+        long $fp = 0L;
+        int $pos = 0;
+        for (int $i = 0; $i < 64; $i++) {
+          int $end = (int) (($len * ($i + 1)) >> 6);
+          long $acc = 0L;
+          for (; $pos < $end; $pos++) {
+            $acc = ($acc * 31L + ($b[$pos] & 0xff)) % ${P}L;
+          }
+          $fp |= ($acc & 1L) << $i;
+        }
+        ${ev.value} = $fp;
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): BlockHash64 =
+      copy(child = newChild)
+  }
+
   /** Σ (double)a_i * (double)b_i in element order — the strict-left-fold
     * dot product of the determinism contract ([[VectorFunctions]]).
     * Accepts float or double arrays on either side.
@@ -933,6 +995,7 @@ object NativeExpressions {
   private def expr(c: Column): Expression = Bridge.expression(c)
 
   def polyHash(c: Column): Column = Bridge.column(PolyHash(expr(c)))
+  def blockHash64(c: Column): Column = Bridge.column(BlockHash64(expr(c)))
   def dot(a: Column, b: Column): Column = Bridge.column(DotProduct(expr(a), expr(b)))
   def intersectSize(a: Column, b: Column): Column =
     Bridge.column(IntersectSize(expr(a), expr(b)))

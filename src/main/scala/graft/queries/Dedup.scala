@@ -511,27 +511,35 @@ object Dedup {
     * proving the equivalence. */
   /** Public API: banded SimHash near-dup pairs over any (doc_id, text)
     * frame. */
-  def simhashPairs(docs: DataFrame): DataFrame = {
-      val simh = hashedShingles(docs)
-        .select(col("doc_id"),
-          graft.functions.NativeExpressions.simHash64(col("hs")).as("simhash"))
-      // all 56 combo keys in one fused kernel call (posexplode index ==
-      // combo index) — the unfused 56-struct expression stack was the
-      // query's dominant codegen cost, paid on both join sides
-      val bands = simh
-        .select(col("doc_id"), col("simhash"),
-          posexplode(graft.functions.NativeExpressions.simHashCombos(col("simhash"))))
-        .withColumnRenamed("pos", "combo")
-        .withColumnRenamed("col", "ckey")
-      bands.as("x").join(bands.as("y"),
-          col("x.combo") === col("y.combo") &&
-            col("x.ckey") === col("y.ckey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= HamMax)
-        .orderBy("id_a", "id_b")
+  def simhashPairs(docs: DataFrame): DataFrame =
+    hammingBandedPairs(hashedShingles(docs)
+      .select(col("doc_id"),
+        graft.functions.NativeExpressions.simHash64(col("hs")).as("fp")))
+
+  /** The banded Hamming-≤-[[HamMax]] pair join over ANY 64-bit
+    * fingerprint frame (doc_id, fp) — D3's Manku block-combination
+    * scheme factored out so the F4 perceptual-hash media dedup rides
+    * the identical machinery. Exactness (≡ brute force) holds by the
+    * pigeonhole argument for Hamming ≤ 5 ONLY, which is why the
+    * threshold is the fixed [[HamMax]], not a parameter. All 56 combo
+    * keys come from one fused kernel call (posexplode index == combo
+    * index) — the unfused 56-struct expression stack was the query's
+    * dominant codegen cost, paid on both join sides. */
+  private[queries] def hammingBandedPairs(fp: DataFrame): DataFrame = {
+    val bands = fp
+      .select(col("doc_id"), col("fp"),
+        posexplode(graft.functions.NativeExpressions.simHashCombos(col("fp"))))
+      .withColumnRenamed("pos", "combo")
+      .withColumnRenamed("col", "ckey")
+    bands.as("x").join(bands.as("y"),
+        col("x.combo") === col("y.combo") &&
+          col("x.ckey") === col("y.ckey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HamMax)
+      .orderBy("id_a", "id_b")
   }
 
   val qDedupSimhash: Q = Q(

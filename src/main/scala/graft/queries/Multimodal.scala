@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions.sqlPolyHash
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column suite (SURVEY.md §2 F1–F2): media as opaque `binary`
@@ -20,15 +20,26 @@ object Multimodal {
   private val headers = Seq("89504E47", "FFD8FFE0", "49443303", "52494646")
   private val kinds = Seq("png", "jpeg", "mp3", "riff")
 
+  /** Any (doc_id, text) frame → the synthetic media shape: binary
+    * content with a genuine magic header chosen by doc_id mod 4.
+    * Null text degrades to the empty payload (the C18/C20 convention),
+    * which also makes `content` NON-nullable — without that, the F4
+    * join's inferred `isnotnull(blockhash(content))` pushes into the
+    * scan filter and evaluates the O(L) fingerprint kernel twice per
+    * row (observed in the plan audit). */
+  private def mediaFrom(docs: DataFrame): DataFrame = {
+    val header = coalesce(
+      (0 until 4).map(i => when(col("doc_id") % 4 === i, headers(i))) :+
+        lit(""): _*)
+    docs.select(col("doc_id"),
+      concat(unhex(header),
+        encode(coalesce(col("text"), lit("")), "UTF-8")).as("content"))
+  }
+
   /** doc_id-keyed synthetic media table: binary content with a genuine
     * magic header. Shared by F1/F2 and the media specs. */
-  def mediaTable(s: SparkSession, d: String): DataFrame = {
-    val header = coalesce(
-      (0 until 4).map(i => when(col("doc_id") % 4 === i, headers(i))): _*)
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        concat(unhex(header), encode(col("text"), "UTF-8")).as("content"))
-  }
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    mediaFrom(Tables.documents(s, d))
 
   /** F1: opaque-binary metadata — size, content hash, magic-byte sniff.
     * The sniff reads the BYTES (not the label that produced them): a
@@ -199,5 +210,116 @@ object Multimodal {
         ${sqlPolyHash("frame")} % 256 AS luma
       FROM fr ORDER BY doc_id, frame_idx"""))
 
-  val all: Seq[Q] = Seq(qBinaryMeta, qMediaFeatures, qFrameSample)
+  /** F4: perceptual-hash near-duplicate media detection — the image
+    * side of the dedup story (a re-saved, re-compressed, or
+    * block-corrupted copy of the same image defeats the F1 byte hash;
+    * its perceptual fingerprint doesn't). Model: BLOCKHASH (Yang et al.'s
+    * block-mean hash — the pHash family member that needs no DCT):
+    * the payload is cut into 64 length-proportional windows and bit i
+    * is a parity statistic of window i, so a local corruption flips
+    * only its window's bit while a different image scrambles ~32 of
+    * 64. With the stubbed codec the "pixels" are the payload bytes
+    * and the parity statistic is the portable poly hash mod 2 —
+    * deterministic, SQL-exact, and honestly documented as the stub
+    * (a real codec swaps pixel means in via [[graft.media.MediaCodec]]
+    * without touching the banded join). Pairing is EXACTLY D3's
+    * machinery ([[Dedup.hammingBandedPairs]] — the Manku 3-of-8 block
+    * combination join, provably ≡ brute force at Hamming ≤ 5); the
+    * oracle RUNS the quadratic brute force, so hash-green proves the
+    * banded plan lossless on this corpus, same as the D3 row.
+    *
+    * Known blind spot, by design: a LENGTH change shifts every window
+    * boundary after it, so insert/delete edits read as different
+    * images (real blockhash has the same property under crop/resize
+    * without re-normalization). The oracle row plants same-length
+    * single-block corruptions — the re-encode scenario the operator
+    * exists to catch. */
+  def blockHash64(payload: Column): Column =
+    graft.functions.NativeExpressions.blockHash64(payload)
+
+  /** The compositional 64×(substr → poly-hash → parity) formulation the
+    * kernel replaces — semantically identical (MediaSpec differential),
+    * kept because it documents the window math the oracle SQL replays.
+    * Not for plans: it evaluates O(64·L) per row and its expression tree
+    * is big enough to disable whole-stage codegen (observed). */
+  private[graft] def blockHash64Relational(payload: Column): Column = {
+    val L = length(payload).cast("long")
+    // window i: 1-based chars [(i*L)>>6 + 1, ((i+1)*L)>>6]; shiftRight
+    // keeps the boundary math in exact integer arithmetic
+    (0 until 64).map { i =>
+      val lo = shiftright(L * i, 6)
+      val wlen = shiftright(L * (i + 1), 6) - lo
+      val bit = pmod(graft.functions.TextFunctions.polyHash(
+        payload.substr((lo + 1L).cast("int"), wlen.cast("int"))), lit(2L))
+      shiftleft(bit, i)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Near-dup media pairs at Hamming ≤ 5 over the blockhash
+    * fingerprint of the payload (header bytes excluded — perceptual
+    * identity is about content, not container). */
+  def mediaNearDup(media: DataFrame): DataFrame =
+    Dedup.hammingBandedPairs(
+      media.select(col("doc_id"),
+        // coalesce makes fp NON-nullable (unhex upstream is
+        // always-nullable), so the join infers no isnotnull(fp) —
+        // without it that inferred filter pushes to the scan and runs
+        // the O(L) kernel a second time per row (seen in PLANS.md);
+        // a null payload (no real row has one) would fingerprint as 0
+        coalesce(blockHash64(decode(
+          col("content").substr(lit(5), length(col("content")) - 4),
+          "UTF-8")), lit(0L)).as("fp")))
+
+  /** Oracle-row corpus: the media table plus a "re-encode" of every
+    * 10th doc — same payload with the LAST char overwritten (one
+    * corrupted trailing block, same length), id offset by 10^6 (a
+    * multiple of 4, so the twin keeps its format header). */
+  private val ReencodeOffset = 1000000L
+
+  private def mediaWithReencodes(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corrupted = when(length(col("text")) >= 1,
+      concat(col("text").substr(lit(1), length(col("text")) - 1), lit("x")))
+      .otherwise(lit("x"))
+    mediaFrom(docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + ReencodeOffset).as("doc_id"),
+          corrupted.as("text"))))
+  }
+
+  val qMediaNeardup: Q = Q(
+    "q_media_neardup",
+    (s, d) => mediaNearDup(mediaWithReencodes(s, d)),
+    Some {
+      // brute-force quadratic oracle (the D3 proof pattern): 64 window
+      // parities per doc, fingerprint as lo/hi 32-bit halves (BIGINT
+      // cannot hold a set bit 63), every pair compared
+      def bitExpr(i: Int): String = {
+        val lo = s"((length(text) * $i) // 64)"
+        val wlen = s"((length(text) * ${i + 1}) // 64) - $lo"
+        s"""CASE WHEN $wlen = 0 THEN 0 ELSE
+          ${sqlPolyHash(s"substr(text, CAST($lo + 1 AS INT), CAST($wlen AS INT))")} % 2 END"""
+      }
+      val loSum = (0 until 32)
+        .map(i => s"(CASE WHEN b$i = 1 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      val hiSum = (32 until 64)
+        .map(i => s"(CASE WHEN b$i = 1 THEN ${1L << (i - 32)} ELSE 0 END)").mkString(" + ")
+      val bitCols = (0 until 64).map(i => s"${bitExpr(i)} AS b$i").mkString(",\n        ")
+      s"""WITH med AS (
+        SELECT doc_id, coalesce(text, '') AS text FROM documents
+        UNION ALL
+        SELECT doc_id + $ReencodeOffset,
+          CASE WHEN length(text) >= 1
+            THEN substr(text, 1, length(text) - 1) || 'x' ELSE 'x' END
+        FROM documents WHERE doc_id % 10 = 0),
+      bits AS (SELECT doc_id, $bitCols FROM med),
+      fp AS (SELECT doc_id, $loSum AS f_lo, $hiSum AS f_hi FROM bits)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.f_lo, b.f_lo)) + bit_count(xor(a.f_hi, b.f_hi)) AS BIGINT) AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.f_lo, b.f_lo)) + bit_count(xor(a.f_hi, b.f_hi)) <= 5
+      ORDER BY id_a, id_b"""
+    })
+
+  val all: Seq[Q] = Seq(qBinaryMeta, qMediaFeatures, qFrameSample, qMediaNeardup)
 }
