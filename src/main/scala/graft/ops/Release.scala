@@ -37,6 +37,19 @@ object Release {
     * in-flight action. */
   def sweep(spark: SparkSession): Unit = {
     PlanCache.clearAll()
+    // Drop Dataset-level cache entries THROUGH the catalog first:
+    // unpersisting only the raw RDDs (below) rips the buffers out from
+    // under entries still registered in Spark's CacheManager, and a
+    // later touch of such a stale entry can fire the recacheByPlan
+    // rebuild cascade over other stale entries — observed at the 505k
+    // probe as an INTERNAL_ERROR NullPointerException
+    // ("SparkPlan.session() is null") inside localCheckpoint when a
+    // memo's buildBuffers completed and tried to rebuild a swept
+    // sibling. clearCache unpersists AND unregisters, so nothing
+    // stale survives for the cascade to find.
+    spark.catalog.clearCache()
+    // localCheckpoint / raw-RDD persists live below the CacheManager;
+    // release them too (blocking, so storage is verifiably empty)
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
   }
