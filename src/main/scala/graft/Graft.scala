@@ -224,6 +224,12 @@ object Graft {
   /** Pairwise near-dup output → transitive dedup clusters
     * ([[graft.ops.ConnectedComponents]], O(log n)-round star algorithm). */
   def dedupClusters(docs: DataFrame): DataFrame = queries.Clusters.dedupClusters(docs)
+  /** FastSS deletion-neighborhood fuzzy entity matching: pairs within
+    * Levenshtein `maxDist` (0–2), blocking provably lossless
+    * ([[graft.queries.FuzzyJoin.fuzzyJoin]]). */
+  def fuzzyJoin(dirty: DataFrame, dirtyCol: String,
+      master: DataFrame, masterCol: String, maxDist: Int = 2): DataFrame =
+    queries.FuzzyJoin.fuzzyJoin(dirty, dirtyCol, master, masterCol, maxDist)
   /** Connected components over any (src, dst) edge list — component id
     * is the minimum reachable node id. */
   def connectedComponents(edges: DataFrame, src: String = "src", dst: String = "dst"): DataFrame =
@@ -317,6 +323,14 @@ object Graft {
   def attribution(events: DataFrame): DataFrame =
     queries.Attribution.attribution(events)
   def windowedCounts(events: DataFrame): DataFrame = queries.Sessions.windowedCounts(events)
+  /** Strict-order funnel conversion per step
+    * ([[graft.queries.Funnels.funnel]]). */
+  def funnel(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+    queries.Funnels.funnel(events, steps)
+  /** Weekly cohort retention counts over integer epoch-weeks
+    * ([[graft.queries.Funnels.retention]]). */
+  def retention(events: DataFrame): DataFrame = queries.Funnels.retention(events)
   /** Typed JSON field extraction + per-type stats over `props`
     * ([[graft.queries.SemiStructured.propStats]]). */
   def propStats(events: DataFrame): DataFrame = queries.SemiStructured.propStats(events)
@@ -394,6 +408,12 @@ object Graft {
       stringCols: Seq[String] = Nil, tsCols: Seq[String] = Nil,
       exactDistinct: Boolean = true): DataFrame =
     queries.Profile.profile(df, numericCols, stringCols, tsCols, exactDistinct)
+  /** One foreign-key referential-integrity audit row — orphan child
+    * rows/keys and unreferenced parents
+    * ([[graft.queries.Integrity.fkAudit]]). */
+  def fkAudit(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, label: String): DataFrame =
+    queries.Integrity.fkAudit(child, childKey, parent, parentKey, label)
   /** Equi-width histogram of a numeric column
     * ([[graft.queries.Profile.histogram]]). */
   def histogram(df: DataFrame, c: String, buckets: Int = 10): DataFrame =
