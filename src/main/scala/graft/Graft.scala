@@ -90,6 +90,9 @@ object Graft {
   def bpeStats(docs: DataFrame, merges: Seq[((String, String), String)]): DataFrame =
     queries.Tokenizer.bpeStats(docs, merges)
   /** BM25 retrieval of a term disjunction ([[graft.queries.Ranking.searchBm25]]). */
+  /** Bigram-LM perplexity scoring with CCNet head/middle/tail buckets
+    * ([[graft.queries.BigramLm.bigramLm]]). */
+  def bigramLm(docs: DataFrame): DataFrame = queries.BigramLm.bigramLm(docs)
   def searchBm25(docs: DataFrame, terms: Seq[String], k: Int = 15): DataFrame =
     queries.Ranking.searchBm25(docs, terms, k)
   /** The C4 three-sentence rule: corpus-wide excision of repeated
