@@ -334,6 +334,9 @@ object Graft {
   /** Weekly cohort retention counts over integer epoch-weeks
     * ([[graft.queries.Funnels.retention]]). */
   def retention(events: DataFrame): DataFrame = queries.Funnels.retention(events)
+  /** Row-normalized event-type transition matrix
+    * ([[graft.queries.Funnels.transitions]]). */
+  def transitions(events: DataFrame): DataFrame = queries.Funnels.transitions(events)
   /** Typed JSON field extraction + per-type stats over `props`
     * ([[graft.queries.SemiStructured.propStats]]). */
   def propStats(events: DataFrame): DataFrame = queries.SemiStructured.propStats(events)

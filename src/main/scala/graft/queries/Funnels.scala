@@ -137,5 +137,44 @@ object Funnels {
       FROM e JOIN f USING (user_id)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  val all: Seq[Q] = Seq(qFunnel, qRetention)
+  /** B14: first-order Markov transition matrix over event types — for
+    * each user's time-ordered stream (ties broken by event_id), count
+    * src→dst adjacencies and normalize per src row. The "what happens
+    * after an error?" path-analysis query.
+    *
+    * Scale shape: the lag window shuffles on user_id once (the same
+    * partitioning sessionize uses), the count key space is
+    * |event_types|² (tiny forever, map-side combinable), and the
+    * row-normalizing window runs over that tiny frame — never the
+    * corpus. p = n/row-total is one double division of exact longs. */
+  def transitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cnt = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    cnt.withColumn("p",
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("src")).cast("double"))
+      .orderBy("src", "dst")
+  }
+
+  val qTransitions: Q = Q(
+    "q_transitions",
+    (s, d) => transitions(Tables.events(s, d)),
+    Some("""WITH e AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type FROM events),
+      pairs AS (SELECT event_type AS dst,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        FROM e)
+      SELECT src, dst, count(*) AS n,
+        CAST(count(*) AS DOUBLE) /
+          CAST(sum(count(*)) OVER (PARTITION BY src) AS DOUBLE) AS p
+      FROM pairs WHERE src IS NOT NULL
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val all: Seq[Q] = Seq(qFunnel, qRetention, qTransitions)
 }

@@ -48,6 +48,28 @@ class FunnelSpec extends SparkSpec {
     intercept[IllegalArgumentException](Funnels.funnel(events, Seq("a", "a")))
   }
 
+  test("transitions count per-user adjacencies and row-normalize") {
+    val events = Seq(
+      (0L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, 1L, ts("2024-01-01 10:01:00"), "click"),
+      (2L, 1L, ts("2024-01-01 10:02:00"), "view"),
+      (3L, 1L, ts("2024-01-01 10:03:00"), "purchase"),
+      (4L, 2L, ts("2024-01-01 10:00:00"), "view"),
+      (5L, 2L, ts("2024-01-01 10:01:00"), "click"),
+      // user boundary: no transition from u1's purchase to u2's view
+      (6L, 3L, ts("2024-01-01 10:00:00"), "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Funnels.transitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.keySet ==
+      Set(("view", "click"), ("click", "view"), ("view", "purchase")),
+      out.keySet)
+    assert(out(("view", "click")) == ((2L, 2.0 / 3)), out)
+    assert(out(("view", "purchase")) == ((1L, 1.0 / 3)))
+    assert(out(("click", "view")) == ((1L, 1.0)))
+  }
+
   test("retention buckets by integer epoch-weeks of the first event") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), "view"),   // epoch day 19723, wk 2817
