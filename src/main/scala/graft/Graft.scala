@@ -265,6 +265,11 @@ object Graft {
 
   // ---- Similarity search ----
   def annBruteforce(embeddings: DataFrame): DataFrame = queries.Similarity.annBruteforce(embeddings)
+  /** recall@k of an approximate ANN result vs an exact one — the
+    * post-rebuild index quality gate
+    * ([[graft.queries.Similarity.recallAtK]]). */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
+    queries.Similarity.recallAtK(approx, exact)
   def annLsh(embeddings: DataFrame, dims: Int = 64): DataFrame = queries.Similarity.annLsh(embeddings, dims)
   def annIvf(embeddings: DataFrame): DataFrame = queries.Similarity.annIvf(embeddings)
   def annIvfTrained(embeddings: DataFrame, cells: Int = 10, probes: Int = 3): DataFrame =

@@ -73,7 +73,11 @@ object Plans {
     "q_tokenize_ids" -> "id-level tokenization: DISTINCT-word encoder map with the merge-rank table broadcast, word-keyed id join back onto the positional explode, per-doc sort-collect reassembly — the corpus pays one text scan and shuffles only (doc_id, pos, id) integers",
     "q_hybrid_search" -> "hybrid retrieval: memoized tf + sparse-embedding frames, posting-list and dim-keyed candidate joins (stats broadcast), every per-query ranking window rewritten to TopKPerKeyPartial/Final, one poolK-bounded full-outer fuse join",
     "q_excise_sentences" -> "sentence-granularity ExactSubstr, SINGLE pass: one split+shingle+md5 explode, keeper rule as a (count, min) window on the 128-bit key partition (no memo, no paint join — the D14b lesson applied to the D16 keeper form), shared interval merge, sentence-keyed anti-join rebuild",
-    "q_lang_paras" -> "per-paragraph language split: pages group-concat, then ONE shuffle-free codegen map stage (paragraph votes, majority election, rewrite all as integer HOFs in place); presentation sort is the only exchange after the pages agg")
+    "q_lang_paras" -> "per-paragraph language split: pages group-concat, then ONE shuffle-free codegen map stage (paragraph votes, majority election, rewrite all as integer HOFs in place); presentation sort is the only exchange after the pages agg",
+    "q_fuzzy_join" -> "FastSS fuzzy join: deletion-neighborhood keys generated inline by codegen'd array lambdas, explode + variant-key equi-join (never the cross product), distinct pair shuffle, Levenshtein verify on the shortlist only",
+    "q_bigram_lm" -> "bigram LM: memoized (doc, bigram) hash agg read by model and scoring branches, model join on the bigram key (both sides pre-partitioned by their aggs), 1-row vocab broadcast, quantized-integer score sum, C15 bounded-histogram tercile pass — no corpus window, no float sum aggregate",
+    "q_funnel" -> "strict-order funnel: per-step event_type filters PUSHED to the scan, per-user min aggs joined on user_id with AQE broadcasting the shrinking survivor side, 1-row entry-count broadcast for rates",
+    "q_ref_integrity" -> "FK audit: per constraint one child-key hash agg (the production join's partitioning) + two anti joins with the distinct parent side broadcast; output is 4 rows")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -1128,6 +1128,61 @@ object ScaleProbe {
     semBase.unpersist()
     graft.ops.Release.sweep(spark)
 
+    // --- D22 fuzzy join at scale: 2×nDocs master names, nDocs/5 dirty.
+    // Names are 12 random letters (26^12 space), so cross-source
+    // matches within dist 2 have probability ~0 and the planted
+    // one-char deletions are EXACTLY the expected pair set — the
+    // census is exact. The claim under test: candidate generation is
+    // the deletion-neighborhood equi-join (~1+12+66 keys/string),
+    // never the dirty×master cross product (2e11 pairs here).
+    val fzAlpha = lit(('a' to 'z').map(_.toString).toArray)
+    def fzName(seed: Column): Column =
+      concat((0 until 12).map(p =>
+        element_at(fzAlpha,
+          (pmod(xxhash64(seed * 131L + p), lit(26L)) + 1).cast("int"))): _*)
+    val nMaster = 2L * nDocs
+    val master = spark.range(nMaster)
+      .select(fzName(col("id")).as("mname"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDirty = master.count() / 10 // materialize master; every 10th corrupted
+    val dirty = spark.range(nMaster).filter(col("id") % 10 === 0)
+      .select(col("id").as("mid"), fzName(col("id")).as("name"))
+      .select(expr(
+        """concat(substring(name, 1, CAST(pmod(mid, 12) AS INT)),
+           substring(name, CAST(pmod(mid, 12) AS INT) + 2, 12))""").as("name"))
+    val (fzAgg, tFz) = time {
+      Graft.fuzzyJoin(dirty, "name", master, "mname", maxDist = 2)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dist") === 1L, 1L).otherwise(0L)).as("d1"),
+          count_distinct(col("dirty_name")).as("nd")).head()
+    }
+    println(f"fuzzy join           $nMaster%9d mstr  $tFz%7.1f s  ${nMaster / tFz}%9.0f rows/s  (${fzAgg.getLong(0)} pairs from $nDirty dirty)")
+    assert(fzAgg.getLong(0) == nDirty && fzAgg.getLong(1) == nDirty &&
+      fzAgg.getLong(2) == nDirty,
+      s"fuzzy census: (pairs, dist1, dirty-matched) = $fzAgg vs $nDirty planted " +
+        "one-char deletions — blocking is dropping or manufacturing pairs")
+    println(f"fuzzy join census    ${"check"}%9s       every planted deletion matched at dist 1, nothing else  PASS")
+    master.unpersist()
+
+    // --- C23 bigram LM at scale: the model key space is bounded by the
+    // observed bigram vocabulary (≤ 50² here; ≤ corpus bigram types in
+    // general — aggregated, never windowed), the threshold pass by the
+    // xent RANGE. Census: every ≥2-token doc scored, terciles split the
+    // corpus into three comparable buckets.
+    val (blAgg, tBl) = time {
+      Graft.bigramLm(docs)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ppl_bucket") === "head", 1L).otherwise(0L)).as("h"),
+          sum(when(col("ppl_bucket") === "tail", 1L).otherwise(0L)).as("t")).head()
+    }
+    println(f"bigram lm            $total%9d docs  $tBl%7.1f s  ${total / tBl}%9.0f docs/s  (head ${blAgg.getLong(1)} / tail ${blAgg.getLong(2)})")
+    assert(blAgg.getLong(0) == total,
+      s"bigram LM scored ${blAgg.getLong(0)} of $total docs")
+    assert(blAgg.getLong(1) >= total / 6 && blAgg.getLong(2) >= total / 6,
+      s"tercile buckets degenerate: $blAgg — threshold pass broke")
+    println(f"bigram lm census     ${"check"}%9s       all docs scored, terciles populated  PASS")
+    graft.ops.Release.sweep(spark)
+
     spark.stop()
   }
 }

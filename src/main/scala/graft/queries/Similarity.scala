@@ -234,14 +234,11 @@ object Similarity {
     * ranking exactly — a candidate-generation bug can no longer hide
     * behind a row-count check. Recall quality stays gated in
     * AnnRecallSpec (misses vs E1 are algorithmic, not bugs). */
-  val qAnnLsh: Q = Q(
-    "q_ann_lsh",
-    (s, d) => annLsh(Tables.embeddings(s, d)),
-    Some {
-      val tableUnion = (0 until LshTables).map { t =>
-        s"SELECT vec_id, embedding, n2, $t AS t, ${sqlBucket(0, LshBits, t, 64)} AS bucket FROM v"
-      }.mkString("\n        UNION ALL ")
-      s"""WITH v AS (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM embeddings),
+  private def lshSql: String = {
+    val tableUnion = (0 until LshTables).map { t =>
+      s"SELECT vec_id, embedding, n2, $t AS t, ${sqlBucket(0, LshBits, t, 64)} AS bucket FROM v"
+    }.mkString("\n        UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM embeddings),
       vb AS ($tableUnion),
       q AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2, t, bucket
             FROM vb WHERE vec_id % 100 = 0),
@@ -254,7 +251,12 @@ object Similarity {
         FROM scored)
       SELECT q_id, rank, vec_id AS neighbor_id, cos
       FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank"""
-    })
+  }
+
+  val qAnnLsh: Q = Q(
+    "q_ann_lsh",
+    (s, d) => annLsh(Tables.embeddings(s, d)),
+    Some(lshSql))
 
   /** Deterministic IVF coarse index: centroids = first 10 vectors, plus
     * every vector's best-cell assignment — shared by [[annIvf]] and the
@@ -1353,10 +1355,54 @@ object Similarity {
     },
     Some(bruteforceSql))
 
+  /** E11: recall@k evaluation — the ANN quality gate as a first-class
+    * QUERY rather than a test assertion: per query id, how many of the
+    * exact top-k neighbors the approximate index returned. The harness
+    * an index owner runs after every rebuild/append (pairs with I5's
+    * drift alarm; AnnRecallSpec's floors are this query with a
+    * threshold).
+    *
+    * Both inputs are (q_id, rank, neighbor_id, …) frames — any of the
+    * E-family searches compose. recall = n_hit / n_truth as one double
+    * division of exact longs.
+    *
+    * Scale shape: two aggregations and one equi-join, all keyed by
+    * (q_id) or (q_id, neighbor_id) — proportional to the result
+    * frames (queries × k), never the corpus; the semi-join hit count
+    * shuffles only id pairs. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("q_id"), col("neighbor_id"))
+    val e = exact.select(col("q_id"), col("neighbor_id"))
+    val truth = e.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+    val hits = e.join(a, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    truth.join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_truth").cast("double")).as("recall"))
+      .orderBy("q_id")
+  }
+
+  val qAnnRecall: Q = Q(
+    "q_ann_recall",
+    (s, d) => recallAtK(annLsh(Tables.embeddings(s, d)),
+      annBruteforce(Tables.embeddings(s, d))),
+    Some(s"""WITH ap AS (SELECT q_id, neighbor_id FROM ($lshSql)),
+      ex AS (SELECT q_id, neighbor_id FROM ($bruteforceSql)),
+      t AS (SELECT q_id, count(*) AS n_truth FROM ex GROUP BY 1),
+      h AS (SELECT ex.q_id, count(*) AS n_hit
+        FROM ex JOIN ap ON ex.q_id = ap.q_id
+          AND ex.neighbor_id = ap.neighbor_id
+        GROUP BY 1)
+      SELECT q_id, n_truth, coalesce(n_hit, 0) AS n_hit,
+        CAST(coalesce(n_hit, 0) AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+      FROM t LEFT JOIN h USING (q_id) ORDER BY q_id"""))
+
   // a def so qDedupSemanticTrained's oracle re-evaluates per access
   // (see its stash note); the other Qs are immutable either way
   def all: Seq[Q] =
     Seq(qDedupEmbedding, qDedupEmbeddingLsh, qAnnBruteforce, qAnnLsh, qAnnIvf,
       qAnnIvfTrainedExh, qAnnIvfPq, qAnnIvfPqSearch, qAnnPqAppend, qKnnLabel,
-      qEmbedCentroids, qDedupSemantic, qDedupSemanticTrained)
+      qEmbedCentroids, qDedupSemantic, qDedupSemanticTrained, qAnnRecall)
 }

@@ -16,6 +16,28 @@ class AnnRecallSpec extends SparkSpec {
     assert(exact.size == 25) // 5 queries x 5 neighbors at sf0.001
   }
 
+  test("recallAtK: identity is 1.0, disjoint is 0.0, absent queries count") {
+    import spark.implicits._
+    import graft.queries.Similarity
+    val exact = Seq((1L, 1L, 10L), (1L, 2L, 11L), (2L, 1L, 20L))
+      .toDF("q_id", "rank", "neighbor_id")
+    val self = Similarity.recallAtK(exact, exact).collect()
+    assert(self.forall(_.getDouble(3) == 1.0), self.toSeq)
+    // approx missed q2 entirely and half of q1
+    val approx = Seq((1L, 1L, 10L), (1L, 2L, 99L))
+      .toDF("q_id", "rank", "neighbor_id")
+    val out = Similarity.recallAtK(approx, exact).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)) && out(2L) == ((1L, 0L, 0.0)), out)
+  }
+
+  test("q_ann_recall row equals this spec's own recall arithmetic") {
+    val row = SparkEntry.queries("q_ann_recall")(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n_hit")).head().getLong(0)
+    assert(row.toDouble == (exact & pairs("q_ann_lsh")).size.toDouble,
+      s"q_ann_recall hits $row vs set arithmetic")
+  }
+
   test("LSH recall exceeds the multi-table design floor") {
     val got = pairs("q_ann_lsh")
     val recall = (exact & got).size.toDouble / exact.size
