@@ -20,6 +20,12 @@ final case class UserCounters(n_events: Long, n_purchases: Long, total_value: Do
 final case class UserUpdate(
     user_id: Long, n_events: Long, n_purchases: Long, total_value: Double)
 
+/** Per-user last-event state for [[Streams.transitionsStream]]. */
+final case class TransitionState(lastUs: Long, lastId: Long, lastType: String)
+
+/** One adjacency emitted by [[Streams.transitionsStream]]. */
+final case class TransitionOut(user_id: Long, src: String, dst: String)
+
 /** One live session per user for [[Streams.sessionizeStream]]. */
 final case class SessionState(
     sessionStart: Long, lastTs: Long, nEvents: Long, totalValue: Double)
@@ -338,6 +344,39 @@ object Streams {
       pageDropPhrases: Seq[String] = Seq("lorem ipsum")): DataFrame =
     graft.queries.LineFilters.c4Flags(docs, minWordsPerLine, minKeptLines,
       requireTerminal, lineDropWords, pageDropPhrases)
+
+  /** G13: streaming event-type transitions — B14's Markov adjacency
+    * counts at ingest. Keyed state per user is O(1): the single most
+    * recent event (µs ts, id, type); each micro-batch sorts the user's
+    * arrivals by (ts, event_id) — the batch twin's exact order — chains
+    * them from the stored last event, emits one (src, dst) row per
+    * adjacency, and stores the new last event. Aggregate emissions
+    * downstream for the matrix; stream Σ == batch [[graft.queries
+    * .Funnels.transitions]] counts whenever arrivals respect per-user
+    * ts order ACROSS batches (the same in-order-across-batches contract
+    * as the other stateful twins; within a batch any disorder is
+    * repaired by the sort). */
+  def transitionsStream(events: Dataset[EventRow]): Dataset[TransitionOut] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def update(
+        userId: Long,
+        rows: Iterator[EventRow],
+        state: GroupState[TransitionState]): Iterator[TransitionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+      var prev = state.getOption
+      val out = Seq.newBuilder[TransitionOut]
+      sorted.foreach { e =>
+        prev.foreach(p => out += TransitionOut(userId, p.lastType, e.event_type))
+        prev = Some(TransitionState(us(e.ts), e.event_id, e.event_type))
+      }
+      prev.foreach(state.update)
+      out.result().iterator
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
 
   /** G11: the streaming INGEST pipeline — the D17 curation flow at
     * micro-batch granularity, composed from the same oracle-checked

@@ -49,6 +49,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("transitionsStream: emissions across batches equal batch transitions") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val query = Streams.transitionsStream(mem.toDS())
+      .writeStream.format("memory").queryName("trans_stream")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1 delivered OUT of ts order within the batch (the sort
+      // repairs it); batch 2 chains user 1 across the batch boundary
+      mem.addData(sample(1), sample(0), sample(2))
+      query.processAllAvailable()
+      mem.addData(sample(3), sample(4))
+      query.processAllAvailable()
+      val got = spark.table("trans_stream")
+        .groupBy("src", "dst").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val want = graft.queries.Funnels.transitions(
+          sample.toDF().withColumnRenamed("event_type", "event_type"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(got == want, s"stream $got vs batch $want")
+      // the cross-batch adjacency (u1 purchase@10 -> click@70) is present
+      assert(got(("purchase", "click")) == 1L)
+    } finally query.stop()
+  }
+
   test("scrubPii runs unchanged on a stream (stateless map stage)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
