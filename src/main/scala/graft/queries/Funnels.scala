@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Funnels {
 
+  // stage frames are per-surviving-user (tiny vs events) and each is
+  // read twice (next stage's join + its own count branch); memoizing
+  // them caps events scans at one per step instead of O(steps²)
+  private[this] val cache = new graft.ops.PlanCache(capacity = 8)
+
   /** B12: strict-order funnel. Step 1 users are those with any
     * `steps(0)` event; step i+1 users are those with a `steps(i+1)`
     * event STRICTLY AFTER their earliest completion time of step i
@@ -31,10 +36,12 @@ object Funnels {
     * stage frame is one row per SURVIVING user (monotonically
     * shrinking), and every stage join is user_id ⋈ user_id on
     * already-aggregated frames, so AQE broadcasts the shrinking side
-    * as the funnel narrows. Steps are a handful; the per-step rescan
-    * reads only the step's type partition-pruned slice, which beats
-    * collecting per-user event arrays (unbounded per-user state) at
-    * 100 TB. */
+    * as the funnel narrows. Stage frames are memo-persisted (each is
+    * read by the next stage AND its own count branch — without the
+    * memo the union's branches recompute earlier stages, O(steps²)
+    * event scans), capping events scans at exactly one per step.
+    * This beats collecting per-user event arrays (unbounded per-user
+    * state) at 100 TB. */
   def funnel(
       events: DataFrame,
       steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
@@ -52,7 +59,7 @@ object Funnels {
                 "user_id")
               .filter(col("ts") > col("prev_t"))
               .groupBy("user_id").agg(min(col("ts")).as("t"))
-        acc :+ f
+        acc :+ cache.memo(f)
       }
     val entry = stages.head.agg(count(lit(1)).as("n_entry"))
     val counts = stages.zipWithIndex.map { case (f, i) =>

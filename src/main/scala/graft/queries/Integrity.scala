@@ -21,26 +21,34 @@ object Integrity {
   /** One foreign-key audit row:
     * (fk, n_child_rows, n_child_keys, n_orphan_rows, n_orphan_keys,
     * n_parent_keys, n_unref_parent_keys). Null child keys (SQL FK
-    * semantics: null never dangles) are excluded from orphan counts
-    * but included in n_child_rows. */
+    * semantics: null never dangles) are excluded from key/orphan counts
+    * but included in n_child_rows.
+    *
+    * Single pass per side: child collapses to one (key, cnt) hash agg
+    * (null keys form their own group, so row totals need no second
+    * scan), parent to its distinct keys; ONE full-outer join on the key
+    * aligns the two, and every audit number is a conditional count in
+    * ONE final aggregation — the child and parent tables are each
+    * scanned exactly once however many numbers the row reports. */
   def fkAudit(
       child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String,
       label: String): DataFrame = {
-    val ck = child.select(col(childKey).as("k"))
-    val pk = parent.select(col(parentKey).as("k")).filter(col("k").isNotNull).distinct()
-    val childAgg = ck.filter(col("k").isNotNull)
+    val childAgg = child.select(col(childKey).as("k"))
       .groupBy("k").agg(count(lit(1)).as("cnt"))
-    val orphan = childAgg.join(pk, Seq("k"), "left_anti")
-      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_orphan_rows"),
-        count(lit(1)).as("n_orphan_keys"))
-    val childTot = ck.agg(count(lit(1)).as("n_child_rows"))
-    val keyTot = childAgg.agg(count(lit(1)).as("n_child_keys"))
-    val parentTot = pk.agg(count(lit(1)).as("n_parent_keys"))
-    val unref = pk.join(childAgg.select("k"), Seq("k"), "left_anti")
-      .agg(count(lit(1)).as("n_unref_parent_keys"))
-    childTot.crossJoin(keyTot).crossJoin(orphan)
-      .crossJoin(parentTot).crossJoin(unref)
+    val pk = parent.select(col(parentKey).as("k")).filter(col("k").isNotNull)
+      .distinct().withColumn("in_parent", lit(1))
+    childAgg.join(pk, Seq("k"), "full_outer")
+      .agg(
+        coalesce(sum(col("cnt")), lit(0L)).as("n_child_rows"),
+        count(when(col("k").isNotNull && col("cnt").isNotNull, 1)).as("n_child_keys"),
+        coalesce(sum(when(col("k").isNotNull && col("in_parent").isNull,
+          col("cnt"))), lit(0L)).as("n_orphan_rows"),
+        count(when(col("k").isNotNull && col("cnt").isNotNull &&
+          col("in_parent").isNull, 1)).as("n_orphan_keys"),
+        count(when(col("in_parent").isNotNull, 1)).as("n_parent_keys"),
+        count(when(col("in_parent").isNotNull && col("cnt").isNull, 1))
+          .as("n_unref_parent_keys"))
       .select(lit(label).as("fk"), col("n_child_rows"), col("n_child_keys"),
         col("n_orphan_rows"), col("n_orphan_keys"),
         col("n_parent_keys"), col("n_unref_parent_keys"))
