@@ -433,6 +433,10 @@ object Graft {
     * columns ([[graft.queries.Profile.correlations]]). */
   def correlations(df: DataFrame, cols: Seq[String], scale: Double = 100.0): DataFrame =
     queries.Profile.correlations(df, cols, scale)
+  /** Chi-square independence test of two categorical columns over the
+    * full R×C grid ([[graft.queries.Profile.chisq]]). */
+  def chisq(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    queries.Profile.chisq(df, aCol, bCol)
   /** Per-dimension int8 min/max quantization of an embedding column
     * ([[graft.queries.Quantize.quantizeInt8]]). */
   def quantizeInt8(embeddings: DataFrame): DataFrame =

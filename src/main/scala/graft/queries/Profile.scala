@@ -541,7 +541,83 @@ object Profile {
         quantile_disc(c_acctbal, 0.95) AS p95
       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** I8: chi-square independence test of two categorical columns — the
+    * input-trust check for CATEGORICAL drift (I4 covers numeric pairs):
+    * "did source stop predicting lang?" asked statistically. X² =
+    * Σ_cells (o − e)²/e over the FULL R×C grid (absent combinations
+    * contribute their full expected mass — the part an observed-only
+    * sum silently drops), e = rowTot·colTot/N.
+    *
+    * Determinism: every term is a fixed-shape chain of IEEE double
+    * ops on exactly-cast integer counts — ((o·N) − (rt·ct))² /
+    * ((N·rt)·ct) — each operation correctly rounded identically on
+    * both engines (the BM25 precedent: determinism needs identical
+    * ASTs, not integer arithmetic), summed by an ordered fold over
+    * the (a, b)-sorted cells, never a float `sum()`.
+    *
+    * Scale shape: one (a, b) count aggregation over one scan
+    * (map-side combinable, key space = the category domain —
+    * documented bound, same contract as I3/I5); marginals, the R×C
+    * expected grid (a broadcast-sized cross join of the two marginal
+    * frames), and the fold all run on category-domain-sized frames.
+    * Output is ONE row: (n, r, c, dof, chi2). */
+  def chisq(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy("a").agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy("b").agg(sum(col("o")).as("ct"))
+    val grid = rt.crossJoin(ct)
+      .join(cells, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("rt"), col("ct"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    val n = cells.agg(sum(col("o")).as("n"),
+      count_distinct(col("a")).as("r"), count_distinct(col("b")).as("c"))
+    val term = {
+      val o = col("o").cast("double"); val nn = col("n").cast("double")
+      val r = col("rt").cast("double"); val c = col("ct").cast("double")
+      val num = (o * nn - r * c) * (o * nn - r * c)
+      num / (nn * r * c)
+    }
+    grid.crossJoin(broadcast(n))
+      .select(col("n"), col("r"), col("c"),
+        struct(col("a"), col("b"), term.as("t")).as("cell"))
+      .groupBy("n", "r", "c")
+      .agg(sort_array(collect_list(col("cell"))).as("cells"))
+      .select(col("n"), col("r"), col("c"),
+        ((col("r") - 1L) * (col("c") - 1L)).as("dof"),
+        aggregate(col("cells"), lit(0.0),
+          (acc, x) => acc + x.getField("t")).as("chi2"))
+  }
+
+  val qChisq: Q = Q(
+    "q_chisq",
+    (s, d) => chisq(Tables.documents(s, d), "lang", "source"),
+    Some("""WITH cells AS (
+        SELECT lang AS a, source AS b, count(*) AS o
+        FROM documents GROUP BY 1, 2),
+      rt AS (SELECT a, sum(o) AS rt FROM cells GROUP BY 1),
+      ct AS (SELECT b, sum(o) AS ct FROM cells GROUP BY 1),
+      n AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        count(DISTINCT a) AS r, count(DISTINCT b) AS c FROM cells),
+      grid AS (
+        SELECT rt.a, ct.b, rt.rt, ct.ct, coalesce(cells.o, 0) AS o
+        FROM rt CROSS JOIN ct
+        LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b),
+      terms AS (
+        SELECT n, r, c, a, b,
+          ((CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+           * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))
+          / ((CAST(n AS DOUBLE) * CAST(rt AS DOUBLE)) * CAST(ct AS DOUBLE))
+            AS t
+        FROM grid CROSS JOIN n)
+      SELECT n, r, c, (r - 1) * (c - 1) AS dof,
+        list_reduce(list_prepend(0.0::DOUBLE, list(t ORDER BY a, b)),
+          (acc, x) -> acc + x) AS chi2
+      FROM terms GROUP BY 1, 2, 3"""))
+
   val all: Seq[Q] =
     Seq(qProfile, qChecks, qHistogram, qCorrelations, qEmbedDrift,
-      qApproxQuantiles)
+      qApproxQuantiles, qChisq)
 }

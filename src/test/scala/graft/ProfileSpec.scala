@@ -112,4 +112,23 @@ class ProfileSpec extends SparkSpec {
     assert(rows.filter(_.getLong(0) < 0).forall(r => r.isNullAt(1) && r.isNullAt(2)),
       "dirty rows must carry NULL bounds")
   }
+
+  test("chisq: balanced grid is exactly 0, perfect association is n*(k-1)") {
+    import spark.implicits._
+    // perfectly balanced 2x2 -> o == e for every cell -> chi2 exactly 0
+    val bal = (Seq.fill(5)(("x", "u")) ++ Seq.fill(5)(("x", "v")) ++
+      Seq.fill(5)(("y", "u")) ++ Seq.fill(5)(("y", "v"))).toDF("a", "b")
+    val b = Profile.chisq(bal, "a", "b").collect().head
+    assert((b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3)) ==
+      ((20L, 2L, 2L, 1L)))
+    assert(b.getDouble(4) == 0.0, s"balanced grid chi2 ${b.getDouble(4)}")
+    // perfect association (a determines b): chi2 = n*(k-1), and the
+    // EMPTY cells (x,v)/(y,u) contribute half that mass — an
+    // observed-only sum would report 10, not 20
+    val dep = (Seq.fill(10)(("x", "u")) ++ Seq.fill(10)(("y", "v")))
+      .toDF("a", "b")
+    val d = Profile.chisq(dep, "a", "b").collect().head
+    assert(d.getDouble(4) == 20.0, s"perfect-association chi2 ${d.getDouble(4)}")
+    assert(d.getLong(3) == 1L)
+  }
 }
