@@ -26,6 +26,12 @@ final case class TransitionState(lastUs: Long, lastId: Long, lastType: String)
 /** One adjacency emitted by [[Streams.transitionsStream]]. */
 final case class TransitionOut(user_id: Long, src: String, dst: String)
 
+/** Per-user funnel progress for [[Streams.funnelStream]]. */
+final case class FunnelState(step: Int, lastUs: Long)
+
+/** One funnel advancement emitted by [[Streams.funnelStream]]. */
+final case class FunnelStep(user_id: Long, step_idx: Long, step: String)
+
 /** One live session per user for [[Streams.sessionizeStream]]. */
 final case class SessionState(
     sessionStart: Long, lastTs: Long, nEvents: Long, totalValue: Double)
@@ -371,6 +377,46 @@ object Streams {
         prev = Some(TransitionState(us(e.ts), e.event_id, e.event_type))
       }
       prev.foreach(state.update)
+      out.result().iterator
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** G14: streaming funnel — B12's strict-order first-touch funnel as
+    * a per-user state machine: state is (highest step reached, its
+    * completion µs) — O(1) per user; an arriving event advances the
+    * user one step when its type is the NEXT step and (beyond entry)
+    * it lands strictly after the previous step's first completion.
+    * One FunnelStep row is emitted per advancement, so counting
+    * emissions per step downstream reproduces the batch per-step
+    * n_users exactly under the stateful twins' in-order-across-batches
+    * contract (within-batch disorder repaired by the sort; the batch
+    * twin's "min ts after prev" IS "first qualifying arrival" in
+    * order). */
+  def funnelStream(
+      events: Dataset[EventRow],
+      steps: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelStep] = {
+    require(steps.nonEmpty && steps.toSet.size == steps.size,
+      "steps must be non-empty and distinct")
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def update(
+        userId: Long,
+        rows: Iterator[EventRow],
+        state: GroupState[FunnelState]): Iterator[FunnelStep] = {
+      val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+      var st = state.getOption.getOrElse(FunnelState(0, 0L))
+      val out = Seq.newBuilder[FunnelStep]
+      sorted.foreach { e =>
+        if (st.step < steps.length && e.event_type == steps(st.step) &&
+            (st.step == 0 || us(e.ts) > st.lastUs)) {
+          st = FunnelState(st.step + 1, us(e.ts))
+          out += FunnelStep(userId, st.step.toLong, steps(st.step - 1))
+        }
+      }
+      state.update(st)
       out.result().iterator
     }
     events

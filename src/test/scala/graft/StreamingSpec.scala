@@ -77,6 +77,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("funnelStream: per-step emission counts equal the batch funnel") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ev = Seq(
+      EventRow(1L, ts(1), 1L, "view", 0.0),
+      EventRow(2L, ts(2), 1L, "click", 0.0),
+      EventRow(3L, ts(90), 1L, "purchase", 0.0),   // batch 2, cross-batch chain
+      EventRow(4L, ts(1), 2L, "click", 0.0),       // click BEFORE first view
+      EventRow(5L, ts(2), 2L, "view", 0.0),
+      EventRow(6L, ts(3), 5L, "view", 0.0),
+      EventRow(7L, ts(3), 5L, "click", 0.0))       // same instant: strict >, no
+    val mem = MemoryStream[EventRow]
+    val query = Streams.funnelStream(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1 delivered out of ts order; the per-batch sort repairs it
+      mem.addData(ev(1), ev(0), ev(3), ev(4), ev(6), ev(5))
+      query.processAllAvailable()
+      mem.addData(ev(2))
+      query.processAllAvailable()
+      val got = spark.table("funnel_stream")
+        .groupBy("step_idx", "step").count()
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = graft.queries.Funnels.funnel(ev.toDF())
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+        .filter(_._2 > 0L).toMap
+      assert(got == want, s"stream $got vs batch $want")
+      assert(got((1L, "view")) == 3L && got((3L, "purchase")) == 1L)
+    } finally query.stop()
+  }
+
   test("scrubPii runs unchanged on a stream (stateless map stage)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
