@@ -270,6 +270,14 @@ object Graft {
     * ([[graft.queries.Similarity.recallAtK]]). */
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
     queries.Similarity.recallAtK(approx, exact)
+  /** Exact Gram matrix X^T X of the quantized embeddings, long format
+    * ([[graft.queries.LinAlg.gramMatrix]]). */
+  def gramMatrix(embeddings: DataFrame): DataFrame =
+    queries.LinAlg.gramMatrix(embeddings)
+  /** First-principal-component projection, power-iteration fit on the
+    * exact Gram ([[graft.queries.LinAlg.pcaProject]]). */
+  def pcaProject(embeddings: DataFrame, iters: Int = 30): DataFrame =
+    queries.LinAlg.pcaProject(embeddings, iters)
   def annLsh(embeddings: DataFrame, dims: Int = 64): DataFrame = queries.Similarity.annLsh(embeddings, dims)
   def annIvf(embeddings: DataFrame): DataFrame = queries.Similarity.annIvf(embeddings)
   def annIvfTrained(embeddings: DataFrame, cells: Int = 10, probes: Int = 3): DataFrame =

@@ -77,7 +77,9 @@ object Plans {
     "q_fuzzy_join" -> "FastSS fuzzy join: deletion-neighborhood keys generated inline by codegen'd array lambdas, explode + variant-key equi-join (never the cross product), distinct pair shuffle, Levenshtein verify on the shortlist only",
     "q_bigram_lm" -> "bigram LM: memoized (doc, bigram) hash agg read by model and scoring branches, model join on the bigram key (both sides pre-partitioned by their aggs), 1-row vocab broadcast, quantized-integer score sum, C15 bounded-histogram tercile pass — no corpus window, no float sum aggregate",
     "q_funnel" -> "strict-order funnel: per-step event_type filters PUSHED to the scan, per-user min aggs joined on user_id with AQE broadcasting the shrinking survivor side, 1-row entry-count broadcast for rates",
-    "q_ref_integrity" -> "FK audit: per constraint one child-key hash agg (the production join's partitioning) + two anti joins with the distinct parent side broadcast; output is 4 rows")
+    "q_ref_integrity" -> "FK audit: per constraint ONE child-key hash agg (the production join's partitioning), ONE full-outer join with the distinct parent keys, ONE conditional-count aggregation — each side scanned once; output is 4 rows",
+    "q_gram_matrix" -> "exact Gram: dims² quantized products from one codegen'd nested-lambda explode (no vec_id key, no self-join), map-side-combinable integer agg on the dims² key space, abs-split exact BIGINT->DOUBLE at output",
+    "q_pca_project" -> "PCA projection: ONE shuffle-free map stage — the fitted PC1 enters as literal coefficients (driver model state), pc1 = fixed-order unrolled dot chain; presentation sort is the only exchange")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

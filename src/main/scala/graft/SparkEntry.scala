@@ -18,7 +18,8 @@ object SparkEntry {
       SnapshotDiff.all ++ Quantize.all ++ Attribution.all ++ Profile.all ++
       Selection.all ++ LineFilters.all ++ DupCensus.all ++ TokenizerStats.all ++
       DocEmbed.all ++ SuffixDedup.all ++ Splits.all ++ QualityTrain.all ++
-      Funnels.all ++ Integrity.all ++ FuzzyJoin.all ++ BigramLm.all
+      Funnels.all ++ Integrity.all ++ FuzzyJoin.all ++ BigramLm.all ++
+      LinAlg.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
