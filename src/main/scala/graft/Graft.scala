@@ -350,6 +350,11 @@ object Graft {
   /** Row-normalized event-type transition matrix
     * ([[graft.queries.Funnels.transitions]]). */
   def transitions(events: DataFrame): DataFrame = queries.Funnels.transitions(events)
+  /** User pairs with near-identical daily activity series (exact
+    * integer distances, lossless total-sum grid blocking)
+    * ([[graft.queries.Series.seriesPairs]]). */
+  def seriesPairs(events: DataFrame, eps: Long = 3200000000L): DataFrame =
+    queries.Series.seriesPairs(events, eps)
   /** Typed JSON field extraction + per-type stats over `props`
     * ([[graft.queries.SemiStructured.propStats]]). */
   def propStats(events: DataFrame): DataFrame = queries.SemiStructured.propStats(events)
