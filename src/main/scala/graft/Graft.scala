@@ -239,6 +239,10 @@ object Graft {
     graft.ops.ConnectedComponents.connectedComponents(edges, src, dst)
   /** Fixed-iteration integer-exact PageRank over any (src, dst) edge
     * list ([[graft.ops.PageRank]]). */
+  /** Per-node triangle counts over the part co-purchase graph,
+    * degree-oriented ([[graft.queries.GraphRank.triangles]]). */
+  def triangles(lineitem: DataFrame): DataFrame =
+    queries.GraphRank.triangles(lineitem)
   def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
       iterations: Int = 5): DataFrame =
     graft.ops.PageRank.pageRank(edges, src, dst, iterations)

@@ -1164,6 +1164,49 @@ object ScaleProbe {
     println(f"fuzzy join census    ${"check"}%9s       every planted deletion matched at dist 1, nothing else  PASS")
     master.unpersist()
 
+    // --- B15 time-series pairs at scale: nDocs users × 30-day integer
+    // series, daily cents hash-uniform in [0, 2e6) so totals spread
+    // across ~11k grid cells (the regime the total-sum blocking is
+    // for); every 100th user gets a twin differing by exactly ONE cent
+    // on day 7. At eps = 10^6 a random pair's dist² (~30·(8e5)² ≈
+    // 2·10¹³) can never qualify, so the expected pair set is EXACTLY
+    // the planted twins at dist² = 1 — found even when the one-cent
+    // twin straddles a cell edge (the adjacent-cell probe).
+    val nSu = nDocs
+    def dayCents(seed: Column, i: Column): Column =
+      pmod(xxhash64(seed * 8191L + i), lit(2000000L))
+    val suBase = spark.range(nSu).select(col("id").as("user_id"),
+      transform(sequence(lit(1), lit(30)), i => dayCents(col("id"), i)).as("s"))
+    val suTwin = spark.range(nSu).filter(col("id") % 100 === 0)
+      .select((col("id") + nSu).as("user_id"),
+        transform(sequence(lit(1), lit(30)), i =>
+          dayCents(col("id"), i) + when(i === 7, 1L).otherwise(0L)).as("s"))
+    // feed seriesPairs through its events-shaped contract: one event
+    // per (user, day) at value = cents/100 (cents/100.0 re-quantizes
+    // exactly: round(x/100*100) == x for these magnitudes)
+    val suEvents = suBase.unionByName(suTwin)
+      .select(col("user_id"), posexplode(col("s")).as(Seq("day", "cents")))
+      .select(col("user_id"),
+        expr("timestamp_micros(CAST((19723 + day) AS BIGINT) * 86400000000)").as("ts"),
+        (col("cents").cast("double") / 100.0).as("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSuEvents = suEvents.count()
+    val nTwinsSu = (nSu + 99) / 100
+    val (suAgg, tSu) = time {
+      Graft.seriesPairs(suEvents, eps = 1000000L)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dist2") === 1L, 1L).otherwise(0L)).as("d1"),
+          sum(when(col("u2") === col("u1") + nSu, 1L).otherwise(0L)).as("tw"))
+        .head()
+    }
+    println(f"series pairs         ${nSu + nTwinsSu}%9d usrs  $tSu%7.1f s  ${(nSu + nTwinsSu) / tSu}%9.0f usrs/s  (${suAgg.getLong(0)} pairs from $nSuEvents day-events)")
+    assert(suAgg.getLong(0) == nTwinsSu && suAgg.getLong(1) == nTwinsSu &&
+      suAgg.getLong(2) == nTwinsSu,
+      s"series census: (pairs, dist1, twin-paired) = $suAgg vs $nTwinsSu planted " +
+        "one-cent twins — grid blocking dropped or manufactured pairs")
+    println(f"series pair census   ${"check"}%9s       every planted one-cent twin found at dist² = 1, nothing else  PASS")
+    suEvents.unpersist()
+
     // --- C23 bigram LM at scale: the model key space is bounded by the
     // observed bigram vocabulary (≤ 50² here; ≤ corpus bigram types in
     // general — aggregated, never windowed), the threshold pass by the

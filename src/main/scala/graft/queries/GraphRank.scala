@@ -75,5 +75,86 @@ object GraphRank {
       FROM it$Iters ORDER BY kind, key"""
     })
 
-  val all: Seq[Q] = Seq(qPageRank)
+  /** D23: per-node triangle counts over the part CO-PURCHASE graph
+    * (undirected edge = two parts sharing an order) — the local
+    * clustering signal behind "frequently bought together" analysis,
+    * and the classic distributed-graph benchmark.
+    *
+    * Algorithm: DEGREE-ORIENTED counting (Cohen '09 / the MR classic):
+    * every undirected edge is oriented from its lower-(degree, id)
+    * endpoint to the higher, wedges enumerate only from each node's
+    * ORIENTED adjacency (bounded by Σ d⁺(v)² where d⁺ ≤ √(2·|E|) —
+    * the hub that explodes naive wedge counting never fans out), and
+    * a wedge closes iff its (b, c) closing edge exists in the same
+    * oriented set. Each triangle is found exactly once.
+    *
+    * Scale shape: the edge list is built from one order-keyed
+    * self-join of the DISTINCT (order, part) pairs (co-partitioned on
+    * the order key), degrees are one count agg, and the wedge/closure
+    * steps are two equi-joins on node keys. No driver state, no
+    * corpus-wide window. The oracle counts the same triangles by the
+    * naive id-ordered 3-way join — hash-equality is the
+    * orientation-correctness proof (each triangle once, none missed).
+    * Output: (part, degree, n_tri) for every part with at least one
+    * co-purchase edge (isolated parts have no graph presence). */
+  def triangles(lineitem: DataFrame): DataFrame = {
+    val li = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val deg = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val er = e
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = er.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("s"),
+      when(uFirst, col("v")).otherwise(col("u")).as("t"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("dt"))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.s") === col("y.s") &&
+          (col("x.dt") < col("y.dt") ||
+            (col("x.dt") === col("y.dt") && col("x.t") < col("y.t"))))
+      .select(col("x.s").as("ta"), col("x.t").as("tb"), col("y.t").as("tc"))
+    val tris = wedges.join(
+      oriented.select(col("s").as("tb"), col("t").as("tc")), Seq("tb", "tc"))
+    val perNode = tris.select(col("ta").as("node"))
+      .unionByName(tris.select(col("tb").as("node")))
+      .unionByName(tris.select(col("tc").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node").as("part"), col("deg").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .orderBy("part")
+  }
+
+  val qTriangles: Q = Q(
+    "q_triangles",
+    (s, d) => triangles(Tables.lineitem(s, d)),
+    Some("""WITH li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      deg AS (SELECT node, count(*) AS deg FROM (
+          SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        GROUP BY 1),
+      tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+      cnt AS (SELECT node, count(*) AS n_tri FROM (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b AS node FROM tri
+          UNION ALL SELECT c AS node FROM tri)
+        GROUP BY 1)
+      SELECT d.node AS part, d.deg AS degree,
+        CAST(coalesce(cnt.n_tri, 0) AS BIGINT) AS n_tri
+      FROM deg d LEFT JOIN cnt ON d.node = cnt.node
+      ORDER BY part"""))
+
+  val all: Seq[Q] = Seq(qPageRank, qTriangles)
 }
