@@ -80,8 +80,8 @@ object Plans {
     "q_ref_integrity" -> "FK audit: per constraint ONE child-key hash agg (the production join's partitioning), ONE full-outer join with the distinct parent keys, ONE conditional-count aggregation — each side scanned once; output is 4 rows",
     "q_gram_matrix" -> "exact Gram: dims² quantized products from one codegen'd nested-lambda explode (no vec_id key, no self-join), map-side-combinable integer agg on the dims² key space, abs-split exact BIGINT->DOUBLE at output",
     "q_pca_project" -> "PCA projection: ONE shuffle-free map stage — the fitted PC1 enters as literal coefficients (driver model state), pc1 = fixed-order unrolled dot chain; presentation sort is the only exchange",
-    "q_series_pairs" -> "time-series pairs: per-user series agg (one user_id shuffle), 2-value bounds broadcast (W in-plan), 3-cell explode + cell equi-join (never users^2), integer zip_with rescore on candidates only",
-    "q_triangles" -> "degree-oriented triangles: order-keyed self-join builds edges, degree joins orient low->high, wedge join on the oriented source + closure equi-join on (b, c) — hubs are oriented sinks, no high-degree fan-out")
+    "q_series_pairs" -> "time-series pairs, payload-free candidates: memoized per-user frame, SLIM (user, cell, 5 PAA segment sums) 3-cell equi-join + segment-sum lower-bound prune (arrays never shuffle through candidate generation), survivors alone join the arrays back for the exact integer zip_with rescore",
+    "q_triangles" -> "degree-oriented triangles, wedge-free: edges orient low->high (degree, id), per-node oriented adjacency arrays (bounded by sqrt(2|E|)), triangles = array_intersect(adj+(a), adj+(b)) per edge as ONE codegen array op — the wedge set (72M rows at sf0.1) is never materialized or shuffled")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

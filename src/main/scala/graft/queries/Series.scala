@@ -28,7 +28,14 @@ import org.apache.spark.sql.functions._
   * exact rescore touches candidate pairs only. */
 object Series {
 
-  /** Per-user dense integer day-series with blocking cell attached. */
+  private[this] val cache = new graft.ops.PlanCache(capacity = 2)
+
+  /** PAA segment count for the candidate-stage lower bound. */
+  private val Segs = 5
+
+  /** Per-user dense integer day-series, total-sum blocking cell, and
+    * the [[Segs]] PAA segment sums — one frame, memo-persisted so the
+    * slim candidate branch and the array rescore branch share it. */
   private def seriesFrame(events: DataFrame, eps: Long): DataFrame = {
     val day = events
       .select(col("user_id"),
@@ -36,35 +43,61 @@ object Series {
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .groupBy("user_id", "ed").agg(sum(col("cents")).as("cents"))
     val bounds = day.agg(min(col("ed")).as("d0"), max(col("ed")).as("d1"))
-    day.crossJoin(broadcast(bounds))
-      .select(col("user_id"), (col("ed") - col("d0")).as("idx"),
-        col("cents"), (col("d1") - col("d0") + 1L).as("len"))
-      .groupBy("user_id", "len")
-      .agg(map_from_entries(collect_list(struct(col("idx"), col("cents"))))
-        .as("m"))
-      .select(col("user_id"),
+    val segCols = (0 until Segs).map(j =>
+      sum(when(expr(s"(ed - d0) * $Segs div (d1 - d0 + 1)") === j.toLong,
+        col("cents")).otherwise(0L)).as(s"g$j"))
+    val aggCols: Seq[org.apache.spark.sql.Column] =
+      Seq(map_from_entries(collect_list(
+          struct((col("ed") - col("d0")).as("idx"), col("cents")))).as("m"),
+        max(col("d1") - col("d0") + 1L).as("len")) ++
+        segCols :+ sum(col("cents")).as("total")
+    cache.memo(day.crossJoin(broadcast(bounds))
+      .groupBy("user_id")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select((Seq(col("user_id"),
         expr("transform(sequence(0, CAST(len - 1 AS INT)), i -> coalesce(m[CAST(i AS BIGINT)], 0L))")
           .as("s"),
-        col("len"))
-      .withColumn("total", expr("aggregate(s, 0L, (acc, x) -> acc + x)"))
-      .withColumn("w",
-        expr(s"greatest(CAST(ceil(sqrt(CAST(len AS DOUBLE) * $eps.0)) AS BIGINT), 1L)"))
-      .withColumn("cell", expr("total div w"))
-      .select(col("user_id"), col("s"), col("cell"))
+        col("len"), col("total"),
+        expr(s"greatest(CAST(ceil(sqrt(CAST(len AS DOUBLE) * $eps.0)) AS BIGINT), 1L)")
+          .as("w")) ++ (0 until Segs).map(j => col(s"g$j"))): _*)
+      .withColumn("cell", expr("total div w")))
   }
 
   /** Pairs of users whose integer day-series lie within squared
     * Euclidean distance `eps` (cents²). Output (u1, u2, dist2),
-    * u1 < u2, ordered. */
+    * u1 < u2, ordered.
+    *
+    * Two-stage, both stages lossless: (1) SLIM candidates — the cell
+    * equi-join carries only (user, cell, segment sums), never the
+    * series arrays ("payloads never shuffle through candidate
+    * generation"), and prunes by the PAA bound
+    * Σ_j (Δg_j)² ≤ ceil(L/segs)·eps (per-segment Cauchy–Schwarz —
+    * a NECESSARY condition, no false dismissals); (2) survivors alone
+    * join the arrays back by user id for the exact integer rescore. */
   def seriesPairs(events: DataFrame, eps: Long = 3200000000L): DataFrame = {
     require(eps > 0, s"eps must be positive (got $eps)")
     val sf = seriesFrame(events, eps)
-    val left = sf.select(col("user_id").as("u1"), col("s").as("s1"),
-      explode(array(col("cell") - 1L, col("cell"), col("cell") + 1L)).as("bc"))
-    val right = sf.select(col("user_id").as("u2"), col("s").as("s2"),
-      col("cell").as("bc"))
-    left.join(right, "bc")
+    val slimCols = Seq(col("user_id"), col("cell"), col("len")) ++
+      (0 until Segs).map(j => col(s"g$j"))
+    val slim = sf.select(slimCols: _*)
+    val left = slim.select((Seq(col("user_id").as("u1"), col("len")) ++
+      (0 until Segs).map(j => col(s"g$j").as(s"a$j")) :+
+      explode(array(col("cell") - 1L, col("cell"), col("cell") + 1L)).as("bc")): _*)
+    val right = slim.select((Seq(col("user_id").as("u2"),
+      col("cell").as("bc")) ++
+      (0 until Segs).map(j => col(s"g$j").as(s"b$j"))): _*)
+    val paaBound = (0 until Segs)
+      .map(j => (col(s"a$j") - col(s"b$j")) * (col(s"a$j") - col(s"b$j")))
+      .reduce(_ + _)
+    val cand = left.join(right, "bc")
       .filter(col("u1") < col("u2"))
+      .filter(paaBound <=
+        expr(s"CAST(ceil(CAST(len AS DOUBLE) / $Segs.0) AS BIGINT)") * eps)
+      .select(col("u1"), col("u2"))
+    val arrays = sf.select(col("user_id"), col("s"))
+    cand
+      .join(arrays.select(col("user_id").as("u1"), col("s").as("s1")), "u1")
+      .join(arrays.select(col("user_id").as("u2"), col("s").as("s2")), "u2")
       .withColumn("dist2",
         expr("aggregate(zip_with(s1, s2, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
       .filter(col("dist2") <= eps)
