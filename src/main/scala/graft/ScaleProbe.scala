@@ -1207,6 +1207,36 @@ object ScaleProbe {
     println(f"series pair census   ${"check"}%9s       every planted one-cent twin found at dist² = 1, nothing else  PASS")
     suEvents.unpersist()
 
+    // --- D23 triangles at scale: nDocs/2 disjoint K3 "orders" (parts
+    // 3k, 3k+1, 3k+2) chained by 2-part orders (3k+2, 3k+3) that close
+    // nothing — the expected census is EXACT: one triangle per K3,
+    // every triangle node in exactly 1, every pure-chain contribution 0.
+    // The claim under test: the per-edge adjacency-intersect plan
+    // (wedge-free) holds its bound on a multi-million-edge graph.
+    val nTriK = nDocs / 2
+    val k3 = spark.range(nTriK).select(col("id").as("o"),
+      explode(array(col("id") * 3, col("id") * 3 + 1, col("id") * 3 + 2)).as("p"))
+    val triChain = spark.range(nTriK - 1).select((col("id") + nTriK).as("o"),
+      explode(array(col("id") * 3 + 2, col("id") * 3 + 3)).as("p"))
+    val triLineitem = k3.unionByName(triChain)
+      .select(col("o").as("l_orderkey"), col("p").as("l_partkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    triLineitem.count()
+    val (triAgg, tTri) = time {
+      Graft.triangles(triLineitem)
+        .agg(sum(col("n_tri")).as("mass"),
+          sum(when(col("n_tri") === 1L, 1L).otherwise(0L)).as("n1"),
+          count(lit(1)).as("nodes")).head()
+    }
+    val triNodes = 3L * nTriK
+    println(f"triangles            ${triNodes}%9d node  $tTri%7.1f s  ${triNodes / tTri}%9.0f nodes/s  (${triAgg.getLong(0) / 3} triangles)")
+    assert(triAgg.getLong(0) == 3L * nTriK && triAgg.getLong(1) == triNodes &&
+      triAgg.getLong(2) == triNodes,
+      s"triangle census: (mass, ones, nodes) = $triAgg vs $nTriK planted K3s — " +
+        "orientation dropped or manufactured triangles")
+    println(f"triangle census      ${"check"}%9s       one triangle per planted K3, chains close nothing  PASS")
+    triLineitem.unpersist()
+
     // --- C23 bigram LM at scale: the model key space is bounded by the
     // observed bigram vocabulary (≤ 50² here; ≤ corpus bigram types in
     // general — aggregated, never windowed), the threshold pass by the
