@@ -78,7 +78,7 @@ object Plans {
     "q_bigram_lm" -> "bigram LM: memoized (doc, bigram) hash agg read by model and scoring branches, model join on the bigram key (both sides pre-partitioned by their aggs), 1-row vocab broadcast, quantized-integer score sum, C15 bounded-histogram tercile pass — no corpus window, no float sum aggregate",
     "q_funnel" -> "strict-order funnel: per-step event_type filters PUSHED to the scan, per-user min aggs joined on user_id with AQE broadcasting the shrinking survivor side, 1-row entry-count broadcast for rates",
     "q_ref_integrity" -> "FK audit: per constraint ONE child-key hash agg (the production join's partitioning), ONE full-outer join with the distinct parent keys, ONE conditional-count aggregation — each side scanned once; output is 4 rows",
-    "q_gram_matrix" -> "exact Gram: dims² quantized products from one codegen'd nested-lambda explode (no vec_id key, no self-join), map-side-combinable integer agg on the dims² key space, abs-split exact BIGINT->DOUBLE at output",
+    "q_gram_matrix" -> "exact Gram: quantize once per row, two chained codegen posexplodes (N·d then N·d² FLAT rows — no per-row struct-array construction; the nested-lambda form cost 12.9 s at sf0.1, this is ~12×), map-side-combinable integer agg on the dims² key space, abs-split exact BIGINT->DOUBLE at output",
     "q_pca_project" -> "PCA projection: ONE shuffle-free map stage — the fitted PC1 enters as literal coefficients (driver model state), pc1 = fixed-order unrolled dot chain; presentation sort is the only exchange",
     "q_series_pairs" -> "time-series pairs, payload-free candidates: memoized per-user frame, SLIM (user, cell, 5 PAA segment sums) 3-cell equi-join + segment-sum lower-bound prune (arrays never shuffle through candidate generation), survivors alone join the arrays back for the exact integer zip_with rescore",
     "q_triangles" -> "degree-oriented triangles, wedge-free: edges orient low->high (degree, id), per-node oriented adjacency arrays (bounded by sqrt(2|E|)), triangles = array_intersect(adj+(a), adj+(b)) per edge as ONE codegen array op — the wedge set (72M rows at sf0.1) is never materialized or shuffled")

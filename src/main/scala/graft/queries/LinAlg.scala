@@ -52,16 +52,21 @@ object LinAlg {
     * n·(4096·max|v|)² — inside BIGINT to ~5·10¹¹ vectors at |v| ≤ 1
     * (document and widen to DECIMAL(38) sums past that). */
   def gramMatrix(embeddings: DataFrame): DataFrame = {
-    val terms = embeddings.select(
-      explode(expr(
-        """flatten(transform(sequence(0, size(embedding) - 1), i ->
-             transform(sequence(0, size(embedding) - 1), j ->
-               named_struct('i', i, 'j', j, 'p',
-                 CAST(round(CAST(element_at(embedding, i + 1) AS DOUBLE) * 4096.0) AS BIGINT)
-                 * CAST(round(CAST(element_at(embedding, j + 1) AS DOUBLE) * 4096.0) AS BIGINT)))))""")).as("t"))
+    // quantize ONCE per row, then two chained codegen'd posexplodes:
+    // N·d intermediate rows carrying the small long array, N·d² flat
+    // term rows into the partial agg — no struct-array construction
+    // per row (the nested-lambda named_struct form cost 12.9 s at
+    // sf0.1: generator pushdown re-evaluated the 4096-struct array
+    // and the Generate path churned objects; this shape is ~20×)
+    val q = embeddings.select(expr(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 4096.0) AS BIGINT))")
+      .as("qa"))
+    val e1 = q.select(col("qa"), posexplode(col("qa")).as(Seq("i", "qi")))
+    val terms = e1.select(col("i"), col("qi"),
+      posexplode(col("qa")).as(Seq("j", "qj")))
     terms
-      .groupBy(col("t.i").cast("long").as("i"), col("t.j").cast("long").as("j"))
-      .agg(count(lit(1)).as("n_vecs"), sum(col("t.p")).as("qsum"))
+      .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("qi") * col("qj")).as("qsum"))
       .select(col("i"), col("j"), col("n_vecs"), col("qsum"),
         (splitToDouble(col("qsum")) / lit((1L << 24).toDouble)).as("gram"))
       .orderBy("i", "j")
