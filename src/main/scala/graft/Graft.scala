@@ -89,10 +89,10 @@ object Graft {
     * ([[graft.queries.Tokenizer.bpeStats]]). */
   def bpeStats(docs: DataFrame, merges: Seq[((String, String), String)]): DataFrame =
     queries.Tokenizer.bpeStats(docs, merges)
-  /** BM25 retrieval of a term disjunction ([[graft.queries.Ranking.searchBm25]]). */
   /** Bigram-LM perplexity scoring with CCNet head/middle/tail buckets
     * ([[graft.queries.BigramLm.bigramLm]]). */
   def bigramLm(docs: DataFrame): DataFrame = queries.BigramLm.bigramLm(docs)
+  /** BM25 retrieval of a term disjunction ([[graft.queries.Ranking.searchBm25]]). */
   def searchBm25(docs: DataFrame, terms: Seq[String], k: Int = 15): DataFrame =
     queries.Ranking.searchBm25(docs, terms, k)
   /** The C4 three-sentence rule: corpus-wide excision of repeated
@@ -237,12 +237,12 @@ object Graft {
     * is the minimum reachable node id. */
   def connectedComponents(edges: DataFrame, src: String = "src", dst: String = "dst"): DataFrame =
     graft.ops.ConnectedComponents.connectedComponents(edges, src, dst)
-  /** Fixed-iteration integer-exact PageRank over any (src, dst) edge
-    * list ([[graft.ops.PageRank]]). */
   /** Per-node triangle counts over the part co-purchase graph,
     * degree-oriented ([[graft.queries.GraphRank.triangles]]). */
   def triangles(lineitem: DataFrame): DataFrame =
     queries.GraphRank.triangles(lineitem)
+  /** Fixed-iteration integer-exact PageRank over any (src, dst) edge
+    * list ([[graft.ops.PageRank]]). */
   def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
       iterations: Int = 5): DataFrame =
     graft.ops.PageRank.pageRank(edges, src, dst, iterations)

@@ -1144,7 +1144,7 @@ object ScaleProbe {
     val master = spark.range(nMaster)
       .select(fzName(col("id")).as("mname"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDirty = master.count() / 10 // materialize master; every 10th corrupted
+    val nDirty = (master.count() + 9) / 10 // materialize; ids 0,10,… corrupted
     val dirty = spark.range(nMaster).filter(col("id") % 10 === 0)
       .select(col("id").as("mid"), fzName(col("id")).as("name"))
       .select(expr(
@@ -1157,11 +1157,14 @@ object ScaleProbe {
           count_distinct(col("dirty_name")).as("nd")).head()
     }
     println(f"fuzzy join           $nMaster%9d mstr  $tFz%7.1f s  ${nMaster / tFz}%9.0f rows/s  (${fzAgg.getLong(0)} pairs from $nDirty dirty)")
-    assert(fzAgg.getLong(0) == nDirty && fzAgg.getLong(1) == nDirty &&
-      fzAgg.getLong(2) == nDirty,
+    // allowance: ~1e11 dirty×master cross pairs at P(lev<=2)~1e-12 per
+    // random pair expect ~0.1 accidental matches per run — a hard
+    // equality would flake ~1 run in 10 on a CORRECT join
+    assert(fzAgg.getLong(0) >= nDirty && fzAgg.getLong(0) <= nDirty + 5 &&
+      fzAgg.getLong(1) >= nDirty && fzAgg.getLong(2) == nDirty,
       s"fuzzy census: (pairs, dist1, dirty-matched) = $fzAgg vs $nDirty planted " +
         "one-char deletions — blocking is dropping or manufacturing pairs")
-    println(f"fuzzy join census    ${"check"}%9s       every planted deletion matched at dist 1, nothing else  PASS")
+    println(f"fuzzy join census    ${"check"}%9s       every planted deletion matched at dist 1 (${fzAgg.getLong(0) - nDirty} accidental)  PASS")
     master.unpersist()
 
     // --- B15 time-series pairs at scale: nDocs users × 30-day integer

@@ -123,7 +123,13 @@ object Funnels {
     val first = days.groupBy("user_id").agg(min(col("d")).as("d0"))
     days.join(first, "user_id")
       .select(
-        expr("CAST(datediff(d0, DATE'1970-01-01') div 7 AS BIGINT)").as("cohort_wk"),
+        // FLOOR, not `div`: Spark div truncates toward zero while the
+        // oracle's // floors — they diverge on pre-1970 first events
+        // (epoch days negative); the double division is exact at
+        // day-count magnitudes. offset_wk is >= 0 by construction, so
+        // div == floor there.
+        expr("CAST(FLOOR(CAST(datediff(d0, DATE'1970-01-01') AS DOUBLE) / 7.0) AS BIGINT)")
+          .as("cohort_wk"),
         expr("CAST(datediff(d, d0) div 7 AS BIGINT)").as("offset_wk"),
         col("user_id"))
       .groupBy("cohort_wk", "offset_wk")

@@ -72,9 +72,11 @@ object FuzzyJoin {
     d.join(m, "bk")
       .select(col("dirty_name"), col("master_name"))
       .distinct()
-      .filter(levenshtein(col("dirty_name"), col("master_name")) <= maxDist)
-      .select(col("dirty_name"), col("master_name"),
-        levenshtein(col("dirty_name"), col("master_name")).cast("long").as("dist"))
+      // compute the O(|s|·|t|) DP once per candidate — Catalyst does
+      // not dedupe the expression across Filter and Project
+      .withColumn("dist",
+        levenshtein(col("dirty_name"), col("master_name")).cast("long"))
+      .filter(col("dist") <= maxDist)
       .orderBy("dirty_name", "master_name")
   }
 

@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object LinAlg {
 
+  private[this] val cache = new graft.ops.PlanCache(capacity = 2)
+
   /** Fixed-point scale shared with E5. */
   private val Q12 = 4096.0
 
@@ -64,11 +66,14 @@ object LinAlg {
     val e1 = q.select(col("qa"), posexplode(col("qa")).as(Seq("i", "qi")))
     val terms = e1.select(col("i"), col("qi"),
       posexplode(col("qa")).as(Seq("j", "qj")))
-    terms
+    // memo: the dims²-row result is read by q_gram_matrix AND as
+    // pcaProject's fit input in the same session — the N·d² pass
+    // should run once
+    cache.memo(terms
       .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("qi") * col("qj")).as("qsum"))
       .select(col("i"), col("j"), col("n_vecs"), col("qsum"),
-        (splitToDouble(col("qsum")) / lit((1L << 24).toDouble)).as("gram"))
+        (splitToDouble(col("qsum")) / lit((1L << 24).toDouble)).as("gram")))
       .orderBy("i", "j")
   }
 

@@ -562,7 +562,11 @@ object Profile {
     * frames), and the fold all run on category-domain-sized frames.
     * Output is ONE row: (n, r, c, dof, chi2). */
   def chisq(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // NULL categories are excluded (standard chi-square contract): a
+    // NULL group would carry marginal mass the equality-joined grid
+    // can never match (NULL != NULL), silently inflating the statistic
     val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
       .groupBy("a", "b").agg(count(lit(1)).as("o"))
     val rt = cells.groupBy("a").agg(sum(col("o")).as("rt"))
     val ct = cells.groupBy("b").agg(sum(col("o")).as("ct"))
@@ -594,7 +598,9 @@ object Profile {
     (s, d) => chisq(Tables.documents(s, d), "lang", "source"),
     Some("""WITH cells AS (
         SELECT lang AS a, source AS b, count(*) AS o
-        FROM documents GROUP BY 1, 2),
+        FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL
+        GROUP BY 1, 2),
       rt AS (SELECT a, sum(o) AS rt FROM cells GROUP BY 1),
       ct AS (SELECT b, sum(o) AS ct FROM cells GROUP BY 1),
       n AS (SELECT CAST(sum(o) AS BIGINT) AS n,

@@ -20,6 +20,17 @@ final case class UserCounters(n_events: Long, n_purchases: Long, total_value: Do
 final case class UserUpdate(
     user_id: Long, n_events: Long, n_purchases: Long, total_value: Double)
 
+/** Timestamp → epoch microseconds, floor-correct for pre-epoch
+  * instants (getTime/1000 truncates toward zero while getNanos is
+  * always non-negative — the naive form mis-orders 1969 events). A
+  * standalone serializable holder: a method on the Streams object
+  * would drag the whole (non-serializable) object into the
+  * flatMapGroupsWithState closures. */
+private[streaming] object EventTime extends Serializable {
+  def us(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+}
+
 /** Per-user last-event state for [[Streams.transitionsStream]]. */
 final case class TransitionState(lastUs: Long, lastId: Long, lastType: String)
 
@@ -364,7 +375,7 @@ object Streams {
     * repaired by the sort). */
   def transitionsStream(events: Dataset[EventRow]): Dataset[TransitionOut] = {
     import events.sparkSession.implicits._
-    def us(t: java.sql.Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def us(t: java.sql.Timestamp): Long = EventTime.us(t)
     def update(
         userId: Long,
         rows: Iterator[EventRow],
@@ -401,7 +412,7 @@ object Streams {
     require(steps.nonEmpty && steps.toSet.size == steps.size,
       "steps must be non-empty and distinct")
     import events.sparkSession.implicits._
-    def us(t: java.sql.Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def us(t: java.sql.Timestamp): Long = EventTime.us(t)
     def update(
         userId: Long,
         rows: Iterator[EventRow],

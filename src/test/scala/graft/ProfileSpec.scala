@@ -130,5 +130,14 @@ class ProfileSpec extends SparkSpec {
     val d = Profile.chisq(dep, "a", "b").collect().head
     assert(d.getDouble(4) == 20.0, s"perfect-association chi2 ${d.getDouble(4)}")
     assert(d.getLong(3) == 1L)
+    // NULL categories are excluded entirely (a NULL group would carry
+    // marginal mass the equality-joined grid can never match)
+    val withNulls = (Seq.fill(10)((Some("x"), Some("u"))) ++
+      Seq.fill(10)((Some("y"), Some("v"))) ++
+      Seq.fill(7)((None: Option[String], Some("u"))) ++
+      Seq.fill(3)((Some("x"), None: Option[String]))).toDF("a", "b")
+    val n = Profile.chisq(withNulls, "a", "b").collect().head
+    assert((n.getLong(0), n.getLong(1), n.getLong(2), n.getDouble(4)) ==
+      ((20L, 2L, 2L, 20.0)), s"nulls must not inflate the statistic: $n")
   }
 }
