@@ -387,6 +387,11 @@ object Graft {
     * ([[graft.queries.Shards.shuffleOrder]]). */
   def shuffleOrder(docs: DataFrame, seed: Long = 0L): DataFrame =
     queries.Shards.shuffleOrder(docs, seed)
+  /** Curriculum epoch order: quality-decile-major positions, seeded
+    * shuffle within each decile
+    * ([[graft.queries.Shards.curriculumOrder]]). */
+  def curriculumOrder(docs: DataFrame, seed: Long = 0L): DataFrame =
+    queries.Shards.curriculumOrder(docs, seed)
   /** Weighted sampling without replacement, Efraimidis–Spirakis A-ES
     * over the seeded portable draw
     * ([[graft.queries.Shards.weightedSample]]). */

@@ -577,8 +577,55 @@ object Shards {
       GROUP BY lang
       ORDER BY lang"""))
 
+  /** H13: curriculum epoch order — quality-decile-major positions
+    * (best decile 10 first), seeded-random WITHIN each decile: the
+    * curriculum-learning loader order ("clean data first") that
+    * composes C15's threshold pass with H10's shuffle machinery. Each
+    * doc's 1-based position orders by (10 − decile, scramble, doc_id);
+    * per-epoch `seed` reshuffles within deciles while the decile-major
+    * structure stands.
+    *
+    * Scale shape: C15's bounded-histogram decile paint (memo-shared
+    * with the standalone row), the H10 scramble as a pure map, ONE
+    * packed DECIMAL(38,0) order key — (10−decile)·2^62 + scramble·2^32
+    * + doc_id, each component range-disjoint — through the SAME
+    * distributed prefix sum as [[shuffleOrder]] (range partition +
+    * per-partition offsets; no corpus-wide window). The oracle chains
+    * C15's decile CTEs (fragment-shared, the D17 technique) into one
+    * row_number over the identical ordering tuple. */
+  def curriculumOrder(docs: DataFrame, seed: Long = 0L): DataFrame = {
+    require(seed >= 0 && seed < ScrambleP - 1,
+      s"seed must be in [0, ${ScrambleP - 1})")
+    val mult = ((seed + 1) % ScrambleP) * ScrambleA % ScrambleP
+    val dec = TextAnalysis.qualityDeciles(docs).select("doc_id", "decile")
+    val keyed = dec.select(col("doc_id"), col("decile"),
+        (((col("doc_id") % ScrambleP) * mult) % ScrambleP).as("scramble"))
+      .select(col("doc_id"), col("decile"),
+        (expr("CAST(10 - decile AS DECIMAL(38,0)) * 4611686018427387904") +
+          col("scramble") * lit(4294967296L) +
+          when(col("doc_id") >= 0 && col("doc_id") < 4294967296L, col("doc_id"))
+            .otherwise(raise_error(concat(
+              lit("curriculumOrder: doc_id out of [0, 2^32): "),
+              col("doc_id"))))).as("ord_key"))
+      .withColumn("one", lit(1L))
+    graft.ops.ScaleOps.prefixSum(keyed, "ord_key", "one", "pos")
+      .select(col("doc_id"), col("decile"), col("pos"))
+      .orderBy("doc_id")
+  }
+
+  val qCurriculum: Q = Q(
+    "q_curriculum",
+    (s, d) => curriculumOrder(Tables.documents(s, d), seed = 42L),
+    Some(s"""WITH ${TextAnalysis.sqlDecileCtes("documents")}
+      SELECT doc_id, decile,
+        row_number() OVER (ORDER BY 10 - decile,
+          ((doc_id % $ScrambleP) * ((43 * $ScrambleA) % $ScrambleP)) % $ScrambleP,
+          doc_id) AS pos
+      FROM deciles
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(qPackShards, qPackSequences, qPackSequencesBpe, qStratifiedSample,
       qDomainMix, qDomainMixTemp, qShuffleOrder, qWeightedSample,
-      qWeightedSampleBpe)
+      qWeightedSampleBpe, qCurriculum)
 }

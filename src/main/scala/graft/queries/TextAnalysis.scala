@@ -305,23 +305,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val qQualityDeciles: Q = Q(
-    "q_quality_deciles",
-    (s, d) => qualityDeciles(Tables.documents(s, d)),
-    Some {
-      val toks = sqlWords("text")
-      val en = sqlStopHits(toks, stopEn)
-      val cases = (1 to 9)
-        .map(i => s"(CASE WHEN q_units > t$i THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      val ths = (1 to 9)
-        .map(i => s"min(CASE WHEN cum * 10 >= n_tot * $i THEN q_units END) AS t$i")
-        .mkString(", ")
-      s"""WITH base AS (
+  /** Oracle-side decile pipeline as CTEs ending in
+    * `deciles (doc_id, quality_score, decile)` over `tbl` — shared by
+    * the C15 row and H13's curriculum composition (the D17/D18
+    * composed-oracle technique: stages reuse the standalone fragment,
+    * so they cannot drift). */
+  private[queries] def sqlDecileCtes(tbl: String): String = {
+    val toks = sqlWords("text")
+    val en = sqlStopHits(toks, stopEn)
+    val cases = (1 to 9)
+      .map(i => s"(CASE WHEN q_units > t$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val ths = (1 to 9)
+      .map(i => s"min(CASE WHEN cum * 10 >= n_tot * $i THEN q_units END) AS t$i")
+      .mkString(", ")
+    s"""base AS (
         SELECT doc_id,
           ($en) * 100 + len(list_filter($toks, t -> t <> '')) AS q_num,
           CAST(length(text) AS BIGINT) + 1 AS q_den
-        FROM documents),
+        FROM $tbl),
       q AS (
         SELECT doc_id, CAST(q_num AS DOUBLE) / q_den AS quality_score,
           (q_num * 16384) // q_den AS q_units
@@ -332,12 +334,20 @@ object TextAnalysis {
         sum(cnt) OVER (ORDER BY q_units
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
         sum(cnt) OVER () AS n_tot FROM hist),
-      ths AS (SELECT $ths FROM cum)
-      SELECT doc_id, quality_score,
-        CAST(1 + $cases AS BIGINT) AS decile
-      FROM q CROSS JOIN ths
-      ORDER BY doc_id"""
-    })
+      ths AS (SELECT $ths FROM cum),
+      deciles AS (
+        SELECT doc_id, quality_score,
+          CAST(1 + $cases AS BIGINT) AS decile
+        FROM q CROSS JOIN ths)"""
+  }
+
+  val qQualityDeciles: Q = Q(
+    "q_quality_deciles",
+    (s, d) => qualityDeciles(Tables.documents(s, d)),
+    Some(s"""WITH ${sqlDecileCtes("documents")}
+      SELECT doc_id, quality_score, decile
+      FROM deciles
+      ORDER BY doc_id"""))
 
   /** The Gopher rule-filter stopword set (Rae et al. 2021, MassiveWeb:
     * "contain at least two of the following stop words"). */

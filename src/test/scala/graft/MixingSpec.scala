@@ -157,4 +157,30 @@ class MixingSpec extends SparkSpec {
     val e = intercept[Exception] { Shards.shuffleOrder(wide).collect() }
     assert(e.getMessage != null)
   }
+
+  test("curriculumOrder: decile-major positions, shuffled within deciles") {
+    import spark.implicits._
+    // quality score rises with stopword density: "the" docs land in a
+    // higher decile than pure-junk docs
+    val docs = ((0L until 20L).map(i => (i, "the cat and the dog have fun")) ++
+      (20L until 40L).map(i => (i, "zzzz qqqq xxxx wwww kkkk jjjj"))).toDF("doc_id", "text")
+    val out = Shards.curriculumOrder(docs, seed = 1L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == 40)
+    val (good, junk) = (0L until 40L).partition(_ < 20L)
+    val gd = good.map(out(_)._1).toSet; val jd = junk.map(out(_)._1).toSet
+    assert(gd.size == 1 && jd.size == 1 && gd.head > jd.head,
+      s"stopword docs must occupy the better decile: $gd vs $jd")
+    // decile-major: EVERY good doc precedes every junk doc
+    assert(good.map(out(_)._2).max < junk.map(out(_)._2).min,
+      "higher-decile docs must come first in curriculum order")
+    // positions are a permutation, and the within-decile order is
+    // seed-sensitive while the decile blocks stand
+    assert(out.values.map(_._2).toSet == (1L to 40L).toSet)
+    val out2 = Shards.curriculumOrder(docs, seed = 2L).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(good.map(out2(_)).max < junk.map(out2(_)).min)
+    assert(good.exists(i => out2(i) != out(i)._2),
+      "a different seed must reshuffle within the decile block")
+  }
 }
