@@ -145,7 +145,9 @@ object Graft {
   def dupSpansChar(docs: DataFrame, k: Int = 50): DataFrame =
     queries.Dedup.dupSpansChar(docs, k)
   /** Same spans via suffix-array rank doubling — no hashing in the
-    * decision path, exact at any corpus size
+    * decision path, exact at any corpus size on ASCII text (the
+    * base-128 seed pack requires it and fails loudly otherwise; use
+    * [[dupSpansChar]] for non-ASCII corpora)
     * ([[graft.queries.SuffixDedup.dupSpansSuffix]]). */
   def dupSpansSuffix(docs: DataFrame, k: Int = 50): DataFrame =
     queries.SuffixDedup.dupSpansSuffix(docs, k)
@@ -522,13 +524,13 @@ object Graft {
     * ([[graft.queries.Similarity.labelCentroids]]). */
   def labelCentroids(embeddings: DataFrame): DataFrame =
     queries.Similarity.labelCentroids(embeddings)
-  /** C4-style line/page cleaning ([[graft.queries.LineFilters.c4Filters]]). */
   /** Train the quality-filter model on-cluster: full-batch perceptron
     * over E9 hashed features, labels from the C16 gate; returns the
     * integer training trajectory (iter, dim, w, n_mistakes)
     * ([[graft.queries.QualityTrain.trainQualityModel]]). */
   def trainQualityModel(docs: DataFrame, dims: Int = 16, iters: Int = 5): DataFrame =
     queries.QualityTrain.trainQualityModel(docs, dims, iters)
+  /** C4-style line/page cleaning ([[graft.queries.LineFilters.c4Filters]]). */
   def c4Filters(docs: DataFrame,
       minWordsPerLine: Long = 3L, minKeptLines: Long = 5L,
       requireTerminal: Boolean = true,
@@ -556,7 +558,6 @@ object Graft {
   def docEmbedVectors(docs: DataFrame,
       dims: Int = queries.DocEmbed.DefaultDims): DataFrame =
     queries.DocEmbed.docEmbedVectors(docs, dims)
-  /** Embedding snapshot drift ([[graft.queries.Profile.embedDrift]]). */
   /** Grouped approximate quantiles via GK sketches — the scale path
     * past exact order statistics; exact when accuracy >= group size
     * ([[graft.queries.Profile.approxQuantiles]]). */
@@ -564,6 +565,7 @@ object Graft {
       probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
       accuracy: Int = 1000): DataFrame =
     queries.Profile.approxQuantiles(df, valueCol, groupCol, probs, accuracy)
+  /** Embedding snapshot drift ([[graft.queries.Profile.embedDrift]]). */
   def embedDrift(snapA: DataFrame, snapB: DataFrame): DataFrame =
     queries.Profile.embedDrift(snapA, snapB)
 

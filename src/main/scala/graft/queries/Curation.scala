@@ -445,9 +445,29 @@ object Curation {
     require(p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p),
       s"staging lake $stagingDir does not exist — nothing to compact " +
         "(did the stream run with stagingDir set?)")
+    // replay-duplicated rows (same doc_id, same text — at-least-once
+    // delivery) collapse here; a doc_id carrying DIFFERENT texts is id
+    // reuse for new content, which the keyed ingest stream fails loudly
+    // on (ingestStreamKeyed's IllegalStateException) — match that
+    // contract rather than keep an arbitrary row. The guard is a window
+    // count folded into `text` via concat(coalesce(assert_true…), text)
+    // so column pruning cannot drop it: every downstream stage consumes
+    // text.
+    val staged = spark.read.parquet(stagingDir).select("doc_id", "text")
+      .dropDuplicates("doc_id", "text")
+    val conflictFree = concat(
+      coalesce(
+        assert_true(
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"))) === 1L,
+          lit("compactShards: a doc_id appears in the staging lake with " +
+            "conflicting texts — id reuse for new content; repair the " +
+            "lake (the keyed ingest stream fails loudly on the same " +
+            "condition)")).cast("string"),
+        lit("")),
+      col("text"))
     produceShards(
-      spark.read.parquet(stagingDir).select("doc_id", "text")
-        .dropDuplicates("doc_id"),
+      staged.select(col("doc_id"), conflictFree.as("text")),
       eval, dir, minWords, stops, merges, budget, seed, tokenize)
   }
 

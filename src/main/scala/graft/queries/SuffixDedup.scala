@@ -89,9 +89,14 @@ object SuffixDedup {
     require(k >= 2, s"char-gram length must be >= 2, got $k")
     val txt = coalesce(col("text"), lit(""))
     val lenC = length(txt).cast("long")
+    // the base-128 pack is injective only for ASCII text (ascii() of a
+    // non-ASCII char is its codepoint >= 128, so distinct windows can
+    // alias one long) — enforce it rather than corrupt silently:
+    // byte length == char length iff every char is single-byte ASCII
     val domainOk =
       col("doc_id").between(0L, (1L << (63 - PosBits)) - 1) &&
-        col("len") < (1L << PosBits)
+        col("len") < (1L << PosBits) &&
+        octet_length(col("text")).cast("long") === col("len")
     val base = math.min(BaseChars, k)
     // big-endian base-128 pack of chars [p, p + base - 1]
     def pack: Column = (0 until base)
@@ -108,8 +113,10 @@ object SuffixDedup {
       .filter(col("p").isNotNull)
       .select(col("doc_id"), col("p"), col("len"),
         (pack + coalesce(assert_true(domainOk,
-          lit(s"dupSpansSuffix: doc_id >= 2^${63 - PosBits} or doc longer " +
-            s"than 2^$PosBits chars — gid packing would overflow"))
+          lit(s"dupSpansSuffix: doc_id >= 2^${63 - PosBits}, doc longer " +
+            s"than 2^$PosBits chars, or non-ASCII text — gid/base-128 " +
+            "packing would overflow or alias (use the md5 form for " +
+            "non-ASCII corpora)"))
           .cast("long"), lit(0L))).as("r"))
 
     val gid = col("doc_id") * (1L << PosBits) + col("p")

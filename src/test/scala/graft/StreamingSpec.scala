@@ -793,6 +793,17 @@ class StreamingSpec extends SparkSpec {
     Graft.compactShards(spark, stagingDir, eval, dirC,
       minWords = 10L, stops = stops, budget = 64L, seed = 7L)
     assert(rows(dirC) == b, "replayed staging rows changed the compacted artifact")
+    // id reuse for NEW content must fail loudly (the ingestStreamKeyed
+    // contract), never silently keep an arbitrary row: stage doc 21
+    // again with DIFFERENT text and expect the compactor to throw
+    Seq((21L, good("conflicting-rewrite"))).toDF("doc_id", "text")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(stagingDir)
+    val dirD = root.resolve("shardsConflict").toString
+    val e = intercept[Exception] {
+      Graft.compactShards(spark, stagingDir, eval, dirD,
+        minWords = 10L, stops = stops, budget = 64L, seed = 7L)
+    }
+    assert(e.getMessage.contains("conflicting texts"), e.getMessage)
     graft.ops.Release.sweep(spark)
   }
 

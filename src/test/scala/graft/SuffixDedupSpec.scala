@@ -69,6 +69,20 @@ class SuffixDedupSpec extends SparkSpec {
     assert(sa == Seq((1L, 1L, 4L, 2L)), sa)
   }
 
+  test("non-ASCII text fails loudly instead of aliasing the base pack") {
+    val docs = Seq((1L, "plain ascii text here, long enough to gram"),
+      (2L, "café au lait répété café au lait"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      graft.queries.SuffixDedup.dupSpansSuffix(docs, k = 10).collect()
+    }
+    assert(e.getMessage.contains("non-ASCII"), e.getMessage)
+    // all-ASCII input with the same shape still runs clean
+    val ok = graft.queries.SuffixDedup.dupSpansSuffix(
+      docs.filter($"doc_id" === 1L), k = 10)
+    assert(ok.collect().isEmpty)
+  }
+
   test("partitioning invariance: same spans under adversarial repartition") {
     val docs = Tables.documents(spark, sfDir).repartition(13)
     val sa = spans(graft.queries.SuffixDedup.dupSpansSuffix(docs, k = 20))
