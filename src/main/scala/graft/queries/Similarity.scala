@@ -609,6 +609,12 @@ object Similarity {
     }
     val cbLit = codebookLit(codebooks)
     val codeCol = codeColFor(cbLit, m, dsub)
+    // Cell assignment via the SAME packed-argmin expression the append
+    // path uses (one definition, build-time and append-time assignment
+    // cannot drift) — NOT KMeans.transform: fastSquaredDistance's
+    // norm-shortcut arithmetic is engine-private, while this argmin is
+    // a fixed-shape IEEE chain the search row's DuckDB oracle replays
+    // bit-exactly (the D15c stash-literal technique needs it).
     // the stored index: NARROW rows only — never the embedding.
     // Memo-persisted in the DEDICATED pqIdxCache: an unconditional
     // .persist() leaked one full-corpus encode per build when callers
@@ -620,10 +626,41 @@ object Similarity {
     // only competes with other PQ indexes; eviction under reference is
     // recompute-safe. Release via PqIndex.release() (the memo
     // re-persists on the next hit) or Release.sweep's session pass.
-    val assigned = pqIdxCache.memo(coarse.transform(feat)
-      .withColumn("code", codeCol)
-      .select(col("vec_id"), col("prediction").cast("long").as("cell"), col("code")))
+    val assigned = pqIdxCache.memo(assignCellsAndCodes(feat, cents, codeCol))
     PqIndex(cents, codebooks, assigned, m, ksub, dims)
+  }
+
+  /** Cell + PQ-code assignment for a frame carrying unit vectors `u`:
+    * nearest coarse centroid by L2 as a map-side-combinable packed-long
+    * `min` (the D15 argmax lesson: `round(d2·2^39)·2^21 + c_id` orders
+    * by (quantized distance ASC, c_id ASC) in one primitive, so the
+    * broadcast nested-loop candidates collapse before anything
+    * shuffles), with the PQ code riding the aggregate as `first()` —
+    * every pre-explosion row of a group carries the identical code, so
+    * assignment costs ONE narrow shuffle and no join-back. ONE
+    * definition shared by [[buildPqIndex]] and [[appendToPqIndex]] so
+    * the two cannot drift; unlike KMeans.transform it is also a
+    * fixed-shape IEEE chain the search row's oracle replays exactly.
+    * d = ||u - c||² - 1 + 2 = c_n2 - 2⟨u,c⟩ + 2 ∈ [0, 5] for unit u
+    * (the +2 shift keeps the quantized pack non-negative); assignment
+    * ties within 2^-39 go to the smaller c_id. */
+  private def assignCellsAndCodes(
+      unit: DataFrame, cents: DataFrame, codeCol: Column): DataFrame = {
+    val d2 = col("c_n2") -
+      lit(2.0) * aggregate(zip_with(col("u"), col("c_emb"), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x) + lit(2.0)
+    val cellIdDomain = coalesce(
+      assert_true(col("c_id") >= 0L && col("c_id") < (1L << 21),
+        lit("assignCellsAndCodes: c_id outside the 2^21 packing domain"))
+        .cast("long"),
+      lit(0L))
+    val packed = (round(d2 * lit(1L << 39).cast("double")).cast("long") *
+      (1L << 21)) + col("c_id") + cellIdDomain
+    unit.select(col("vec_id"), col("u"), codeCol.as("code"))
+      .join(broadcast(cents), lit(true))
+      .groupBy("vec_id")
+      .agg(min(packed).as("p"), first(col("code")).as("code"))
+      .select(col("vec_id"), pmod(col("p"), lit(1L << 21)).as("cell"), col("code"))
   }
 
   private def codebookLit(codebooks: Seq[Array[Array[Double]]]): Column =
@@ -744,7 +781,8 @@ object Similarity {
     * silently serve a stale pre-change artifact persisted in
     * java.io.tmpdir by an older JVM. (`cacheKey` remains the caller's
     * contract for corpus identity: it must change when the data does.) */
-  private val PqBuildVersion = 1
+  private val PqBuildVersion = 2 // v2: packed-argmin cell assignment
+  // (shared with the append path) replaced KMeans.transform
 
   private[graft] def pqIndexDiskBase(
       cacheKey: String, cells: Int, m: Int, ksub: Int, dims: Int,
@@ -824,17 +862,12 @@ object Similarity {
     * trained index). A nightly embedding batch costs one batch-sized
     * encode — never a corpus re-scan, never a KMeans refit.
     *
-    * Codes come from [[codeColFor]] — the SAME expression the build
-    * uses, so append-time and build-time codes cannot drift. Cell
-    * assignment is nearest coarse centroid by L2 over unit vectors as
-    * a map-side-combinable packed-long `min` (the D15 argmax lesson:
-    * round(d·2^39)·2^21 + c_id orders by (quantized distance ASC, c_id
-    * ASC) in one primitive, so the broadcast nested-loop candidates
-    * collapse before anything shuffles, on any input). Assignment ties
-    * within 2^-39 go to the smaller c_id — KMeans.transform's own
-    * tie-break is equally arbitrary, and search correctness never
-    * depends on assignment (only recall does; the exhaustive-probe
-    * differential in IncrementalPqSpec is assignment-independent).
+    * Cells AND codes come from [[assignCellsAndCodes]] /
+    * [[codeColFor]] — the SAME definitions the build uses, so
+    * append-time and build-time assignment cannot drift (search
+    * correctness never depends on assignment anyway, only recall does;
+    * the exhaustive-probe differential in IncrementalPqSpec is
+    * assignment-independent).
     *
     * Contracts enforced IN-PLAN (the D13b pattern): new vec_ids must be
     * disjoint from the index (an overlapping id would serve two codes
@@ -874,35 +907,23 @@ object Similarity {
       .withColumn("n2", col("n2") + finiteN2)
       .withColumn("u",
         transform(col("embedding"), x => x.cast("double") / sqrt(col("n2"))))
-    // d = ||u - c||^2 - 1 + 2 = c_n2 - 2<u,c> + 2 ∈ [0, 5] for unit u:
-    // the +2 shift keeps the quantized pack non-negative
-    val d2 = col("c_n2") -
-      lit(2.0) * aggregate(zip_with(col("u"), col("c_emb"), (a, b) => a * b),
-        lit(0.0), (acc, x) => acc + x) + lit(2.0)
-    val cellIdDomain = coalesce(
-      assert_true(col("c_id") >= 0L && col("c_id") < (1L << 21),
-        lit("appendToPqIndex: c_id outside the 2^21 packing domain")).cast("long"),
-      lit(0L))
-    val packed = (round(d2 * lit(1L << 39).cast("double")).cast("long") *
-      (1L << 21)) + col("c_id") + cellIdDomain
-    val cells = unit.select(col("vec_id"), col("u"))
-      .join(broadcast(idx.cents), lit(true))
-      .groupBy("vec_id").agg(min(packed).as("p"))
-      .select(col("vec_id"), pmod(col("p"), lit(1L << 21)).as("cell"))
-    val codes = unit.select(col("vec_id"),
-      codeColFor(codebookLit(idx.codebooks), idx.m, dsub).as("code"))
+    // cell + code assignment via the ONE shared definition the build
+    // uses ([[assignCellsAndCodes]]) — append-time and build-time
+    // assignment/codes cannot drift
+    val assignedNew = assignCellsAndCodes(unit, idx.cents,
+      codeColFor(codebookLit(idx.codebooks), idx.m, dsub))
     // id-uniqueness guards, both folded into `cell` via coalesce so the
     // optimizer cannot prune them: (a) new ids disjoint from the index
     // (ids-only join + 1-row count), and (b) no id twice WITHIN the
-    // batch (a double-read upstream union) — the cells agg would
-    // collapse the duplicates while the codes side keeps both rows,
-    // emitting two index rows for one key
+    // batch (a double-read upstream union) — the assignment agg would
+    // silently COLLAPSE batch-internal duplicates to one index row,
+    // masking the upstream double-read instead of surfacing it
     val clash = newVectors.select(col("vec_id"))
       .join(idx.index.select(col("vec_id")), Seq("vec_id"))
       .agg(count(lit(1)).as("__clash"))
     val dupes = newVectors
       .agg((count(lit(1)) - countDistinct(col("vec_id"))).as("__dupes"))
-    val newRows = cells.join(codes, "vec_id")
+    val newRows = assignedNew
       .crossJoin(clash)
       .crossJoin(dupes)
       .select(col("vec_id"),
@@ -941,6 +962,19 @@ object Similarity {
   private[this] val searchGatePassed =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Trained-state stash for [[qAnnIvfPqSearch]]'s oracle (the D15c
+    * pattern): the query fn records the disk artifact's coarse
+    * centroids (c_id, c_emb, c_n2) and product codebooks here, and the
+    * oracle SQL — built AFTER the query runs (Verify's dump order) —
+    * embeds them as literals so DuckDB replays the whole search. */
+  private val lastPqSearchFit = new java.util.concurrent.atomic.AtomicReference[
+    (Seq[(Long, Array[Double], Double)], Seq[Array[Array[Double]]])]()
+
+  /** Per-corpus memo behind [[lastPqSearchFit]]: the artifact's state
+    * is immutable per cacheKey, so collect it once per JVM. */
+  private[this] val searchFitByCorpus = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Long, Array[Double], Double)], Seq[Array[Array[Double]]])]()
+
   /** E7's search-only row — the cost a production caller sees after
     * the build is amortized: load the disk-backed index and run
     * [[searchPqIndex]] at production probe/rescore settings. Only the
@@ -949,12 +983,24 @@ object Similarity {
     * eps-recall gate; steady state — including Bench's min-of-two,
     * which is exactly the amortized path this row prices — reads the
     * narrow code parquet, broadcasts the centroids, and does ADC +
-    * shortlist rescore, nothing else. Results depend on the learned
-    * cells, so no SQL oracle (rows-only check); correctness is pinned
-    * by the once-per-corpus gate below, PqIndexSpec (the disk
-    * round-trip searches identically to the in-session index) and
-    * AnnRecallSpec's recall floors. */
-  val qAnnIvfPqSearch: Q = Q(
+    * shortlist rescore, nothing else.
+    *
+    * Oracle (the D15c stash-literal technique): the trained state is
+    * tiny — 10 coarse centroids + 8×16 subspace codebooks — so the fn
+    * stashes the artifact's own fit and the oracle replays the FULL
+    * search at the production probes=3 / rescore=50 settings in
+    * DuckDB: unit-normalize → packed-argmin cell assignment (the
+    * exact quantized ordering [[assignCellsAndCodes]] packs) → PQ
+    * encode (first-match L2 argmin per subspace) → top-probes cells
+    * per query → ADC via codebook lookups → top-rescore shortlist →
+    * exact-cosine rescore → top-k. Every double on both sides is the
+    * same strict left-fold IEEE chain (the VectorFunctions contract),
+    * so the hash match covers the learned cell structure end to end —
+    * approximate search, exactly replayed. The once-per-corpus
+    * eps-recall gate stays as defense in depth (it guards QUALITY —
+    * plumbing that degrades recall — where the oracle guards
+    * replay fidelity). */
+  def qAnnIvfPqSearch: Q = Q(
     "q_ann_ivfpq_search",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -973,6 +1019,19 @@ object Similarity {
         s"$dir|n=${fp.getLong(0)}|ids=${fp.getLong(1)}..${fp.getLong(2)}|x=${fp.getLong(3)}"
       })
       val idx = pqIndexOnDisk(emb, cacheKey)
+      // stash the trained state THE ARTIFACT actually carries (not a
+      // fresh fit — a disk index built by an earlier JVM under other
+      // partitioning has its own centers) for the oracle's literal
+      // block: coarse centroids + product codebooks are metadata-scale
+      // (10×64 + 8×16×8 doubles), the D15c technique's sweet spot.
+      // Collected once per corpus per JVM (the gate's caching rule):
+      // the collect is a full Spark action whose ~150 ms scheduling
+      // floor would otherwise tax every steady-state call
+      lastPqSearchFit.set(searchFitByCorpus.computeIfAbsent(cacheKey, { _ =>
+        (idx.cents.select("c_id", "c_emb", "c_n2").collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))),
+          idx.codebooks)
+      }))
       // persist: the gate below consumes `res` eagerly (join+agg+head)
       // and the caller consumes it again after we return — without the
       // persist the full ADC+rescore DAG would recompute for each.
@@ -1012,7 +1071,93 @@ object Similarity {
       }
       res
     },
-    None)
+    Some {
+      Option(lastPqSearchFit.get()) match {
+        case None =>
+          // the query has not run in this JVM, so no artifact state
+          // exists to describe: emit a loud 0-row mismatch, never a
+          // silent pass (unreachable in the driver's flow — Verify
+          // runs every query before dumping oracle SQL)
+          "SELECT CAST(NULL AS BIGINT) AS q_id WHERE FALSE"
+        case Some((cents, cbs)) =>
+          // '…'::DOUBLE literals: strtod round-trips bit-exactly where
+          // bare 17-digit literals parse DECIMAL first (1 ULP off)
+          def dlit(d: Double): String = s"'$d'::DOUBLE"
+          val dsub = cbs.head.head.length
+          val (probes, rescore) = (3, 50)
+          val centRows = cents.map { case (id, emb, n2) =>
+            s"($id::BIGINT, ${emb.map(dlit).mkString("[", ", ", "]")}, ${dlit(n2)})"
+          }.mkString(",\n        ")
+          val cbRows = cbs.zipWithIndex.map { case (cb, j) =>
+            s"(${j + 1}::BIGINT, ${cb.map(cent =>
+              cent.map(dlit).mkString("[", ", ", "]")).mkString("[", ", ", "]")})"
+          }.mkString(",\n        ")
+          // strict left folds (the VectorFunctions contract) so every
+          // double matches the Spark chain bit-for-bit
+          def fold(terms: String): String =
+            s"list_reduce(list_prepend(0.0::DOUBLE, $terms), (acc, x) -> acc + x)"
+          val l2 = fold(s"list_transform(range(1, $dsub + 1), " +
+            "i -> (usub[i] - cent[i]) * (usub[i] - cent[i]))")
+          val qDotCent = fold(s"list_transform(range(1, $dsub + 1), " +
+            "i -> qsub[i] * cent[i])")
+          s"""WITH v AS (SELECT vec_id, embedding,
+            ${sqlNorm2("embedding")} AS n2 FROM embeddings),
+          u AS (SELECT vec_id,
+            list_transform(embedding, x -> x::DOUBLE / sqrt(n2)) AS uv FROM v),
+          c AS (SELECT * FROM (VALUES $centRows) t(c_id, c_emb, c_n2)),
+          cb AS (SELECT * FROM (VALUES $cbRows) t(j, cents)),
+          cell AS (SELECT vec_id, c_id AS cell FROM (
+              SELECT u.vec_id, c.c_id,
+                row_number() OVER (PARTITION BY u.vec_id ORDER BY
+                  round(((c.c_n2 - 2.0::DOUBLE * ${sqlDot("u.uv", "c.c_emb")})
+                    + 2.0::DOUBLE) * 549755813888.0::DOUBLE) ASC,
+                  c.c_id ASC) AS rn
+              FROM u CROSS JOIN c) t WHERE rn = 1),
+          vcode AS (SELECT u.vec_id, cb.j,
+              list_slice(u.uv, (cb.j - 1) * $dsub + 1, cb.j * $dsub) AS usub,
+              list_transform(cb.cents, cent -> $l2) AS dists,
+              list_position(dists, list_min(dists)) - 1 AS code
+            FROM u CROSS JOIN cb),
+          q AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2,
+              list_transform(embedding, x -> x::DOUBLE / sqrt(n2)) AS q_u
+            FROM v WHERE vec_id % 100 = 0),
+          probed AS (SELECT q_id, cell FROM (
+              SELECT q.q_id, c.c_id AS cell,
+                row_number() OVER (PARTITION BY q.q_id ORDER BY
+                  (${sqlDot("q.q_emb", "c.c_emb")} /
+                    (sqrt(q.q_n2) * sqrt(c.c_n2))) DESC,
+                  c.c_id ASC) AS rn
+              FROM q CROSS JOIN c) t WHERE rn <= $probes),
+          term AS (SELECT ca.q_id, ca.vec_id, vc.j,
+              list_slice(q.q_u, (vc.j - 1) * $dsub + 1, vc.j * $dsub) AS qsub,
+              cb.cents[vc.code + 1] AS cent,
+              $qDotCent AS tv
+            FROM (SELECT p.q_id, ce.vec_id
+              FROM probed p JOIN cell ce ON p.cell = ce.cell
+              WHERE p.q_id <> ce.vec_id) ca
+            JOIN vcode vc ON ca.vec_id = vc.vec_id
+            JOIN cb ON cb.j = vc.j
+            JOIN q ON q.q_id = ca.q_id),
+          adc AS (SELECT q_id, vec_id,
+              ${fold("list(tv ORDER BY j)")} AS adc
+            FROM term GROUP BY 1, 2),
+          short AS (SELECT q_id, vec_id FROM (
+              SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+                ORDER BY adc DESC, vec_id ASC) AS rn
+              FROM adc) t WHERE rn <= $rescore),
+          scored AS (SELECT s.q_id, s.vec_id,
+              ${sqlDot("q.q_emb", "v.embedding")} /
+                (sqrt(q.q_n2) * sqrt(v.n2)) AS cos
+            FROM short s JOIN v ON s.vec_id = v.vec_id
+            JOIN q ON s.q_id = q.q_id),
+          ranked AS (SELECT q_id, vec_id, cos,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, vec_id) AS rank
+            FROM scored)
+          SELECT q_id, rank, vec_id AS neighbor_id, cos
+          FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank"""
+      }
+    })
 
   /** Fixed-point quantization scale for [[labelCentroids]]: 2^12, so the
     * multiply is a pure exponent shift (exact in binary FP). */
@@ -1399,8 +1544,9 @@ object Similarity {
         CAST(coalesce(n_hit, 0) AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
       FROM t LEFT JOIN h USING (q_id) ORDER BY q_id"""))
 
-  // a def so qDedupSemanticTrained's oracle re-evaluates per access
-  // (see its stash note); the other Qs are immutable either way
+  // a def so the two stash-literal oracles (qDedupSemanticTrained,
+  // qAnnIvfPqSearch) re-evaluate per access (see their stash notes);
+  // the other Qs are immutable either way
   def all: Seq[Q] =
     Seq(qDedupEmbedding, qDedupEmbeddingLsh, qAnnBruteforce, qAnnLsh, qAnnIvf,
       qAnnIvfTrainedExh, qAnnIvfPq, qAnnIvfPqSearch, qAnnPqAppend, qKnnLabel,

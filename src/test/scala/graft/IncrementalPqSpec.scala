@@ -40,8 +40,8 @@ class IncrementalPqSpec extends SparkSpec {
 
   test("appended rows carry the same narrow schema as built rows") {
     val grown = Similarity.appendToPqIndex(idxHalf, rest)
-    // names + types (nullability differs: the append's cell rides
-    // through an aggregate, the build's through a KMeans prediction)
+    // names + types (build and append now share assignCellsAndCodes,
+    // but nullability metadata can still differ through the memo)
     assert(grown.index.schema.map(f => (f.name, f.dataType)) ==
       idxHalf.index.schema.map(f => (f.name, f.dataType)))
     val perCell = grown.index.groupBy("cell").count().collect()
