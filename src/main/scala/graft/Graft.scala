@@ -461,6 +461,12 @@ object Graft {
     * full R×C grid ([[graft.queries.Profile.chisq]]). */
   def chisq(df: DataFrame, aCol: String, bCol: String): DataFrame =
     queries.Profile.chisq(df, aCol, bCol)
+  /** Population Stability Index per column between two snapshots —
+    * numeric columns bucket on the reference range, categorical by
+    * value; alert bands 0.1/0.25 ([[graft.queries.Profile.psi]]). */
+  def psi(ref: DataFrame, cur: DataFrame, numCols: Seq[String],
+      catCols: Seq[String], buckets: Int = 10): DataFrame =
+    queries.Profile.psi(ref, cur, numCols, catCols, buckets)
   /** Per-dimension int8 min/max quantization of an embedding column
     * ([[graft.queries.Quantize.quantizeInt8]]). */
   def quantizeInt8(embeddings: DataFrame): DataFrame =

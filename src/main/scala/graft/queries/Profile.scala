@@ -623,7 +623,213 @@ object Profile {
           (acc, x) -> acc + x) AS chi2
       FROM terms GROUP BY 1, 2, 3"""))
 
+  /** Quantization scale for [[psi]]'s per-bucket ln: 2^20 fixed point
+    * (the C23/DSIR lesson — individual ln calls differ by 1 ULP
+    * JVM-vs-libm often enough that a multi-term sum drifts; rounding
+    * each ln to 2^-20 absorbs the ULP on both engines). */
+  private val PsiLnQ = (1L << 20).toDouble
+
+  /** I9: Population Stability Index between two snapshots of the same
+    * table — THE drift statistic ops teams alert on (banking
+    * scorecards onward): per column, PSI = Σ_bins (p_cur − p_ref) ·
+    * ln(p_cur / p_ref), with conventional alert bands at 0.1 (watch)
+    * and 0.25 (act). Completes the input-trust drift layer: I5 covers
+    * embeddings, I8 association between two categorical columns, I4
+    * numeric correlation — PSI covers PER-COLUMN distribution shift,
+    * numeric and categorical, between snapshots.
+    *
+    * Binning: numeric columns bucket on the REFERENCE snapshot's
+    * [min, max] range (I3's fixed-order bucket chain) into `buckets`
+    * equal-width bins — current-snapshot values OUTSIDE the reference
+    * range clamp into the edge bins, which is exactly the mass a
+    * drift alarm must see; all `buckets` bins participate even when
+    * empty. Categorical columns bin by value over the UNION of
+    * observed categories. NULL / NaN / ±Inf values are excluded from
+    * both sides (the I8 contract; profile their counts via I1/I3).
+    *
+    * Zero-count bins: add-one (Laplace) smoothing — p = (c + 1) /
+    * (n + bins) — an exact-rational convention (no magic epsilon)
+    * that keeps every ln finite and both engines bit-identical.
+    *
+    * Determinism: counts are integers; proportions are single
+    * divisions of exactly-cast longs; each ln is quantized to 2^-20
+    * fixed point BEFORE use (see [[PsiLnQ]]); per-column terms are
+    * summed by an ordered fold over the bin key (the I8 contract),
+    * never a float `sum()`.
+    *
+    * Scale shape: one pass per snapshot — project the per-column bin
+    * keys as an array, explode, one map-side-combinable count on
+    * (column, key) whose key space is the bin/category domain (the
+    * I3/I8 documented bound); everything downstream runs on
+    * domain-sized frames. One eager bounds aggregation over the
+    * reference's numeric columns (the I3 design: bounds re-enter the
+    * plan as literals, keeping the bucket pass one scan). */
+  def psi(
+      ref: DataFrame,
+      cur: DataFrame,
+      numCols: Seq[String],
+      catCols: Seq[String],
+      buckets: Int = 10): DataFrame = {
+    require(numCols.nonEmpty || catCols.nonEmpty,
+      "psi: at least one column required")
+    require(buckets > 1, s"buckets must be > 1, got $buckets")
+    val spark = ref.sparkSession
+    import spark.implicits._
+    def xOf(c: String): Column = col(c).cast("double")
+    def finite(c: String): Column = {
+      val x = xOf(c)
+      col(c).isNotNull && !isnan(x) &&
+        x =!= Double.PositiveInfinity && x =!= Double.NegativeInfinity
+    }
+    // reference bounds per numeric column, ONE aggregation action
+    val bounds: Map[String, (Double, Double)] =
+      if (numCols.isEmpty) Map.empty
+      else {
+        val aggs = numCols.flatMap { c =>
+          Seq(min(when(finite(c), xOf(c))), max(when(finite(c), xOf(c))))
+        }
+        val r = ref.agg(aggs.head, aggs.tail: _*).head()
+        numCols.zipWithIndex.map { case (c, i) =>
+          c -> (if (r.isNullAt(2 * i)) (0.0, 0.0)
+                else (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+        }.toMap
+      }
+    // bin key per column: zero-padded bucket index (numeric) or the
+    // category value (categorical); NULL key = excluded row. Padded
+    // digits and raw category strings compare identically under both
+    // engines' binary collation, which the ordered fold relies on.
+    def keyFor(c: String): Column = {
+      val (lo, hi) = bounds(c)
+      val b =
+        if (hi == lo) lit(0L)
+        else greatest(lit(0L), least(lit(buckets - 1L),
+          floor((xOf(c) - lit(lo)) * lit(buckets.toDouble) / (lit(hi) - lit(lo)))
+            .cast("long")))
+      when(finite(c), format_string("%05d", b))
+    }
+    def keyed(df: DataFrame): DataFrame =
+      df.select(array(
+          numCols.map(c => struct(lit(c).as("col_name"), keyFor(c).as("key"))) ++
+            catCols.map(c => struct(lit(c).as("col_name"),
+              col(c).cast("string").as("key"))): _*).as("kcs"))
+        .select(explode(col("kcs")).as("kc"))
+        .select(col("kc.col_name").as("col_name"), col("kc.key").as("key"))
+        .filter(col("key").isNotNull)
+    val ra = keyed(ref).groupBy("col_name", "key").agg(count(lit(1)).as("c_ref"))
+    val cu = keyed(cur).groupBy("col_name", "key").agg(count(lit(1)).as("c_cur"))
+    // bin grid: the full 0..buckets-1 range for every numeric column
+    // (absent bins still carry smoothed mass) + the union of observed
+    // categories — a domain-sized frame
+    val numGrid = numCols.flatMap(c =>
+      (0 until buckets).map(i => (c, f"$i%05d"))).toDF("col_name", "key")
+    val grid = ra.select("col_name", "key")
+      .union(cu.select("col_name", "key"))
+      .union(numGrid)
+      .distinct()
+    val joined = grid
+      .join(ra, Seq("col_name", "key"), "left")
+      .join(cu, Seq("col_name", "key"), "left")
+      .select(col("col_name"), col("key"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val tot = joined.groupBy("col_name")
+      .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"),
+        count(lit(1)).as("n_bins"))
+    val term = {
+      val pr = (col("c_ref") + lit(1L)).cast("double") /
+        (col("n_ref") + col("n_bins")).cast("double")
+      val pc = (col("c_cur") + lit(1L)).cast("double") /
+        (col("n_cur") + col("n_bins")).cast("double")
+      val qln = round(log(pc / pr) * lit(PsiLnQ)).cast("long")
+      (pc - pr) * (qln.cast("double") / lit(PsiLnQ))
+    }
+    joined.join(tot, Seq("col_name"))
+      .select(col("col_name"), col("n_ref"), col("n_cur"), col("n_bins"),
+        struct(col("key"), term.as("t")).as("cell"))
+      .groupBy("col_name", "n_ref", "n_cur", "n_bins")
+      .agg(sort_array(collect_list(col("cell"))).as("cells"))
+      .select(col("col_name"), col("n_ref"), col("n_cur"), col("n_bins"),
+        aggregate(col("cells"), lit(0.0),
+          (acc, x) => acc + x.getField("t")).as("psi"))
+      .orderBy("col_name")
+  }
+
+  /** The oracle row splits orders at the corpus's median order date
+    * (1995-01-01..2001-08-01 — the synthetic generator draws columns
+    * time-stationary, so this is the QUIET baseline an ops team stares
+    * at between incidents: small smoothing-driven PSI on every column,
+    * all three bin mechanics — numeric bucketing, two category
+    * domains — exercised and hashed). The ALARM case (planted
+    * categorical swap and numeric shift crossing the 0.25 band) is
+    * pinned in ProfileSpec, where drift can be constructed. */
+  val qPsi: Q = Q(
+    "q_psi",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val cut = lit("1998-04-25 00:00:00").cast("timestamp")
+      psi(o.filter(col("o_orderdate") < cut),
+        o.filter(col("o_orderdate") >= cut),
+        numCols = Seq("o_totalprice"),
+        catCols = Seq("o_orderstatus", "o_orderpriority"))
+    },
+    Some {
+      val q = "1048576.0::DOUBLE"
+      def keysFor(src: String): String =
+        s"""SELECT 'o_totalprice' AS col_name,
+            printf('%05d', CASE WHEN hi = lo THEN 0
+              ELSE GREATEST(0, LEAST(9,
+                CAST(floor((x - lo) * 10.0::DOUBLE / (hi - lo)) AS BIGINT)))
+              END) AS key
+          FROM (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM $src) s
+          CROSS JOIN bounds
+          WHERE x IS NOT NULL AND NOT isnan(x) AND NOT isinf(x)
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR)
+          FROM $src WHERE o_orderstatus IS NOT NULL
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+          FROM $src WHERE o_orderpriority IS NOT NULL"""
+      s"""WITH ref AS (SELECT * FROM orders
+          WHERE o_orderdate < TIMESTAMP '1998-04-25 00:00:00'),
+        cur AS (SELECT * FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1998-04-25 00:00:00'),
+        bounds AS (SELECT
+            min(CASE WHEN x IS NOT NULL AND NOT isnan(x) AND NOT isinf(x)
+              THEN x END) AS lo,
+            max(CASE WHEN x IS NOT NULL AND NOT isnan(x) AND NOT isinf(x)
+              THEN x END) AS hi
+          FROM (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM ref) s),
+        kr AS (${keysFor("ref")}),
+        kc AS (${keysFor("cur")}),
+        ra AS (SELECT col_name, key, count(*) AS c_ref FROM kr GROUP BY 1, 2),
+        cu AS (SELECT col_name, key, count(*) AS c_cur FROM kc GROUP BY 1, 2),
+        numgrid AS (SELECT 'o_totalprice' AS col_name, printf('%05d', i) AS key
+          FROM range(0, 10) t(i)),
+        grid AS (SELECT DISTINCT col_name, key FROM (
+          SELECT col_name, key FROM ra UNION ALL
+          SELECT col_name, key FROM cu UNION ALL
+          SELECT col_name, key FROM numgrid)),
+        j AS (SELECT g.col_name, g.key,
+            coalesce(ra.c_ref, 0) AS c_ref, coalesce(cu.c_cur, 0) AS c_cur
+          FROM grid g
+          LEFT JOIN ra ON g.col_name = ra.col_name AND g.key = ra.key
+          LEFT JOIN cu ON g.col_name = cu.col_name AND g.key = cu.key),
+        tot AS (SELECT col_name, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+            CAST(sum(c_cur) AS BIGINT) AS n_cur, count(*) AS n_bins
+          FROM j GROUP BY 1),
+        terms AS (SELECT j.col_name, j.key, n_ref, n_cur, n_bins,
+            CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + n_bins AS DOUBLE) AS pr,
+            CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + n_bins AS DOUBLE) AS pc,
+            CAST(round(ln(pc / pr) * $q) AS BIGINT) AS qln,
+            (pc - pr) * (CAST(qln AS DOUBLE) / $q) AS t
+          FROM j JOIN tot ON j.col_name = tot.col_name)
+        SELECT col_name, n_ref, n_cur, n_bins,
+          list_reduce(list_prepend(0.0::DOUBLE, list(t ORDER BY key)),
+            (acc, x) -> acc + x) AS psi
+        FROM terms GROUP BY 1, 2, 3, 4 ORDER BY col_name"""
+    })
+
   val all: Seq[Q] =
     Seq(qProfile, qChecks, qHistogram, qCorrelations, qEmbedDrift,
-      qApproxQuantiles, qChisq)
+      qApproxQuantiles, qChisq, qPsi)
 }

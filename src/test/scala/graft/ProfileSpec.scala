@@ -140,4 +140,44 @@ class ProfileSpec extends SparkSpec {
     assert((n.getLong(0), n.getLong(1), n.getLong(2), n.getDouble(4)) ==
       ((20L, 2L, 2L, 20.0)), s"nulls must not inflate the statistic: $n")
   }
+
+  test("psi: identical snapshots are exactly 0; planted drift crosses the bands") {
+    val ref = (1 to 200).map(i => (i.toDouble, if (i % 2 == 0) "a" else "b"))
+      .toDF("x", "cat")
+    // identical snapshots: every bin has pr == pc, ln(1) == 0 exactly
+    val same = Profile.psi(ref, ref, Seq("x"), Seq("cat"))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(same == Map("x" -> 0.0, "cat" -> 0.0), same.toString)
+    // planted categorical swap (a/b 50:50 -> 90:10) and numeric shift
+    // (uniform 1..200 -> 141..200 top-tercile mass): both must cross
+    // the conventional 0.25 "act" band
+    val drifted = (1 to 200).map(i =>
+      (141.0 + (i % 60), if (i % 10 == 0) "b" else "a")).toDF("x", "cat")
+    val d = Profile.psi(ref, drifted, Seq("x"), Seq("cat"))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(d("x") > 0.25 && d("cat") > 0.25, d.toString)
+  }
+
+  test("psi: out-of-range values clamp into edge bins; nulls excluded") {
+    val ref = (1 to 100).map(i => (i.toDouble, "k")).toDF("x", "cat")
+    // current snapshot entirely OUTSIDE the reference range: everything
+    // lands in the edge bins (bucket 0 below, bucket 9 above) — the
+    // mass a drift alarm must see, not drop
+    val out = (Seq.fill(30)(-50.0) ++ Seq.fill(70)(500.0)).map((_, "k"))
+      .toDF("x", "cat")
+    val r = Profile.psi(ref, out, Seq("x"), Seq("cat"), buckets = 10)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("x").getLong(2) == 100L, s"clamped rows lost: ${r("x")}")
+    assert(r("x").getDouble(4) > 0.25, s"edge-bin drift missed: ${r("x")}")
+    // nulls and NaN excluded from n on both sides, both column kinds
+    val withNulls = (Seq((Some(1.0), Option("k")),
+      (None: Option[Double], Option("k")),
+      (Some(Double.NaN), None: Option[String])) ++
+      (1 to 50).map(i => (Some(i.toDouble), Option("k")))).toDF("x", "cat")
+    val n = Profile.psi(withNulls, withNulls, Seq("x"), Seq("cat"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(n("x").getLong(1) == 51L && n("x").getLong(2) == 51L, n("x").toString)
+    assert(n("cat").getLong(1) == 52L && n("cat").getDouble(4) == 0.0,
+      n("cat").toString)
+  }
 }
