@@ -243,6 +243,16 @@ object Graft {
     * degree-oriented ([[graft.queries.GraphRank.triangles]]). */
   def triangles(lineitem: DataFrame): DataFrame =
     queries.GraphRank.triangles(lineitem)
+  /** Label-propagation communities over the part co-purchase graph,
+    * deterministic synchronous LPA
+    * ([[graft.queries.GraphRank.communities]]). */
+  def communities(lineitem: DataFrame, iterations: Int = 5): DataFrame =
+    queries.GraphRank.communities(lineitem, iterations)
+  /** Fixed-iteration deterministic label propagation over any
+    * (src, dst) edge list ([[graft.ops.LabelPropagation]]). */
+  def labelPropagation(edges: DataFrame, src: String = "src",
+      dst: String = "dst", iterations: Int = 5): DataFrame =
+    graft.ops.LabelPropagation.propagate(edges, src, dst, iterations)
   /** Fixed-iteration integer-exact PageRank over any (src, dst) edge
     * list ([[graft.ops.PageRank]]). */
   def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",

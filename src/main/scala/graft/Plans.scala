@@ -82,6 +82,7 @@ object Plans {
     "q_pca_project" -> "PCA projection: ONE shuffle-free map stage — the fitted PC1 enters as literal coefficients (driver model state), pc1 = fixed-order unrolled dot chain; presentation sort is the only exchange",
     "q_series_pairs" -> "time-series pairs, payload-free candidates: memoized per-user frame, SLIM (user, cell, 5 PAA segment sums) 3-cell equi-join + segment-sum lower-bound prune (arrays never shuffle through candidate generation), survivors alone join the arrays back for the exact integer zip_with rescore",
     "q_triangles" -> "degree-oriented triangles, wedge-free: edges orient low->high (degree, id), per-node oriented adjacency arrays (bounded by sqrt(2|E|)), triangles = array_intersect(adj+(a), adj+(b)) per edge as ONE codegen array op — the wedge set (72M rows at sf0.1) is never materialized or shuffled",
+    "q_communities" -> "fixed-iteration synchronous LPA: per round one narrow label-edge join (labels broadcast below 1M nodes — the pinned edge blocks never move), a map-side-combinable (node, label) count, the two-phase argmax (max-count agg + min-label join — no SortAggregate, no label-domain packing bound), and a tracked localCheckpoint keeping lineage O(1)",
     "q_curriculum" -> "curriculum order: C15's memoized decile paint + scramble map into ONE packed DECIMAL order key, then the H10 distributed prefix sum (range partition + broadcast offsets) — decile-major positions with no corpus-wide window")
 
   def main(args: Array[String]): Unit = {

@@ -1240,6 +1240,41 @@ object ScaleProbe {
     println(f"triangle census      ${"check"}%9s       one triangle per planted K3, chains close nothing  PASS")
     triLineitem.unpersist()
 
+    // --- D24 label propagation at scale: nDocs/5 5-cliques (parts
+    // 5k..5k+4 per order) bridged by 2-part orders (5k+4, 5k+5). The
+    // expected census is EXACT (hand-simulated): one round pulls each
+    // bridge head toward its neighbor clique, round 2 snaps it back
+    // (clique votes dominate the single bridge vote), and from round 2
+    // the labeling is STABLE at every node = its clique minimum — so
+    // at the default 5 iterations every community is one 5-clique.
+    // The claim under test: the per-round join + two-phase argmax
+    // holds on a ~1.1M-edge graph without merging bridged communities.
+    val nLpaK = nDocs / 5
+    val cliq = spark.range(nLpaK).select(col("id").as("o"),
+      explode(array((0 to 4).map(i => col("id") * 5 + i): _*)).as("p"))
+    val lpaBridge = spark.range(nLpaK - 1).select((col("id") + nLpaK).as("o"),
+      explode(array(col("id") * 5 + 4, col("id") * 5 + 5)).as("p"))
+    val lpaLineitem = cliq.unionByName(lpaBridge)
+      .select(col("o").as("l_orderkey"), col("p").as("l_partkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lpaLineitem.count()
+    val (lpaAgg, tLpa) = time {
+      Graft.communities(lpaLineitem)
+        .agg(
+          sum(when(col("community") === col("part") - pmod(col("part"), lit(5L)),
+            1L).otherwise(0L)).as("at_min"),
+          sum(when(col("community_size") === 5L, 1L).otherwise(0L)).as("size5"),
+          count(lit(1)).as("nodes")).head()
+    }
+    val lpaNodes = 5L * nLpaK
+    println(f"lpa communities      ${lpaNodes}%9d node  $tLpa%7.1f s  ${lpaNodes / tLpa}%9.0f nodes/s  ($nLpaK communities)")
+    assert(lpaAgg.getLong(0) == lpaNodes && lpaAgg.getLong(1) == lpaNodes &&
+      lpaAgg.getLong(2) == lpaNodes,
+      s"lpa census: (at_min, size5, nodes) = $lpaAgg vs $nLpaK bridged " +
+        "5-cliques — communities merged across bridges or failed to converge")
+    println(f"lpa census           ${"check"}%9s       every bridged 5-clique labeled by its minimum, none merged  PASS")
+    lpaLineitem.unpersist()
+
     // --- C23 bigram LM at scale: the model key space is bounded by the
     // observed bigram vocabulary (≤ 50² here; ≤ corpus bigram types in
     // general — aggregated, never windowed), the threshold pass by the

@@ -168,5 +168,75 @@ object GraphRank {
       FROM deg d LEFT JOIN cnt ON d.node = cnt.node
       ORDER BY part"""))
 
-  val all: Seq[Q] = Seq(qPageRank, qTriangles)
+  /** D24: label-propagation communities over the part co-purchase
+    * graph (D23's edge construction) — community detection completing
+    * the graph family: D7 components (membership), D11 centrality,
+    * D23 local clustering, D24 communities. Fixed-iteration
+    * synchronous LPA with a self-vote and (max count, min label)
+    * deterministic ties ([[graft.ops.LabelPropagation]]), so the whole
+    * pipeline — edge build, vote join, count argmax, tie-break —
+    * replays as chained integer CTEs (the D11 oracle pattern).
+    * Output: (part, community, community_size), community = the
+    * elected label. */
+  def communities(lineitem: DataFrame, iterations: Int = Iters): DataFrame = {
+    val li = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val both = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+    val labels = graft.ops.LabelPropagation.propagate(both,
+      iterations = iterations)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("node").as("part"), col("label").as("community"),
+        col("community_size"))
+      .orderBy("part")
+  }
+
+  /** The oracle row pins iterations = 2, where the synthetic
+    * co-purchase graph still HAS community structure to hash (2 / 41 /
+    * hundreds of communities across the SFs) — the graph is dense
+    * enough that the min-label dynamics legitimately coarsen toward
+    * the per-component fixed point by round 3–5 (measured: one
+    * community at 5), which would verify only the collapse. The API
+    * default stays 5 (the C16 parameterize-for-action precedent).
+    * Iteration CTEs are MATERIALIZED: it_k feeds three consumers, and
+    * DuckDB's default inlining re-expands the chain exponentially
+    * (file-handle exhaustion by depth 5). */
+  val qCommunities: Q = Q(
+    "q_communities",
+    (s, d) => communities(Tables.lineitem(s, d), iterations = 2),
+    Some {
+      val OracleIters = 2
+      val its = (1 to OracleIters).map { k =>
+        s"""v$k AS MATERIALIZED (SELECT e.d AS node, l.label
+            FROM it${k - 1} l JOIN e ON l.node = e.s
+          UNION ALL SELECT node, label FROM it${k - 1}),
+        c$k AS MATERIALIZED (SELECT node, label, count(*) AS cnt
+          FROM v$k GROUP BY 1, 2),
+        m$k AS MATERIALIZED (SELECT node, max(cnt) AS mc FROM c$k GROUP BY 1),
+        it$k AS MATERIALIZED (SELECT c.node, min(c.label) AS label
+          FROM c$k c JOIN m$k m ON c.node = m.node AND c.cnt = m.mc
+          GROUP BY 1)"""
+      }.mkString(",\n        ")
+      s"""WITH li AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      e AS MATERIALIZED (
+        SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v, u FROM e0),
+      it0 AS MATERIALIZED (SELECT node, node AS label FROM (
+        SELECT DISTINCT s AS node FROM e UNION SELECT DISTINCT d FROM e)),
+      $its,
+      sizes AS (SELECT label, count(*) AS community_size
+        FROM it$OracleIters GROUP BY 1)
+      SELECT i.node AS part, i.label AS community,
+        CAST(s.community_size AS BIGINT) AS community_size
+      FROM it$OracleIters i JOIN sizes s ON i.label = s.label
+      ORDER BY part"""
+    })
+
+  val all: Seq[Q] = Seq(qPageRank, qTriangles, qCommunities)
 }
