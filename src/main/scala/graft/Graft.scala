@@ -151,6 +151,12 @@ object Graft {
     * ([[graft.queries.SuffixDedup.dupSpansSuffix]]). */
   def dupSpansSuffix(docs: DataFrame, k: Int = 50): DataFrame =
     queries.SuffixDedup.dupSpansSuffix(docs, k)
+  /** The full Lee '22 audit: duplicate spans with their exact MAXIMAL
+    * duplicated length per span (ASCII text; lengths exact to `cap`)
+    * ([[graft.queries.SuffixDedup.dupSpansMaximal]]). */
+  def dupSpansMaximal(docs: DataFrame, k: Int = queries.Dedup.DupSpanCharK,
+      cap: Int = queries.SuffixDedup.MaxDupCap): DataFrame =
+    queries.SuffixDedup.dupSpansMaximal(docs, k, cap)
   /** ExactSubstr corpus rewriting: non-first duplicated spans excised,
     * docs reassembled from surviving tokens
     * ([[graft.queries.Dedup.exciseSpans]]). */

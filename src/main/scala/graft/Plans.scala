@@ -68,6 +68,7 @@ object Plans {
     "q_pipeline_produce" -> "capstone, ONE plan: gates+exact-dedup+decontam+D16 excision feed ONE memo-persisted cleaned-text frame; downstream of it, exactly two distributed prefix sums (H10 epoch shuffle, H8b token packing) and the broadcast rank/fertility joins — no exchange beyond those documented",
     "q_dup_spans_char" -> "char-granularity ExactSubstr audit, SINGLE-pass: one explode+md5 map stage, one shuffle on the 128-bit key, count() OVER (PARTITION BY h) paints corpus counts in that same pass (sort-within-partition, spill-backed), dup positions flow to the per-doc interval-merge window — NOTHING persisted (the all-chars memo held ~30 B x corpus chars; word-level q_dup_spans is the production path)",
     "q_dup_spans_sa" -> "ExactSubstr by suffix-array rank doubling — NO hash in the plan: rank_7 packs 7 ascii chars into one long in the base map, then ceil(log2 k/7)+1 doubling rounds of (lead over doc window -> min(gid) over pair window), each two Terasort-shaped integer-key exchanges (k=20: two rounds); the last round's count() rides the same pair window; expect NO md5/xxhash expression anywhere",
+    "q_dup_spans_max" -> "prune-then-exact maximal lengths: ONE corpus md5 pass + h-window (D14b's cost) finds survivors; only they pay the text join-back, the gram-group-local capped-suffix sort, and the adjacent commonPrefixLen codegen kernel; the memoized positions frame feeds all five ladder rungs — expect ONE md5 map stage, not five",
     "q_dedup_semantic_text" -> "text-native SemDeDup: E9's one-scan hashed-embedding agg feeds D15's cell-keyed candidate join unchanged — text never shuffles, vectors exist only as the narrow (doc, dim, sum) frame until the within-cell pairing",
     "q_dedup_semantic_trained" -> "trained SemDeDup: seeded-KMeans centers enter as a broadcast metadata frame, then the D15 core unchanged — packed-long HashAggregate argmax assignment (no exchange before the partial agg), cell-keyed pairing, keep-rule paint join; the fit is driver-side model state, never in the distributed plan",
     "q_tokenize_ids" -> "id-level tokenization: DISTINCT-word encoder map with the merge-rank table broadcast, word-keyed id join back onto the positional explode, per-doc sort-collect reassembly — the corpus pays one text scan and shuffles only (doc_id, pos, id) integers",

@@ -1275,6 +1275,51 @@ object ScaleProbe {
     println(f"lpa census           ${"check"}%9s       every bridged 5-clique labeled by its minimum, none merged  PASS")
     lpaLineitem.unpersist()
 
+    // --- D21b maximal duplicate lengths at scale: nDocs/10 doc PAIRS,
+    // pair i sharing EXACTLY L_i = 20 + (i mod 200) chars (md5-block
+    // content — no accidental 20-gram repeats at these scales — then a
+    // forced 'A'/'B' divergence char and unique md5 tails). Expected
+    // census is EXACT per span: [1, L] extents, n_dup_grams = L - 19,
+    // max_dup_len = L, and the L histogram uniform over 20..219. The
+    // claim under test: the group-local adjacent-LCP reconstruction
+    // reports the exact planted length for every span at corpus scale,
+    // across 200 distinct lengths straddling every ladder rung.
+    val nMaxPairs = math.max(200L, nDocs / 10 / 200 * 200)
+    val maxBase = spark.range(nMaxPairs).select(col("id").as("i"),
+      (lit(20) + pmod(col("id"), lit(200))).cast("int").as("len"))
+    def mdBlocks(salt: String, n: Int) = concat((0 until n).map(t =>
+      md5(concat_ws("_", col("i"), lit(salt), lit(t)))): _*)
+    val maxPrefix = mdBlocks("p", 7).substr(lit(1), col("len"))
+    val maxDocs = maxBase.select(col("i"), concat(maxPrefix, lit("A"),
+        md5(concat_ws("_", col("i"), lit("ta")))).as("text"))
+      .select((col("i") * 2).as("doc_id"), col("text"))
+      .unionByName(maxBase.select(col("i"), concat(maxPrefix, lit("B"),
+        md5(concat_ws("_", col("i"), lit("tb")))).as("text"))
+        .select((col("i") * 2 + 1).as("doc_id"), col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    maxDocs.count()
+    val (mAgg, tMax) = time {
+      Graft.dupSpansMaximal(maxDocs)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("span_start") === 1L &&
+            col("max_dup_len") === col("span_end") &&
+            col("n_dup_grams") === col("span_end") - 19L, 1L).otherwise(0L))
+            .as("exact"),
+          min(col("max_dup_len")).as("lmin"),
+          max(col("max_dup_len")).as("lmax"),
+          countDistinct(col("max_dup_len")).as("nlen")).head()
+    }
+    val nMaxDocs = 2L * nMaxPairs
+    println(f"maximal dup lengths  ${nMaxDocs}%9d docs  $tMax%7.1f s  ${nMaxDocs / tMax}%9.0f docs/s  (${mAgg.getLong(0)} spans, 200 planted lengths)")
+    assert(mAgg.getLong(0) == nMaxDocs && mAgg.getLong(1) == nMaxDocs &&
+      mAgg.getLong(2) == 20L && mAgg.getLong(3) == 219L &&
+      mAgg.getLong(4) == 200L,
+      s"maximal-length census: (n, exact, lmin, lmax, nlen) = $mAgg vs " +
+        s"$nMaxDocs planted spans at lengths 20..219 — LCP reconstruction " +
+        "mis-measured a planted length")
+    println(f"maximal len census   ${"check"}%9s       every planted span reports its exact length, 20..219 all hit  PASS")
+    maxDocs.unpersist()
+
     // --- C23 bigram LM at scale: the model key space is bounded by the
     // observed bigram vocabulary (≤ 50² here; ≤ corpus bigram types in
     // general — aggregated, never windowed), the threshold pass by the

@@ -992,9 +992,53 @@ object NativeExpressions {
 
   // ---- Column wrappers ----
 
+  /** BYTE-wise common-prefix length of two strings — the LCP kernel
+    * behind [[graft.queries.SuffixDedup.dupSpansMaximal]]'s adjacent-
+    * suffix comparison: one codegen'd loop to first mismatch, O(lcp)
+    * per pair, no per-char object churn. Byte == char for the
+    * ASCII-only inputs the caller enforces (the D21 corpus contract);
+    * on multibyte text this counts BYTES of the shared prefix. */
+  case class CommonPrefixLength(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_common_prefix_len"
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireType(prettyName, isStr(left.dataType), "STRING", left.dataType)
+      if (l != TypeCheckResult.TypeCheckSuccess) l
+      else requireType(prettyName, isStr(right.dataType), "STRING", right.dataType)
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[UTF8String]
+      val y = b.asInstanceOf[UTF8String]
+      val n = math.min(x.numBytes(), y.numBytes())
+      var i = 0
+      while (i < n && x.getByte(i) == y.getByte(i)) i += 1
+      i.toLong
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        s"""
+        int $n = java.lang.Math.min($a.numBytes(), $b.numBytes());
+        int $i = 0;
+        while ($i < $n && $a.getByte($i) == $b.getByte($i)) $i++;
+        ${ev.value} = (long) $i;
+        """
+      })
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): CommonPrefixLength =
+      copy(left = l, right = r)
+  }
+
   private def expr(c: Column): Expression = Bridge.expression(c)
 
   def polyHash(c: Column): Column = Bridge.column(PolyHash(expr(c)))
+  def commonPrefixLen(a: Column, b: Column): Column =
+    Bridge.column(CommonPrefixLength(expr(a), expr(b)))
   def blockHash64(c: Column): Column = Bridge.column(BlockHash64(expr(c)))
   def dot(a: Column, b: Column): Column = Bridge.column(DotProduct(expr(a), expr(b)))
   def intersectSize(a: Column, b: Column): Column =

@@ -905,7 +905,7 @@ object Dedup {
 
   /** Char-gram width of [[dupSpansChar]]'s oracle row (the API default
     * stays the paper's 50; the synthetic docs are short). */
-  private[queries] val DupSpanCharK = 20
+  private[graft] val DupSpanCharK = 20
 
   /** D14b — exact-substring duplicate spans at CHARACTER granularity:
     * per doc, the maximal char intervals `[span_start, span_end]`
@@ -972,31 +972,40 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** D14b's full SQL at an arbitrary gram width `k` — reused verbatim
+    * by the D21 cross-algorithm differential (k = [[DupSpanCharK]])
+    * and, at several k values, by the D21b maximal-length ladder
+    * oracle (a span of maximal length m must appear at exactly the
+    * rungs ≤ m). CTE names carry a suffix so unioned instances can
+    * coexist in one statement. */
+  private[queries] def sqlDupSpansChar(k: Int, sfx: String = ""): String =
+    s"""WITH cg$sfx AS (
+        SELECT doc_id,
+          CAST(unnest(generate_series(1, greatest(length(text) - ${k - 1}, 0))) AS BIGINT) AS p,
+          text
+        FROM documents),
+      ch$sfx AS (SELECT doc_id, p,
+          md5(substr(text, CAST(p AS INT), $k)) AS h
+        FROM cg$sfx),
+      cdup$sfx AS (SELECT h FROM ch$sfx GROUP BY h HAVING count(*) >= 2),
+      cd$sfx AS (SELECT doc_id, p FROM ch$sfx JOIN cdup$sfx USING (h)),
+      ci$sfx AS (SELECT doc_id, p,
+          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+               > $k THEN 1 ELSE 0 END AS newspan
+        FROM cd$sfx),
+      cj$sfx AS (SELECT doc_id, p,
+          sum(newspan) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM ci$sfx)
+      SELECT doc_id, min(p) AS span_start,
+        max(p) + ${k - 1} AS span_end,
+        count(*) AS n_dup_grams
+      FROM cj$sfx GROUP BY doc_id, grp
+      ORDER BY doc_id, span_start"""
+
   val qDupSpansChar: Q = Q(
     "q_dup_spans_char",
     (s, d) => dupSpansChar(Tables.documents(s, d), DupSpanCharK),
-    Some(s"""WITH cg AS (
-        SELECT doc_id,
-          CAST(unnest(generate_series(1, greatest(length(text) - ${DupSpanCharK - 1}, 0))) AS BIGINT) AS p,
-          text
-        FROM documents),
-      ch AS (SELECT doc_id, p,
-          md5(substr(text, CAST(p AS INT), $DupSpanCharK)) AS h
-        FROM cg),
-      cdup AS (SELECT h FROM ch GROUP BY h HAVING count(*) >= 2),
-      cd AS (SELECT doc_id, p FROM ch JOIN cdup USING (h)),
-      ci AS (SELECT doc_id, p,
-          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
-               > $DupSpanCharK THEN 1 ELSE 0 END AS newspan
-        FROM cd),
-      cj AS (SELECT doc_id, p,
-          sum(newspan) OVER (PARTITION BY doc_id ORDER BY p) AS grp
-        FROM ci)
-      SELECT doc_id, min(p) AS span_start,
-        max(p) + ${DupSpanCharK - 1} AS span_end,
-        count(*) AS n_dup_grams
-      FROM cj GROUP BY doc_id, grp
-      ORDER BY doc_id, span_start"""))
+    Some(sqlDupSpansChar(DupSpanCharK)))
 
   /** The interval-union merge D14/D16/D9c share: distinct 1-based
     * per-doc positions `p`, each covering `[p, p+n-1]`, reduce to

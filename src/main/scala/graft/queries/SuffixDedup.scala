@@ -159,5 +159,163 @@ object SuffixDedup {
     (s, d) => dupSpansSuffix(Tables.documents(s, d), Dedup.DupSpanCharK),
     Dedup.qDupSpansChar.oracle)
 
-  val all: Seq[Q] = Seq(qDupSpansSuffix)
+  /** Memo of [[dupSpansMaximalLadder]]'s shared positions frame (see
+    * [[graft.ops.PlanCache]]; released by [[graft.ops.Release]]). */
+  private[this] val posCache = new graft.ops.PlanCache(capacity = 2)
+
+  /** Default cap on reported maximal lengths ([[dupSpansMaximal]]):
+    * exact up to 4 KiB of shared run, clamped above — and the bound on
+    * per-survivor suffix payload. */
+  val MaxDupCap = 4096
+
+  /** D21b — the FULL Lee '22 ExactSubstr audit: not just "duplicated
+    * at width k" but the MAXIMAL duplicated length of every span. Per
+    * position p (1-based), m(p) = the longest L such that
+    * text[p, p+L-1] occurs at another (doc, position) in the corpus;
+    * spans merge exactly as D14b at width `k` and each span reports
+    * `max_dup_len` = max m over its positions — the number dedup
+    * policy actually prices (a 500-char verbatim quote and eleven
+    * accidental 20-char matches merge to very different spans).
+    *
+    * Algorithm — prune, then exact LCP on survivors only:
+    *  1. The D14b md5 pass finds D = positions whose k-gram is
+    *     duplicated (m >= k iff p ∈ D). Everything expensive below
+    *     runs on |D| rows, never the corpus — the B15 payload lesson.
+    *  2. A position's maximal partner shares >= k chars, hence its
+    *     k-gram, hence its gram GROUP: sort each group's (capped)
+    *     suffixes and m = max of the two ADJACENT LCPs — any suffix
+    *     ordered between two suffixes sharing a prefix shares it too,
+    *     so within-group adjacency loses nothing (the classic
+    *     suffix-array LCP property, localized per group).
+    *  3. Adjacent LCP is ONE codegen'd byte loop
+    *     ([[graft.functions.NativeExpressions.commonPrefixLen]]) —
+    *     O(lcp) per pair, no doubling rounds, no rank tables.
+    *
+    * The in-plan `m >= k` guard doubles as a LOUD md5-collision
+    * detector: a collision groups two different k-grams, their LCP
+    * falls below k, and the job fails instead of under-reporting (the
+    * D21 differential pins collision-freedom corpus-wide; this pins
+    * it per run). ASCII enforced like [[dupSpansSuffix]] (byte-wise
+    * LCP == char-wise only there).
+    *
+    * Scale shape: the corpus pays one md5 map stage + one h-window
+    * (D14b's exact cost); survivors pay a text join-back, one
+    * h-partitioned sort of capped suffixes (payload |D|·cap bounded),
+    * and two window passes. `cap` clamps reported lengths (exact to
+    * 4 KiB by default — far past any policy threshold) and bounds the
+    * survivor payload. */
+  def dupSpansMaximal(
+      docs: DataFrame,
+      k: Int = Dedup.DupSpanCharK,
+      cap: Int = MaxDupCap): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    maximalDupPositions(docs, k, cap)
+      .withColumn("newspan",
+        when(col("p") - lag(col("p"), 1).over(w) > k, 1).otherwise(0))
+      .withColumn("grp", sum(col("newspan")).over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_dup_grams"),
+        max(col("m")).as("max_dup_len"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_dup_grams"), col("max_dup_len"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** (doc_id, p, m) for every position whose `k`-gram is duplicated:
+    * m = exact maximal duplicated length from p, clamped at `cap`.
+    * See [[dupSpansMaximal]]. */
+  private[graft] def maximalDupPositions(
+      docs: DataFrame, k: Int, cap: Int): DataFrame = {
+    require(k >= 2, s"char-gram length must be >= 2, got $k")
+    require(cap > k, s"cap=$cap must exceed k=$k")
+    val txt = coalesce(col("text"), lit(""))
+    // byte == char iff all-ASCII (the dupSpansSuffix guard): byte-wise
+    // LCP and 1-based substr agree only there
+    val asciiOk = octet_length(col("text")) === length(col("text"))
+    val npos = (length(txt) - (k - 1)).cast("long")
+    val grams = docs
+      .select(col("doc_id"), txt.as("text"))
+      .select(col("doc_id"), col("text"),
+        explode_outer(when(npos >= 1L, sequence(lit(1L), npos))
+          .otherwise(array())).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("doc_id"),
+        (col("p") + coalesce(assert_true(asciiOk,
+          lit("dupSpansMaximal: non-ASCII text — byte-wise LCP would " +
+            "miscount chars (use dupSpansChar for the flag-only audit)"))
+          .cast("long"), lit(0L))).as("p"),
+        unhex(md5(col("text").substr(col("p"), lit(k)))).as("h"))
+    val dupPos = grams
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("c") >= 2)
+      .select(col("doc_id"), col("p"), col("h"))
+    // suffixes materialize for SURVIVORS only, capped
+    val withSfx = dupPos
+      .join(docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("p"), col("h"),
+        col("text").substr(col("p").cast("int"), lit(cap)).as("sfx"))
+    val wByH = Window.partitionBy("h")
+      .orderBy(col("sfx"), col("doc_id"), col("p"))
+    val withLn = withSfx
+      .withColumn("nsfx", lead(col("sfx"), 1).over(wByH))
+      .withColumn("ln", coalesce(graft.functions.NativeExpressions
+        .commonPrefixLen(col("sfx"), col("nsfx")), lit(0L)))
+    val m = greatest(col("ln"), coalesce(lag(col("ln"), 1).over(wByH), lit(0L)))
+    withLn
+      .select(col("doc_id"), col("p"),
+        (m + coalesce(assert_true(m >= k,
+          lit("dupSpansMaximal: a gram group's max LCP fell below k — " +
+            "md5 collision between different k-grams"))
+          .cast("long"), lit(0L))).as("m"))
+  }
+
+  /** The LADDER projection the driver row hashes (the verdict-suggested
+    * oracle shape): spans re-derived from the exact m at each rung
+    * k' ∈ `rungs` — position p is duplicated at width k' iff
+    * m(p) >= k', so each rung's spans must equal D14b run at that
+    * width, and the DuckDB oracle IS D14b's SQL at every rung,
+    * unioned. Hash-green = the exact maximal lengths are consistent
+    * with independently computed duplication at every rung (lengths
+    * between rungs are pinned by the brute-force differential in
+    * SuffixDedupSpec and the planted-length ScaleProbe census). */
+  def dupSpansMaximalLadder(
+      docs: DataFrame,
+      rungs: Seq[Int] = MaxLadderRungs,
+      cap: Int = MaxDupCap): DataFrame = {
+    require(rungs.nonEmpty && rungs == rungs.sorted && rungs.distinct == rungs,
+      s"rungs must be distinct ascending, got $rungs")
+    // memo-persist: every rung branch reads the SAME positions frame —
+    // without the memo each branch re-pays the corpus md5 pass and the
+    // survivor LCP reconstruction
+    val pos = posCache.memo(maximalDupPositions(docs, rungs.head, cap))
+    rungs.map { r =>
+      Dedup.mergeGramSpans(pos.filter(col("m") >= r).select("doc_id", "p"), r)
+        .withColumnRenamed("n_grams", "n_dup_grams")
+        .withColumn("k", lit(r.toLong))
+    }.reduce(_.unionByName(_))
+      .select(col("k"), col("doc_id"), col("span_start"), col("span_end"),
+        col("n_dup_grams"))
+      .orderBy("k", "doc_id", "span_start")
+  }
+
+  /** Driver-row rungs: real duplicate mass at every rung on the
+    * synthetic corpus (measured 21k/13k/12k/10k/7k dup positions at
+    * sf0.001). */
+  val MaxLadderRungs: Seq[Int] = Seq(Dedup.DupSpanCharK, 28, 56, 112, 200)
+
+  val qDupSpansMax: Q = Q(
+    "q_dup_spans_max",
+    (s, d) => dupSpansMaximalLadder(Tables.documents(s, d)),
+    Some {
+      val rungSelects = MaxLadderRungs.map { r =>
+        s"SELECT $r::BIGINT AS k, * FROM (${Dedup.sqlDupSpansChar(r, s"_$r")})"
+      }.mkString("\n      UNION ALL\n      ")
+      s"""$rungSelects
+      ORDER BY k, doc_id, span_start"""
+    })
+
+  val all: Seq[Q] = Seq(qDupSpansSuffix, qDupSpansMax)
 }
