@@ -29,6 +29,13 @@ final case class UserUpdate(
 private[streaming] object EventTime extends Serializable {
   def us(t: java.sql.Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+
+  /** Timestamp → epoch day under the DEFAULT zone — the same calendar
+    * rule Spark's `to_date(ts)` applies with the default session
+    * timezone, so [[Streams.retentionStream]]'s day math matches the
+    * batch retention row's bit-for-bit. */
+  def epochDay(t: java.sql.Timestamp): Long =
+    t.toLocalDateTime.toLocalDate.toEpochDay
 }
 
 /** Per-user last-event state for [[Streams.transitionsStream]]. */
@@ -42,6 +49,22 @@ final case class FunnelState(step: Int, lastUs: Long)
 
 /** One funnel advancement emitted by [[Streams.funnelStream]]. */
 final case class FunnelStep(user_id: Long, step_idx: Long, step: String)
+
+/** Per-user active-day state for [[Streams.retentionStream]]: `d0` =
+  * epoch day of the earliest event seen, `bits` = set-bit bitmap of
+  * active days RELATIVE to d0 (bit j = day d0+j active). Bounded by
+  * the user's activity horizon: ceil(span-days / 64) longs — ~6 longs
+  * per user per decade, the price of FULL out-of-order correctness
+  * (a retroactive earlier first event shifts every offset, which a
+  * (d0, emitted-offsets) state could not replay). */
+final case class RetentionState(d0: Long, bits: Array[Long])
+
+/** One retention-cell increment (delta = +1) or retraction (−1)
+  * emitted by [[Streams.retentionStream]]: summing delta per
+  * (cohort_wk, offset_wk) over all emissions reproduces the batch
+  * [[graft.queries.Funnels.retention]] n_users exactly. */
+final case class RetentionDelta(
+    user_id: Long, cohort_wk: Long, offset_wk: Long, delta: Long)
 
 /** One live session per user for [[Streams.sessionizeStream]]. */
 final case class SessionState(
@@ -429,6 +452,70 @@ object Streams {
       }
       state.update(st)
       out.result().iterator
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** G15: streaming weekly-cohort retention — B13's
+    * [[graft.queries.Funnels.retention]] at ingest, as per-user
+    * RETRACTABLE increments. State per user is the active-day bitmap
+    * ([[RetentionState]]); each micro-batch unions the arriving event
+    * days in, recomputes the user's (cohort_wk, offset_wk) cell set
+    * from the updated day set, and emits the DELTA against the
+    * previous cell set: +1 rows for new cells, −1 retractions for
+    * cells invalidated by a retroactive earlier first event (a new
+    * minimum day shifts the cohort and every offset). Downstream,
+    * `sum(delta)` grouped by (cohort_wk, offset_wk) equals the batch
+    * n_users exactly.
+    *
+    * UNLIKE the G13/G14 twins (which require in-order delivery across
+    * batches), the emissions here are a pure function of the user's
+    * accumulated day SET, so stream Σ == batch under ANY delivery
+    * order — within-batch disorder, cross-batch disorder, and
+    * retroactive first events included (StreamingSpec's adversarial
+    * differential). Date math mirrors the batch row bit-for-bit:
+    * epoch days via the session-default zone (to_date's rule),
+    * cohort_wk = floorDiv(d0, 7), offset_wk = floorDiv(d − d0, 7). */
+  def retentionStream(events: Dataset[EventRow]): Dataset[RetentionDelta] = {
+    import events.sparkSession.implicits._
+    def decode(s: RetentionState): Set[Long] =
+      (0 until s.bits.length * 64).collect {
+        case j if (s.bits(j >> 6) & (1L << (j & 63))) != 0L => s.d0 + j
+      }.toSet
+    def encode(days: Set[Long]): RetentionState = {
+      val d0 = days.min
+      val bits = new Array[Long](((days.max - d0) / 64 + 1).toInt)
+      days.foreach { d =>
+        val j = (d - d0).toInt; bits(j >> 6) |= 1L << (j & 63)
+      }
+      RetentionState(d0, bits)
+    }
+    def cells(days: Set[Long]): Set[(Long, Long)] =
+      if (days.isEmpty) Set.empty
+      else {
+        val d0 = days.min
+        val c = Math.floorDiv(d0, 7L)
+        days.map(d => (c, Math.floorDiv(d - d0, 7L)))
+      }
+    def update(
+        userId: Long,
+        rows: Iterator[EventRow],
+        state: GroupState[RetentionState]): Iterator[RetentionDelta] = {
+      val arriving = rows.map(e => EventTime.epochDay(e.ts)).toSet
+      if (arriving.isEmpty) Iterator.empty
+      else {
+        val oldDays = state.getOption.map(decode).getOrElse(Set.empty[Long])
+        val newDays = oldDays ++ arriving
+        val (oldC, newC) = (cells(oldDays), cells(newDays))
+        state.update(encode(newDays))
+        ((newC diff oldC).toSeq.sorted.map { case (c, o) =>
+          RetentionDelta(userId, c, o, 1L)
+        } ++ (oldC diff newC).toSeq.sorted.map { case (c, o) =>
+          RetentionDelta(userId, c, o, -1L)
+        }).iterator
+      }
     }
     events
       .groupByKey(_.user_id)

@@ -77,6 +77,53 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("retentionStream: summed deltas equal batch retention under full disorder") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def at(day: String) = java.sql.Timestamp.valueOf(s"$day 12:00:00")
+    val ev = Seq(
+      // user 1: weeks 0, 1, 5 of their cohort — but the EARLIEST event
+      // is delivered LAST (retroactive first event two batches later:
+      // shifts the cohort AND every offset, forcing retractions)
+      EventRow(1L, at("2024-03-20"), 1L, "view", 0.0),
+      EventRow(2L, at("2024-03-27"), 1L, "click", 0.0),
+      EventRow(3L, at("2024-04-24"), 1L, "view", 0.0),
+      EventRow(4L, at("2024-03-11"), 1L, "view", 0.0),  // the true first
+      // user 2: single week, two events same day across batches
+      EventRow(5L, at("2024-03-14"), 2L, "purchase", 0.0),
+      EventRow(6L, at("2024-03-14"), 2L, "view", 0.0),
+      // user 3: pre-epoch first event (floor-division edge)
+      EventRow(7L, at("1969-12-25"), 3L, "view", 0.0),
+      EventRow(8L, at("1970-01-02"), 3L, "view", 0.0))
+    val mem = MemoryStream[EventRow]
+    val query = Streams.retentionStream(mem.toDS())
+      .writeStream.format("memory").queryName("ret_stream")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // adversarial delivery: disorder within AND across batches
+      mem.addData(ev(1), ev(0), ev(7))
+      query.processAllAvailable()
+      mem.addData(ev(2), ev(5))
+      query.processAllAvailable()
+      mem.addData(ev(3), ev(4), ev(6))   // user 1's retroactive first
+      query.processAllAvailable()
+      val emitted = spark.table("ret_stream")
+      // the retroactive first event must have RETRACTED stale cells
+      assert(emitted.filter(col("delta") === -1L).count() > 0,
+        "expected retractions from the retroactive first event")
+      val got = emitted.groupBy("cohort_wk", "offset_wk")
+        .agg(org.apache.spark.sql.functions.sum(col("delta")).as("n_users"))
+        .filter(col("n_users") =!= 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = graft.queries.Funnels.retention(ev.toDF())
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"stream $got vs batch $want")
+      // cohort math sanity: user 1's cohort is the week of 2024-03-11
+      val d0 = at("2024-03-11").toLocalDateTime.toLocalDate.toEpochDay
+      assert(got.contains((Math.floorDiv(d0, 7L), 0L)))
+    } finally query.stop()
+  }
+
   test("funnelStream: per-step emission counts equal the batch funnel") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
