@@ -113,6 +113,16 @@ object Graft {
   def hybridSearch(docs: DataFrame, qMod: Long = 250L, poolK: Int = 20,
       k: Int = 10): DataFrame =
     queries.Ranking.hybridSearch(docs, qMod, poolK, k)
+  /** Hybrid retrieval with the BUCKETED vector-candidate path — the
+    * past-broadcast-scale form: sign-random-projection LSH in the
+    * sparse format generates the cosine-side pool, exact rescore on
+    * survivors, fusion unchanged; bits = 0 is provably exhaustive
+    * ([[graft.queries.Ranking.hybridSearchLsh]]). */
+  def hybridSearchLsh(docs: DataFrame, qMod: Long = 250L, poolK: Int = 20,
+      k: Int = 10, rrfK: Int = 60, dims: Int = 16, tables: Int = 8,
+      bits: Int = 4): DataFrame =
+    queries.Ranking.hybridSearchLsh(docs, qMod, poolK, k, rrfK, dims,
+      tables, bits)
 
   // ---- Deduplication ----
   def exactDuplicates(docs: DataFrame): DataFrame = queries.Dedup.exactDuplicates(docs)

@@ -1073,6 +1073,30 @@ object ScaleProbe {
     assert(hyTop.getLong(1) >= nHyQ * 9 / 10,
       s"planted twins fused-top1 only ${hyTop.getLong(1)}/$nHyQ — fusion or a retriever drifted")
     println(f"hybrid twin gate     ${"check"}%9s       ${hyTop.getLong(1)}/$nHyQ twins fused rank 1 (>= 90%%)  PASS")
+
+    // E10b: the BUCKETED vector-candidate path at REALISTIC dims
+    // (d = 2^16 — where the dense form's shared-dims join is the scale
+    // question the verdicts flagged): sign-random-projection buckets
+    // in the sparse format, exact rescore on survivors. A verbatim
+    // twin shares every projection sign, so the planted gate carries
+    // over: twins must still fuse rank 1 through REAL buckets
+    // (8 tables × 6 bits), and candidate volume — the quantity the
+    // buckets exist to bound — is reported beside the time.
+    val (hyLshTop, tHyLsh) = time {
+      Graft.hybridSearchLsh(hyDocs, qMod = 5000L, poolK = 20, k = 10,
+        dims = 1 << 16, tables = 8, bits = 6)
+        .filter(col("q_id") < nHy && col("rank") === 1)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("doc_id") === col("q_id") + nHy, 1L).otherwise(0L)).as("twin"))
+        .head()
+    }
+    println(f"hybrid lsh (2^16 d)  $hyTotal%9d docs  $tHyLsh%7.1f s  ${hyTotal / tHyLsh}%9.0f docs/s  ($nHyQ queries, twin fused-top1 ${hyLshTop.getLong(1)})")
+    assert(hyLshTop.getLong(0) == nHyQ,
+      s"${hyLshTop.getLong(0)} fused lists vs $nHyQ queries")
+    assert(hyLshTop.getLong(1) >= nHyQ * 9 / 10,
+      s"planted twins fused-top1 only ${hyLshTop.getLong(1)}/$nHyQ through " +
+        "buckets — candidate generation dropped true neighbors")
+    println(f"hybrid lsh gate      ${"check"}%9s       ${hyLshTop.getLong(1)}/$nHyQ twins fused rank 1 through real buckets at d=65536  PASS")
     hyDocs.unpersist()
     graft.ops.Release.sweep(spark)
 

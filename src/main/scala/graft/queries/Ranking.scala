@@ -278,8 +278,31 @@ object Ranking {
       b: Double = 0.75): DataFrame = {
     require(qMod > 0 && poolK > 0 && k > 0 && rrfK > 0,
       "qMod, poolK, k, rrfK must be positive")
+    val textRanked = textRankedFor(docs, qMod, poolK, k1, b)
+    // ---- vector ranking: E9 sparse embeddings, integer dot, exact
+    // cosine. The UNSORTED sparse core (docEmbed's presentation sort
+    // would cost a range exchange none of the joins need), memoized:
+    // three consumers (norms, query side, dot probe) would otherwise
+    // re-run the tokenize+hash scan per branch — the same pruning-
+    // defeats-exchange-reuse story as the tf matrix above
+    val emb = tfCache.memo(DocEmbed.docEmbedSparse(docs, dims))
+    val qv = emb.filter(col("doc_id") % qMod === 0)
+      .select(col("doc_id").as("q_id"), col("dim"), col("q").as("qa"))
+    val dot = qv.join(emb.select(col("doc_id"), col("dim"), col("q").as("qb")),
+        Seq("dim"))
+      .filter(col("q_id") =!= col("doc_id"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("qa") * col("qb")).as("dot"))
+    fuseRanked(textRanked, vecRankedFromDot(emb, dot, poolK), k, rrfK)
+  }
+
+  /** The BM25 side of hybrid retrieval — ONE definition shared by
+    * [[hybridSearch]] and [[hybridSearchLsh]] so the text stage
+    * cannot drift between the dense and bucketed forms. */
+  private def textRankedFor(
+      docs: DataFrame, qMod: Long, poolK: Int,
+      k1: Double, b: Double): DataFrame = {
     val (tf, df) = termFreqs(docs)
-    // ---- text ranking: per-query-doc BM25 over the posting-list join
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
@@ -300,7 +323,7 @@ object Ranking {
           .as("p"))
     val byScore = Window.partitionBy(col("q_id"))
       .orderBy(col("score_text").desc, col("doc_id"))
-    val textRanked = part.groupBy("q_id", "doc_id")
+    part.groupBy("q_id", "doc_id")
       .agg(sort_array(collect_list(struct(col("term"), col("p")))).as("ps"))
       .select(col("q_id"), col("doc_id"),
         aggregate(col("ps"), lit(0.0), (acc, x) => acc + x.getField("p"))
@@ -308,24 +331,17 @@ object Ranking {
       .withColumn("rank_text", row_number().over(byScore))
       .filter(col("rank_text") <= poolK)
       .select("q_id", "doc_id", "rank_text")
-    // ---- vector ranking: E9 sparse embeddings, integer dot, exact
-    // cosine. The UNSORTED sparse core (docEmbed's presentation sort
-    // would cost a range exchange none of the joins need), memoized:
-    // three consumers (norms, query side, dot probe) would otherwise
-    // re-run the tokenize+hash scan per branch — the same pruning-
-    // defeats-exchange-reuse story as the tf matrix above
-    val emb = tfCache.memo(DocEmbed.docEmbedSparse(docs, dims))
+  }
+
+  /** Exact-cosine ranking of a (q_id, doc_id, dot) candidate frame —
+    * shared by the dense and bucketed vector sides: norms join, one
+    * float divide per pair, per-query top-poolK. */
+  private def vecRankedFromDot(
+      emb: DataFrame, dot: DataFrame, poolK: Int): DataFrame = {
     val n2 = emb.groupBy("doc_id").agg(sum(col("q") * col("q")).as("n2"))
-    val qv = emb.filter(col("doc_id") % qMod === 0)
-      .select(col("doc_id").as("q_id"), col("dim"), col("q").as("qa"))
-    val dot = qv.join(emb.select(col("doc_id"), col("dim"), col("q").as("qb")),
-        Seq("dim"))
-      .filter(col("q_id") =!= col("doc_id"))
-      .groupBy("q_id", "doc_id")
-      .agg(sum(col("qa") * col("qb")).as("dot"))
     val byCos = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("doc_id"))
-    val vecRanked = dot
+    dot
       .join(n2.withColumnRenamed("doc_id", "q_id").withColumnRenamed("n2", "qn2"),
         Seq("q_id"))
       .join(n2, Seq("doc_id"))
@@ -336,7 +352,12 @@ object Ranking {
       .withColumn("rank_vec", row_number().over(byCos))
       .filter(col("rank_vec") <= poolK)
       .select("q_id", "doc_id", "rank_vec")
-    // ---- reciprocal rank fusion over the union of the two pools
+  }
+
+  /** Reciprocal rank fusion over the two pools — shared tail. */
+  private def fuseRanked(
+      textRanked: DataFrame, vecRanked: DataFrame,
+      k: Int, rrfK: Int): DataFrame = {
     val byRrf = Window.partitionBy(col("q_id"))
       .orderBy(col("rrf").desc, col("doc_id"))
     textRanked.join(vecRanked, Seq("q_id", "doc_id"), "full_outer")
@@ -350,6 +371,84 @@ object Ranking {
       .filter(col("rank") <= k)
       .select("q_id", "rank", "doc_id", "rrf", "rank_text", "rank_vec")
       .orderBy("q_id", "rank")
+  }
+
+  /** E10b: hybrid retrieval with the BUCKETED vector-candidate path —
+    * the form that survives query sets past broadcast scale and real
+    * embedding widths (d = 2^16+), where [[hybridSearch]]'s
+    * shared-nonzero-dims equi-join stops being selective (at large
+    * dims a sparse pair rarely shares dims unless similar; at SMALL
+    * dims everything shares everything — either way the candidate
+    * volume is data-dependent; buckets bound it by design).
+    *
+    * Candidate generation is sign-random-projection LSH computed IN
+    * the sparse long format (the D5b semantics without densifying):
+    * per table t, bit b, the projection is Σ_dim q_dim ·
+    * sgn(xxhash64(dim, t, b)) — each sparse entry contributes to
+    * `tables` rows × `bits` sum columns (map-side combinable; the
+    * sparse frame inflates `tables`×, never `dims`×), the bit is the
+    * sum's sign, and candidates equi-join on (t, bucket) exactly as
+    * D5b. Survivors get the EXACT integer-dot + cosine rescore and
+    * ranks fuse with BM25 unchanged — the text stage, rescore, and
+    * fusion are the same shared definitions as [[hybridSearch]].
+    *
+    * `bits = 0` is the provably-exhaustive configuration (every table
+    * has one bucket, so every pair is a candidate and the rescore sees
+    * the full dense scoring): output ≡ [[hybridSearch]] by
+    * construction — the E7/E3b losslessness pattern, which is the
+    * oracle row. Approximate-mode recall (the production setting) is
+    * spec- and probe-gated like E2/E3. */
+  def hybridSearchLsh(
+      docs: DataFrame,
+      qMod: Long = 250L,
+      poolK: Int = 20,
+      k: Int = 10,
+      rrfK: Int = 60,
+      dims: Int = 16,
+      tables: Int = 8,
+      bits: Int = 4,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(qMod > 0 && poolK > 0 && k > 0 && rrfK > 0,
+      "qMod, poolK, k, rrfK must be positive")
+    require(tables > 0 && bits >= 0 && bits <= 16,
+      s"tables must be positive and bits in [0, 16], got $tables/$bits")
+    val textRanked = textRankedFor(docs, qMod, poolK, k1, b)
+    val emb = tfCache.memo(DocEmbed.docEmbedSparse(docs, dims))
+    val buckets =
+      if (bits == 0)
+        emb.select(col("doc_id")).distinct()
+          .select(col("doc_id"),
+            explode(sequence(lit(0), lit(tables - 1))).as("t"),
+            lit(0L).as("bucket"))
+      else {
+        val tRows = emb.select(col("doc_id"), col("dim"), col("q"),
+          explode(sequence(lit(0), lit(tables - 1))).as("t"))
+        val contribs = (0 until bits).map(bb =>
+          sum(col("q") *
+            (pmod(xxhash64(col("dim"), col("t"), lit(bb)), lit(2L)) * 2L - 1L))
+            .as(s"c$bb"))
+        tRows.groupBy("doc_id", "t")
+          .agg(contribs.head, contribs.tail: _*)
+          .select(col("doc_id"), col("t"),
+            (0 until bits).map(bb =>
+              when(col(s"c$bb") > 0L, lit(1L << bb)).otherwise(lit(0L)))
+              .reduce(_ + _).as("bucket"))
+      }
+    val qb = buckets.filter(col("doc_id") % qMod === 0)
+      .select(col("doc_id").as("q_id"), col("t"), col("bucket"))
+    val cand = qb.join(buckets, Seq("t", "bucket"))
+      .filter(col("q_id") =!= col("doc_id"))
+      .select("q_id", "doc_id").distinct()
+    // exact rescore on candidates only: the dims join restricted to
+    // the candidate pairs — candidate-bounded, never all-pairs
+    val qv = emb.filter(col("doc_id") % qMod === 0)
+      .select(col("doc_id").as("q_id"), col("dim"), col("q").as("qa"))
+    val dot = cand.join(emb, Seq("doc_id"))
+      .join(qv, Seq("q_id", "dim"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("qa") * col("q")).as("dot"))
+    fuseRanked(textRanked, vecRankedFromDot(emb, dot, poolK), k, rrfK)
   }
 
   val qHybridSearch: Q = Q(
@@ -431,5 +530,21 @@ object Ranking {
       ORDER BY q_id, rank"""
     })
 
-  val all: Seq[Q] = Seq(qTfidf, qBm25, qUnigramXent, qHybridSearch)
+  /** E10b's oracle row — [[hybridSearchLsh]] in the provably-
+    * exhaustive configuration (bits = 0 — every pair a candidate, so
+    * the rescore sees the full dense scoring; tables = 2 exercises the
+    * multi-table union + distinct): output ≡ [[hybridSearch]] by
+    * construction, so the oracle IS the E10 SQL — a candidate lost
+    * anywhere in the bucket build, the (t, bucket) join, or the
+    * candidate-restricted rescore breaks the hash (the E7/E3b
+    * losslessness pattern). Production-shape recall (real bits at
+    * d = 2^16) is gated by RankingSpec + the ScaleProbe planted-twin
+    * census. */
+  val qHybridSearchLsh: Q = Q(
+    "q_hybrid_search_lsh",
+    (s, d) => hybridSearchLsh(Tables.documents(s, d), tables = 2, bits = 0),
+    qHybridSearch.oracle)
+
+  val all: Seq[Q] =
+    Seq(qTfidf, qBm25, qUnigramXent, qHybridSearch, qHybridSearchLsh)
 }

@@ -142,4 +142,34 @@ class RankingSpec extends SparkSpec {
       .map(identity), "hybridSearch must be partitioning-invariant")
     graft.ops.Release.sweep(spark)
   }
+
+  test("hybridSearchLsh: exhaustive buckets equal the dense form; real buckets keep the twin") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    // bits = 0: every pair is a candidate -> MUST equal hybridSearch
+    // row-for-row (the oracle row's losslessness claim, checked here
+    // at a second configuration: more tables, smaller qMod pool)
+    val dense = Graft.hybridSearch(docs, qMod = 50L, poolK = 10, k = 5)
+      .collect().map(_.toSeq).toSeq
+    val exhaustive = Graft.hybridSearchLsh(docs, qMod = 50L, poolK = 10, k = 5,
+      tables = 3, bits = 0).collect().map(_.toSeq).toSeq
+    assert(exhaustive == dense,
+      s"exhaustive-bucket hybrid diverged: ${exhaustive.size} vs ${dense.size}")
+    // real buckets at production-ish settings: a verbatim twin shares
+    // every projection sign with its query, so it survives bucketing
+    // and must still fuse at rank 1
+    val q = "red fox jumps over lazy dog near quiet river bank today"
+    val planted = Seq(
+      0L -> q, 7L -> q,
+      8L -> "red fox jumps over lazy dog near big noisy road today",
+      9L -> "green bird sings under bright warm sun every single morning",
+      11L -> "blue fish swims beside tall dark rocks during cold night")
+      .toDF("doc_id", "text")
+    val out = Graft.hybridSearchLsh(planted, qMod = 250L, poolK = 4, k = 4,
+      tables = 8, bits = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.find(_._2 == 1).get._3 == 7L,
+      s"verbatim twin must fuse at rank 1 through real buckets: ${out.toSeq}")
+    graft.ops.Release.sweep(spark)
+  }
 }
