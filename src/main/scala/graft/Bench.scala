@@ -98,6 +98,51 @@ object Bench {
       name -> best
     }
     calibrations += calibrate(spark)
+    val calSorted = calibrations.sorted
+    val calMedian = calSorted(calSorted.size / 2)
+    // Per-query contention attribution (the round-9 lesson): each query
+    // is bracketed by two fixed-work probes; if either ran >1.5x the
+    // sweep median, this query's reading is mechanically `suspect`.
+    // threshold overridable for testing the retime path on a quiet
+    // machine (SPARK_GRAFT_SUSPECT_DRIFT=0 makes every row suspect)
+    val suspectDrift =
+      sys.env.getOrElse("SPARK_GRAFT_SUSPECT_DRIFT", "1.5").toDouble
+    val suspects = probeOf.flatMap { case (name, s) =>
+      val near = math.max(calibrations(s),
+        calibrations(math.min(s + 1, calibrations.size - 1)))
+      val drift = near / calMedian
+      if (drift > suspectDrift) Some(name -> drift) else None
+    }
+    // Auto-retime (the round-10 verdict ask): tagging alone left three
+    // of four driver artifacts without usable numbers for their
+    // contended rows. Ambient spikes are usually transient, so every
+    // suspect row re-times in ISOLATION after the sweep: probe,
+    // min-of-2, sweep, probe. Two attempts; the one with the quieter
+    // brackets is recorded in `retimed_s` (the original reading stays
+    // in `queries` untouched), and every retime probe lands in
+    // `retime_calibration_s` so a reader can judge the retimes the
+    // same way the sweep is judged — an all-contended machine still
+    // yields a number plus the evidence, never a silent drop.
+    val retimeCals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val retimed = suspects.keys.map { name =>
+      val fn = SparkEntry.queries(name)
+      def attempt(): (Double, Double) = {
+        val c0 = calibrate(spark)
+        val (a, b) = (timed(fn), timed(fn))
+        graft.ops.Release.sweep(spark)
+        val c1 = calibrate(spark)
+        retimeCals += c0
+        retimeCals += c1
+        val best = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+        (best, math.max(c0, c1))
+      }
+      val first = attempt()
+      val chosen =
+        if (first._2 / calMedian <= suspectDrift) first
+        else { val second = attempt(); if (second._2 < first._2) second else first }
+      println(f"bench [retime] $name%-20s ${chosen._1}%8.3f s (bracket ${chosen._2}%.3f s)")
+      name -> chosen._1
+    }.toSeq
     val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -111,9 +156,8 @@ object Bench {
     // reading any regression off this artifact (round-7 lesson).
     // Median, not min, as the baseline: one idle-fast probe (e.g. the
     // first, on a cold empty block cache) would otherwise flag a
-    // perfectly quiet sweep as contended.
-    val calSorted = calibrations.sorted
-    val calMedian = calSorted(calSorted.size / 2)
+    // perfectly quiet sweep as contended. (calMedian computed above,
+    // before the retime loop, from the SWEEP's probes only.)
     val calDrift = calibrations.max / calMedian
     if (calDrift > 1.5)
       System.err.println(f"bench WARNING: calibration drift ${calDrift}%.2fx -- " +
@@ -133,20 +177,14 @@ object Bench {
         f"${calAbs}%.2fx the quiet-machine floor ($CalQuietMedianS%.2f s) -- " +
         "the WHOLE sweep ran under ambient load; timings unreliable, re-run")
     val calJson = calibrations.map(c => f"$c%.3f").mkString("[", ",", "]")
-    // Per-query contention attribution (the round-9 lesson: a sweep
-    // self-flagged as contended, but readers still had to diff probe
-    // timestamps by hand to tell WHICH rows to discard): each query is
-    // bracketed by two fixed-work probes; if either ran >1.5x the
-    // sweep median, this query's reading is mechanically `suspect` —
-    // discard it and BenchOne the query on a quiet machine instead of
-    // reading a regression off the artifact.
-    val suspectJson = probeOf.flatMap { case (name, s) =>
-      val near = math.max(calibrations(s),
-        calibrations(math.min(s + 1, calibrations.size - 1)))
-      val drift = near / calMedian
-      if (drift > 1.5) Some(s"\"" + name + "\":" + f"$drift%.2f") else None
-    }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"storage_mb_held":$heldJson,"calibration_s":$calJson,"calibration_drift":${f"$calDrift%.3f"},"calibration_median_s":${f"$calMedian%.3f"},"calibration_abs":${f"$calAbs%.3f"},"suspect":$suspectJson,"sf":"$sfDir"}"""
+    val suspectJson = suspects
+      .map { case (name, drift) => s"\"" + name + "\":" + f"$drift%.2f" }
+      .mkString("{", ",", "}")
+    val retimedJson = retimed
+      .map { case (name, v) => s"\"" + name + "\":" + v }
+      .mkString("{", ",", "}")
+    val retimeCalJson = retimeCals.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"storage_mb_held":$heldJson,"calibration_s":$calJson,"calibration_drift":${f"$calDrift%.3f"},"calibration_median_s":${f"$calMedian%.3f"},"calibration_abs":${f"$calAbs%.3f"},"suspect":$suspectJson,"retimed_s":$retimedJson,"retime_calibration_s":$retimeCalJson,"sf":"$sfDir"}"""
     // The file is the durable artifact: stdout captures have twice lost
     // timings to tail-truncation of the single long JSON line.
     try {
