@@ -556,6 +556,12 @@ object Graft {
     * ([[graft.queries.Similarity.labelCentroids]]). */
   def labelCentroids(embeddings: DataFrame): DataFrame =
     queries.Similarity.labelCentroids(embeddings)
+  /** Lloyd k-means whose every iteration is reproducible and
+    * SQL-replayable: deterministic init, packed-argmin assignment,
+    * fixed-point integer centroid update
+    * ([[graft.queries.KMeansLloyd.kmeans]]). */
+  def kmeansLloyd(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame =
+    queries.KMeansLloyd.kmeans(embeddings, k, iters)
   /** Train the quality-filter model on-cluster: full-batch perceptron
     * over E9 hashed features, labels from the C16 gate; returns the
     * integer training trajectory (iter, dim, w, n_mistakes)

@@ -74,6 +74,7 @@ object Plans {
     "q_tokenize_ids" -> "id-level tokenization: DISTINCT-word encoder map with the merge-rank table broadcast, word-keyed id join back onto the positional explode, per-doc sort-collect reassembly — the corpus pays one text scan and shuffles only (doc_id, pos, id) integers",
     "q_hybrid_search" -> "hybrid retrieval: memoized tf + sparse-embedding frames, posting-list and dim-keyed candidate joins (stats broadcast), every per-query ranking window rewritten to TopKPerKeyPartial/Final, one poolK-bounded full-outer fuse join",
     "q_hybrid_search_lsh" -> "bucketed hybrid retrieval: sign-projection bit sums aggregated in the sparse format (tables-x inflation, never dims-x), the (t, bucket) candidate equi-join, candidate-restricted integer-dot rescore, same shared BM25/fusion stages as the dense row",
+    "q_kmeans" -> "per Lloyd iteration: broadcast-cents nested loop with the packed-long argmin collapsing map-side (only (vec_id, cell) shuffles), then posexplode + integer agg on the k x dims key space; centroids ride ONE k x dims collect per round — vector data never reaches the driver",
     "q_excise_sentences" -> "sentence-granularity ExactSubstr, SINGLE pass: one split+shingle+md5 explode, keeper rule as a (count, min) window on the 128-bit key partition (no memo, no paint join — the D14b lesson applied to the D16 keeper form), shared interval merge, sentence-keyed anti-join rebuild",
     "q_lang_paras" -> "per-paragraph language split: pages group-concat, then ONE shuffle-free codegen map stage (paragraph votes, majority election, rewrite all as integer HOFs in place); presentation sort is the only exchange after the pages agg",
     "q_fuzzy_join" -> "FastSS fuzzy join: deletion-neighborhood keys generated inline by codegen'd array lambdas, explode + variant-key equi-join (never the cross product), distinct pair shuffle, Levenshtein verify on the shortlist only",

@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** E14 — Lloyd's k-means with every iteration ORACLE-EXACT: the house
+  * trained-pipeline story so far replays fitted STATE (D15c/E13 inject
+  * the fit as literals) or erases the fit's influence (E3b/E7 probe
+  * exhaustively); this operator makes the TRAINING LOOP itself
+  * reproducible and SQL-replayable, iteration by iteration.
+  *
+  * Three determinism choices buy that:
+  *  - init = the k smallest-vec_id vectors (the D15 deterministic-
+  *    centroid convention), not a random sample;
+  *  - assignment = nearest centroid by L2 over a fixed-shape IEEE
+  *    chain (float→double casts, strict left fold), argmin as the
+  *    packed-long map-side `min` (`round(d2·2^30)·2^21 + c_id` —
+  *    quantized-distance ties to the smaller c_id, mirrored by the
+  *    oracle's ORDER BY);
+  *  - update = the E5 fixed-point mean: components quantize to 1/4096
+  *    integers, INTEGER-sum per (cell, dim) (exact, commutative,
+  *    shuffle-safe — a float sum would be partition-order-dependent
+  *    and unreproducible), and the new centroid is one double division
+  *    at read time. Empty clusters keep their previous centroid.
+  *
+  * Scale shape per iteration: one broadcast-centroids nested-loop
+  * whose packed argmin collapses map-side (the D15 HashAggregate
+  * lesson — nothing shuffles but (vec_id, cell)), then one posexplode
+  * + integer agg on the k×dims key space. Centroids are driver-side
+  * model state (k·dims doubles — metadata-scale by nature, the same
+  * contract as every fitted model here); each iteration's update
+  * rides ONE collect of that k×dims frame, never vector data.
+  *
+  * At 100 TB: iterations cost one corpus pass each (the Lloyd floor);
+  * fit on a sample and serve assignments via [[Similarity]]'s IVF/PQ
+  * machinery when the full-corpus fit is not the point.
+  */
+object KMeansLloyd {
+
+  /** Fixed-point scale for centroid components (the E5 constant): ×2^12
+    * is an exponent shift — exact — and round-half-away matches across
+    * engines. */
+  private val CQ = 4096.0
+
+  /** Distance-quantization scale for the packed argmin: 2^30 leaves
+    * room for d2 up to ~2^12 before the ·2^21 cell pack nears 2^63;
+    * assignment ties within 2^-30 go to the smaller c_id (mirrored in
+    * the oracle). */
+  private val DQ = (1L << 30).toDouble
+
+  /** Run `iters` Lloyd iterations with k centroids over
+    * (vec_id, embedding) and return the fitted model in long format:
+    * (c_id, dim, n_vecs, centroid) — n_vecs from the assignment that
+    * produced the final centroids. */
+  def kmeans(
+      embeddings: DataFrame,
+      k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    require(k > 0 && k < (1 << 21) - 1, s"k must be in [1, 2^21), got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = embeddings.select(col("vec_id"), col("embedding"))
+    // init: the k smallest vec_ids, re-keyed dense (correct on any id
+    // space — the D15 rank lesson), components as exact doubles
+    val initRows = v.orderBy(col("vec_id")).limit(k)
+      .collect().sortBy(_.getLong(0)).zipWithIndex
+      .map { case (r, i) =>
+        (i.toLong, r.getSeq[Float](1).map(_.toDouble).toArray)
+      }.toSeq
+    require(initRows.nonEmpty, "kmeans: empty input")
+    val dims = initRows.head._2.length
+
+    var cents: Seq[(Long, Array[Double])] = initRows
+    var lastCounts: Map[Long, Long] = Map.empty
+    for (_ <- 1 to iters) {
+      val centsDf = cents.toDF("c_id", "c_emb")
+      // fixed-shape d2 = Σ (x − c)², strict left fold — the
+      // codeColFor chain, replayed verbatim by the oracle
+      val d2 = aggregate(
+        zip_with(col("embedding"), col("c_emb"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, x) => acc + x)
+      val domain = coalesce(
+        assert_true(d2 * lit(DQ) < lit((1L << 41).toDouble),
+          lit("kmeans: squared distance exceeds the 2^41 packing domain " +
+            "— normalize or rescale the embeddings")).cast("long"),
+        lit(0L))
+      val packed = (round(d2 * lit(DQ)).cast("long") * (1L << 21)) +
+        col("c_id") + domain
+      val assigned = v.join(broadcast(centsDf), lit(true))
+        .groupBy("vec_id")
+        .agg(min(packed).as("p"))
+        .select(col("vec_id"), pmod(col("p"), lit(1L << 21)).as("cell"))
+      // E5 fixed-point update: quantize once, integer-sum per
+      // (cell, dim) — one collect of the k×dims model frame
+      val sums = v.join(assigned, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("cell"), col("dim"),
+          round(col("x").cast("double") * lit(CQ)).cast("long").as("q"))
+        .groupBy("cell", "dim")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("qsum"))
+        .collect()
+      val byCell = sums.groupBy(_.getLong(0))
+      lastCounts = byCell.map { case (c, rows) => c -> rows.head.getLong(2) }
+      cents = cents.map { case (cId, prev) =>
+        byCell.get(cId) match {
+          case None => (cId, prev) // empty cluster keeps its centroid
+          case Some(rows) =>
+            val next = prev.clone()
+            rows.foreach { r =>
+              next(r.getInt(1)) =
+                (r.getLong(3).toDouble / r.getLong(2).toDouble) / CQ
+            }
+            (cId, next)
+        }
+      }
+    }
+    cents.flatMap { case (cId, emb) =>
+      emb.zipWithIndex.map { case (c, d) =>
+        (cId, d.toLong, lastCounts.getOrElse(cId, 0L), c)
+      }
+    }.toDF("c_id", "dim", "n_vecs", "centroid")
+      .orderBy("c_id", "dim")
+  }
+
+  /** The fit replayed in SQL: chained CTEs per iteration — assignment
+    * (quantized-argmin ORDER BY, the packed-min's exact mirror),
+    * fixed-point sums, centroid update with empty-cluster carry —
+    * ending in the long-format model. MATERIALIZED (the D24 lesson:
+    * default inlining re-expands the chain exponentially). */
+  private def sqlKmeans(k: Int, iters: Int): String = {
+    val d2 = """list_reduce(list_prepend(0.0::DOUBLE,
+        list_transform(range(1, len(v.embedding) + 1),
+          i -> (v.embedding[i]::DOUBLE - c.c_emb[i])
+             * (v.embedding[i]::DOUBLE - c.c_emb[i]))),
+        (acc, x) -> acc + x)"""
+    val its = (1 to iters).map { t =>
+      s"""asg$t AS MATERIALIZED (SELECT vec_id, c_id AS cell FROM (
+          SELECT v.vec_id, c.c_id,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              round($d2 * 1073741824.0::DOUBLE) ASC, c.c_id ASC) AS rn
+          FROM v CROSS JOIN cents${t - 1} c) z WHERE rn = 1),
+        sums$t AS MATERIALIZED (
+          SELECT cell, dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS qsum
+          FROM (
+            SELECT a.cell,
+              CAST(generate_subscripts(v.embedding, 1) - 1 AS BIGINT) AS dim,
+              CAST(round(unnest(v.embedding)::DOUBLE * 4096.0::DOUBLE)
+                AS BIGINT) AS q
+            FROM v JOIN asg$t a ON v.vec_id = a.vec_id) z
+          GROUP BY 1, 2),
+        cents$t AS MATERIALIZED (
+          SELECT p.c_id,
+            list_transform(range(1, len(p.c_emb) + 1),
+              i -> coalesce(m.by_dim[i], p.c_emb[i])) AS c_emb
+          FROM cents${t - 1} p LEFT JOIN (
+            SELECT cell,
+              list((CAST(qsum AS DOUBLE) / CAST(n AS DOUBLE)) / 4096.0::DOUBLE
+                ORDER BY dim) AS by_dim
+            FROM sums$t GROUP BY cell) m ON p.c_id = m.cell)"""
+    }.mkString(",\n      ")
+    s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+      cents0 AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c_id,
+          list_transform(embedding, x -> x::DOUBLE) AS c_emb
+        FROM (SELECT vec_id, embedding FROM v ORDER BY vec_id LIMIT $k) s),
+      $its,
+      counts AS (SELECT cell, count(*) AS n_vecs FROM asg$iters GROUP BY 1)
+      SELECT c.c_id, CAST(d.i - 1 AS BIGINT) AS dim,
+        CAST(coalesce(n.n_vecs, 0) AS BIGINT) AS n_vecs,
+        c.c_emb[d.i] AS centroid
+      FROM cents$iters c
+      CROSS JOIN (SELECT unnest(range(1, (SELECT len(c_emb) FROM cents$iters LIMIT 1) + 1)) AS i) d
+      LEFT JOIN counts n ON c.c_id = n.cell
+      ORDER BY c_id, dim"""
+  }
+
+  val qKmeans: Q = Q(
+    "q_kmeans",
+    (s, d) => kmeans(Tables.embeddings(s, d), k = 8, iters = 3),
+    Some(sqlKmeans(8, 3)))
+
+  val all: Seq[Q] = Seq(qKmeans)
+}
