@@ -234,6 +234,32 @@ object Analytics {
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       ORDER BY returnflag, linestatus"""))
 
+  /** B16: full CUBE — all 2^d grouping sets in one pass, completing
+    * the OLAP trio beside B8's ROLLUP and B9's pivot. `grouping_id`
+    * (the standard bitmask, leftmost column = MSB in both engines)
+    * disambiguates a genuine NULL value from a subtotal row — the
+    * ambiguity the ROLLUP row's coalesce convention tolerates. Spark
+    * expands the cube BEFORE the shuffle (one Expand + one hash agg on
+    * the 2^d-tagged keys — map-side combinable, no per-set re-scan). */
+  val qCube: Q = Q(
+    "q_cube",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("gid"), col("sum_qty"), col("n"))
+        .orderBy("gid", "returnflag", "linestatus"),
+    Some(s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      coalesce(l_linestatus, 'ALL') AS linestatus,
+      CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      ${sqlDsum("l_quantity")} AS sum_qty, count(*) AS n
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY gid, returnflag, linestatus"""))
+
   /** B9: pivot as conditional aggregation — one pass, no shuffle beyond the
     * group-by (Spark's pivot() would need a distinct pass to find values;
     * explicit CASE keeps the plan static and oracle-matchable). */
@@ -295,6 +321,6 @@ object Analytics {
       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
   val all: Seq[Q] = Seq(q1Agg, q3Shipping, q5RegionRevenue, qTopkOrders,
-    qWindowRank, qDistinctParts, qSemiAnti, qRollup, qPivotStatus,
+    qWindowRank, qDistinctParts, qSemiAnti, qRollup, qCube, qPivotStatus,
     qMonthlyRevenue, qPercentiles)
 }
