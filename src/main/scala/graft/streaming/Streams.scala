@@ -522,6 +522,33 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** G16: streaming drift monitor — I9's
+    * [[graft.queries.Profile.psi]] per micro-batch: each arriving
+    * batch is scored against the FIXED reference snapshot and the
+    * per-column PSI frame goes to `each` (alert when any column
+    * crosses 0.25 — the I9 bands). The micro-batch IS the comparison
+    * window: set the stream trigger to the alert window production
+    * wants (per-batch drift on tiny batches is legitimately noisy —
+    * that is the statistic, not the plumbing). Per batch, output ==
+    * batch `psi(ref, batch)` by construction (the G11 composition
+    * contract; StreamingSpec pins the differential). The reference
+    * bounds scan re-runs per batch — cache `ref` when the trigger is
+    * tight. */
+  def driftStream(
+      cur: DataFrame,
+      ref: DataFrame,
+      numCols: Seq[String],
+      catCols: Seq[String],
+      buckets: Int = 10)(
+      each: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    cur.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          each(graft.queries.Profile.psi(ref, batch, numCols, catCols, buckets))
+      }
+      .start()
+
   /** G11: the streaming INGEST pipeline — the D17 curation flow at
     * micro-batch granularity, composed from the same oracle-checked
     * stages: each arriving batch is (1) gate-screened (C16 ∧ C17 —

@@ -10,6 +10,9 @@ import org.apache.spark.sql.streaming.OutputMode
 object StreamingSpec {
   /** Top-level so spark.implicits can derive its Encoder. */
   final case class Doc(doc_id: Long, text: String)
+
+  /** One drift-monitor snapshot row (G16's spec). */
+  final case class Snap(x: Double, cat: String)
 }
 
 /** G2–G4: Structured Streaming operators driven from a MemoryStream and
@@ -122,6 +125,34 @@ class StreamingSpec extends SparkSpec {
       val d0 = at("2024-03-11").toLocalDateTime.toLocalDate.toEpochDay
       assert(got.contains((Math.floorDiv(d0, 7L), 0L)))
     } finally query.stop()
+  }
+
+  test("driftStream: per-batch PSI equals batch psi on the same frame") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import StreamingSpec.Snap
+    val ref = (1 to 100).map(i => (i.toDouble, if (i % 2 == 0) "a" else "b"))
+      .toDF("x", "cat")
+    val batches = Seq(
+      (1 to 50).map(i => Snap(i.toDouble, "a")),
+      (1 to 50).map(i => Snap(150.0 + i, "b")))  // drifted batch
+    val mem = MemoryStream[Snap]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    val query = Streams.driftStream(mem.toDF(), ref, Seq("x"), Seq("cat")) { f =>
+      got += f.collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    }
+    try {
+      batches.foreach { b => mem.addData(b: _*); query.processAllAvailable() }
+    } finally query.stop()
+    val want = batches.map { b =>
+      graft.queries.Profile.psi(ref,
+          b.map(s => (s.x, s.cat)).toDF("x", "cat"), Seq("x"), Seq("cat"))
+        .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    }
+    assert(got.toSeq == want, s"stream $got vs batch $want")
+    // the drifted batch (out-of-range numeric mass, one-sided cats)
+    // must alarm while the aligned batch stays under the act band
+    assert(got(1)("x") > 0.25 && got(0)("x") < got(1)("x"), got.toString)
   }
 
   test("funnelStream: per-step emission counts equal the batch funnel") {
