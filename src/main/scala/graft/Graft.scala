@@ -264,6 +264,17 @@ object Graft {
     * ([[graft.queries.GraphRank.communities]]). */
   def communities(lineitem: DataFrame, iterations: Int = 5): DataFrame =
     queries.GraphRank.communities(lineitem, iterations)
+  /** Near-dup communities: the dedup pair graph labeled by LPA — the
+    * density policy beside [[dedupClusters]]'s transitive one; rows
+    * where the two disagree are the dedup-policy review queue
+    * ([[graft.queries.Clusters.dedupCommunities]]). */
+  def dedupCommunities(docs: DataFrame, iterations: Int = 3): DataFrame =
+    queries.Clusters.dedupCommunities(docs, iterations)
+  /** TextRank keywords: integer PageRank over the word co-occurrence
+    * graph ([[graft.queries.TextRank.textRank]]). */
+  def textRank(docs: DataFrame, window: Int = 2, iterations: Int = 5,
+      k: Int = 50): DataFrame =
+    queries.TextRank.textRank(docs, window, iterations, k)
   /** Fixed-iteration deterministic label propagation over any
     * (src, dst) edge list ([[graft.ops.LabelPropagation]]). */
   def labelPropagation(edges: DataFrame, src: String = "src",

@@ -42,10 +42,12 @@ object Clusters {
       .orderBy("doc_id")
   }
 
-  val qDedupClusters: Q = Q(
-    "q_dedup_clusters",
-    (s, d) => dedupClusters(Tables.documents(s, d)),
-    Some(s"""WITH RECURSIVE ${Dedup.sqlMinhashPairCtes("documents")},
+  /** The dedup pair graph as oracle CTEs ending in `sym (u, v)` — the
+    * SAME chain for [[qDedupClusters]] (CC labeling) and
+    * [[qDedupCommunities]] (LPA labeling), so the two policies are
+    * proven over an identical graph. */
+  private def sqlPairGraphCtes: String =
+    s"""${Dedup.sqlMinhashPairCtes("documents")},
       keyed AS (
         SELECT doc_id, md5(${sqlNormText("text")}) AS k1,
                ${sqlPolyHash(sqlNormText("text"))} AS k2
@@ -59,7 +61,12 @@ object Clusters {
         SELECT u, v FROM exact_pairs
         UNION
         SELECT id_a AS u, id_b AS v FROM mh_pairs),
-      sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+      sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges)"""
+
+  val qDedupClusters: Q = Q(
+    "q_dedup_clusters",
+    (s, d) => dedupClusters(Tables.documents(s, d)),
+    Some(s"""WITH RECURSIVE $sqlPairGraphCtes,
       reach AS (
         SELECT doc_id AS u, doc_id AS v FROM documents
         UNION
@@ -71,5 +78,68 @@ object Clusters {
       FROM lab
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(qDedupClusters)
+  /** D25: near-dup COMMUNITIES — the SAME pair graph as
+    * [[dedupClusters]], labeled by fixed-iteration label propagation
+    * ([[graft.ops.LabelPropagation]]) instead of connected components.
+    * CC implements the TRANSITIVE policy: one low-similarity link
+    * merges two otherwise-unrelated duplicate groups — correct when
+    * pairs are high-precision, catastrophic under banding false
+    * positives (one hash-collision bridge fuses two big clusters and
+    * the survivor rule then deletes one of them wholesale). LPA
+    * implements the DENSITY policy: a group keeps its label unless its
+    * neighbors' votes overwhelm it, so dense duplicate groups joined
+    * by a sparse accidental bridge stay separate (LpaSpec's
+    * bridged-clique dynamics), while a genuine chain of strong pairs
+    * still merges. Ship both labelings: rows where they DISAGREE are
+    * exactly the rows where dedup policy matters — a review queue, not
+    * a bug. `community` is the elected label (an id drawn from the
+    * graph — unlike CC's component, not guaranteed to label itself);
+    * docs with no pairs are their own singleton community. */
+  def dedupCommunities(docs: DataFrame, iterations: Int = 3): DataFrame = {
+    val near = Dedup.minhashPairs(docs)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val e = Dedup.exactDupPairs(docs).union(near)
+    val labels = graft.ops.LabelPropagation.propagate(
+      e.union(e.select(col("dst"), col("src"))), iterations = iterations)
+    val ids = docs.select(col("doc_id"))
+    ids.join(labels, ids("doc_id") === labels("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("community"))
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy(col("community"))))
+      .orderBy("doc_id")
+  }
+
+  /** D25's oracle: the shared pair-graph chain + the D24 LPA iteration
+    * CTEs (MATERIALIZED — the exponential-inlining lesson) + the
+    * singleton fill. */
+  val qDedupCommunities: Q = Q(
+    "q_dedup_communities",
+    (s, d) => dedupCommunities(Tables.documents(s, d)),
+    Some {
+      val iters = 3
+      val its = (1 to iters).map { k =>
+        s"""v$k AS MATERIALIZED (SELECT s.v AS node, l.label
+            FROM it${k - 1} l JOIN sym s ON l.node = s.u
+          UNION ALL SELECT node, label FROM it${k - 1}),
+        c$k AS MATERIALIZED (SELECT node, label, count(*) AS cnt
+          FROM v$k GROUP BY 1, 2),
+        m$k AS MATERIALIZED (SELECT node, max(cnt) AS mc FROM c$k GROUP BY 1),
+        it$k AS MATERIALIZED (SELECT c.node, min(c.label) AS label
+          FROM c$k c JOIN m$k m ON c.node = m.node AND c.cnt = m.mc
+          GROUP BY 1)"""
+      }.mkString(",\n      ")
+      s"""WITH $sqlPairGraphCtes,
+      it0 AS MATERIALIZED (SELECT node, node AS label FROM (
+        SELECT DISTINCT u AS node FROM sym)),
+      $its,
+      lab AS (SELECT d.doc_id, coalesce(i.label, d.doc_id) AS community
+        FROM documents d LEFT JOIN it$iters i ON d.doc_id = i.node)
+      SELECT doc_id, community,
+        count(*) OVER (PARTITION BY community) AS community_size
+      FROM lab
+      ORDER BY doc_id"""
+    })
+
+  val all: Seq[Q] = Seq(qDedupClusters, qDedupCommunities)
 }

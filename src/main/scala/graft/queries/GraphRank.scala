@@ -36,17 +36,18 @@ object GraphRank {
       .orderBy("kind", "key")
   }
 
-  val qPageRank: Q = Q(
-    "q_pagerank",
-    (s, d) => supplyGraphRank(s, d),
-    Some {
-      val U = graft.ops.PageRank.Unit
-      // unrolled iterations: it0 = uniform mass, each itK = one damped
-      // update with dangling redistribution (dm is 0 on this graph —
-      // every node has an out-edge — but the term is part of the
-      // operator contract and stays in the oracle)
-      val its = (1 to Iters).map { k =>
-        s"""st${k - 1} AS (
+  /** The integer-PageRank oracle chain over a previously defined CTE
+    * `e (s, d)`: nodes/deg/it0..itN — shared by [[qPageRank]] and the
+    * C24 TextRank row so the two cannot drift. Ends with `it<iters>`
+    * carrying (node, out, rank). */
+  private[queries] def sqlPageRankChain(iters: Int): String = {
+    val U = graft.ops.PageRank.Unit
+    // unrolled iterations: it0 = uniform mass, each itK = one damped
+    // update with dangling redistribution (dm is 0 on graphs where
+    // every node has an out-edge — but the term is part of the
+    // operator contract and stays in the oracle)
+    val its = (1 to iters).map { k =>
+      s"""st${k - 1} AS (
           SELECT coalesce(sum(CASE WHEN out = 0 THEN rank END), 0) AS dm,
                  count(*) AS n
           FROM it${k - 1}),
@@ -57,18 +58,25 @@ object GraphRank {
             SELECT e.d AS node, sum(r.rank // r.out) AS v
             FROM it${k - 1} r JOIN e ON r.node = e.s
             WHERE r.out > 0 GROUP BY 1) inf ON g.node = inf.node)"""
-      }.mkString(",\n        ")
-      s"""WITH pairs AS (
-        SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS su FROM lineitem),
-      e AS (
-        SELECT p AS s, su AS d FROM pairs UNION SELECT su, p FROM pairs),
-      nodes AS (SELECT DISTINCT s AS node FROM e UNION SELECT DISTINCT d FROM e),
+    }.mkString(",\n        ")
+    s"""nodes AS (SELECT DISTINCT s AS node FROM e UNION SELECT DISTINCT d FROM e),
       deg AS (
         SELECT n.node, coalesce(o.out, 0) AS out
         FROM nodes n LEFT JOIN (SELECT s, count(*) AS out FROM e GROUP BY 1) o
           ON n.node = o.s),
       it0 AS (SELECT node, out, $U::BIGINT AS rank FROM deg),
-      $its
+      $its"""
+  }
+
+  val qPageRank: Q = Q(
+    "q_pagerank",
+    (s, d) => supplyGraphRank(s, d),
+    Some {
+      s"""WITH pairs AS (
+        SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS su FROM lineitem),
+      e AS (
+        SELECT p AS s, su AS d FROM pairs UNION SELECT su, p FROM pairs),
+      ${sqlPageRankChain(Iters)}
       SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
         node // 2 AS key,
         CAST(rank AS BIGINT) AS rank

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** C24 — TextRank keyword extraction (Mihalcea & Tarau EMNLP'04):
+  * corpus-level keywords by PageRank over the word CO-OCCURRENCE graph
+  * — the graph-centrality complement to C12's PMI collocations (PMI
+  * scores PAIR surprise; TextRank scores WORD importance through the
+  * whole graph's structure, the difference that finds hub terms no
+  * single pair makes conspicuous). Words are graph nodes; an
+  * undirected edge joins words co-occurring within `window` positions
+  * in any document; ranks come from the SAME integer fixed-point
+  * PageRank every graph row uses ([[graft.ops.PageRank]]) — exact,
+  * order-independent, oracle-replayable (the D11 chain, shared via
+  * `GraphRank.sqlPageRankChain` so the two oracles cannot drift).
+  *
+  * Scale shape: positions join within a doc-keyed co-partitioned
+  * self-join (residual on the position window — the G8 pattern), edges
+  * distinct on word-id pairs, then the PageRank rounds on a
+  * vocabulary-sized graph. The word→id map is ONE row_number over the
+  * sorted distinct vocabulary — a domain-sized single-partition sort
+  * (the I3/I8 key-space contract: vocabularies are bounded; the corpus
+  * is not). Output: the top `k` terms by rank, integer micro-rank
+  * units.
+  */
+object TextRank {
+
+  val Iters = 5
+
+  def textRank(
+      docs: DataFrame,
+      window: Int = 2,
+      iterations: Int = Iters,
+      k: Int = 50): DataFrame = {
+    require(window >= 1 && k >= 1 && iterations >= 1,
+      "window, k, iterations must be positive")
+    val toks = docs
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val vocab = toks.select(col("w")).distinct()
+      .withColumn("wid",
+        row_number().over(Window.orderBy(col("w"))).cast("long") - 1L)
+    val a = toks.select(col("doc_id"), col("pos").as("pa"), col("w").as("wa"))
+    val b = toks.select(col("doc_id"), col("pos").as("pb"), col("w").as("wb"))
+    val pairs = a.join(b, Seq("doc_id"))
+      .filter(col("pb") > col("pa") && col("pb") <= col("pa") + window &&
+        col("wa") =!= col("wb"))
+      .join(vocab.select(col("w").as("wa"), col("wid").as("src")), Seq("wa"))
+      .join(vocab.select(col("w").as("wb"), col("wid").as("dst")), Seq("wb"))
+      .select(col("src"), col("dst")).distinct()
+    val e = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val ranked = graft.ops.PageRank.pageRank(e, iterations = iterations)
+    ranked.join(vocab, ranked("node") === vocab("wid"))
+      .select(col("w").as("term"), col("rank"))
+      .orderBy(col("rank").desc, col("term"))
+      .limit(k)
+  }
+
+  val qTextRank: Q = Q(
+    "q_textrank",
+    (s, d) => textRank(Tables.documents(s, d)),
+    Some {
+      val ws = sqlWords("text")
+      // MATERIALIZED on the leaves: the PageRank chain references `e`
+      // once per iteration and DuckDB's default inlining would re-run
+      // the positional self-join each time (the D24 lesson — this
+      // oracle timed out at sf0.1 without the hints; q_pagerank's `e`
+      // survives un-hinted only because its lineage is one cheap
+      // distinct)
+      s"""WITH toks AS MATERIALIZED (
+        SELECT doc_id, CAST(generate_subscripts(wl, 1) AS BIGINT) AS pos,
+          unnest(wl) AS w
+        FROM (SELECT doc_id, list_filter($ws, t -> t <> '') AS wl
+          FROM documents) src),
+      vocab AS MATERIALIZED (SELECT w,
+          CAST(row_number() OVER (ORDER BY w) - 1 AS BIGINT) AS wid
+        FROM (SELECT DISTINCT w FROM toks) dw),
+      pairs AS MATERIALIZED (SELECT DISTINCT va.wid AS s, vb.wid AS d
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+          AND b.pos > a.pos AND b.pos <= a.pos + 2 AND a.w <> b.w
+        JOIN vocab va ON va.w = a.w
+        JOIN vocab vb ON vb.w = b.w),
+      e AS MATERIALIZED (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+      ${GraphRank.sqlPageRankChain(Iters)}
+      SELECT v.w AS term, CAST(i.rank AS BIGINT) AS rank
+      FROM it$Iters i JOIN vocab v ON i.node = v.wid
+      ORDER BY rank DESC, term LIMIT 50"""
+    })
+
+  val all: Seq[Q] = Seq(qTextRank)
+}

@@ -43,6 +43,24 @@ class LpaSpec extends SparkSpec {
     assert(out(5L)._1 == 5L && out(6L)._1 == 5L && out(7L)._1 == 6L, out)
   }
 
+  test("policy contrast: CC merges a bridged pair graph where LPA keeps the groups apart") {
+    import org.apache.spark.sql.functions.col
+    // two dense 5-node duplicate groups joined by ONE edge — the
+    // banding-false-positive shape D25 exists for
+    def cliqueEdges(ns: Seq[Long]) =
+      for (i <- ns.indices; j <- i + 1 until ns.size) yield (ns(i), ns(j))
+    val e = (cliqueEdges(0L to 4L) ++ cliqueEdges(10L to 14L) ++ Seq((4L, 10L)))
+      .toDF("src", "dst")
+    val cc = graft.ops.ConnectedComponents.connectedComponents(e)
+      .collect().map(_.getLong(1)).toSet
+    assert(cc == Set(0L), s"CC must merge everything through the bridge: $cc")
+    val both = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val lpa = graft.ops.LabelPropagation.propagate(both)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 4L).forall(lpa(_) == 0L) && (10L to 14L).forall(lpa(_) == 10L),
+      s"LPA must keep the dense groups separate: $lpa")
+  }
+
   test("disjoint cliques converge in ONE round; empty input yields no rows") {
     val rows = (1L to 5L).map((1L, _)) ++ (21L to 25L).map((2L, _))
     val out = run(rows, iters = 1)
