@@ -1344,6 +1344,44 @@ object ScaleProbe {
     println(f"maximal len census   ${"check"}%9s       every planted span reports its exact length, 20..219 all hit  PASS")
     maxDocs.unpersist()
 
+    // --- E14 Lloyd k-means at scale: nDocs vectors in 32 PLANTED
+    // clusters (one-hot ±8 centers — pairwise distance 8√2, far past
+    // the ±0.1 deterministic jitter), vec i in cluster i mod 32 so the
+    // first-k init seeds one vector per cluster. After 3 iterations
+    // the fit must recover the plant EXACTLY: every cluster's n_vecs
+    // equals its planted share and every centroid lands within 0.05 of
+    // its planted center (the jitter averages out). The claim under
+    // test: the broadcast-argmin + fixed-point-update rounds hold
+    // their shape and exactness on a corpus-scale fit.
+    val kmK = 32
+    val kmVecs = spark.range(nDocs).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        (when(d === pmod(col("id"), lit(kmK.toLong)).cast("int"), lit(8.0))
+          .otherwise(lit(0.0)) +
+          (pmod(xxhash64(col("id"), d), lit(1000L)).cast("double") / 1000.0
+            - 0.5) * 0.2).cast("float")).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    kmVecs.count()
+    val (kmAgg, tKm) = time {
+      val m = Graft.kmeansLloyd(kmVecs, k = kmK, iters = 3)
+      m.agg(
+        sum(when(col("n_vecs") === lit(nDocs / kmK) ||
+          col("n_vecs") === lit(nDocs / kmK + 1), 1L).otherwise(0L)).as("share_ok"),
+        // centroid check: the one-hot dim must read ~8, others ~0
+        sum(when(
+          (col("dim") === col("c_id") && abs(col("centroid") - 8.0) < 0.05) ||
+          (col("dim") =!= col("c_id") && abs(col("centroid")) < 0.05),
+          1L).otherwise(0L)).as("cent_ok"),
+        count(lit(1)).as("cells")).head()
+    }
+    println(f"kmeans lloyd         $nDocs%9d vecs  $tKm%7.1f s  ${nDocs / tKm}%9.0f vecs/s  ($kmK planted clusters, 3 iterations)")
+    assert(kmAgg.getLong(2) == kmK * 64L && kmAgg.getLong(0) == kmK * 64L &&
+      kmAgg.getLong(1) == kmK * 64L,
+      s"kmeans census: (share_ok, cent_ok, cells) = $kmAgg vs ${kmK * 64} — " +
+        "the fit failed to recover the planted clusters")
+    println(f"kmeans census        ${"check"}%9s       all $kmK planted clusters recovered, centroids within 0.05  PASS")
+    kmVecs.unpersist()
+
     // --- C23 bigram LM at scale: the model key space is bounded by the
     // observed bigram vocabulary (≤ 50² here; ≤ corpus bigram types in
     // general — aggregated, never windowed), the threshold pass by the
