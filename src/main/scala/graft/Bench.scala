@@ -138,8 +138,17 @@ object Bench {
       }
       val first = attempt()
       val chosen =
-        if (first._2 / calMedian <= suspectDrift) first
-        else { val second = attempt(); if (second._2 < first._2) second else first }
+        if (first._1 >= 0 && first._2 / calMedian <= suspectDrift) first
+        else {
+          val second = attempt()
+          // a valid reading always beats the -1.0 failure sentinel;
+          // only between two valid (or two failed) attempts do the
+          // calibration brackets decide
+          if (first._1 < 0 != (second._1 < 0)) {
+            if (first._1 >= 0) first else second
+          } else if (second._2 < first._2) second
+          else first
+        }
       println(f"bench [retime] $name%-20s ${chosen._1}%8.3f s (bracket ${chosen._2}%.3f s)")
       name -> chosen._1
     }.toSeq

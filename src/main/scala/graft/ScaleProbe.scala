@@ -1080,8 +1080,7 @@ object ScaleProbe {
     // in the sparse format, exact rescore on survivors. A verbatim
     // twin shares every projection sign, so the planted gate carries
     // over: twins must still fuse rank 1 through REAL buckets
-    // (8 tables × 6 bits), and candidate volume — the quantity the
-    // buckets exist to bound — is reported beside the time.
+    // (8 tables × 6 bits).
     val (hyLshTop, tHyLsh) = time {
       Graft.hybridSearchLsh(hyDocs, qMod = 5000L, poolK = 20, k = 10,
         dims = 1 << 16, tables = 8, bits = 6)

@@ -690,8 +690,16 @@ object Profile {
         }
         val r = ref.agg(aggs.head, aggs.tail: _*).head()
         numCols.zipWithIndex.map { case (c, i) =>
-          c -> (if (r.isNullAt(2 * i)) (0.0, 0.0)
-                else (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+          // fail loudly on a vacuous reference: PSI against a column
+          // with no finite reference values is meaningless, and a
+          // silent (0.0, 0.0) fallback would bin arbitrary current
+          // values as if the reference ranged over [0, 0] (and
+          // diverge from the oracle, whose NULL bounds drop rows)
+          require(!r.isNullAt(2 * i),
+            s"psi: reference snapshot has no finite values in numeric " +
+              s"column '$c' — profile the column (I1/I3) instead of " +
+              "computing drift against a vacuous reference")
+          c -> (r.getDouble(2 * i), r.getDouble(2 * i + 1))
         }.toMap
       }
     // bin key per column: zero-padded bucket index (numeric) or the

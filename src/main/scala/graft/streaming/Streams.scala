@@ -30,12 +30,16 @@ private[streaming] object EventTime extends Serializable {
   def us(t: java.sql.Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
 
-  /** Timestamp → epoch day under the DEFAULT zone — the same calendar
-    * rule Spark's `to_date(ts)` applies with the default session
-    * timezone, so [[Streams.retentionStream]]'s day math matches the
-    * batch retention row's bit-for-bit. */
+  /** Timestamp → epoch day under UTC — the calendar rule `to_date(ts)`
+    * applies under this repo's PINNED session timezone
+    * (spark.sql.session.timeZone=UTC in build.sbt / Verify /
+    * SparkSpec), so [[Streams.retentionStream]]'s day math matches the
+    * batch retention row's bit-for-bit on ANY host. (toLocalDateTime
+    * would use the JVM default zone and diverge off-UTC hosts.)
+    * floorDiv, not /: pre-epoch instants must floor toward the earlier
+    * day, the [[us]] lesson. */
   def epochDay(t: java.sql.Timestamp): Long =
-    t.toLocalDateTime.toLocalDate.toEpochDay
+    Math.floorDiv(t.getTime, 86400000L)
 }
 
 /** Per-user last-event state for [[Streams.transitionsStream]]. */

@@ -179,5 +179,15 @@ class ProfileSpec extends SparkSpec {
     assert(n("x").getLong(1) == 51L && n("x").getLong(2) == 51L, n("x").toString)
     assert(n("cat").getLong(1) == 52L && n("cat").getDouble(4) == 0.0,
       n("cat").toString)
+    // a vacuous numeric reference (no finite values) fails loudly —
+    // a silent (0,0)-bounds fallback would bin arbitrary current
+    // values and drift from the oracle
+    val vac = Seq((Option.empty[Double], "k"), (Some(Double.NaN), "k"))
+      .toDF("x", "cat")
+    val ok = (1 to 5).map(i => (Some(i.toDouble), "k")).toDF("x", "cat")
+    val e = intercept[IllegalArgumentException] {
+      Profile.psi(vac, ok, Seq("x"), Seq("cat"))
+    }
+    assert(e.getMessage.contains("vacuous"), e.getMessage)
   }
 }
