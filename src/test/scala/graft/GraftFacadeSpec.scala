@@ -189,4 +189,36 @@ class GraftFacadeSpec extends SparkSpec {
         assert(sql.contains(ws), s"$n oracle lost the GopherWs class")
       }
   }
+
+  test("round-11 facade methods run on user frames") {
+    import spark.implicits._
+    // psi: identical snapshots -> exactly zero drift on every column
+    val snap = Seq((1.0, "a"), (2.0, "b"), (3.0, "a")).toDF("x", "cat")
+    val psi = Graft.psi(snap, snap, Seq("x"), Seq("cat")).collect()
+    assert(psi.length == 2 && psi.forall(_.getDouble(4) == 0.0))
+    // kmeansLloyd on a user embedding frame
+    val emb = Seq((0L, Seq(0f, 0f)), (1L, Seq(9f, 9f)), (2L, Seq(0.1f, 0f)),
+      (3L, Seq(9f, 8.9f))).toDF("vec_id", "embedding")
+    val km = Graft.kmeansLloyd(emb, k = 2, iters = 2).collect()
+    assert(km.length == 4 && km.forall(_.getLong(2) == 2L))
+    // dedupCommunities: the exact-dup pair collapses into one
+    // community; the unrelated doc stays a singleton (doc 2's minhash
+    // edge is borderline-0.5 on this frame — not asserted)
+    val dc = Graft.dedupCommunities(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dc(0L) == dc(1L) && dc(3L) == 3L, dc.toString)
+    // textRank: 'the' is the hub of this tiny corpus
+    assert(Graft.textRank(docs).collect().nonEmpty)
+    // dupSpansMaximal: the exact-dup pair shares its full text
+    val ms = Graft.dupSpansMaximal(docs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+    assert(ms.count(_._2 == 22L) == 2, ms.toSeq.toString) // docs 0 and 1
+    // hybridSearchLsh exhaustive == hybridSearch on the user frame
+    val hd = Graft.hybridSearch(docs, qMod = 2L, poolK = 3, k = 3)
+      .collect().map(_.toSeq).toSeq
+    val hl = Graft.hybridSearchLsh(docs, qMod = 2L, poolK = 3, k = 3, bits = 0)
+      .collect().map(_.toSeq).toSeq
+    assert(hd == hl && hd.nonEmpty)
+    graft.ops.Release.sweep(spark)
+  }
 }
