@@ -925,6 +925,12 @@ object ScaleProbe {
       s"signed mass ${deAgg.getLong(0)} vs $occTotal occurrences — " +
         "contributions lost or manufactured")
     println(f"doc embed census     ${"check"}%9s       |q| mass within (${occTotal / 2}, $occTotal]  PASS")
+    // sweep BEFORE the heaviest composed segment: the doc-embed memo
+    // frames otherwise stay pinned into the capstone, and the probe
+    // OOMed once (8g driver) in exactly the CacheManager rebuild
+    // cascade that cache-eviction pressure triggers (the round-10
+    // clearCache lesson's memory-pressure sibling)
+    graft.ops.Release.sweep(spark)
 
     // The D18 CAPSTONE as one composed plan at 505k docs — the stages
     // are individually probed above; what composition can still break
