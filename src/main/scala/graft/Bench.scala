@@ -113,6 +113,46 @@ object Bench {
       val drift = near / calMedian
       if (drift > suspectDrift) Some(name -> drift) else None
     }
+    // History-regression tagging (the round-11 lesson): a per-row
+    // contention spike under a quiet-ISH sweep sails beneath the
+    // calibration gate — round 11's q_correlations read 4.64 s in-sweep
+    // (1.46 s isolated min-of-3) with sweep drift 1.421 < 1.5, and the
+    // phantom landed unflagged in the round artifact. The probes only
+    // measure AMBIENT load; they cannot see a spike narrower than a
+    // 10-query stride. So carry a pinned per-query reference table
+    // (bench_pins.json at the repo root — the previous round's quiet
+    // sweep, committed) and tag any row reading > 1.5x its pin as
+    // suspect REGARDLESS of calibration drift; the retime loop below
+    // then re-runs it isolated like any other suspect. New rows without
+    // a pin are skipped (their first quiet sweep becomes the pin).
+    val pinFactor =
+      sys.env.getOrElse("SPARK_GRAFT_PIN_FACTOR", "1.5").toDouble
+    val pins: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get("bench_pins.json")
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          // the file is machine-written by this object (flat string->
+          // number map, one level, no escapes), so a pair regex is a
+          // faithful parser for it
+          """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter(_._2 > 0).toMap
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"bench_pins.json unreadable ($e); history tagging off")
+          Map.empty
+      }
+    val pinRegressed = results.collect {
+      case (name, v) if v > 0 && pins.get(name).exists(p => v > pinFactor * p) =>
+        name -> v / pins(name)
+    }.toMap
+    pinRegressed.foreach { case (name, r) =>
+      println(f"bench [pin-regressed] $name%-20s ${r}%.2fx its pin -> retiming")
+    }
     // Auto-retime (the round-10 verdict ask): tagging alone left three
     // of four driver artifacts without usable numbers for their
     // contended rows. Ambient spikes are usually transient, so every
@@ -124,7 +164,8 @@ object Bench {
     // same way the sweep is judged — an all-contended machine still
     // yields a number plus the evidence, never a silent drop.
     val retimeCals = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val retimed = suspects.keys.map { name =>
+    val toRetime = (suspects.keys ++ pinRegressed.keys).toSeq.distinct
+    val retimed = toRetime.map { name =>
       val fn = SparkEntry.queries(name)
       def attempt(): (Double, Double) = {
         val c0 = calibrate(spark)
@@ -152,7 +193,13 @@ object Bench {
       println(f"bench [retime] $name%-20s ${chosen._1}%8.3f s (bracket ${chosen._2}%.3f s)")
       name -> chosen._1
     }.toSeq
-    val failed = results.collect { case (k, v) if v < 0 => k }
+    // A query that broke only DURING retiming must still land in
+    // `failed`: a -1.0 in retimed_s alone is invisible to a reader
+    // filtering on the failed list (round-11 advisor finding). The
+    // sentinel itself is omitted from retimed_s — the failure is the
+    // record, not a timing.
+    val failed = (results.collect { case (k, v) if v < 0 => k } ++
+      retimed.collect { case (k, v) if v < 0 => k }).distinct
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -190,10 +237,13 @@ object Bench {
       .map { case (name, drift) => s"\"" + name + "\":" + f"$drift%.2f" }
       .mkString("{", ",", "}")
     val retimedJson = retimed
-      .map { case (name, v) => s"\"" + name + "\":" + v }
+      .collect { case (name, v) if v >= 0 => s"\"" + name + "\":" + v }
+      .mkString("{", ",", "}")
+    val pinRegressedJson = pinRegressed
+      .map { case (name, r) => s"\"" + name + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
     val retimeCalJson = retimeCals.map(c => f"$c%.3f").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"storage_mb_held":$heldJson,"calibration_s":$calJson,"calibration_drift":${f"$calDrift%.3f"},"calibration_median_s":${f"$calMedian%.3f"},"calibration_abs":${f"$calAbs%.3f"},"suspect":$suspectJson,"retimed_s":$retimedJson,"retime_calibration_s":$retimeCalJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"storage_mb_held":$heldJson,"calibration_s":$calJson,"calibration_drift":${f"$calDrift%.3f"},"calibration_median_s":${f"$calMedian%.3f"},"calibration_abs":${f"$calAbs%.3f"},"suspect":$suspectJson,"pin_regressed":$pinRegressedJson,"retimed_s":$retimedJson,"retime_calibration_s":$retimeCalJson,"sf":"$sfDir"}"""
     // The file is the durable artifact: stdout captures have twice lost
     // timings to tail-truncation of the single long JSON line.
     try {
@@ -204,6 +254,34 @@ object Bench {
         java.nio.file.Paths.get("bench_out.json"),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"bench_out.json write failed: $e") }
+    // SPARK_GRAFT_WRITE_PINS=1: refresh bench_pins.json from THIS
+    // sweep — run on a quiet machine at round end and commit the file.
+    // Retimed values win over in-sweep readings (they are the isolated
+    // numbers); failed rows are never pinned. Refusing on a contended
+    // sweep keeps a noisy run from quietly RAISING every pin (which
+    // would blind the next round's regression tagging).
+    if (sys.env.get("SPARK_GRAFT_WRITE_PINS").contains("1")) {
+      if (calDrift > 1.5 || calAbs > 1.5)
+        System.err.println(f"bench: NOT writing pins — sweep contended " +
+          f"(drift $calDrift%.2f, abs $calAbs%.2f); re-run quiet")
+      else {
+        val retimedMap = retimed.toMap
+        val pinPairs = results.collect {
+          case (k, v) if math.max(v, retimedMap.getOrElse(k, -1.0)) >= 0 =>
+            val best0 = retimedMap.get(k).filter(_ >= 0).getOrElse(v)
+            s"\"" + k + "\":" + f"$best0%.3f"
+        }
+        try {
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get("bench_pins.json"),
+            pinPairs.mkString("{", ",", "}")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          println(s"bench: wrote ${pinPairs.size} pins to bench_pins.json")
+        } catch {
+          case e: Throwable => System.err.println(s"bench_pins.json write failed: $e")
+        }
+      }
+    }
     println(json)
     spark.stop()
   }

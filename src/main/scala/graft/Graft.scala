@@ -345,6 +345,31 @@ object Graft {
       queryVecs: DataFrame, probes: Int = 3, rescore: Int = 50,
       excludeSelf: Boolean = true): DataFrame =
     queries.Similarity.searchPqIndex(idx, vectors, queryVecs, probes, rescore, excludeSelf)
+  /** OPQ: learned orthogonal rotation before PQ — higher recall at
+    * the SAME code budget ([[graft.queries.Similarity.annOpq]];
+    * build/search halves: [[buildOpqIndex]]/[[searchOpqIndex]]). */
+  def annOpq(
+      embeddings: DataFrame, cells: Int = 10, probes: Int = 3,
+      m: Int = 8, ksub: Int = 16, rescore: Int = 50, dims: Int = 64): DataFrame =
+    queries.Similarity.annOpq(embeddings, cells, probes, m, ksub, rescore, dims)
+  /** Fit the OPQ index: alternating codebook/Procrustes rotation
+    * optimization, then the standard PQ build over rotated vectors
+    * ([[graft.queries.Similarity.buildOpqIndex]]). */
+  def buildOpqIndex(
+      embeddings: DataFrame, cells: Int = 10, m: Int = 8,
+      ksub: Int = 16, dims: Int = 64,
+      opqRounds: Int = 1): queries.Similarity.OpqIndex =
+    queries.Similarity.buildOpqIndex(embeddings, cells, m, ksub, dims,
+      opqRounds = opqRounds)
+  /** ADC search of a fitted OPQ index — queries rotate into index
+    * space, the shortlist rescores exactly on the original embeddings
+    * ([[graft.queries.Similarity.searchOpqIndex]]). */
+  def searchOpqIndex(
+      idx: queries.Similarity.OpqIndex, vectors: DataFrame,
+      queryVecs: DataFrame, probes: Int = 3, rescore: Int = 50,
+      excludeSelf: Boolean = true): DataFrame =
+    queries.Similarity.searchOpqIndex(idx, vectors, queryVecs, probes,
+      rescore, excludeSelf)
   /** Incremental index growth: encode a batch of NEW vectors with the
     * existing centroids/codebooks (no refit) and append the narrow
     * code rows — the vector-side lake-append flow
@@ -382,6 +407,11 @@ object Graft {
   def attribution(events: DataFrame): DataFrame =
     queries.Attribution.attribution(events)
   def windowedCounts(events: DataFrame): DataFrame = queries.Sessions.windowedCounts(events)
+  /** Final per-user counters (events, purchases, exact-cents value
+    * total) — the batch twin of the G4 streaming state machine
+    * ([[graft.queries.Sessions.userStats]]; streaming:
+    * [[graft.streaming.Streams.runningUserStats]]). */
+  def userStats(events: DataFrame): DataFrame = queries.Sessions.userStats(events)
   /** Strict-order funnel conversion per step
     * ([[graft.queries.Funnels.funnel]]). */
   def funnel(events: DataFrame,
@@ -590,6 +620,26 @@ object Graft {
   /** Intra-document line dedup ([[graft.queries.LineFilters.dedupLines]]). */
   def dedupLines(docs: DataFrame, minLineChars: Int = 5): DataFrame =
     queries.LineFilters.dedupLines(docs, minLineChars)
+  /** Markup/boilerplate text extraction: HTML page → line/paragraph
+    * frame (script/style/comment removal, block-element → newline
+    * mapping, tag strip, core entity decode, whitespace normalization)
+    * ([[graft.queries.Extract.extractText]]). Run FIRST on crawl
+    * corpora — every line/paragraph gate assumes extracted text. */
+  def extractText(docs: DataFrame): DataFrame =
+    queries.Extract.extractText(docs)
+  /** The composed crawl-ingest pipeline: extract → C21 paragraph
+    * language split → C20 intra-page line dedup → C18 line screen +
+    * page gate, one shuffle-free plan
+    * ([[graft.queries.Extract.extractClean]]). */
+  def extractClean(docs: DataFrame,
+      stopsByLang: Seq[(String, Seq[String])] =
+        queries.TextAnalysis.DefaultLangStops,
+      minWordsPerLine: Long = 3L, minKeptLines: Long = 5L,
+      requireTerminal: Boolean = true,
+      lineDropWords: Seq[String] = Seq("javascript"),
+      pageDropPhrases: Seq[String] = Seq("lorem ipsum")): DataFrame =
+    queries.Extract.extractClean(docs, stopsByLang, minWordsPerLine,
+      minKeptLines, requireTerminal, lineDropWords, pageDropPhrases)
   /** k-gram duplication census ([[graft.queries.DupCensus.dupCensus]]). */
   def dupCensus(docs: DataFrame, k: Int = queries.DupCensus.CensusK): DataFrame =
     queries.DupCensus.dupCensus(docs, k)

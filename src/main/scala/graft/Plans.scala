@@ -86,7 +86,10 @@ object Plans {
     "q_series_pairs" -> "time-series pairs, payload-free candidates: memoized per-user frame, SLIM (user, cell, 5 PAA segment sums) 3-cell equi-join + segment-sum lower-bound prune (arrays never shuffle through candidate generation), survivors alone join the arrays back for the exact integer zip_with rescore",
     "q_triangles" -> "degree-oriented triangles, wedge-free: edges orient low->high (degree, id), per-node oriented adjacency arrays (bounded by sqrt(2|E|)), triangles = array_intersect(adj+(a), adj+(b)) per edge as ONE codegen array op — the wedge set (72M rows at sf0.1) is never materialized or shuffled",
     "q_communities" -> "fixed-iteration synchronous LPA: per round one narrow label-edge join (labels broadcast below 1M nodes — the pinned edge blocks never move), a map-side-combinable (node, label) count, the two-phase argmax (max-count agg + min-label join — no SortAggregate, no label-domain packing bound), and a tracked localCheckpoint keeping lineage O(1)",
-    "q_curriculum" -> "curriculum order: C15's memoized decile paint + scramble map into ONE packed DECIMAL order key, then the H10 distributed prefix sum (range partition + broadcast offsets) — decile-major positions with no corpus-wide window")
+    "q_curriculum" -> "curriculum order: C15's memoized decile paint + scramble map into ONE packed DECIMAL order key, then the H10 distributed prefix sum (range partition + broadcast offsets) — decile-major positions with no corpus-wide window",
+    "q_extract_text" -> "markup extraction: the whole regexp/replace chain (script/style/comment removal, block->break mapping, tag strip, entity decode, whitespace collapse) is ONE codegen map stage over the pages agg; presentation sort is the only exchange after it",
+    "q_extract_clean" -> "composed crawl ingest: extraction + C21 language split + C20 line dedup + C18 line screen chained as FOUR stacked map stages in ONE pass (sort-free cores — no mid-pipeline exchange); presentation sort is the only exchange after the pages agg",
+    "q_ann_opq" -> "OPQ search: the learned rotation enters as literal coefficients (driver model state) rotating queries in a map stage, then E7's plan unchanged — narrow code candidate join, ADC lookups, shortlist-sized exact rescore on ORIGINAL embeddings")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

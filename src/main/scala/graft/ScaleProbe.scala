@@ -1269,16 +1269,22 @@ object ScaleProbe {
     println(f"triangle census      ${"check"}%9s       one triangle per planted K3, chains close nothing  PASS")
     triLineitem.unpersist()
 
-    // --- D24 label propagation at scale: nDocs/5 5-cliques (parts
-    // 5k..5k+4 per order) bridged by 2-part orders (5k+4, 5k+5). The
-    // expected census is EXACT (hand-simulated): one round pulls each
-    // bridge head toward its neighbor clique, round 2 snaps it back
-    // (clique votes dominate the single bridge vote), and from round 2
-    // the labeling is STABLE at every node = its clique minimum — so
-    // at the default 5 iterations every community is one 5-clique.
-    // The claim under test: the per-round join + two-phase argmax
-    // holds on a ~1.1M-edge graph without merging bridged communities.
-    val nLpaK = nDocs / 5
+    // --- D24 label propagation at scale: 5-cliques (parts 5k..5k+4
+    // per order) bridged by 2-part orders (5k+4, 5k+5). The expected
+    // census is EXACT (hand-simulated): one round pulls each bridge
+    // head toward its neighbor clique, round 2 snaps it back (clique
+    // votes dominate the single bridge vote), and from round 2 the
+    // labeling is STABLE at every node = its clique minimum — so at
+    // the default 5 iterations every community is one 5-clique.
+    // The design point is pinned ABOVE the broadcast-labels bound
+    // (240,001 cliques = 1,200,005 nodes > LabelPropagation's
+    // broadcastLabelsBelow = 1e6), so every round runs the labels⋈edges
+    // JOIN fallback — the regime a 100× graph actually runs in; the
+    // round-11 probe (500k nodes) only ever exercised the broadcast
+    // path. Claims under test: the per-round join + two-phase argmax
+    // holds on a ~2.6M-edge graph without merging bridged communities,
+    // in the fallback plan shape.
+    val nLpaK = math.max(nDocs / 5, 240001L)
     val cliq = spark.range(nLpaK).select(col("id").as("o"),
       explode(array((0 to 4).map(i => col("id") * 5 + i): _*)).as("p"))
     val lpaBridge = spark.range(nLpaK - 1).select((col("id") + nLpaK).as("o"),

@@ -19,7 +19,8 @@ object SparkEntry {
       Selection.all ++ LineFilters.all ++ DupCensus.all ++ TokenizerStats.all ++
       DocEmbed.all ++ SuffixDedup.all ++ Splits.all ++ QualityTrain.all ++
       Funnels.all ++ Integrity.all ++ FuzzyJoin.all ++ BigramLm.all ++
-      LinAlg.all ++ Series.all ++ KMeansLloyd.all ++ TextRank.all
+      LinAlg.all ++ Series.all ++ KMeansLloyd.all ++ TextRank.all ++
+      Extract.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -22,16 +22,30 @@ import org.apache.spark.sql.functions._
   */
 object Clusters {
 
+  /** Memo for the dedup pair graph (exact ∪ MinHash pairs) — the build
+    * that dominates BOTH D7 (CC labeling) and D25 (LPA labeling)
+    * in-sweep. Plan-keyed: one session — or one bench row's two timed
+    * passes — pays the signature/band/rescore pipeline once and both
+    * labeling policies read the same persisted pair set (the
+    * co-purchase edgeCache pattern, GraphRank). */
+  private[this] val pairCache = new graft.ops.PlanCache(capacity = 2)
+
+  /** The dedup pair graph (src, dst) over any (doc_id, text) frame,
+    * memo-persisted — ONE definition shared by [[dedupClusters]] and
+    * [[dedupCommunities]], mirroring the shared oracle CTE chain
+    * [[sqlPairGraphCtes]]. */
+  private def dedupPairGraph(docs: DataFrame): DataFrame =
+    pairCache.memo(
+      Dedup.exactDupPairs(docs).union(
+        Dedup.minhashPairs(docs)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))))
+
   /** Cluster labels over any (doc_id, text) frame: one row per doc with
     * `component` = min doc_id of its dedup cluster, the cluster size,
     * and `is_survivor` (the canonical keep-this-one flag). Singleton
     * docs are their own component. */
   def dedupClusters(docs: DataFrame): DataFrame = {
-    val exactPairs = Dedup.exactDupPairs(docs)
-    val nearPairs = Dedup.minhashPairs(docs)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val labels = ConnectedComponents.connectedComponents(
-      exactPairs.union(nearPairs))
+    val labels = ConnectedComponents.connectedComponents(dedupPairGraph(docs))
     val ids = docs.select(col("doc_id"))
     ids.join(labels, ids("doc_id") === labels("node"), "left")
       .select(col("doc_id"),
@@ -95,10 +109,14 @@ object Clusters {
     * a bug. `community` is the elected label (an id drawn from the
     * graph — unlike CC's component, not guaranteed to label itself);
     * docs with no pairs are their own singleton community. */
-  def dedupCommunities(docs: DataFrame, iterations: Int = 3): DataFrame = {
-    val near = Dedup.minhashPairs(docs)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val e = Dedup.exactDupPairs(docs).union(near)
+  /** Default LPA iteration budget — shared by [[dedupCommunities]]'s
+    * signature and [[qDedupCommunities]]'s oracle chain (the TextRank
+    * `WindowDefault` coupling class: one constant, no silent desync). */
+  val DedupCommunityIters = 3
+
+  def dedupCommunities(
+      docs: DataFrame, iterations: Int = DedupCommunityIters): DataFrame = {
+    val e = dedupPairGraph(docs)
     val labels = graft.ops.LabelPropagation.propagate(
       e.union(e.select(col("dst"), col("src"))), iterations = iterations)
     val ids = docs.select(col("doc_id"))
@@ -117,7 +135,7 @@ object Clusters {
     "q_dedup_communities",
     (s, d) => dedupCommunities(Tables.documents(s, d)),
     Some {
-      val iters = 3
+      val iters = DedupCommunityIters
       val its = (1 to iters).map { k =>
         s"""v$k AS MATERIALIZED (SELECT s.v AS node, l.label
             FROM it${k - 1} l JOIN sym s ON l.node = s.u

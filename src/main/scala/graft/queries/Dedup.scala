@@ -149,7 +149,18 @@ object Dedup {
     * [[graft.streaming.Streams.curateStream]] all key on exactly this
     * pair, so batch and streaming dedup can never drift apart. */
   def contentKeyCols(text: Column): (Column, Column) =
-    (md5(normText(text)), polyHash(normText(text)))
+    // coalesce makes both keys NON-nullable: (a) downstream key joins
+    // (D13's incremental lake probe) infer no isnotnull(md5(...)) /
+    // isnotnull(graft_poly_hash(...)) — the inferred filters pushed to
+    // the scan and re-evaluated both kernels per row on top of the
+    // projection (PLANS.md; the F4 lesson); (b) a null-text doc now has
+    // ONE consistent identity everywhere — the window path already
+    // grouped null keys together while the equi-join path never matched
+    // them (an inconsistency this removes). The corpus has no null
+    // texts; a user's null text now keys as ("", 0) — distinct from the
+    // empty string's real hashes.
+    (coalesce(md5(normText(text)), lit("")),
+      coalesce(polyHash(normText(text)), lit(0L)))
 
   /** D1: exact dedup — group on normalized text, min-doc_id survivor.
     * At scale: group on a HASH of the normalized text (poly + md5), never
@@ -514,7 +525,12 @@ object Dedup {
   def simhashPairs(docs: DataFrame): DataFrame =
     hammingBandedPairs(hashedShingles(docs)
       .select(col("doc_id"),
-        graft.functions.NativeExpressions.simHash64(col("hs")).as("fp")))
+        // coalesce makes fp NON-nullable so the pair join infers no
+        // isnotnull(fp) — the inferred filter re-ran the O(shingles)
+        // kernel per row inside the table scan (PLANS.md; the F4
+        // block-hash lesson). hashedShingles never yields null hs.
+        coalesce(graft.functions.NativeExpressions.simHash64(col("hs")),
+          lit(0L)).as("fp")))
 
   /** The banded Hamming-≤-[[HamMax]] pair join over ANY 64-bit
     * fingerprint frame (doc_id, fp) — D3's Manku block-combination

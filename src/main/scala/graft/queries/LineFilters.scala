@@ -142,7 +142,14 @@ object LineFilters {
     * cross-engine rule math (first-occurrence indexing, rejoin) with
     * n_dup_lines pinned 0; the rewrite semantics on real multi-line
     * pages are pinned by C4FilterSpec's planted cases. */
-  def dedupLines(docs: DataFrame, minLineChars: Int = 5): DataFrame = {
+  def dedupLines(docs: DataFrame, minLineChars: Int = 5): DataFrame =
+    dedupLinesCore(docs, minLineChars).orderBy("doc_id")
+
+  /** Sort-free core of [[dedupLines]] (the c4Flags convention) — a
+    * pure map stage, composable mid-pipeline without an exchange
+    * ([[Extract.extractClean]]). */
+  private[queries] def dedupLinesCore(
+      docs: DataFrame, minLineChars: Int = 5): DataFrame = {
     require(minLineChars >= 0, s"minLineChars must be >= 0, got $minLineChars")
     val lines = split(coalesce(col("text"), lit("")), "\n")
     // structural lines are EXEMPT: blank paragraph separators, bullet
@@ -159,7 +166,6 @@ object LineFilters {
       .select(col("doc_id"), col("n_lines"),
         (col("n_lines") - size(col("kl"))).cast("long").as("n_dup_lines"),
         concat_ws("\n", col("kl")).as("text_clean"))
-      .orderBy("doc_id")
   }
 
   /** C20's oracle as a CTE chain + SELECT over any `tbl(doc_id, text)`

@@ -672,6 +672,11 @@ object Profile {
       buckets: Int = 10): DataFrame = {
     require(numCols.nonEmpty || catCols.nonEmpty,
       "psi: at least one column required")
+    require(numCols.intersect(catCols).isEmpty,
+      s"psi: column(s) ${numCols.intersect(catCols).mkString(", ")} appear " +
+        "in both numCols and catCols — bin keys are namespaced per column, " +
+        "so numeric bucket keys and raw category values would merge into " +
+        "one grid and yield a meaningless PSI; list each column once")
     require(buckets > 1, s"buckets must be > 1, got $buckets")
     val spark = ref.sparkSession
     import spark.implicits._

@@ -154,5 +154,36 @@ object Sessions {
       FROM ranked WHERE rn = 1
       ORDER BY event_id"""))
 
-  val all: Seq[Q] = Seq(qSessionize, qStreamWindow, qStreamDedupBatch)
+  /** G4's batch twin: the final per-user counters
+    * [[graft.streaming.Streams.runningUserStats]] converges to once a
+    * user's events have all arrived — one groupBy aggregation. The
+    * value total sums exact integer cents (`round(value*100)`, the same
+    * rounding as the stream state's
+    * [[graft.streaming.Streams.valueCents]]) and divides ONCE at
+    * output, so the number is order-independent and hash-exact
+    * cross-engine (the E5 fixed-point contract; a double `sum(value)`
+    * would be partition-order-dependent and never bit-match DuckDB). */
+  def userStats(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+      .orderBy("user_id")
+
+  /** The oracle row retiring G4's spec-only status: stream == batch
+    * (StreamingSpec's runningUserStats differential) and batch == DuckDB
+    * (this hash row) close the chain — the last G-family member without
+    * a hash-green anchor. */
+  val qUserStatsBatch: Q = Q(
+    "q_user_stats_batch",
+    (s, d) => userStats(Tables.events(s, d)),
+    Some("""SELECT user_id, count(*) AS n_events,
+      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  val all: Seq[Q] = Seq(qSessionize, qStreamWindow, qStreamDedupBatch,
+    qUserStatsBatch)
 }

@@ -36,7 +36,14 @@ object Similarity {
 
   /** Attach squared norms (computed once per vector). */
   private def withNorms(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+    // coalesce makes n2 NON-nullable (the parquet embedding column is
+    // nullable), so downstream joins/filters infer no isnotnull(n2) —
+    // without it the inferred isnotnull(graft_dot(emb, emb)) pushes into
+    // the scan's DataFilters and re-evaluates the O(dims) kernel per row
+    // on top of the projection (seen in PLANS.md; the F4 block-hash
+    // lesson). No real row has a null embedding; one would get n2 = 0.
+    embeddings.select(col("vec_id"), col("embedding"),
+      coalesce(norm2(col("embedding")), lit(0.0)).as("n2"))
 
   private def queries(v: DataFrame): DataFrame =
     v.filter(col("vec_id") % 100 === 0)
@@ -943,6 +950,226 @@ object Similarity {
     idx.copy(index = pqIdxCache.memo(idx.index.unionByName(newRows)))
   }
 
+  // -----------------------------------------------------------------
+  // E15: OPQ — Optimized Product Quantization (Ge et al. CVPR'13),
+  // the next trained-pipeline ladder rung above E7: a learned
+  // ORTHOGONAL rotation R applied before PQ so the subspace split
+  // cuts along the data's decorrelated axes — the standard accuracy
+  // upgrade at the SAME code budget (codes stay m×log2(ksub) bits;
+  // only a dims×dims rotation rides along as model state).
+  // -----------------------------------------------------------------
+
+  /** A fitted OPQ index: the learned rotation (dims×dims orthogonal,
+    * driver-side model state like the codebooks) plus a standard
+    * [[PqIndex]] built over the ROTATED unit vectors. Rotations
+    * preserve inner products, so searching rotated space with rotated
+    * queries is exactly the original-space search — [[searchOpqIndex]]
+    * probes/ADCs rotated and rescores on the ORIGINAL embeddings, so
+    * its exhaustive configuration is bit-identical to brute force
+    * (the E7 oracle pattern survives the rotation). */
+  final case class OpqIndex(rotation: Array[Array[Double]], pq: PqIndex)
+
+  /** R·u as a Column over a unit-vector array column — the rotation
+    * as literal coefficients (dims² doubles — dimension-scaled model
+    * state in the plan, the E13 projection shape), each output
+    * component a strict left fold (the determinism contract). */
+  private def rotateCol(rotation: Array[Array[Double]], u: Column): Column = {
+    val rLit = array(rotation.map(row => array(row.map(lit): _*)): _*)
+    transform(rLit, row =>
+      aggregate(zip_with(row, u, (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+  }
+
+  /** Fit the OPQ rotation by alternating minimization (OPQ-NP):
+    * per round, fit per-subspace codebooks on the current rotation's
+    * vectors, then solve the orthogonal Procrustes problem
+    * min_R Σ‖R·û − y‖² (y = the PQ reconstruction) via SVD of
+    * A = Σ û·yᵀ on the driver — R = V·Uᵀ. `opqRounds` rotation
+    * updates from R₀ = I (fixed budget, the house determinism rule).
+    *
+    * Scale shape per round: m seeded KMeans fits over subspace slices
+    * (sample-fit at 100 TB, like every quantizer here) plus ONE
+    * explode + map-side-combinable integer aggregation for A — û
+    * components quantized to 2^20 fixed point first (the E5 rule), so
+    * the dims×(m·ksub) sums are exact, commutative, and
+    * partition-order-independent; the fit is bit-reproducible. A
+    * collects as m·ksub·dims longs — bounded model state (the C13
+    * contract); SVD on dims×dims runs in microseconds. */
+  private def fitOpqRotation(
+      unitFrame: DataFrame,
+      m: Int,
+      ksub: Int,
+      dims: Int,
+      seed: Long,
+      maxIter: Int,
+      opqRounds: Int): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dsub = dims / m
+    var rotation: Array[Array[Double]] =
+      Array.tabulate(dims, dims)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 1 to opqRounds) {
+      val rotated = unitFrame
+        .withColumn("ru", rotateCol(rotation, col("u")))
+      val feat = featCache.memo(rotated)
+      val codebooks = (0 until m).map { j =>
+        val subFeat = feat.withColumn("sub_features",
+          array_to_vector(slice(col("ru"), j * dsub + 1, dsub)))
+        new KMeans().setK(ksub).setSeed(seed + j + 1).setMaxIter(maxIter)
+          .setFeaturesCol("sub_features").fit(subFeat)
+          .clusterCenters.map(_.toArray)
+      }
+      // S[(s, c), i] = Σ_{v: code_s(v) = c} round(û_i · 2^20): one
+      // chained posexplode pair (the E12 shape — no per-row struct
+      // arrays) onto the m·ksub·dims key space
+      val codeCol = codeColFor(codebookLit(codebooks), m, dsub)
+        .as("code")
+      val sRows = feat
+        .select(col("u"), posexplode(codeCol).as(Seq("s", "c")))
+        .select(col("s"), col("c"),
+          posexplode(transform(col("u"),
+            x => round(x * lit(1L << 20)).cast("long"))).as(Seq("i", "qu")))
+        .groupBy("s", "c", "i").agg(sum(col("qu")).as("qsum"))
+        .collect()
+      // A[i][j] = Σ_c cb[s(j)][c][j − s·dsub] · S[(s(j), c), i] / 2^20
+      val a = Array.ofDim[Double](dims, dims)
+      sRows.foreach { r =>
+        val (s, c, i) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        val su = r.getLong(3).toDouble / (1L << 20).toDouble
+        val cent = codebooks(s)(c)
+        var jj = 0
+        while (jj < dsub) {
+          a(i)(s * dsub + jj) += cent(jj) * su
+          jj += 1
+        }
+      }
+      // orthogonal Procrustes: A = U Σ Vᵀ → R = V Uᵀ
+      val bm = breeze.linalg.DenseMatrix.tabulate(dims, dims)((i, j) => a(i)(j))
+      val breeze.linalg.svd.SVD(bu, _, bvt) = breeze.linalg.svd(bm)
+      val r = bvt.t * bu.t
+      rotation = Array.tabulate(dims, dims)((i, j) => r(i, j))
+    }
+    rotation
+  }
+
+  /** Fit an OPQ index: learn the rotation ([[fitOpqRotation]]), rotate
+    * the unit vectors once, and run the standard [[buildPqIndex]] over
+    * the rotated frame — coarse cells, codebooks, and the stored code
+    * index all live in rotated space; the rotation is the only extra
+    * model state. */
+  def buildOpqIndex(
+      embeddings: DataFrame,
+      cells: Int = 10,
+      m: Int = 8,
+      ksub: Int = 16,
+      dims: Int = 64,
+      seed: Long = 0xC0FFEEL,
+      maxIter: Int = 20,
+      opqRounds: Int = 1): OpqIndex = {
+    require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
+    require(opqRounds >= 1, "opqRounds must be >= 1")
+    requireDims(embeddings, dims, "buildOpqIndex")
+    val v = withNorms(embeddings)
+    val unit = featCache.memo(v.withColumn("u",
+      transform(col("embedding"), x => x.cast("double") / sqrt(col("n2")))))
+    val rotation = fitOpqRotation(unit, m, ksub, dims, seed, maxIter, opqRounds)
+    val rotated = unit
+      .select(col("vec_id"), rotateCol(rotation, col("u")).as("embedding"))
+    OpqIndex(rotation, buildPqIndex(rotated, cells, m, ksub, dims, seed, maxIter))
+  }
+
+  /** ADC search of a fitted [[OpqIndex]]: queries rotate into index
+    * space for cell probing and the m-lookup ADC stage (candidates are
+    * a rotated-space decision), then the top-`rescore` shortlist
+    * reranks by exact cosine against the ORIGINAL `vectors` — bit-for-
+    * bit the same final scores as every other E-family searcher, so
+    * the exhaustive configuration (probes = cells, untruncated
+    * shortlist) ≡ brute-force top-k regardless of what the fit
+    * learned. */
+  def searchOpqIndex(
+      idx: OpqIndex,
+      vectors: DataFrame,
+      queryVecs: DataFrame,
+      probes: Int = 3,
+      rescore: Int = 50,
+      excludeSelf: Boolean = true): DataFrame = {
+    val pq = idx.pq
+    val dsub = pq.dims / pq.m
+    val cbLit = codebookLit(pq.codebooks)
+    val v = withNorms(vectors)
+    val q = withNorms(queryVecs).select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val qs = q
+      .withColumn("q_u", rotateCol(idx.rotation,
+        transform(col("q_emb"), x => x.cast("double") / sqrt(col("q_n2")))))
+    val tablesCol = array((0 until pq.m).map { j =>
+      val qsub = slice(col("q_u"), j * dsub + 1, dsub)
+      transform(element_at(cbLit, j + 1), cent =>
+        aggregate(zip_with(qsub, cent, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x))
+    }: _*)
+    // cell probing in rotated space: rank cells by <q_u, c_emb>/√c_n2
+    // (q_u is unit up to rounding — the ranking statistic, not a score)
+    val byQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val probed = qs.join(broadcast(pq.cents), lit(true))
+      .withColumn("c_cos", dot(col("q_u"), col("c_emb")) / sqrt(col("c_n2")))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= probes)
+      .withColumn("tables", tablesCol)
+      .select(col("q_id"), col("tables"), col("c_id").as("cell"))
+    val adcW = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val candidates = probed.join(pq.index, Seq("cell"))
+    val shortlist = (if (excludeSelf) candidates.filter(col("q_id") =!= col("vec_id"))
+      else candidates)
+      .withColumn("adc",
+        aggregate(zip_with(col("tables"), col("code"),
+          (t, c) => element_at(t, c + 1)), lit(0.0), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(adcW))
+      .filter(col("rn") <= rescore)
+      .select(col("q_id"), col("vec_id"))
+    val scored = shortlist
+      .join(v, Seq("vec_id"))
+      .join(q, Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2")).as("cos"))
+    topkPerQuery(scored)
+  }
+
+  /** E15 composed: fit + search, [[annIvfPq]]'s shape with the learned
+    * rotation in front. */
+  def annOpq(
+      embeddings: DataFrame,
+      cells: Int = 10,
+      probes: Int = 3,
+      m: Int = 8,
+      ksub: Int = 16,
+      rescore: Int = 50,
+      dims: Int = 64,
+      seed: Long = 0xC0FFEEL,
+      maxIter: Int = 20,
+      opqRounds: Int = 1): DataFrame = {
+    val idx = buildOpqIndex(embeddings, cells, m, ksub, dims, seed, maxIter,
+      opqRounds)
+    searchOpqIndex(idx, embeddings,
+      embeddings.filter(col("vec_id") % 100 === 0), probes, rescore)
+  }
+
+  /** E15's oracle row: the E7 losslessness pattern survives the
+    * rotation — with every cell probed and the shortlist untruncated,
+    * the exact-rescore stage (ORIGINAL embeddings, the same cosine
+    * chain as brute force) sees all candidates, so the output is
+    * brute-force top-k whatever rotation and codebooks the fit
+    * produced, while the full OPQ machinery (rotation fit, rotated
+    * encode, rotated ADC, rescore join) still executes and any lost
+    * candidate breaks the hash. Approximate-mode recall vs E7 at
+    * equal bytes is pinned by OpqSpec + README. */
+  val qAnnOpq: Q = Q(
+    "q_ann_opq",
+    (s, d) => annOpq(Tables.embeddings(s, d), cells = 4, probes = 4,
+      m = 4, ksub = 8, rescore = Int.MaxValue, maxIter = 4, opqRounds = 1),
+    Some(bruteforceSql))
+
   /** Per-JVM memo of `dir -> corpus cache key` for
     * [[qAnnIvfPqSearch]]: the fingerprint agg exists to catch the
     * driver regenerating the test tables BETWEEN rounds (separate
@@ -1039,13 +1266,15 @@ object Similarity {
       // unpersists it session-wide once consumed.
       val res = searchPqIndex(idx, emb, emb.filter(col("vec_id") % 100 === 0))
         .persist()
-      // In-run correctness gate: this row has no SQL oracle (learned
-      // cells), so the first call per corpus asserts the epsilon-recall
-      // floor against the exact brute-force frame (the ScaleProbe
-      // metric: a returned neighbor counts if its exact cosine is
-      // within eps of the query's true 5th-best) — the driver check
-      // fails if the disk index or the ADC path degrades, instead of
-      // passing on row count alone. Once per corpus per JVM: the gate
+      // In-run correctness gate, defense in depth beside the SQL
+      // oracle: the stash-literal oracle below guards REPLAY FIDELITY
+      // (DuckDB re-runs the trained ADC search bit-exactly), while this
+      // gate guards RECALL QUALITY — the first call per corpus asserts
+      // the epsilon-recall floor against the exact brute-force frame
+      // (the ScaleProbe metric: a returned neighbor counts if its exact
+      // cosine is within eps of the query's true 5th-best), failing if
+      // the disk index or the ADC path degrades into a faithfully-
+      // replayed-but-useless search. Once per corpus per JVM: the gate
       // prices the gate row, not the production search path, so repeat
       // calls (Bench pass 2) must not re-pay the brute-force scan.
       //
@@ -1549,6 +1778,7 @@ object Similarity {
   // the other Qs are immutable either way
   def all: Seq[Q] =
     Seq(qDedupEmbedding, qDedupEmbeddingLsh, qAnnBruteforce, qAnnLsh, qAnnIvf,
-      qAnnIvfTrainedExh, qAnnIvfPq, qAnnIvfPqSearch, qAnnPqAppend, qKnnLabel,
+      qAnnIvfTrainedExh, qAnnIvfPq, qAnnIvfPqSearch, qAnnOpq, qAnnPqAppend,
+      qKnnLabel,
       qEmbedCentroids, qDedupSemantic, qDedupSemanticTrained, qAnnRecall)
 }

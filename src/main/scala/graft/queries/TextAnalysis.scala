@@ -126,7 +126,15 @@ object TextAnalysis {
 
   def langSplitParas(
       docs: DataFrame,
-      stopsByLang: Seq[(String, Seq[String])] = DefaultLangStops): DataFrame = {
+      stopsByLang: Seq[(String, Seq[String])] = DefaultLangStops): DataFrame =
+    langSplitParasCore(docs, stopsByLang).orderBy("doc_id")
+
+  /** Sort-free core of [[langSplitParas]] (the c4Flags convention) —
+    * a pure map stage, composable mid-pipeline without an exchange
+    * ([[Extract.extractClean]]). */
+  private[queries] def langSplitParasCore(
+      docs: DataFrame,
+      stopsByLang: Seq[(String, Seq[String])]): DataFrame = {
     require(stopsByLang.nonEmpty &&
       stopsByLang.map(_._1).toSet.size == stopsByLang.size &&
       !stopsByLang.exists(_._1 == "und"),
@@ -169,7 +177,6 @@ object TextAnalysis {
         col("page_lang"), size(col("ki")).cast("long").as("n_kept"),
         concat_ws("\n\n",
           transform(col("ki"), i => element_at(col("paras"), i))).as("text_clean")): _*)
-      .orderBy("doc_id")
   }
 
 

@@ -31,11 +31,19 @@ object TextRank {
 
   val Iters = 5
 
+  /** Default co-occurrence window — referenced by BOTH the Scala
+    * signature and the interpolated oracle SQL (the `Iters` pattern), so
+    * changing the default cannot silently desync query and oracle. */
+  val WindowDefault = 2
+
+  /** Default top-k — shared by the signature and the oracle's LIMIT. */
+  val KDefault = 50
+
   def textRank(
       docs: DataFrame,
-      window: Int = 2,
+      window: Int = WindowDefault,
       iterations: Int = Iters,
-      k: Int = 50): DataFrame = {
+      k: Int = KDefault): DataFrame = {
     require(window >= 1 && k >= 1 && iterations >= 1,
       "window, k, iterations must be positive")
     val toks = docs
@@ -82,14 +90,14 @@ object TextRank {
         FROM (SELECT DISTINCT w FROM toks) dw),
       pairs AS MATERIALIZED (SELECT DISTINCT va.wid AS s, vb.wid AS d
         FROM toks a JOIN toks b ON a.doc_id = b.doc_id
-          AND b.pos > a.pos AND b.pos <= a.pos + 2 AND a.w <> b.w
+          AND b.pos > a.pos AND b.pos <= a.pos + $WindowDefault AND a.w <> b.w
         JOIN vocab va ON va.w = a.w
         JOIN vocab vb ON vb.w = b.w),
       e AS MATERIALIZED (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
       ${GraphRank.sqlPageRankChain(Iters)}
       SELECT v.w AS term, CAST(i.rank AS BIGINT) AS rank
       FROM it$Iters i JOIN vocab v ON i.node = v.wid
-      ORDER BY rank DESC, term LIMIT 50"""
+      ORDER BY rank DESC, term LIMIT $KDefault"""
     })
 
   val all: Seq[Q] = Seq(qTextRank)

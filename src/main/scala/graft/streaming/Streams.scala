@@ -13,8 +13,14 @@ final case class EventRow(
     event_type: String,
     value: Double)
 
-/** Running per-user state for [[Streams.runningUserStats]]. */
-final case class UserCounters(n_events: Long, n_purchases: Long, total_value: Double)
+/** Running per-user state for [[Streams.runningUserStats]]. The value
+  * total is held in exact integer CENTS, not a double: a float
+  * accumulator would make the emitted total depend on arrival order
+  * (and never bit-match the batch twin); integer cents make the state a
+  * pure function of the event multiset — the G15 order-independence
+  * contract, and what lets `q_user_stats_batch` hash-check the same
+  * numbers in DuckDB. */
+final case class UserCounters(n_events: Long, n_purchases: Long, total_cents: Long)
 
 /** Emitted update: the user's counters after a batch of their events. */
 final case class UserUpdate(
@@ -139,24 +145,42 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Per-event value → exact integer cents, matching Spark's
+    * `round(value * 100)` bit-for-bit (Spark's Round on DoubleType is
+    * BigDecimal.valueOf — the double's shortest decimal repr — setScale
+    * HALF_UP; DuckDB's round agrees for |x| < 2^52, the round-11
+    * validated lesson). THE single cents definition shared by the G4
+    * stream state and the `q_user_stats_batch` oracle row, so the
+    * stream == batch differential pins real rounding, not a
+    * coincidence (105 of sf0.001's 10k values have a non-exact
+    * `value*100` double). */
+  private[graft] def valueCents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v * 100.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
   /** G4: custom state machine via flatMapGroupsWithState — running
     * per-user counters, emitting the updated state once per user per
-    * micro-batch (Update mode). */
+    * micro-batch (Update mode). The final emission per user equals the
+    * batch [[graft.queries.Sessions.userStats]] row (the oracle-checked
+    * `q_user_stats_batch` twin) under ANY delivery order: counts and
+    * integer-cents totals are commutative, so the state is a pure
+    * function of the event multiset (the G15 contract). */
   def runningUserStats(events: Dataset[EventRow]): Dataset[UserUpdate] = {
     import events.sparkSession.implicits._
     def update(
         userId: Long,
         rows: Iterator[EventRow],
         state: GroupState[UserCounters]): Iterator[UserUpdate] = {
-      var st = state.getOption.getOrElse(UserCounters(0L, 0L, 0.0))
+      var st = state.getOption.getOrElse(UserCounters(0L, 0L, 0L))
       rows.foreach { e =>
         st = UserCounters(
           st.n_events + 1,
           st.n_purchases + (if (e.event_type == "purchase") 1 else 0),
-          st.total_value + e.value)
+          st.total_cents + valueCents(e.value))
       }
       state.update(st)
-      Iterator.single(UserUpdate(userId, st.n_events, st.n_purchases, st.total_value))
+      Iterator.single(UserUpdate(
+        userId, st.n_events, st.n_purchases, st.total_cents / 100.0))
     }
     events
       .groupByKey(_.user_id)
@@ -488,9 +512,21 @@ object Streams {
       (0 until s.bits.length * 64).collect {
         case j if (s.bits(j >> 6) & (1L << (j & 63))) != 0L => s.d0 + j
       }.toSet
-    def encode(days: Set[Long]): RetentionState = {
+    def encode(userId: Long, days: Set[Long]): RetentionState = {
       val d0 = days.min
-      val bits = new Array[Long](((days.max - d0) / 64 + 1).toInt)
+      val span = days.max - d0
+      // The bitmap is sized by the user's (max − min) day span: one
+      // corrupt far-future or pre-epoch timestamp would allocate a huge
+      // per-user array (and a span past 2^37 days overflows the .toInt
+      // into a NegativeArraySizeException with no context). ~100k days
+      // ≈ 274 years — beyond any real event horizon, so fail loudly
+      // naming the user and span instead of letting bad input OOM the
+      // state store (the repo's fail-loudly convention).
+      require(span < 100000L,
+        s"retentionStream: user $userId has an active-day span of $span " +
+          s"days (days ${days.min}..${days.max} since epoch) — a corrupt " +
+          "timestamp; filter the input rather than sizing state by it")
+      val bits = new Array[Long]((span / 64 + 1).toInt)
       days.foreach { d =>
         val j = (d - d0).toInt; bits(j >> 6) |= 1L << (j & 63)
       }
@@ -513,7 +549,7 @@ object Streams {
         val oldDays = state.getOption.map(decode).getOrElse(Set.empty[Long])
         val newDays = oldDays ++ arriving
         val (oldC, newC) = (cells(oldDays), cells(newDays))
-        state.update(encode(newDays))
+        state.update(encode(userId, newDays))
         ((newC diff oldC).toSeq.sorted.map { case (c, o) =>
           RetentionDelta(userId, c, o, 1L)
         } ++ (oldC diff newC).toSeq.sorted.map { case (c, o) =>

@@ -61,6 +61,25 @@ class LpaSpec extends SparkSpec {
       s"LPA must keep the dense groups separate: $lpa")
   }
 
+  test("the past-broadcast-bound join fallback labels identically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // broadcastLabelsBelow = 0 forces the labels⋈edges shuffle-join
+    // path every round — the plan a >1M-node graph runs (the 1.2M-node
+    // ScaleProbe census runs it at scale; this differential pins that
+    // both paths compute the same fixed point on a structure with real
+    // dynamics: two bridged cliques plus a tie path)
+    def cliqueEdges(ns: Seq[Long]) =
+      for (i <- ns.indices; j <- i + 1 until ns.size) yield (ns(i), ns(j))
+    val e = (cliqueEdges(0L to 4L) ++ cliqueEdges(10L to 14L) ++
+      Seq((4L, 10L), (20L, 21L), (21L, 22L))).toDF("src", "dst")
+    val both = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    def labelsOf(bound: Long) = graft.ops.LabelPropagation
+      .propagate(both, broadcastLabelsBelow = bound, broadcastEdgesBelow = bound)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelsOf(0L) == labelsOf(1000000L))
+  }
+
   test("disjoint cliques converge in ONE round; empty input yields no rows") {
     val rows = (1L to 5L).map((1L, _)) ++ (21L to 25L).map((2L, _))
     val out = run(rows, iters = 1)

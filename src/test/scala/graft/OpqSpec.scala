@@ -1,0 +1,76 @@
+package graft
+
+import graft.queries.Similarity
+import org.apache.spark.sql.functions._
+
+/** E15 OPQ — the rotation fit's contracts (orthogonality, determinism,
+  * non-triviality), the search path's exhaustive ≡ brute-force
+  * equivalence at the API level, and the recall comparison vs E7 at
+  * equal bytes (the README-pinned uplift measurement runs at sf0.1;
+  * this spec pins the same comparison machinery at sf0.001). */
+class OpqSpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  private def recallAt5(approx: org.apache.spark.sql.DataFrame): Double = {
+    val exact = Similarity.annBruteforce(emb)
+      .select(col("q_id"), col("neighbor_id"))
+    val hit = approx.select(col("q_id"), col("neighbor_id"))
+      .join(exact, Seq("q_id", "neighbor_id")).count()
+    hit.toDouble / exact.count()
+  }
+
+  test("the learned rotation is orthogonal and not the identity") {
+    val idx = Graft.buildOpqIndex(emb, cells = 4, m = 4, ksub = 8)
+    val r = idx.rotation
+    val dims = r.length
+    // R^T R == I within numerical tolerance
+    for (i <- 0 until dims; j <- 0 until dims) {
+      val dotIj = (0 until dims).map(k => r(k)(i) * r(k)(j)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dotIj - expect) < 1e-9,
+        s"R^T R [$i][$j] = $dotIj, expected $expect")
+    }
+    // the Procrustes update moved R off the identity (a trivial fit
+    // would make E15 a renamed E7)
+    val offDiag = (0 until dims).flatMap(i => (0 until dims)
+      .collect { case j if i != j => math.abs(r(i)(j)) }).max
+    assert(offDiag > 1e-6, s"rotation is (numerically) the identity")
+  }
+
+  test("the fit is bit-reproducible (fixed-point A sums, seeded fits)") {
+    val r1 = Graft.buildOpqIndex(emb, cells = 4, m = 4, ksub = 8).rotation
+    graft.ops.Release.sweep(spark)
+    val r2 = Graft.buildOpqIndex(emb, cells = 4, m = 4, ksub = 8).rotation
+    assert(r1.flatten.toSeq == r2.flatten.toSeq)
+  }
+
+  test("exhaustive-config search equals brute-force top-k exactly") {
+    val idx = Graft.buildOpqIndex(emb, cells = 4, m = 4, ksub = 8)
+    val out = Graft.searchOpqIndex(idx, emb,
+      emb.filter(col("vec_id") % 100 === 0),
+      probes = 4, rescore = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = Similarity.annBruteforce(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == exact)
+  }
+
+  test("approximate-mode recall vs PQ at equal bytes (the E15 claim)") {
+    // equal code budget: same cells/m/ksub; production-ish probes
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val pqIdx = Graft.buildPqIndex(emb, cells = 10, m = 8, ksub = 16)
+    val pqR = recallAt5(Similarity.searchPqIndex(pqIdx, emb, queries,
+      probes = 3, rescore = 50))
+    val opqIdx = Graft.buildOpqIndex(emb, cells = 10, m = 8, ksub = 16)
+    val opqR = recallAt5(Graft.searchOpqIndex(opqIdx, emb, queries,
+      probes = 3, rescore = 50))
+    info(f"recall@5 at equal bytes: PQ $pqR%.3f vs OPQ $opqR%.3f")
+    // floors, not a strict ">": on the synthetic near-isotropic
+    // corpus the rotation has little variance to exploit, so the
+    // honest claim is "OPQ search is healthy and within noise of PQ";
+    // the uplift regime (correlated dims) is documented in README
+    assert(opqR >= 0.3, s"OPQ recall collapsed: $opqR")
+    assert(opqR >= pqR - 0.15, s"OPQ recall $opqR far below PQ $pqR")
+  }
+}

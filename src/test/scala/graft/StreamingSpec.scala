@@ -668,6 +668,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("runningUserStats final emissions equal the batch userStats twin " +
+      "under out-of-order delivery and rounding-trap values") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // 2.675 and 1.005 are the classic double-repr rounding traps
+    // (2.675*100 = 267.49999... as a double): the differential fails if
+    // the stream's valueCents and the batch row's round(value*100) ever
+    // disagree. Delivery is out of order within AND across batches —
+    // the order-independence the cents state claims.
+    val rows = Seq(
+      EventRow(10L, ts(50), 1L, "purchase", 2.675),
+      EventRow(11L, ts(10), 1L, "click", 1.005),
+      EventRow(12L, ts(90), 2L, "purchase", 19.99),
+      EventRow(13L, ts(30), 1L, "purchase", 0.01),
+      EventRow(14L, ts(70), 2L, "click", 100.555),
+      EventRow(15L, ts(20), 3L, "click", 33.333))
+    val mem = MemoryStream[EventRow]
+    val query = Streams.runningUserStats(mem.toDS())
+      .writeStream.format("memory").queryName("userstats_diff_stream")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(rows(0), rows(4), rows(5)) // later events first
+      query.processAllAvailable()
+      mem.addData(rows(1), rows(2), rows(3))
+      query.processAllAvailable()
+      val streamed = spark.table("userstats_diff_stream")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.last._2 }
+      val batch = graft.queries.Sessions.userStats(rows.toDF())
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(streamed == batch)
+      // and the traps really exercised both rounding directions:
+      // 2.675*100 is EXACTLY 267.5 in double (shortest repr) -> HALF_UP
+      // -> 268, while 1.005*100 is 100.49999999999999 -> 100 — the
+      // double's value decides, not the decimal spelling
+      assert(batch(1L)._3 == (268L + 100L + 1L) / 100.0)
+    } finally query.stop()
+  }
+
   test("gopherStream output equals batch gopherRules row-for-row across batch splits") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
