@@ -1412,6 +1412,31 @@ object ScaleProbe {
     println(f"bigram lm census     ${"check"}%9s       all docs scored, terciles populated  PASS")
     graft.ops.Release.sweep(spark)
 
+    // --- C25 markup extraction at scale: the corpus docs wrapped into
+    // HTML pages by the oracle rows' own derived-frame builder (groups
+    // of 5, script/style/comment bodies, entities, planted duplicate
+    // <li>), then the full extraction chain — ONE codegen map stage, so
+    // throughput should be scan-bound. The census is EXACT by the page
+    // skeleton's construction: every full page extracts to 11 lines /
+    // 5 paragraphs with markup detected (any regex-chain drift at
+    // volume breaks a count).
+    val exDocs = docs.filter(col("doc_id") < (nDocs / 5) * 5)
+    val nPages = nDocs / 5
+    val (exAgg, tXt) = time {
+      Graft.extractText(graft.queries.Extract.htmlPagesFrom(exDocs))
+        .agg(count(lit(1)).as("n"),
+          sum(col("had_markup")).as("hm"),
+          sum(when(col("n_lines") === 11L && col("n_paras") === 5L, 1L)
+            .otherwise(0L)).as("shaped")).head()
+    }
+    println(f"markup extraction    $nPages%9d page  $tXt%7.1f s  ${nPages / tXt}%9.0f pages/s  (5 corpus docs per page)")
+    assert(exAgg.getLong(0) == nPages && exAgg.getLong(1) == nPages &&
+      exAgg.getLong(2) == nPages,
+      s"extraction census: (pages, had_markup, 11-line/5-para) = $exAgg " +
+        s"vs $nPages full pages — the regex chain drifted at volume")
+    println(f"extraction census    ${"check"}%9s       every page extracts to the exact planted line/paragraph shape  PASS")
+    graft.ops.Release.sweep(spark)
+
     spark.stop()
   }
 }

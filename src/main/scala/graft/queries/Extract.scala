@@ -176,7 +176,7 @@ object Extract {
   /** Groups of [[PageGroup]] consecutive docs wrapped in the HTML
     * skeleton (doc_id-ordered members; short edge groups fill with
     * empty strings). */
-  private[queries] def htmlPagesFrom(docs: DataFrame): DataFrame = {
+  private[graft] def htmlPagesFrom(docs: DataFrame): DataFrame = {
     val sorted = transform(
       array_sort(collect_list(struct(col("doc_id").as("i"),
         coalesce(col("text"), lit("")).as("t")))),

@@ -17,26 +17,29 @@ object GraphRank {
   /** Fixed iteration budget (deterministic output). */
   val Iters = 5
 
-  /** Memo for the part co-purchase edge list — the order-keyed
-    * self-join that dominates BOTH D23 (triangles) and D24
-    * (communities) in-sweep (round-11 plan audit: "the same floor as
-    * q_triangles"). Plan-keyed, so one session — or one bench row's
-    * two timed passes — pays the build once and every graph operator
-    * over the same lineitem frame reuses it (the C12/D14 memo
-    * pattern). */
-  private[this] val edgeCache = new graft.ops.PlanCache(capacity = 2)
-
   /** The distinct co-purchase edge list (u < v) over any lineitem
-    * frame, memo-persisted. ONE definition shared by [[triangles]] and
-    * [[communities]], so the two rows cannot drift AND share the
-    * persisted build. */
+    * frame — ONE definition shared by [[triangles]] and
+    * [[communities]], so the two rows cannot drift.
+    *
+    * Deliberately NOT PlanCache-memoized (a round-12 negative result,
+    * measured): persisting this frame made every consumer SLOWER —
+    * q_triangles 3.9 s raw vs 17.2 s cold-cache / 12.3 s WARM-cache
+    * isolated min-of-3 at sf0.1, q_communities 5.5 vs 6.7 s — with
+    * identical join structure in both final plans. The AQE-replanned
+    * raw subtree (exchange reuse + coalesced shuffle reads feeding
+    * every consumer) beats InMemoryTableScan-fed joins by 2.5–4x here
+    * even after eager materialization and explicit broadcast hints,
+    * and the saved rebuild is only ~2.5 s. The memo pattern stays
+    * right where the shared stage is expensive relative to its
+    * consumers' plans (C12 counts, D14 gram frames, the D7/D25 pair
+    * graph); for a cheap-to-rebuild frame feeding join-heavy
+    * consumers, recompute wins. */
   private[queries] def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
     val li = lineitem
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    edgeCache.memo(
-      li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct())
+    li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
   }
 
   /** Node encoding for the bipartite graph: parts on even ids,

@@ -10,7 +10,12 @@ import org.apache.spark.sql.functions._
   * this spec pins the same comparison machinery at sf0.001). */
 class OpqSpec extends SparkSpec {
 
-  private def emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+  // SPARK_GRAFT_OPQ_SF overrides the corpus for the recall comparison
+  // (the README pin runs it at sf0.1; CI stays at sf0.001)
+  private val sfDir =
+    sys.env.getOrElse("SPARK_GRAFT_OPQ_SF", "/root/testdata/sf0.001")
+
+  private def emb = Tables.embeddings(spark, sfDir)
 
   private def recallAt5(approx: org.apache.spark.sql.DataFrame): Double = {
     val exact = Similarity.annBruteforce(emb)
