@@ -358,7 +358,7 @@ object Graft {
   def buildOpqIndex(
       embeddings: DataFrame, cells: Int = 10, m: Int = 8,
       ksub: Int = 16, dims: Int = 64,
-      opqRounds: Int = 1): queries.Similarity.OpqIndex =
+      opqRounds: Int = queries.Similarity.OpqRoundsDefault): queries.Similarity.OpqIndex =
     queries.Similarity.buildOpqIndex(embeddings, cells, m, ksub, dims,
       opqRounds = opqRounds)
   /** ADC search of a fitted OPQ index — queries rotate into index

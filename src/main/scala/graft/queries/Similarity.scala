@@ -969,6 +969,15 @@ object Similarity {
     * (the E7 oracle pattern survives the rotation). */
   final case class OpqIndex(rotation: Array[Array[Double]], pq: PqIndex)
 
+  /** Default alternation budget for the OPQ fit: ONE Procrustes round
+    * from the identity barely moves R (OpqSpec's anisotropic census
+    * measured OPQ 0.29 vs PQ 0.34 at 1 round, 0.41 vs 0.34 at 8 — the
+    * alternating minimization needs several codebook/rotation swaps to
+    * concentrate variance into subspaces). 8 is the measured knee on
+    * the planted-anisotropy spec; the oracle row pins 1 (the
+    * exhaustive config makes the fit cost-only there). */
+  val OpqRoundsDefault = 8
+
   /** R·u as a Column over a unit-vector array column — the rotation
     * as literal coefficients (dims² doubles — dimension-scaled model
     * state in the plan, the E13 projection shape), each output
@@ -1064,7 +1073,7 @@ object Similarity {
       dims: Int = 64,
       seed: Long = 0xC0FFEEL,
       maxIter: Int = 20,
-      opqRounds: Int = 1): OpqIndex = {
+      opqRounds: Int = OpqRoundsDefault): OpqIndex = {
     require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
     require(opqRounds >= 1, "opqRounds must be >= 1")
     requireDims(embeddings, dims, "buildOpqIndex")
@@ -1148,7 +1157,7 @@ object Similarity {
       dims: Int = 64,
       seed: Long = 0xC0FFEEL,
       maxIter: Int = 20,
-      opqRounds: Int = 1): DataFrame = {
+      opqRounds: Int = OpqRoundsDefault): DataFrame = {
     val idx = buildOpqIndex(embeddings, cells, m, ksub, dims, seed, maxIter,
       opqRounds)
     searchOpqIndex(idx, embeddings,

@@ -12,10 +12,10 @@ class OpqSpec extends SparkSpec {
 
   // SPARK_GRAFT_OPQ_SF overrides the corpus for the recall comparison
   // (the README pin runs it at sf0.1; CI stays at sf0.001)
-  private val sfDir =
+  private val opqSf =
     sys.env.getOrElse("SPARK_GRAFT_OPQ_SF", "/root/testdata/sf0.001")
 
-  private def emb = Tables.embeddings(spark, sfDir)
+  private def emb = Tables.embeddings(spark, opqSf)
 
   private def recallAt5(approx: org.apache.spark.sql.DataFrame): Double = {
     val exact = Similarity.annBruteforce(emb)
@@ -59,6 +59,57 @@ class OpqSpec extends SparkSpec {
     val exact = Similarity.annBruteforce(emb)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out == exact)
+  }
+
+  test("OPQ beats plain PQ on anisotropic embeddings (the regime it exists for)") {
+    import spark.implicits._
+    // energy concentrated in a few directions that are NOT axis-aligned
+    // with the subspace split: strong per-dim variance decay, then a
+    // fixed orthogonal mixing rotation (seeded Gram-Schmidt) smears the
+    // energy across subspace boundaries. Plain PQ quantizes each
+    // subspace independently and wastes its codebook on mixed
+    // coordinates; OPQ's Procrustes rotation recovers the decorrelated
+    // axes. Deterministic: one seeded RNG drives data and mixer.
+    val dims = 16; val n = 2000
+    val rnd = new scala.util.Random(42)
+    def gaussian(): Double = rnd.nextGaussian()
+    // mixing rotation via Gram-Schmidt of a random matrix
+    val raw = Array.fill(dims, dims)(gaussian())
+    val mix = Array.ofDim[Double](dims, dims)
+    for (i <- 0 until dims) {
+      var v = raw(i).clone()
+      for (j <- 0 until i) {
+        val d = (0 until dims).map(k => v(k) * mix(j)(k)).sum
+        for (k <- 0 until dims) v(k) -= d * mix(j)(k)
+      }
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      mix(i) = v.map(_ / nrm)
+    }
+    val sigma = Array.tabulate(dims)(d => math.pow(0.55, d))
+    val rows = (0 until n).map { v =>
+      val g = Array.tabulate(dims)(d => gaussian() * sigma(d))
+      val x = Array.tabulate(dims)(i =>
+        (0 until dims).map(k => mix(i)(k) * g(k)).sum.toFloat)
+      (v.toLong, x.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.annBruteforce(df)
+      .select(col("q_id"), col("neighbor_id"))
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      approx.select(col("q_id"), col("neighbor_id"))
+        .join(exact, Seq("q_id", "neighbor_id")).count().toDouble /
+        exact.count()
+    val pqIdx = Graft.buildPqIndex(df, cells = 8, m = 4, ksub = 8, dims = dims)
+    val pqR = recall(Similarity.searchPqIndex(pqIdx, df, queries,
+      probes = 8, rescore = 20))
+    val opqIdx = Graft.buildOpqIndex(df, cells = 8, m = 4, ksub = 8,
+      dims = dims, opqRounds = 8)
+    val opqR = recall(Graft.searchOpqIndex(opqIdx, df, queries,
+      probes = 8, rescore = 20))
+    info(f"anisotropic recall@5: PQ $pqR%.3f vs OPQ $opqR%.3f")
+    assert(opqR > pqR,
+      f"OPQ ($opqR%.3f) must beat PQ ($pqR%.3f) on anisotropic data")
   }
 
   test("approximate-mode recall vs PQ at equal bytes (the E15 claim)") {
