@@ -125,8 +125,9 @@ object Extract {
   }
 
   /** Sort-free core of [[extractText]] (the C18 c4Flags convention):
-    * applies unchanged to a streaming frame. */
-  private[queries] def extractTextFlags(docs: DataFrame): DataFrame =
+    * applies unchanged to a streaming frame
+    * ([[graft.streaming.Streams.extractStream]]). */
+  private[graft] def extractTextFlags(docs: DataFrame): DataFrame =
     docs
       .withColumn("had_markup",
         when(coalesce(col("text"), lit("")).rlike(HadMarkupRe), 1L)

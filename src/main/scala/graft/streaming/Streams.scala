@@ -413,6 +413,19 @@ object Streams {
     graft.queries.LineFilters.c4Flags(docs, minWordsPerLine, minKeptLines,
       requireTerminal, lineDropWords, pageDropPhrases)
 
+  /** G17: streaming markup text extraction at ingest —
+    * [[graft.queries.Extract.extractText]]'s chain applied per
+    * arrival. The extraction is a pure stateless map (one
+    * regexp/replace chain per row, no aggregation, no state), so the
+    * batch core applies UNCHANGED to a streaming frame and stream
+    * output == batch output row-for-row by construction (the G9/G12
+    * argument); the C25 oracle row is its batch twin. Ingest order on
+    * a raw crawl stream: THIS first (tags → line frame), then
+    * [[c4Stream]] and the G9/G10 gates on `text_clean` — the
+    * streaming form of `Graft.extractClean`'s documented order. */
+  def extractStream(docs: DataFrame): DataFrame =
+    graft.queries.Extract.extractTextFlags(docs)
+
   /** G13: streaming event-type transitions — B14's Markov adjacency
     * counts at ingest. Keyed state per user is O(1): the single most
     * recent event (µs ts, id, type); each micro-batch sorts the user's

@@ -708,6 +708,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("extractStream output equals batch extractText row-for-row across batch splits") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Seq(
+      StreamingSpec.Doc(1L, "<html><head><style>p{x}</style></head>" +
+        "<body><h1>Top</h1><p>a &amp; b</p></body></html>"),
+      StreamingSpec.Doc(2L, "plain text, no markup at all"),
+      StreamingSpec.Doc(3L, "<ul><li>one</li><li>one</li></ul><!-- nav -->"),
+      StreamingSpec.Doc(4L, "<div>left<br>right</div><p>1 < 2 stays</p>"))
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val query = Streams.extractStream(mem.toDF())
+      .writeStream.format("memory").queryName("extract_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(docs.take(2): _*)
+      query.processAllAvailable()
+      mem.addData(docs.drop(2): _*)
+      query.processAllAvailable()
+      val got = spark.table("extract_stream").collect()
+        .map(r => r.toSeq.toList).toSet
+      val want = Graft.extractText(
+        docs.toDF().select(col("doc_id"), col("text")))
+        .collect().map(r => r.toSeq.toList).toSet
+      assert(got == want, s"stream $got vs batch $want")
+      // the planted markup actually discriminates
+      val clean = spark.table("extract_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(4)).toMap
+      assert(clean(1L) == "Top\n\na & b", clean)
+      assert(clean(3L) == "one\none", clean)
+      assert(clean(4L) == "left\nright\n\n1 < 2 stays", clean)
+    } finally query.stop()
+  }
+
   test("gopherStream output equals batch gopherRules row-for-row across batch splits") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
