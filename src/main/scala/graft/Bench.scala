@@ -266,10 +266,19 @@ object Bench {
           f"(drift $calDrift%.2f, abs $calAbs%.2f); re-run quiet")
       else {
         val retimedMap = retimed.toMap
-        val pinPairs = results.collect {
-          case (k, v) if math.max(v, retimedMap.getOrElse(k, -1.0)) >= 0 =>
-            val best0 = retimedMap.get(k).filter(_ >= 0).getOrElse(v)
-            s"\"" + k + "\":" + f"$best0%.3f"
+        // pin the retimed (isolated) value when one exists; NEVER pin a
+        // row whose retime FAILED — falling back to its in-sweep
+        // reading would pin the very contended number that triggered
+        // the retime, inflating the pin and blinding the next round's
+        // tagging for exactly the row that needed it (round-12 advisor
+        // finding); failed sweep rows are likewise never pinned
+        val pinPairs = results.flatMap { case (k, v) =>
+          retimedMap.get(k) match {
+            case Some(r) if r >= 0 => Some(s"\"" + k + "\":" + f"$r%.3f")
+            case Some(_) => None
+            case None if v >= 0 => Some(s"\"" + k + "\":" + f"$v%.3f")
+            case None => None
+          }
         }
         try {
           java.nio.file.Files.write(

@@ -26,8 +26,11 @@ object Clusters {
     * that dominates BOTH D7 (CC labeling) and D25 (LPA labeling)
     * in-sweep. Plan-keyed: one session — or one bench row's two timed
     * passes — pays the signature/band/rescore pipeline once and both
-    * labeling policies read the same persisted pair set (the
-    * co-purchase edgeCache pattern, GraphRank). */
+    * labeling policies read the same persisted pair set (the C12
+    * counts / D14 gram-frame memo precedents: an EXPENSIVE shared
+    * stage whose output is tiny. Contrast GraphRank.coPurchaseEdges,
+    * where the same move measured 2.5–4× SLOWER — cheap-to-rebuild
+    * frame, join-heavy consumers — and was backed out). */
   private[this] val pairCache = new graft.ops.PlanCache(capacity = 2)
 
   /** The dedup pair graph (src, dst) over any (doc_id, text) frame,

@@ -37,9 +37,12 @@ import org.apache.spark.sql.functions._
   * Everything is deterministic string surgery — regexp_replace /
   * replace chains, no DOM library — so the DuckDB oracle replays the
   * identical chain from the SAME pattern constants (the C18 precedent)
-  * and the row is hash-exact. No DOM also means documented edges: an
-  * unterminated `<script>` keeps its tail text (tags inside still
-  * strip), and CDATA is not special-cased.
+  * and the row is hash-exact. DOCTYPE / `<!` declarations, CDATA
+  * blocks (body included — it is markup payload, not prose), and
+  * `<?...?>` processing instructions are removed like comments. No
+  * DOM also means documented edges: an unterminated `<script>` (or
+  * `<?`) keeps its tail text (tags inside still strip), and a `>`
+  * inside a quoted tag attribute ends the tag early.
   *
   * Scale shape: ONE shuffle-free codegen map stage over the scan (the
   * C16/C18 gate shape) — at 100 TB this is a single pass; the
@@ -67,6 +70,13 @@ object Extract {
   private[queries] val ScriptRe = """(?is)<script\b[^>]*>.*?</script\s*>"""
   private[queries] val StyleRe = """(?is)<style\b[^>]*>.*?</style\s*>"""
   private[queries] val CommentRe = """(?s)<!--.*?-->"""
+  // declarations are markup, not prose: CDATA blocks whole (their body
+  // may contain '>'), then <!DOCTYPE ...> / other <! declarations,
+  // then <?xml ...?> processing instructions — all after comment
+  // removal (a comment may contain any of them)
+  private[queries] val CdataRe = """(?s)<!\[CDATA\[.*?\]\]>"""
+  private[queries] val DeclRe = """(?s)<![^>]*>"""
+  private[queries] val PiRe = """(?s)<\?.*?\?>"""
   // longest-first alternation (header before head, pre before p)
   private val ParaTags = "blockquote|section|article|header|head|html|" +
     "body|title|table|pre|p|h[1-6]|ul|ol|div|form|nav|footer"
@@ -78,7 +88,8 @@ object Extract {
   // a tag must open with a letter (after optional /): "a < b" in prose
   // is not markup and survives
   private[queries] val AnyTagRe = """(?s)</?[a-zA-Z][^>]*>"""
-  private[queries] val HadMarkupRe = """(?s)</?[a-zA-Z][^>]*>|<!--"""
+  private[queries] val HadMarkupRe =
+    """(?s)</?[a-zA-Z][^>]*>|<!--|<!\[CDATA\[|(?i:<!doctype)|<\?[a-zA-Z]"""
   private[queries] val WsRe = """\s+"""
   // placeholder-adjacent space trims (two passes; no group refs —
   // Java wants $1 where RE2 wants \1, so patterns avoid them)
@@ -108,7 +119,10 @@ object Extract {
     val noScript = regexp_replace(c0, ScriptRe, " ")
     val noStyle = regexp_replace(noScript, StyleRe, " ")
     val noComment = regexp_replace(noStyle, CommentRe, " ")
-    val para = regexp_replace(noComment, ParaTagRe, ParaPh)
+    val noCdata = regexp_replace(noComment, CdataRe, " ")
+    val noDecl = regexp_replace(noCdata, DeclRe, " ")
+    val noPi = regexp_replace(noDecl, PiRe, " ")
+    val para = regexp_replace(noPi, ParaTagRe, ParaPh)
     val line = regexp_replace(para, LineTagRe, LinePh)
     val noTags = regexp_replace(line, AnyTagRe, "")
     val ent = Entities.foldLeft(noTags) {
@@ -163,7 +177,7 @@ object Extract {
     * group-member indices. The single source for the Spark builder AND
     * the SQL builder. */
   private val PageTemplate: Seq[Either[String, Int]] = Seq(
-    Left("<html>\n <head>\n  <title>"), Right(1),
+    Left("<!DOCTYPE html>\n<html>\n <head>\n  <title>"), Right(1),
     Left("</title>\n  <style>body { color: #333; }</style>\n" +
       "  <script type=\"text/javascript\">if (1 < 2) { x = \"a&b\"; }" +
       "</script>\n </head>\n <body>\n  <h1>"), Right(1),
@@ -219,7 +233,10 @@ object Extract {
         regexp_replace(e0, ${sqlQ(ScriptRe)}, ' ', 'g') AS e1,
         regexp_replace(e1, ${sqlQ(StyleRe)}, ' ', 'g') AS e2,
         regexp_replace(e2, ${sqlQ(CommentRe)}, ' ', 'g') AS e3,
-        regexp_replace(e3, ${sqlQ(ParaTagRe)}, chr(2), 'g') AS e5,
+        regexp_replace(e3, ${sqlQ(CdataRe)}, ' ', 'g') AS e4a,
+        regexp_replace(e4a, ${sqlQ(DeclRe)}, ' ', 'g') AS e4b,
+        regexp_replace(e4b, ${sqlQ(PiRe)}, ' ', 'g') AS e4c,
+        regexp_replace(e4c, ${sqlQ(ParaTagRe)}, chr(2), 'g') AS e5,
         regexp_replace(e5, ${sqlQ(LineTagRe)}, chr(1), 'g') AS e6,
         regexp_replace(e6, ${sqlQ(AnyTagRe)}, '', 'g') AS e7,
         regexp_replace($entChain, ${sqlQ(WsRe)}, ' ', 'g') AS e8,

@@ -973,9 +973,10 @@ object Similarity {
     * from the identity barely moves R (OpqSpec's anisotropic census
     * measured OPQ 0.29 vs PQ 0.34 at 1 round, 0.41 vs 0.34 at 8 — the
     * alternating minimization needs several codebook/rotation swaps to
-    * concentrate variance into subspaces). 8 is the measured knee on
-    * the planted-anisotropy spec; the oracle row pins 1 (the
-    * exhaustive config makes the fit cost-only there). */
+    * concentrate variance into subspaces: anisotropic census 0.290
+    * at 1 round vs PQ's 0.340 — WORSE than no rotation — then 0.360
+    * at 8 and 0.370 at 16). 8 is the knee; the oracle row pins 1
+    * (the exhaustive config makes the fit cost-only there). */
   val OpqRoundsDefault = 8
 
   /** R·u as a Column over a unit-vector array column — the rotation
@@ -1017,11 +1018,17 @@ object Similarity {
     var rotation: Array[Array[Double]] =
       Array.tabulate(dims, dims)((i, j) => if (i == j) 1.0 else 0.0)
     for (_ <- 1 to opqRounds) {
+      // LOCAL persist, not the shared featCache: each round's rotated
+      // frame is reused only within the round (m fits + the S agg), and
+      // memoizing a fresh plan per round would thrash the 4-slot LRU —
+      // evicting buildOpqIndex's own unit memo mid-fit and leaving the
+      // last rounds' corpus copies pinned after the fit ends (a
+      // round-12 review finding)
       val rotated = unitFrame
         .withColumn("ru", rotateCol(rotation, col("u")))
-      val feat = featCache.memo(rotated)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val codebooks = (0 until m).map { j =>
-        val subFeat = feat.withColumn("sub_features",
+        val subFeat = rotated.withColumn("sub_features",
           array_to_vector(slice(col("ru"), j * dsub + 1, dsub)))
         new KMeans().setK(ksub).setSeed(seed + j + 1).setMaxIter(maxIter)
           .setFeaturesCol("sub_features").fit(subFeat)
@@ -1029,16 +1036,28 @@ object Similarity {
       }
       // S[(s, c), i] = Σ_{v: code_s(v) = c} round(û_i · 2^20): one
       // chained posexplode pair (the E12 shape — no per-row struct
-      // arrays) onto the m·ksub·dims key space
+      // arrays) onto the m·ksub·dims key space. The CODE must be
+      // computed in the ROTATED basis — codebooks were fit on `ru`, so
+      // codeColFor (which reads "u") gets `ru` renamed to "u", while
+      // the S sums keep the ORIGINAL û (A = Σ û·yᵀ pairs original
+      // coordinates with rotated-space reconstructions). The first cut
+      // sliced the unrotated vector here: round 1 (R = I) was
+      // coincidentally right and every later round optimized the wrong
+      // objective (a round-12 review finding; the buggy rotation's
+      // number was an accident of this instance, not the OPQ
+      // objective — post-fix the anisotropic census reads 0.360 vs
+      // PQ 0.340 at 8 rounds, 0.370 at 16).
       val codeCol = codeColFor(codebookLit(codebooks), m, dsub)
         .as("code")
-      val sRows = feat
-        .select(col("u"), posexplode(codeCol).as(Seq("s", "c")))
+      val sRows = rotated
+        .select(col("u").as("u_orig"), col("ru").as("u"))
+        .select(col("u_orig"), posexplode(codeCol).as(Seq("s", "c")))
         .select(col("s"), col("c"),
-          posexplode(transform(col("u"),
+          posexplode(transform(col("u_orig"),
             x => round(x * lit(1L << 20)).cast("long"))).as(Seq("i", "qu")))
         .groupBy("s", "c", "i").agg(sum(col("qu")).as("qsum"))
         .collect()
+      rotated.unpersist(blocking = false)
       // A[i][j] = Σ_c cb[s(j)][c][j − s·dsub] · S[(s(j), c), i] / 2^20
       val a = Array.ofDim[Double](dims, dims)
       sRows.foreach { r =>

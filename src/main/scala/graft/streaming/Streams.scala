@@ -19,7 +19,12 @@ final case class EventRow(
   * (and never bit-match the batch twin); integer cents make the state a
   * pure function of the event multiset — the G15 order-independence
   * contract, and what lets `q_user_stats_batch` hash-check the same
-  * numbers in DuckDB. */
+  * numbers in DuckDB.
+  *
+  * MIGRATION NOTE: this field was `total_value: Double` before round
+  * 12 — the state encoder schema changed, so a checkpoint written by
+  * the old shape will NOT resume (Spark aborts with a state-schema
+  * error); restart G4 queries fresh after upgrading. */
 final case class UserCounters(n_events: Long, n_purchases: Long, total_cents: Long)
 
 /** Emitted update: the user's counters after a batch of their events. */

@@ -69,6 +69,15 @@ class ExtractSpec extends SparkSpec {
       "we know 1 < 2 and x <= y")
   }
 
+  test("DOCTYPE, CDATA, and processing instructions are markup, not prose") {
+    val page = "<?xml version=\"1.0\"?><!DOCTYPE html>" +
+      "<html><body><p>real</p><![CDATA[ raw > payload ]]></body></html>"
+    val out = extract(1L -> page)(1L)
+    assert(out._4 == "real")
+    assert(out._1 == 1L) // had_markup sees the declarations too
+    assert(extract(2L -> "<!DOCTYPE html>")(2L)._1 == 1L)
+  }
+
   test("mixed placeholder runs resolve to the strongest break") {
     // </li></ul><div> = line+para+para markers in one run -> ONE
     // paragraph break, never a stack of blank lines
