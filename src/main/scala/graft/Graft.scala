@@ -542,6 +542,17 @@ object Graft {
     * added/removed/changed/same ([[graft.queries.SnapshotDiff]]). */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =
     queries.SnapshotDiff.snapshotDiff(oldDocs, newDocs)
+  /** Exact heavy hitters — every word n-gram with count >= minCount —
+    * behind a Count-Min prefilter that discards the tail vocabulary
+    * map-side ([[graft.queries.Sketches.heavyHitters]]). */
+  def heavyHitters(docs: DataFrame, minCount: Long, n: Int = 2,
+      depth: Int = 3, width: Int = 1 << 13): DataFrame =
+    queries.Sketches.heavyHitters(docs, minCount, n, depth, width)
+  /** KMV bottom-k distinct-content Jaccard estimate between two
+    * snapshots, beside the exact answer, in one row
+    * ([[graft.queries.Sketches.corpusOverlap]]). */
+  def corpusOverlap(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame =
+    queries.Sketches.corpusOverlap(a, b, k)
   /** Rewrite the corpus with every repeated word block excised from all
     * but its first occurrence ([[graft.queries.Blocks.blockDedup]]). */
   def blockDedup(docs: DataFrame): DataFrame =
