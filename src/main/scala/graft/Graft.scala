@@ -553,6 +553,16 @@ object Graft {
     * ([[graft.queries.Sketches.corpusOverlap]]). */
   def corpusOverlap(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame =
     queries.Sketches.corpusOverlap(a, b, k)
+  /** URL/domain gate over a (doc_id, url) frame — scheme / IP-host /
+    * domain-blocklist / word / length flags + kept, the crawl stage
+    * before extraction ([[graft.queries.UrlFilter.urlFilter]]). */
+  def urlFilter(urls: DataFrame, blockedDomains: Seq[String],
+      blockedWords: Seq[String] = Nil,
+      allowedSchemes: Seq[String] = queries.UrlFilter.DefaultAllowedSchemes,
+      twoLevelTlds: Seq[String] = queries.UrlFilter.DefaultTwoLevelTlds,
+      maxLen: Int = 2048): DataFrame =
+    queries.UrlFilter.urlFilter(urls, blockedDomains, blockedWords,
+      allowedSchemes, twoLevelTlds, maxLen)
   /** Rewrite the corpus with every repeated word block excised from all
     * but its first occurrence ([[graft.queries.Blocks.blockDedup]]). */
   def blockDedup(docs: DataFrame): DataFrame =
