@@ -538,6 +538,11 @@ object Graft {
     * ([[graft.queries.Quantize.quantizeInt8]]). */
   def quantizeInt8(embeddings: DataFrame): DataFrame =
     queries.Quantize.quantizeInt8(embeddings)
+  /** ANN over the SQ8 int8 codes — ADC shortlist on the 4×-smaller
+    * quantized index, exact rescore on originals
+    * ([[graft.queries.Quantize.annSq8]]). */
+  def annSq8(embeddings: DataFrame, shortlist: Int = 50): DataFrame =
+    queries.Quantize.annSq8(embeddings, shortlist)
   /** Classify every doc across two corpus snapshots as
     * added/removed/changed/same ([[graft.queries.SnapshotDiff]]). */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =

@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding quantization (SURVEY.md §2 E6) — per-dimension int8
@@ -23,6 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
+  /** The int8 code formula — ONE definition shared by the long-format
+    * E6 row and the E16 index build, so the stored-code contract
+    * cannot drift between them. */
+  private def sq8Code(v: Column, lo: Column, hi: Column): Column =
+    when(hi === lo, 0L)
+      .otherwise((round((v.cast("double") - lo) * 254 / (hi - lo)) - 127)
+        .cast("long"))
+
+  /** Midpoint dequantization of [[sq8Code]]: the reconstruction the
+    * asymmetric-distance search scores against. */
+  private def sq8Deq(c: Column, lo: Column, hi: Column): Column =
+    lo + (c.cast("double") + 127) * (hi - lo) / 254
+
   /** Long-format int8 codes of an (vec_id, embedding: array<float>)
     * frame: (vec_id, dim, code). */
   def quantizeInt8(embeddings: DataFrame): DataFrame = {
@@ -33,10 +47,7 @@ object Quantize {
       max(col("v").cast("double")).as("hi"))
     ex.join(broadcast(stats), "dim")
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
-        when(col("hi") === col("lo"), 0L)
-          .otherwise((round(
-            (col("v").cast("double") - col("lo")) * 254 / (col("hi") - col("lo")))
-            - 127).cast("long")).as("code"))
+        sq8Code(col("v"), col("lo"), col("hi")).as("code"))
       .orderBy("vec_id", "dim")
   }
 
@@ -55,5 +66,87 @@ object Quantize {
       FROM ex JOIN stats USING (dim)
       ORDER BY vec_id, dim"""))
 
-  val all: Seq[Q] = Seq(qEmbedQuantize)
+  // ----------------------------------------------------------------
+  // E16 — SQ8 ANN: search ON the int8 codes, exact rescore
+  // ----------------------------------------------------------------
+
+  /** ANN over the SQ8-quantized index (Faiss `ScalarQuantizer` flat
+    * search) — the row that actually SEARCHES E6's codes, closing the
+    * loop E6 opens ("the 4× cut that makes the corpus searchable"):
+    * the candidate scan reads 1-byte codes, not floats, so at 100 TB
+    * the scan is 4× cheaper in IO/cache before any structure (IVF)
+    * is added on top.
+    *
+    *   - fit: per-dimension extrema (dims rows, map-side combinable);
+    *     the finished lo/hi arrays are driver model state (2×dims
+    *     doubles, shipped back as plan literals — the E13 contract);
+    *   - index: per vector `codes array<tinyint-valued long>` — one
+    *     shuffle-free map via the SAME [[sq8Code]] formula as E6;
+    *   - search (asymmetric, ADC): approx score = q · deq(codes) with
+    *     midpoint dequantization computed INSIDE the scan projection
+    *     (the stored artifact is codes + the 2×dims model, never
+    *     reconstructed floats), per-query `shortlist` survivors by
+    *     (approx DESC, vec_id), then the EXACT cosine rescore on
+    *     original embeddings ranks the final top-k — approximation
+    *     orders candidates, never scores output.
+    *
+    * `shortlist >= corpus` is provably exhaustive: every vector
+    * survives the cut and the exact rescore ranks everything — output
+    * ≡ brute-force top-k whatever the codes did (the E7/E3b
+    * losslessness pattern; the driver row runs this configuration
+    * against the brute-force SQL). Production recall at shortlist=50
+    * is gated in QuantizeSpec. */
+  def annSq8(embeddings: DataFrame, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= 1, s"shortlist must be >= 1, got $shortlist")
+    val stats = embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(
+        min(col("v").cast("double")).as("lo"),
+        max(col("v").cast("double")).as("hi"))
+      .orderBy("dim").collect()
+    val loL = lit(stats.map(_.getDouble(1)))
+    val hiL = lit(stats.map(_.getDouble(2)))
+    def loAt(i: Column) = element_at(loL, i.cast("int") + 1)
+    def hiAt(i: Column) = element_at(hiL, i.cast("int") + 1)
+    import graft.functions.NativeExpressions.dot
+    val idx = embeddings.select(col("vec_id"),
+      transform(col("embedding"),
+        (v, i) => sq8Code(v, loAt(i), hiAt(i))).as("codes"))
+    // n2 coalesced non-nullable (the withNorms scan-filter lesson)
+    val v = embeddings.select(col("vec_id"), col("embedding"),
+      coalesce(dot(col("embedding"), col("embedding")), lit(0.0)).as("n2"))
+    val q = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"))
+    val deq = transform(col("codes"), (c, i) => sq8Deq(c, loAt(i), hiAt(i)))
+    val byAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val cand = q.join(idx, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("q_emb"), col("q_n2"), col("vec_id"),
+        dot(col("q_emb"), deq).as("adc"))
+      .withColumn("rn", row_number().over(byAdc))
+      .filter(col("rn") <= shortlist)
+    val rescored = cand
+      .join(v, Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("q_emb"), col("embedding")) /
+          (sqrt(col("q_n2")) * sqrt(col("n2")))).as("cos"))
+    val byCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    rescored.withColumn("rank", row_number().over(byCos))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** E16's oracle row: the exhaustive configuration (shortlist covers
+    * any corpus this row sees) — codes, ADC, shortlist, and rescore
+    * all execute, and the output must equal brute-force top-k. */
+  val qAnnSq8: Q = Q(
+    "q_ann_sq8",
+    (s, d) => annSq8(Tables.embeddings(s, d), shortlist = Int.MaxValue),
+    Some(Similarity.bruteforceSql))
+
+  val all: Seq[Q] = Seq(qEmbedQuantize, qAnnSq8)
 }

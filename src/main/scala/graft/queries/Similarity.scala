@@ -170,8 +170,9 @@ object Similarity {
 
   /** Exact top-k as DuckDB SQL — the oracle for [[annBruteforce]] and
     * for any ANN variant run in a provably-exhaustive configuration
-    * ([[annIvfPq]] with all cells probed + untruncated shortlist). */
-  private def bruteforceSql: String =
+    * ([[annIvfPq]] with all cells probed + untruncated shortlist;
+    * [[Quantize.annSq8]] with an untruncated shortlist). */
+  private[queries] def bruteforceSql: String =
     s"""WITH v AS (SELECT vec_id, embedding,
         ${sqlNorm2("embedding")} AS n2 FROM embeddings),
       q AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2 FROM v WHERE vec_id % 100 = 0),

@@ -45,4 +45,41 @@ class QuantizeSpec extends SparkSpec {
     })
     q.unpersist()
   }
+
+  // ------------------------------------------------------------------
+  // E16 annSq8 — search on the codes
+  // ------------------------------------------------------------------
+
+  private def asTuples(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+
+  test("exhaustive shortlist: annSq8 == brute force exactly") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val sq = asTuples(Quantize.annSq8(emb, shortlist = Int.MaxValue))
+    val bf = asTuples(graft.queries.Similarity.annBruteforce(emb))
+    assert(sq == bf)
+  }
+
+  test("production shortlist=50: recall@5 vs brute force clears the floor") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val sq = asTuples(Quantize.annSq8(emb, shortlist = 50))
+      .map(t => (t._1, t._3)).toSet
+    val bf = asTuples(graft.queries.Similarity.annBruteforce(emb))
+      .map(t => (t._1, t._3)).toSet
+    val recall = (sq intersect bf).size.toDouble / bf.size
+    // int8 midpoint reconstruction on 64 dims keeps the true top-5
+    // inside a 50-candidate shortlist almost always; well below this
+    // floor means the ADC scoring or the shortlist cut broke
+    assert(recall >= 0.9, s"recall@5 = $recall")
+  }
+
+  test("shortlist bounds candidates: shortlist=1 yields one row per query") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Quantize.annSq8(emb, shortlist = 1)
+    val nq = emb.filter($"vec_id" % 100 === 0).count()
+    assert(out.count() == nq)
+    assert(out.select("rank").distinct().as[Long].collect().toSet == Set(1L))
+    intercept[IllegalArgumentException](Quantize.annSq8(emb, shortlist = 0))
+  }
 }
