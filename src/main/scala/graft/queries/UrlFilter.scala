@@ -53,12 +53,10 @@ object UrlFilter {
 
   val DefaultAllowedSchemes: Seq[String] = Seq("http", "https")
 
-  /** Flag + keep per URL over any (doc_id, url) frame. Output:
-    * (doc_id, url, scheme, host, domain, bad_scheme, ip_host,
-    * blocked_domain, blocked_word, too_long, kept) — flags BIGINT 0/1
-    * (the C16 convention). `blockedWords` must be lowercase (matched
-    * against the lowercased URL). */
-  def urlFilter(
+  /** Sort-free core of [[urlFilter]] (the C18 c4Flags convention):
+    * applies unchanged to a streaming frame
+    * ([[graft.streaming.Streams.urlFilterStream]]). */
+  private[graft] def urlFlags(
       urls: DataFrame,
       blockedDomains: Seq[String],
       blockedWords: Seq[String] = Nil,
@@ -105,8 +103,22 @@ object UrlFilter {
           col("blocked_word") + col("too_long") === 0L, 1L).otherwise(0L))
       .select("doc_id", "url", "scheme", "host", "domain", "bad_scheme",
         "ip_host", "blocked_domain", "blocked_word", "too_long", "kept")
-      .orderBy("doc_id")
   }
+
+  /** Flag + keep per URL over any (doc_id, url) frame. Output:
+    * (doc_id, url, scheme, host, domain, bad_scheme, ip_host,
+    * blocked_domain, blocked_word, too_long, kept) — flags BIGINT 0/1
+    * (the C16 convention). `blockedWords` must be lowercase (matched
+    * against the lowercased URL). */
+  def urlFilter(
+      urls: DataFrame,
+      blockedDomains: Seq[String],
+      blockedWords: Seq[String] = Nil,
+      allowedSchemes: Seq[String] = DefaultAllowedSchemes,
+      twoLevelTlds: Seq[String] = DefaultTwoLevelTlds,
+      maxLen: Int = 2048): DataFrame =
+    urlFlags(urls, blockedDomains, blockedWords, allowedSchemes,
+      twoLevelTlds, maxLen).orderBy("doc_id")
 
   /** `\.(co\.uk|com\.au)$` — host ends with a two-level suffix. */
   private def twoLevelSuffixRe(tlds: Seq[String]): String =

@@ -431,6 +431,26 @@ object Streams {
   def extractStream(docs: DataFrame): DataFrame =
     graft.queries.Extract.extractTextFlags(docs)
 
+  /** G18: streaming URL/domain gating at ingest —
+    * [[graft.queries.UrlFilter.urlFilter]]'s flags applied per
+    * arrival. Pure stateless map (anchored regexp extraction + list
+    * membership per row, no aggregation, no state), so the batch core
+    * applies UNCHANGED to a streaming frame and stream output == batch
+    * output row-for-row by construction (the G9/G12/G17 argument); the
+    * C26 oracle row is its batch twin. Ingest order on a raw crawl
+    * stream: THIS first (drop junk URLs before paying for fetch or
+    * extraction), then [[extractStream]] and the line gates — the
+    * streaming form of the full documented crawl-ingest order. */
+  def urlFilterStream(
+      urls: DataFrame,
+      blockedDomains: Seq[String],
+      blockedWords: Seq[String] = Nil,
+      allowedSchemes: Seq[String] = graft.queries.UrlFilter.DefaultAllowedSchemes,
+      twoLevelTlds: Seq[String] = graft.queries.UrlFilter.DefaultTwoLevelTlds,
+      maxLen: Int = 2048): DataFrame =
+    graft.queries.UrlFilter.urlFlags(urls, blockedDomains, blockedWords,
+      allowedSchemes, twoLevelTlds, maxLen)
+
   /** G13: streaming event-type transitions — B14's Markov adjacency
     * counts at ingest. Keyed state per user is O(1): the single most
     * recent event (µs ts, id, type); each micro-batch sorts the user's

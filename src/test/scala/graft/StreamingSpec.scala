@@ -13,6 +13,9 @@ object StreamingSpec {
 
   /** One drift-monitor snapshot row (G16's spec). */
   final case class Snap(x: Double, cat: String)
+
+  /** One URL-gate arrival (G18's spec). */
+  final case class Url(doc_id: Long, url: String)
 }
 
 /** G2–G4: Structured Streaming operators driven from a MemoryStream and
@@ -738,6 +741,39 @@ class StreamingSpec extends SparkSpec {
       assert(clean(1L) == "Top\n\na & b", clean)
       assert(clean(3L) == "one\none", clean)
       assert(clean(4L) == "left\nright\n\n1 < 2 stays", clean)
+    } finally query.stop()
+  }
+
+  test("urlFilterStream output equals batch urlFilter row-for-row across batch splits") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val urls = Seq(
+      StreamingSpec.Url(1L, "https://www.example.com/fine"),
+      StreamingSpec.Url(2L, "ftp://files.example.com/x"),
+      StreamingSpec.Url(3L, "https://sub.badsite.com/y"),
+      StreamingSpec.Url(4L, "https://10.1.2.3/casino"),
+      StreamingSpec.Url(5L, "https://ok.org/" + "a" * 200))
+    val blocked = Seq("badsite.com")
+    val words = Seq("casino")
+    val mem = MemoryStream[StreamingSpec.Url]
+    val query = Streams.urlFilterStream(mem.toDF(), blocked, words,
+      maxLen = 100)
+      .writeStream.format("memory").queryName("url_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(urls.take(2): _*)
+      query.processAllAvailable()
+      mem.addData(urls.drop(2): _*)
+      query.processAllAvailable()
+      val got = spark.table("url_stream").collect()
+        .map(r => r.toSeq.toList).toSet
+      val want = Graft.urlFilter(urls.toDF(), blocked, words, maxLen = 100)
+        .collect().map(r => r.toSeq.toList).toSet
+      assert(got == want, s"stream $got vs batch $want")
+      // every planted flag class discriminates
+      val kept = spark.table("url_stream").collect()
+        .map(r => r.getLong(0) -> r.getAs[Long]("kept")).toMap
+      assert(kept == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
     } finally query.stop()
   }
 
