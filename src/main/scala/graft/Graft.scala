@@ -126,6 +126,11 @@ object Graft {
 
   // ---- Deduplication ----
   def exactDuplicates(docs: DataFrame): DataFrame = queries.Dedup.exactDuplicates(docs)
+  /** Duplicate-aware training weights (1/dup_count, conservation per
+    * group) — the reweighting policy beside D1's removal policy
+    * ([[graft.queries.Dedup.softDedupWeights]]). */
+  def softDedupWeights(docs: DataFrame): DataFrame =
+    queries.Dedup.softDedupWeights(docs)
   def minhashPairs(docs: DataFrame): DataFrame = queries.Dedup.minhashPairs(docs)
   def simhashPairs(docs: DataFrame): DataFrame = queries.Dedup.simhashPairs(docs)
   def jaccardPairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =

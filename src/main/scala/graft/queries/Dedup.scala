@@ -420,6 +420,38 @@ object Dedup {
               ${sqlPolyHash(sqlNormText("text"))} AS k2 FROM documents) t
       ORDER BY doc_id"""))
 
+  /** D26 — SOFT dedup (duplicate-aware training weights): instead of
+    * DELETING duplicates (D1's survivor rule), every doc keeps a
+    * training weight 1/dup_count so each distinct content contributes
+    * exactly ONE doc's worth of loss mass however many copies the
+    * corpus carries (Σ weight over a dup group = 1 — conservation, the
+    * SoftDeDup reweighting policy beside the removal policy, the same
+    * policy-pair pattern as D7-CC vs D25-LPA). The weight column feeds
+    * H11's weighted sampling / loss weighting directly; `is_canonical`
+    * preserves the hard-dedup decision so one frame serves both
+    * policies. Same plan as D1 (it IS [[exactDuplicates]] — one shared
+    * definition, cannot drift): one ~40-byte-key window shuffle, text
+    * never moves, plus one exact division per row. */
+  def softDedupWeights(docs: DataFrame): DataFrame =
+    exactDuplicates(docs)
+      .select(col("doc_id"),
+        col("group_size").as("dup_count"),
+        (lit(1.0) / col("group_size")).as("weight"),
+        when(!col("is_dup"), 1L).otherwise(0L).as("is_canonical"))
+      .orderBy("doc_id")
+
+  val qSoftDedup: Q = Q(
+    "q_soft_dedup",
+    (s, d) => softDedupWeights(Tables.documents(s, d)),
+    Some(s"""SELECT doc_id,
+      count(*) OVER (PARTITION BY k1, k2) AS dup_count,
+      1.0::DOUBLE / count(*) OVER (PARTITION BY k1, k2) AS weight,
+      CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY k1, k2)
+        THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+      FROM (SELECT doc_id, md5(${sqlNormText("text")}) AS k1,
+              ${sqlPolyHash(sqlNormText("text"))} AS k2 FROM documents) t
+      ORDER BY doc_id"""))
+
   /** D2: MinHash + LSH near-dup pairs.
     *
     * Plan shape (the 100 TB path): docs → shingle-hash arrays (map-only) →
@@ -1377,7 +1409,7 @@ object Dedup {
     })
 
   val all: Seq[Q] =
-    Seq(qDedupExact, qDedupIncremental, qDedupIncrementalMinhash,
+    Seq(qDedupExact, qSoftDedup, qDedupIncremental, qDedupIncrementalMinhash,
       qDedupMinhash, qDedupSimhash,
       qNgramJaccard, qNgramContainment, qNgramJaccardPrefix,
       qNgramContainmentPrefix, qStreamNeardupBatch, qDupSpans, qDupSpansChar,
