@@ -1437,6 +1437,46 @@ object ScaleProbe {
     println(f"extraction census    ${"check"}%9s       every page extracts to the exact planted line/paragraph shape  PASS")
     graft.ops.Release.sweep(spark)
 
+    // --- I10 heavy hitters at scale: the Zipf corpus is the regime the
+    // CMS prefilter exists for — a huge tail vocabulary (the naive
+    // plan's shuffle) under a hot head (the answer). Census 1: the
+    // prefiltered output EQUALS the naive exact aggregation (the
+    // losslessness the oracle row proves at sf scale, re-proved at the
+    // design point). Census 2: the measured map-side discard — the
+    // fraction of gram occurrences whose sketch estimate falls below
+    // the threshold and which therefore never reach the exchange;
+    // sized so a sketch regression (wrong bucketing, wrong min) shows
+    // up as either a broken equality or a collapsed discard rate.
+    val hhDocs = zipfDocs(spark, nDocs)
+    val hhMin = math.max(50L, nDocs / 100)
+    val (hhDepth, hhWidth) = (3, 1 << 15)
+    val (hhRows, tHh) = time {
+      graft.queries.Sketches.heavyHitters(hhDocs, hhMin, 2, hhDepth, hhWidth)
+        .count()
+    }
+    val hhGrams = graft.queries.Sketches.gramsOf(hhDocs, 2)
+    val naiveHh = hhGrams.groupBy("gram").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= hhMin)
+    val got = graft.queries.Sketches
+      .heavyHitters(hhDocs, hhMin, 2, hhDepth, hhWidth)
+    val diff = got.select("gram", "n")
+      .unionByName(naiveHh.select("gram", "n"))
+      .groupBy("gram", "n").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 2L).count()
+    assert(diff == 0L && hhRows == naiveHh.count(),
+      s"heavy-hitter census: CMS output diverges from naive exact ($diff rows differ)")
+    val est = graft.queries.Sketches.cmsEstimator(hhDocs, 2, hhDepth, hhWidth)
+    val surv = hhGrams.agg(
+      count(lit(1)).as("total"),
+      sum(when(est(col("gram")) >= hhMin, 1L).otherwise(0L)).as("surv")).head()
+    val (hhTotal, hhSurv) = (surv.getLong(0), surv.getLong(1))
+    val discardPct = 100.0 * (hhTotal - hhSurv) / hhTotal
+    println(f"heavy hitters        $hhTotal%9d gram  $tHh%7.1f s  ${hhTotal / tHh}%9.0f gram/s  ($hhRows heavy @ >=$hhMin; sketch discards $discardPct%.1f%% of occurrences map-side)")
+    assert(discardPct >= 50.0,
+      f"CMS prefilter discards only $discardPct%.1f%% on a Zipf corpus — the sketch stopped discriminating (width $hhWidth, depth $hhDepth, threshold $hhMin)")
+    println(f"heavy-hitter census  ${"check"}%9s       CMS == naive exact; map-side discard $discardPct%.1f%%  PASS")
+    graft.ops.Release.sweep(spark)
+
     spark.stop()
   }
 }

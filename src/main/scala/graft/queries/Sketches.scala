@@ -85,30 +85,40 @@ object Sketches {
     * for a discriminating prefilter. The CMS hash is engine-internal
     * (xxhash64) — build and probe only need to agree with each other;
     * the oracle is the naive SQL, which never sees the sketch. */
-  def heavyHitters(docs: DataFrame, minCount: Long, n: Int = HhGramN,
-      depth: Int = 3, width: Int = 1 << 13): DataFrame = {
-    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+  /** One row per word-`n`-gram occurrence, aliased `gram`. */
+  private[graft] def gramsOf(docs: DataFrame, n: Int): DataFrame =
+    docs.select(explode(shingles(words(col("text")), n)).as("gram"))
+
+  /** Build the Count-Min sketch over `docs`' n-gram occurrences and
+    * return the estimator column constructor — exposed so ScaleProbe
+    * can measure the prefilter's map-side discard with the SAME
+    * sketch definition the operator runs (no probe/operator drift). */
+  private[graft] def cmsEstimator(docs: DataFrame, n: Int,
+      depth: Int, width: Int): Column => Column = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
     require(width >= 16 && (width & (width - 1)) == 0,
       s"width must be a power of two >= 16, got $width")
-    def grams(df: DataFrame): DataFrame =
-      df.select(explode(shingles(words(col("text")), n)).as("gram"))
     def bucket(g: Column, row: Int): Column =
       pmod(xxhash64(g, lit(row)), lit(width.toLong)).cast("int") +
         lit(row * width)
     val counters = new Array[Long](depth * width)
-    grams(docs)
+    gramsOf(docs, n)
       .select(explode(array((0 until depth).map(i =>
         bucket(col("gram"), i)): _*)).as("idx"))
       .groupBy("idx").agg(count(lit(1)).as("c"))
       .collect()
       .foreach(r => counters(r.getInt(0)) = r.getLong(1))
     val lut = lit(counters)
-    def est(g: Column): Column =
-      (0 until depth).map(i => element_at(lut, bucket(g, i) + 1))
-        .reduce(least(_, _))
-    grams(docs)
+    g => (0 until depth).map(i => element_at(lut, bucket(g, i) + 1))
+      .reduce(least(_, _))
+  }
+
+  def heavyHitters(docs: DataFrame, minCount: Long, n: Int = HhGramN,
+      depth: Int = 3, width: Int = 1 << 13): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val est = cmsEstimator(docs, n, depth, width)
+    gramsOf(docs, n)
       .filter(est(col("gram")) >= minCount)
       .groupBy("gram").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
