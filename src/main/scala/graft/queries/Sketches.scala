@@ -176,11 +176,20 @@ object Sketches {
     * break the bottom-k: it ranks DISTINCT hash values. polyHash
     * collisions merge contents identically on both engines (shared
     * hash — reproduced, not approximated). */
+  /** Memo for the per-snapshot fingerprint sets (see
+    * [[graft.ops.PlanCache]]; released by [[graft.ops.Release]]):
+    * each set is consumed by THREE branches (its bottom-k sketch, its
+    * cardinality, the intersection join) — without the memo each
+    * branch re-runs the normalize+hash corpus scan. The persisted
+    * frame is distinct-fingerprint sized (~40 bytes/doc), never the
+    * corpus text. */
+  private[this] val fpCache = new graft.ops.PlanCache(capacity = 4)
+
   def corpusOverlap(a: DataFrame, b: DataFrame, k: Int = KmvK): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    def fs(df: DataFrame): DataFrame =
+    def fs(df: DataFrame): DataFrame = fpCache.memo(
       df.select(md5(normText(col("text"))).as("m"),
-        polyHash(normText(col("text"))).as("h")).distinct()
+        polyHash(normText(col("text"))).as("h")).distinct())
     // the sketch's hash set derives from the fingerprint set (distinct
     // h of distinct (m,h) — one normalize+hash pass per snapshot, not
     // two; a poly collision across different md5s still collapses)
