@@ -89,7 +89,12 @@ object Plans {
     "q_curriculum" -> "curriculum order: C15's memoized decile paint + scramble map into ONE packed DECIMAL order key, then the H10 distributed prefix sum (range partition + broadcast offsets) — decile-major positions with no corpus-wide window",
     "q_extract_text" -> "markup extraction: the whole regexp/replace chain (script/style/comment removal, block->break mapping, tag strip, entity decode, whitespace collapse) is ONE codegen map stage over the pages agg; presentation sort is the only exchange after it",
     "q_extract_clean" -> "composed crawl ingest: extraction + C21 language split + C20 line dedup + C18 line screen chained as FOUR stacked map stages in ONE pass (sort-free cores — no mid-pipeline exchange); presentation sort is the only exchange after the pages agg",
-    "q_ann_opq" -> "OPQ search: the learned rotation enters as literal coefficients (driver model state) rotating queries in a map stage, then E7's plan unchanged — narrow code candidate join, ADC lookups, shortlist-sized exact rescore on ORIGINAL embeddings")
+    "q_ann_opq" -> "OPQ search: the learned rotation enters as literal coefficients (driver model state) rotating queries in a map stage, then E7's plan unchanged — narrow code candidate join, ADC lookups, shortlist-sized exact rescore on ORIGINAL embeddings",
+    "q_url_filter" -> "URL gate: the derived-URL build + parse + every flag is ONE shuffle-free codegen map stage (anchored regexp extraction, list membership as literal IN/contains); presentation sort is the only exchange",
+    "q_heavy_hitters" -> "CMS-prefiltered heavy hitters: pass 1 aggregates onto the depth x width counter key space (map-side combinable, driver gets only the finished counters), pass 2 filters occurrences map-side against the literal counter array BEFORE the gram shuffle — expect the exchange fed by a Filter over the explode, and a tail-vocabulary-free partial agg above it",
+    "q_corpus_overlap" -> "KMV overlap: each snapshot's fingerprint set memo-persisted and read by three branches (TakeOrderedAndProject bottom-k, count, intersection join); the union sketch is k-row arithmetic — nothing corpus-sized past the distincts",
+    "q_soft_dedup" -> "soft dedup: D1's narrow (doc_id, md5, poly) window — ~40-byte keys through the one exchange, text never shuffles; the weight is one projection-stage division over group_size",
+    "q_ann_sq8" -> "SQ8 search: lo/hi extrema enter as literal arrays (driver model state), codes + midpoint dequantization computed inside the scan projection, ADC via the native dot kernel, per-query shortlist window, exact rescore joins ORIGINAL embeddings on the shortlist only")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
