@@ -555,13 +555,16 @@ object Graft {
   /** Exact heavy hitters — every word n-gram with count >= minCount —
     * behind a Count-Min prefilter that discards the tail vocabulary
     * map-side ([[graft.queries.Sketches.heavyHitters]]). */
-  def heavyHitters(docs: DataFrame, minCount: Long, n: Int = 2,
-      depth: Int = 3, width: Int = 1 << 13): DataFrame =
+  def heavyHitters(docs: DataFrame, minCount: Long,
+      n: Int = queries.Sketches.HhGramN,
+      depth: Int = queries.Sketches.DefaultDepth,
+      width: Int = queries.Sketches.DefaultWidth): DataFrame =
     queries.Sketches.heavyHitters(docs, minCount, n, depth, width)
   /** KMV bottom-k distinct-content Jaccard estimate between two
     * snapshots, beside the exact answer, in one row
     * ([[graft.queries.Sketches.corpusOverlap]]). */
-  def corpusOverlap(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame =
+  def corpusOverlap(a: DataFrame, b: DataFrame,
+      k: Int = queries.Sketches.KmvK): DataFrame =
     queries.Sketches.corpusOverlap(a, b, k)
   /** URL/domain gate over a (doc_id, url) frame — scheme / IP-host /
     * domain-blocklist / word / length flags + kept, the crawl stage

@@ -109,21 +109,20 @@ object Quantize {
     def loAt(i: Column) = element_at(loL, i.cast("int") + 1)
     def hiAt(i: Column) = element_at(hiL, i.cast("int") + 1)
     import graft.functions.NativeExpressions.dot
+    // the stored artifact is the code array; the ADC target is its
+    // midpoint dequantization, projected HERE — once per vector in the
+    // index scan, not once per (query, vector) pair above the join
     val idx = embeddings.select(col("vec_id"),
-      transform(col("embedding"),
-        (v, i) => sq8Code(v, loAt(i), hiAt(i))).as("codes"))
-    // n2 coalesced non-nullable (the withNorms scan-filter lesson)
-    val v = embeddings.select(col("vec_id"), col("embedding"),
-      coalesce(dot(col("embedding"), col("embedding")), lit(0.0)).as("n2"))
-    val q = v.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("n2").as("q_n2"))
-    val deq = transform(col("codes"), (c, i) => sq8Deq(c, loAt(i), hiAt(i)))
+      transform(
+        transform(col("embedding"), (v, i) => sq8Code(v, loAt(i), hiAt(i))),
+        (c, i) => sq8Deq(c, loAt(i), hiAt(i))).as("deq"))
+    val v = Similarity.withNorms(embeddings)
+    val q = Similarity.queries(v)
     val byAdc = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("vec_id"))
     val cand = q.join(idx, col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("q_emb"), col("q_n2"), col("vec_id"),
-        dot(col("q_emb"), deq).as("adc"))
+        dot(col("q_emb"), col("deq")).as("adc"))
       .withColumn("rn", row_number().over(byAdc))
       .filter(col("rn") <= shortlist)
     val rescored = cand
@@ -131,13 +130,7 @@ object Quantize {
       .select(col("q_id"), col("vec_id"),
         (dot(col("q_emb"), col("embedding")) /
           (sqrt(col("q_n2")) * sqrt(col("n2")))).as("cos"))
-    val byCos = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    rescored.withColumn("rank", row_number().over(byCos))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), col("cos"))
-      .orderBy("q_id", "rank")
+    Similarity.topkPerQuery(rescored)
   }
 
   /** E16's oracle row: the exhaustive configuration (shortlist covers

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val TopK = 5
+  private[queries] val TopK = 5
 
   /** Memo of [[buildPqIndex]]'s normalized feature frame (see
     * [[graft.ops.PlanCache]]; released by [[graft.ops.Release]]).
@@ -35,7 +35,7 @@ object Similarity {
   private[this] val pqIdxCache = new graft.ops.PlanCache(capacity = 4)
 
   /** Attach squared norms (computed once per vector). */
-  private def withNorms(embeddings: DataFrame): DataFrame =
+  private[queries] def withNorms(embeddings: DataFrame): DataFrame =
     // coalesce makes n2 NON-nullable (the parquet embedding column is
     // nullable), so downstream joins/filters infer no isnotnull(n2) —
     // without it the inferred isnotnull(graft_dot(emb, emb)) pushes into
@@ -45,11 +45,11 @@ object Similarity {
     embeddings.select(col("vec_id"), col("embedding"),
       coalesce(norm2(col("embedding")), lit(0.0)).as("n2"))
 
-  private def queries(v: DataFrame): DataFrame =
+  private[queries] def queries(v: DataFrame): DataFrame =
     v.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
 
-  private def topkPerQuery(scored: DataFrame): DataFrame = {
+  private[queries] def topkPerQuery(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)

@@ -51,7 +51,42 @@ object Sketches {
     * head (~1% clears minCount=5 at sf0.001); the 31-word unigram
     * vocabulary would make every key heavy and verify nothing. */
   private[queries] val HhMinCount = 5L
-  private[queries] val HhGramN = 2
+  val HhGramN = 2
+
+  /** Operator defaults, referenced by BOTH the method signatures here
+    * and the `Graft` facade so the public API cannot silently drift
+    * from the operator when one is retuned. */
+  val DefaultDepth = 3
+  val DefaultWidth = 1 << 13
+
+  /** One row per word-`n`-gram occurrence, aliased `gram`. */
+  private[graft] def gramsOf(docs: DataFrame, n: Int): DataFrame =
+    docs.select(explode(shingles(words(col("text")), n)).as("gram"))
+
+  /** Build the Count-Min sketch over `docs`' n-gram occurrences and
+    * return the estimator column constructor — exposed so ScaleProbe
+    * can measure the prefilter's map-side discard with the SAME
+    * sketch definition the operator runs (no probe/operator drift). */
+  private[graft] def cmsEstimator(docs: DataFrame, n: Int,
+      depth: Int, width: Int): Column => Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(width >= 16 && (width & (width - 1)) == 0,
+      s"width must be a power of two >= 16, got $width")
+    def bucket(g: Column, row: Int): Column =
+      pmod(xxhash64(g, lit(row)), lit(width.toLong)).cast("int") +
+        lit(row * width)
+    val counters = new Array[Long](depth * width)
+    gramsOf(docs, n)
+      .select(explode(array((0 until depth).map(i =>
+        bucket(col("gram"), i)): _*)).as("idx"))
+      .groupBy("idx").agg(count(lit(1)).as("c"))
+      .collect()
+      .foreach(r => counters(r.getInt(0)) = r.getLong(1))
+    val lut = lit(counters)
+    g => (0 until depth).map(i => element_at(lut, bucket(g, i) + 1))
+      .reduce(least(_, _))
+  }
 
   /** Exact heavy hitters: every word `n`-gram occurring at least
     * `minCount` times in the corpus, with its EXACT count — via a
@@ -85,37 +120,8 @@ object Sketches {
     * for a discriminating prefilter. The CMS hash is engine-internal
     * (xxhash64) — build and probe only need to agree with each other;
     * the oracle is the naive SQL, which never sees the sketch. */
-  /** One row per word-`n`-gram occurrence, aliased `gram`. */
-  private[graft] def gramsOf(docs: DataFrame, n: Int): DataFrame =
-    docs.select(explode(shingles(words(col("text")), n)).as("gram"))
-
-  /** Build the Count-Min sketch over `docs`' n-gram occurrences and
-    * return the estimator column constructor — exposed so ScaleProbe
-    * can measure the prefilter's map-side discard with the SAME
-    * sketch definition the operator runs (no probe/operator drift). */
-  private[graft] def cmsEstimator(docs: DataFrame, n: Int,
-      depth: Int, width: Int): Column => Column = {
-    require(n >= 1, s"n must be >= 1, got $n")
-    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
-    require(width >= 16 && (width & (width - 1)) == 0,
-      s"width must be a power of two >= 16, got $width")
-    def bucket(g: Column, row: Int): Column =
-      pmod(xxhash64(g, lit(row)), lit(width.toLong)).cast("int") +
-        lit(row * width)
-    val counters = new Array[Long](depth * width)
-    gramsOf(docs, n)
-      .select(explode(array((0 until depth).map(i =>
-        bucket(col("gram"), i)): _*)).as("idx"))
-      .groupBy("idx").agg(count(lit(1)).as("c"))
-      .collect()
-      .foreach(r => counters(r.getInt(0)) = r.getLong(1))
-    val lut = lit(counters)
-    g => (0 until depth).map(i => element_at(lut, bucket(g, i) + 1))
-      .reduce(least(_, _))
-  }
-
   def heavyHitters(docs: DataFrame, minCount: Long, n: Int = HhGramN,
-      depth: Int = 3, width: Int = 1 << 13): DataFrame = {
+      depth: Int = DefaultDepth, width: Int = DefaultWidth): DataFrame = {
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     val est = cmsEstimator(docs, n, depth, width)
     gramsOf(docs, n)
@@ -145,7 +151,7 @@ object Sketches {
   /** Sketch size shared by the API default and the oracle SQL. At
     * k=256 the sf0.001 row is a GENUINE estimate (union ~516 distinct
     * contents > k) — the estimator is exercised, not degenerate. */
-  private[queries] val KmvK = 256
+  val KmvK = 256
 
   /** Corpus overlap between two document snapshots, as SET semantics
     * over content fingerprints (duplicate texts within a snapshot
@@ -187,9 +193,13 @@ object Sketches {
 
   def corpusOverlap(a: DataFrame, b: DataFrame, k: Int = KmvK): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // null text coalesces to the empty content BEFORE fingerprinting:
+    // a null key would occupy a bottom-k slot in Spark (nulls sort
+    // FIRST) yet match no join — identical snapshots would read
+    // jaccard < 1, and DuckDB (NULLS LAST) would hash-diverge
+    val fp: Column = normText(coalesce(col("text"), lit("")))
     def fs(df: DataFrame): DataFrame = fpCache.memo(
-      df.select(md5(normText(col("text"))).as("m"),
-        polyHash(normText(col("text"))).as("h")).distinct())
+      df.select(md5(fp).as("m"), polyHash(fp).as("h")).distinct())
     // the sketch's hash set derives from the fingerprint set (distinct
     // h of distinct (m,h) — one normalize+hash pass per snapshot, not
     // two; a poly collision across different md5s still collapses)
@@ -233,7 +243,7 @@ object Sketches {
       corpusOverlap(oldSnap, newSnap)
     },
     Some {
-      val nt = sqlNormText("text")
+      val nt = sqlNormText("coalesce(text, '')")
       s"""WITH sa AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
         sb AS (SELECT doc_id,
           CASE WHEN doc_id % 11 = 0 THEN text || ' updated' ELSE text END AS text

@@ -66,7 +66,14 @@ object UrlFilter {
     require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
     require(blockedWords.forall(w => w == w.toLowerCase),
       "blockedWords must be lowercase (they match the lowercased URL)")
-    val u = coalesce(col("url"), lit(""))
+    require(blockedDomains.forall(d => d == d.toLowerCase),
+      "blockedDomains must be lowercase (hostnames compare case-insensitively)")
+    // schemes and hostnames are case-INSENSITIVE (RFC 3986 §6.2.2.1):
+    // parse the lowercased URL so "HTTPS://BadSite.com" can neither
+    // fail the scheme gate nor slip past the domain blocklist; the
+    // output url column keeps the original bytes (paths ARE
+    // case-sensitive), scheme/host/domain report the normalized form
+    val u = lower(coalesce(col("url"), lit("")))
     val scheme = regexp_extract(u, SchemeRe, 1)
     val host = regexp_extract(u, HostRe, 1)
     val threeLabel =
@@ -87,7 +94,7 @@ object UrlFilter {
       else col("domain").isin(blockedDomains: _*))
     val blockedWord = flag(
       if (blockedWords.isEmpty) lit(false)
-      else blockedWords.map(w => contains(lower(u), lit(w))).reduce(_ || _))
+      else blockedWords.map(w => contains(u, lit(w))).reduce(_ || _))
     val tooLong = flag(length(u) > maxLen)
     urls
       .withColumn("scheme", scheme)
@@ -215,11 +222,11 @@ object UrlFilter {
       val domList = RowBlockedDomains.map(sqlQ).mkString(", ")
       val schemeList = DefaultAllowedSchemes.map(sqlQ).mkString(", ")
       val wordCond = RowBlockedWords
-        .map(w => s"contains(lower(url), ${sqlQ(w)})").mkString(" OR ")
+        .map(w => s"contains(lurl, ${sqlQ(w)})").mkString(" OR ")
       s"""WITH ${sqlUrlsCte("documents")},
-      parsed AS (SELECT doc_id, url,
-        regexp_extract(url, ${sqlQ(SchemeRe)}, 1) AS scheme,
-        regexp_extract(url, ${sqlQ(HostRe)}, 1) AS host,
+      parsed AS (SELECT doc_id, url, lower(url) AS lurl,
+        regexp_extract(lurl, ${sqlQ(SchemeRe)}, 1) AS scheme,
+        regexp_extract(lurl, ${sqlQ(HostRe)}, 1) AS host,
         CASE WHEN regexp_matches(host, ${sqlQ(IpHostRe)}) THEN host
              ELSE coalesce(
                CASE WHEN regexp_matches(host, ${sqlQ(twoLevel)})

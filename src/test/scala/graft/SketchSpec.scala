@@ -126,6 +126,18 @@ class SketchSpec extends SparkSpec {
     assert(r.getAs[Double]("exact_jaccard") == 30.0 / 90.0)
   }
 
+  test("null text coalesces to the empty content: identical snapshots read 1.0") {
+    val a = Seq((0L, null: String), (1L, "x"), (2L, "y"))
+      .toDF("doc_id", "text")
+    val r = overlapRow(a, a, 100)
+    // a null fingerprint would occupy a sketch slot but match no join
+    // (and sort opposite ends across engines) — coalesced, the null
+    // doc is the empty content and self-overlap is exactly 1
+    assert(r.getAs[Long]("n_a") == 3L)
+    assert(r.getAs[Double]("est_jaccard") == 1.0)
+    assert(r.getAs[Double]("exact_jaccard") == 1.0)
+  }
+
   test("set semantics: duplicate texts within a snapshot collapse") {
     val a = docs(Seq("same text", "same text", "other a"))
     val b = docs(Seq("same text", "other b"))

@@ -79,6 +79,24 @@ class UrlFilterSpec extends SparkSpec {
       UrlFilter.urlFilter(df, Nil, maxLen = 0))
     intercept[IllegalArgumentException](
       UrlFilter.urlFilter(df, Nil, blockedWords = Seq("Casino")))
+    intercept[IllegalArgumentException](
+      UrlFilter.urlFilter(df, Seq("BadSite.com")))
+  }
+
+  test("scheme and host compare case-insensitively (RFC 3986)") {
+    val out = run(Seq(
+      (0L, "HTTPS://BadSite.com/MixedPath"),
+      (1L, "Http://sub.EVIL.CO.UK/x"),
+      (2L, "https://OK.com/Fine")))
+    // uppercase scheme/host must neither fail the scheme gate nor
+    // evade the domain blocklist; the url column keeps original bytes
+    assert(out(0L).getAs[Long]("bad_scheme") == 0L)
+    assert(out(0L).getAs[String]("domain") == "badsite.com")
+    assert(out(0L).getAs[Long]("blocked_domain") == 1L)
+    assert(out(0L).getAs[String]("url") == "HTTPS://BadSite.com/MixedPath")
+    assert(out(1L).getAs[String]("domain") == "evil.co.uk")
+    assert(out(1L).getAs[Long]("blocked_domain") == 1L)
+    assert(out(2L).getAs[Long]("kept") == 1L)
   }
 
   test("derived URL frame plants every flag class") {
