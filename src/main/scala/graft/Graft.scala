@@ -566,6 +566,11 @@ object Graft {
   def corpusOverlap(a: DataFrame, b: DataFrame,
       k: Int = queries.Sketches.KmvK): DataFrame =
     queries.Sketches.corpusOverlap(a, b, k)
+  /** The stored k·8-byte bottom-k content sketch of a corpus — feed it
+    * to `streams.overlapStream` as the fixed lake reference
+    * ([[graft.queries.Sketches.kmvSketch]]). */
+  def kmvSketch(docs: DataFrame, k: Int = queries.Sketches.KmvK): Array[Long] =
+    queries.Sketches.kmvSketch(docs, k)
   /** URL/domain gate over a (doc_id, url) frame — scheme / IP-host /
     * domain-blocklist / word / length flags + kept, the crawl stage
     * before extraction ([[graft.queries.UrlFilter.urlFilter]]). */

@@ -181,7 +181,16 @@ object Sketches {
     * against its own ground truth at all three SFs. Hash ties cannot
     * break the bottom-k: it ranks DISTINCT hash values. polyHash
     * collisions merge contents identically on both engines (shared
-    * hash — reproduced, not approximated). */
+    * hash — reproduced, not approximated).
+    *
+    * Estimator assumption (honest caveat): KMV's accuracy rests on
+    * the hash spreading contents uniformly. polyHash is
+    * ORDER-PRESERVING on fixed-width same-prefix strings (sequential
+    * synthetic ids like "doc 00417"), which can starve the bottom-k
+    * of intersection members and bias the estimate toward 0 — real
+    * normalized text varies in length and content, where the
+    * polynomial mixes fine. The EXACT columns in the same row are the
+    * cross-check that catches a biased estimate. */
   /** Memo for the per-snapshot fingerprint sets (see
     * [[graft.ops.PlanCache]]; released by [[graft.ops.Release]]):
     * each set is consumed by THREE branches (its bottom-k sketch, its
@@ -225,6 +234,35 @@ object Sketches {
         (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("exact_jaccard"))
+  }
+
+  /** Bottom-k content sketch of a (text) frame, collected — the
+    * stored per-lake artifact ([[corpusOverlap]]'s per-side
+    * reduction): k·8 bytes however big the corpus, computed as a
+    * TakeOrdered over the distinct hash set. Store it beside the lake
+    * and triage any new crawl against it without touching lake text
+    * ([[graft.streaming.Streams.overlapStream]] consumes it as the
+    * fixed reference). */
+  def kmvSketch(df: DataFrame, k: Int = KmvK): Array[Long] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(polyHash(normText(coalesce(col("text"), lit("")))).as("h"))
+      .distinct().orderBy("h").limit(k)
+      .collect().map(_.getLong(0))
+  }
+
+  /** The KMV Jaccard arithmetic over two bottom-k sketch arrays —
+    * (k_eff, sketch_inter, est_jaccard), the same three numbers
+    * [[corpusOverlap]] computes relationally. ONE definition shared
+    * with the streaming form so stream and batch cannot drift
+    * (SketchSpec pins the cross-implementation equality). */
+  private[graft] def kmvEstimate(
+      a: Array[Long], b: Array[Long], k: Int): (Long, Long, Double) = {
+    val u = (a ++ b).distinct.sorted.take(k)
+    val as = a.toSet
+    val bs = b.toSet
+    val inter = u.count(x => as(x) && bs(x)).toLong
+    val kEff = u.length.toLong
+    (kEff, inter, if (kEff == 0L) 0.0 else inter.toDouble / kEff)
   }
 
   /** I11's oracle row: the H7 snapshot derivation (A drops every 7th

@@ -81,6 +81,21 @@ final case class RetentionState(d0: Long, bits: Array[Long])
 final case class RetentionDelta(
     user_id: Long, cohort_wk: Long, offset_wk: Long, delta: Long)
 
+/** Accumulated per-shard bottom-k state for [[Streams.overlapStream]]:
+  * `nSeen` arrivals routed to the shard, `ks` the shard's k smallest
+  * distinct content hashes. */
+final case class KmvShardState(nSeen: Long, ks: Array[Long])
+
+/** One shard's refreshed sketch, emitted into the merge stage of
+  * [[Streams.overlapStream]]. */
+final case class ShardSketch(shard: Long, n_seen: Long, ks: Seq[Long])
+
+/** One per-micro-batch overlap estimate emitted by
+  * [[Streams.overlapStream]]: `n_seen` total arrivals so far, and the
+  * three I11 sketch numbers vs the fixed reference. */
+final case class OverlapEstimate(
+    n_seen: Long, k_eff: Long, sketch_inter: Long, est_jaccard: Double)
+
 /** One live session per user for [[Streams.sessionizeStream]]. */
 final case class SessionState(
     sessionStart: Long, lastTs: Long, nEvents: Long, totalValue: Double)
@@ -450,6 +465,70 @@ object Streams {
       maxLen: Int = 2048): DataFrame =
     graft.queries.UrlFilter.urlFlags(urls, blockedDomains, blockedWords,
       allowedSchemes, twoLevelTlds, maxLen)
+
+  /** G19: streaming ingest-triage overlap — I11's KMV estimate
+    * maintained incrementally over the arriving corpus against a
+    * FIXED lake sketch ([[graft.queries.Sketches.kmvSketch]] — the
+    * k·8-byte artifact stored beside the lake). After every
+    * micro-batch, one [[OverlapEstimate]] row answers "how much of
+    * what has arrived so far is already in the lake?" — the live form
+    * of the `q_corpus_overlap` triage.
+    *
+    * Two chained stateful stages, both bounded however big the
+    * corpus: stage 1 shards the hash stream by `h % 64` and keeps a
+    * per-shard bottom-k (so no single task funnels a whole batch),
+    * emitting each touched shard's refreshed sketch; stage 2 merges
+    * the ≤ 64·k candidate values — the global bottom-k is a subset of
+    * the union of per-shard bottom-k's, since a globally-smallest
+    * value is also among its own shard's k smallest — and emits the
+    * estimate via the SAME [[graft.queries.Sketches.kmvEstimate]]
+    * arithmetic as the batch row (cross-implementation differential
+    * in StreamingSpec).
+    *
+    * Contract (G15-strength): the accumulated sketch is a SET
+    * function of the hashes seen, so the latest estimate is
+    * independent of delivery order, batch boundaries, and duplicate
+    * redelivery — any arrival history covering the same docs yields
+    * the same numbers. */
+  def overlapStream(
+      docs: DataFrame,
+      refSketch: Array[Long],
+      k: Int = graft.queries.Sketches.KmvK): Dataset[OverlapEstimate] = {
+    import docs.sparkSession.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hashes = docs.select(
+      graft.functions.TextFunctions.polyHash(
+        graft.functions.TextFunctions.normText(
+          coalesce(col("text"), lit("")))).as("h")).as[Long]
+    def shardUpdate(shard: Long, rows: Iterator[Long],
+        state: GroupState[KmvShardState]): Iterator[ShardSketch] = {
+      val prev = state.getOption.getOrElse(KmvShardState(0L, Array.empty))
+      val arr = rows.toArray
+      val merged = (prev.ks ++ arr).distinct.sorted.take(k)
+      val next = KmvShardState(prev.nSeen + arr.length, merged)
+      state.update(next)
+      Iterator.single(ShardSketch(shard, next.nSeen, merged.toSeq))
+    }
+    def mergeUpdate(key: Int, rows: Iterator[ShardSketch],
+        state: GroupState[Seq[ShardSketch]]): Iterator[OverlapEstimate] = {
+      val prev = state.getOption.getOrElse(Seq.empty)
+      val fresh = rows.toSeq
+      val freshShards = fresh.map(_.shard).toSet
+      val next = prev.filterNot(s => freshShards(s.shard)) ++ fresh
+      state.update(next)
+      val merged = next.iterator.flatMap(_.ks).toArray.distinct.sorted.take(k)
+      val nSeen = next.iterator.map(_.n_seen).sum
+      val (kEff, inter, est) =
+        graft.queries.Sketches.kmvEstimate(merged, refSketch, k)
+      Iterator.single(OverlapEstimate(nSeen, kEff, inter, est))
+    }
+    hashes.groupByKey(_ % 64L)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(shardUpdate)
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(mergeUpdate)
+  }
 
   /** G13: streaming event-type transitions — B14's Markov adjacency
     * counts at ingest. Keyed state per user is O(1): the single most

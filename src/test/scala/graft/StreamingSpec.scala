@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.streaming.{EventRow, SessionOut, Streams}
+import graft.streaming.{EventRow, OverlapEstimate, SessionOut, Streams}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
@@ -742,6 +742,60 @@ class StreamingSpec extends SparkSpec {
       assert(clean(3L) == "one\none", clean)
       assert(clean(4L) == "left\nright\n\n1 < 2 stays", clean)
     } finally query.stop()
+  }
+
+  test("overlapStream: final estimate equals batch corpusOverlap under any delivery order") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val k = 8
+    // lake: 50 docs; stream: 50 docs, 25 overlapping — k=8 < union
+    // (75), so the estimate is genuine, not degenerate-exact. The
+    // varying leading number keeps polyHash spread (sequential
+    // same-prefix ids hash order-preservingly and would starve the
+    // bottom-k of intersection members — the estimator's documented
+    // hash-uniformity assumption)
+    def txt(i: Int): String = s"doc ${(i * 48271) % 99991} payload $i"
+    val lakeDocs = (0 until 50).map(i => StreamingSpec.Doc(i.toLong, txt(i)))
+    val streamDocs = (25 until 75).map(i => StreamingSpec.Doc(i.toLong, txt(i)))
+    val lake = lakeDocs.toDF()
+    val ref = graft.queries.Sketches.kmvSketch(lake, k)
+    val want = graft.queries.Sketches
+      .corpusOverlap(streamDocs.toDF(), lake, k)
+      .select("k_eff", "sketch_inter", "est_jaccard")
+      .collect()(0)
+
+    def finalEstimate(batches: Seq[Seq[StreamingSpec.Doc]]): OverlapEstimate = {
+      val mem = MemoryStream[StreamingSpec.Doc]
+      val name = s"overlap_stream_${System.nanoTime()}"
+      val query = Streams.overlapStream(mem.toDF(), ref, k)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        batches.foreach { b =>
+          if (b.nonEmpty) { mem.addData(b: _*); query.processAllAvailable() }
+        }
+        spark.table(name).as[OverlapEstimate].collect()
+          .maxBy(_.n_seen)
+      } finally query.stop()
+    }
+
+    val inOrder = finalEstimate(streamDocs.grouped(15).toSeq)
+    assert(inOrder.k_eff == want.getLong(0) &&
+      inOrder.sketch_inter == want.getLong(1) &&
+      inOrder.est_jaccard == want.getDouble(2),
+      s"stream $inOrder vs batch $want")
+    assert(inOrder.n_seen == 50L)
+    // reversed batches + a full duplicate redelivery of batch 1:
+    // the sketch is a set function — same final numbers
+    val shuffled = finalEstimate(
+      streamDocs.grouped(15).toSeq.reverse :+ streamDocs.take(15))
+    assert(shuffled.k_eff == inOrder.k_eff &&
+      shuffled.sketch_inter == inOrder.sketch_inter &&
+      shuffled.est_jaccard == inOrder.est_jaccard,
+      s"order-dependent estimate: $shuffled vs $inOrder")
+    // estimate is honest: exact jaccard is 25/75; the k=8 sketch reads
+    // something in (0, 1), not the degenerate 0 or 1
+    assert(inOrder.est_jaccard > 0.0 && inOrder.est_jaccard < 1.0)
   }
 
   test("urlFilterStream output equals batch urlFilter row-for-row across batch splits") {
