@@ -221,4 +221,35 @@ class GraftFacadeSpec extends SparkSpec {
     assert(hd == hl && hd.nonEmpty)
     graft.ops.Release.sweep(spark)
   }
+
+  test("continuation facade methods run on user frames") {
+    import spark.implicits._
+    // heavyHitters: 'the' appears twice per duped text — unigram count
+    val hh = Graft.heavyHitters(docs, minCount = 4L, n = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh("the") == 6L && !hh.contains("different"), hh.toString)
+    // corpusOverlap of a frame with itself is exactly 1
+    val co = Graft.corpusOverlap(docs, docs).collect()(0)
+    assert(co.getAs[Double]("est_jaccard") == 1.0 &&
+      co.getAs[Double]("exact_jaccard") == 1.0)
+    // kmvSketch: 3 distinct contents (docs 0/1 collapse)
+    assert(Graft.kmvSketch(docs).length == 3)
+    // softDedupWeights: the dup pair splits one unit of mass
+    val sw = Graft.softDedupWeights(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sw(0L) == 0.5 && sw(1L) == 0.5 && sw(2L) == 1.0)
+    // urlFilter on a user url frame
+    val uf = Graft.urlFilter(
+      Seq((0L, "https://ok.com/a"), (1L, "ftp://bad.com/b")).toDF("doc_id", "url"),
+      blockedDomains = Nil).collect().map(r => r.getLong(0) -> r.getAs[Long]("kept")).toMap
+    assert(uf == Map(0L -> 1L, 1L -> 0L))
+    // annSq8 exhaustive == brute force on a user embedding frame
+    // (vec_id 0 and 100 are the % 100 == 0 query set)
+    val emb2 = Seq((0L, Seq(1f, 0f)), (100L, Seq(0f, 1f)), (2L, Seq(1f, 0.1f)),
+      (3L, Seq(0.1f, 1f))).toDF("vec_id", "embedding")
+    val sq = Graft.annSq8(emb2, shortlist = Int.MaxValue).collect().map(_.toSeq).toSeq
+    val bf = Graft.annBruteforce(emb2).collect().map(_.toSeq).toSeq
+    assert(sq == bf && sq.nonEmpty)
+    graft.ops.Release.sweep(spark)
+  }
 }
