@@ -153,6 +153,22 @@ object Sketches {
     * contents > k) — the estimator is exercised, not degenerate. */
   val KmvK = 256
 
+  /** Normalized content of a possibly-null text column — THE
+    * fingerprint input, one definition for every sketch site
+    * ([[corpusOverlap]], [[kmvSketch]],
+    * [[graft.streaming.Streams.overlapStream]]): a normalization or
+    * null-policy change that missed one copy would silently break the
+    * stream-vs-batch and stored-sketch-vs-arrivals hash equivalences.
+    * Null coalesces to the empty content BEFORE normalization (a null
+    * key would occupy a bottom-k slot yet match no join, and the
+    * engines sort nulls on opposite ends). */
+  private[graft] def contentNorm(textCol: Column): Column =
+    normText(coalesce(textCol, lit("")))
+
+  /** The shared poly hash of [[contentNorm]] — the KMV sketch key. */
+  private[graft] def contentHash(textCol: Column): Column =
+    polyHash(contentNorm(textCol))
+
   /** Corpus overlap between two document snapshots, as SET semantics
     * over content fingerprints (duplicate texts within a snapshot
     * collapse — this measures distinct-content overlap, the
@@ -202,11 +218,7 @@ object Sketches {
 
   def corpusOverlap(a: DataFrame, b: DataFrame, k: Int = KmvK): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // null text coalesces to the empty content BEFORE fingerprinting:
-    // a null key would occupy a bottom-k slot in Spark (nulls sort
-    // FIRST) yet match no join — identical snapshots would read
-    // jaccard < 1, and DuckDB (NULLS LAST) would hash-diverge
-    val fp: Column = normText(coalesce(col("text"), lit("")))
+    val fp: Column = contentNorm(col("text"))
     def fs(df: DataFrame): DataFrame = fpCache.memo(
       df.select(md5(fp).as("m"), polyHash(fp).as("h")).distinct())
     // the sketch's hash set derives from the fingerprint set (distinct
@@ -245,7 +257,7 @@ object Sketches {
     * fixed reference). */
   def kmvSketch(df: DataFrame, k: Int = KmvK): Array[Long] = {
     require(k >= 1, s"k must be >= 1, got $k")
-    df.select(polyHash(normText(coalesce(col("text"), lit("")))).as("h"))
+    df.select(contentHash(col("text")).as("h"))
       .distinct().orderBy("h").limit(k)
       .collect().map(_.getLong(0))
   }

@@ -73,7 +73,8 @@ object UrlFilter {
     // fail the scheme gate nor slip past the domain blocklist; the
     // output url column keeps the original bytes (paths ARE
     // case-sensitive), scheme/host/domain report the normalized form
-    val u = lower(coalesce(col("url"), lit("")))
+    val rawU = coalesce(col("url"), lit(""))
+    val u = lower(rawU)
     val scheme = regexp_extract(u, SchemeRe, 1)
     val host = regexp_extract(u, HostRe, 1)
     val threeLabel =
@@ -95,7 +96,9 @@ object UrlFilter {
     val blockedWord = flag(
       if (blockedWords.isEmpty) lit(false)
       else blockedWords.map(w => contains(u, lit(w))).reduce(_ || _))
-    val tooLong = flag(length(u) > maxLen)
+    // length on the ORIGINAL bytes: Java lowercasing can change char
+    // count (U+0130 -> two chars), and the SQL twin measures length(url)
+    val tooLong = flag(length(rawU) > maxLen)
     urls
       .withColumn("scheme", scheme)
       .withColumn("host", host)

@@ -486,20 +486,30 @@ object Streams {
     * in StreamingSpec).
     *
     * Contract (G15-strength): the accumulated sketch is a SET
-    * function of the hashes seen, so the latest estimate is
-    * independent of delivery order, batch boundaries, and duplicate
-    * redelivery — any arrival history covering the same docs yields
-    * the same numbers. */
+    * function of the hashes seen, so the latest ESTIMATE FIELDS
+    * (k_eff, sketch_inter, est_jaccard) are independent of delivery
+    * order, batch boundaries, and duplicate redelivery — any arrival
+    * history covering the same docs yields the same estimate.
+    * `n_seen` is deliberately an ARRIVALS counter (it counts
+    * redeliveries — the ops signal for replay volume), not part of
+    * that invariant.
+    *
+    * `refSketch` must be built by [[graft.queries.Sketches.kmvSketch]]
+    * at THIS `k` or larger: the membership test `x ∈ lake ⇒ x ∈
+    * refSketch` (for x in the union's bottom-k) only holds when the
+    * reference kept at least the lake's k smallest — a smaller-k
+    * sketch silently biases the estimate toward 0 unless it covers
+    * the lake's whole content set. */
   def overlapStream(
       docs: DataFrame,
       refSketch: Array[Long],
       k: Int = graft.queries.Sketches.KmvK): Dataset[OverlapEstimate] = {
     import docs.sparkSession.implicits._
     require(k >= 1, s"k must be >= 1, got $k")
+    // the SAME fingerprint definition as kmvSketch/corpusOverlap — a
+    // drifted copy would break sketch-vs-arrivals hash equality
     val hashes = docs.select(
-      graft.functions.TextFunctions.polyHash(
-        graft.functions.TextFunctions.normText(
-          coalesce(col("text"), lit("")))).as("h")).as[Long]
+      graft.queries.Sketches.contentHash(col("text")).as("h")).as[Long]
     def shardUpdate(shard: Long, rows: Iterator[Long],
         state: GroupState[KmvShardState]): Iterator[ShardSketch] = {
       val prev = state.getOption.getOrElse(KmvShardState(0L, Array.empty))
@@ -522,7 +532,10 @@ object Streams {
         graft.queries.Sketches.kmvEstimate(merged, refSketch, k)
       Iterator.single(OverlapEstimate(nSeen, kEff, inter, est))
     }
-    hashes.groupByKey(_ % 64L)
+    // floorMod, not %: polyHash is non-negative by construction, but
+    // the shard-count bound documented above must not silently double
+    // if the hash ever widens to full-range longs
+    hashes.groupByKey(h => java.lang.Math.floorMod(h, 64L))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(shardUpdate)
       .groupByKey(_ => 0)
