@@ -243,7 +243,9 @@ object Graft {
     queries.Similarity.semanticDedup(embeddings, cells, minCosine)
   /** SemDeDup over seeded-KMeans centroids instead of the first-k
     * vectors — same pipeline, trained cells
-    * ([[graft.queries.Similarity.semanticDedupTrained]]). */
+    * ([[graft.queries.Similarity.semanticDedupTrained]]).
+    * Eager: this call runs the KMeans fit jobs before returning; the
+    * result is a plan over the fitted centroids. */
   def semanticDedupTrained(embeddings: DataFrame, cells: Int = 10,
       minCosine: Double = 0.9, seed: Long = 0xC0FFEEL): DataFrame =
     queries.Similarity.semanticDedupTrained(embeddings, cells, minCosine, seed)
@@ -323,20 +325,31 @@ object Graft {
   def gramMatrix(embeddings: DataFrame): DataFrame =
     queries.LinAlg.gramMatrix(embeddings)
   /** First-principal-component projection, power-iteration fit on the
-    * exact Gram ([[graft.queries.LinAlg.pcaProject]]). */
+    * exact Gram ([[graft.queries.LinAlg.pcaProject]]).
+    * Eager: this call runs the Gram-collect job before returning; the
+    * result is a plan over the fitted vector — fit once, reuse. */
   def pcaProject(embeddings: DataFrame, iters: Int = 30): DataFrame =
     queries.LinAlg.pcaProject(embeddings, iters)
   def annLsh(embeddings: DataFrame, dims: Int = 64): DataFrame = queries.Similarity.annLsh(embeddings, dims)
   def annIvf(embeddings: DataFrame): DataFrame = queries.Similarity.annIvf(embeddings)
+  /** IVF ANN over trained (seeded-KMeans) coarse centroids
+    * ([[graft.queries.Similarity.annIvfTrained]]).
+    * Eager: this call runs the KMeans fit jobs before returning; the
+    * result is a plan over the fitted centroids. */
   def annIvfTrained(embeddings: DataFrame, cells: Int = 10, probes: Int = 3): DataFrame =
     queries.Similarity.annIvfTrained(embeddings, cells, probes)
+  /** IVF-PQ ANN, fit + exhaustive-pattern search in one call
+    * ([[graft.queries.Similarity.annIvfPq]]). Eager: the 1+m KMeans
+    * fits and the encode pass run before this call returns — for
+    * fit-once/search-many use [[buildPqIndex]]/[[searchPqIndex]]. */
   def annIvfPq(
       embeddings: DataFrame, cells: Int = 10, probes: Int = 3,
       m: Int = 8, ksub: Int = 16, rescore: Int = 50, dims: Int = 64): DataFrame =
     queries.Similarity.annIvfPq(embeddings, cells, probes, m, ksub, rescore, dims)
   /** Fit the IVF-PQ index once ([[graft.queries.Similarity.buildPqIndex]]);
     * its narrow `(vec_id, cell, code[m])` frame is the persistable
-    * artifact searches run against. */
+    * artifact searches run against. Eager: this call runs the 1+m
+    * KMeans fits and the encode pass before returning. */
   def buildPqIndex(
       embeddings: DataFrame, cells: Int = 10, m: Int = 8,
       ksub: Int = 16, dims: Int = 64): queries.Similarity.PqIndex =
@@ -352,14 +365,18 @@ object Graft {
     queries.Similarity.searchPqIndex(idx, vectors, queryVecs, probes, rescore, excludeSelf)
   /** OPQ: learned orthogonal rotation before PQ — higher recall at
     * the SAME code budget ([[graft.queries.Similarity.annOpq]];
-    * build/search halves: [[buildOpqIndex]]/[[searchOpqIndex]]). */
+    * build/search halves: [[buildOpqIndex]]/[[searchOpqIndex]]).
+    * Eager: the OPQ fit (opqRounds × m KMeans fits + the PQ build)
+    * runs before this call returns — fit once, search many. */
   def annOpq(
       embeddings: DataFrame, cells: Int = 10, probes: Int = 3,
       m: Int = 8, ksub: Int = 16, rescore: Int = 50, dims: Int = 64): DataFrame =
     queries.Similarity.annOpq(embeddings, cells, probes, m, ksub, rescore, dims)
   /** Fit the OPQ index: alternating codebook/Procrustes rotation
     * optimization, then the standard PQ build over rotated vectors
-    * ([[graft.queries.Similarity.buildOpqIndex]]). */
+    * ([[graft.queries.Similarity.buildOpqIndex]]). Eager: the
+    * opqRounds × m KMeans fits and the encode pass run before this
+    * call returns. */
   def buildOpqIndex(
       embeddings: DataFrame, cells: Int = 10, m: Int = 8,
       ksub: Int = 16, dims: Int = 64,
@@ -545,7 +562,9 @@ object Graft {
     queries.Quantize.quantizeInt8(embeddings)
   /** ANN over the SQ8 int8 codes — ADC shortlist on the 4×-smaller
     * quantized index, exact rescore on originals
-    * ([[graft.queries.Quantize.annSq8]]). */
+    * ([[graft.queries.Quantize.annSq8]]).
+    * Eager: this call runs the per-dimension extrema job before
+    * returning; the result is a plan over the 2×dims model. */
   def annSq8(embeddings: DataFrame, shortlist: Int = 50): DataFrame =
     queries.Quantize.annSq8(embeddings, shortlist)
   /** Classify every doc across two corpus snapshots as
@@ -554,7 +573,9 @@ object Graft {
     queries.SnapshotDiff.snapshotDiff(oldDocs, newDocs)
   /** Exact heavy hitters — every word n-gram with count >= minCount —
     * behind a Count-Min prefilter that discards the tail vocabulary
-    * map-side ([[graft.queries.Sketches.heavyHitters]]). */
+    * map-side ([[graft.queries.Sketches.heavyHitters]]).
+    * Eager: this call runs the CMS-build job before returning; the
+    * result is a plan over the finished counters — fit once, reuse. */
   def heavyHitters(docs: DataFrame, minCount: Long,
       n: Int = queries.Sketches.HhGramN,
       depth: Int = queries.Sketches.DefaultDepth,
@@ -617,14 +638,18 @@ object Graft {
   /** [[decontaminate]] behind a broadcast Bloom prefilter + exact
     * rescore — bit-identical output, for reference sets too big to
     * broadcast as strings
-    * ([[graft.queries.Contamination.decontaminateBloom]]). */
+    * ([[graft.queries.Contamination.decontaminateBloom]]).
+    * Eager: this call runs the Bloom-build job over `eval` before
+    * returning (memoized per eval/bits — repeat calls reuse it). */
   def decontaminateBloom(train: DataFrame, eval: DataFrame,
       bits: Int = 1 << 20, probes: Int = 5): DataFrame =
     queries.Contamination.decontaminateBloom(train, eval, bits, probes)
   /** [[decontaminateBloom]]'s large-reference twin: the bits ride a
     * SparkContext.broadcast probed by a UDF — for filters past the
     * plan-literal sweet spot (~2^24 bits)
-    * ([[graft.queries.Contamination.decontaminateBloomBroadcast]]). */
+    * ([[graft.queries.Contamination.decontaminateBloomBroadcast]]).
+    * Eager: this call runs the Bloom-build job over `eval` before
+    * returning (memoized per eval/bits — repeat calls reuse it). */
   def decontaminateBloomBroadcast(train: DataFrame, eval: DataFrame,
       bits: Int = 1 << 20, probes: Int = 5): DataFrame =
     queries.Contamination.decontaminateBloomBroadcast(train, eval, bits, probes)
@@ -639,13 +664,16 @@ object Graft {
   /** Lloyd k-means whose every iteration is reproducible and
     * SQL-replayable: deterministic init, packed-argmin assignment,
     * fixed-point integer centroid update
-    * ([[graft.queries.KMeansLloyd.kmeans]]). */
+    * ([[graft.queries.KMeansLloyd.kmeans]]).
+    * Eager: the iters Lloyd passes run before this call returns; the
+    * result is a frame built from the fitted driver-side model. */
   def kmeansLloyd(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame =
     queries.KMeansLloyd.kmeans(embeddings, k, iters)
   /** Train the quality-filter model on-cluster: full-batch perceptron
     * over E9 hashed features, labels from the C16 gate; returns the
     * integer training trajectory (iter, dim, w, n_mistakes)
-    * ([[graft.queries.QualityTrain.trainQualityModel]]). */
+    * ([[graft.queries.QualityTrain.trainQualityModel]]).
+    * Eager: the iters full-batch passes run before this call returns. */
   def trainQualityModel(docs: DataFrame, dims: Int = 16, iters: Int = 5): DataFrame =
     queries.QualityTrain.trainQualityModel(docs, dims, iters)
   /** C4-style line/page cleaning ([[graft.queries.LineFilters.c4Filters]]). */

@@ -82,8 +82,10 @@ object Quantize {
     *     doubles, shipped back as plan literals — the E13 contract);
     *   - index: per vector `codes array<tinyint-valued long>` — one
     *     shuffle-free map via the SAME [[sq8Code]] formula as E6;
-    *   - search (asymmetric, ADC): approx score = q · deq(codes) with
-    *     midpoint dequantization computed INSIDE the scan projection
+    *   - search (asymmetric, ADC): approx score = q · deq(codes) /
+    *     ‖deq(codes)‖ — cosine up to the per-query constant 1/‖q‖, so
+    *     the shortlist cut is norm-invariant — with midpoint
+    *     dequantization computed INSIDE the scan projection
     *     (the stored artifact is codes + the 2×dims model, never
     *     reconstructed floats), per-query `shortlist` survivors by
     *     (approx DESC, vec_id), then the EXACT cosine rescore on
@@ -111,18 +113,30 @@ object Quantize {
     import graft.functions.NativeExpressions.dot
     // the stored artifact is the code array; the ADC target is its
     // midpoint dequantization, projected HERE — once per vector in the
-    // index scan, not once per (query, vector) pair above the join
+    // index scan, not once per (query, vector) pair above the join.
+    // deq_n2 rides the same projection: the final metric is COSINE, so
+    // the shortlist must rank by adc/‖deq‖ — a raw dot(q, deq) cut
+    // favors large-norm index vectors and silently degrades recall on
+    // norm-skewed corpora (a round-12 advisor finding); dividing by
+    // the reconstruction's norm costs one fused multiply per dim in
+    // the scan and makes the cut norm-invariant
     val idx = embeddings.select(col("vec_id"),
       transform(
         transform(col("embedding"), (v, i) => sq8Code(v, loAt(i), hiAt(i))),
         (c, i) => sq8Deq(c, loAt(i), hiAt(i))).as("deq"))
+      .withColumn("deq_n2",
+        aggregate(col("deq"), lit(0.0), (acc, x) => acc + x * x))
     val v = Similarity.withNorms(embeddings)
     val q = Similarity.queries(v)
     val byAdc = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("vec_id"))
     val cand = q.join(idx, col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("q_emb"), col("q_n2"), col("vec_id"),
-        dot(col("q_emb"), col("deq")).as("adc"))
+        // cosine up to the constant 1/‖q‖ (rank-invariant per query);
+        // all-zero reconstructions (deq_n2 = 0) score 0, never NaN
+        when(col("deq_n2") === 0.0, lit(0.0))
+          .otherwise(dot(col("q_emb"), col("deq")) / sqrt(col("deq_n2")))
+          .as("adc"))
       .withColumn("rn", row_number().over(byAdc))
       .filter(col("rn") <= shortlist)
     val rescored = cand

@@ -68,6 +68,16 @@ object UrlFilter {
       "blockedWords must be lowercase (they match the lowercased URL)")
     require(blockedDomains.forall(d => d == d.toLowerCase),
       "blockedDomains must be lowercase (hostnames compare case-insensitively)")
+    // the suffixes are INTERPOLATED into the host regex with only dots
+    // escaped — restrict them to the charset where that escaping is
+    // complete, so an uppercase or regex-metachar entry fails loudly
+    // here instead of silently disabling (or corrupting) the
+    // three-label eTLD rule deep inside the pattern
+    require(twoLevelTlds.forall(t => t.nonEmpty && t.matches("[a-z0-9.-]+")),
+      "twoLevelTlds entries must be nonempty lowercase [a-z0-9.-] suffixes " +
+        "(they are interpolated into the host regex)")
+    require(allowedSchemes.forall(s => s == s.toLowerCase),
+      "allowedSchemes must be lowercase (schemes compare case-insensitively)")
     // schemes and hostnames are case-INSENSITIVE (RFC 3986 §6.2.2.1):
     // parse the lowercased URL so "HTTPS://BadSite.com" can neither
     // fail the scheme gate nor slip past the domain blocklist; the

@@ -506,6 +506,20 @@ object Streams {
       k: Int = graft.queries.Sketches.KmvK): Dataset[OverlapEstimate] = {
     import docs.sparkSession.implicits._
     require(k >= 1, s"k must be >= 1, got $k")
+    // a malformed reference must fail loudly, not skew triage: any
+    // kmvSketch output is strictly increasing (distinct + ORDER BY h),
+    // so a duplicated, unsorted, or hand-truncated-and-reshuffled
+    // array is detectably NOT a kmvSketch artifact. Length < k is
+    // only legitimate when the sketch covers the lake's whole content
+    // set (kmvSketch returns fewer than k longs iff the lake has
+    // fewer than k distinct contents) — that case is indistinguishable
+    // from a smaller-k build here, so it is documented above rather
+    // than rejected; the shape checks below catch every other
+    // corruption mode.
+    require(refSketch.zip(refSketch.drop(1)).forall { case (x, y) => x < y },
+      "refSketch must be strictly increasing (a kmvSketch artifact is " +
+        "distinct and sorted) — a reordered or duplicated reference " +
+        "would silently bias est_jaccard toward 0")
     // the SAME fingerprint definition as kmvSketch/corpusOverlap — a
     // drifted copy would break sketch-vs-arrivals hash equality
     val hashes = docs.select(
