@@ -247,8 +247,10 @@ object Graft {
     * Eager: this call runs the KMeans fit jobs before returning; the
     * result is a plan over the fitted centroids. */
   def semanticDedupTrained(embeddings: DataFrame, cells: Int = 10,
-      minCosine: Double = 0.9, seed: Long = 0xC0FFEEL): DataFrame =
-    queries.Similarity.semanticDedupTrained(embeddings, cells, minCosine, seed)
+      minCosine: Double = 0.9, seed: Long = 0xC0FFEEL,
+      fitFraction: Double = 1.0): DataFrame =
+    queries.Similarity.semanticDedupTrained(embeddings, cells, minCosine,
+      seed, fitFraction)
   /** Pairwise near-dup output → transitive dedup clusters
     * ([[graft.ops.ConnectedComponents]], O(log n)-round star algorithm). */
   def dedupClusters(docs: DataFrame): DataFrame = queries.Clusters.dedupClusters(docs)
@@ -336,24 +338,30 @@ object Graft {
     * ([[graft.queries.Similarity.annIvfTrained]]).
     * Eager: this call runs the KMeans fit jobs before returning; the
     * result is a plan over the fitted centroids. */
-  def annIvfTrained(embeddings: DataFrame, cells: Int = 10, probes: Int = 3): DataFrame =
-    queries.Similarity.annIvfTrained(embeddings, cells, probes)
+  def annIvfTrained(embeddings: DataFrame, cells: Int = 10, probes: Int = 3,
+      fitFraction: Double = 1.0): DataFrame =
+    queries.Similarity.annIvfTrained(embeddings, cells, probes,
+      fitFraction = fitFraction)
   /** IVF-PQ ANN, fit + exhaustive-pattern search in one call
     * ([[graft.queries.Similarity.annIvfPq]]). Eager: the 1+m KMeans
     * fits and the encode pass run before this call returns — for
     * fit-once/search-many use [[buildPqIndex]]/[[searchPqIndex]]. */
   def annIvfPq(
       embeddings: DataFrame, cells: Int = 10, probes: Int = 3,
-      m: Int = 8, ksub: Int = 16, rescore: Int = 50, dims: Int = 64): DataFrame =
-    queries.Similarity.annIvfPq(embeddings, cells, probes, m, ksub, rescore, dims)
+      m: Int = 8, ksub: Int = 16, rescore: Int = 50, dims: Int = 64,
+      fitFraction: Double = 1.0): DataFrame =
+    queries.Similarity.annIvfPq(embeddings, cells, probes, m, ksub, rescore,
+      dims, fitFraction = fitFraction)
   /** Fit the IVF-PQ index once ([[graft.queries.Similarity.buildPqIndex]]);
     * its narrow `(vec_id, cell, code[m])` frame is the persistable
     * artifact searches run against. Eager: this call runs the 1+m
     * KMeans fits and the encode pass before returning. */
   def buildPqIndex(
       embeddings: DataFrame, cells: Int = 10, m: Int = 8,
-      ksub: Int = 16, dims: Int = 64): queries.Similarity.PqIndex =
-    queries.Similarity.buildPqIndex(embeddings, cells, m, ksub, dims)
+      ksub: Int = 16, dims: Int = 64,
+      fitFraction: Double = 1.0): queries.Similarity.PqIndex =
+    queries.Similarity.buildPqIndex(embeddings, cells, m, ksub, dims,
+      fitFraction = fitFraction)
   /** ADC search of a fitted PQ index with exact rescore
     * ([[graft.queries.Similarity.searchPqIndex]]). Pass
     * `excludeSelf = false` when `queryVecs` id space is unrelated to
@@ -370,8 +378,10 @@ object Graft {
     * runs before this call returns — fit once, search many. */
   def annOpq(
       embeddings: DataFrame, cells: Int = 10, probes: Int = 3,
-      m: Int = 8, ksub: Int = 16, rescore: Int = 50, dims: Int = 64): DataFrame =
-    queries.Similarity.annOpq(embeddings, cells, probes, m, ksub, rescore, dims)
+      m: Int = 8, ksub: Int = 16, rescore: Int = 50, dims: Int = 64,
+      fitFraction: Double = 1.0): DataFrame =
+    queries.Similarity.annOpq(embeddings, cells, probes, m, ksub, rescore,
+      dims, fitFraction = fitFraction)
   /** Fit the OPQ index: alternating codebook/Procrustes rotation
     * optimization, then the standard PQ build over rotated vectors
     * ([[graft.queries.Similarity.buildOpqIndex]]). Eager: the
@@ -380,9 +390,10 @@ object Graft {
   def buildOpqIndex(
       embeddings: DataFrame, cells: Int = 10, m: Int = 8,
       ksub: Int = 16, dims: Int = 64,
-      opqRounds: Int = queries.Similarity.OpqRoundsDefault): queries.Similarity.OpqIndex =
+      opqRounds: Int = queries.Similarity.OpqRoundsDefault,
+      fitFraction: Double = 1.0): queries.Similarity.OpqIndex =
     queries.Similarity.buildOpqIndex(embeddings, cells, m, ksub, dims,
-      opqRounds = opqRounds)
+      opqRounds = opqRounds, fitFraction = fitFraction)
   /** ADC search of a fitted OPQ index — queries rotate into index
     * space, the shortlist rescores exactly on the original embeddings
     * ([[graft.queries.Similarity.searchOpqIndex]]). */
@@ -667,8 +678,9 @@ object Graft {
     * ([[graft.queries.KMeansLloyd.kmeans]]).
     * Eager: the iters Lloyd passes run before this call returns; the
     * result is a frame built from the fitted driver-side model. */
-  def kmeansLloyd(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame =
-    queries.KMeansLloyd.kmeans(embeddings, k, iters)
+  def kmeansLloyd(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+      fitFraction: Double = 1.0): DataFrame =
+    queries.KMeansLloyd.kmeans(embeddings, k, iters, fitFraction)
   /** Train the quality-filter model on-cluster: full-batch perceptron
     * over E9 hashed features, labels from the C16 gate; returns the
     * integer training trajectory (iter, dim, w, n_mistakes)

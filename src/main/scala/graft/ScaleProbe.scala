@@ -638,6 +638,19 @@ object ScaleProbe {
       s"suffix-array spans: ${saAgg.getLong(0)} rows (${saAgg.getLong(1)} in-extent) vs md5 form's " +
         s"${charAgg.getLong(0)} (${charAgg.getLong(1)}) — the two ExactSubstr algorithms disagree at scale")
     println(f"SA == md5 census     ${"check"}%9s       both algorithms report identical span censuses  PASS")
+    // Doubling-round count: the cost model quoted above (base-128 seed
+    // ⇒ exactly 2 rounds at k = 20) asserted two ways — the schedule
+    // function, and the OPTIMIZED PLAN's lead-window count (one lead
+    // per round; a regression that re-seeds from h = 1 or loses the
+    // final-shift cap would add Terasort-shaped shuffles silently).
+    val saRounds = graft.queries.SuffixDedup.doublingRounds(20)
+    val saLeads = "lead\\(r#".r.findAllIn(
+      Graft.dupSpansSuffix(spanDocsDf, k = 20)
+        .queryExecution.optimizedPlan.toString).length
+    assert(saRounds == 2 && saLeads == 2,
+      s"doubling schedule drifted: doublingRounds(20) = $saRounds, " +
+        s"plan lead-windows = $saLeads (expected 2 each — 7 -> 14 -> 20)")
+    println(f"SA doubling rounds   ${"check"}%9s       2 rounds at k=20 (schedule AND plan)  PASS")
     spanDocsDf.unpersist(blocking = false)
     graft.ops.Release.sweep(spark)
 
@@ -818,6 +831,79 @@ object ScaleProbe {
       f"search-only ($tPqS%.1f s) not cheaper than the one-time build ($tPqB%.1f s) — the index isn't paying for itself")
     println(f"PQ amortization      ${"check"}%9s       search $tPqS%.1f s < build $tPqB%.1f s  PASS")
     pqRes.unpersist()
+
+    // Sample-fit census — the 100 TB FIT path: the same IVF-PQ build at
+    // fitFraction = 0.01, so the 1 + m KMeans fits train on a ~10k
+    // seeded deterministic draw while the encode pass still codes all
+    // 1M vectors. Pins the two numbers the API exists for: the build-
+    // time ratio (the fits collapse toward the encode floor; the full
+    // build above also paid the one-time normalize+persist both builds
+    // share, so the printed ratio UNDERstates the fit-side saving) and
+    // the eps-recall delta (codebooks from 1% of the corpus must still
+    // clear the same 0.95 floor the full fit does).
+    val (sIdx, tPqBs) = time {
+      val i = graft.queries.Similarity.buildPqIndex(
+        emb, cells = 100, m = 4, ksub = 16, dims = vDims, fitFraction = 0.01)
+      i.index.count() // materialize the full-corpus encode
+      i
+    }
+    val (sRes, tPqSs) = time {
+      val r = graft.queries.Similarity.searchPqIndex(sIdx, emb, pqQueries,
+          probes = 3, rescore = 50)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      r
+    }
+    val nSRows = sRes.count()
+    assert(nSRows == (nVec / 10000) * 5,
+      s"sample-fit index: expected top-5 per query, got $nSRows rows")
+    val nEpsOkS = sRes.join(gt5, "q_id")
+      .filter(col("cos") >= col("cos5") - eps).count()
+    val epsRecallS = nEpsOkS.toDouble / nSRows
+    println(f"PQ sample-fit (1%%)   $nVec%9d vecs  $tPqBs%7.1f s  build ${tPqB / tPqBs}%.1f x faster than full fit  (search $tPqSs%.1f s)")
+    println(f"PQ sample-fit recall ${"check"}%9s       eps-recall@5 $epsRecallS%.3f vs full-fit $epsRecall%.3f (delta ${epsRecall - epsRecallS}%+.3f)")
+    assert(epsRecallS >= 0.95,
+      f"sample-fit eps-recall $epsRecallS%.3f below the 0.95 floor — 1%% codebooks degraded the index")
+    assert(tPqBs <= tPqB,
+      f"sample-fit build ($tPqBs%.1f s) slower than the full fit ($tPqB%.1f s) — the draw isn't cutting the fit scans")
+    println(f"sample-fit census    ${"check"}%9s       0.95 floor held at fitFraction=0.01  PASS")
+    sRes.unpersist()
+    sIdx.release()
+
+    // OPQ at 1M vectors — feasible ONLY through the sample-fit path:
+    // the full-fraction fit re-persists and re-scans a corpus-sized
+    // rotated frame opqRounds times (the round-12 verdict's one real
+    // scale-killer), while at fitFraction = 0.01 each round rotates and
+    // fits the ~10k-vector draw and only the final rotate + encode see
+    // the corpus. No full-fit comparison here — that is the very run
+    // this path exists to avoid; quality holds to the same eps gate.
+    val (oIdx, tOpqB) = time {
+      val i = graft.queries.Similarity.buildOpqIndex(
+        emb, cells = 100, m = 4, ksub = 16, dims = vDims,
+        opqRounds = 4, fitFraction = 0.01)
+      i.pq.index.count()
+      i
+    }
+    val (oRes, tOpqS) = time {
+      val r = graft.queries.Similarity.searchOpqIndex(oIdx, emb, pqQueries,
+          probes = 3, rescore = 50)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      r
+    }
+    val nORows = oRes.count()
+    assert(nORows == (nVec / 10000) * 5,
+      s"sample-fit OPQ: expected top-5 per query, got $nORows rows")
+    val nEpsOkO = oRes.join(gt5, "q_id")
+      .filter(col("cos") >= col("cos5") - eps).count()
+    val epsRecallO = nEpsOkO.toDouble / nORows
+    println(f"OPQ sample-fit (1M)  $nVec%9d vecs  $tOpqB%7.1f s  ${nVec / tOpqB}%9.0f vecs/s  (4 rounds, fitFraction=0.01; search $tOpqS%.1f s)")
+    assert(epsRecallO >= 0.95,
+      f"sample-fit OPQ eps-recall $epsRecallO%.3f below the 0.95 floor")
+    println(f"OPQ sample-fit gate  ${"check"}%9s       eps-recall@5 $epsRecallO%.3f >= 0.95  PASS")
+    oRes.unpersist()
+    oIdx.pq.release()
+
     pqIdx.release()
     gt.unpersist()
     emb.unpersist()

@@ -53,16 +53,30 @@ object KMeansLloyd {
   /** Run `iters` Lloyd iterations with k centroids over
     * (vec_id, embedding) and return the fitted model in long format:
     * (c_id, dim, n_vecs, centroid) — n_vecs from the assignment that
-    * produced the final centroids. */
+    * produced the final centroids.
+    *
+    * `fitFraction` < 1 runs the WHOLE fit (init, every iteration,
+    * the final counts) on the seeded deterministic vec_id draw
+    * ([[Similarity.fitFrame]]) — the 100 TB path: each Lloyd
+    * iteration is a full pass over its input, so a 1% draw cuts the
+    * fit 100× and the returned centroids serve full-corpus
+    * assignment via [[Similarity]]'s IVF/PQ machinery. n_vecs then
+    * counts SAMPLE members per cell (the fit's own assignment — scale
+    * by 1/fitFraction for a population estimate). The q_kmeans oracle
+    * row runs the default full fit; sample-vs-prefiltered-frame
+    * equality is pinned in KMeansSpec. */
   def kmeans(
       embeddings: DataFrame,
       k: Int = 8,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3,
+      fitFraction: Double = 1.0): DataFrame = {
     require(k > 0 && k < (1 << 21) - 1, s"k must be in [1, 2^21), got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val v = embeddings.select(col("vec_id"), col("embedding"))
+    val v = Similarity.fitFrame(
+      embeddings.select(col("vec_id"), col("embedding")),
+      fitFraction, 0L, k, "kmeans")
     // init: the k smallest vec_ids, re-keyed dense (correct on any id
     // space — the D15 rank lesson), components as exact doubles
     val initRows = v.orderBy(col("vec_id")).limit(k)

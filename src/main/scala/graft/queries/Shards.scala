@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
 import graft.ops.ScaleOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -205,6 +205,28 @@ object Shards {
     * reproducible in any engine, unlike xxhash). */
   private[queries] val ScrambleA = 2654435761L
   private[queries] val ScrambleP = 1000000007L
+
+  /** Seeded deterministic keep-draw for SAMPLE-BASED quantizer /
+    * centroid fits (the 100 TB fit path of [[graft.queries.Similarity]]
+    * and [[graft.queries.KMeansLloyd]]): keep a row iff its seeded LCG
+    * scramble lands below `fraction`·P. The draw is a pure function of
+    * the ID — unlike `DataFrame.sample`, whose Bernoulli draw hangs
+    * off partition iteration order, this survives repartitioning,
+    * retries, and engine changes (the H5/H10 portability argument), so
+    * a sample-fit model is as reproducible as a full fit. Seeding
+    * follows [[shuffleOrder]]: the multiplier scales with the seed
+    * (any nonzero multiplier mod prime P is a bijection), so seeds
+    * select unrelated subsets. `fraction = 1.0` keeps everything
+    * (every scramble < P) — the default full fit costs no draw. */
+  private[graft] def fitKeep(id: Column, fraction: Double, seed: Long): Column = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fitFraction must be in (0, 1], got $fraction")
+    require(seed >= 0 && seed < ScrambleP - 1,
+      s"seed must be in [0, ${ScrambleP - 1})")
+    val mult = ((seed + 1) % ScrambleP) * ScrambleA % ScrambleP
+    ((id % ScrambleP) * mult) % ScrambleP <
+      lit((fraction * ScrambleP).toLong)
+  }
 
   /** Deterministic stratified sample: the `n` docs per stratum that rank
     * first in scrambled-id order — a fixed, engine-portable pseudo-random

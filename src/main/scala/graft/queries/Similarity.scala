@@ -34,6 +34,46 @@ object Similarity {
     * can't leak persists. */
   private[this] val pqIdxCache = new graft.ops.PlanCache(capacity = 4)
 
+  /** The frame a quantizer/centroid fit trains on: the full frame at
+    * `fitFraction = 1.0` (the default — no draw, no extra job), else
+    * the seeded deterministic vec_id subsample ([[Shards.fitKeep]] —
+    * the portable LCG draw, NOT `DataFrame.sample`, whose Bernoulli
+    * draw depends on partition iteration order). THE 100 TB fit path:
+    * every fit here costs one-or-more full passes per KMeans iteration,
+    * and k-means/PQ codebook quality saturates at sample sizes far
+    * below corpus scale (ksub·~1k points per codebook suffices), so
+    * fitting on a ~1% draw cuts the fit's scan volume 100× while the
+    * ENCODE/assignment passes — which must see every vector — still
+    * run on the full frame. Search-side losslessness is untouched by
+    * construction: the exhaustive-config oracle rows are fit-blind
+    * (q_ann_ivf_trained_exh runs at fitFraction = 0.5 to pin exactly
+    * that), and sample-fit recall is gated in AnnRecallSpec + the
+    * ScaleProbe sample-fit census. When the draw leaves fewer rows
+    * than the fit needs (`minRows` — the largest k it trains), the
+    * guard fails loudly: an underfed ml.KMeans silently returns
+    * degenerate duplicate centroids, the failure mode a 100 TB
+    * operator must never hide. The guard's count() runs only on the
+    * sampled path and is noise next to the fits it protects. */
+  private[queries] def fitFrame(
+      df: DataFrame, fitFraction: Double, seed: Long,
+      minRows: Long, what: String): DataFrame = {
+    require(fitFraction > 0.0 && fitFraction <= 1.0,
+      s"$what: fitFraction must be in (0, 1], got $fitFraction")
+    if (fitFraction >= 1.0) df
+    else {
+      // fold any Long seed into fitKeep's [0, P-1) domain — fit seeds
+      // (0xC0FFEE etc.) are arbitrary user longs, draw seeds are not
+      val p1 = Shards.ScrambleP - 1
+      val s = df.filter(
+        Shards.fitKeep(col("vec_id"), fitFraction, ((seed % p1) + p1) % p1))
+      val n = s.count()
+      require(n >= minRows,
+        s"$what: fitFraction=$fitFraction draws $n rows but the fit " +
+          s"needs >= $minRows — raise fitFraction or shrink k")
+      s
+    }
+  }
+
   /** Attach squared norms (computed once per vector). */
   private[queries] def withNorms(embeddings: DataFrame): DataFrame =
     // coalesce makes n2 NON-nullable (the parquet embedding column is
@@ -423,20 +463,23 @@ object Similarity {
     * recall spec instead of a DuckDB oracle while [[annIvf]] remains the
     * oracle-checked row.
     *
-    * At 100 TB: train on a sample (KMeans cost is per-point × k ×
-    * iterations), then `cells` should grow toward √N so candidate sets
-    * stay ~N/√N per probe. */
+    * At 100 TB: train on a sample — `fitFraction` < 1 fits the KMeans
+    * on the seeded deterministic vec_id draw ([[fitFrame]]) while
+    * assignment still covers every vector — and `cells` should grow
+    * toward √N so candidate sets stay ~N/√N per probe. */
   def annIvfTrained(
       embeddings: DataFrame,
       cells: Int = 10,
       probes: Int = 3,
-      seed: Long = 0xC0FFEEL): DataFrame = {
+      seed: Long = 0xC0FFEEL,
+      fitFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val v = withNorms(embeddings)
     val feat = v.withColumn("features", array_to_vector(col("embedding")))
     val model = new KMeans().setK(cells).setSeed(seed)
-      .setFeaturesCol("features").fit(feat)
+      .setFeaturesCol("features")
+      .fit(fitFrame(feat, fitFraction, seed, cells, "annIvfTrained"))
     val assigned = model.transform(feat)
       .select(col("vec_id"), col("embedding"), col("n2"),
         col("prediction").cast("long").as("cell"))
@@ -478,10 +521,17 @@ object Similarity {
     * → exact rescore → ranking) oracle-checkable against the SQL brute
     * force even though the iterative fit itself is not
     * SQL-expressible. Probe-limited recall (the production setting)
-    * stays spec-gated: AnnRecallSpec + the 1M-vector ScaleProbe. */
+    * stays spec-gated: AnnRecallSpec + the 1M-vector ScaleProbe.
+    *
+    * Runs at `fitFraction = 0.5`, so the driver gate ALSO pins the
+    * sample-fit path end to end: centroids trained on the half-corpus
+    * draw, every vector assigned and searched, output still ≡ brute
+    * force — the hash match is the proof that sample-fitting moves
+    * only WHERE cell boundaries fall, never what a search returns. */
   val qAnnIvfTrainedExh: Q = Q(
     "q_ann_ivf_trained_exh",
-    (s, d) => annIvfTrained(Tables.embeddings(s, d), cells = 10, probes = 10),
+    (s, d) => annIvfTrained(Tables.embeddings(s, d), cells = 10, probes = 10,
+      fitFraction = 0.5),
     Some(bruteforceSql))
 
   /** E3 at full production shape: IVF-PQ with asymmetric-distance
@@ -519,8 +569,10 @@ object Similarity {
       rescore: Int = 50,
       dims: Int = 64,
       seed: Long = 0xC0FFEEL,
-      maxIter: Int = 20): DataFrame = {
-    val idx = buildPqIndex(embeddings, cells, m, ksub, dims, seed, maxIter)
+      maxIter: Int = 20,
+      fitFraction: Double = 1.0): DataFrame = {
+    val idx =
+      buildPqIndex(embeddings, cells, m, ksub, dims, seed, maxIter, fitFraction)
     searchPqIndex(idx, embeddings,
       embeddings.filter(col("vec_id") % 100 === 0), probes, rescore)
   }
@@ -584,7 +636,8 @@ object Similarity {
       ksub: Int = 16,
       dims: Int = 64,
       seed: Long = 0xC0FFEEL,
-      maxIter: Int = 20): PqIndex = {
+      maxIter: Int = 20,
+      fitFraction: Double = 1.0): PqIndex = {
     require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
     requireDims(embeddings, dims, "buildPqIndex")
     val dsub = dims / m
@@ -599,8 +652,14 @@ object Similarity {
     // encode transform all branch over it — without the memo each fit
     // re-scans and re-normalizes the corpus
     val feat = featCache.memo(unit.withColumn("features", array_to_vector(col("u"))))
+    // every FIT (coarse + m codebooks) trains on the seeded sample;
+    // the encode/assignment pass below still sees the full frame. The
+    // filter sits over the memo-persisted feat, so the sampled fits
+    // scan the persisted normalized frame, never re-normalize.
+    val fitFeat =
+      fitFrame(feat, fitFraction, seed, math.max(cells, ksub), "buildPqIndex")
     val coarse = new KMeans().setK(cells).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("features").fit(feat)
+      .setFeaturesCol("features").fit(fitFeat)
     val spark = embeddings.sparkSession
     import spark.implicits._
     val cents = coarse.clusterCenters.zipWithIndex.toSeq
@@ -609,7 +668,7 @@ object Similarity {
       .toDF("c_id", "c_emb", "c_n2")
     // product codebooks: one seeded KMeans per subspace slice
     val codebooks = (0 until m).map { j =>
-      val subFeat = feat.withColumn("sub_features",
+      val subFeat = fitFeat.withColumn("sub_features",
         array_to_vector(slice(col("u"), j * dsub + 1, dsub)))
       new KMeans().setK(ksub).setSeed(seed + j + 1).setMaxIter(maxIter)
         .setFeaturesCol("sub_features").fit(subFeat)
@@ -1093,17 +1152,27 @@ object Similarity {
       dims: Int = 64,
       seed: Long = 0xC0FFEEL,
       maxIter: Int = 20,
-      opqRounds: Int = OpqRoundsDefault): OpqIndex = {
+      opqRounds: Int = OpqRoundsDefault,
+      fitFraction: Double = 1.0): OpqIndex = {
     require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
     require(opqRounds >= 1, "opqRounds must be >= 1")
     requireDims(embeddings, dims, "buildOpqIndex")
     val v = withNorms(embeddings)
     val unit = featCache.memo(v.withColumn("u",
       transform(col("embedding"), x => x.cast("double") / sqrt(col("n2")))))
-    val rotation = fitOpqRotation(unit, m, ksub, dims, seed, maxIter, opqRounds)
+    // the rotation fit — the single most scan-hungry fit in the tree
+    // (opqRounds × (m fits + the A aggregation), each over a persisted
+    // ROTATED copy of its input) — trains on the seeded sample; the
+    // one-time rotate of the full corpus and the PQ build's encode
+    // pass below still see every vector. The inner buildPqIndex gets
+    // the same fitFraction, so its coarse/codebook fits sample too.
+    val fitUnit =
+      fitFrame(unit, fitFraction, seed, math.max(cells, ksub), "buildOpqIndex")
+    val rotation = fitOpqRotation(fitUnit, m, ksub, dims, seed, maxIter, opqRounds)
     val rotated = unit
       .select(col("vec_id"), rotateCol(rotation, col("u")).as("embedding"))
-    OpqIndex(rotation, buildPqIndex(rotated, cells, m, ksub, dims, seed, maxIter))
+    OpqIndex(rotation,
+      buildPqIndex(rotated, cells, m, ksub, dims, seed, maxIter, fitFraction))
   }
 
   /** ADC search of a fitted [[OpqIndex]]: queries rotate into index
@@ -1177,9 +1246,10 @@ object Similarity {
       dims: Int = 64,
       seed: Long = 0xC0FFEEL,
       maxIter: Int = 20,
-      opqRounds: Int = OpqRoundsDefault): DataFrame = {
+      opqRounds: Int = OpqRoundsDefault,
+      fitFraction: Double = 1.0): DataFrame = {
     val idx = buildOpqIndex(embeddings, cells, m, ksub, dims, seed, maxIter,
-      opqRounds)
+      opqRounds, fitFraction)
     searchOpqIndex(idx, embeddings,
       embeddings.filter(col("vec_id") % 100 === 0), probes, rescore)
   }
@@ -1672,12 +1742,16 @@ object Similarity {
     * [[semanticDedupCore]] verbatim with the oracle-literal technique:
     * the fit is driver-side model state, metadata-scale by nature, and
     * lands in the plan as a broadcast frame exactly as in
-    * [[annIvfTrained]]. At 100 TB: fit on a sample, `cells` → √N. */
+    * [[annIvfTrained]]. At 100 TB: fit on a sample (`fitFraction` < 1
+    * trains the KMeans on the seeded vec_id draw — [[fitFrame]] —
+    * while assignment/pairing/keep still cover every vector),
+    * `cells` → √N. */
   def semanticDedupTrained(
       embeddings: DataFrame,
       cells: Int = 10,
       minCosine: Double = 0.9,
-      seed: Long = 0xC0FFEEL): DataFrame = {
+      seed: Long = 0xC0FFEEL,
+      fitFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(cells > 0 && cells < (1 << 21) - 1,
@@ -1685,7 +1759,8 @@ object Similarity {
     val v = withNorms(embeddings)
     val feat = v.withColumn("features", array_to_vector(col("embedding")))
     val model = new KMeans().setK(cells).setSeed(seed)
-      .setFeaturesCol("features").fit(feat)
+      .setFeaturesCol("features")
+      .fit(fitFrame(feat, fitFraction, seed, cells, "semanticDedupTrained"))
     // c_n2 via the same left fold the oracle's literal gets: driver-side
     // doubles, bit-exact both ways
     val centRows = model.clusterCenters.toSeq.zipWithIndex.map {

@@ -85,6 +85,21 @@ object SuffixDedup {
     * short-suffix packs can never alias a full window's. */
   private val BaseChars = 7
 
+  /** The number of rank-doubling rounds [[dupSpansSuffix]] runs for
+    * gram length `k` — the assertable cost model (each round = two
+    * Terasort-shaped shuffles): the base-128 pack seeds h = 7, then h
+    * doubles (final shift capped at k − h) until h >= k. k <= 7 ⇒ 0
+    * rounds, k = 20 ⇒ 2 (7 → 14 → 20), k = 50 ⇒ 3. Mirrors the
+    * construction loop's schedule exactly; the ScaleProbe census
+    * pins both this number and the plan's lead-window count to it. */
+  def doublingRounds(k: Int): Int = {
+    require(k >= 2, s"char-gram length must be >= 2, got $k")
+    var h = math.min(BaseChars, k)
+    var n = 0
+    while (h < k) { h += math.min(h, k - h); n += 1 }
+    n
+  }
+
   def dupSpansSuffix(docs: DataFrame, k: Int = 50): DataFrame = {
     require(k >= 2, s"char-gram length must be >= 2, got $k")
     val txt = coalesce(col("text"), lit(""))

@@ -187,4 +187,19 @@ class SuffixDedupSpec extends SparkSpec {
     assert(ladder == direct && ladder.nonEmpty,
       s"ladder ${ladder.size} vs direct ${direct.size}")
   }
+
+  test("doubling schedule: round count matches the plan's lead-windows") {
+    import graft.queries.SuffixDedup
+    assert(SuffixDedup.doublingRounds(7) == 0)
+    assert(SuffixDedup.doublingRounds(20) == 2)  // 7 -> 14 -> 20
+    assert(SuffixDedup.doublingRounds(50) == 3)  // 7 -> 14 -> 28 -> 50
+    val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789")).toDF("doc_id", "text")
+    for (k <- Seq(7, 20, 50)) {
+      val leads = "lead\\(r#".r.findAllIn(
+        Graft.dupSpansSuffix(docs, k = k)
+          .queryExecution.optimizedPlan.toString).length
+      assert(leads == SuffixDedup.doublingRounds(k),
+        s"k=$k: plan lead-windows $leads != schedule ${SuffixDedup.doublingRounds(k)}")
+    }
+  }
 }
