@@ -473,6 +473,19 @@ object Graft {
   /** Token-level sequence packing: per-doc (seq_first, seq_offset,
     * n_seqs) at a fixed context length
     * ([[graft.queries.Shards.packSequences]]). */
+  /** Best-fit (harmonic-shelf) packing: every doc WHOLLY in one
+    * contextLen bin — the no-cross-doc-attention loader layout; chop
+    * comparison via [[packBestFitStats]]
+    * ([[graft.queries.Shards.packBestFit]]). */
+  def packBestFit(docs: DataFrame,
+      contextLen: Long = queries.Shards.DefaultContextLen): DataFrame =
+    queries.Shards.packBestFit(docs, contextLen)
+  /** One-row audit of [[packBestFit]]: bins, packed/wasted tokens,
+    * oversize/empty counts, and the chop baseline's split-doc count
+    * ([[graft.queries.Shards.packBestFitStats]]). */
+  def packBestFitStats(docs: DataFrame,
+      contextLen: Long = queries.Shards.DefaultContextLen): DataFrame =
+    queries.Shards.packBestFitStats(docs, contextLen)
   def packSequences(docs: DataFrame,
       contextLen: Long = queries.Shards.DefaultContextLen): DataFrame =
     queries.Shards.packSequences(docs, contextLen)

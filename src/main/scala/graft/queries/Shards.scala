@@ -201,6 +201,197 @@ object Shards {
             ELSE 0 END AS BIGINT) AS n_seqs
         FROM cum ORDER BY doc_id"""))
 
+  // ----------------------------------------------------------------
+  // H14 — best-fit sequence packing (whole docs, no cross-doc splits)
+  // ----------------------------------------------------------------
+
+  /** Best-fit sequence packing (H14): assign each doc WHOLLY to one
+    * `contextLen`-token bin — the loader layout for trainers that mask
+    * cross-document attention, where [[packSequences]]' concat-and-chop
+    * (which splits a doc across sequence boundaries) wastes the split
+    * docs' long-range signal. Classic bin packing is inherently
+    * sequential (first-fit's bin state depends on every earlier doc),
+    * so this runs the HARMONIC SHELF discipline (Lee & Lee, "A simple
+    * on-line bin-packing algorithm", JACM 1985 — the standard
+    * parallelizable FFD relative): docs land in size classes
+    * c = contextLen div n_tokens (class c sizes lie in
+    * (L/(c+1), L/c]), and a class-c bin holds exactly c docs, so
+    * within a class the assignment is pure rank arithmetic — rank r
+    * goes to bin (r−1) div c, slot (r−1) mod c. Every class-c bin
+    * except possibly the last is > c/(c+1) · L full (≥ 50% at c = 1,
+    * → 100% as c grows); nothing is ever split.
+    *
+    * Edge classes: n_tokens > contextLen ⇒ class 0, one doc per bin
+    * (the loader chops those internally — they'd be split under ANY
+    * whole-doc policy); n_tokens = 0 ⇒ class −1, bin −1 (nothing to
+    * pack). Output: (doc_id, n_tokens, size_class, bin_id, slot) with
+    * bin ids dense and deterministic (class-major, rank order).
+    *
+    * Scale shape: rank-in-class comes from ONE distributed
+    * [[ScaleOps.prefixSum]] over the packed (size_class, doc_id)
+    * order key — NEVER a Window.partitionBy(size_class), whose
+    * per-class partitions inherit the full skew of the corpus' size
+    * distribution (one hot class = one hot task). The per-class
+    * starts/offsets are a ≤ contextLen+1-row aggregate (bounded by
+    * the PARAMETER, not the corpus) cumulated in a domain-sized
+    * window and broadcast back. The DuckDB oracle replays the
+    * partitioned-window formulation, so the hash match is the
+    * distribution-correctness proof for the prefix-sum form (the H10
+    * argument). */
+  def packBestFit(docs: DataFrame, contextLen: Long = DefaultContextLen): DataFrame = {
+    require(contextLen >= 1 && contextLen <= 65536,
+      s"contextLen must be in [1, 65536], got $contextLen")
+    val toks = docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_tokens"))
+    val sized = toks.withColumn("size_class",
+      when(col("n_tokens") === 0L, lit(-1L))
+        .otherwise(expr(s"$contextLen div n_tokens")))
+    val packable = sized.filter(col("size_class") >= 0L)
+    // packed order key (size_class major, doc_id minor): class fits in
+    // 17 bits (<= 65536), leaving 2^46 ids — out-of-domain ids fail
+    // loudly per row rather than silently colliding (the H10 rule)
+    val keyed = packable.select(col("doc_id"), col("n_tokens"),
+        col("size_class"),
+        (col("size_class") * (1L << 46) +
+          when(col("doc_id") >= 0 && col("doc_id") < (1L << 46), col("doc_id"))
+            .otherwise(raise_error(concat(
+              lit("packBestFit: doc_id out of [0, 2^46) — packed order key would collide: "),
+              col("doc_id"))))).as("ord_key"))
+      .withColumn("one", lit(1L))
+    val pos = graft.ops.ScaleOps.prefixSum(keyed, "ord_key", "one", "pos")
+    // per-class geometry: counts, capacity, docs/bins before the class —
+    // a parameter-bounded frame (<= contextLen + 1 classes), cumulated
+    // in a domain-sized window and broadcast back to the corpus
+    val wCls = Window.orderBy("size_class")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cls = packable.groupBy("size_class")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("capacity",
+        when(col("size_class") === 0L, 1L).otherwise(col("size_class")))
+      .withColumn("class_start", coalesce(sum(col("cnt")).over(wCls), lit(0L)))
+      .withColumn("bins_before", coalesce(
+        sum(expr("(cnt + capacity - 1) div capacity")).over(wCls),
+        lit(0L)))
+    val packed = pos.join(broadcast(cls), "size_class")
+      .select(col("doc_id"), col("n_tokens"), col("size_class"),
+        (col("bins_before") +
+          expr("(pos - class_start - 1) div capacity")).as("bin_id"),
+        pmod(col("pos") - col("class_start") - 1, col("capacity")).as("slot"))
+    val empties = sized.filter(col("size_class") === -1L)
+      .select(col("doc_id"), col("n_tokens"), col("size_class"),
+        lit(-1L).as("bin_id"), lit(0L).as("slot"))
+    packed.unionByName(empties).orderBy("doc_id")
+  }
+
+  /** One-row packing audit: [[packBestFit]]'s bin count and waste next
+    * to the concat-and-chop baseline's split-doc count — the trade the
+    * operator exists to win (chop wastes NO capacity but splits docs;
+    * best-fit splits NOTHING and bounds waste by the shelf guarantee).
+    * `waste_tokens` counts unused capacity in regular (class >= 1)
+    * bins only: oversize docs overflow any whole-doc policy and
+    * zero-token docs occupy no bin, so both are reported separately
+    * rather than polluting the waste number. All-integer output —
+    * exactly replayable. */
+  def packBestFitStats(docs: DataFrame, contextLen: Long = DefaultContextLen): DataFrame = {
+    val packed = packBestFit(docs, contextLen)
+    val regular = packed.filter(col("size_class") >= 1L)
+    val binsAgg = regular
+      .groupBy("bin_id").agg(sum(col("n_tokens")).as("fill"))
+      .agg(count(lit(1)).as("n_bins"),
+        coalesce(sum(lit(contextLen) - col("fill")), lit(0L)).as("waste_tokens"),
+        coalesce(sum(col("fill")), lit(0L)).as("packed_tokens"))
+    val classAgg = packed.agg(
+      sum(when(col("size_class") === 0L, 1L).otherwise(0L)).as("n_oversize"),
+      sum(when(col("size_class") === -1L, 1L).otherwise(0L)).as("n_empty"))
+    val chopSplit = packSequences(docs, contextLen)
+      .agg(sum(when(col("n_seqs") >= 2L, 1L).otherwise(0L)).as("chop_split_docs"))
+    binsAgg.crossJoin(classAgg).crossJoin(chopSplit)
+      .select(col("n_bins"), col("packed_tokens"), col("waste_tokens"),
+        col("n_oversize"), col("n_empty"), col("chop_split_docs"))
+  }
+
+  val qPackBestFit: Q = Q(
+    "q_pack_bestfit",
+    (s, d) => packBestFit(Tables.documents(s, d)),
+    Some(s"""WITH toks AS (
+        SELECT doc_id,
+          CAST(len(list_filter(${sqlWords("text")}, t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM documents),
+      sized AS (SELECT doc_id, n_tokens,
+          CASE WHEN n_tokens = 0 THEN CAST(-1 AS BIGINT)
+            ELSE $DefaultContextLen // n_tokens END AS size_class
+        FROM toks),
+      ranked AS (SELECT doc_id, n_tokens, size_class,
+          row_number() OVER (PARTITION BY size_class ORDER BY doc_id) AS rk
+        FROM sized WHERE size_class >= 0),
+      cls AS (SELECT size_class, count(*) AS cnt,
+          CASE WHEN size_class = 0 THEN 1 ELSE size_class END AS capacity
+        FROM ranked GROUP BY 1),
+      cls2 AS (SELECT size_class, capacity,
+          CAST(coalesce(sum((cnt + capacity - 1) // capacity)
+            OVER (ORDER BY size_class
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS bins_before
+        FROM cls)
+      SELECT doc_id, n_tokens, size_class,
+        CAST(bins_before + (rk - 1) // capacity AS BIGINT) AS bin_id,
+        CAST((rk - 1) % capacity AS BIGINT) AS slot
+      FROM ranked JOIN cls2 USING (size_class)
+      UNION ALL
+      SELECT doc_id, n_tokens, size_class,
+        CAST(-1 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS slot
+      FROM sized WHERE size_class = -1
+      ORDER BY doc_id"""))
+
+  val qPackBestFitStats: Q = Q(
+    "q_pack_bestfit_stats",
+    (s, d) => packBestFitStats(Tables.documents(s, d)),
+    Some(s"""WITH toks AS (
+        SELECT doc_id,
+          CAST(len(list_filter(${sqlWords("text")}, t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM documents),
+      sized AS (SELECT doc_id, n_tokens,
+          CASE WHEN n_tokens = 0 THEN CAST(-1 AS BIGINT)
+            ELSE $DefaultContextLen // n_tokens END AS size_class
+        FROM toks),
+      ranked AS (SELECT doc_id, n_tokens, size_class,
+          row_number() OVER (PARTITION BY size_class ORDER BY doc_id) AS rk
+        FROM sized WHERE size_class >= 0),
+      cls AS (SELECT size_class, count(*) AS cnt,
+          CASE WHEN size_class = 0 THEN 1 ELSE size_class END AS capacity
+        FROM ranked GROUP BY 1),
+      cls2 AS (SELECT size_class, capacity,
+          CAST(coalesce(sum((cnt + capacity - 1) // capacity)
+            OVER (ORDER BY size_class
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS bins_before
+        FROM cls),
+      packed AS (SELECT doc_id, n_tokens, size_class,
+          CAST(bins_before + (rk - 1) // capacity AS BIGINT) AS bin_id
+        FROM ranked JOIN cls2 USING (size_class)),
+      bins AS (SELECT bin_id, sum(n_tokens) AS fill
+        FROM packed WHERE size_class >= 1 GROUP BY 1),
+      ba AS (SELECT CAST(count(*) AS BIGINT) AS n_bins,
+          CAST(coalesce(sum($DefaultContextLen - fill), 0) AS BIGINT) AS waste_tokens,
+          CAST(coalesce(sum(fill), 0) AS BIGINT) AS packed_tokens
+        FROM bins),
+      ca AS (SELECT
+          CAST(sum(CASE WHEN size_class = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+          CAST(sum(CASE WHEN size_class = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+        FROM sized),
+      cum AS (SELECT doc_id, n_tokens,
+          CAST(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM toks),
+      ch AS (SELECT CAST(sum(CASE WHEN n_tokens > 0 AND
+            (cum_tokens - 1) // $DefaultContextLen
+              - (cum_tokens - n_tokens) // $DefaultContextLen + 1 >= 2
+            THEN 1 ELSE 0 END) AS BIGINT) AS chop_split_docs
+        FROM cum)
+      SELECT n_bins, packed_tokens, waste_tokens, n_oversize, n_empty,
+        chop_split_docs
+      FROM ba, ca, ch"""))
+
   /** Multiplier/modulus of the portable id scrambler (a fixed LCG step —
     * reproducible in any engine, unlike xxhash). */
   private[queries] val ScrambleA = 2654435761L
@@ -647,7 +838,8 @@ object Shards {
       ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(qPackShards, qPackSequences, qPackSequencesBpe, qStratifiedSample,
+    Seq(qPackShards, qPackSequences, qPackSequencesBpe, qPackBestFit,
+      qPackBestFitStats, qStratifiedSample,
       qDomainMix, qDomainMixTemp, qShuffleOrder, qWeightedSample,
       qWeightedSampleBpe, qCurriculum)
 }
