@@ -132,6 +132,7 @@ object KMeansLloyd {
         }
       }
     }
+    Similarity.releaseFitFrame(v, fitFraction)
     cents.flatMap { case (cId, emb) =>
       emb.zipWithIndex.map { case (c, d) =>
         (cId, d.toLong, lastCounts.getOrElse(cId, 0L), c)

@@ -64,8 +64,18 @@ object Similarity {
       // fold any Long seed into fitKeep's [0, P-1) domain — fit seeds
       // (0xC0FFEE etc.) are arbitrary user longs, draw seeds are not
       val p1 = Shards.ScrambleP - 1
-      val s = df.filter(
-        Shards.fitKeep(col("vec_id"), fitFraction, ((seed % p1) + p1) % p1))
+      val s = df
+        .filter(
+          Shards.fitKeep(col("vec_id"), fitFraction, ((seed % p1) + p1) % p1))
+        // persist the SAMPLE: without this, every downstream KMeans
+        // fit re-filters the corpus — and worse, ml.KMeans sees the
+        // filtered frame's storageLevel as NONE and re-persists it
+        // internally PER FIT, so a 1+m-fit build paid 1+m corpus
+        // filter-scans and the "sample" fit measured SLOWER than the
+        // full one (the round-13 probe caught exactly this). The
+        // guard count() below doubles as the materializing pass;
+        // callers release via [[releaseFitFrame]] once fits finish.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = s.count()
       require(n >= minRows,
         s"$what: fitFraction=$fitFraction draws $n rows but the fit " +
@@ -73,6 +83,12 @@ object Similarity {
       s
     }
   }
+
+  /** Release a [[fitFrame]] sample once its fits have finished — a
+    * no-op at `fitFraction = 1.0`, where fitFrame returned the input
+    * unchanged (unpersisting THAT would evict a caller's memo). */
+  private[queries] def releaseFitFrame(df: DataFrame, fitFraction: Double): Unit =
+    if (fitFraction < 1.0) df.unpersist(blocking = false)
 
   /** Attach squared norms (computed once per vector). */
   private[queries] def withNorms(embeddings: DataFrame): DataFrame =
@@ -477,9 +493,10 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val v = withNorms(embeddings)
     val feat = v.withColumn("features", array_to_vector(col("embedding")))
+    val ff = fitFrame(feat, fitFraction, seed, cells, "annIvfTrained")
     val model = new KMeans().setK(cells).setSeed(seed)
-      .setFeaturesCol("features")
-      .fit(fitFrame(feat, fitFraction, seed, cells, "annIvfTrained"))
+      .setFeaturesCol("features").fit(ff)
+    releaseFitFrame(ff, fitFraction)
     val assigned = model.transform(feat)
       .select(col("vec_id"), col("embedding"), col("n2"),
         col("prediction").cast("long").as("cell"))
@@ -674,6 +691,7 @@ object Similarity {
         .setFeaturesCol("sub_features").fit(subFeat)
         .clusterCenters.map(_.toArray)
     }
+    releaseFitFrame(fitFeat, fitFraction)
     val cbLit = codebookLit(codebooks)
     val codeCol = codeColFor(cbLit, m, dsub)
     // Cell assignment via the SAME packed-argmin expression the append
@@ -1169,6 +1187,7 @@ object Similarity {
     val fitUnit =
       fitFrame(unit, fitFraction, seed, math.max(cells, ksub), "buildOpqIndex")
     val rotation = fitOpqRotation(fitUnit, m, ksub, dims, seed, maxIter, opqRounds)
+    releaseFitFrame(fitUnit, fitFraction)
     val rotated = unit
       .select(col("vec_id"), rotateCol(rotation, col("u")).as("embedding"))
     OpqIndex(rotation,
@@ -1758,9 +1777,10 @@ object Similarity {
       s"cells must be in [1, 2^21 - 1), got $cells")
     val v = withNorms(embeddings)
     val feat = v.withColumn("features", array_to_vector(col("embedding")))
+    val ff = fitFrame(feat, fitFraction, seed, cells, "semanticDedupTrained")
     val model = new KMeans().setK(cells).setSeed(seed)
-      .setFeaturesCol("features")
-      .fit(fitFrame(feat, fitFraction, seed, cells, "semanticDedupTrained"))
+      .setFeaturesCol("features").fit(ff)
+    releaseFitFrame(ff, fitFraction)
     // c_n2 via the same left fold the oracle's literal gets: driver-side
     // doubles, bit-exact both ways
     val centRows = model.clusterCenters.toSeq.zipWithIndex.map {

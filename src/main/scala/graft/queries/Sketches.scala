@@ -59,9 +59,17 @@ object Sketches {
   val DefaultDepth = 3
   val DefaultWidth = 1 << 13
 
+  /** The word-`n`-gram array of the `text` column — THE gram
+    * definition, one copy for the batch row and the streaming form
+    * ([[graft.streaming.Streams.heavyHittersStream]]); a tokenization
+    * change that missed one site would silently break the
+    * stream-vs-batch twin. */
+  private[graft] def gramArray(n: Int): Column =
+    shingles(words(col("text")), n)
+
   /** One row per word-`n`-gram occurrence, aliased `gram`. */
   private[graft] def gramsOf(docs: DataFrame, n: Int): DataFrame =
-    docs.select(explode(shingles(words(col("text")), n)).as("gram"))
+    docs.select(explode(gramArray(n)).as("gram"))
 
   /** Build the Count-Min sketch over `docs`' n-gram occurrences and
     * return the estimator column constructor — exposed so ScaleProbe

@@ -96,6 +96,26 @@ final case class ShardSketch(shard: Long, n_seen: Long, ks: Seq[Long])
 final case class OverlapEstimate(
     n_seen: Long, k_eff: Long, sketch_inter: Long, est_jaccard: Double)
 
+/** Accumulated per-shard CMS state for
+  * [[Streams.heavyHittersStream]]: `nSeen` gram occurrences routed to
+  * the shard, `counters` the shard's depth×width Count-Min array, and
+  * `cand` the shard's candidate grams with their latest CMS estimate
+  * (a gram enters when an arrival pushes its estimate to `minCount`;
+  * estimates only grow, so the map never shrinks). */
+final case class HhShardState(
+    nSeen: Long, counters: Array[Long], cand: Map[String, Long])
+
+/** One shard's refreshed candidate snapshot, emitted into the merge
+  * stage of [[Streams.heavyHittersStream]]. */
+final case class HhShardOut(shard: Long, n_seen: Long, cand: Map[String, Long])
+
+/** One candidate heavy hitter emitted by
+  * [[Streams.heavyHittersStream]]: the batch's full candidate union is
+  * re-emitted under the new global `n_seen` (take the rows of the
+  * largest n_seen for the current snapshot). `est` is the gram's CMS
+  * estimate — an upper bound on its true arrival count. */
+final case class HeavyHitterOut(n_seen: Long, gram: String, est: Long)
+
 /** One live session per user for [[Streams.sessionizeStream]]. */
 final case class SessionState(
     sessionStart: Long, lastTs: Long, nEvents: Long, totalValue: Double)
@@ -550,6 +570,131 @@ object Streams {
     // the shard-count bound documented above must not silently double
     // if the hash ever widens to full-range longs
     hashes.groupByKey(h => java.lang.Math.floorMod(h, 64L))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(shardUpdate)
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(mergeUpdate)
+  }
+
+  /** G20: streaming heavy hitters — I10's Count-Min discipline live at
+    * ingest. After every micro-batch, the current CANDIDATE vocabulary
+    * (every word-n-gram whose CMS estimate has reached `minCount`)
+    * re-emits under the new global occurrence count — the boilerplate/
+    * template alarm a crawl pipeline watches while the lake fills,
+    * with the batch row ([[graft.queries.Sketches.heavyHitters]]) as
+    * the exact rescore it hands off to.
+    *
+    * Three chained stateful stages, state bounded however big the
+    * corpus' VOCABULARY is:
+    *
+    *   1. doc dedup — keyed on doc_id (one boolean per doc: the G3
+    *      shape), so a redelivered doc contributes its grams exactly
+    *      once. Grams derive COLUMN-SIDE from the batch row's own
+    *      [[graft.queries.Sketches.gramArray]] before this stage —
+    *      tokenization is shared, not reimplemented.
+    *   2. per-shard CMS — grams shard by hash (64 ways, so no single
+    *      task funnels a batch); each shard holds its grams' ENTIRE
+    *      history, so its depth×width counters are a full CMS for its
+    *      key slice (width is PER SHARD: the 64-shard default of 2^10
+    *      gives 2^16 aggregate counters per row — 8× the batch row's
+    *      2^13 — at ~1.5 MB total state). A gram whose post-update
+    *      estimate reaches
+    *      minCount enters the shard's candidate map; all candidates'
+    *      estimates refresh each batch.
+    *   3. merge — the ≤ 64 shard snapshots union into one emission
+    *      (the G19 merge shape).
+    *
+    * Contract (the honest streaming-frequency story): a one-pass
+    * stream cannot EXACT-count a key it never tracked — the exact
+    * rescore is the batch row's second pass, which a stream does not
+    * have. What IS guaranteed, under ANY delivery order, batching, and
+    * doc-id redelivery:
+    *
+    *   - NO FALSE DISMISSAL: every gram whose true (deduped) count
+    *     reaches `minCount` is in the emitted set — at its last
+    *     arrival its estimate ≥ its true count ≥ minCount (counters
+    *     only add; the same argument as the batch prefilter);
+    *   - estimates are upper bounds: est(g) >= true count of g, with
+    *     equality when no colliding gram shares all of g's buckets —
+    *     so in the collision-free regime (width sized to the observed
+    *     vocabulary, the StreamingSpec twin configuration) the emitted
+    *     set IS the exact heavy set with exact counts;
+    *   - emissions are a set function of the delivered doc set: order,
+    *     batch boundaries, and redelivery cannot change the final
+    *     snapshot in the collision-free regime (under collisions the
+    *     candidate set can only GROW toward the same superset).
+    *
+    * Like the batch row, an undersized width only inflates estimates
+    * and therefore the candidate set — triage gets noisier, never
+    * blind. Docs sharing a doc_id with DIFFERENT text: first delivery
+    * wins (the stream-dedup contract). */
+  def heavyHittersStream(
+      docs: DataFrame,
+      minCount: Long,
+      n: Int = graft.queries.Sketches.HhGramN,
+      depth: Int = graft.queries.Sketches.DefaultDepth,
+      width: Int = 1 << 10): Dataset[HeavyHitterOut] = {
+    import docs.sparkSession.implicits._
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(width >= 16 && (width & (width - 1)) == 0,
+      s"width must be a power of two >= 16, got $width")
+    val shards = 64
+    // JVM-side hashes (MurmurHash3 — deterministic across JVMs). The
+    // CMS hash only needs to agree with ITSELF (build and probe are
+    // this one function); nothing downstream replays it.
+    def bucket(g: String, row: Int): Int =
+      java.lang.Math.floorMod(
+        scala.util.hashing.MurmurHash3.stringHash(g, row), width) + row * width
+    def shardOf(g: String): Long =
+      java.lang.Math.floorMod(
+        scala.util.hashing.MurmurHash3.stringHash(g, 0x5eed), shards).toLong
+    val perDoc = docs.select(col("doc_id").cast("long").as("doc_id"),
+        graft.queries.Sketches.gramArray(n).as("grams"))
+      .as[(Long, Seq[String])]
+    def dedupUpdate(docId: Long, rows: Iterator[(Long, Seq[String])],
+        state: GroupState[Boolean]): Iterator[String] =
+      if (state.exists) Iterator.empty
+      else {
+        state.update(true)
+        if (rows.hasNext) rows.next()._2.iterator else Iterator.empty
+      }
+    def shardUpdate(shard: Long, rows: Iterator[String],
+        state: GroupState[HhShardState]): Iterator[HhShardOut] = {
+      val prev = state.getOption.getOrElse(
+        HhShardState(0L, new Array[Long](depth * width), Map.empty))
+      val counters = prev.counters.clone()
+      val arr = rows.toArray
+      arr.foreach { g =>
+        var r = 0
+        while (r < depth) { counters(bucket(g, r)) += 1L; r += 1 }
+      }
+      def est(g: String): Long =
+        (0 until depth).map(r => counters(bucket(g, r))).min
+      val cand = (prev.cand.keysIterator ++
+          arr.iterator.distinct.filter(g => est(g) >= minCount))
+        .map(g => g -> est(g)).toMap
+      val next = HhShardState(prev.nSeen + arr.length, counters, cand)
+      state.update(next)
+      Iterator.single(HhShardOut(shard, next.nSeen, cand))
+    }
+    def mergeUpdate(key: Int, rows: Iterator[HhShardOut],
+        state: GroupState[Seq[HhShardOut]]): Iterator[HeavyHitterOut] = {
+      val prev = state.getOption.getOrElse(Seq.empty)
+      val fresh = rows.toSeq
+      val freshShards = fresh.map(_.shard).toSet
+      val next = prev.filterNot(s => freshShards(s.shard)) ++ fresh
+      state.update(next)
+      val nSeen = next.iterator.map(_.n_seen).sum
+      next.iterator.flatMap(_.cand.iterator)
+        .map { case (g, e) => HeavyHitterOut(nSeen, g, e) }
+    }
+    perDoc.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(dedupUpdate)
+      .groupByKey(shardOf)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(shardUpdate)
       .groupByKey(_ => 0)

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.streaming.{EventRow, OverlapEstimate, SessionOut, Streams}
+import graft.streaming.{EventRow, HeavyHitterOut, OverlapEstimate, SessionOut, Streams}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
@@ -796,6 +796,56 @@ class StreamingSpec extends SparkSpec {
     // estimate is honest: exact jaccard is 25/75; the k=8 sketch reads
     // something in (0, 1), not the degenerate 0 or 1
     assert(inOrder.est_jaccard > 0.0 && inOrder.est_jaccard < 1.0)
+  }
+
+  test("heavyHittersStream: collision-free twin == batch I10; redelivery and order independent; tiny width stays a superset") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // 40 docs over a small word vocabulary => repeated 2-grams with a
+    // genuine head; minCount=6 separates head from tail
+    def txt(i: Int): String = {
+      val w = Vector("alpha", "beta", "gamma", "delta", "eps")
+      (0 until 8).map(j => w((i * 7 + j * j) % w.size)).mkString(" ")
+    }
+    val docs = (0 until 40).map(i => StreamingSpec.Doc(i.toLong, txt(i)))
+    val minCount = 6L
+    val want = graft.queries.Sketches.heavyHitters(docs.toDF(), minCount)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && want.size < 40, s"degenerate corpus: $want")
+
+    def finalSnapshot(batches: Seq[Seq[StreamingSpec.Doc]],
+        width: Int): Set[(String, Long)] = {
+      val mem = MemoryStream[StreamingSpec.Doc]
+      val name = s"hh_stream_${System.nanoTime()}"
+      val query = Streams.heavyHittersStream(mem.toDF(), minCount,
+          width = width)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        batches.foreach { b =>
+          if (b.nonEmpty) { mem.addData(b: _*); query.processAllAvailable() }
+        }
+        val rows = spark.table(name).as[HeavyHitterOut].collect()
+        val last = rows.map(_.n_seen).max
+        rows.filter(_.n_seen == last).map(r => (r.gram, r.est)).toSet
+      } finally query.stop()
+    }
+
+    // collision-free width: estimates are exact, so the emitted set IS
+    // the batch heavy set with exact counts (the spec twin)
+    val inOrder = finalSnapshot(docs.grouped(12).toSeq, width = 1 << 12)
+    assert(inOrder == want, s"stream $inOrder vs batch $want")
+    // adversarial redelivery (full batch replayed) + reversed order
+    val adversarial = finalSnapshot(
+      docs.grouped(12).toSeq.reverse :+ docs.take(12), width = 1 << 12)
+    assert(adversarial == want, s"redelivery changed the set: $adversarial")
+    // tiny width (everything collides): still a SUPERSET with upper-
+    // bound estimates — noisier triage, never a false dismissal
+    val collided = finalSnapshot(docs.grouped(12).toSeq, width = 16)
+    val collidedMap = collided.toMap
+    assert(want.forall { case (g, n) =>
+      collidedMap.get(g).exists(_ >= n) },
+      s"collided run lost a true heavy hitter: $collided vs $want")
   }
 
   test("urlFilterStream output equals batch urlFilter row-for-row across batch splits") {
