@@ -243,7 +243,17 @@ object Bench {
       .map { case (name, r) => s"\"" + name + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
     val retimeCalJson = retimeCals.map(c => f"$c%.3f").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"storage_mb_held":$heldJson,"calibration_s":$calJson,"calibration_drift":${f"$calDrift%.3f"},"calibration_median_s":${f"$calMedian%.3f"},"calibration_abs":${f"$calAbs%.3f"},"suspect":$suspectJson,"pin_regressed":$pinRegressedJson,"retimed_s":$retimedJson,"retime_calibration_s":$retimeCalJson,"sf":"$sfDir"}"""
+    // Pin context travels IN the artifact (round-12 verdict ask #6):
+    // round-over-round comparison previously required opening
+    // bench_pins.json by hand. pin_s carries each swept row's committed
+    // quiet pin; pin_rows/pinned_total_s summarize the pin table so a
+    // reader compares "this sweep vs the committed quiet baseline" from
+    // one file.
+    val sweptNames = results.map(_._1).toSet
+    val pinJson = pins.collect { case (k, v) if sweptNames(k) =>
+      s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val pinnedTotal = pins.collect { case (k, v) if sweptNames(k) => v }.sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"storage_mb_held":$heldJson,"calibration_s":$calJson,"calibration_drift":${f"$calDrift%.3f"},"calibration_median_s":${f"$calMedian%.3f"},"calibration_abs":${f"$calAbs%.3f"},"suspect":$suspectJson,"pin_regressed":$pinRegressedJson,"retimed_s":$retimedJson,"retime_calibration_s":$retimeCalJson,"pin_s":$pinJson,"pin_rows":${pins.count(p => sweptNames(p._1))},"pinned_total_s":${f"$pinnedTotal%.3f"},"sf":"$sfDir"}"""
     // The file is the durable artifact: stdout captures have twice lost
     // timings to tail-truncation of the single long JSON line.
     try {

@@ -591,6 +591,14 @@ object Graft {
     * returning; the result is a plan over the 2×dims model. */
   def annSq8(embeddings: DataFrame, shortlist: Int = 50): DataFrame =
     queries.Quantize.annSq8(embeddings, shortlist)
+  /** IVF cells over SQ8-coded RESIDUALS (the Faiss IVF,SQ8 layout):
+    * the 4x code-size cut inside a probed search instead of a flat
+    * scan ([[graft.queries.Quantize.annIvfSq8]]).
+    * Eager: this call runs the assignment + residual-extrema jobs
+    * before returning; the result is a plan over the 2xdims model. */
+  def annIvfSq8(embeddings: DataFrame, cells: Int = 10, probes: Int = 3,
+      shortlist: Int = 50): DataFrame =
+    queries.Quantize.annIvfSq8(embeddings, cells, probes, shortlist)
   /** Classify every doc across two corpus snapshots as
     * added/removed/changed/same ([[graft.queries.SnapshotDiff]]). */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =

@@ -155,5 +155,123 @@ object Quantize {
     (s, d) => annSq8(Tables.embeddings(s, d), shortlist = Int.MaxValue),
     Some(Similarity.bruteforceSql))
 
-  val all: Seq[Q] = Seq(qEmbedQuantize, qAnnSq8)
+  // ----------------------------------------------------------------
+  // E17 — IVF over SQ8-coded residuals (Faiss IndexIVFScalarQuantizer)
+  // ----------------------------------------------------------------
+
+  /** ANN over IVF cells whose members are stored as SQ8-coded
+    * RESIDUALS — the Faiss `IVF,SQ8` production layout (by_residual):
+    * E16 scans the whole flat code table per query; here a probed
+    * search touches only `probes` cells' codes, so the 4× SQ8 IO cut
+    * applies INSIDE an N/cells-sized candidate set instead of a full
+    * scan — the index shape for corpora where even a 1-byte/dim flat
+    * scan is too much IO.
+    *
+    *   - coarse index: deterministic first-`cells` centroids with
+    *     cosine-argmax assignment (the E3 rule — shared convention, so
+    *     the exhaustive configuration is replayable against the same
+    *     brute-force SQL);
+    *   - fit: per-dimension extrema of the RESIDUAL r = v − c(v) (2×
+    *     dims doubles of driver model state; residuals concentrate
+    *     near 0, so the same 8 bits buy finer resolution than raw-
+    *     vector coding — the reason production IVF-SQ codes
+    *     residuals). Eager: this call runs the assignment + extrema
+    *     jobs before returning (the E16 contract);
+    *   - index: per vector (cell, recon) where recon = c(v) +
+    *     deq(codes) is the midpoint reconstruction, projected once in
+    *     the index scan with its norm (the stored artifact is cell +
+    *     m 1-byte codes; recon is scan-local arithmetic, never a
+    *     materialized float column);
+    *   - search: probe the `probes` nearest cells by centroid cosine,
+    *     rank candidates by dot(q, recon)/‖recon‖ (norm-invariant,
+    *     the E16 advisory lesson), keep `shortlist` per query, exact-
+    *     rescore on originals.
+    *
+    * `probes = cells` with an untruncated shortlist is provably
+    * exhaustive (every vector sits in exactly one cell and survives
+    * the cut; the exact rescore ranks everything) — output ≡ brute
+    * force whatever the codes did, which is the driver row's
+    * configuration. Production recall at probes=3/shortlist=50 is
+    * gated in QuantizeSpec. */
+  def annIvfSq8(
+      embeddings: DataFrame,
+      cells: Int = 10,
+      probes: Int = 3,
+      shortlist: Int = 50): DataFrame = {
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    require(shortlist >= 1, s"shortlist must be >= 1, got $shortlist")
+    import graft.functions.NativeExpressions.dot
+    val v = Similarity.withNorms(embeddings)
+    val cents = v.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("n2").as("c_n2"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = v.join(broadcast(cents), lit(true))
+      .withColumn("c_cos",
+        dot(col("embedding"), col("c_emb")) /
+          (sqrt(col("n2")) * sqrt(col("c_n2"))))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"), col("c_emb"),
+        zip_with(col("embedding"), col("c_emb"),
+          (x, c) => x.cast("double") - c.cast("double")).as("res"))
+    val stats = assigned
+      .select(posexplode(col("res")).as(Seq("dim", "r")))
+      .groupBy("dim").agg(min(col("r")).as("lo"), max(col("r")).as("hi"))
+      .orderBy("dim").collect()
+    val loL = lit(stats.map(_.getDouble(1)))
+    val hiL = lit(stats.map(_.getDouble(2)))
+    def loAt(i: Column) = element_at(loL, i.cast("int") + 1)
+    def hiAt(i: Column) = element_at(hiL, i.cast("int") + 1)
+    // reconstruction = centroid + dequantized residual, with its norm,
+    // all inside the index-scan projection (once per vector)
+    val idx = assigned.select(col("vec_id"), col("cell"),
+        transform(col("res"), (r, i) =>
+          sq8Deq(sq8Code(r, loAt(i), hiAt(i)), loAt(i), hiAt(i)) +
+            element_at(col("c_emb"), i.cast("int") + 1).cast("double"))
+          .as("recon"))
+      .withColumn("recon_n2",
+        aggregate(col("recon"), lit(0.0), (acc, x) => acc + x * x))
+    val q = Similarity.queries(v)
+    val byQc = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val probed = q.join(broadcast(cents), lit(true))
+      .withColumn("c_cos",
+        dot(col("q_emb"), col("c_emb")) /
+          (sqrt(col("q_n2")) * sqrt(col("c_n2"))))
+      .withColumn("rn", row_number().over(byQc))
+      .filter(col("rn") <= probes)
+      .select(col("q_id"), col("q_emb"), col("q_n2"), col("c_id").as("cell"))
+    val byAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val cand = probed.join(idx, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("q_emb"), col("q_n2"), col("vec_id"),
+        when(col("recon_n2") === 0.0, lit(0.0))
+          .otherwise(dot(col("q_emb"), col("recon")) / sqrt(col("recon_n2")))
+          .as("adc"))
+      .withColumn("rn", row_number().over(byAdc))
+      .filter(col("rn") <= shortlist)
+    val rescored = cand
+      .join(v, Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("q_emb"), col("embedding")) /
+          (sqrt(col("q_n2")) * sqrt(col("n2")))).as("cos"))
+    Similarity.topkPerQuery(rescored)
+  }
+
+  /** E17's oracle row — the E7/E3b losslessness pattern: probes =
+    * cells and an untruncated shortlist make the whole IVF-SQ8 path
+    * (assignment, residual fit, codes, reconstruction-cosine cut,
+    * rescore) execute while the output provably equals brute-force
+    * top-k. */
+  val qAnnIvfSq8: Q = Q(
+    "q_ann_ivf_sq8",
+    (s, d) => annIvfSq8(Tables.embeddings(s, d), cells = 10, probes = 10,
+      shortlist = Int.MaxValue),
+    Some(Similarity.bruteforceSql))
+
+  val all: Seq[Q] = Seq(qEmbedQuantize, qAnnSq8, qAnnIvfSq8)
 }

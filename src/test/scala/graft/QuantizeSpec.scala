@@ -74,6 +74,34 @@ class QuantizeSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall@5 = $recall")
   }
 
+  test("E17 exhaustive: annIvfSq8(probes=cells, untruncated) == brute force exactly") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val ivf = asTuples(Quantize.annIvfSq8(emb, cells = 10, probes = 10,
+      shortlist = Int.MaxValue))
+    val bf = asTuples(graft.queries.Similarity.annBruteforce(emb))
+    assert(ivf == bf)
+  }
+
+  test("E17 production (probes=3, shortlist=50): recall@5 clears the floor") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val ivf = asTuples(Quantize.annIvfSq8(emb, cells = 10, probes = 3,
+      shortlist = 50)).map(t => (t._1, t._3)).toSet
+    val bf = asTuples(graft.queries.Similarity.annBruteforce(emb))
+      .map(t => (t._1, t._3)).toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    // the probe cut costs what annIvf's probe cut costs (AnnRecallSpec
+    // pins the E3 3-probe regime at >= 0.4 on this corpus; this run
+    // reads 0.48); residual SQ8 inside the probed cells must not make
+    // the probe regime materially worse
+    assert(recall >= 0.4, s"recall@5 = $recall")
+    // and the residual-coded cut must essentially match the UNCODED
+    // probed search: quantization error << probe error by design
+    val exact = asTuples(Quantize.annIvfSq8(emb, cells = 10, probes = 3,
+      shortlist = Int.MaxValue)).map(t => (t._1, t._3)).toSet
+    val vsUncut = (exact intersect ivf).size.toDouble / exact.size
+    assert(vsUncut >= 0.95, s"shortlist cut lost $vsUncut of the probed exact set")
+  }
+
   test("shortlist bounds candidates: shortlist=1 yields one row per query") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = Quantize.annSq8(emb, shortlist = 1)
