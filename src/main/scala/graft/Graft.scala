@@ -89,6 +89,26 @@ object Graft {
     * ([[graft.queries.Tokenizer.bpeStats]]). */
   def bpeStats(docs: DataFrame, merges: Seq[((String, String), String)]): DataFrame =
     queries.Tokenizer.bpeStats(docs, merges)
+  /** Train a unigram-LM (sentencepiece-family) piece table by
+    * deterministic hard-EM over the bounded dict; returns (piece,
+    * quantized log-prob) in id order
+    * ([[graft.queries.Unigram.learnPieces]]).
+    * Eager: the dict aggregation runs before this call returns. */
+  def unigramLearnPieces(docs: DataFrame, vocabSize: Int = 160,
+      maxPieceLen: Int = queries.Unigram.DefaultMaxPieceLen,
+      emIters: Int = 4, maxDictWords: Int = 50000): Seq[(String, Long)] =
+    queries.Unigram.learnPieces(docs, vocabSize, maxPieceLen, emIters,
+      maxDictWords)
+  /** Tokenize to ids under a FROZEN unigram piece table — Viterbi per
+    * distinct word, word-order reassembly
+    * ([[graft.queries.Unigram.tokenizeDocsUnigram]]). */
+  def tokenizeDocsUnigram(docs: DataFrame,
+      pieces: Seq[(String, Long)] = queries.Unigram.FixedPieces): DataFrame =
+    queries.Unigram.tokenizeDocsUnigram(docs, pieces)
+  /** BPE vs unigram fertility per source, both at frozen production
+    * tables ([[graft.queries.Unigram.tokenizerCompare]]). */
+  def tokenizerCompare(docs: DataFrame): DataFrame =
+    queries.Unigram.tokenizerCompare(docs)
   /** Bigram-LM perplexity scoring with CCNet head/middle/tail buckets
     * ([[graft.queries.BigramLm.bigramLm]]). */
   def bigramLm(docs: DataFrame): DataFrame = queries.BigramLm.bigramLm(docs)

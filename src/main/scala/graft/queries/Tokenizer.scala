@@ -36,8 +36,9 @@ object Tokenizer {
     * word-final from word-internal contexts. */
   val EndOfWord = "</w>"
 
-  /** Word-frequency dict: the one corpus-sized aggregation. */
-  private def wordCounts(docs: DataFrame): DataFrame =
+  /** Word-frequency dict: the one corpus-sized aggregation (shared
+    * with the C27 unigram trainer — ONE dict definition). */
+  private[queries] def wordCounts(docs: DataFrame): DataFrame =
     docs.select(explode(words(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
 
