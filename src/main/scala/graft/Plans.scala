@@ -94,7 +94,10 @@ object Plans {
     "q_heavy_hitters" -> "CMS-prefiltered heavy hitters: pass 1 aggregates onto the depth x width counter key space (map-side combinable, driver gets only the finished counters), pass 2 filters occurrences map-side against the literal counter array BEFORE the gram shuffle — expect the exchange fed by a Filter over the explode, and a tail-vocabulary-free partial agg above it",
     "q_corpus_overlap" -> "KMV overlap: each snapshot's fingerprint set memo-persisted and read by three branches (TakeOrderedAndProject bottom-k, count, intersection join); the union sketch is k-row arithmetic — nothing corpus-sized past the distincts",
     "q_soft_dedup" -> "soft dedup: D1's narrow (doc_id, md5, poly) window — ~40-byte keys through the one exchange, text never shuffles; the weight is one projection-stage division over group_size",
-    "q_ann_sq8" -> "SQ8 search: lo/hi extrema enter as literal arrays (driver model state), codes + midpoint dequantization computed inside the scan projection, ADC via the native dot kernel, per-query shortlist window, exact rescore joins ORIGINAL embeddings on the shortlist only")
+    "q_ann_sq8" -> "SQ8 search: lo/hi extrema enter as literal arrays (driver model state), codes + midpoint dequantization computed inside the scan projection, ADC via the native dot kernel, per-query shortlist window, exact rescore joins ORIGINAL embeddings on the shortlist only",
+    "q_pack_bestfit" -> "harmonic-shelf packing: rank-in-class via the distributed prefix sum over a packed (size_class, doc_id) key — NO Window.partitionBy(size_class) anywhere (per-class windows inherit the corpus' size skew); class geometry is a parameter-bounded agg cumulated in a domain-sized window and BROADCAST back onto a pure map stage",
+    "q_ann_ivf_sq8" -> "IVF-SQ8 search: broadcast first-k centroids probe, residual codes + reconstruction (+ its norm) computed inside the index-scan projection, cell equi-join bounds candidates to probed cells, norm-invariant ADC shortlist window, exact rescore joins ORIGINAL embeddings on the shortlist only",
+    "q_tokenize_ids_uni" -> "unigram tokenize: Viterbi automaton once per DISTINCT word (typed map, piece table broadcast — vocabulary-sized), corpus side one posexplode + word-key join + per-doc reassembly agg; the one corpus-sized exchange is the reassembly groupBy (output width = text width, unavoidable)")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -252,4 +252,35 @@ class GraftFacadeSpec extends SparkSpec {
     assert(sq == bf && sq.nonEmpty)
     graft.ops.Release.sweep(spark)
   }
+
+  test("round-13 facade methods run on user frames") {
+    import spark.implicits._
+    // packBestFit: whole docs, one bin each; stats tie out
+    val pk = Graft.packBestFit(docs, contextLen = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(pk.size == 4 && pk.values.forall(_._2 >= 0L))
+    val st = Graft.packBestFitStats(docs, contextLen = 8).head()
+    assert(st.getLong(0) > 0L) // n_bins
+    // annIvfSq8 exhaustive == brute force on a user embedding frame
+    val emb2 = Seq((0L, Seq(1f, 0f)), (100L, Seq(0f, 1f)), (2L, Seq(1f, 0.1f)),
+      (3L, Seq(0.1f, 1f))).toDF("vec_id", "embedding")
+    val ivf = Graft.annIvfSq8(emb2, cells = 2, probes = 2,
+      shortlist = Int.MaxValue).collect().map(_.toSeq).toSeq
+    val bf2 = Graft.annBruteforce(emb2).collect().map(_.toSeq).toSeq
+    assert(ivf == bf2 && ivf.nonEmpty)
+    // unigram: learn on the user frame, tokenize under the fit
+    val pieces = Graft.unigramLearnPieces(docs, vocabSize = 30)
+    assert(pieces.nonEmpty && pieces.map(_._1).distinct.size == pieces.size)
+    val toks = Graft.tokenizeDocsUnigram(docs, pieces).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(toks(0L) == toks(1L) && toks.values.forall(_ > 0L))
+    // tokenizerCompare on the user frame: per-source census populated
+    val cmp = Graft.tokenizerCompare(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(cmp("web") > 0L && cmp("book") > 0L)
+    // sample-fit facades accept fitFraction (full-fraction no-op path)
+    assert(Graft.kmeansLloyd(emb2, k = 2, iters = 1, fitFraction = 1.0)
+      .count() > 0L)
+    graft.ops.Release.sweep(spark)
+  }
 }
