@@ -490,9 +490,6 @@ object Graft {
     * scale-safe prefix sum ([[graft.queries.Shards.packShards]]). */
   def packShards(docs: DataFrame, budget: Long = 512): DataFrame =
     queries.Shards.packShards(docs, budget)
-  /** Token-level sequence packing: per-doc (seq_first, seq_offset,
-    * n_seqs) at a fixed context length
-    * ([[graft.queries.Shards.packSequences]]). */
   /** Best-fit (harmonic-shelf) packing: every doc WHOLLY in one
     * contextLen bin — the no-cross-doc-attention loader layout; chop
     * comparison via [[packBestFitStats]]
@@ -506,6 +503,9 @@ object Graft {
   def packBestFitStats(docs: DataFrame,
       contextLen: Long = queries.Shards.DefaultContextLen): DataFrame =
     queries.Shards.packBestFitStats(docs, contextLen)
+  /** Token-level sequence packing: per-doc (seq_first, seq_offset,
+    * n_seqs) at a fixed context length
+    * ([[graft.queries.Shards.packSequences]]). */
   def packSequences(docs: DataFrame,
       contextLen: Long = queries.Shards.DefaultContextLen): DataFrame =
     queries.Shards.packSequences(docs, contextLen)

@@ -64,7 +64,7 @@ object KMeansLloyd {
     * counts SAMPLE members per cell (the fit's own assignment — scale
     * by 1/fitFraction for a population estimate). The q_kmeans oracle
     * row runs the default full fit; sample-vs-prefiltered-frame
-    * equality is pinned in KMeansSpec. */
+    * equality is pinned in SampleFitSpec. */
   def kmeans(
       embeddings: DataFrame,
       k: Int = 8,

@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
+  /** Memo for [[annIvfSq8]]'s assignment frame (vec_id, cell, c_emb,
+    * res) — read TWICE per call (eagerly by the residual-extrema fit,
+    * lazily by the returned search plan), and the N×cells argmax
+    * window behind it is the operator's dominant cost: without the
+    * memo every call paid that pass twice (a round-13 review finding).
+    * LRU capacity 4; released by [[graft.ops.Release.sweep]]. */
+  private[this] val asgCache = new graft.ops.PlanCache(capacity = 4)
+
   /** The int8 code formula — ONE definition shared by the long-format
     * E6 row and the E16 index build, so the stored-code contract
     * cannot drift between them. */
@@ -208,7 +216,7 @@ object Quantize {
         col("n2").as("c_n2"))
     val byVec = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id"))
-    val assigned = v.join(broadcast(cents), lit(true))
+    val assigned = asgCache.memo(v.join(broadcast(cents), lit(true))
       .withColumn("c_cos",
         dot(col("embedding"), col("c_emb")) /
           (sqrt(col("n2")) * sqrt(col("c_n2"))))
@@ -216,7 +224,7 @@ object Quantize {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("c_id").as("cell"), col("c_emb"),
         zip_with(col("embedding"), col("c_emb"),
-          (x, c) => x.cast("double") - c.cast("double")).as("res"))
+          (x, c) => x.cast("double") - c.cast("double")).as("res")))
     val stats = assigned
       .select(posexplode(col("res")).as(Seq("dim", "r")))
       .groupBy("dim").agg(min(col("r")).as("lo"), max(col("r")).as("hi"))

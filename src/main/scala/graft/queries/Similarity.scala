@@ -76,10 +76,17 @@ object Similarity {
         // guard count() below doubles as the materializing pass;
         // callers release via [[releaseFitFrame]] once fits finish.
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = s.count()
-      require(n >= minRows,
-        s"$what: fitFraction=$fitFraction draws $n rows but the fit " +
-          s"needs >= $minRows — raise fitFraction or shrink k")
+      // unpersist on the guard's failure path: an underfed draw throws
+      // here, and leaving the sample registered would leak executor
+      // storage across retries in a long-lived session
+      val n = try s.count() catch { case e: Throwable =>
+        s.unpersist(blocking = false); throw e }
+      if (n < minRows) {
+        s.unpersist(blocking = false)
+        throw new IllegalArgumentException(
+          s"requirement failed: $what: fitFraction=$fitFraction draws $n " +
+            s"rows but the fit needs >= $minRows — raise fitFraction or shrink k")
+      }
       s
     }
   }

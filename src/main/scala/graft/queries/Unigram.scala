@@ -182,19 +182,29 @@ object Unigram {
     acc.toVector
   }
 
-  /** Encode one word to token ids under a piece table ((piece,
-    * qscore) in id order — ids are 1-based positions; OOV chars map
-    * to [[UnkId]]). */
-  def encodeWord(
-      word: String,
+  /** A reusable word→ids encoder closing over the prebuilt id/score
+    * maps — build it ONCE per stage (the corpus encoders call it once
+    * per PARTITION), never once per word: at a production-sized
+    * vocabulary the O(V) map construction would otherwise multiply
+    * every word's O(len × maxPieceLen) Viterbi (a round-13 review
+    * finding). Ids are 1-based table positions; OOV chars map to
+    * [[UnkId]]. */
+  def encoder(
       pieces: Seq[(String, Long)],
-      maxPieceLen: Int = DefaultMaxPieceLen): Vector[Int] = {
+      maxPieceLen: Int = DefaultMaxPieceLen): String => Vector[Int] = {
     val ids = pieces.iterator.map(_._1).zipWithIndex
       .map { case (p, i) => p -> (i + 1) }.toMap
     val scores = pieces.toMap
-    viterbiPieces(word, scores, maxPieceLen)
-      .map(p => ids.getOrElse(p, UnkId))
+    w => viterbiPieces(w, scores, maxPieceLen).map(p => ids.getOrElse(p, UnkId))
   }
+
+  /** Encode one word to token ids under a piece table — the one-shot
+    * convenience over [[encoder]]. */
+  def encodeWord(
+      word: String,
+      pieces: Seq[(String, Long)],
+      maxPieceLen: Int = DefaultMaxPieceLen): Vector[Int] =
+    encoder(pieces, maxPieceLen)(word)
 
   /** The piece length bound shared by the trainer default, the frozen
     * table, and the oracle's DP chain (candidate arms per position). */
@@ -225,9 +235,10 @@ object Unigram {
     val bc = spark.sparkContext.broadcast((pieces, maxPieceLen))
     val perWord = docs.select(explode(words(col("text"))).as("word"))
       .distinct().as[String]
-      .map { w =>
-        val (ps, ml) = bc.value
-        (w, encodeWord(w, ps, ml).toArray)
+      .mapPartitions { it =>
+        // one encoder (one O(V) map build) per partition, not per word
+        val enc = encoder(bc.value._1, bc.value._2)
+        it.map(w => (w, enc(w).toArray))
       }
       .toDF("word", "toks")
     val perDoc = docs
@@ -253,7 +264,10 @@ object Unigram {
     val bc = spark.sparkContext.broadcast(pieces)
     docs.select(explode(words(col("text"))).as("word"))
       .distinct().as[String]
-      .map(w => (w, encodeWord(w, bc.value).length.toLong))
+      .mapPartitions { it =>
+        val enc = encoder(bc.value)
+        it.map(w => (w, enc(w).length.toLong))
+      }
       .toDF("word", "n_uni")
   }
 
@@ -353,11 +367,12 @@ object Unigram {
         FROM ($finals))"""
   }
 
-  /** FROZEN piece table: `learnPieces(sf0.001 documents)` at the
-    * defaults (vocabSize 160, maxPieceLen 6, 4 EM rounds), committed
-    * verbatim — `runMain graft.LearnPieces` regenerates it
-    * bit-for-bit (StrictMath quantized scores; the H8b artifact
-    * posture). Ids are positions + 1; 0 = UNK. */
+  /** FROZEN piece table: `learnPieces(sf0.001 documents, vocabSize =
+    * 40)` (maxPieceLen 6, 4 EM rounds), committed verbatim —
+    * `runMain graft.LearnPieces /root/testdata/sf0.001 40` regenerates
+    * it bit-for-bit (StrictMath quantized scores; the H8b artifact
+    * posture; see [[LearnedPiecesTable]] for why 40, not a
+    * production-sized vocabulary). Ids are positions + 1; 0 = UNK. */
   val FixedPieces: Seq[(String, Long)] = LearnedPiecesTable.pieces
 
   val qTokenizeIdsUni: Q = Q(
