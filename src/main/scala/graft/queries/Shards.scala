@@ -551,6 +551,20 @@ object Shards {
     * use it directly. */
   def weightedSampleFrom(weighted: DataFrame, k: Int, seed: Long): DataFrame = {
     require(k > 0, "k must be positive")
+    esKeyed(weighted, seed)
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** THE A-ES key projection — (doc_id, weight, es_key) with
+    * zero-weight rows excluded — shared by [[weightedSampleFrom]] and
+    * the streaming form ([[graft.streaming.Streams
+    * .weightedSampleStream]]): the key is a pure function of
+    * (doc_id, weight), which is exactly what makes the stream's
+    * accumulated top-k a SET function of the delivered docs (and the
+    * stream == batch twin exact); a drifted copy would break that
+    * equality silently. */
+  private[graft] def esKeyed(weighted: DataFrame, seed: Long): DataFrame = {
     require(seed >= 0 && seed < ScrambleP - 1,
       s"seed must be in [0, ${ScrambleP - 1})")
     val mult = ((seed + 1) % ScrambleP) * ScrambleA % ScrambleP
@@ -563,8 +577,6 @@ object Shards {
       .select(col("doc_id"), col("weight"),
         (round(log(col("u")) * lit(1048576.0)).cast("long").cast("double") /
           col("weight").cast("double")).as("es_key"))
-      .orderBy(col("es_key").desc, col("doc_id"))
-      .limit(k)
   }
 
   /** H11b: the A-ES draw weighted by LEARNED BPE token counts — the

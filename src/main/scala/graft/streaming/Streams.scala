@@ -116,6 +116,26 @@ final case class HhShardOut(shard: Long, n_seen: Long, cand: Map[String, Long])
   * estimate — an upper bound on its true arrival count. */
 final case class HeavyHitterOut(n_seen: Long, gram: String, est: Long)
 
+/** One A-ES draw entry (doc id, weight, the u^(1/w) order key) held in
+  * [[Streams.weightedSampleStream]]'s state and emitted in its
+  * per-batch sample snapshots. */
+final case class EsEntry(doc_id: Long, weight: Long, es_key: Double)
+
+/** Accumulated per-shard A-ES state for
+  * [[Streams.weightedSampleStream]]: arrivals routed to the shard and
+  * its current top-k entries by (es_key DESC, doc_id). */
+final case class EsShardState(nSeen: Long, top: Seq[EsEntry])
+
+/** One shard's refreshed top-k, emitted into the merge stage of
+  * [[Streams.weightedSampleStream]]. */
+final case class EsShardOut(shard: Long, n_seen: Long, top: Seq[EsEntry])
+
+/** One sampled doc emitted by [[Streams.weightedSampleStream]]: the
+  * current k-row sample re-emits under the new global `n_seen` (take
+  * the rows of the largest n_seen for the current snapshot). */
+final case class WeightedSampleOut(
+    n_seen: Long, doc_id: Long, weight: Long, es_key: Double)
+
 /** One live session per user for [[Streams.sessionizeStream]]. */
 final case class SessionState(
     sessionStart: Long, lastTs: Long, nEvents: Long, totalValue: Double)
@@ -695,6 +715,76 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(dedupUpdate)
       .groupByKey(shardOf)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(shardUpdate)
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(mergeUpdate)
+  }
+
+  /** G21: streaming weighted sampling WITHOUT replacement — H11's A-ES
+    * draw (Efraimidis & Spirakis) maintained live over the arriving
+    * corpus: after every micro-batch the current k-doc sample (token-
+    * weighted inclusion, the same draw `q_weighted_sample` runs) is
+    * re-emitted — the always-fresh eval/inspection subsample a lake
+    * keeps while ingest runs, without ever re-scanning the lake.
+    *
+    * The A-ES key is a PURE FUNCTION of (doc_id, weight) — the seeded
+    * LCG scramble, quantized ln, one division, computed COLUMN-SIDE by
+    * the SAME [[graft.queries.Shards.esKeyed]] projection as the batch
+    * row (one definition — drift would silently break the twin) — so
+    * the accumulated top-k is a SET function of the delivered docs:
+    * delivery order, batch boundaries, and redelivery cannot change
+    * it (redelivered docs reproduce their exact entry and collapse in
+    * the per-doc dedup; the G19 set-function argument, strengthened
+    * from "same estimate" to "same exact sample"). The final snapshot
+    * EQUALS batch `weightedSample` over the same docs — StreamingSpec
+    * pins the equality. Zero-weight docs never enter (the batch rule).
+    *
+    * State is bounded: 64 shards × (k entries + one long) — a shard
+    * holds its docs' top-k only, and the global top-k is a subset of
+    * the union of shard top-k's (a globally-top entry is top-k in its
+    * own shard). Docs sharing a doc_id with DIFFERENT text: entries
+    * dedupe per doc_id keeping the larger key (deterministic), but the
+    * stream-dedup immutable-content contract is the supported use. */
+  def weightedSampleStream(
+      docs: DataFrame,
+      k: Int = 25,
+      seed: Long = 0L): Dataset[WeightedSampleOut] = {
+    import docs.sparkSession.implicits._
+    require(k > 0, "k must be positive")
+    val keyed = graft.queries.Shards
+      .esKeyed(docs.select(col("doc_id"),
+        size(graft.functions.TextFunctions.words(col("text")))
+          .cast("long").as("weight")), seed)
+      .as[(Long, Long, Double)]
+    // (es_key DESC, doc_id ASC) — the batch row's exact order
+    def topK(entries: Seq[EsEntry]): Seq[EsEntry] = entries
+      .groupBy(_.doc_id)
+      .map { case (_, es) => es.maxBy(e => (e.es_key, -e.weight)) }
+      .toSeq
+      .sortBy(e => (-e.es_key, e.doc_id))
+      .take(k)
+    def shardUpdate(shard: Long, rows: Iterator[(Long, Long, Double)],
+        state: GroupState[EsShardState]): Iterator[EsShardOut] = {
+      val prev = state.getOption.getOrElse(EsShardState(0L, Seq.empty))
+      val arr = rows.map { case (id, w, key) => EsEntry(id, w, key) }.toSeq
+      val next = EsShardState(prev.nSeen + arr.size, topK(prev.top ++ arr))
+      state.update(next)
+      Iterator.single(EsShardOut(shard, next.nSeen, next.top))
+    }
+    def mergeUpdate(key: Int, rows: Iterator[EsShardOut],
+        state: GroupState[Seq[EsShardOut]]): Iterator[WeightedSampleOut] = {
+      val prev = state.getOption.getOrElse(Seq.empty)
+      val fresh = rows.toSeq
+      val freshShards = fresh.map(_.shard).toSet
+      val next = prev.filterNot(s => freshShards(s.shard)) ++ fresh
+      state.update(next)
+      val nSeen = next.iterator.map(_.n_seen).sum
+      topK(next.flatMap(_.top)).iterator
+        .map(e => WeightedSampleOut(nSeen, e.doc_id, e.weight, e.es_key))
+    }
+    keyed.groupByKey(r => java.lang.Math.floorMod(r._1, 64L))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(shardUpdate)
       .groupByKey(_ => 0)

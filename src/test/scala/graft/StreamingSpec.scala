@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.streaming.{EventRow, HeavyHitterOut, OverlapEstimate, SessionOut, Streams}
+import graft.streaming.{EventRow, HeavyHitterOut, OverlapEstimate, SessionOut, Streams, WeightedSampleOut}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
@@ -846,6 +846,45 @@ class StreamingSpec extends SparkSpec {
     assert(want.forall { case (g, n) =>
       collidedMap.get(g).exists(_ >= n) },
       s"collided run lost a true heavy hitter: $collided vs $want")
+  }
+
+  test("weightedSampleStream: final sample equals batch weightedSample under any order and redelivery") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // 60 docs with varying token counts (weight = word count); k=10 so
+    // the draw is a genuine subset
+    def txt(i: Int): String = Seq.fill(1 + (i * 13) % 9)("w" + i).mkString(" ")
+    val docs = (0 until 60).map(i => StreamingSpec.Doc(i.toLong, txt(i)))
+    val k = 10
+    val seed = 42L
+    val want = graft.queries.Shards.weightedSample(docs.toDF(), k, seed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    def finalSample(batches: Seq[Seq[StreamingSpec.Doc]]): Seq[(Long, Long, Double)] = {
+      val mem = MemoryStream[StreamingSpec.Doc]
+      val name = s"ws_stream_${System.nanoTime()}"
+      val query = Streams.weightedSampleStream(mem.toDF(), k, seed)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        batches.foreach { b =>
+          if (b.nonEmpty) { mem.addData(b: _*); query.processAllAvailable() }
+        }
+        val rows = spark.table(name).as[WeightedSampleOut].collect()
+        val last = rows.map(_.n_seen).max
+        rows.filter(_.n_seen == last)
+          .sortBy(r => (-r.es_key, r.doc_id))
+          .map(r => (r.doc_id, r.weight, r.es_key)).toSeq
+      } finally query.stop()
+    }
+
+    val inOrder = finalSample(docs.grouped(17).toSeq)
+    assert(inOrder == want, s"stream $inOrder vs batch $want")
+    // reversed batches + a full redelivery: the sample is a set
+    // function of the delivered docs — identical final snapshot
+    val adversarial = finalSample(
+      docs.grouped(17).toSeq.reverse :+ docs.take(17))
+    assert(adversarial == want, s"redelivery changed the sample: $adversarial")
   }
 
   test("urlFilterStream output equals batch urlFilter row-for-row across batch splits") {
