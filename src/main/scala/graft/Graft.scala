@@ -337,6 +337,12 @@ object Graft {
 
   // ---- Similarity search ----
   def annBruteforce(embeddings: DataFrame): DataFrame = queries.Similarity.annBruteforce(embeddings)
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k most similar DIFFERENT-label vectors, candidates bounded by
+    * IVF cell probing ([[graft.queries.Similarity.hardNegatives]]). */
+  def hardNegatives(embeddings: DataFrame, k: Int = 5, cells: Int = 10,
+      probes: Int = 3): DataFrame =
+    queries.Similarity.hardNegatives(embeddings, k, cells, probes)
   /** recall@k of an approximate ANN result vs an exact one — the
     * post-rebuild index quality gate
     * ([[graft.queries.Similarity.recallAtK]]). */

@@ -558,6 +558,99 @@ object Similarity {
       fitFraction = 0.5),
     Some(bruteforceSql))
 
+  // ----------------------------------------------------------------
+  // E18 — hard-negative mining for contrastive training
+  // ----------------------------------------------------------------
+
+  /** Hard-negative mining (E18): for each query vector, the top-k most
+    * SIMILAR vectors carrying a DIFFERENT label — the training-data op
+    * behind contrastive/triplet embedding fine-tuning (the negatives
+    * that actually move a model are the near-misses, not random draws;
+    * SimCSE/DPR practice). Runs on the IVF cell machinery (the E3
+    * deterministic first-`cells` coarse index), so at scale the
+    * candidate set is probes·N/cells per query, never the corpus:
+    * assignment is the cosine-argmax window over a broadcast centroid
+    * frame, candidates join on the cell key, the label-inequality
+    * filter rides the candidate join (it PRUNES there — pushing it
+    * after ranking would return fewer than k negatives whenever a
+    * same-label twin outranks them).
+    *
+    * `probes = cells` is provably exhaustive (every vector in exactly
+    * one cell; the label filter commutes with the partition) — output
+    * ≡ the brute-force different-label top-k whatever the cells did,
+    * which is the driver row's configuration against the naive SQL.
+    * Probe-limited recall is gated in AnnRecallSpec. Output:
+    * (q_id, rank, neighbor_id, neg_label, cos). */
+  def hardNegatives(
+      embeddings: DataFrame,
+      k: Int = TopK,
+      cells: Int = 10,
+      probes: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(cells >= 1 && probes >= 1,
+      s"cells/probes must be >= 1, got $cells/$probes")
+    val v = embeddings.select(col("vec_id"), col("embedding"),
+      col("label").cast("long").as("label"),
+      coalesce(norm2(col("embedding")), lit(0.0)).as("n2"))
+    val cents = v.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("n2").as("c_n2"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = v.join(broadcast(cents), lit(true))
+      .withColumn("c_cos",
+        cosineFrom(dot(col("embedding"), col("c_emb")), col("n2"), col("c_n2")))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("label"), col("n2"),
+        col("c_id").as("cell"))
+    val q = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"), col("n2").as("q_n2"))
+    val byQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val probed = q.join(broadcast(cents), lit(true))
+      .withColumn("c_cos",
+        cosineFrom(dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= probes)
+      .select(col("q_id"), col("q_emb"), col("q_label"), col("q_n2"),
+        col("c_id").as("cell"))
+    val scored = probed.join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id") &&
+        col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        cosineFrom(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2"))
+          .as("cos"))
+    val byRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(byRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("label").as("neg_label"),
+        col("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** E18's oracle row — the exhaustive configuration (probes = cells)
+    * against the naive different-label brute force. */
+  val qHardNegatives: Q = Q(
+    "q_hard_negatives",
+    (s, d) => hardNegatives(Tables.embeddings(s, d), cells = 10, probes = 10),
+    Some(s"""WITH v AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS label,
+        ${sqlNorm2("embedding")} AS n2 FROM embeddings),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label,
+          n2 AS q_n2 FROM v WHERE vec_id % 100 = 0),
+      scored AS (SELECT q_id, vec_id, label,
+          ${sqlDot("q_emb", "embedding")} / (sqrt(q_n2) * sqrt(n2)) AS cos
+        FROM q JOIN v ON q_id <> vec_id AND label <> q_label),
+      ranked AS (SELECT q_id, vec_id, label, cos,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        FROM scored)
+      SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+        label AS neg_label, cos
+      FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank"""))
+
   /** E3 at full production shape: IVF-PQ with asymmetric-distance
     * shortlisting and exact rescore — the index layout 100 TB ANN
     * actually runs on. Vectors are unit-normalized, coarse-quantized
@@ -1910,6 +2003,6 @@ object Similarity {
   def all: Seq[Q] =
     Seq(qDedupEmbedding, qDedupEmbeddingLsh, qAnnBruteforce, qAnnLsh, qAnnIvf,
       qAnnIvfTrainedExh, qAnnIvfPq, qAnnIvfPqSearch, qAnnOpq, qAnnPqAppend,
-      qKnnLabel,
+      qKnnLabel, qHardNegatives,
       qEmbedCentroids, qDedupSemantic, qDedupSemanticTrained, qAnnRecall)
 }

@@ -1,5 +1,7 @@
 package graft
 
+import graft.queries.Similarity
+
 /** E2/E3: the approximate searchers trade recall for candidate volume —
   * assert the trade lands where the design predicts (vs the exact E1
   * baseline) and that outputs are well-formed. */
@@ -107,5 +109,19 @@ class AnnRecallSpec extends SparkSpec {
       assert(df.filter("q_id = neighbor_id").count() == 0, q)
       assert(df.filter("rank < 1 or rank > 5").count() == 0, q)
     }
+  }
+
+  test("hard negatives: every row is a genuine different-label neighbor; probe-limited recall holds") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exh = Similarity.hardNegatives(emb, cells = 10, probes = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // label-inequality is structural: join back and check every pair
+    val labels = emb.collect().map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    assert(exh.forall { case (q, n) => labels(q) != labels(n) })
+    // probe-limited mining keeps the E3 probe-regime recall floor
+    val probed = Similarity.hardNegatives(emb, cells = 10, probes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exh intersect probed).size.toDouble / exh.size
+    assert(recall >= 0.4, s"hard-negative probe recall $recall")
   }
 }
