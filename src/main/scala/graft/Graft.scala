@@ -337,6 +337,16 @@ object Graft {
 
   // ---- Similarity search ----
   def annBruteforce(embeddings: DataFrame): DataFrame = queries.Similarity.annBruteforce(embeddings)
+  /** Corpus map: every doc in a content-cell (E14 k-means over the
+    * corpus's own E9 embeddings) × quality-decile (C15) grid, with doc
+    * and token mass per cell — the data-cartography census behind mix
+    * design ([[graft.queries.CorpusMap.corpusMap]]).
+    * Eager: the iters Lloyd passes run before this call returns. */
+  def corpusMap(docs: DataFrame,
+      dims: Int = queries.CorpusMap.MapDims,
+      cells: Int = queries.CorpusMap.MapCells,
+      iters: Int = queries.CorpusMap.MapIters): DataFrame =
+    queries.CorpusMap.corpusMap(docs, dims, cells, iters)
   /** Hard-negative mining for contrastive training: per query, the
     * top-k most similar DIFFERENT-label vectors, candidates bounded by
     * IVF cell probing ([[graft.queries.Similarity.hardNegatives]]). */

@@ -20,7 +20,8 @@ object SparkEntry {
       DocEmbed.all ++ SuffixDedup.all ++ Splits.all ++ QualityTrain.all ++
       Funnels.all ++ Integrity.all ++ FuzzyJoin.all ++ BigramLm.all ++
       LinAlg.all ++ Series.all ++ KMeansLloyd.all ++ TextRank.all ++
-      Extract.all ++ Sketches.all ++ UrlFilter.all ++ Unigram.all
+      Extract.all ++ Sketches.all ++ UrlFilter.all ++ Unigram.all ++
+      CorpusMap.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** I12 — corpus map: the data-cartography census (the Nomic-Atlas /
+  * "know your corpus before you mix it" report) — every doc placed in
+  * a CONTENT cell × QUALITY decile grid:
+  *
+  *   content cell = E14's oracle-exact Lloyd k-means over the corpus's
+  *   OWN E9 signed-hash embeddings (unit-normalized — see below), so
+  *   cells group docs by vocabulary, with no external model anywhere;
+  *   quality decile = C15's corpus-relative decile paint.
+  *
+  * Output: (cell, decile, n_docs, n_tokens) — the two-axis census a
+  * mix designer reads to see WHERE the token mass sits (is the
+  * low-quality mass concentrated in one content cluster — excise it —
+  * or smeared everywhere — reweight instead), and the denominator
+  * frame for H6-style per-cell mixing.
+  *
+  * Pure composition of oracle-checked machinery (the D17/D18
+  * discipline — every stage reuses the standalone row's own fragment,
+  * so composition cannot drift): E9's sparse-embedding CTEs →
+  * unit-normalized DOUBLE vectors → E14's chained-CTE Lloyd replay
+  * (the SAME sqlKmeansCtes fragment, k=8, 2 iterations) → C15's
+  * decile CTEs → one integer cross-tab. The whole trained pipeline —
+  * embedding, EVERY k-means iteration, assignment, decile thresholds,
+  * census — hashes against DuckDB in one row.
+  *
+  * Unit normalization is load-bearing twice: (a) k-means on raw
+  * bag-of-words vectors clusters by document LENGTH (norm dominates
+  * distance — the standard tf vs tf-direction mistake); (b) it bounds
+  * d2 ≤ 4, inside the E14 packed-argmin's 2^41 quantization domain,
+  * where raw counts would overflow it. The vectors stay DOUBLE from
+  * the exact integer q's (never float — a float round-trip would
+  * diverge from DuckDB's double chain); zero vectors (wordless docs)
+  * stay zero and assign deterministically like any other point.
+  *
+  * Scale shape: E9's one explode + (doc, dim) agg; 2 Lloyd passes
+  * (broadcast centroids, packed argmin — nothing shuffles but
+  * (vec_id, cell)); C15's bounded-histogram decile paint; one
+  * map-side-combinable cross-tab on ≤ k×10 keys. At 100 TB: fit the
+  * cells on a sample ([[KMeansLloyd.kmeans]]'s fitFraction) and
+  * assign the full corpus — the census itself never moves text.
+  */
+object CorpusMap {
+
+  /** Census defaults, shared with the oracle so they cannot drift. */
+  val MapDims = 16
+  val MapCells = 8
+  val MapIters = 2
+
+  /** Unit-normalized DOUBLE doc vectors from E9's sparse embedding —
+    * (vec_id, embedding array<double>); wordless docs are zero
+    * vectors (normalization guarded). */
+  private[graft] def unitDocVectors(docs: DataFrame, dims: Int): DataFrame = {
+    val sparse = DocEmbed.docEmbedSparse(docs, dims)
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("q")))).as("m"))
+    val raw = docs.select(col("doc_id"))
+      .join(sparse, Seq("doc_id"), "left")
+      .select(col("doc_id").as("vec_id"),
+        transform(sequence(lit(0L), lit(dims - 1L)),
+          i => coalesce(element_at(col("m"), i), lit(0L)).cast("double"))
+          .as("raw"))
+    raw.select(col("vec_id"),
+      aggregate(col("raw"), lit(0.0), (acc, x) => acc + x * x).as("n2"),
+      col("raw"))
+      .select(col("vec_id"),
+        when(col("n2") === 0.0, col("raw"))
+          .otherwise(transform(col("raw"), x => x / sqrt(col("n2"))))
+          .as("embedding"))
+  }
+
+  /** The corpus-map census: (cell, decile, n_docs, n_tokens). */
+  def corpusMap(
+      docs: DataFrame,
+      dims: Int = MapDims,
+      cells: Int = MapCells,
+      iters: Int = MapIters): DataFrame = {
+    val assigned = KMeansLloyd.assignments(
+      unitDocVectors(docs, dims), k = cells, iters = iters)
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    val deciles = TextAnalysis.qualityDeciles(docs)
+      .select(col("doc_id"), col("decile"))
+    val toks = docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("n"))
+    assigned.join(deciles, "doc_id").join(toks, "doc_id")
+      .groupBy("cell", "decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .orderBy("cell", "decile")
+  }
+
+  val qCorpusMap: Q = Q(
+    "q_corpus_map",
+    (s, d) => corpusMap(Tables.documents(s, d)),
+    Some(s"""WITH ${DocEmbed.sqlDocEmbedSparseCtes("documents", MapDims)},
+      mm AS (
+        SELECT doc_id,
+          map_from_entries(list(struct_pack(k := dim, v := q))) AS m
+        FROM esp GROUP BY doc_id),
+      vraw AS (
+        SELECT d.doc_id AS vec_id,
+          list_transform(range(0, $MapDims),
+            i -> CAST(coalesce(map_extract(m, i)[1], 0) AS DOUBLE)) AS raw
+        FROM documents d LEFT JOIN mm ON d.doc_id = mm.doc_id),
+      v AS MATERIALIZED (
+        SELECT vec_id,
+          CASE WHEN n2 = 0.0 THEN raw
+            ELSE list_transform(raw, x -> x / sqrt(n2)) END AS embedding
+        FROM (SELECT vec_id, raw,
+            list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(raw, x -> x * x)), (a, b) -> a + b) AS n2
+          FROM vraw) z),
+      ${KMeansLloyd.sqlKmeansCtes(MapCells, MapIters)},
+      ${TextAnalysis.sqlDecileCtes("documents")},
+      tok AS (SELECT doc_id,
+          CAST(len(list_filter(${sqlWords("text")}, t -> t <> '')) AS BIGINT) AS n
+        FROM documents)
+      SELECT a.cell, dd.decile,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(t.n) AS BIGINT) AS n_tokens
+      FROM asg$MapIters a
+      JOIN deciles dd ON a.vec_id = dd.doc_id
+      JOIN tok t ON a.vec_id = t.doc_id
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
+  val all: Seq[Q] = Seq(qCorpusMap)
+}

@@ -77,17 +77,46 @@ object KMeansLloyd {
     val v = Similarity.fitFrame(
       embeddings.select(col("vec_id"), col("embedding")),
       fitFraction, 0L, k, "kmeans")
+    val (cents, _, lastCounts) = fitLoop(v, k, iters)
+    Similarity.releaseFitFrame(v, fitFraction)
+    cents.flatMap { case (cId, emb) =>
+      emb.zipWithIndex.map { case (c, d) =>
+        (cId, d.toLong, lastCounts.getOrElse(cId, 0L), c)
+      }
+    }.toDF("c_id", "dim", "n_vecs", "centroid")
+      .orderBy("c_id", "dim")
+  }
+
+  /** Per-vector cell assignment of the fitted model — `(vec_id, cell)`
+    * from the LAST iteration's assignment (the one that produced the
+    * final centroids and the model's n_vecs — the same convention the
+    * oracle's asg$iters CTE replays). The corpus-map census (I12)
+    * consumes this; [[kmeans]] itself returns the model. */
+  def assignments(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val v = embeddings.select(col("vec_id"), col("embedding"))
+    fitLoop(v, k, iters)._2
+  }
+
+  /** The Lloyd loop shared by [[kmeans]] and [[assignments]]:
+    * (final centroids, last-iteration assignment frame, last counts).
+    * Accepts float OR double embedding arrays (both cast to double in
+    * the distance chain — the corpus-map path feeds exact-integer-
+    * derived unit DOUBLE vectors, the E14 row the parquet floats). */
+  private def fitLoop(v: DataFrame, k: Int, iters: Int)
+      : (Seq[(Long, Array[Double])], DataFrame, Map[Long, Long]) = {
+    val spark = v.sparkSession
+    import spark.implicits._
     // init: the k smallest vec_ids, re-keyed dense (correct on any id
     // space — the D15 rank lesson), components as exact doubles
     val initRows = v.orderBy(col("vec_id")).limit(k)
       .collect().sortBy(_.getLong(0)).zipWithIndex
       .map { case (r, i) =>
-        (i.toLong, r.getSeq[Float](1).map(_.toDouble).toArray)
+        (i.toLong, r.getSeq[Number](1).map(_.doubleValue()).toArray)
       }.toSeq
     require(initRows.nonEmpty, "kmeans: empty input")
-    val dims = initRows.head._2.length
 
     var cents: Seq[(Long, Array[Double])] = initRows
+    var lastAssigned: DataFrame = null
     var lastCounts: Map[Long, Long] = Map.empty
     for (_ <- 1 to iters) {
       val centsDf = cents.toDF("c_id", "c_emb")
@@ -108,6 +137,7 @@ object KMeansLloyd {
         .groupBy("vec_id")
         .agg(min(packed).as("p"))
         .select(col("vec_id"), pmod(col("p"), lit(1L << 21)).as("cell"))
+      lastAssigned = assigned
       // E5 fixed-point update: quantize once, integer-sum per
       // (cell, dim) — one collect of the k×dims model frame
       val sums = v.join(assigned, Seq("vec_id"))
@@ -132,13 +162,7 @@ object KMeansLloyd {
         }
       }
     }
-    Similarity.releaseFitFrame(v, fitFraction)
-    cents.flatMap { case (cId, emb) =>
-      emb.zipWithIndex.map { case (c, d) =>
-        (cId, d.toLong, lastCounts.getOrElse(cId, 0L), c)
-      }
-    }.toDF("c_id", "dim", "n_vecs", "centroid")
-      .orderBy("c_id", "dim")
+    (cents, lastAssigned, lastCounts)
   }
 
   /** The fit replayed in SQL: chained CTEs per iteration — assignment
@@ -146,7 +170,24 @@ object KMeansLloyd {
     * fixed-point sums, centroid update with empty-cluster carry —
     * ending in the long-format model. MATERIALIZED (the D24 lesson:
     * default inlining re-expands the chain exponentially). */
-  private def sqlKmeans(k: Int, iters: Int): String = {
+  private def sqlKmeans(k: Int, iters: Int): String =
+    s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+      ${sqlKmeansCtes(k, iters)},
+      counts AS (SELECT cell, count(*) AS n_vecs FROM asg$iters GROUP BY 1)
+      SELECT c.c_id, CAST(d.i - 1 AS BIGINT) AS dim,
+        CAST(coalesce(n.n_vecs, 0) AS BIGINT) AS n_vecs,
+        c.c_emb[d.i] AS centroid
+      FROM cents$iters c
+      CROSS JOIN (SELECT unnest(range(1, (SELECT len(c_emb) FROM cents$iters LIMIT 1) + 1)) AS i) d
+      LEFT JOIN counts n ON c.c_id = n.cell
+      ORDER BY c_id, dim"""
+
+  /** The fit replayed as CTE fragments over an upstream CTE
+    * `v (vec_id, embedding)` — cents0..cents$iters and asg1..asg$iters
+    * (asg$iters = the final assignment [[assignments]] returns).
+    * Shared by the E14 row and the I12 corpus-map composition (the
+    * D17 technique: one fragment, consumers cannot drift). */
+  private[queries] def sqlKmeansCtes(k: Int, iters: Int): String = {
     val d2 = """list_reduce(list_prepend(0.0::DOUBLE,
         list_transform(range(1, len(v.embedding) + 1),
           i -> (v.embedding[i]::DOUBLE - c.c_emb[i])
@@ -177,20 +218,11 @@ object KMeansLloyd {
                 ORDER BY dim) AS by_dim
             FROM sums$t GROUP BY cell) m ON p.c_id = m.cell)"""
     }.mkString(",\n      ")
-    s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
-      cents0 AS MATERIALIZED (
+    s"""cents0 AS MATERIALIZED (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c_id,
           list_transform(embedding, x -> x::DOUBLE) AS c_emb
         FROM (SELECT vec_id, embedding FROM v ORDER BY vec_id LIMIT $k) s),
-      $its,
-      counts AS (SELECT cell, count(*) AS n_vecs FROM asg$iters GROUP BY 1)
-      SELECT c.c_id, CAST(d.i - 1 AS BIGINT) AS dim,
-        CAST(coalesce(n.n_vecs, 0) AS BIGINT) AS n_vecs,
-        c.c_emb[d.i] AS centroid
-      FROM cents$iters c
-      CROSS JOIN (SELECT unnest(range(1, (SELECT len(c_emb) FROM cents$iters LIMIT 1) + 1)) AS i) d
-      LEFT JOIN counts n ON c.c_id = n.cell
-      ORDER BY c_id, dim"""
+      $its"""
   }
 
   val qKmeans: Q = Q(
