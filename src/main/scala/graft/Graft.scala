@@ -341,12 +341,15 @@ object Graft {
     * corpus's own E9 embeddings) × quality-decile (C15) grid, with doc
     * and token mass per cell — the data-cartography census behind mix
     * design ([[graft.queries.CorpusMap.corpusMap]]).
-    * Eager: the iters Lloyd passes run before this call returns. */
+    * Eager: the iters Lloyd passes run before this call returns.
+    * `fitFraction` < 1 = sample-fit Lloyd + full-corpus assign (the
+    * 100 TB path). */
   def corpusMap(docs: DataFrame,
       dims: Int = queries.CorpusMap.MapDims,
       cells: Int = queries.CorpusMap.MapCells,
-      iters: Int = queries.CorpusMap.MapIters): DataFrame =
-    queries.CorpusMap.corpusMap(docs, dims, cells, iters)
+      iters: Int = queries.CorpusMap.MapIters,
+      fitFraction: Double = 1.0): DataFrame =
+    queries.CorpusMap.corpusMap(docs, dims, cells, iters, fitFraction)
   /** Hard-negative mining for contrastive training: per query, the
     * top-k most similar DIFFERENT-label vectors, candidates bounded by
     * IVF cell probing ([[graft.queries.Similarity.hardNegatives]]). */

@@ -868,9 +868,27 @@ object ScaleProbe {
     // floor dominates both builds), so a GC pause or co-tenant spike
     // could flip a raw comparison and abort the whole probe on a run
     // where the fit-scan saving is real — the same reason every other
-    // timing gate in this file keeps a several-x margin
-    assert(tPqBs <= 1.5 * tPqB,
-      f"sample-fit build ($tPqBs%.1f s) > 1.5x the full fit ($tPqB%.1f s) — the draw isn't cutting the fit scans")
+    // timing gate in this file keeps a several-x margin. And ONE
+    // isolated re-time before failing (the Bench suspect-row policy,
+    // advisor r13): with only ~1.3x measured headroom, a single
+    // co-tenant spike on the sampled build could still breach 1.5x —
+    // take the min of two timings so a one-off spike can't abort the
+    // whole 1M-vector probe.
+    val tPqBsBest =
+      if (tPqBs <= 1.5 * tPqB) tPqBs
+      else {
+        val (idx2, t2) = time {
+          val i = graft.queries.Similarity.buildPqIndex(
+            emb, cells = 100, m = 4, ksub = 16, dims = vDims, fitFraction = 0.01)
+          i.index.count()
+          i
+        }
+        idx2.release()
+        println(f"PQ sample-fit retime $nVec%9d vecs  $t2%7.1f s  (first timing $tPqBs%.1f s breached the 1.5x gate)")
+        math.min(tPqBs, t2)
+      }
+    assert(tPqBsBest <= 1.5 * tPqB,
+      f"sample-fit build ($tPqBsBest%.1f s best-of-2) > 1.5x the full fit ($tPqB%.1f s) — the draw isn't cutting the fit scans")
     println(f"sample-fit census    ${"check"}%9s       0.95 floor held at fitFraction=0.01  PASS")
     sRes.unpersist()
     sIdx.release()

@@ -42,8 +42,10 @@ import org.apache.spark.sql.functions._
   * (broadcast centroids, packed argmin — nothing shuffles but
   * (vec_id, cell)); C15's bounded-histogram decile paint; one
   * map-side-combinable cross-tab on ≤ k×10 keys. At 100 TB: fit the
-  * cells on a sample ([[KMeansLloyd.kmeans]]'s fitFraction) and
-  * assign the full corpus — the census itself never moves text.
+  * cells on a sample and assign the full corpus — `fitFraction` < 1
+  * threads to [[KMeansLloyd.assignments]], which runs the whole Lloyd
+  * fit on the seeded draw and then assigns EVERY doc once under the
+  * final centroids — the census itself never moves text.
   */
 object CorpusMap {
 
@@ -74,14 +76,18 @@ object CorpusMap {
           .as("embedding"))
   }
 
-  /** The corpus-map census: (cell, decile, n_docs, n_tokens). */
+  /** The corpus-map census: (cell, decile, n_docs, n_tokens).
+    * `fitFraction` < 1 = the 100 TB fit path (sample-fit Lloyd, full
+    * assign — see the class doc); the oracle row runs the full fit. */
   def corpusMap(
       docs: DataFrame,
       dims: Int = MapDims,
       cells: Int = MapCells,
-      iters: Int = MapIters): DataFrame = {
+      iters: Int = MapIters,
+      fitFraction: Double = 1.0): DataFrame = {
     val assigned = KMeansLloyd.assignments(
-      unitDocVectors(docs, dims), k = cells, iters = iters)
+      unitDocVectors(docs, dims), k = cells, iters = iters,
+      fitFraction = fitFraction)
       .select(col("vec_id").as("doc_id"), col("cell"))
     val deciles = TextAnalysis.qualityDeciles(docs)
       .select(col("doc_id"), col("decile"))

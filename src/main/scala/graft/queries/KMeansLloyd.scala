@@ -91,10 +91,37 @@ object KMeansLloyd {
     * from the LAST iteration's assignment (the one that produced the
     * final centroids and the model's n_vecs — the same convention the
     * oracle's asg$iters CTE replays). The corpus-map census (I12)
-    * consumes this; [[kmeans]] itself returns the model. */
-  def assignments(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    * consumes this; [[kmeans]] itself returns the model.
+    *
+    * `fitFraction` < 1 is the 100 TB path the corpus-map doc promises:
+    * the WHOLE Lloyd fit (init + every iteration) runs on the seeded
+    * deterministic draw ([[Similarity.fitFrame]] — same guards, same
+    * reproducibility argument), then EVERY vector is assigned once
+    * under the FINAL centroids (one broadcast-argmin pass — the only
+    * stage that must see the full corpus). At the default 1.0 the
+    * returned frame is bit-identical to the oracle's asg$iters CTE;
+    * under a sample fit the full-corpus assignment uses cents$iters
+    * (the fitted model), the standard fit-on-sample/assign-everything
+    * convention — SampleFitSpec pins sample==prefiltered-frame
+    * equality of the model itself. */
+  def assignments(
+      embeddings: DataFrame,
+      k: Int = 8,
+      iters: Int = 3,
+      fitFraction: Double = 1.0): DataFrame = {
+    // the kmeans() guards, mirrored: a k past the 2^21 packed-argmin
+    // domain silently corrupts cell ids via pmod collisions, and
+    // iters = 0 would return the null lastAssigned frame (advisor r13)
+    require(k > 0 && k < (1 << 21) - 1, s"k must be in [1, 2^21), got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     val v = embeddings.select(col("vec_id"), col("embedding"))
-    fitLoop(v, k, iters)._2
+    if (fitFraction >= 1.0) fitLoop(v, k, iters)._2
+    else {
+      val s = Similarity.fitFrame(v, fitFraction, 0L, k, "kmeansAssign")
+      val (cents, _, _) = fitLoop(s, k, iters)
+      Similarity.releaseFitFrame(s, fitFraction)
+      assignStep(v, cents)
+    }
   }
 
   /** The Lloyd loop shared by [[kmeans]] and [[assignments]]:
@@ -119,24 +146,7 @@ object KMeansLloyd {
     var lastAssigned: DataFrame = null
     var lastCounts: Map[Long, Long] = Map.empty
     for (_ <- 1 to iters) {
-      val centsDf = cents.toDF("c_id", "c_emb")
-      // fixed-shape d2 = Σ (x − c)², strict left fold — the
-      // codeColFor chain, replayed verbatim by the oracle
-      val d2 = aggregate(
-        zip_with(col("embedding"), col("c_emb"),
-          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-        lit(0.0), (acc, x) => acc + x)
-      val domain = coalesce(
-        assert_true(d2 * lit(DQ) < lit((1L << 41).toDouble),
-          lit("kmeans: squared distance exceeds the 2^41 packing domain " +
-            "— normalize or rescale the embeddings")).cast("long"),
-        lit(0L))
-      val packed = (round(d2 * lit(DQ)).cast("long") * (1L << 21)) +
-        col("c_id") + domain
-      val assigned = v.join(broadcast(centsDf), lit(true))
-        .groupBy("vec_id")
-        .agg(min(packed).as("p"))
-        .select(col("vec_id"), pmod(col("p"), lit(1L << 21)).as("cell"))
+      val assigned = assignStep(v, cents)
       lastAssigned = assigned
       // E5 fixed-point update: quantize once, integer-sum per
       // (cell, dim) — one collect of the k×dims model frame
@@ -163,6 +173,35 @@ object KMeansLloyd {
       }
     }
     (cents, lastAssigned, lastCounts)
+  }
+
+  /** One assignment pass: nearest centroid by the fixed-shape IEEE d2
+    * chain, argmin as the packed-long map-side `min` (quantized-distance
+    * ties to the smaller c_id — the oracle's ORDER BY, verbatim). Shared
+    * by every [[fitLoop]] iteration and the sample-fit full-corpus
+    * assign in [[assignments]], so the two paths cannot drift. */
+  private def assignStep(
+      v: DataFrame, cents: Seq[(Long, Array[Double])]): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val centsDf = cents.toDF("c_id", "c_emb")
+    // fixed-shape d2 = Σ (x − c)², strict left fold — the
+    // codeColFor chain, replayed verbatim by the oracle
+    val d2 = aggregate(
+      zip_with(col("embedding"), col("c_emb"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, x) => acc + x)
+    val domain = coalesce(
+      assert_true(d2 * lit(DQ) < lit((1L << 41).toDouble),
+        lit("kmeans: squared distance exceeds the 2^41 packing domain " +
+          "— normalize or rescale the embeddings")).cast("long"),
+      lit(0L))
+    val packed = (round(d2 * lit(DQ)).cast("long") * (1L << 21)) +
+      col("c_id") + domain
+    v.join(broadcast(centsDf), lit(true))
+      .groupBy("vec_id")
+      .agg(min(packed).as("p"))
+      .select(col("vec_id"), pmod(col("p"), lit(1L << 21)).as("cell"))
   }
 
   /** The fit replayed in SQL: chained CTEs per iteration — assignment

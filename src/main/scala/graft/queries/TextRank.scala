@@ -3,7 +3,6 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** C24 — TextRank keyword extraction (Mihalcea & Tarau EMNLP'04):
@@ -21,11 +20,12 @@ import org.apache.spark.sql.functions._
   * Scale shape: positions join within a doc-keyed co-partitioned
   * self-join (residual on the position window — the G8 pattern), edges
   * distinct on word-id pairs, then the PageRank rounds on a
-  * vocabulary-sized graph. The word→id map is ONE row_number over the
-  * sorted distinct vocabulary — a domain-sized single-partition sort
-  * (the I3/I8 key-space contract: vocabularies are bounded; the corpus
-  * is not). Output: the top `k` terms by rank, integer micro-rank
-  * units.
+  * vocabulary-sized graph. The word→id map is the H10 distributed
+  * prefix sum over the distinct vocabulary (range exchange + counting
+  * + broadcast offsets — no single-partition sort anywhere: the
+  * vocabulary grows with the corpus, unlike the bounded key spaces
+  * the I3/I8 windows ride). Output: the top `k` terms by rank,
+  * integer micro-rank units.
   */
 object TextRank {
 
@@ -49,9 +49,18 @@ object TextRank {
     val toks = docs
       .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
       .filter(col("w") =!= "")
-    val vocab = toks.select(col("w")).distinct()
-      .withColumn("wid",
-        row_number().over(Window.orderBy(col("w"))).cast("long") - 1L)
+    // dense ids via the H10 distributed prefix sum (range exchange +
+    // per-partition counting + broadcast offsets), NOT a row_number
+    // over an unpartitioned window: unlike the other global windows
+    // here (all parameter- or histogram-bounded), the distinct
+    // vocabulary GROWS with the corpus (~10^8+ grams at 100×) and a
+    // single-partition sort over it is the one task the plan cannot
+    // widen (r13 verdict). Ids are identical to the oracle's
+    // row_number() OVER (ORDER BY w) - 1 — the window IS the oracle.
+    val vocab = graft.ops.ScaleOps.prefixSum(
+        toks.select(col("w")).distinct().withColumn("one", lit(1L)),
+        "w", "one", "wid")
+      .select(col("w"), (col("wid") - 1L).as("wid"))
     val a = toks.select(col("doc_id"), col("pos").as("pa"), col("w").as("wa"))
     val b = toks.select(col("doc_id"), col("pos").as("pb"), col("w").as("wb"))
     val pairs = a.join(b, Seq("doc_id"))

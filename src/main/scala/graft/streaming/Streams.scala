@@ -647,8 +647,10 @@ object Streams {
     *
     * Like the batch row, an undersized width only inflates estimates
     * and therefore the candidate set — triage gets noisier, never
-    * blind. Docs sharing a doc_id with DIFFERENT text: first delivery
-    * wins (the stream-dedup contract). */
+    * blind. Docs sharing a doc_id with DIFFERENT text: first delivered
+    * BATCH wins (the stream-dedup contract); within one micro-batch
+    * the min-gram-hash row wins — a pure function of content, never
+    * of shuffle order. */
   def heavyHittersStream(
       docs: DataFrame,
       minCount: Long,
@@ -679,7 +681,16 @@ object Streams {
       if (state.exists) Iterator.empty
       else {
         state.update(true)
-        if (rows.hasNext) rows.next()._2.iterator else Iterator.empty
+        // two same-id rows with DIFFERENT text in one micro-batch:
+        // within-group iterator order under flatMapGroupsWithState is
+        // shuffle-dependent, so "first in iterator order" would be
+        // nondeterministic (advisor r13). Pick by min ordered gram
+        // hash — a pure function of content, so "first delivery wins"
+        // is well-defined even intra-batch.
+        val all = rows.toArray
+        if (all.isEmpty) Iterator.empty
+        else all.minBy(r =>
+          scala.util.hashing.MurmurHash3.orderedHash(r._2))._2.iterator
       }
     def shardUpdate(shard: Long, rows: Iterator[String],
         state: GroupState[HhShardState]): Iterator[HhShardOut] = {

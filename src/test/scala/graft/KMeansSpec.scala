@@ -67,4 +67,40 @@ class KMeansSpec extends SparkSpec {
     val d = KMeansLloyd.kmeans(df(rows), k = 2, iters = 5).collect().map(_.toSeq)
     assert(c.toSeq == d.toSeq, "converged fit must be a fixed point")
   }
+
+  test("assignments() enforces the kmeans() guards (advisor r13)") {
+    val rows = Seq(0L -> Seq(0.0f, 0.2f), 1L -> Seq(10.0f, 9.8f))
+    // k past the 2^21 packed-argmin domain would silently corrupt
+    // cell ids via pmod collisions; iters = 0 would NPE on the null
+    // lastAssigned frame — both must fail loudly at the boundary
+    intercept[IllegalArgumentException] {
+      KMeansLloyd.assignments(df(rows), k = 1 << 21, iters = 1)
+    }
+    intercept[IllegalArgumentException] {
+      KMeansLloyd.assignments(df(rows), k = 2, iters = 0)
+    }
+  }
+
+  test("sample-fit assignments: full fit on the drawn half, every vector assigned") {
+    // 40 vectors in two tight planted groups; fitFraction = 0.5 draws
+    // a seeded subset, the fit still separates the groups, and the
+    // full-corpus assign places EVERY vector (sampled or not) with
+    // its own group's members — and is partitioning-invariant.
+    val rows = (0L until 40L).map { i =>
+      if (i % 2 == 0) i -> Seq(0.0f + (i % 5) * 0.01f, 0.1f)
+      else i -> Seq(10.0f + (i % 5) * 0.01f, 9.9f)
+    }
+    val asg = KMeansLloyd.assignments(df(rows), k = 2, iters = 3,
+        fitFraction = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asg.size == 40, s"every vector must be assigned, got ${asg.size}")
+    val cellsA = (0L until 40L by 2).map(asg).toSet
+    val cellsB = (1L until 40L by 2).map(asg).toSet
+    assert(cellsA.size == 1 && cellsB.size == 1 && cellsA != cellsB,
+      s"planted groups must land in distinct single cells: A=$cellsA B=$cellsB")
+    val asg2 = KMeansLloyd.assignments(df(rows).repartition(7), k = 2,
+        iters = 3, fitFraction = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asg == asg2, "sample-fit assignment must be partitioning-invariant")
+  }
 }
