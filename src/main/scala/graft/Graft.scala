@@ -350,6 +350,19 @@ object Graft {
       iters: Int = queries.CorpusMap.MapIters,
       fitFraction: Double = 1.0): DataFrame =
     queries.CorpusMap.corpusMap(docs, dims, cells, iters, fitFraction)
+  /** Per-cell mixing — the corpus map's consumer: deterministically
+    * downsample each (content cell × quality decile) group toward a
+    * target token share (uniform by default; pass `targets`
+    * (cell, decile, share) for designed mixes). Returns the per-doc
+    * frame with rate + keep ([[graft.queries.CellMix.cellMix]]).
+    * Eager: runs the census's Lloyd passes at call time. */
+  def cellMix(docs: DataFrame,
+      dims: Int = queries.CorpusMap.MapDims,
+      cells: Int = queries.CorpusMap.MapCells,
+      iters: Int = queries.CorpusMap.MapIters,
+      fitFraction: Double = 1.0,
+      targets: Option[DataFrame] = None): DataFrame =
+    queries.CellMix.cellMix(docs, dims, cells, iters, fitFraction, targets)
   /** Hard-negative mining for contrastive training: per query, the
     * top-k most similar DIFFERENT-label vectors, candidates bounded by
     * IVF cell probing ([[graft.queries.Similarity.hardNegatives]]). */

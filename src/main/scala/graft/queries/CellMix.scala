@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Shards.{ScrambleA, ScrambleP}
+
+/** H15 — per-cell mixing: the consumer the I12 corpus map exists for
+  * (the r13 verdict's named gap: "I12's census has no consumer").
+  * H6's domain mixer rebalances token mass across a COLUMN group
+  * (lang, source); this one rebalances across the corpus map's OWN
+  * two-axis grid — (content cell × quality decile) — so a mix
+  * designer can act on the census directly: downsample the
+  * over-represented (cell, decile) combinations toward a target token
+  * share, with NO metadata column required (the grid is learned from
+  * the corpus's own embeddings + quality scores).
+  *
+  * Targets: by default each observed (cell, decile) group gets a
+  * uniform token share (the H6 convention — target = t_tokens / k);
+  * callers pass a `targets` frame (cell, decile, share) for designed
+  * mixes (e.g. "give decile-9 cells 3× their natural share"). A
+  * group's keep-rate is min(1, target_tokens / g_tokens) and each
+  * doc's keep/drop draw is the portable LCG scramble every sampler
+  * here uses — reproducible run to run and engine to engine, no RNG
+  * state anywhere. Rates only DOWN-sample (the H6 contract); shares
+  * that imply up-sampling clamp at 1.0 (epochs handle repetition —
+  * the H13 curriculum's job, not the mixer's).
+  *
+  * Determinism: rates are a fixed sequence of IEEE ops over exact
+  * integer stats; the keep test compares the integer scramble
+  * (< 2^30, exact as a double) against rate·P — the H6 argument,
+  * verbatim.
+  *
+  * Scale shape: the (cell, decile) placement is I12's docCells frame
+  * (broadcast-centroid assignment + bounded-histogram deciles — text
+  * never shuffles); group stats are one map-side-combinable agg over
+  * ≤ cells×10 keys; the rate frame broadcasts back onto a pure
+  * map-filter. The mixer adds NO corpus-wide shuffle beyond what the
+  * census itself runs. At 100 TB: `fitFraction` < 1 sample-fits the
+  * cells (the I12 path) and everything downstream is map-side.
+  */
+object CellMix {
+
+  /** Per-doc mix frame: (doc_id, cell, decile, n_tokens, rate, keep).
+    * `targets` = (cell, decile, share) rows with share summing to ~1
+    * over the groups the caller wants kept; groups absent from a
+    * supplied `targets` frame get share 0 (dropped entirely) — the
+    * excision arm of the census's "excise it or reweight it" read. */
+  def cellMix(
+      docs: DataFrame,
+      dims: Int = CorpusMap.MapDims,
+      cells: Int = CorpusMap.MapCells,
+      iters: Int = CorpusMap.MapIters,
+      fitFraction: Double = 1.0,
+      targets: Option[DataFrame] = None): DataFrame = {
+    val per = CorpusMap.docCells(docs, dims, cells, iters, fitFraction)
+      .withColumn("scramble",
+        (((col("doc_id") % ScrambleP) * ScrambleA) % ScrambleP)
+          .cast("double"))
+    val gstats = per.groupBy("cell", "decile")
+      .agg(sum(col("n_tokens")).as("g_tokens"))
+    // windows over the ≤ cells×10-row stats frame only (the H6
+    // bounded-window argument), never the corpus
+    val w = Window.partitionBy()
+    val rated = targets match {
+      case None =>
+        gstats
+          .withColumn("k", count(lit(1)).over(w))
+          .withColumn("t_tokens", sum(col("g_tokens")).over(w))
+          .withColumn("rate", least(lit(1.0),
+            (col("t_tokens").cast("double") *
+              (lit(1.0) / col("k").cast("double"))) /
+              col("g_tokens").cast("double")))
+          .select(col("cell"), col("decile"), col("rate"))
+      case Some(t) =>
+        gstats
+          .withColumn("t_tokens", sum(col("g_tokens")).over(w))
+          .join(broadcast(t.select(col("cell"), col("decile"),
+            col("share").cast("double").as("share"))),
+            Seq("cell", "decile"), "left")
+          .withColumn("rate", least(lit(1.0),
+            (col("t_tokens").cast("double") *
+              coalesce(col("share"), lit(0.0))) /
+              col("g_tokens").cast("double")))
+          .select(col("cell"), col("decile"), col("rate"))
+    }
+    per.join(broadcast(rated), Seq("cell", "decile"))
+      .withColumn("keep",
+        col("scramble") < col("rate") * lit(ScrambleP.toDouble))
+      .select(col("doc_id"), col("cell"), col("decile"), col("n_tokens"),
+        col("rate"), col("keep"))
+  }
+
+  /** The driver row: the uniform-target mix summarized per grid group
+    * — before/after doc and token mass plus the applied rate, the
+    * frame a mix designer diffs against the census. */
+  val qCellMix: Q = Q(
+    "q_cell_mix",
+    (s, d) => cellMix(Tables.documents(s, d))
+      .groupBy("cell", "decile")
+      .agg(count(lit(1)).as("n_before"),
+        sum(col("n_tokens")).as("tok_before"),
+        min(col("rate")).as("rate"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_after"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("tok_after"))
+      .orderBy("cell", "decile"),
+    Some(s"""WITH ${CorpusMap.sqlDocCellCtes},
+      per AS (
+        SELECT doc_id, cell, decile, n_tokens,
+          CAST(((doc_id % $ScrambleP) * $ScrambleA) % $ScrambleP AS DOUBLE)
+            AS scramble
+        FROM doc_cells),
+      g AS (SELECT cell, decile, sum(n_tokens) AS g_tokens
+        FROM per GROUP BY 1, 2),
+      t AS (SELECT count(*) AS k, sum(g_tokens) AS t_tokens FROM g),
+      rated AS (
+        SELECT cell, decile, LEAST(1.0::DOUBLE,
+          (CAST(t_tokens AS DOUBLE) * (1.0::DOUBLE / CAST(k AS DOUBLE)))
+            / CAST(g_tokens AS DOUBLE)) AS rate
+        FROM g CROSS JOIN t)
+      SELECT cell, decile,
+        count(*) AS n_before,
+        CAST(sum(n_tokens) AS BIGINT) AS tok_before,
+        min(rate) AS rate,
+        CAST(sum(CASE WHEN scramble < rate * $ScrambleP.0::DOUBLE
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+        CAST(sum(CASE WHEN scramble < rate * $ScrambleP.0::DOUBLE
+          THEN n_tokens ELSE 0 END) AS BIGINT) AS tok_after
+      FROM per JOIN rated USING (cell, decile)
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+}

@@ -76,10 +76,12 @@ object CorpusMap {
           .as("embedding"))
   }
 
-  /** The corpus-map census: (cell, decile, n_docs, n_tokens).
-    * `fitFraction` < 1 = the 100 TB fit path (sample-fit Lloyd, full
-    * assign — see the class doc); the oracle row runs the full fit. */
-  def corpusMap(
+  /** Per-doc placement on the corpus-map grid:
+    * (doc_id, cell, decile, n_tokens) — the shared frame BOTH the
+    * census ([[corpusMap]]) and the per-cell mixer ([[cellMix]])
+    * aggregate, so the two cannot drift (the D17 one-fragment
+    * discipline; [[sqlDocCellCtes]] is its oracle mirror). */
+  private[graft] def docCells(
       docs: DataFrame,
       dims: Int = MapDims,
       cells: Int = MapCells,
@@ -92,17 +94,32 @@ object CorpusMap {
     val deciles = TextAnalysis.qualityDeciles(docs)
       .select(col("doc_id"), col("decile"))
     val toks = docs.select(col("doc_id"),
-      size(words(col("text"))).cast("long").as("n"))
+      size(words(col("text"))).cast("long").as("n_tokens"))
     assigned.join(deciles, "doc_id").join(toks, "doc_id")
-      .groupBy("cell", "decile")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
-      .orderBy("cell", "decile")
+      .select(col("doc_id"), col("cell"), col("decile"), col("n_tokens"))
   }
 
-  val qCorpusMap: Q = Q(
-    "q_corpus_map",
-    (s, d) => corpusMap(Tables.documents(s, d)),
-    Some(s"""WITH ${DocEmbed.sqlDocEmbedSparseCtes("documents", MapDims)},
+  /** The corpus-map census: (cell, decile, n_docs, n_tokens).
+    * `fitFraction` < 1 = the 100 TB fit path (sample-fit Lloyd, full
+    * assign — see the class doc); the oracle row runs the full fit. */
+  def corpusMap(
+      docs: DataFrame,
+      dims: Int = MapDims,
+      cells: Int = MapCells,
+      iters: Int = MapIters,
+      fitFraction: Double = 1.0): DataFrame =
+    docCells(docs, dims, cells, iters, fitFraction)
+      .groupBy("cell", "decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy("cell", "decile")
+
+  /** The oracle mirror of [[docCells]]: every I12 CTE (E9 sparse
+    * embedding → unit vectors → Lloyd replay → deciles → token
+    * counts) ending in `doc_cells (doc_id, cell, decile, n_tokens)` —
+    * the census row and the cell-mix row both select from it, so the
+    * two oracles replay the SAME trained pipeline by construction. */
+  private[graft] def sqlDocCellCtes: String =
+    s"""${DocEmbed.sqlDocEmbedSparseCtes("documents", MapDims)},
       mm AS (
         SELECT doc_id,
           map_from_entries(list(struct_pack(k := dim, v := q))) AS m
@@ -124,15 +141,23 @@ object CorpusMap {
       ${TextAnalysis.sqlDecileCtes("documents")},
       tok AS (SELECT doc_id,
           CAST(len(list_filter(${sqlWords("text")}, t -> t <> '')) AS BIGINT) AS n
-        FROM documents)
-      SELECT a.cell, dd.decile,
+        FROM documents),
+      doc_cells AS MATERIALIZED (
+        SELECT a.vec_id AS doc_id, a.cell, dd.decile, t.n AS n_tokens
+        FROM asg$MapIters a
+        JOIN deciles dd ON a.vec_id = dd.doc_id
+        JOIN tok t ON a.vec_id = t.doc_id)"""
+
+  val qCorpusMap: Q = Q(
+    "q_corpus_map",
+    (s, d) => corpusMap(Tables.documents(s, d)),
+    Some(s"""WITH $sqlDocCellCtes
+      SELECT cell, decile,
         CAST(count(*) AS BIGINT) AS n_docs,
-        CAST(sum(t.n) AS BIGINT) AS n_tokens
-      FROM asg$MapIters a
-      JOIN deciles dd ON a.vec_id = dd.doc_id
-      JOIN tok t ON a.vec_id = t.doc_id
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM doc_cells
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
-  val all: Seq[Q] = Seq(qCorpusMap)
+  val all: Seq[Q] = Seq(qCorpusMap, CellMix.qCellMix)
 }
