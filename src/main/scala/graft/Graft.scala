@@ -202,6 +202,25 @@ object Graft {
     * ([[graft.queries.Dedup.dedupIncrementalMinhash]]). */
   def dedupIncrementalMinhash(incoming: DataFrame, known: DataFrame): DataFrame =
     queries.Dedup.dedupIncrementalMinhash(incoming, known)
+  /** Incremental ExactSubstr AUDIT: the batch's duplicate spans
+    * against lake ∪ batch, lake state = its gram-key artifact, never
+    * text ([[graft.queries.SpanIncremental.dupSpansIncremental]]).
+    * `lake` = (doc_id, text) or a stored (h, keeper) key frame. */
+  def dupSpansIncremental(incoming: DataFrame, lake: DataFrame,
+      n: Int = 5): DataFrame =
+    queries.SpanIncremental.dupSpansIncremental(incoming, lake, n)
+  /** Incremental ExactSubstr REWRITE: the batch excised against
+    * lake ∪ batch under exact union-global keeper semantics
+    * ([[graft.queries.SpanIncremental.exciseSpansIncremental]]). */
+  def exciseSpansIncremental(incoming: DataFrame, lake: DataFrame,
+      n: Int = 5): DataFrame =
+    queries.SpanIncremental.exciseSpansIncremental(incoming, lake, n)
+  /** The span-dedup lake artifact one batch contributes: (gram md5,
+    * first packed occurrence)
+    * ([[graft.queries.SpanIncremental.gramKeyFrame]]; store via
+    * [[graft.sources.Sinks.appendGramKeys]]). */
+  def gramKeyFrame(docs: DataFrame, n: Int = 5): DataFrame =
+    queries.SpanIncremental.gramKeyFrame(docs, n)
   def embeddingDupPairs(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame =
     queries.Similarity.embeddingDupPairs(embeddings, minCosine)
   def embeddingDupPairsLsh(embeddings: DataFrame, minCosine: Double = 0.5): DataFrame =

@@ -580,6 +580,77 @@ object ScaleProbe {
         "keeper rule or span union drifted")
     println(f"excision census      ${"check"}%9s       ${excAgg.getLong(2)} twins each lost exactly tokens 11..20, keepers intact  PASS")
 
+    // INCREMENTAL span dedup (D27) against the same 505k-doc lake: the
+    // lake's state is its gram-key artifact (one-time build, ~24 B/gram,
+    // never text); a 1%-sized "nightly" batch — every 10th doc twinned
+    // with a LAKE doc on tokens 11..20 — is audited AND rewritten
+    // against it. Census: exactly the planted batch twins report the
+    // exact (11, 20, 6) span, the rewrite excises exactly their 10
+    // planted tokens (lake keepers win — lake ids are smaller), and
+    // nothing else anywhere. Cost gate: the batch pass (audit +
+    // rewrite, store probe included) must come in well under the FULL
+    // D14+D16 re-run over the lake measured above — the "nightly cost
+    // scales with the batch, not the lake" claim, asserted.
+    val nBatch = math.max(1000L, nDocs / 100)
+    val batchDf = {
+      val alpha = lit(('a' to 'z').map(_.toString).toArray)
+      def tok(seed: Column, i: Column): Column = {
+        val h = pmod(xxhash64(seed * 64 + i), lit(308915776L)) // 26^6
+        concat((0 until 6).map(d =>
+          element_at(alpha,
+            ((h.divide(lit(math.pow(26, d)))).cast("long") % 26 + 1).cast("int"))): _*)
+      }
+      // seeds 2·nDocs.. are disjoint from the lake's (base 0..nDocs,
+      // twin filler nDocs..2·nDocs), so only the planted runs collide
+      spark.range(nBatch).select((col("id") + 2L * nDocs).as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(30)),
+          i => when(col("id") % 10 === 0 && i >= 11 && i <= 20,
+              tok(col("id"), i))
+            .otherwise(tok(col("id") + 2L * nDocs, i)))).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val nBatchPlanted = (nBatch + 9) / 10
+    batchDf.count()
+    val (lakeKeyDf, tKeys) = time {
+      val kf = Graft.gramKeyFrame(spanDocsDf, n = 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kf.count()
+      kf
+    }
+    println(f"gram-key artifact    $spanTotal%9d docs  $tKeys%7.1f s  ${spanTotal / tKeys}%9.0f docs/s  (one-time lake state build)")
+    val (incSpanAgg, tInc) = time {
+      val a = Graft.dupSpansIncremental(batchDf, lakeKeyDf, n = 5)
+        .agg(count(lit(1)),
+          sum(when(col("span_start") === 11L && col("span_end") === 20L &&
+            col("n_dup_grams") === 6L, 1L).otherwise(0L))).head()
+      val x = Graft.exciseSpansIncremental(batchDf, lakeKeyDf, n = 5)
+        .agg(count(lit(1)), sum(col("n_excised")),
+          sum(when(col("n_excised") === 10L, 1L).otherwise(0L))).head()
+      (a, x)
+    }
+    val (incA, incX) = incSpanAgg
+    println(f"incremental spans    $nBatch%9d docs  $tInc%7.1f s  ${nBatch / tInc}%9.0f docs/s  (${incA.getLong(0)} spans vs $spanTotal-doc lake)")
+    assert(incA.getLong(0) == nBatchPlanted && incA.getLong(1) == nBatchPlanted,
+      s"incremental audit: ${incA.getLong(0)} spans (${incA.getLong(1)} exact) vs $nBatchPlanted planted — missed or phantom")
+    assert(incX.getLong(0) == nBatch &&
+      incX.getLong(1) == 10L * nBatchPlanted && incX.getLong(2) == nBatchPlanted,
+      s"incremental rewrite: ${incX.getLong(0)} rows, ${incX.getLong(1)} excised over ${incX.getLong(2)} docs " +
+        s"vs ${10L * nBatchPlanted} over $nBatchPlanted planted — keeper or span drift")
+    // the cost gate only measures anything once the lake dwarfs the
+    // per-query scheduling floor: at 60k docs the full re-run is
+    // itself ~6 s of mostly fixed job overhead and the 6-job batch
+    // pass cannot undercut it by construction — assert the asymptotic
+    // claim at probe scale, report below it
+    if (nDocs >= 200000) {
+      assert(tInc <= 0.5 * (tDs + tEx),
+        f"incremental batch pass ($tInc%.1f s) not clearly under the full lake re-run (${tDs + tEx}%.1f s) — " +
+          "cost is not scaling with the batch")
+      println(f"incremental census   ${"check"}%9s       $nBatchPlanted twins exact, $tInc%.1f s <= 0.5x full re-run (${tDs + tEx}%.1f s)  PASS")
+    } else
+      println(f"incremental census   ${"check"}%9s       $nBatchPlanted twins exact (cost gate needs nDocs >= 200k; full re-run ${tDs + tEx}%.1f s, batch $tInc%.1f s)  PASS")
+    batchDf.unpersist(blocking = false)
+    lakeKeyDf.unpersist(blocking = false)
+
     // Char-granularity span census (D14b) on the SAME corpus: tokens
     // are 6 chars + separator, so the twins' shared tokens 11..20 are
     // one identical char run [70, 140] (the flanking spaces match

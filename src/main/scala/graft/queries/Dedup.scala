@@ -949,7 +949,7 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
-  private val DupSpanN = 5
+  private[graft] val DupSpanN = 5
 
   /** Char-gram width of [[dupSpansChar]]'s oracle row (the API default
     * stays the paper's 50; the synthetic docs are short). */
@@ -1144,7 +1144,21 @@ object Dedup {
     val nonKeeper = packed.join(keepers, "h")
       .filter(col("occ") =!= col("keeper"))
       .select(col("doc_id"), col("p"))
-    val excised = mergeGramSpans(nonKeeper, n)
+    exciseRebuild(docs, nonKeeper, n)
+  }
+
+  /** The excision TAIL shared by [[exciseSpans]] and the incremental
+    * form ([[SpanIncremental.exciseSpansIncremental]]) — the two
+    * rewrite paths differ only in HOW non-keeper positions are found,
+    * so sharing the span-merge + token rebuild keeps them from
+    * drifting (the D17 one-fragment discipline, Scala-side): merge the
+    * non-keeper gram positions into disjoint maximal spans, explode
+    * the covered token indexes, and reassemble every doc from its
+    * surviving tokens → (doc_id, n_tokens, n_excised, text_clean). */
+  private[queries] def exciseRebuild(
+      docs: DataFrame, nonKeeperPos: DataFrame, n: Int): DataFrame = {
+    val toks = graft.functions.TextFunctions.words(col("text"))
+    val excised = mergeGramSpans(nonKeeperPos, n)
       .select(col("doc_id"),
         explode(sequence(col("span_start"), col("span_end"))).as("t"))
     val tokens = docs
@@ -1228,34 +1242,42 @@ object Dedup {
       SELECT doc_id, n_tokens, n_excised, text_clean
       FROM xout ORDER BY doc_id"""))
 
+  /** Oracle-side CTE chain of [[dupSpans]] parameterized on the source
+    * relation, ending in `j (doc_id, p, grp)` — the grouped-span select
+    * sits in the consuming row. Shared by the standalone D14 row and
+    * the incremental form's oracle ([[SpanIncremental]] — full D14
+    * over the union filtered to batch docs, the D13b losslessness
+    * pattern), so the replayed span pipeline cannot drift. */
+  private[queries] def sqlDupSpanCtes(tbl: String): String = {
+    val sh = sqlShingles("w", DupSpanN)
+    s"""toks AS (
+        SELECT doc_id, list_filter(${sqlWords("text")}, t -> t <> '') AS w
+        FROM $tbl),
+      sh AS (SELECT doc_id, ($sh) AS sh FROM toks),
+      g AS (SELECT doc_id,
+          CAST(generate_subscripts(sh, 1) AS BIGINT) AS p,
+          unnest(list_transform(sh, s -> md5(s))) AS h
+        FROM sh),
+      dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+      d AS (SELECT doc_id, p FROM g JOIN dup USING (h)),
+      i AS (SELECT doc_id, p,
+          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+               > $DupSpanN THEN 1 ELSE 0 END AS newspan
+        FROM d),
+      j AS (SELECT doc_id, p,
+          sum(newspan) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM i)"""
+  }
+
   val qDupSpans: Q = Q(
     "q_dup_spans",
     (s, d) => dupSpans(Tables.documents(s, d), DupSpanN),
-    Some {
-      val sh = sqlShingles("w", DupSpanN)
-      s"""WITH toks AS (
-          SELECT doc_id, list_filter(${sqlWords("text")}, t -> t <> '') AS w
-          FROM documents),
-        sh AS (SELECT doc_id, ($sh) AS sh FROM toks),
-        g AS (SELECT doc_id,
-            CAST(generate_subscripts(sh, 1) AS BIGINT) AS p,
-            unnest(list_transform(sh, s -> md5(s))) AS h
-          FROM sh),
-        dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
-        d AS (SELECT doc_id, p FROM g JOIN dup USING (h)),
-        i AS (SELECT doc_id, p,
-            CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
-                 > $DupSpanN THEN 1 ELSE 0 END AS newspan
-          FROM d),
-        j AS (SELECT doc_id, p,
-            sum(newspan) OVER (PARTITION BY doc_id ORDER BY p) AS grp
-          FROM i)
-        SELECT doc_id, min(p) AS span_start,
-          max(p) + ${DupSpanN - 1} AS span_end,
-          count(*) AS n_dup_grams
-        FROM j GROUP BY doc_id, grp
-        ORDER BY doc_id, span_start"""
-    })
+    Some(s"""WITH ${sqlDupSpanCtes("documents")}
+      SELECT doc_id, min(p) AS span_start,
+        max(p) + ${DupSpanN - 1} AS span_end,
+        count(*) AS n_dup_grams
+      FROM j GROUP BY doc_id, grp
+      ORDER BY doc_id, span_start"""))
 
   /** Default sentence boundary for [[exciseSentenceSpans]]: terminal
     * punctuation followed by whitespace — the C4 posture. */

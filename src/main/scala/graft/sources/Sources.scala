@@ -155,6 +155,35 @@ object Sinks {
   def appendSignatures(docs: DataFrame, dir: String): Unit =
     signatureFrame(docs).write.mode(SaveMode.Append).parquet(dir)
 
+  /** Append one batch's GRAM-KEY rows to the span-dedup key store at
+    * `dir` — the D27 lake artifact: per distinct word-n-gram md5, the
+    * batch-first occurrence as the packed D16 keeper key (~24 B/gram,
+    * never text). Call on each ingested batch (its RAW text — the
+    * lake must remember what it has seen, not what survived) and the
+    * next batch's [[readGramKeys]] is sufficient state for exact
+    * ExactSubstr audit/excision against the whole accumulated lake
+    * ([[graft.queries.SpanIncremental]]). Append-only: a gram seen by
+    * several batches carries one row per batch; readers re-merge by
+    * min. At scale, bucket this store by `h` (bucketBy on write) so
+    * batch probes co-locate, and [[compactParquet]] periodically. */
+  def appendGramKeys(docs: DataFrame, dir: String,
+      n: Int = graft.queries.Dedup.DupSpanN): Unit =
+    graft.queries.SpanIncremental.gramKeyFrame(docs, n)
+      .write.mode(SaveMode.Append).parquet(dir)
+
+  /** The current gram-key store at `dir`, or an empty (h, keeper)
+    * frame when nothing has been appended yet. */
+  def readGramKeys(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("h", StringType, nullable = true),
+      StructField("keeper", LongType, nullable = true)))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   /** The current signature store at `dir`, or an empty frame of the
     * same schema when nothing has been appended yet (the first batch
     * of a fresh lake). */

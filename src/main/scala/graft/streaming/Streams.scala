@@ -1077,6 +1077,48 @@ object Streams {
       }
       .start()
 
+  /** D27's streaming form — ExactSubstr ingest: each arriving
+    * micro-batch is REWRITTEN ([[graft.queries.SpanIncremental
+    * .exciseSpansIncremental]]) against the accumulated gram-key lake
+    * at `storeDir`, then the batch's OWN raw gram keys are appended
+    * ([[graft.sources.Sinks.appendGramKeys]] — the lake remembers what
+    * it has SEEN, not what survived, so a span deleted tonight stays
+    * deleted when its third copy arrives next week), and the cleaned
+    * frame (doc_id, n_tokens, n_excised, text_clean) reaches `each`.
+    * foreachBatch micro-batches run sequentially, so each batch equals
+    * a sequential [[graft.queries.SpanIncremental]] replay — which by
+    * its oracle equals full D14/D16 over everything ingested so far,
+    * restricted to the batch (StreamingSpec pins the chain).
+    *
+    * Exactly-once: a replayed batch re-appends its (h, keeper) rows
+    * with IDENTICAL keepers (the keeper is a pure function of the
+    * batch), readers min-merge the store, and a batch seeing its own
+    * earlier append computes the same rewrite (its own keepers tie and
+    * min-merge away) — the store is idempotent end to end. Compact it
+    * periodically ([[graft.sources.Sinks.compactParquet]]). */
+  def spanIngestStream(
+      docs: DataFrame,
+      storeDir: String,
+      n: Int = graft.queries.Dedup.DupSpanN)(
+      each: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("doc_id"), col("text"))
+        val store = graft.sources.Sinks.readGramKeys(spark, storeDir)
+        val cleaned = graft.queries.SpanIncremental
+          .exciseSpansIncremental(b, store, n)
+          .persist()
+        try {
+          cleaned.count() // materialize BEFORE the append (determinism;
+          // the append-visible race would be idempotent anyway — above)
+          graft.sources.Sinks.appendGramKeys(b, storeDir, n)
+          each(cleaned)
+        } finally { cleaned.unpersist(); () }
+      }
+      .start()
+
   /** One micro-batch of [[ingestStream]] as a batch plan — shared by
     * the stream wrapper and the spec differential. */
   private[graft] def ingestBatch(

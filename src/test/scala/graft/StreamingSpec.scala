@@ -1307,4 +1307,52 @@ class StreamingSpec extends SparkSpec {
       assert(nKept(4L) == 5L, s"javascript line dropped: $nKept")
     } finally query.stop()
   }
+
+  test("spanIngestStream: per-batch rewrites equal full exciseSpans over the lake so far") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // 5-gram phrases: X planted in batches 1 AND 3 (cross-batch catch
+    // through the store), Y repeated WITHIN batch 2
+    val X = "alpha beta gamma delta epsilon"
+    val Y = "one two three four five"
+    val batches = Seq(
+      Seq(StreamingSpec.Doc(1L, s"head pad $X tail marker words"),
+        StreamingSpec.Doc(2L, "nothing shared in this one at all")),
+      Seq(StreamingSpec.Doc(3L, s"lead in $Y mid section $Y done"),
+        StreamingSpec.Doc(4L, "another fully unique document body here")),
+      Seq(StreamingSpec.Doc(5L, s"late copy $X arrives days after")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanstream")
+      .resolve("grams").toString
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    val query = Streams.spanIngestStream(mem.toDF(), dir) { cleaned =>
+      perBatch += cleaned.orderBy("doc_id").collect().map(_.toSeq.toList).toSeq
+    }
+    try {
+      batches.foreach { b =>
+        mem.addData(b: _*)
+        query.processAllAvailable()
+      }
+      // doc 5's X span must be excised CROSS-BATCH (its keeper lives in
+      // batch 1, reachable only through the gram-key store)
+      val late = perBatch(2).head
+      assert(late(2) == 5L, s"doc 5 must lose its 5 X tokens: $late")
+      // and doc 3's in-batch repeat lost its second Y occurrence
+      val d3 = perBatch(1).head
+      assert(d3(2) == 5L, s"doc 3 must lose the repeated Y run: $d3")
+      // the chain differential: each batch equals full D16 over
+      // EVERYTHING ingested so far, restricted to the batch (the D27
+      // oracle argument, replayed across the stream)
+      val expect = batches.indices.map { i =>
+        val soFar = batches.take(i + 1).flatten.toDF()
+          .select(col("doc_id"), col("text"))
+        val ids = batches(i).map(_.doc_id).toSet
+        graft.queries.Dedup.exciseSpans(soFar)
+          .filter(col("doc_id").isin(ids.toSeq: _*))
+          .orderBy("doc_id").collect().map(_.toSeq.toList).toSeq
+      }
+      assert(perBatch.toSeq == expect,
+        s"stream ${perBatch.toSeq} vs full-lake replay $expect")
+    } finally query.stop()
+  }
 }
