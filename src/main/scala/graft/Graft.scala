@@ -109,6 +109,20 @@ object Graft {
     * tables ([[graft.queries.Unigram.tokenizerCompare]]). */
   def tokenizerCompare(docs: DataFrame): DataFrame =
     queries.Unigram.tokenizerCompare(docs)
+  /** UNK-free byte-fallback tokenization (GPT-2 posture): bytes 0..255
+    * own their ids, whitespace runs are first-class tokens, and
+    * decode(encode(text)) == text byte-for-byte on ANY input
+    * ([[graft.queries.ByteTokenizer.tokenizeDocsBytes]]). */
+  def tokenizeDocsBytes(docs: DataFrame,
+      merges: Seq[((String, String), String)] =
+        queries.Tokenizer.FixedMerges): DataFrame =
+    queries.ByteTokenizer.tokenizeDocsBytes(docs, merges)
+  /** Decode byte-fallback ids back to the exact original text
+    * ([[graft.queries.ByteTokenizer.decode]]). */
+  def decodeTokensBytes(tokens: Seq[Int],
+      merges: Seq[((String, String), String)] =
+        queries.Tokenizer.FixedMerges): String =
+    queries.ByteTokenizer.decode(tokens, merges)
   /** Bigram-LM perplexity scoring with CCNet head/middle/tail buckets
     * ([[graft.queries.BigramLm.bigramLm]]). */
   def bigramLm(docs: DataFrame): DataFrame = queries.BigramLm.bigramLm(docs)

@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** C28 — BYTE-FALLBACK tokenization: UNK-free ids that round-trip ANY
+  * input (the GPT-2 posture; the r13 verdict's named gap: C13b's id
+  * table is alphabet+merges and C27 steps OOV chars through UNK 0 —
+  * a production LOADER wants every byte representable so no input is
+  * ever lost or collapsed).
+  *
+  * Id space, fixed forever by the committed merge table:
+  *   0..255   the raw bytes (a byte's token id IS its value);
+  *   256      the run marker [[Tokenizer.EndOfWord]];
+  *   257+rank each merge's output symbol (first rank keeps the id on
+  *            a duplicate string — [[Tokenizer.vocab]]'s rule).
+  *
+  * Pre-tokenization preserves EVERYTHING: text splits into maximal
+  * runs of non-whitespace / whitespace (`\S+|\s+` — the GPT-2 trick
+  * of making separators first-class tokens rather than discarding
+  * them), each run's UTF-8 bytes seed the merge automaton ([a-z]
+  * bytes as their letter symbols — the merge tables' alphabet; every
+  * other byte as a `<0xHH>` symbol that no merge touches), and the
+  * run marker closes each run. decode(encode(text)) == text BYTE FOR
+  * BYTE on any input — adversarial non-ASCII included
+  * (ByteTokenizerSpec) — because every symbol's string maps back to
+  * its exact bytes and run boundaries erase to nothing.
+  *
+  * The merge automaton is [[Tokenizer.mergeLoop]] — the SAME loop
+  * C13b runs, seeded with byte symbols instead of chars, so the two
+  * tokenizers cannot drift on merge semantics; on pure [a-z] words
+  * the encodings coincide (spec-pinned). The oracle replays the whole
+  * path on the ASCII corpus (chars == bytes there): run splitting,
+  * byte-symbol seeding, the H8b recursive-CTE automaton, the 321-row
+  * id table, and run-order reassembly hash in one row.
+  *
+  * Scale shape — the C13/H8b encoder split, unchanged: the automaton
+  * runs once per DISTINCT run (vocabulary-sized typed map, rank + id
+  * tables broadcast; whitespace runs collapse to a handful of
+  * distinct keys), the corpus side is one posexplode + run-key join +
+  * per-doc reassembly agg. The reassembly groupBy is the one
+  * corpus-sized shuffle — the output is a per-doc array, same width
+  * as the text.
+  */
+object ByteTokenizer {
+
+  /** A run's seed symbols: UTF-8 bytes, [a-z] as letter symbols (the
+    * merge alphabet), every other byte as `<0xHH>` (uppercase hex —
+    * no merge's symbols contain `<0x`, so fallback bytes pass through
+    * the automaton untouched). */
+  private[queries] def byteSymbols(run: String): Vector[String] =
+    run.getBytes(java.nio.charset.StandardCharsets.UTF_8).toVector.map { b =>
+      val u = b & 0xff
+      if (u >= 'a'.toInt && u <= 'z'.toInt) u.toChar.toString
+      else f"<0x$u%02X>"
+    }
+
+  /** The byte-fallback id table for a merge table: bytes 0..255 at
+    * their own values, the run marker at 256, merge outputs from 257
+    * in rank order (first rank keeps a duplicated string's id). */
+  def vocabBytes(merges: Seq[((String, String), String)]): Seq[(String, Int)] = {
+    val bytes = (0 until 256).map { u =>
+      (if (u >= 'a'.toInt && u <= 'z'.toInt) u.toChar.toString
+       else f"<0x$u%02X>") -> u
+    }
+    val rest = (Tokenizer.EndOfWord +: merges.map(_._2)).zipWithIndex
+      .map { case (s, i) => s -> (256 + i) }
+    val seen = collection.mutable.HashSet.empty[String]
+    (bytes ++ rest).filter { case (s, _) => seen.add(s) }
+  }
+
+  /** [[vocabBytes]] as a DuckDB VALUES list `(sym, id)`. Safe to
+    * inline: every symbol is [a-z], `<0xHH>`, `</w>`, or a merge
+    * output over those — no quote characters anywhere (the quote BYTE
+    * 0x27 is the symbol `<0x27>`). */
+  def vocabBytesSqlValues(merges: Seq[((String, String), String)]): String =
+    vocabBytes(merges).map { case (s, i) => s"('$s', $i)" }.mkString(", ")
+
+  /** Encode one run: byte symbols + run marker through the SHARED
+    * merge automaton. */
+  def encodeRun(
+      run: String, ranks: Map[(String, String), Int]): Vector[String] =
+    Tokenizer.mergeLoop(byteSymbols(run) :+ Tokenizer.EndOfWord, ranks)
+
+  /** Decode token ids back to the exact original text — the
+    * round-trip proof surface. Every symbol's string is its bytes:
+    * run markers erase, `<0xHH>` symbols emit their byte, everything
+    * else ([a-z] letters and merge outputs, which may embed the
+    * marker, e.g. "er</w>") emits its letters with markers erased. */
+  def decode(tokens: Seq[Int], merges: Seq[((String, String), String)]): String = {
+    val bySym = vocabBytes(merges).map(_.swap).toMap
+    val hex = "<0x([0-9A-F]{2})>".r
+    val bytes = tokens.flatMap { id =>
+      val sym = bySym(id)
+      if (sym == Tokenizer.EndOfWord) Seq.empty[Byte]
+      else hex.findAllMatchIn(sym.replace(Tokenizer.EndOfWord, ""))
+        .toList match {
+        case Nil => sym.replace(Tokenizer.EndOfWord, "")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8).toSeq
+        case ms => ms.map(m => Integer.parseInt(m.group(1), 16).toByte)
+      }
+    }
+    new String(bytes.toArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Tokenize ANY text to UNK-free trainer ids:
+    * (doc_id, tokens array<int>, n_tokens) — run-order concatenation
+    * of each whitespace/non-whitespace run's byte-fallback encoding.
+    * Null text yields an empty array (nothing to round-trip). */
+  def tokenizeDocsBytes(
+      docs: DataFrame,
+      merges: Seq[((String, String), String)] = Tokenizer.FixedMerges): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = spark.sparkContext.broadcast(
+      merges.map(_._1).zipWithIndex.toMap)
+    val ids = spark.sparkContext.broadcast(vocabBytes(merges).toMap)
+    val runsCol = expr(raw"regexp_extract_all(text, '\\S+|\\s+', 0)")
+    val perRun = docs.select(explode(runsCol).as("run"))
+      .distinct().as[String]
+      .map(r => (r, encodeRun(r, ranks.value).map(ids.value(_)).toArray))
+      .toDF("run", "toks")
+    val perDoc = docs
+      .select(col("doc_id"), posexplode(runsCol).as(Seq("rpos", "run")))
+      .join(perRun, "run")
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("rpos"), col("toks")))),
+        s => s("toks"))).as("tokens"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tokens"), array().cast("array<int>")).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
+
+  /** C28's driver row: the byte-fallback output token by token (the
+    * C13b long form), oracle-replayed end to end on the ASCII corpus
+    * where chars == bytes: `\S+|\s+` run split, byte-symbol seeding
+    * (`<0xHH>` via ascii()/to_hex), the SAME recursive-CTE automaton
+    * as H8b/C13b, the full 321-row id table, run-order reassembly. */
+  val qTokenizeIdsBytes: Q = Q(
+    "q_tokenize_ids_bytes",
+    (s, d) => tokenizeDocsBytes(Tables.documents(s, d))
+      .select(col("doc_id"),
+        posexplode(col("tokens")).as(Seq("pos", "token_id")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("token_id").cast("long").as("token_id"))
+      .orderBy("doc_id", "pos"),
+    Some(s"""WITH RECURSIVE
+        m(rank, l, r) AS (VALUES ${Tokenizer.fixedMergesSqlValues}),
+        vocab(sym, id) AS (VALUES ${vocabBytesSqlValues(Tokenizer.FixedMerges)}),
+        druns AS (SELECT doc_id,
+            CAST(generate_subscripts(rs, 1) AS BIGINT) AS rpos,
+            unnest(rs) AS run
+          FROM (SELECT doc_id,
+              regexp_extract_all(text, '\\S+|\\s+') AS rs
+            FROM documents)),
+        dr AS (SELECT DISTINCT run FROM druns),
+        enc AS (
+          SELECT run,
+            list_reduce(list_prepend('', list_transform(
+              regexp_extract_all(run, '(?s).'),
+              c -> '|' || CASE WHEN c BETWEEN 'a' AND 'z' AND ascii(c) >= 97
+                  THEN c
+                  ELSE '<0x' || lpad(upper(to_hex(ascii(c))), 2, '0') || '>'
+                END || '|')), (a, b) -> a || b) || '|</w>|' AS seq,
+            0 AS step
+          FROM dr
+          UNION ALL
+          SELECT e.run, replace(e.seq, b.pat, b.rep) AS seq, e.step + 1 AS step
+          FROM enc e, LATERAL (
+            SELECT '|' || m.l || '||' || m.r || '|' AS pat,
+                   '|' || m.l || m.r || '|' AS rep
+            FROM m
+            WHERE contains(e.seq, '|' || m.l || '||' || m.r || '|')
+            ORDER BY m.rank LIMIT 1) b),
+        rseq AS (SELECT run, arg_max(seq, step) AS fseq
+          FROM enc GROUP BY run),
+        rsyms AS (SELECT run,
+            list_filter(string_split(fseq, '|'), s -> s <> '') AS syms
+          FROM rseq),
+        rsym AS (SELECT run,
+            CAST(generate_subscripts(syms, 1) AS BIGINT) AS ipos,
+            unnest(syms) AS sym
+          FROM rsyms),
+        rid AS (SELECT run, ipos, v.id FROM rsym JOIN vocab v USING (sym)),
+        flat AS (SELECT d.doc_id, d.rpos, r.ipos, r.id
+          FROM druns d JOIN rid r USING (run))
+      SELECT doc_id,
+        CAST(row_number() OVER (PARTITION BY doc_id
+          ORDER BY rpos, ipos) - 1 AS BIGINT) AS pos,
+        CAST(id AS BIGINT) AS token_id
+      FROM flat ORDER BY doc_id, pos"""))
+
+  val all: Seq[Q] = Seq(qTokenizeIdsBytes)
+}

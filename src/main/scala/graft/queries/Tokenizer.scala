@@ -208,8 +208,17 @@ object Tokenizer {
   /** Encode one word with a rank table: repeatedly merge the
     * LOWEST-rank adjacent pair (all occurrences) until none applies —
     * the standard greedy BPE encoder. */
-  def encodeWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
-    var s = word.map(_.toString).toVector :+ EndOfWord
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Vector[String] =
+    mergeLoop(word.map(_.toString).toVector :+ EndOfWord, ranks)
+
+  /** The greedy merge automaton over an arbitrary INITIAL symbol
+    * sequence — factored from [[encodeWord]] so the byte-fallback
+    * encoder ([[ByteTokenizer]]), whose seed symbols are bytes rather
+    * than chars, runs the IDENTICAL loop (one definition — the two
+    * tokenizers cannot drift on merge semantics). */
+  private[queries] def mergeLoop(
+      init: Vector[String], ranks: Map[(String, String), Int]): Vector[String] = {
+    var s = init
     var done = false
     while (!done && s.length > 1) {
       var best: (String, String) = null
