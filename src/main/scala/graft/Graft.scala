@@ -123,6 +123,14 @@ object Graft {
       merges: Seq[((String, String), String)] =
         queries.Tokenizer.FixedMerges): String =
     queries.ByteTokenizer.decode(tokens, merges)
+  /** Crawl-record framing: binary (file_id, payload) crawl files →
+    * (file_id, rec_idx, url, n_bytes, html) rows via WARC-style
+    * length-prefixed splitting — the byte-level front door before the
+    * C26 → C25 ingest chain
+    * ([[graft.queries.CrawlRecords.crawlRecords]]; the parser seam is
+    * [[graft.media.CrawlCodec]]). */
+  def crawlRecords(files: DataFrame): DataFrame =
+    queries.CrawlRecords.crawlRecords(files)
   /** Bigram-LM perplexity scoring with CCNet head/middle/tail buckets
     * ([[graft.queries.BigramLm.bigramLm]]). */
   def bigramLm(docs: DataFrame): DataFrame = queries.BigramLm.bigramLm(docs)

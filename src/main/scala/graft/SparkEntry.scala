@@ -21,7 +21,8 @@ object SparkEntry {
       Funnels.all ++ Integrity.all ++ FuzzyJoin.all ++ BigramLm.all ++
       LinAlg.all ++ Series.all ++ KMeansLloyd.all ++ TextRank.all ++
       Extract.all ++ Sketches.all ++ UrlFilter.all ++ Unigram.all ++
-      CorpusMap.all ++ SpanIncremental.all ++ ByteTokenizer.all
+      CorpusMap.all ++ SpanIncremental.all ++ ByteTokenizer.all ++
+      CrawlRecords.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** C29 — crawl-record framing (SURVEY.md §2): binary crawl-file
+  * payloads → (url, html) rows, the step BEFORE the documented ingest
+  * order's front door (C26 URL gate → C25 extraction → gates → dedup)
+  * — the r13 verdict's gap #3: "the crawl front-end starts at an HTML
+  * string column". With this row it starts at BYTES.
+  *
+  * The parser is [[graft.media.CrawlCodec]] — WARC-style
+  * length-prefixed framing (never delimiter-scanned; HTML bodies
+  * legally contain every delimiter). The corpus ships no real WARC
+  * files, so the binary frame is SYNTHESIZED deterministically
+  * ([[crawlFilesTable]]: each doc framed as one record, ~16 docs per
+  * file payload, the F1/F2 synthesis pattern) — and everything
+  * downstream of synthesis is the real plumbing: binary concat,
+  * per-file sequential parse, typed flatMap, record reassembly.
+  *
+  * The oracle is a GROUND-TRUTH reconstruction: it rebuilds from the
+  * documents table exactly what a correct parser must emit (file
+  * assignment, in-file record order, url, body byte count, body
+  * text), so hash-green proves `parse` INVERTS `frame` byte-exactly
+  * across the whole corpus — newline-bearing bodies included.
+  *
+  * Scale shape: parsing is a pure typed flatMap over (file_id,
+  * payload) rows — per-file independent, no shuffle anywhere (the
+  * driver row's ORDER BY is presentation); a 100 TB crawl is millions
+  * of ~1 GB WARC files and each is one task's sequential read, the
+  * same unit real WARC processing uses. Synthesis is one groupBy
+  * (doc-order binary concat per file) that exists only for the test
+  * corpus.
+  */
+object CrawlRecords {
+
+  private val FilesMod = 16
+
+  /** Deterministic synthetic crawl files from any (doc_id, source,
+    * text) frame: each doc becomes one framed record with
+    * url = https://<source>.example/<doc_id> and an HTML-wrapped
+    * body; records concatenate in doc_id order into `doc_id mod 16`
+    * file payloads. */
+  private[graft] def crawlFilesFrom(docs: DataFrame): DataFrame = {
+    val url = concat(lit("https://"), col("source"), lit(".example/"),
+      col("doc_id"))
+    val body = encode(concat(lit("<html><body>"),
+      coalesce(col("text"), lit("")), lit("</body></html>")), "UTF-8")
+    val rec = concat(
+      encode(concat(lit("WARC/1.0\r\nWARC-Target-URI: "), url,
+        lit("\r\nContent-Length: "), length(body).cast("string"),
+        lit("\r\n\r\n")), "UTF-8"),
+      body,
+      encode(lit("\r\n\r\n"), "UTF-8"))
+    docs.select((col("doc_id") % FilesMod).as("file_id"), col("doc_id"),
+        rec.as("rec"))
+      .groupBy("file_id")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+          x => x.getField("rec")),
+        lit(Array.empty[Byte]),
+        (acc, r) => concat(acc, r)).as("payload"))
+  }
+
+  /** The synthetic crawl-file table: (file_id, payload: binary). */
+  def crawlFilesTable(s: SparkSession, d: String): DataFrame =
+    crawlFilesFrom(Tables.documents(s, d))
+
+  /** Parse any (file_id, payload: binary) frame into its records:
+    * (file_id, rec_idx, url, n_bytes, html) — complete records only
+    * (the [[graft.media.CrawlCodec]] damage contract). */
+  def crawlRecords(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("file_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) => graft.media.CrawlCodec.parse(id, p) }
+      .toDF()
+  }
+
+  val qCrawlRecords: Q = Q(
+    "q_crawl_records",
+    (s, d) => crawlRecords(crawlFilesTable(s, d))
+      .orderBy("file_id", "rec_idx"),
+    Some(s"""SELECT CAST(doc_id % $FilesMod AS BIGINT) AS file_id,
+        CAST(row_number() OVER (PARTITION BY doc_id % $FilesMod
+          ORDER BY doc_id) - 1 AS BIGINT) AS rec_idx,
+        'https://' || source || '.example/' || CAST(doc_id AS VARCHAR) AS url,
+        CAST(octet_length(encode('<html><body>' || coalesce(text, '')
+          || '</body></html>')) AS BIGINT) AS n_bytes,
+        '<html><body>' || coalesce(text, '') || '</body></html>' AS html
+      FROM documents
+      ORDER BY file_id, rec_idx"""))
+
+  val all: Seq[Q] = Seq(qCrawlRecords)
+}
