@@ -391,6 +391,22 @@ object Graft {
       iters: Int = queries.CorpusMap.MapIters,
       fitFraction: Double = 1.0): DataFrame =
     queries.CorpusMap.corpusMap(docs, dims, cells, iters, fitFraction)
+  /** Freeze the corpus-map state (centroid + decile-cut literals) for
+    * stateless serving/streaming assignment
+    * ([[graft.queries.CorpusMap.fitModel]]). Eager: fits at call time. */
+  def corpusMapModel(docs: DataFrame,
+      dims: Int = queries.CorpusMap.MapDims,
+      cells: Int = queries.CorpusMap.MapCells,
+      iters: Int = queries.CorpusMap.MapIters,
+      fitFraction: Double = 1.0): queries.CorpusMap.CorpusMapModel =
+    queries.CorpusMap.fitModel(docs, dims, cells, iters, fitFraction)
+  /** Grid placement under a FROZEN corpus-map model — a pure per-row
+    * map, streaming-safe ([[graft.queries.CorpusMap.assignFrozen]];
+    * the stream wrapper is
+    * [[graft.streaming.Streams.corpusMapStream]]). */
+  def corpusMapAssign(docs: DataFrame,
+      model: queries.CorpusMap.CorpusMapModel): DataFrame =
+    queries.CorpusMap.assignFrozen(docs, model)
   /** Per-cell mixing — the corpus map's consumer: deterministically
     * downsample each (content cell × quality decile) group toward a
     * target token share (uniform by default; pass `targets`

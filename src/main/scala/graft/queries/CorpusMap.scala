@@ -113,6 +113,78 @@ object CorpusMap {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .orderBy("cell", "decile")
 
+  /** FROZEN corpus-map state — the bounded model literals (k×dims
+    * centroid doubles + 9 decile cuts) a STATELESS assignment carries
+    * onto arriving docs: the G22 stream form and any serving path that
+    * must not refit. `centroids` are the ones the census's last
+    * assignment used (cents_{iters-1}), so
+    * `assignFrozen(docs, fitModel(docs))` equals [[docCells]](docs)
+    * EXACTLY at the default full fit — the spec-pinned twin. */
+  final case class CorpusMapModel(
+      centroids: Seq[(Long, Array[Double])],
+      cuts: Seq[Long],
+      dims: Int)
+
+  /** Fit the frozen state on a corpus (one Lloyd fit + one decile
+    * histogram pass; `fitFraction` < 1 runs the Lloyd fit on the
+    * seeded draw). Eager: the fit runs at call time. */
+  def fitModel(
+      docs: DataFrame,
+      dims: Int = MapDims,
+      cells: Int = MapCells,
+      iters: Int = MapIters,
+      fitFraction: Double = 1.0): CorpusMapModel =
+    CorpusMapModel(
+      KMeansLloyd.assignCentroids(unitDocVectors(docs, dims), cells, iters,
+        fitFraction),
+      TextAnalysis.decileCuts(docs), dims)
+
+  /** Per-doc grid placement under FROZEN state — (doc_id, cell,
+    * decile, n_tokens) as a PURE PER-ROW MAP: the embedding is the
+    * E9 signed-hash sum folded column-side (no explode/agg), the cell
+    * is [[KMeansLloyd.packedMin]] over centroid literals (no join),
+    * the decile compares q_units against the frozen cuts. No shuffle,
+    * no state — a streaming plan hosts it as-is (the G9/G12 stateless
+    * argument; [[graft.streaming.Streams.corpusMapStream]] is the thin
+    * wrapper), and at 100 TB the whole assignment is one map stage in
+    * the scan projection. Every column replays the fitted path's
+    * arithmetic exactly (shared fragments: [[TextAnalysis.qNumDenCols]],
+    * packedMin's packedDistCol) — CorpusMapSpec pins bit-equality with
+    * [[docCells]] under a same-corpus fit. */
+  def assignFrozen(docs: DataFrame, model: CorpusMapModel): DataFrame = {
+    require(model.cuts.length == 9, "model must carry 9 decile cuts")
+    val dims = model.dims
+    val ws = coalesce(words(col("text")), array().cast("array<string>"))
+    // the E9 signed-hash sum per dim, column-side: Σ over words of
+    // ±1 at dim h mod d — the docEmbedSparse math with the explode
+    // folded into an aggregate (same integers, so same doubles)
+    val raw = transform(sequence(lit(0L), lit(dims - 1L)), d =>
+      aggregate(ws, lit(0L), (acc, w) => {
+        val h = polyHash(w)
+        val hdiv = ((h - pmod(h, lit(dims.toLong))) / lit(dims.toLong))
+          .cast("long") // exact: h < 2^31, double division of exact ints
+        val s = pmod(hdiv, lit(2L)) * 2L - 1L
+        acc + when(pmod(h, lit(dims.toLong)) === d, s).otherwise(0L)
+      }).cast("double"))
+    val (num, den) = TextAnalysis.qNumDenCols
+    val cuts = model.cuts.zipWithIndex.map { case (c, _) =>
+      when(col("q_units") > lit(c), 1L).otherwise(0L) }
+    docs
+      .withColumn("raw", raw)
+      .withColumn("n2",
+        aggregate(col("raw"), lit(0.0), (acc, x) => acc + x * x))
+      .withColumn("embedding",
+        when(col("n2") === 0.0, col("raw"))
+          .otherwise(transform(col("raw"), x => x / sqrt(col("n2")))))
+      .withColumn("cell",
+        KMeansLloyd.packedMin(col("embedding"), model.centroids))
+      .withColumn("q_num", num).withColumn("q_den", den)
+      .withColumn("q_units", expr("q_num * 16384L div q_den"))
+      .withColumn("decile", cuts.foldLeft(lit(1L))(_ + _))
+      .select(col("doc_id"), col("cell"), col("decile"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+  }
+
   /** The oracle mirror of [[docCells]]: every I12 CTE (E9 sparse
     * embedding → unit vectors → Lloyd replay → deciles → token
     * counts) ending in `doc_cells (doc_id, cell, decile, n_tokens)` —

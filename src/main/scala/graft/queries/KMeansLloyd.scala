@@ -175,6 +175,43 @@ object KMeansLloyd {
     (cents, lastAssigned, lastCounts)
   }
 
+  /** The packed quantized-distance key for ONE (embedding, centroid)
+    * pair — the fixed-shape IEEE d2 chain (strict left fold, the
+    * oracle's exact mirror) packed as `round(d2·2^30)·2^21 + c_id`
+    * with the 2^41 domain guard folded in. `cEmb` as a Column lets the
+    * batch path pass the joined `c_emb` column and the frozen path
+    * pass a literal array — ONE arithmetic definition, so fitted and
+    * frozen assignment cannot drift ([[packedMin]]). */
+  private[queries] def packedDistCol(
+      emb: org.apache.spark.sql.Column,
+      cEmb: org.apache.spark.sql.Column,
+      cId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val d2 = aggregate(
+      zip_with(emb, cEmb,
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, x) => acc + x)
+    val domain = coalesce(
+      assert_true(d2 * lit(DQ) < lit((1L << 41).toDouble),
+        lit("kmeans: squared distance exceeds the 2^41 packing domain " +
+          "— normalize or rescale the embeddings")).cast("long"),
+      lit(0L))
+    (round(d2 * lit(DQ)).cast("long") * (1L << 21)) + cId + domain
+  }
+
+  /** Stateless nearest-cell column under FROZEN centroid literals:
+    * `least` over the k packed keys — the same min the batch
+    * assignment's groupBy computes, as a pure per-row expression a
+    * STREAMING plan can host (no join, no agg — the G22 argument). */
+  private[queries] def packedMin(
+      emb: org.apache.spark.sql.Column,
+      cents: Seq[(Long, Array[Double])]): org.apache.spark.sql.Column = {
+    require(cents.nonEmpty, "packedMin: no centroids")
+    val packs = cents.map { case (cId, c) =>
+      packedDistCol(emb, lit(c), lit(cId)) }
+    pmod(if (packs.size == 1) packs.head else least(packs: _*),
+      lit(1L << 21))
+  }
+
   /** One assignment pass: nearest centroid by the fixed-shape IEEE d2
     * chain, argmin as the packed-long map-side `min` (quantized-distance
     * ties to the smaller c_id — the oracle's ORDER BY, verbatim). Shared
@@ -185,23 +222,30 @@ object KMeansLloyd {
     val spark = v.sparkSession
     import spark.implicits._
     val centsDf = cents.toDF("c_id", "c_emb")
-    // fixed-shape d2 = Σ (x − c)², strict left fold — the
-    // codeColFor chain, replayed verbatim by the oracle
-    val d2 = aggregate(
-      zip_with(col("embedding"), col("c_emb"),
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0), (acc, x) => acc + x)
-    val domain = coalesce(
-      assert_true(d2 * lit(DQ) < lit((1L << 41).toDouble),
-        lit("kmeans: squared distance exceeds the 2^41 packing domain " +
-          "— normalize or rescale the embeddings")).cast("long"),
-      lit(0L))
-    val packed = (round(d2 * lit(DQ)).cast("long") * (1L << 21)) +
-      col("c_id") + domain
+    val packed = packedDistCol(col("embedding"), col("c_emb"), col("c_id"))
     v.join(broadcast(centsDf), lit(true))
       .groupBy("vec_id")
       .agg(min(packed).as("p"))
       .select(col("vec_id"), pmod(col("p"), lit(1L << 21)).as("cell"))
+  }
+
+  /** The centroids the model's LAST assignment uses (cents_{iters-1} —
+    * the state [[assignments]]' default path assigns under), as frozen
+    * literals: the bounded model state a stateless stream-side
+    * assignment carries ([[CorpusMap.assignFrozen]], G22). Fits on the
+    * seeded draw when `fitFraction` < 1. */
+  private[graft] def assignCentroids(
+      embeddings: DataFrame,
+      k: Int = 8,
+      iters: Int = 3,
+      fitFraction: Double = 1.0): Seq[(Long, Array[Double])] = {
+    require(k > 0 && k < (1 << 21) - 1, s"k must be in [1, 2^21), got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val v = embeddings.select(col("vec_id"), col("embedding"))
+    val s = Similarity.fitFrame(v, fitFraction, 0L, k, "kmeansCentroids")
+    val cents = fitLoop(s, k, iters - 1)._1
+    Similarity.releaseFitFrame(s, fitFraction)
+    cents
   }
 
   /** The fit replayed in SQL: chained CTEs per iteration — assignment

@@ -277,16 +277,33 @@ object TextAnalysis {
     * under heavy ties. The deterministic, engine-portable choice; the
     * oracle reproduces the full integer pipeline bit-for-bit. The
     * reported `quality_score` column stays the raw C3 double. */
-  def qualityDeciles(docs: DataFrame): DataFrame = {
+  /** The C15 quality-score numerator/denominator as pure columns over
+    * a `text` column — shared by [[qualityDeciles]] and the stateless
+    * stream-side paint ([[CorpusMap.assignFrozen]], G22), so the score
+    * cannot drift between the fitted and frozen paths. */
+  private[graft] def qNumDenCols: (Column, Column) = {
     val num = stopHits(words(col("text")), stopEn) * 100L +
       size(words(col("text"))).cast("long")
     val den = length(col("text")).cast("long") + 1L
-    val scored = decCache.memo(docs
+    (num, den)
+  }
+
+  /** The memoized per-doc scored frame (doc_id, quality_score,
+    * q_units) behind C15 — shared by [[qualityDeciles]] and
+    * [[decileCuts]] so both read the same persisted pass. */
+  private[this] def scoredFrame(docs: DataFrame): DataFrame = {
+    val (num, den) = qNumDenCols
+    decCache.memo(docs
       .select(col("doc_id"),
         (num.cast("double") / den).as("quality_score"),
         num.as("q_num"), den.as("q_den"))
       .withColumn("q_units", expr("q_num * 16384L div q_den"))
       .drop("q_num", "q_den"))
+  }
+
+  /** The bounded-histogram decile thresholds of [[qualityDeciles]] as
+    * a #thresholds-row frame (t1..t9). */
+  private[this] def decileThresholds(scored: DataFrame): DataFrame = {
     val hist = scored.filter(col("q_units").isNotNull)
       .groupBy("q_units").agg(count(lit(1)).as("cnt"))
     import org.apache.spark.sql.expressions.Window
@@ -299,17 +316,34 @@ object TextAnalysis {
     val cum = hist.select(col("q_units"),
       sum(col("cnt")).over(wCum).as("cum"),
       sum(col("cnt")).over(wAll).as("n_tot"))
-    val ths = cum.agg(
+    cum.agg(
       min(when(col("cum") * 10L >= col("n_tot") * 1L, col("q_units"))).as("t1"),
       (2 to 9).map(i =>
         min(when(col("cum") * 10L >= col("n_tot") * i.toLong, col("q_units")))
           .as(s"t$i")): _*)
+  }
+
+  def qualityDeciles(docs: DataFrame): DataFrame = {
+    val scored = scoredFrame(docs)
+    val ths = decileThresholds(scored)
     scored.crossJoin(broadcast(ths))
       .select(col("doc_id"), col("quality_score"),
         (lit(1L) + (1 to 9).map(i =>
           when(col("q_units") > col(s"t$i"), 1L).otherwise(0L))
           .reduce(_ + _)).as("decile"))
       .orderBy("doc_id")
+  }
+
+  /** The FROZEN C15 state: this corpus's 9 decile cut points (q_units
+    * thresholds) collected as model literals — the bounded state a
+    * stateless decile paint carries onto arriving docs (the G22
+    * corpus-map stream; the D15c stash-literal pattern).
+    * Eager: one histogram pass at call time. */
+  private[graft] def decileCuts(docs: DataFrame): Seq[Long] = {
+    val row = decileThresholds(scoredFrame(docs)).head()
+    require(!row.isNullAt(0),
+      "decileCuts: no scored docs — cannot freeze thresholds")
+    (0 until 9).map(row.getLong)
   }
 
   /** Oracle-side decile pipeline as CTEs ending in

@@ -443,6 +443,26 @@ object Streams {
       stops: Seq[String] = graft.queries.TextAnalysis.GopherStops): DataFrame =
     graft.queries.TextAnalysis.gopherFlags(docs, minWords, maxWords, stops)
 
+  /** G22: streaming corpus-map assignment — arriving docs placed on
+    * the I12 (content cell × quality decile) grid under FROZEN state
+    * ([[graft.queries.CorpusMap.CorpusMapModel]] — centroid + cut
+    * literals fitted once, offline, by
+    * [[graft.queries.CorpusMap.fitModel]]): the live corpus-map census
+    * an ingest dashboard keeps while a crawl lands, with no refit and
+    * no state. [[graft.queries.CorpusMap.assignFrozen]] is a pure
+    * per-row map (column-side E9 fold, packedMin over literals, cut
+    * comparisons — the G9/G12 stateless argument), so the batch core
+    * applies UNCHANGED to a streaming frame and stream == batch
+    * row-for-row by construction; under a same-corpus full fit the
+    * accumulated rows equal the hash-green I12 census's own per-doc
+    * frame (CorpusMapSpec + StreamingSpec pin the chain). Aggregate
+    * downstream as the consumer wants (groupBy(cell, decile) in
+    * complete mode, or foreachBatch into a counts store). */
+  def corpusMapStream(
+      docs: DataFrame,
+      model: graft.queries.CorpusMap.CorpusMapModel): DataFrame =
+    graft.queries.CorpusMap.assignFrozen(docs, model)
+
   /** G10: streaming Gopher REPETITION gate at ingest — C17's
     * [[graft.queries.TextAnalysis.gopherRepetition]] applied per
     * arrival. Like G9, the computation is a pure stateless map (per-doc

@@ -49,4 +49,23 @@ class CorpusMapSpec extends SparkSpec {
       .orderBy("cell", "decile").collect().toSeq
     assert(a == b)
   }
+
+  test("G22: frozen-model assignment equals the fitted census's per-doc frame exactly") {
+    val model = CorpusMap.fitModel(docs)
+    assert(model.centroids.size == CorpusMap.MapCells &&
+      model.cuts.length == 9 && model.dims == CorpusMap.MapDims)
+    val frozen = CorpusMap.assignFrozen(docs, model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val fitted = CorpusMap.docCells(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(frozen == fitted,
+      "stateless frozen assignment drifted from the fitted path")
+    // and the frozen path is partitioning-invariant (a pure row map)
+    val frozen2 = CorpusMap.assignFrozen(docs.repartition(13), model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(frozen2 == fitted)
+  }
 }

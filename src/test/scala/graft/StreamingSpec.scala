@@ -1355,4 +1355,39 @@ class StreamingSpec extends SparkSpec {
         s"stream ${perBatch.toSeq} vs full-lake replay $expect")
     } finally query.stop()
   }
+
+  test("corpusMapStream: accumulated stream rows equal the I12 census under the frozen fit") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    // freeze the model on the full corpus (what the census fits), then
+    // stream the SAME docs through the stateless assignment in batches
+    val model = graft.queries.CorpusMap.fitModel(docs)
+    val rows = docs.as[StreamingSpec.Doc].collect().toSeq
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val query = Streams.corpusMapStream(mem.toDF(), model)
+      .writeStream.format("memory").queryName("corpus_map_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      mem.addData(b1: _*)
+      query.processAllAvailable()
+      mem.addData(b2: _*)
+      query.processAllAvailable()
+      val got = spark.table("corpus_map_stream")
+        .groupBy("cell", "decile")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+          org.apache.spark.sql.functions.sum(col("n_tokens")).as("n_tokens"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      val census = graft.queries.CorpusMap.corpusMap(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got == census,
+        s"streamed census drifted from the hash-green I12 census")
+    } finally query.stop()
+  }
 }
