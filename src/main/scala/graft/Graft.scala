@@ -598,6 +598,13 @@ object Graft {
   def packSequences(docs: DataFrame,
       contextLen: Long = queries.Shards.DefaultContextLen): DataFrame =
     queries.Shards.packSequences(docs, contextLen)
+  /** Sequence packing weighted by BYTE-FALLBACK token counts — the
+    * C28 loader's geometry, whitespace/punctuation tokens included
+    * ([[graft.queries.Shards.packSequencesBytes]]). */
+  def packSequencesBytes(docs: DataFrame,
+      merges: Seq[((String, String), String)] = queries.Tokenizer.FixedMerges,
+      contextLen: Long = queries.Shards.DefaultContextLen): DataFrame =
+    queries.Shards.packSequencesBytes(docs, merges, contextLen)
   /** Deterministic per-stratum sample in portable scrambled-id order
     * ([[graft.queries.Shards.stratifiedSample]]). */
   def stratifiedSample(docs: DataFrame, strata: String = "source", n: Int = 10): DataFrame =

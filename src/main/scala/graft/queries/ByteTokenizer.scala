@@ -104,6 +104,28 @@ object ByteTokenizer {
     new String(bytes.toArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** The `\\S+|\\s+` run split as a column — ONE definition for the
+    * tokenizer, the run-count census, and H8c's packing weight. */
+  private[graft] def runsCol: org.apache.spark.sql.Column =
+    expr(raw"regexp_extract_all(text, '\\S+|\\s+', 0)")
+
+  /** Per-DISTINCT-run byte-fallback token counts (run, n_subtokens) —
+    * the C13 bpeWordCounts shape on runs: the automaton runs once per
+    * distinct run, the corpus side joins on the run key (H8c's
+    * packing weight). */
+  def byteRunCounts(
+      docs: DataFrame,
+      merges: Seq[((String, String), String)] = Tokenizer.FixedMerges): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = spark.sparkContext.broadcast(
+      merges.map(_._1).zipWithIndex.toMap)
+    docs.select(explode(runsCol).as("run"))
+      .distinct().as[String]
+      .map(r => (r, encodeRun(r, ranks.value).length.toLong))
+      .toDF("run", "n_subtokens")
+  }
+
   /** Tokenize ANY text to UNK-free trainer ids:
     * (doc_id, tokens array<int>, n_tokens) — run-order concatenation
     * of each whitespace/non-whitespace run's byte-fallback encoding.
@@ -116,7 +138,6 @@ object ByteTokenizer {
     val ranks = spark.sparkContext.broadcast(
       merges.map(_._1).zipWithIndex.toMap)
     val ids = spark.sparkContext.broadcast(vocabBytes(merges).toMap)
-    val runsCol = expr(raw"regexp_extract_all(text, '\\S+|\\s+', 0)")
     val perRun = docs.select(explode(runsCol).as("run"))
       .distinct().as[String]
       .map(r => (r, encodeRun(r, ranks.value).map(ids.value(_)).toArray))
@@ -140,23 +161,23 @@ object ByteTokenizer {
     * where chars == bytes: `\S+|\s+` run split, byte-symbol seeding
     * (`<0xHH>` via ascii()/to_hex), the SAME recursive-CTE automaton
     * as H8b/C13b, the full 321-row id table, run-order reassembly. */
-  val qTokenizeIdsBytes: Q = Q(
-    "q_tokenize_ids_bytes",
-    (s, d) => tokenizeDocsBytes(Tables.documents(s, d))
-      .select(col("doc_id"),
-        posexplode(col("tokens")).as(Seq("pos", "token_id")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        col("token_id").cast("long").as("token_id"))
-      .orderBy("doc_id", "pos"),
-    Some(s"""WITH RECURSIVE
-        m(rank, l, r) AS (VALUES ${Tokenizer.fixedMergesSqlValues}),
-        vocab(sym, id) AS (VALUES ${vocabBytesSqlValues(Tokenizer.FixedMerges)}),
+  /** Oracle-side CTE chain replaying the byte-fallback encoder over
+    * `tbl`: `\\S+|\\s+` run split (`druns (doc_id, rpos, run)`),
+    * byte-symbol seeding via ascii()/to_hex (ASCII corpus: chars ==
+    * bytes), and the SAME recursive merge automaton as H8b/C13b →
+    * `rseq (run, fseq)`. Must sit under `WITH RECURSIVE`. Shared by
+    * the C28 id row and H8c's byte-token packing (the D17 one-fragment
+    * discipline). */
+  private[queries] def sqlByteRunSeqCtes(
+      tbl: String,
+      merges: Seq[((String, String), String)] = Tokenizer.FixedMerges): String =
+    s"""m(rank, l, r) AS (VALUES ${Tokenizer.mergesSqlValues(merges)}),
         druns AS (SELECT doc_id,
             CAST(generate_subscripts(rs, 1) AS BIGINT) AS rpos,
             unnest(rs) AS run
           FROM (SELECT doc_id,
               regexp_extract_all(text, '\\S+|\\s+') AS rs
-            FROM documents)),
+            FROM $tbl)),
         dr AS (SELECT DISTINCT run FROM druns),
         enc AS (
           SELECT run,
@@ -177,7 +198,19 @@ object ByteTokenizer {
             WHERE contains(e.seq, '|' || m.l || '||' || m.r || '|')
             ORDER BY m.rank LIMIT 1) b),
         rseq AS (SELECT run, arg_max(seq, step) AS fseq
-          FROM enc GROUP BY run),
+          FROM enc GROUP BY run)"""
+
+  val qTokenizeIdsBytes: Q = Q(
+    "q_tokenize_ids_bytes",
+    (s, d) => tokenizeDocsBytes(Tables.documents(s, d))
+      .select(col("doc_id"),
+        posexplode(col("tokens")).as(Seq("pos", "token_id")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("token_id").cast("long").as("token_id"))
+      .orderBy("doc_id", "pos"),
+    Some(s"""WITH RECURSIVE
+        ${sqlByteRunSeqCtes("documents")},
+        vocab(sym, id) AS (VALUES ${vocabBytesSqlValues(Tokenizer.FixedMerges)}),
         rsyms AS (SELECT run,
             list_filter(string_split(fseq, '|'), s -> s <> '') AS syms
           FROM rseq),

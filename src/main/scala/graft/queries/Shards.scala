@@ -201,6 +201,56 @@ object Shards {
             ELSE 0 END AS BIGINT) AS n_seqs
         FROM cum ORDER BY doc_id"""))
 
+  /** H8c: sequence packing weighted by BYTE-FALLBACK token counts —
+    * the C28 loader's geometry. [[packSequencesBpe]] budgets by BPE
+    * tokens over [a-z] words, which undercounts what a byte-fallback
+    * trainer's window actually holds: punctuation, digits, casing,
+    * and WHITESPACE runs are all real tokens there (GPT-2's context
+    * holds them too). Each doc's count is Σ over its `\\S+|\\s+` runs
+    * of the run's encoded length under [[ByteTokenizer]] (the same
+    * distinct-run automaton as C28 — one definition), and the packing
+    * tail is the SAME distributed prefix sum as H8/H8b. The oracle
+    * replays encoder, run-count join, and prefix sum in one hash. */
+  def packSequencesBytes(
+      docs: DataFrame,
+      merges: Seq[((String, String), String)] = Tokenizer.FixedMerges,
+      contextLen: Long = DefaultContextLen): DataFrame = {
+    require(contextLen > 0, "contextLen must be positive")
+    val perRun = ByteTokenizer.byteRunCounts(docs, merges)
+    val perDoc = docs
+      .select(col("doc_id"), explode(ByteTokenizer.runsCol).as("run"))
+      .join(perRun, "run")
+      .groupBy("doc_id").agg(sum(col("n_subtokens")).as("n_b"))
+    val toks = docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_b"), lit(0L)).as("n_tokens"))
+    packFromCounts(toks, contextLen)
+  }
+
+  val qPackSequencesBytes: Q = Q(
+    "q_pack_sequences_bytes",
+    (s, d) => packSequencesBytes(Tables.documents(s, d)),
+    Some(s"""WITH RECURSIVE
+        ${ByteTokenizer.sqlByteRunSeqCtes("documents")},
+        rc AS (SELECT run,
+            (length(fseq) - length(replace(fseq, '|', ''))) // 2 AS n_sub
+          FROM rseq),
+        cnt AS (SELECT d.doc_id, CAST(sum(rc.n_sub) AS BIGINT) AS n
+          FROM druns d JOIN rc USING (run) GROUP BY d.doc_id),
+        toks AS (SELECT d.doc_id, COALESCE(c.n, 0) AS n_tokens
+          FROM documents d LEFT JOIN cnt c USING (doc_id)),
+        cum AS (SELECT doc_id, n_tokens,
+            CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+          FROM toks)
+        SELECT doc_id, n_tokens,
+          (cum_tokens - n_tokens) // $DefaultContextLen AS seq_first,
+          (cum_tokens - n_tokens) % $DefaultContextLen AS seq_offset,
+          CAST(CASE WHEN n_tokens > 0
+            THEN (cum_tokens - 1) // $DefaultContextLen - (cum_tokens - n_tokens) // $DefaultContextLen + 1
+            ELSE 0 END AS BIGINT) AS n_seqs
+        FROM cum ORDER BY doc_id"""))
+
   // ----------------------------------------------------------------
   // H14 — best-fit sequence packing (whole docs, no cross-doc splits)
   // ----------------------------------------------------------------
@@ -850,7 +900,8 @@ object Shards {
       ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(qPackShards, qPackSequences, qPackSequencesBpe, qPackBestFit,
+    Seq(qPackShards, qPackSequences, qPackSequencesBpe, qPackSequencesBytes,
+      qPackBestFit,
       qPackBestFitStats, qStratifiedSample,
       qDomainMix, qDomainMixTemp, qShuffleOrder, qWeightedSample,
       qWeightedSampleBpe, qCurriculum)
