@@ -97,7 +97,15 @@ object Plans {
     "q_ann_sq8" -> "SQ8 search: lo/hi extrema enter as literal arrays (driver model state), codes + midpoint dequantization computed inside the scan projection, ADC via the native dot kernel, per-query shortlist window, exact rescore joins ORIGINAL embeddings on the shortlist only",
     "q_pack_bestfit" -> "harmonic-shelf packing: rank-in-class via the distributed prefix sum over a packed (size_class, doc_id) key — NO Window.partitionBy(size_class) anywhere (per-class windows inherit the corpus' size skew); class geometry is a parameter-bounded agg cumulated in a domain-sized window and BROADCAST back onto a pure map stage",
     "q_ann_ivf_sq8" -> "IVF-SQ8 search: broadcast first-k centroids probe, residual codes + reconstruction (+ its norm) computed inside the index-scan projection, cell equi-join bounds candidates to probed cells, norm-invariant ADC shortlist window, exact rescore joins ORIGINAL embeddings on the shortlist only",
-    "q_tokenize_ids_uni" -> "unigram tokenize: Viterbi automaton once per DISTINCT word (typed map, piece table broadcast — vocabulary-sized), corpus side one posexplode + word-key join + per-doc reassembly agg; the one corpus-sized exchange is the reassembly groupBy (output width = text width, unavoidable)")
+    "q_tokenize_ids_uni" -> "unigram tokenize: Viterbi automaton once per DISTINCT word (typed map, piece table broadcast — vocabulary-sized), corpus side one posexplode + word-key join + per-doc reassembly agg; the one corpus-sized exchange is the reassembly groupBy (output width = text width, unavoidable)",
+    "q_textrank" -> "TextRank keywords: doc-keyed co-partitioned positional self-join, word ids via the H10 distributed prefix sum over the distinct vocabulary (r13 fix — NO single-partition row_number window; the vocabulary grows with the corpus), then the integer PageRank rounds",
+    "q_corpus_map" -> "corpus map census: E9 sparse agg -> unit vectors, 2 broadcast-centroid Lloyd passes (packed argmin collapses map-side — only (vec_id, cell) shuffles), C15 bounded-histogram deciles, <= k x 10-key cross-tab; text never shuffles",
+    "q_cell_mix" -> "per-cell mixing: the census's own docCells frame + a <= cells x 10-key stats agg, rate frame BROADCAST back onto a pure map-filter keep draw — the mixer adds NO corpus-wide shuffle beyond the census itself",
+    "q_dup_spans_incremental" -> "incremental ExactSubstr audit: batch grams memo-persisted once, batch-side distinct keys semi-probe the lake key store (narrow 16-byte keys — lake text never scanned, lake never self-pairs), in-batch dup count map-side, per-doc span-merge window",
+    "q_excise_spans_incremental" -> "incremental ExactSubstr rewrite: same memoized batch gram pass, batch-local (count, keeper) agg LEFT-joined with the stored lake keepers (gkeeper = least of the two), shared D16 rebuild tail over batch docs only — per-night cost scales with the batch",
+    "q_tokenize_ids_bytes" -> "byte-fallback tokenize: merge automaton once per DISTINCT \\\\S+|\\\\s+ run (typed map, rank + 321-id tables broadcast; whitespace runs collapse to a handful of keys), corpus side one posexplode + run-key join + per-doc reassembly agg — the C13b encoder split, unchanged",
+    "q_pack_sequences_bytes" -> "byte-token packing: the C28 distinct-run encoder feeds per-doc counts via one explode + run-key join + count agg, then the H8 distributed prefix sum — no corpus-wide window",
+    "q_crawl_records" -> "crawl-record framing: synthesis is one per-file binary-concat agg (test corpus only); the PARSE is a pure typed flatMap over (file_id, payload) rows — per-file independent, zero shuffles before the presentation sort")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
