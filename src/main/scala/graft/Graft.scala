@@ -420,6 +420,12 @@ object Graft {
       fitFraction: Double = 1.0,
       targets: Option[DataFrame] = None): DataFrame =
     queries.CellMix.cellMix(docs, dims, cells, iters, fitFraction, targets)
+  /** The ANN operating curve: recall@k of the IVF search per probe
+    * count, one row per arm — the probes-vs-recall tuning artifact
+    * ([[graft.queries.Similarity.annOperatingCurve]]). */
+  def annOperatingCurve(embeddings: DataFrame,
+      probesList: Seq[Int] = Seq(1, 2, 3, 10)): DataFrame =
+    queries.Similarity.annOperatingCurve(embeddings, probesList)
   /** Hard-negative mining for contrastive training: per query, the
     * top-k most similar DIFFERENT-label vectors, candidates bounded by
     * IVF cell probing ([[graft.queries.Similarity.hardNegatives]]). */

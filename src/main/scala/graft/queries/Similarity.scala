@@ -372,13 +372,11 @@ object Similarity {
       topkPerQuery(scored.distinct())
   }
 
-  /** Deterministic centroids (first 10 vectors) make the whole IVF
-    * pipeline — cell assignment, 3-cell probing, candidate join, final
-    * ranking — exactly reproducible in SQL. */
-  val qAnnIvf: Q = Q(
-    "q_ann_ivf",
-    (s, d) => annIvf(Tables.embeddings(s, d)),
-    Some(s"""WITH v AS (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM embeddings),
+  /** The E3 IVF search as SQL, parameterized on the probe count —
+    * shared by the E3 row (nProbes = 3) and E19's operating curve, so
+    * the replayed pipeline cannot drift across probe arms. */
+  private def ivfSql(nProbes: Int): String =
+    s"""WITH v AS (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM embeddings),
       c AS (SELECT vec_id AS c_id, embedding AS c_emb, n2 AS c_n2 FROM v WHERE vec_id < 10),
       ac AS (SELECT v.vec_id, v.embedding, v.n2, c.c_id,
           ${sqlDot("v.embedding", "c.c_emb")} / (sqrt(v.n2) * sqrt(c.c_n2)) AS c_cos
@@ -390,7 +388,7 @@ object Similarity {
       probes AS (SELECT q_id, q_emb, q_n2, c_id AS cell FROM (
           SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2, c_id,
             row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn
-          FROM ac WHERE vec_id % 100 = 0) t WHERE rn <= 3),
+          FROM ac WHERE vec_id % 100 = 0) t WHERE rn <= $nProbes),
       scored AS (
         SELECT DISTINCT q_id, vec_id,
           ${sqlDot("q_emb", "embedding")} / (sqrt(q_n2) * sqrt(n2)) AS cos
@@ -399,7 +397,73 @@ object Similarity {
         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
         FROM scored)
       SELECT q_id, rank, vec_id AS neighbor_id, cos
-      FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank"""))
+      FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank"""
+
+  /** Deterministic centroids (first 10 vectors) make the whole IVF
+    * pipeline — cell assignment, 3-cell probing, candidate join, final
+    * ranking — exactly reproducible in SQL. */
+  val qAnnIvf: Q = Q(
+    "q_ann_ivf",
+    (s, d) => annIvf(Tables.embeddings(s, d)),
+    Some(ivfSql(3)))
+
+  /** E19: the ANN OPERATING CURVE as a first-class query — recall@k of
+    * the IVF search at each probe count, in one frame: (probes,
+    * n_queries, n_truth, n_hit, recall). THE tuning artifact an index
+    * owner reads to price probes against recall before fixing the
+    * serving configuration (E11 evaluates ONE configuration; this
+    * sweeps the knob — and the last arm probes EVERY cell, so its
+    * recall printing 1.0 is the row's own internal consistency proof).
+    *
+    * Scale shape: the index (cells + assignment) builds ONCE and every
+    * arm reuses it — arms differ only in how many probed cells the
+    * candidate equi-join admits; the recall tail aggregates frames of
+    * queries × k rows (never the corpus; the E11 shape). The curve is
+    * embarrassingly parallel across arms inside one plan. */
+  def annOperatingCurve(
+      embeddings: DataFrame,
+      probesList: Seq[Int] = Seq(1, 2, 3, 10)): DataFrame = {
+    require(probesList.nonEmpty && probesList.forall(_ >= 1),
+      "probesList must be nonempty positive")
+    val v = withNorms(embeddings)
+    val (cents, assigned) = ivfIndex(v)
+    val exact = annBruteforce(embeddings)
+      .select(col("q_id"), col("neighbor_id"))
+    val arms = probesList.map { p =>
+      val ap = topkPerQuery(
+        ivfScored(queries(v), cents, assigned, nProbes = p).distinct())
+        .select(col("q_id"), col("neighbor_id"))
+      val t = exact.agg(countDistinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("n_truth"))
+      val h = exact.join(ap, Seq("q_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      // 1-row × 1-row guard-pattern crossJoin (the house totals frame)
+      t.crossJoin(h).select(lit(p.toLong).as("probes"),
+        col("n_queries"), col("n_truth"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_truth").cast("double"))
+          .as("recall"))
+    }
+    arms.reduce(_ unionByName _).orderBy("probes")
+  }
+
+  val qAnnOperatingCurve: Q = Q(
+    "q_ann_operating_curve",
+    (s, d) => annOperatingCurve(Tables.embeddings(s, d)),
+    Some {
+      val arms = Seq(1, 2, 3, 10).map { p =>
+        s"""SELECT CAST($p AS BIGINT) AS probes, t.n_queries, t.n_truth,
+          coalesce(h.n_hit, 0) AS n_hit,
+          CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(t.n_truth AS DOUBLE) AS recall
+        FROM (SELECT count(DISTINCT q_id) AS n_queries, count(*) AS n_truth
+          FROM ex) t
+        CROSS JOIN (SELECT count(*) AS n_hit FROM ex
+          JOIN (SELECT q_id, neighbor_id FROM (${ivfSql(p)})) ap$p
+          USING (q_id, neighbor_id)) h"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""WITH ex AS (SELECT q_id, neighbor_id FROM ($bruteforceSql))
+      $arms
+      ORDER BY probes"""
+    })
 
   /** E4: leave-one-out kNN label classification over the deterministic
     * IVF index — the "how good are these embeddings" eval every
@@ -2004,5 +2068,6 @@ object Similarity {
     Seq(qDedupEmbedding, qDedupEmbeddingLsh, qAnnBruteforce, qAnnLsh, qAnnIvf,
       qAnnIvfTrainedExh, qAnnIvfPq, qAnnIvfPqSearch, qAnnOpq, qAnnPqAppend,
       qKnnLabel, qHardNegatives,
-      qEmbedCentroids, qDedupSemantic, qDedupSemanticTrained, qAnnRecall)
+      qEmbedCentroids, qDedupSemantic, qDedupSemanticTrained, qAnnRecall,
+      qAnnOperatingCurve)
 }

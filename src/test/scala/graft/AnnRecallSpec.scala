@@ -124,4 +124,22 @@ class AnnRecallSpec extends SparkSpec {
     val recall = (exh intersect probed).size.toDouble / exh.size
     assert(recall >= 0.4, s"hard-negative probe recall $recall")
   }
+
+  test("E19 operating curve: recall is monotone in probes and the exhaustive arm is exact") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val curve = Similarity.annOperatingCurve(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(curve.map(_._1).toSeq == Seq(1L, 2L, 3L, 10L))
+    // one truth set shared by every arm
+    assert(curve.map(c => (c._2, c._3)).distinct.size == 1)
+    // recall never decreases as probes grow (candidate sets are nested)
+    curve.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 <= b._5 + 1e-12,
+        s"recall fell from probes=${a._1} (${a._5}) to probes=${b._1} (${b._5})")
+    }
+    // probing EVERY cell is brute force: the last arm must be exact
+    assert(curve.last._5 == 1.0 && curve.last._4 == curve.last._3,
+      s"exhaustive arm not exact: ${curve.last}")
+  }
 }
