@@ -54,6 +54,13 @@ object CorpusMap {
   val MapCells = 8
   val MapIters = 2
 
+  /** The per-doc grid frame feeds multiple consumers — the census
+    * aggregate, the mixer's stats AND its final join (H15's plan reads
+    * it twice) — so memo the placement pass per (corpus, params) plan:
+    * without it the broadcast-argmin assignment and token count re-scan
+    * the corpus once per consumer subtree. */
+  private[this] val cellCache = new graft.ops.PlanCache(capacity = 2)
+
   /** Unit-normalized DOUBLE doc vectors from E9's sparse embedding —
     * (vec_id, embedding array<double>); wordless docs are zero
     * vectors (normalization guarded). */
@@ -95,8 +102,9 @@ object CorpusMap {
       .select(col("doc_id"), col("decile"))
     val toks = docs.select(col("doc_id"),
       size(words(col("text"))).cast("long").as("n_tokens"))
-    assigned.join(deciles, "doc_id").join(toks, "doc_id")
-      .select(col("doc_id"), col("cell"), col("decile"), col("n_tokens"))
+    cellCache.memo(
+      assigned.join(deciles, "doc_id").join(toks, "doc_id")
+        .select(col("doc_id"), col("cell"), col("decile"), col("n_tokens")))
   }
 
   /** The corpus-map census: (cell, decile, n_docs, n_tokens).
