@@ -92,19 +92,37 @@ object CellMix {
         col("rate"), col("keep"))
   }
 
-  /** The driver row: the uniform-target mix summarized per grid group
-    * — before/after doc and token mass plus the applied rate, the
-    * frame a mix designer diffs against the census. */
-  val qCellMix: Q = Q(
-    "q_cell_mix",
-    (s, d) => cellMix(Tables.documents(s, d))
-      .groupBy("cell", "decile")
+  /** A DESIGNED target frame derived from the census itself: each
+    * observed (cell, decile) group's token share ∝ its decile — the
+    * standard "upweight high quality" mix, with no hand-tuned
+    * constants so the oracle can derive the identical shares. */
+  private def qualityTargets(docs: DataFrame): DataFrame = {
+    val census = CorpusMap.corpusMap(docs)
+    // window over the ≤ cells×10-row census only (the H6 argument)
+    val w = Window.partitionBy()
+    census
+      .withColumn("sd", sum(col("decile")).over(w))
+      .select(col("cell"), col("decile"),
+        (col("decile").cast("double") / col("sd").cast("double"))
+          .as("share"))
+  }
+
+  /** The per-group mix summary both driver rows report: before/after
+    * doc and token mass plus the applied rate — the frame a mix
+    * designer diffs against the census. */
+  private def mixSummary(mixed: DataFrame): DataFrame =
+    mixed.groupBy("cell", "decile")
       .agg(count(lit(1)).as("n_before"),
         sum(col("n_tokens")).as("tok_before"),
         min(col("rate")).as("rate"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_after"),
         sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("tok_after"))
-      .orderBy("cell", "decile"),
+      .orderBy("cell", "decile")
+
+  /** The uniform-target driver row. */
+  val qCellMix: Q = Q(
+    "q_cell_mix",
+    (s, d) => mixSummary(cellMix(Tables.documents(s, d))),
     Some(s"""WITH ${CorpusMap.sqlDocCellCtes},
       per AS (
         SELECT doc_id, cell, decile, n_tokens,
@@ -119,6 +137,55 @@ object CellMix {
           (CAST(t_tokens AS DOUBLE) * (1.0::DOUBLE / CAST(k AS DOUBLE)))
             / CAST(g_tokens AS DOUBLE)) AS rate
         FROM g CROSS JOIN t)
+      SELECT cell, decile,
+        count(*) AS n_before,
+        CAST(sum(n_tokens) AS BIGINT) AS tok_before,
+        min(rate) AS rate,
+        CAST(sum(CASE WHEN scramble < rate * $ScrambleP.0::DOUBLE
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+        CAST(sum(CASE WHEN scramble < rate * $ScrambleP.0::DOUBLE
+          THEN n_tokens ELSE 0 END) AS BIGINT) AS tok_after
+      FROM per JOIN rated USING (cell, decile)
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
+  /** The DESIGNED-target driver row — H15's `targets` arm hash-checked
+    * end to end: shares ∝ decile (derived from the census itself, so
+    * the oracle derives the identical shares with no stashed
+    * constants), rate = min(1, t_tokens·share / g_tokens). Proves the
+    * custom-targets path — join, share arithmetic, clamping — not
+    * just the uniform default. */
+  val qCellMixQuality: Q = Q(
+    "q_cell_mix_quality",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = Window.partitionBy()
+      val targets = CorpusMap.corpusMap(docs)
+        .withColumn("sd", sum(col("decile")).over(w))
+        .select(col("cell"), col("decile"),
+          (col("decile").cast("double") / col("sd").cast("double"))
+            .as("share"))
+      mixSummary(cellMix(docs, targets = Some(targets)))
+    },
+    Some(s"""WITH ${CorpusMap.sqlDocCellCtes},
+      per AS (
+        SELECT doc_id, cell, decile, n_tokens,
+          CAST(((doc_id % $ScrambleP) * $ScrambleA) % $ScrambleP AS DOUBLE)
+            AS scramble
+        FROM doc_cells),
+      g AS (SELECT cell, decile, sum(n_tokens) AS g_tokens
+        FROM per GROUP BY 1, 2),
+      t AS (SELECT sum(g_tokens) AS t_tokens FROM g),
+      sd AS (SELECT sum(decile) AS sd FROM g),
+      tg AS (SELECT cell, decile,
+          CAST(decile AS DOUBLE) / CAST(sd AS DOUBLE) AS share
+        FROM g CROSS JOIN sd),
+      rated AS (
+        SELECT g.cell, g.decile, LEAST(1.0::DOUBLE,
+          (CAST(t_tokens AS DOUBLE) * share) / CAST(g_tokens AS DOUBLE))
+            AS rate
+        FROM g JOIN tg ON g.cell = tg.cell AND g.decile = tg.decile
+        CROSS JOIN t)
       SELECT cell, decile,
         count(*) AS n_before,
         CAST(sum(n_tokens) AS BIGINT) AS tok_before,

@@ -239,5 +239,5 @@ object CorpusMap {
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
-  val all: Seq[Q] = Seq(qCorpusMap, CellMix.qCellMix)
+  val all: Seq[Q] = Seq(qCorpusMap, CellMix.qCellMix, CellMix.qCellMixQuality)
 }
