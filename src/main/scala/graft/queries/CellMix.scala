@@ -159,13 +159,7 @@ object CellMix {
     "q_cell_mix_quality",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val w = Window.partitionBy()
-      val targets = CorpusMap.corpusMap(docs)
-        .withColumn("sd", sum(col("decile")).over(w))
-        .select(col("cell"), col("decile"),
-          (col("decile").cast("double") / col("sd").cast("double"))
-            .as("share"))
-      mixSummary(cellMix(docs, targets = Some(targets)))
+      mixSummary(cellMix(docs, targets = Some(qualityTargets(docs))))
     },
     Some(s"""WITH ${CorpusMap.sqlDocCellCtes},
       per AS (
