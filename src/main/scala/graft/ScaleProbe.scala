@@ -651,6 +651,34 @@ object ScaleProbe {
     batchDf.unpersist(blocking = false)
     lakeKeyDf.unpersist(blocking = false)
 
+    // Corpus map through the FULL 100 TB path on the same corpus:
+    // fitModel at fitFraction = 0.01 (Lloyd on a ~5k seeded draw + one
+    // decile-histogram pass), then assignFrozen places EVERY doc as a
+    // pure per-row map (G22 — no join, no agg, no refit), and the
+    // census aggregates the frozen frame. Exact-census asserts: every
+    // doc placed exactly once, cells/deciles inside their domains, and
+    // token mass EXACTLY 30·docs (each synthetic doc is 30 tokens) —
+    // a dropped doc, a domain escape, or a token-count drift all trip
+    // integers, not tolerances.
+    val (cmAgg, tCm) = time {
+      val model = Graft.corpusMapModel(spanDocsDf, fitFraction = 0.01)
+      Graft.corpusMapAssign(spanDocsDf, model)
+        .agg(count(lit(1)), sum(col("n_tokens")),
+          min(col("cell")), max(col("cell")),
+          min(col("decile")), max(col("decile")),
+          countDistinct(col("cell"))).head()
+    }
+    println(f"corpus map (frozen)  $spanTotal%9d docs  $tCm%7.1f s  ${spanTotal / tCm}%9.0f docs/s  (${cmAgg.getLong(6)} cells live, sample-fit 1%%)")
+    assert(cmAgg.getLong(0) == spanTotal && cmAgg.getLong(1) == 30L * spanTotal,
+      s"corpus map: placed ${cmAgg.getLong(0)} docs / ${cmAgg.getLong(1)} tokens " +
+        s"vs $spanTotal / ${30L * spanTotal} — docs lost or token mass drifted")
+    assert(cmAgg.getLong(2) >= 0L &&
+      cmAgg.getLong(3) < graft.queries.CorpusMap.MapCells &&
+      cmAgg.getLong(4) >= 1L && cmAgg.getLong(5) <= 10L,
+      s"corpus map domain escape: cells [${cmAgg.getLong(2)}, ${cmAgg.getLong(3)}], " +
+        s"deciles [${cmAgg.getLong(4)}, ${cmAgg.getLong(5)}]")
+    println(f"corpus map census    ${"check"}%9s       $spanTotal docs placed once, ${30L * spanTotal} tokens exact, domains held  PASS")
+
     // Char-granularity span census (D14b) on the SAME corpus: tokens
     // are 6 chars + separator, so the twins' shared tokens 11..20 are
     // one identical char run [70, 140] (the flanking spaces match
