@@ -153,6 +153,23 @@ object Bench {
     pinRegressed.foreach { case (name, r) =>
       println(f"bench [pin-regressed] $name%-20s ${r}%.2fx its pin -> retiming")
     }
+    // PINLESS rows (the round-14 verdict ask): a swept query without a
+    // committed pin is invisible to the 1.5x history tagging — exactly
+    // the gap q_cell_mix_quality fell through in round 14. Fail loudly:
+    // every pinless row is mechanically forced through the isolated
+    // retime path (so its published number is never an unvetted
+    // in-sweep reading), it lands in the artifact's `pinless` list, and
+    // stderr flags it. Expected only on the quiet SPARK_GRAFT_WRITE_PINS
+    // sweep that first pins a new row; in a driver sweep it means the
+    // builder forgot to re-pin after adding queries.
+    val pinless = results.collect {
+      case (name, _) if pins.nonEmpty && !pins.contains(name) => name
+    }
+    if (pinless.nonEmpty && !sys.env.get("SPARK_GRAFT_WRITE_PINS").contains("1"))
+      System.err.println(s"bench ERROR: ${pinless.size} swept queries have no " +
+        s"pin in bench_pins.json (${pinless.mkString(", ")}) — regression " +
+        "tagging is blind there; run a quiet SPARK_GRAFT_WRITE_PINS=1 sweep " +
+        "and commit the refreshed pins")
     // Auto-retime (the round-10 verdict ask): tagging alone left three
     // of four driver artifacts without usable numbers for their
     // contended rows. Ambient spikes are usually transient, so every
@@ -164,7 +181,15 @@ object Bench {
     // same way the sweep is judged — an all-contended machine still
     // yields a number plus the evidence, never a silent drop.
     val retimeCals = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val toRetime = (suspects.keys ++ pinRegressed.keys).toSeq.distinct
+    val toRetime =
+      (suspects.keys ++ pinRegressed.keys ++ pinless.iterator).toSeq.distinct
+    // Every retime ATTEMPT is recorded per query (round-14 advisor
+    // finding: keep-the-minimum escalation can mask a genuinely
+    // bimodal row whose fast mode still reappears — publishing the
+    // spread keeps a persistent slow mode visible in the artifact
+    // instead of being discarded as a flake).
+    val attemptLog =
+      scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     val retimed = toRetime.map { name =>
       val fn = SparkEntry.queries(name)
       def attempt(): (Double, Double) = {
@@ -175,6 +200,7 @@ object Bench {
         retimeCals += c0
         retimeCals += c1
         val best = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+        attemptLog(name) = attemptLog.getOrElse(name, Nil) :+ best
         (best, math.max(c0, c1))
       }
       val first = attempt()
@@ -265,6 +291,11 @@ object Bench {
       .map { case (name, r) => s"\"" + name + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
     val retimeCalJson = retimeCals.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val attemptsJson = attemptLog
+      .map { case (name, vs) =>
+        s"\"" + name + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val pinlessJson = pinless.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Pin context travels IN the artifact (round-12 verdict ask #6):
     // round-over-round comparison previously required opening
     // bench_pins.json by hand. pin_s carries each swept row's committed
@@ -275,7 +306,7 @@ object Bench {
     val pinJson = pins.collect { case (k, v) if sweptNames(k) =>
       s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val pinnedTotal = pins.collect { case (k, v) if sweptNames(k) => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"storage_mb_held":$heldJson,"calibration_s":$calJson,"calibration_drift":${f"$calDrift%.3f"},"calibration_median_s":${f"$calMedian%.3f"},"calibration_abs":${f"$calAbs%.3f"},"suspect":$suspectJson,"pin_regressed":$pinRegressedJson,"retimed_s":$retimedJson,"retime_calibration_s":$retimeCalJson,"pin_s":$pinJson,"pin_rows":${pins.count(p => sweptNames(p._1))},"pinned_total_s":${f"$pinnedTotal%.3f"},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"storage_mb_held":$heldJson,"calibration_s":$calJson,"calibration_drift":${f"$calDrift%.3f"},"calibration_median_s":${f"$calMedian%.3f"},"calibration_abs":${f"$calAbs%.3f"},"suspect":$suspectJson,"pin_regressed":$pinRegressedJson,"retimed_s":$retimedJson,"retime_calibration_s":$retimeCalJson,"retime_attempts_s":$attemptsJson,"pinless":$pinlessJson,"pin_s":$pinJson,"pin_rows":${pins.count(p => sweptNames(p._1))},"pinned_total_s":${f"$pinnedTotal%.3f"},"sf":"$sfDir"}"""
     // The file is the durable artifact: stdout captures have twice lost
     // timings to tail-truncation of the single long JSON line.
     try {

@@ -105,8 +105,16 @@ object CrawlCodec {
   }
 
   /** Frame one record — the writer side, used by the synthetic corpus
-    * builder and any staging sink; `parse` inverts it exactly. */
+    * builder and any staging sink; `parse` inverts it exactly. The url
+    * lands on a CRLF-terminated header line, so a url containing CR/LF
+    * would corrupt the header block and break the parse-inverts-frame
+    * invariant for the rest of the file (a round-14 advisor finding) —
+    * rejected loudly here rather than written corrupt; real crawl
+    * front-ends percent-encode control characters before this point
+    * (C26's gate already drops such urls). */
   def frame(url: String, body: Array[Byte]): Array[Byte] = {
+    require(!url.exists(c => c == '\r' || c == '\n'),
+      "CrawlCodec.frame: url must not contain CR/LF (percent-encode control characters first)")
     val head = (s"WARC/1.0\r\n$UriKey$url\r\n$LenKey${body.length}\r\n\r\n")
       .getBytes(UTF_8)
     head ++ body ++ "\r\n\r\n".getBytes(UTF_8)

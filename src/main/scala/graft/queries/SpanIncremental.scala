@@ -152,17 +152,24 @@ object SpanIncremental {
     else {
       // id-disjointness guard (the D13b pattern): an id present in
       // both frames would put two texts under one identity and
-      // silently corrupt keeper arithmetic. Folded into n_excised so
-      // any consumer reading the rewrite's numbers evaluates it.
+      // silently corrupt keeper arithmetic. Folded into EVERY output
+      // column (guardL is 0L on the clean path; the string arm is a
+      // zero-length substring), so no projection — doc_id-only,
+      // text_clean-only — lets Catalyst prune the assert away (a
+      // round-14 advisor finding: the n_excised-only fold was
+      // prunable by any consumer that didn't read the counts).
       val clash = incoming.select(col("doc_id"))
         .join(lake.select(col("doc_id")), Seq("doc_id"))
         .agg(count(lit(1)).as("__clash"))
       val guardL = coalesce(assert_true(col("__clash") === 0,
         lit("exciseSpansIncremental: incoming and lake doc_ids must be disjoint"))
         .cast("long"), lit(0L))
+      val guardS = substring(guardL.cast("string"), 0, 0)
       out.crossJoin(clash)
-        .select(col("doc_id"), col("n_tokens"),
-          (col("n_excised") + guardL).as("n_excised"), col("text_clean"))
+        .select((col("doc_id") + guardL).as("doc_id"),
+          (col("n_tokens") + guardL).as("n_tokens"),
+          (col("n_excised") + guardL).as("n_excised"),
+          concat(col("text_clean"), guardS).as("text_clean"))
     }
   }
 

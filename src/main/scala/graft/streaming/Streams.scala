@@ -704,13 +704,16 @@ object Streams {
         // two same-id rows with DIFFERENT text in one micro-batch:
         // within-group iterator order under flatMapGroupsWithState is
         // shuffle-dependent, so "first in iterator order" would be
-        // nondeterministic (advisor r13). Pick by min ordered gram
-        // hash — a pure function of content, so "first delivery wins"
-        // is well-defined even intra-batch.
+        // nondeterministic (advisor r13). Pick by min (ordered gram
+        // hash, gram sequence) — the lexicographic second key breaks
+        // residual HASH COLLISIONS on the content itself (advisor
+        // r14: minBy on the hash alone fell back to iterator order
+        // there), so the winner is a total function of content.
         val all = rows.toArray
         if (all.isEmpty) Iterator.empty
         else all.minBy(r =>
-          scala.util.hashing.MurmurHash3.orderedHash(r._2))._2.iterator
+          (scala.util.hashing.MurmurHash3.orderedHash(r._2),
+            r._2.mkString("\u0000")))._2.iterator
       }
     def shardUpdate(shard: Long, rows: Iterator[String],
         state: GroupState[HhShardState]): Iterator[HhShardOut] = {
