@@ -112,16 +112,20 @@ object Graft {
   /** UNK-free byte-fallback tokenization (GPT-2 posture): bytes 0..255
     * own their ids, whitespace runs are first-class tokens, and
     * decode(encode(text)) == text byte-for-byte on ANY input
-    * ([[graft.queries.ByteTokenizer.tokenizeDocsBytes]]). */
+    * ([[graft.queries.ByteTokenizer.tokenizeDocsBytes]]). Default
+    * table: the C30 byte-LEARNED merges (digits/punctuation/
+    * whitespace compress; was the letter-trained FixedMerges before
+    * round 15 — pass it explicitly for the old ids). */
   def tokenizeDocsBytes(docs: DataFrame,
       merges: Seq[((String, String), String)] =
-        queries.Tokenizer.FixedMerges): DataFrame =
+        queries.ByteTokenizer.LearnedByteMerges): DataFrame =
     queries.ByteTokenizer.tokenizeDocsBytes(docs, merges)
   /** Decode byte-fallback ids back to the exact original text
-    * ([[graft.queries.ByteTokenizer.decode]]). */
+    * ([[graft.queries.ByteTokenizer.decode]]); the merges table must
+    * be the one the ids were encoded under. */
   def decodeTokensBytes(tokens: Seq[Int],
       merges: Seq[((String, String), String)] =
-        queries.Tokenizer.FixedMerges): String =
+        queries.ByteTokenizer.LearnedByteMerges): String =
     queries.ByteTokenizer.decode(tokens, merges)
   /** Crawl-record framing: binary (file_id, payload) crawl files →
     * (file_id, rec_idx, url, n_bytes, html) rows via WARC-style
@@ -267,9 +271,10 @@ object Graft {
       merges: Seq[((String, String), String)] = queries.Tokenizer.FixedMerges,
       budget: Long = 512L,
       seed: Long = 0L,
-      tokenize: Boolean = false): DataFrame =
+      tokenize: Boolean = false,
+      byteTokens: Boolean = false): DataFrame =
     queries.Curation.produceShards(docs, eval, dir, minWords, stops, merges,
-      budget, seed, tokenize)
+      budget, seed, tokenize, byteTokens)
   /** Scheduled compaction of a streaming-ingest staging lake into the
     * epoch-shard artifact ([[graft.queries.Curation.compactShards]]):
     * the close of the stream→artifact loop. */
@@ -280,9 +285,10 @@ object Graft {
       merges: Seq[((String, String), String)] = queries.Tokenizer.FixedMerges,
       budget: Long = 512L,
       seed: Long = 0L,
-      tokenize: Boolean = false): DataFrame =
+      tokenize: Boolean = false,
+      byteTokens: Boolean = false): DataFrame =
     queries.Curation.compactShards(spark, stagingDir, eval, dir, minWords,
-      stops, merges, budget, seed, tokenize)
+      stops, merges, budget, seed, tokenize, byteTokens)
   /** Corpus → per-doc trainer-consumable token ids:
     * (doc_id, tokens array<int>, n_tokens)
     * ([[graft.queries.Tokenizer.tokenizeDocs]]). */
@@ -296,12 +302,36 @@ object Graft {
       merges: Seq[((String, String), String)] = queries.Tokenizer.FixedMerges,
       budget: Long = 512L): DataFrame =
     graft.sources.Sinks.writeTokenizedShards(docs, dir, merges, budget)
+  /** C30: learn a BYTE-level BPE merge table from the corpus's own
+    * runs — digits/punctuation/whitespace included
+    * ([[graft.queries.ByteTokenizer.learnByteMerges]]). */
+  def learnByteMerges(docs: DataFrame, merges: Int,
+      maxDictRuns: Int = 50000): Seq[((String, String), String)] =
+    queries.ByteTokenizer.learnByteMerges(docs, merges, maxDictRuns)
+  /** Corpus → byte-token training shards on disk: UNK-free C28/C30
+    * ids, budgets in byte-tokens (whitespace priced honestly),
+    * fingerprints over the id arrays
+    * ([[graft.sources.Sinks.writeTokenizedShardsBytes]]). */
+  def writeTokenizedShardsBytes(docs: DataFrame, dir: String,
+      merges: Seq[((String, String), String)] =
+        queries.ByteTokenizer.LearnedByteMerges,
+      budget: Long = 512L): DataFrame =
+    graft.sources.Sinks.writeTokenizedShardsBytes(docs, dir, merges, budget)
   /** SemDeDup: within-cluster semantic dedup, keeping the pair member
     * less similar to its centroid; `cells <= 0` auto-sizes to
     * ceil(sqrt(N)) ([[graft.queries.Similarity.semanticDedup]]). */
   def semanticDedup(embeddings: DataFrame, cells: Int = 0,
       minCosine: Double = 0.9): DataFrame =
     queries.Similarity.semanticDedup(embeddings, cells, minCosine)
+  /** D28: flag an incoming batch's near-semantic-duplicates against an
+    * accumulated lake under FROZEN cells, batch-sided pairs only —
+    * provably equal to full SemDeDup over the union restricted to the
+    * batch ([[graft.queries.Similarity.semanticDedupIncremental]]). */
+  def semanticDedupIncremental(incoming: DataFrame, lake: DataFrame,
+      cells: Int = 10, minCosine: Double = 0.9,
+      fitFraction: Double = 1.0): DataFrame =
+    queries.Similarity.semanticDedupIncremental(incoming, lake, cells,
+      minCosine, fitFraction = fitFraction)
   /** SemDeDup over seeded-KMeans centroids instead of the first-k
     * vectors — same pipeline, trained cells
     * ([[graft.queries.Similarity.semanticDedupTrained]]).

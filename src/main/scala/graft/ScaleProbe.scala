@@ -1359,6 +1359,68 @@ object ScaleProbe {
     assert(nQ == nSem / 1000 && nHit >= nQ * 9 / 10,
       s"appended twins not served: $nHit/$nQ queries returned their twin top-1")
     println(f"pq append gates      ${"check"}%9s       append <= build/3, twins served >= 90%%  PASS")
+
+    // --- D28 incremental semantic dedup: the 1M base corpus plays the
+    // lake (cells SAMPLE-fitted at 1% — the 100 TB fit path — then
+    // assigned ONCE, offline, into the per-cell state), the 10k twins
+    // arrive as the nightly batch. Two gates:
+    //   correctness — the batch-sided restricted probe must equal FULL
+    //   frozen SemDeDup over the 1.01M union filtered to batch ids,
+    //   row for row (the losslessness the driver row proves at oracle
+    //   SF, re-proved here at 1M under a sample fit);
+    //   cost — the batch pass must beat the full re-run by 2x+ (the
+    //   D27 batch-cost-gate pattern at embedding granularity): full
+    //   pays union assignment + Σocc² pairing, the batch pass pays 10k
+    //   assignments + one cell-join against the stored lake.
+    val (d28Cents, tD28Fit) = time {
+      graft.queries.Similarity.fitSemanticCells(
+        semBase, cells = 1000, seed = 0xC0FFEEL, fitFraction = 0.01,
+        what = "scaleprobe-d28")
+    }
+    println(f"semdedup-inc fit     $nSem%9d vecs  $tD28Fit%7.1f s  (k=1000 on the 1%% seeded draw)")
+    val (lakeAssigned, tD28Lake) = time {
+      val a = graft.queries.Similarity
+        .assignSemanticCellsFrozen(semBase, d28Cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      a.count()
+      a
+    }
+    println(f"semdedup-inc lake    $nSem%9d vecs  $tD28Lake%7.1f s  ${nSem / tD28Lake}%9.0f vecs/s  (one-time offline assign)")
+    val (d28Out, tD28Batch) = time {
+      val o = graft.queries.Similarity.semanticDedupIncrementalAssigned(
+          twinBatch, lakeAssigned, d28Cents, minCosine = 0.99)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      o.count()
+      o
+    }
+    println(f"semdedup-inc batch   $nTwins%9d vecs  $tD28Batch%7.1f s  ${nTwins / tD28Batch}%9.0f vecs/s  (restricted probe)")
+    val (d28Full, tD28Full) = time {
+      val f = graft.queries.Similarity
+        .semanticDedupFrozen(semAll, d28Cents, minCosine = 0.99)
+        .filter(col("vec_id") >= nSem)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      f.count()
+      f
+    }
+    println(f"semdedup-inc full    ${nSem + nTwins}%9d vecs  $tD28Full%7.1f s  (full union re-run, batch slice)")
+    val d28Diff = d28Out.exceptAll(d28Full).count() + d28Full.exceptAll(d28Out).count()
+    assert(d28Diff == 0L,
+      s"D28 restricted probe diverged from the full union re-run on $d28Diff rows")
+    val d28Drops = d28Out.agg(sum(lit(1L) - col("kept"))).head().getLong(0)
+    // each twin pairs with its base at cos ~0.9999; the batch (twin)
+    // member drops only when it is the more-central one, so drops land
+    // well inside (0, planted] — a sanity bracket, not an exact census
+    assert(d28Drops > 0L && d28Drops <= nTwins,
+      s"D28 flagged $d28Drops of $nTwins planted twins — outside (0, planted]")
+    assert(tD28Batch <= tD28Full / 2.0,
+      f"D28 batch pass $tD28Batch%.1f s is not clearly cheaper than the " +
+        f"full re-run $tD28Full%.1f s — the restricted probe is paying lake-scale work")
+    println(f"semdedup-inc gates   ${"check"}%9s       batch == full slice ($d28Drops flagged), " +
+      f"$tD28Batch%.1f s <= ${tD28Full / 2.0}%.1f s  PASS")
+    d28Out.unpersist()
+    d28Full.unpersist()
+    lakeAssigned.unpersist()
+
     twinBatch.unpersist()
     apIdx.release()
     semAll.unpersist()

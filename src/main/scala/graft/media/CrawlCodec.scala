@@ -104,6 +104,51 @@ object CrawlCodec {
     out.toSeq
   }
 
+  /** Parse a `.warc.gz`-style payload: a CONCATENATION OF GZIP
+    * MEMBERS (the ISO 28500 convention — each record compressed as
+    * its own member, members back to back), inflated member-by-member
+    * by GZIPInputStream (which walks consecutive member headers) and
+    * then framed-parsed exactly as [[parse]]. Damage contract carried
+    * through the compression layer: a truncated or corrupt member
+    * ends THAT FILE's inflation at the last whole byte run — every
+    * record fully inflated before the damage is emitted intact
+    * (lengths still checked against Content-Length by the frame
+    * parse), everything after is unrecoverable without
+    * resynchronization, and other files are untouched. */
+  def parseGzip(fileId: Long, payload: Array[Byte]): Seq[CrawlRecord] = {
+    val out = new java.io.ByteArrayOutputStream()
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+    } catch {
+      // truncated/corrupt member or trailing garbage: keep what
+      // inflated cleanly — the frame parse below stops at the first
+      // incomplete record (the documented damage posture)
+      case _: java.io.IOException => ()
+    }
+    parse(fileId, out.toByteArray)
+  }
+
+  /** Frame one record as its own GZIP MEMBER — the `.warc.gz` writer
+    * side; concatenate members to build a file. [[parseGzip]] inverts
+    * the concatenation exactly. Java's GZIPOutputStream writes a
+    * zeroed MTIME header, so the bytes are deterministic for
+    * deterministic input. */
+  def frameGzip(url: String, body: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(frame(url, body))
+    gz.finish()
+    gz.close()
+    bos.toByteArray
+  }
+
   /** Frame one record — the writer side, used by the synthetic corpus
     * builder and any staging sink; `parse` inverts it exactly. The url
     * lands on a CRLF-terminated header line, so a url containing CR/LF

@@ -58,12 +58,25 @@ object CellMix {
       .withColumn("scramble",
         (((col("doc_id") % ScrambleP) * ScrambleA) % ScrambleP)
           .cast("double"))
+    val rated = ratedOf(per, targets)
+    per.join(broadcast(rated), Seq("cell", "decile"))
+      .withColumn("keep",
+        col("scramble") < col("rate") * lit(ScrambleP.toDouble))
+      .select(col("doc_id"), col("cell"), col("decile"), col("n_tokens"),
+        col("rate"), col("keep"))
+  }
+
+  /** The per-group rate frame (cell, decile, rate) from any per-doc
+    * (cell, decile, n_tokens) frame — factored from [[cellMix]] so the
+    * frozen-state path ([[fitRates]]/[[mixFrozen]]) derives the SAME
+    * arithmetic (the one-fragment discipline). */
+  private def ratedOf(per: DataFrame, targets: Option[DataFrame]): DataFrame = {
     val gstats = per.groupBy("cell", "decile")
       .agg(sum(col("n_tokens")).as("g_tokens"))
     // windows over the ≤ cells×10-row stats frame only (the H6
     // bounded-window argument), never the corpus
     val w = Window.partitionBy()
-    val rated = targets match {
+    targets match {
       case None =>
         gstats
           .withColumn("k", count(lit(1)).over(w))
@@ -85,7 +98,51 @@ object CellMix {
               col("g_tokens").cast("double")))
           .select(col("cell"), col("decile"), col("rate"))
     }
-    per.join(broadcast(rated), Seq("cell", "decile"))
+  }
+
+  /** Fit the FROZEN mixing rates on a corpus: the (cell, decile, rate)
+    * table as bounded driver model state (≤ cells×10 rows) — the
+    * literal half of the G23 streaming mixer's state, beside
+    * [[CorpusMap.fitModel]]'s centroids+cuts. Same-corpus contract:
+    * `mixFrozen(docs, CorpusMap.fitModel(docs), fitRates(docs))`
+    * equals [[cellMix]](docs) BIT-EXACTLY (CellMixSpec pins it) —
+    * assignment, rate arithmetic, and the LCG keep draw are all one
+    * definition. */
+  def fitRates(
+      docs: DataFrame,
+      dims: Int = CorpusMap.MapDims,
+      cells: Int = CorpusMap.MapCells,
+      iters: Int = CorpusMap.MapIters,
+      fitFraction: Double = 1.0,
+      targets: Option[DataFrame] = None): Seq[(Long, Long, Double)] =
+    ratedOf(CorpusMap.docCells(docs, dims, cells, iters, fitFraction), targets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  /** Per-doc keep/drop under FULLY FROZEN state — the corpus-map model
+    * (centroid + cut literals) AND the rate table, no fit, no
+    * aggregation, no shuffle: [[CorpusMap.assignFrozen]]'s pure
+    * per-row map plus a rate-map literal lookup and the LCG draw. A
+    * streaming plan hosts it as-is
+    * ([[graft.streaming.Streams.cellMixStream]] — the G22 argument
+    * one step further, closing the census → mixer → live-ingest
+    * chain); at 100 TB the whole mixer is one map stage in the scan
+    * projection. Groups absent from `rates` get rate 0 (the excision
+    * arm, as in [[cellMix]]'s designed-targets path). */
+  def mixFrozen(
+      docs: DataFrame,
+      model: CorpusMap.CorpusMapModel,
+      rates: Seq[(Long, Long, Double)]): DataFrame = {
+    // deciles are 1..10 — key = cell*16 + decile packs uniquely
+    val keys = rates.map { case (c, d, _) => c * 16L + d }.toArray
+    val vals = rates.map(_._3).toArray
+    val rateMap = map_from_arrays(lit(keys), lit(vals))
+    CorpusMap.assignFrozen(docs, model)
+      .withColumn("scramble",
+        (((col("doc_id") % ScrambleP) * ScrambleA) % ScrambleP)
+          .cast("double"))
+      .withColumn("rate",
+        coalesce(element_at(rateMap, col("cell") * 16L + col("decile")),
+          lit(0.0)))
       .withColumn("keep",
         col("scramble") < col("rate") * lit(ScrambleP.toDouble))
       .select(col("doc_id"), col("cell"), col("decile"), col("n_tokens"),

@@ -67,23 +67,53 @@ object CrawlRecords {
   def crawlFilesTable(s: SparkSession, d: String): DataFrame =
     crawlFilesFrom(Tables.documents(s, d))
 
+  /** The `.warc.gz` twin of [[crawlFilesFrom]]: the SAME records,
+    * each compressed as its own gzip member
+    * ([[graft.media.CrawlCodec.frameGzip]] — deflate runs in a typed
+    * map, per record, the real writer's unit), members concatenated
+    * in doc_id order into the same `doc_id mod 16` file payloads. */
+  private[graft] def crawlFilesGzFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, src, text) =>
+        val body = ("<html><body>" + Option(text).getOrElse("") +
+          "</body></html>").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (id % FilesMod, id,
+          graft.media.CrawlCodec.frameGzip(s"https://$src.example/$id", body))
+      }
+      .toDF("file_id", "doc_id", "rec")
+      .groupBy("file_id")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+          x => x.getField("rec")),
+        lit(Array.empty[Byte]),
+        (acc, r) => concat(acc, r)).as("payload"))
+  }
+
   /** Parse any (file_id, payload: binary) frame into its records:
     * (file_id, rec_idx, url, n_bytes, html) — complete records only
-    * (the [[graft.media.CrawlCodec]] damage contract). */
-  def crawlRecords(files: DataFrame): DataFrame = {
+    * (the [[graft.media.CrawlCodec]] damage contract). `gzip = true`
+    * treats each payload as concatenated gzip MEMBERS (`.warc.gz`). */
+  def crawlRecords(files: DataFrame, gzip: Boolean = false): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
     files.select(col("file_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .flatMap { case (id, p) => graft.media.CrawlCodec.parse(id, p) }
+      .flatMap { case (id, p) =>
+        if (gzip) graft.media.CrawlCodec.parseGzip(id, p)
+        else graft.media.CrawlCodec.parse(id, p)
+      }
       .toDF()
   }
 
-  val qCrawlRecords: Q = Q(
-    "q_crawl_records",
-    (s, d) => crawlRecords(crawlFilesTable(s, d))
-      .orderBy("file_id", "rec_idx"),
-    Some(s"""SELECT CAST(doc_id % $FilesMod AS BIGINT) AS file_id,
+  /** The ground-truth oracle both framing rows share: what a correct
+    * parser must emit, rebuilt from the documents table alone — so
+    * hash-green proves parse inverts frame (and, for the gz row, that
+    * inflation inverts per-member deflate) byte-exactly corpus-wide. */
+  private def groundTruthSql: String =
+    s"""SELECT CAST(doc_id % $FilesMod AS BIGINT) AS file_id,
         CAST(row_number() OVER (PARTITION BY doc_id % $FilesMod
           ORDER BY doc_id) - 1 AS BIGINT) AS rec_idx,
         'https://' || source || '.example/' || CAST(doc_id AS VARCHAR) AS url,
@@ -91,7 +121,22 @@ object CrawlRecords {
           || '</body></html>')) AS BIGINT) AS n_bytes,
         '<html><body>' || coalesce(text, '') || '</body></html>' AS html
       FROM documents
-      ORDER BY file_id, rec_idx"""))
+      ORDER BY file_id, rec_idx"""
 
-  val all: Seq[Q] = Seq(qCrawlRecords)
+  val qCrawlRecords: Q = Q(
+    "q_crawl_records",
+    (s, d) => crawlRecords(crawlFilesTable(s, d))
+      .orderBy("file_id", "rec_idx"),
+    Some(groundTruthSql))
+
+  /** C29b — the same corpus through the COMPRESSED framing: per-record
+    * gzip members in, records out, against the identical ground-truth
+    * oracle. Real `.warc.gz` ingest is exactly this path. */
+  val qCrawlRecordsGz: Q = Q(
+    "q_crawl_records_gz",
+    (s, d) => crawlRecords(crawlFilesGzFrom(Tables.documents(s, d)), gzip = true)
+      .orderBy("file_id", "rec_idx"),
+    Some(groundTruthSql))
+
+  val all: Seq[Q] = Seq(qCrawlRecords, qCrawlRecordsGz)
 }

@@ -346,7 +346,8 @@ object Curation {
       minWords: Long,
       stops: Seq[String],
       merges: Seq[((String, String), String)],
-      seed: Long): (DataFrame, DataFrame) = {
+      seed: Long,
+      byteTokens: Boolean = false): (DataFrame, DataFrame) = {
     import graft.functions.TextFunctions.words
     val gated = docs
       .join(TextAnalysis.gopherFlags(docs, minWords, 100000L, stops)
@@ -361,10 +362,21 @@ object Curation {
       Dedup.exciseSpans(clean)
         .select(col("doc_id"), col("text_clean").as("text")))
     val ordered = Shards.shuffleOrder(cleanDocs, seed)
-    val perDoc = cleanDocs
-      .select(col("doc_id"), explode(words(col("text"))).as("word"))
-      .join(Tokenizer.bpeWordCounts(cleanDocs, merges), "word")
-      .groupBy("doc_id").agg(sum(col("n_subtokens")).as("n_bpe"))
+    // n_tokens under the chosen tokenizer: word-BPE counts (C13b) or
+    // byte-fallback run counts (C28 — whitespace/punctuation priced as
+    // real tokens, the H8c honest-budget arithmetic); either way the
+    // encoder map runs once per DISTINCT key and only the key joins
+    val perDoc =
+      if (byteTokens)
+        cleanDocs
+          .select(col("doc_id"), explode(ByteTokenizer.runsCol).as("run"))
+          .join(ByteTokenizer.byteRunCounts(cleanDocs, merges), "run")
+          .groupBy("doc_id").agg(sum(col("n_subtokens")).as("n_bpe"))
+      else
+        cleanDocs
+          .select(col("doc_id"), explode(words(col("text"))).as("word"))
+          .join(Tokenizer.bpeWordCounts(cleanDocs, merges), "word")
+          .groupBy("doc_id").agg(sum(col("n_subtokens")).as("n_bpe"))
     val toks = ordered.join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("pos"),
         coalesce(col("n_bpe"), lit(0L)).as("n_tokens"))
@@ -388,16 +400,29 @@ object Curation {
     * n_tokens by construction) and the all-column fingerprint then
     * certifies the ids themselves: "corpus in, trainable token ids
     * out", end to end. Costs one extra read of the memo-persisted
-    * cleaned frame plus the per-doc reassembly shuffle. */
+    * cleaned frame plus the per-doc reassembly shuffle.
+    *
+    * `byteTokens = true` switches the WHOLE token arithmetic — the
+    * n_tokens budgets AND the `tokenize` arrays — to the C28/C30
+    * byte-fallback encoder ([[ByteTokenizer.tokenizeDocsBytes]] under
+    * `merges`, which should then be a byte-level table such as
+    * [[ByteTokenizer.LearnedByteMerges]]): UNK-free ids a trainer can
+    * load for ANY input bytes, with whitespace/punctuation priced as
+    * real tokens (H8c's honest budget geometry) — the artifact-side
+    * close of the r14 verdict's "byte ids stop at the query layer"
+    * gap. len(tokens) == n_tokens still holds by construction (one
+    * encoder for both), so budgets and arrays cannot drift. */
   def produceShards(docs: DataFrame, eval: DataFrame, dir: String,
       minWords: Long = 50L,
       stops: Seq[String] = TextAnalysis.GopherStops,
       merges: Seq[((String, String), String)] = Tokenizer.FixedMerges,
       budget: Long = 512L,
       seed: Long = 0L,
-      tokenize: Boolean = false): DataFrame = {
+      tokenize: Boolean = false,
+      byteTokens: Boolean = false): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val (cleanDocs, toks) = produceCore(docs, eval, minWords, stops, merges, seed)
+    val (cleanDocs, toks) =
+      produceCore(docs, eval, minWords, stops, merges, seed, byteTokens)
     val assigned = graft.ops.ScaleOps.prefixSum(toks, "pos", "n_tokens", "cum_tokens")
       .select(col("doc_id"), col("pos"), col("n_tokens"),
         expr(s"(cum_tokens - n_tokens) div $budget").as("shard_id"))
@@ -405,7 +430,8 @@ object Curation {
       .select(col("doc_id"), col("text"), col("n_tokens"), col("pos"),
         col("shard_id"))
     val out = if (!tokenize) rows else rows.join(
-      Tokenizer.tokenizeDocs(cleanDocs, merges)
+      (if (byteTokens) ByteTokenizer.tokenizeDocsBytes(cleanDocs, merges)
+       else Tokenizer.tokenizeDocs(cleanDocs, merges))
         .select(col("doc_id"), col("tokens")), "doc_id")
     graft.sources.Sinks.writeShardRows(out, dir)
   }
@@ -435,7 +461,8 @@ object Curation {
       merges: Seq[((String, String), String)] = Tokenizer.FixedMerges,
       budget: Long = 512L,
       seed: Long = 0L,
-      tokenize: Boolean = false): DataFrame = {
+      tokenize: Boolean = false,
+      byteTokens: Boolean = false): DataFrame = {
     // a missing staging lake means the stream staged nothing: fail
     // with intent instead of an opaque scan error — and never write
     // an artifact for it, because a scheduled compactor pointed at a
@@ -468,7 +495,7 @@ object Curation {
       col("text"))
     produceShards(
       staged.select(col("doc_id"), conflictFree.as("text")),
-      eval, dir, minWords, stops, merges, budget, seed, tokenize)
+      eval, dir, minWords, stops, merges, budget, seed, tokenize, byteTokens)
   }
 
   /** Memo of [[pipelineProduce]]'s cleaned-text frame (see

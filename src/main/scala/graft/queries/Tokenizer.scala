@@ -97,10 +97,22 @@ object Tokenizer {
     * ties by pair lexicographic order — pinned by TokenizerSpec's
     * incremental-vs-naive differential. */
   private[graft] def learnFromDict(
-      dict: Array[(String, Long)], merges: Int): Seq[((String, String), String)] = {
+      dict: Array[(String, Long)], merges: Int): Seq[((String, String), String)] =
+    learnFromSymbolSeqs(
+      dict.map { case (w, n) => (w.map(_.toString).toVector :+ EndOfWord, n) },
+      merges)
+
+  /** The incremental-heap trainer over arbitrary SEED SYMBOL
+    * sequences — factored from the char-seeded [[learnFromDict]] so
+    * the byte-level trainer ([[ByteTokenizer.learnByteMerges]]), whose
+    * dict entries are byte-symbol runs rather than words, runs the
+    * IDENTICAL selection/bookkeeping loop (the C13/C28 one-definition
+    * discipline carried to TRAINING: the two trainers cannot drift on
+    * merge semantics any more than the two encoders can). */
+  private[graft] def learnFromSymbolSeqs(
+      dict: Array[(Vector[String], Long)], merges: Int): Seq[((String, String), String)] = {
     import collection.mutable
-    val syms: Array[Vector[String]] =
-      dict.map { case (w, _) => w.map(_.toString).toVector :+ EndOfWord }
+    val syms: Array[Vector[String]] = dict.map(_._1)
     val freq: Array[Long] = dict.map(_._2)
     val pairCounts = mutable.HashMap.empty[(String, String), Long]
     val occ = mutable.HashMap.empty[(String, String), mutable.HashMap[Int, Int]]
@@ -159,10 +171,17 @@ object Tokenizer {
     * reference for TokenizerSpec (and the honest statement of the
     * selection rule). */
   private[graft] def learnFromDictNaive(
-      dict: Array[(String, Long)], merges: Int): Seq[((String, String), String)] = {
-    var syms: Array[(Vector[String], Long)] = dict.map { case (w, n) =>
-      (w.map(_.toString).toVector :+ EndOfWord, n)
-    }
+      dict: Array[(String, Long)], merges: Int): Seq[((String, String), String)] =
+    learnFromSymbolSeqsNaive(
+      dict.map { case (w, n) => (w.map(_.toString).toVector :+ EndOfWord, n) },
+      merges)
+
+  /** Naive recount loop over arbitrary seed symbol sequences — the
+    * differential reference for [[learnFromSymbolSeqs]] (both the char
+    * and the byte trainer differentials pin against it). */
+  private[graft] def learnFromSymbolSeqsNaive(
+      dict: Array[(Vector[String], Long)], merges: Int): Seq[((String, String), String)] = {
+    var syms: Array[(Vector[String], Long)] = dict
     val out = Vector.newBuilder[((String, String), String)]
     var k = 0
     var exhausted = false

@@ -184,6 +184,42 @@ object Sinks {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  /** D28's per-cell lake state: append a batch's assigned vectors
+    * ((vec_id, embedding, n2, cell, c_cos) —
+    * [[graft.queries.Similarity.semanticDedupIncrementalAssigned]]'s
+    * input contract) under the FROZEN cell fit, partitioned by `cell`
+    * so the next batch's probe prunes to the cells it actually hits —
+    * the embedding-granularity mirror of [[appendGramKeys]]. The cell
+    * fit itself is bounded driver state (k×dims doubles) the caller
+    * persists beside the store (a codebook sidecar, the E7 disk-index
+    * convention). Append-only; replayed batches re-append identical
+    * rows and the reader's consumer treats vec_id as the identity
+    * (the id-disjointness guard fails loudly on a clash). */
+  def appendCellVectors(assigned: DataFrame, dir: String): Unit =
+    assigned.select(col("cell"), col("vec_id"), col("embedding"),
+        col("n2"), col("c_cos"))
+      .write.mode(SaveMode.Append).partitionBy("cell").parquet(dir)
+
+  /** The current per-cell vector store at `dir`, or an empty frame of
+    * the same schema when nothing has been appended yet. */
+  def readCellVectors(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = true),
+      StructField("n2", DoubleType, nullable = false),
+      StructField("c_cos", DoubleType, nullable = true),
+      StructField("cell", LongType, nullable = true)))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // a fresh lake may be a MISSING dir or an EXISTING-but-empty one
+    // (a caller's mkdir-ed staging root): both mean "nothing appended"
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+      spark.read.parquet(dir).withColumn("cell", col("cell").cast("long"))
+        .select("vec_id", "embedding", "n2", "c_cos", "cell")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   /** The current signature store at `dir`, or an empty frame of the
     * same schema when nothing has been appended yet (the first batch
     * of a fresh lake). */
@@ -244,9 +280,33 @@ object Sinks {
   def writeTokenizedShards(docs: DataFrame, dir: String,
       merges: Seq[((String, String), String)] =
         graft.queries.Tokenizer.FixedMerges,
-      budget: Long = 512L): DataFrame = {
+      budget: Long = 512L): DataFrame =
+    writeTokenizedRows(docs,
+      graft.queries.Tokenizer.tokenizeDocs(docs, merges), dir, budget)
+
+  /** [[writeTokenizedShards]] in BYTE-FALLBACK mode — the C28/C30
+    * loader posture carried to the artifact (the r14 verdict's named
+    * gap: byte ids stopped at the query layer): each doc's tokens are
+    * [[graft.queries.ByteTokenizer.tokenizeDocsBytes]] ids (UNK-free,
+    * whitespace/punctuation priced as real tokens — H8c's honest
+    * budget arithmetic, since n_tokens = len(tokens) under the same
+    * encoder packSequencesBytes weighs with), shard budgets count
+    * those byte-token lengths, and the all-column fingerprint
+    * certifies the id arrays. decode() of any shard's tokens
+    * reproduces its text byte-for-byte (ShardSinkSpec). */
+  def writeTokenizedShardsBytes(docs: DataFrame, dir: String,
+      merges: Seq[((String, String), String)] =
+        graft.queries.ByteTokenizer.LearnedByteMerges,
+      budget: Long = 512L): DataFrame =
+    writeTokenizedRows(docs,
+      graft.queries.ByteTokenizer.tokenizeDocsBytes(docs, merges), dir, budget)
+
+  /** Shared tail of the two tokenized writers: H4 prefix-sum shard
+    * assignment over `toks`' (doc_id, tokens, n_tokens) in doc_id
+    * order, then [[writeShardRows]]. */
+  private def writeTokenizedRows(
+      docs: DataFrame, toks: DataFrame, dir: String, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val toks = graft.queries.Tokenizer.tokenizeDocs(docs, merges)
     val assigned = graft.ops.ScaleOps.prefixSum(
       toks.select(col("doc_id"), col("n_tokens")),
       "doc_id", "n_tokens", "cum_tokens")

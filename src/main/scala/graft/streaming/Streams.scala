@@ -463,6 +463,26 @@ object Streams {
       model: graft.queries.CorpusMap.CorpusMapModel): DataFrame =
     graft.queries.CorpusMap.assignFrozen(docs, model)
 
+  /** G23: streaming per-cell mixing — arriving docs keep/drop under a
+    * FULLY FROZEN mix design: the corpus-map model (centroid + cut
+    * literals, [[graft.queries.CorpusMap.fitModel]]) AND the
+    * (cell, decile, rate) table ([[graft.queries.CellMix.fitRates]]),
+    * both fitted once, offline. [[graft.queries.CellMix.mixFrozen]] is
+    * a pure per-row map (frozen assignment + rate-literal lookup + the
+    * portable LCG draw — no aggregation, no state), so the batch core
+    * applies UNCHANGED to a streaming frame (the G22 argument one step
+    * further: the census the stream dashboard keeps is now also the
+    * mixer the ingest path enforces). Under a same-corpus fit the
+    * accumulated stream survivors equal batch [[graft.queries.CellMix.cellMix]]
+    * on the concatenated input, any delivery order — each doc's keep
+    * bit is a pure function of (doc_id, text) and the frozen state
+    * (StreamingSpec pins the chain). */
+  def cellMixStream(
+      docs: DataFrame,
+      model: graft.queries.CorpusMap.CorpusMapModel,
+      rates: Seq[(Long, Long, Double)]): DataFrame =
+    graft.queries.CellMix.mixFrozen(docs, model, rates)
+
   /** G10: streaming Gopher REPETITION gate at ingest — C17's
     * [[graft.queries.TextAnalysis.gopherRepetition]] applied per
     * arrival. Like G9, the computation is a pure stateless map (per-doc

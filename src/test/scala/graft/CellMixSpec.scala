@@ -93,4 +93,28 @@ class CellMixSpec extends SparkSpec {
     assert(sampled.filter(col("rate") <= 0.0 || col("rate") > 1.0).count() == 0,
       "rates must stay in (0, 1]")
   }
+
+  test("G23 frozen twin: mixFrozen under a same-corpus fit == cellMix BIT-EXACTLY") {
+    val model = CorpusMap.fitModel(docs)
+    val rates = CellMix.fitRates(docs)
+    val frozen = CellMix.mixFrozen(docs, model, rates)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    val batch = mixed
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    assert(frozen == batch,
+      "the fully-frozen mixer must replay the fitted mixer bit for bit")
+    // the rate table is bounded model state: <= cells x 10 rows
+    assert(rates.size <= CorpusMap.MapCells * 10,
+      s"rate table must stay grid-bounded, got ${rates.size} rows")
+    // a group absent from the rates table is excised (rate 0), the
+    // cellMix designed-targets contract carried to the frozen path
+    val dropAll = CellMix.mixFrozen(docs, model, Seq.empty)
+    assert(dropAll.filter(col("keep")).count() == 0L &&
+      dropAll.count() == docs.count(),
+      "an empty rate table must place every doc and keep none")
+  }
 }

@@ -96,4 +96,62 @@ class CrawlRecordsSpec extends SparkSpec {
       "extraction over parsed records must recover each doc's own text")
     recs.unpersist(blocking = false)
   }
+
+  private def gzPayload(recs: (String, String)*): Array[Byte] =
+    recs.flatMap { case (u, b) =>
+      CrawlCodec.frameGzip(u, b.getBytes("UTF-8"))
+    }.toArray
+
+  test("gzip members: parseGzip inverts per-record frameGzip, adversarial bodies included") {
+    val recs = Seq(
+      "https://g.example/1" -> "plain body",
+      "https://g.example/2" -> "para one\r\n\r\npara two\r\n\r\n",
+      "https://g.example/3" -> "quoting WARC/1.0\r\nWARC-Target-URI: x\r\n here",
+      "https://g.example/4" -> "café 日本語 😀",
+      "https://g.example/5" -> "")
+    val got = CrawlCodec.parseGzip(9L, gzPayload(recs: _*))
+    assert(got.size == recs.size, s"expected ${recs.size} records: $got")
+    got.zip(recs).zipWithIndex.foreach { case ((r, (u, b)), i) =>
+      assert(r.file_id == 9L && r.rec_idx == i.toLong &&
+        r.url == u && r.html == b &&
+        r.n_bytes == b.getBytes("UTF-8").length.toLong,
+        s"gz record $i mismatched: $r")
+    }
+    // and the compressed path agrees with the plain path record for record
+    assert(got == CrawlCodec.parse(9L, payload(recs: _*)))
+  }
+
+  test("gzip damage contract: truncated/corrupt members keep the inflated prefix only") {
+    val good = gzPayload(
+      "https://gz/1" -> "first body",
+      "https://gz/2" -> "second body")
+    // truncated inside the SECOND member: member 1 inflates whole,
+    // record 1 survives, record 2 drops
+    val firstLen = CrawlCodec.frameGzip("https://gz/1",
+      "first body".getBytes("UTF-8")).length
+    val truncated = good.take(firstLen + 6) // second member's header only
+    assert(CrawlCodec.parseGzip(1L, truncated).map(_.url) == Seq("https://gz/1"))
+    // corrupt bytes where the next member header should be
+    val corrupt = good.take(firstLen) ++ "GARBAGE".getBytes("UTF-8")
+    assert(CrawlCodec.parseGzip(2L, corrupt).map(_.url) == Seq("https://gz/1"))
+    // flipped byte INSIDE the first member's deflate stream: nothing
+    // inflates cleanly past the header — no records, no crash
+    val flipped = good.clone()
+    flipped(firstLen / 2) = (flipped(firstLen / 2) ^ 0x5a).toByte
+    assert(CrawlCodec.parseGzip(3L, flipped).count(_.url == "https://gz/2") == 0)
+    // empty payload parses to nothing, no crash
+    assert(CrawlCodec.parseGzip(4L, Array.emptyByteArray).isEmpty)
+  }
+
+  test("gzip files table: the full corpus through the compressed framing equals the plain framing") {
+    val docs = Tables.documents(spark, sfDir).limit(64)
+    val plain = CrawlRecords.crawlRecords(
+        graft.queries.CrawlRecords.crawlFilesFrom(docs))
+      .orderBy("file_id", "rec_idx").collect().map(_.toSeq)
+    val gz = CrawlRecords.crawlRecords(
+        graft.queries.CrawlRecords.crawlFilesGzFrom(docs), gzip = true)
+      .orderBy("file_id", "rec_idx").collect().map(_.toSeq)
+    assert(plain.toSeq == gz.toSeq,
+      "the .warc.gz path must emit exactly the plain framing's records")
+  }
 }

@@ -208,4 +208,83 @@ class ShardSinkSpec extends SparkSpec {
       .collect().toSet
     assert(m1.map(_.toSeq) == m2.map(_.toSeq))
   }
+
+  test("byte-token shards: artifact ≡ tokenizeDocsBytes + H8c prefix-sum, bit for bit") {
+    import graft.queries.ByteTokenizer
+    val dir = tmpDir("shards_bytes")
+    Sinks.writeTokenizedShardsBytes(docs, dir, budget = 512L)
+    assert(Sinks.verifyShards(spark, dir).isEmpty)
+    val back = Sinks.readShards(spark, dir)
+    // ids and counts: exactly the C30 encoder's output, doc for doc
+    val want = ByteTokenizer.tokenizeDocsBytes(docs,
+      ByteTokenizer.LearnedByteMerges)
+    assert(back.select("doc_id", "tokens", "n_tokens")
+      .exceptAll(want.select("doc_id", "tokens", "n_tokens")).isEmpty &&
+      want.select("doc_id", "tokens", "n_tokens")
+        .exceptAll(back.select("doc_id", "tokens", "n_tokens")).isEmpty)
+    // budgets counted in byte tokens: the H4 prefix sum over the C30
+    // counts in doc_id order reproduces every shard assignment
+    val assigned = graft.ops.ScaleOps.prefixSum(
+        want.select(col("doc_id"), col("n_tokens")),
+        "doc_id", "n_tokens", "cum")
+      .select(col("doc_id"), expr("(cum - n_tokens) div 512").as("shard_id"))
+    assert(back.select("doc_id", "shard_id").exceptAll(assigned).isEmpty)
+    // whitespace is priced: every word run AND every whitespace run
+    // contributes >= 1 token, so byte-token counts strictly exceed the
+    // corpus word count (the word-BPE artifact's floor, which prices
+    // separators at zero)
+    val (bTok, nWords) = (
+      back.agg(sum("n_tokens")).head().getLong(0),
+      docs.agg(sum(size(graft.functions.TextFunctions.words(col("text")))
+        .cast("long"))).head().getLong(0))
+    assert(bTok > nWords,
+      s"byte tokens $bTok must out-count bare words $nWords (separators priced)")
+  }
+
+  test("byte-token shards: every shard's ids decode back to its exact text") {
+    import graft.queries.ByteTokenizer
+    val dir = tmpDir("shards_bytes_rt")
+    Sinks.writeTokenizedShardsBytes(docs.filter(col("doc_id") < 40), dir)
+    Sinks.readShards(spark, dir)
+      .select("doc_id", "text", "tokens").collect().foreach { r =>
+        val back = ByteTokenizer.decode(r.getSeq[Int](2),
+          ByteTokenizer.LearnedByteMerges)
+        assert(back == r.getString(1),
+          s"doc ${r.getLong(0)}: decoded artifact ids != stored text")
+      }
+  }
+
+  test("produceShards(byteTokens = true): UNK-free certified ids, honest byte budgets") {
+    import graft.queries.ByteTokenizer
+    val dir = tmpDir("produce_bytes")
+    val train = docs.filter(col("doc_id") % 23 =!= 0)
+    val eval = docs.filter(col("doc_id") % 23 === 0)
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    Graft.produceShards(train, eval, dir,
+      minWords = 10L, stops = stops,
+      merges = ByteTokenizer.LearnedByteMerges,
+      budget = 512L, seed = 42L, tokenize = true, byteTokens = true)
+    assert(Sinks.verifyShards(spark, dir).isEmpty)
+    val back = Sinks.readShards(spark, dir)
+    // one encoder for budgets AND arrays: len(tokens) == n_tokens
+    assert(back.filter(size(col("tokens")).cast("long") =!= col("n_tokens")).isEmpty)
+    // the ids decode to the PRODUCED (gated/deduped/excised) text —
+    // the artifact round-trips the corpus it certifies
+    back.select("doc_id", "text", "tokens").collect().foreach { r =>
+      val dec = ByteTokenizer.decode(r.getSeq[Int](2),
+        ByteTokenizer.LearnedByteMerges)
+      assert(dec == r.getString(1),
+        s"doc ${r.getLong(0)}: produced-artifact ids != produced text")
+    }
+    // same production decisions as the word-BPE artifact (gates are
+    // tokenizer-independent); only the token arithmetic changes
+    val wordDir = tmpDir("produce_words")
+    Graft.produceShards(train, eval, wordDir,
+      minWords = 10L, stops = stops, budget = 512L, seed = 42L)
+    val wordBack = Sinks.readShards(spark, wordDir)
+    assert(back.select("doc_id", "pos").exceptAll(
+      wordBack.select("doc_id", "pos")).isEmpty &&
+      wordBack.select("doc_id", "pos").exceptAll(
+        back.select("doc_id", "pos")).isEmpty)
+  }
 }

@@ -1390,4 +1390,41 @@ class StreamingSpec extends SparkSpec {
         s"streamed census drifted from the hash-green I12 census")
     } finally query.stop()
   }
+
+  test("cellMixStream: accumulated survivors equal the batch mixer, any delivery order") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    // freeze BOTH halves of the state on the full corpus (what the
+    // batch mixer fits), then stream the same docs through the
+    // stateless keep/drop — in REVERSED batch order, so order
+    // independence is exercised, not assumed
+    val model = graft.queries.CorpusMap.fitModel(docs)
+    val rates = graft.queries.CellMix.fitRates(docs)
+    val rows = docs.as[StreamingSpec.Doc].collect().toSeq
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val query = Streams.cellMixStream(mem.toDF(), model, rates)
+      .writeStream.format("memory").queryName("cell_mix_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.size / 3)
+      mem.addData(b2: _*) // later docs first
+      query.processAllAvailable()
+      mem.addData(b1: _*)
+      query.processAllAvailable()
+      val got = spark.table("cell_mix_stream")
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+            r.getBoolean(5))))
+        .toMap
+      val batch = graft.queries.CellMix.cellMix(docs)
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+            r.getBoolean(5))))
+        .toMap
+      assert(got == batch,
+        "streamed keep/drop diverged from the batch mixer under the frozen state")
+    } finally query.stop()
+  }
 }
