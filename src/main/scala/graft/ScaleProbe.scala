@@ -717,13 +717,13 @@ object ScaleProbe {
     // census must equal the md5 form's exactly — the cross-algorithm
     // differential at probe scale, where a birthday-collision in the
     // hash form or a rank-injectivity slip in the doubling would
-    // finally have room to show. Cost shape: the 7-char base pack
-    // seeds rank_7 in the map stage, then two doubling rounds
-    // (7 -> 14 -> 20), each a per-doc lead window + a pair-partition
-    // window over the ~192M per-char rows — four Terasort-shaped
-    // integer shuffles vs the md5 form's single hashed pass; the
-    // honest price of hash-free exactness, reported so the trade
-    // stays measured.
+    // finally have room to show. Cost shape: the TWO-WORD base pack
+    // seeds rank_14 in the map stage, then ONE doubling round
+    // (14 -> 20) — a per-doc lead window + a group-partition window
+    // over the ~192M per-char rows, two Terasort-shaped integer
+    // shuffles vs the md5 form's single hashed pass (was four at the
+    // r14 one-word seed); the honest price of hash-free exactness,
+    // reported so the trade stays measured.
     val (saAgg, tSa) = time {
       Graft.dupSpansSuffix(spanDocsDf, k = 20)
         .agg(count(lit(1)),
@@ -737,19 +737,19 @@ object ScaleProbe {
       s"suffix-array spans: ${saAgg.getLong(0)} rows (${saAgg.getLong(1)} in-extent) vs md5 form's " +
         s"${charAgg.getLong(0)} (${charAgg.getLong(1)}) — the two ExactSubstr algorithms disagree at scale")
     println(f"SA == md5 census     ${"check"}%9s       both algorithms report identical span censuses  PASS")
-    // Doubling-round count: the cost model quoted above (base-128 seed
-    // ⇒ exactly 2 rounds at k = 20) asserted two ways — the schedule
-    // function, and the OPTIMIZED PLAN's lead-window count (one lead
-    // per round; a regression that re-seeds from h = 1 or loses the
-    // final-shift cap would add Terasort-shaped shuffles silently).
+    // Doubling-round count: the cost model quoted above (two-word
+    // base-128 seed ⇒ exactly 1 round at k = 20) asserted two ways —
+    // the schedule function, and the OPTIMIZED PLAN's lead(r#…) count
+    // (one per round; a regression that re-seeds from h = 1 or loses
+    // the final-shift cap would add Terasort-shaped shuffles silently).
     val saRounds = graft.queries.SuffixDedup.doublingRounds(20)
     val saLeads = "lead\\(r#".r.findAllIn(
       Graft.dupSpansSuffix(spanDocsDf, k = 20)
         .queryExecution.optimizedPlan.toString).length
-    assert(saRounds == 2 && saLeads == 2,
+    assert(saRounds == 1 && saLeads == 1,
       s"doubling schedule drifted: doublingRounds(20) = $saRounds, " +
-        s"plan lead-windows = $saLeads (expected 2 each — 7 -> 14 -> 20)")
-    println(f"SA doubling rounds   ${"check"}%9s       2 rounds at k=20 (schedule AND plan)  PASS")
+        s"plan lead-windows = $saLeads (expected 1 each — 14 -> 20)")
+    println(f"SA doubling rounds   ${"check"}%9s       1 round at k=20 (schedule AND plan)  PASS")
     spanDocsDf.unpersist(blocking = false)
     graft.ops.Release.sweep(spark)
 

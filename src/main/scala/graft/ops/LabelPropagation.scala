@@ -62,7 +62,25 @@ object LabelPropagation {
     val e = if (eCount <= broadcastEdgesBelow) broadcast(eCk) else eCk
     val nodes = e.select(col("s").as("node"))
       .union(e.select(col("d").as("node"))).distinct()
-    val n = nodes.count()
+    // one stats job: node count (broadcast-vs-join switch) + max node
+    // id (labels are always a subset of the initial node ids — votes
+    // carry existing labels and the argmax picks one — so the id bound
+    // decides once whether the packed argmax below is in domain)
+    val statsRow = nodes.agg(count(lit(1)), max(col("node")), min(col("node"))).head()
+    val n = statsRow.getLong(0)
+    val maxId = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    val minId = if (statsRow.isNullAt(2)) 0L else statsRow.getLong(2)
+    // Packed argmax domain: label < 2^40 and per-node vote count
+    // < 2^23 fit `cnt·2^40 − label` in a positive long, and maximizing
+    // it IS maximizing (cnt ASC-packed, label DESC-packed) — i.e. max
+    // count, ties to the SMALLEST label, the exact two-phase result.
+    // One combinable HashAggregate replaces the max-count agg + join +
+    // min-label agg (one exchange and a join fewer per round); graphs
+    // with ids past 2^40 keep the two-phase plan (no domain bound on
+    // the operator's contract). The count bound is guarded in-plan —
+    // a node with ≥ 2^23 votes fails loudly, never corrupts the pack.
+    val PackBits = 40
+    val packedOk = minId >= 0L && maxId < (1L << PackBits)
     var labels = nodes.select(col("node"), col("node").as("label"))
     var labelsRdd: Checkpoints.CkRdd = None
     for (_ <- 1 to iterations) {
@@ -74,14 +92,26 @@ object LabelPropagation {
         .select(col("d").as("node"), col("label"))
         .unionByName(labels.select(col("node"), col("label")))
       val counts = votes.groupBy("node", "label").agg(count(lit(1)).as("cnt"))
-      // deterministic argmax in two combinable phases (a packed-long
-      // single agg would bound the label domain; a struct max would
-      // plan SortAggregate — the D15 lesson): max count per node, then
-      // the smallest label attaining it
-      val best = counts.groupBy("node").agg(max(col("cnt")).as("mc"))
-      val next = counts.join(best, Seq("node"))
-        .filter(col("cnt") === col("mc"))
-        .groupBy("node").agg(min(col("label")).as("label"))
+      val next =
+        if (packedOk) {
+          val cntGuard = coalesce(
+            assert_true(col("cnt") < (1L << (63 - PackBits)),
+              lit("LabelPropagation: a node's vote count exceeds the " +
+                "2^23 packed-argmax domain")).cast("long"), lit(0L))
+          val packed = (col("cnt") + cntGuard) * (1L << PackBits) - col("label")
+          counts.groupBy("node").agg(max(packed).as("p"))
+            // p = c·2^40 − label with 0 ≤ label < 2^40, so
+            // label ≡ −p (mod 2^40) — exact integer unpack
+            .select(col("node"),
+              pmod(lit(0L) - col("p"), lit(1L << PackBits)).as("label"))
+        } else {
+          // two combinable phases (the pre-r15 plan): max count per
+          // node, then the smallest label attaining it
+          val best = counts.groupBy("node").agg(max(col("cnt")).as("mc"))
+          counts.join(best, Seq("node"))
+            .filter(col("cnt") === col("mc"))
+            .groupBy("node").agg(min(col("label")).as("label"))
+        }
       val (ck, ckRdd) = tracked(next)
       ck.count() // materializes ck; superseded round now releasable
       release(labelsRdd)

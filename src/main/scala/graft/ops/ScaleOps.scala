@@ -20,6 +20,28 @@ object ScaleOps {
       approx_count_distinct(col(cols.head), rsd).as(s"n_${cols.head}"),
       cols.tail.map(c => approx_count_distinct(col(c), rsd).as(s"n_$c")): _*)
 
+  /** Widen a LOW-PARALLELISM scan feeding a compute-heavy map stage
+    * (guide §2.5 "input skew — one huge unsplittable file … repartition
+    * immediately after the read"): when the incoming plan materializes
+    * in fewer partitions than the session's default parallelism (the
+    * bench corpus is ONE single-row-group parquet file per table, so
+    * every scan is ONE task and a per-char explode/hash/pack stage
+    * runs at 1/cores capacity), hash-repartition by `key` so the
+    * expensive per-row work spreads across the cluster. The exchange
+    * moves each input row ONCE (docs, not chars — cheap relative to
+    * the map it unblocks). At scale inputs arrive as many splits, the
+    * partition count already meets the default, and this is a NO-OP —
+    * no exchange is added — so the plan stays scale-adaptive instead
+    * of tuned for either regime. Results are unaffected: partitioning
+    * is a placement decision, every consumer here keys its own
+    * windows/aggregations. */
+  def widenScan(df: DataFrame, key: String): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < n)
+      df.repartition(n, col(key))
+    else df
+  }
+
   /** Skew-mitigated equi-join: salt the big side into `buckets`
     * pseudo-keys and replicate the small side once per bucket, so a hot
     * join key spreads over `buckets` reducers instead of one straggler.

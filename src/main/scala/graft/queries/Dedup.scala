@@ -935,7 +935,9 @@ object Dedup {
   def dupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
     require(n >= 1, s"n-gram length must be >= 1, got $n")
     val toks = graft.functions.TextFunctions.words(col("text"))
-    val grams = spanCache.memo(docs
+    // widenScan before the tokenize+shingle+md5 map: identical call in
+    // [[exciseSpans]] so the shared spanCache memo key still matches
+    val grams = spanCache.memo(graft.ops.ScaleOps.widenScan(docs, "doc_id")
       .select(col("doc_id"),
         posexplode_outer(graft.functions.TextFunctions.shingles(toks, n))
         .as(Seq("p0", "g")))
@@ -998,7 +1000,10 @@ object Dedup {
     // decision-key safety, half the shuffle bytes — the keys never
     // appear in output, so the oracle (which computes its own span
     // pipeline from text) is unaffected.
-    val grams = docs
+    // widenScan: the per-char explode+md5 map is the expensive stage
+    // and otherwise runs at the SCAN's parallelism (one task on a
+    // single-row-group file — guide §2.5)
+    val grams = graft.ops.ScaleOps.widenScan(docs, "doc_id")
       .select(col("doc_id"), col("text"),
         // explicit empty-array guard: sequence(1, 0) would generate the
         // DESCENDING [1, 0] in Spark, not an empty list
@@ -1121,7 +1126,8 @@ object Dedup {
   def exciseSpans(docs: DataFrame, n: Int = 5): DataFrame = {
     require(n >= 1, s"n-gram length must be >= 1, got $n")
     val toks = graft.functions.TextFunctions.words(col("text"))
-    val grams = spanCache.memo(docs
+    // widenScan identical to [[dupSpans]]'s — shared spanCache memo key
+    val grams = spanCache.memo(graft.ops.ScaleOps.widenScan(docs, "doc_id")
       .select(col("doc_id"),
         posexplode_outer(graft.functions.TextFunctions.shingles(toks, n))
         .as(Seq("p0", "g")))

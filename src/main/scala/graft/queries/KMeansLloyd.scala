@@ -149,8 +149,17 @@ object KMeansLloyd {
       val assigned = assignStep(v, cents)
       lastAssigned = assigned
       // E5 fixed-point update: quantize once, integer-sum per
-      // (cell, dim) — one collect of the k×dims model frame
-      val sums = v.join(assigned, Seq("vec_id"))
+      // (cell, dim) — one collect of the k×dims model frame. On the
+      // literal-assignment path the cell is a per-row expression, so
+      // the sums pass needs NO join back to the assignment frame —
+      // each iteration is ONE map + k×dims-key combinable agg, with
+      // no corpus-sized exchange at all (guide §2.4).
+      val sumSrc =
+        if (litAssignable(cents))
+          v.select(packedMin(col("embedding"), cents).as("cell"),
+            col("embedding"))
+        else v.join(assigned, Seq("vec_id"))
+      val sums = sumSrc
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .select(col("cell"), col("dim"),
           round(col("x").cast("double") * lit(CQ)).cast("long").as("q"))
@@ -212,13 +221,33 @@ object KMeansLloyd {
       lit(1L << 21))
   }
 
+  /** Centroid sets small enough to enter the plan as LITERALS (k×dims
+    * expression nodes): below this, assignment is [[packedMin]] — a
+    * pure per-row `least` over the k packed keys, NO join and NO
+    * aggregation exchange. Past it (cells ≈ √N territory) literal
+    * centroids would blow up analysis/codegen (the annIvfTrained
+    * lesson) and the broadcast-join argmin is the path. */
+  private val LitAssignMaxCoeffs = 4096
+
+  private def litAssignable(cents: Seq[(Long, Array[Double])]): Boolean =
+    cents.size.toLong * cents.head._2.length <= LitAssignMaxCoeffs
+
   /** One assignment pass: nearest centroid by the fixed-shape IEEE d2
-    * chain, argmin as the packed-long map-side `min` (quantized-distance
-    * ties to the smaller c_id — the oracle's ORDER BY, verbatim). Shared
-    * by every [[fitLoop]] iteration and the sample-fit full-corpus
-    * assign in [[assignments]], so the two paths cannot drift. */
+    * chain, argmin as the packed-long `min` (quantized-distance ties to
+    * the smaller c_id — the oracle's ORDER BY, verbatim). Small
+    * centroid sets take the [[packedMin]] literal path — `least` over
+    * the k packed keys per row, the SAME min over the SAME
+    * [[packedDistCol]] values the groupBy computes, with zero exchanges
+    * (guide §2.4; the frozen-path/fitted-path equality CorpusMapSpec
+    * pins). Large sets keep the broadcast nested-loop whose packed
+    * argmin collapses map-side. Shared by every [[fitLoop]] iteration
+    * and the sample-fit full-corpus assign in [[assignments]], so the
+    * two paths cannot drift. */
   private def assignStep(
       v: DataFrame, cents: Seq[(Long, Array[Double])]): DataFrame = {
+    if (litAssignable(cents))
+      return v.select(col("vec_id"),
+        packedMin(col("embedding"), cents).as("cell"))
     val spark = v.sparkSession
     import spark.implicits._
     val centsDf = cents.toDF("c_id", "c_emb")

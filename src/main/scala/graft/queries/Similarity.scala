@@ -839,22 +839,32 @@ object Similarity {
     // scan the persisted normalized frame, never re-normalize.
     val fitFeat =
       fitFrame(feat, fitFraction, seed, math.max(cells, ksub), "buildPqIndex")
-    val coarse = new KMeans().setK(cells).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("features").fit(fitFeat)
+    // the 1 + m fits are INDEPENDENT given fitFeat (each a seeded
+    // KMeans over its own slice of the persisted frame): submit them
+    // from the bounded driver pool so each fit's task tail back-fills
+    // with the next fit's tasks (guide §2.6) instead of serializing
+    // 1 + m iterative jobs. Every individual fit is unchanged — same
+    // seed, same input, same reduce structure — so the fitted state is
+    // what the sequential loop produced.
+    val fitTasks: Seq[() => Array[Array[Double]]] =
+      (() => new KMeans().setK(cells).setSeed(seed).setMaxIter(maxIter)
+        .setFeaturesCol("features").fit(fitFeat)
+        .clusterCenters.map(_.toArray)) +:
+      (0 until m).map { j => () =>
+        val subFeat = fitFeat.withColumn("sub_features",
+          array_to_vector(slice(col("u"), j * dsub + 1, dsub)))
+        new KMeans().setK(ksub).setSeed(seed + j + 1).setMaxIter(maxIter)
+          .setFeaturesCol("sub_features").fit(subFeat)
+          .clusterCenters.map(_.toArray)
+      }
+    val fitted = graft.ops.Par.run(fitTasks)
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cents = coarse.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) =>
-        val arr = c.toArray; (i.toLong, arr, arr.map(x => x * x).sum) }
+    val cents = fitted.head.zipWithIndex.toSeq
+      .map { case (arr, i) => (i.toLong, arr, arr.map(x => x * x).sum) }
       .toDF("c_id", "c_emb", "c_n2")
     // product codebooks: one seeded KMeans per subspace slice
-    val codebooks = (0 until m).map { j =>
-      val subFeat = fitFeat.withColumn("sub_features",
-        array_to_vector(slice(col("u"), j * dsub + 1, dsub)))
-      new KMeans().setK(ksub).setSeed(seed + j + 1).setMaxIter(maxIter)
-        .setFeaturesCol("sub_features").fit(subFeat)
-        .clusterCenters.map(_.toArray)
-    }
+    val codebooks = fitted.tail
     releaseFitFrame(fitFeat, fitFraction)
     val cbLit = codebookLit(codebooks)
     val codeCol = codeColFor(cbLit, m, dsub)
@@ -1269,13 +1279,17 @@ object Similarity {
       val rotated = unitFrame
         .withColumn("ru", rotateCol(rotation, col("u")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val codebooks = (0 until m).map { j =>
+      // the m per-subspace fits are independent given `rotated` —
+      // overlap them from the bounded driver pool (guide §2.6); each
+      // fit is unchanged (same seed/input/reduce structure), so the
+      // codebooks are what the sequential loop produced
+      val codebooks = graft.ops.Par.run((0 until m).map { j => () =>
         val subFeat = rotated.withColumn("sub_features",
           array_to_vector(slice(col("ru"), j * dsub + 1, dsub)))
         new KMeans().setK(ksub).setSeed(seed + j + 1).setMaxIter(maxIter)
           .setFeaturesCol("sub_features").fit(subFeat)
           .clusterCenters.map(_.toArray)
-      }
+      })
       // S[(s, c), i] = Σ_{v: code_s(v) = c} round(û_i · 2^20): one
       // chained posexplode pair (the E12 shape — no per-row struct
       // arrays) onto the m·ksub·dims key space. The CODE must be

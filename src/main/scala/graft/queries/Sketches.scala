@@ -67,9 +67,13 @@ object Sketches {
   private[graft] def gramArray(n: Int): Column =
     shingles(words(col("text")), n)
 
-  /** One row per word-`n`-gram occurrence, aliased `gram`. */
+  /** One row per word-`n`-gram occurrence, aliased `gram`. widenScan
+    * first: the tokenize+shingle explode is the expensive map of both
+    * CMS passes and otherwise runs at the scan's one-task parallelism
+    * (guide §2.5). */
   private[graft] def gramsOf(docs: DataFrame, n: Int): DataFrame =
-    docs.select(explode(gramArray(n)).as("gram"))
+    graft.ops.ScaleOps.widenScan(docs, "doc_id")
+      .select(explode(gramArray(n)).as("gram"))
 
   /** Build the Count-Min sketch over `docs`' n-gram occurrences and
     * return the estimator column constructor — exposed so ScaleProbe

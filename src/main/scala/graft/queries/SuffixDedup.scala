@@ -51,13 +51,15 @@ import org.apache.spark.sql.functions._
   * do not exist), which puts short suffixes in their own groups — the
   * final `p <= len - k + 1` filter then drops them from output.
   *
-  * Scale shape vs D14b: doubling starts from the 7-char base pack
-  * (rank_7 computed in the base map — 7 ASCII chars in base 128 fit
-  * one long, injective on content with no window), so k = 20 is TWO
-  * rounds (7 → 14 → 20) and k = 50 three, each round two shuffles of
-  * (long, long, long) rows — ~24 B/char integer traffic per round vs
-  * the hash form's single 16 B/char shuffle; k <= 7 needs no doubling
-  * at all (one count window on the pack). At 100 TB each round is a
+  * Scale shape vs D14b: doubling starts from the TWO-WORD 14-char
+  * base pack (rank_14 computed in the base map — 7 ASCII chars per
+  * base-128 long, a PAIR of longs per position, injective on content
+  * with no window; a composite rank is free because group operations
+  * are multi-column window partitions), so k = 20 is ONE round
+  * (14 → 20) and k = 50 two (14 → 28 → 50), each round two shuffles
+  * of narrow integer rows — vs the hash form's single 16 B/char
+  * shuffle; k <= 14 needs no doubling at all (one count window on
+  * the pair). At 100 TB each round is a
   * Terasort-shaped integer sort, the best-understood distributed
   * primitive; nothing is persisted across rounds, and the base pack's
   * groups hash-spread fine because the per-group aggregate is a
@@ -75,26 +77,35 @@ object SuffixDedup {
     * 2^43, docs below 2^20 chars (1 MiB). Enforced in-plan. */
   private val PosBits = 20
 
-  /** Base-rank width: the first `BaseChars` chars of every suffix pack
-    * into ONE long (ASCII < 128, so base 128: 128^7 = 2^49), giving
-    * rank_7 directly in the base map — injective on CONTENT, not just
-    * group-consistent, with no window at all. Doubling then starts at
-    * h = 7 instead of h = 1, cutting k = 20 from five rounds to two
-    * (7 → 14 → 20) and k = 50 to three (7 → 14 → 28 → 50). Past-end
-    * chars pack as 0 (`ascii('')`), below every real ASCII value, so
-    * short-suffix packs can never alias a full window's. */
+  /** Base-rank width PER PACKED WORD: `BaseChars` chars pack into one
+    * long (ASCII < 128, so base 128: 128^7 = 2^49). The SEED rank is a
+    * PAIR of packed words — chars [p, p+6] and [p+7, p+13] — computed
+    * directly in the base map (both substr reads of the same row, no
+    * window), so doubling starts at h = 14, not 7: rank equality on the
+    * pair ⟺ 14-char prefix equality, each word injective on its half's
+    * content. A composite rank costs nothing extra here because every
+    * group operation is a window PARTITION BY, which takes multiple
+    * columns as readily as one; only the min-gid rounds need a single
+    * long (their output becomes the next round's one-column rank).
+    * Seeding at 14 cuts k = 20 to ONE doubling round (14 → 20, was
+    * 7 → 14 → 20 — an entire lead+min window pair of Terasort-shaped
+    * exchanges over the per-char frame removed, guide §2.4) and k = 50
+    * to two (14 → 28 → 50, was three). Past-end chars pack as 0
+    * (`ascii('')`), below every real ASCII value, so short-suffix
+    * packs can never alias a full window's. */
   private val BaseChars = 7
 
   /** The number of rank-doubling rounds [[dupSpansSuffix]] runs for
     * gram length `k` — the assertable cost model (each round = two
-    * Terasort-shaped shuffles): the base-128 pack seeds h = 7, then h
-    * doubles (final shift capped at k − h) until h >= k. k <= 7 ⇒ 0
-    * rounds, k = 20 ⇒ 2 (7 → 14 → 20), k = 50 ⇒ 3. Mirrors the
-    * construction loop's schedule exactly; the ScaleProbe census
-    * pins both this number and the plan's lead-window count to it. */
+    * Terasort-shaped shuffles): the two-word base-128 pack seeds
+    * h = min(14, k), then h doubles (final shift capped at k − h)
+    * until h >= k. k <= 14 ⇒ 0 rounds (the pair IS rank_k), k = 20 ⇒ 1
+    * (14 → 20), k = 50 ⇒ 2 (14 → 28 → 50). Mirrors the construction
+    * loop's schedule exactly; the ScaleProbe census pins both this
+    * number and the plan's lead-window count to it. */
   def doublingRounds(k: Int): Int = {
     require(k >= 2, s"char-gram length must be >= 2, got $k")
-    var h = math.min(BaseChars, k)
+    var h = math.min(2 * BaseChars, k)
     var n = 0
     while (h < k) { h += math.min(h, k - h); n += 1 }
     n
@@ -112,53 +123,71 @@ object SuffixDedup {
       col("doc_id").between(0L, (1L << (63 - PosBits)) - 1) &&
         col("len") < (1L << PosBits) &&
         octet_length(col("text")).cast("long") === col("len")
-    val base = math.min(BaseChars, k)
-    // big-endian base-128 pack of chars [p, p + base - 1]
-    def pack: Column = (0 until base)
-      .map(j => ascii(col("text").substr(col("p") + j, lit(1))).cast("long") *
-        math.pow(128, base - 1 - j).toLong)
+    // big-endian base-128 pack of `len` chars starting at p + off
+    def packAt(off: Int, len: Int): Column = (0 until len)
+      .map(j => ascii(col("text").substr(col("p") + (off + j), lit(1)))
+        .cast("long") * math.pow(128, len - 1 - j).toLong)
       .reduce(_ + _)
+    val base = math.min(BaseChars, k)
+    val seedWidth = math.min(2 * BaseChars, k)
     // one row per character; the in-plan guard rides the base rank so
-    // column pruning cannot drop it (every later column derives from r)
-    val chars = docs
+    // column pruning cannot drop it (every later column derives from r).
+    // `keep` replaces carrying `len` through the rounds: the final
+    // output filter only needs the 1-byte "full k-gram starts here"
+    // flag, not the 8-byte length (guide §2.3 — narrower shuffle rows).
+    val seedCols =
+      Seq((packAt(0, base) + coalesce(assert_true(domainOk,
+        lit(s"dupSpansSuffix: doc_id >= 2^${63 - PosBits}, doc longer " +
+          s"than 2^$PosBits chars, or non-ASCII text — gid/base-128 " +
+          "packing would overflow or alias (use the md5 form for " +
+          "non-ASCII corpora)"))
+        .cast("long"), lit(0L))).as("r")) ++
+      (if (seedWidth > BaseChars)
+        Seq(packAt(BaseChars, seedWidth - BaseChars).as("rb")) else Nil)
+    // widenScan: the per-char explode + two-word pack is the expensive
+    // map and otherwise runs at the scan's parallelism (guide §2.5)
+    val chars = graft.ops.ScaleOps.widenScan(docs, "doc_id")
       .select(col("doc_id"), txt.as("text"), lenC.as("len"))
       .select(col("doc_id"), col("text"), col("len"),
         explode_outer(when(col("len") >= 1L, sequence(lit(1L), col("len")))
           .otherwise(array())).as("p"))
       .filter(col("p").isNotNull)
-      .select(col("doc_id"), col("p"), col("len"),
-        (pack + coalesce(assert_true(domainOk,
-          lit(s"dupSpansSuffix: doc_id >= 2^${63 - PosBits}, doc longer " +
-            s"than 2^$PosBits chars, or non-ASCII text — gid/base-128 " +
-            "packing would overflow or alias (use the md5 form for " +
-            "non-ASCII corpora)"))
-          .cast("long"), lit(0L))).as("r"))
+      .select(Seq(col("doc_id"), col("p"),
+        (col("p") <= col("len") - (k - 1)).as("keep")) ++ seedCols: _*)
 
     val gid = col("doc_id") * (1L << PosBits) + col("p")
     var cur = chars
-    var h = base
+    var rankCols: Seq[String] =
+      if (seedWidth > BaseChars) Seq("r", "rb") else Seq("r")
+    var h = seedWidth
     var dupPos: DataFrame =
       if (h >= k)
-        // k <= 7: the base pack IS rank_k — one count window, done
-        cur.withColumn("c", count(lit(1)).over(Window.partitionBy("r")))
-          .filter(col("c") >= 2 && col("p") <= col("len") - (k - 1))
+        // k <= 14: the seed pair IS rank_k — one count window, done
+        cur.withColumn("c",
+            count(lit(1)).over(Window.partitionBy(rankCols.map(col): _*)))
+          .filter(col("c") >= 2 && col("keep"))
           .select(col("doc_id"), col("p"))
       else null
     while (h < k) {
       val shift = math.min(h, k - h)
-      val paired = cur.withColumn("r2",
-        coalesce(lead(col("r"), shift)
-          .over(Window.partitionBy("doc_id").orderBy("p")), lit(-1L)))
-      val wg = Window.partitionBy("r", "r2")
+      val wLead = Window.partitionBy("doc_id").orderBy("p")
+      val leadCols = rankCols.zipWithIndex.map { case (rc, i) =>
+        (s"r2$i", coalesce(lead(col(rc), shift).over(wLead), lit(-1L)))
+      }
+      val paired = leadCols.foldLeft(cur) { case (df, (n, c)) =>
+        df.withColumn(n, c) }
+      val wg = Window.partitionBy(
+        (rankCols ++ leadCols.map(_._1)).map(col): _*)
       if (h + shift >= k) {
         dupPos = paired
           .withColumn("c", count(lit(1)).over(wg))
-          .filter(col("c") >= 2 && col("p") <= col("len") - (k - 1))
+          .filter(col("c") >= 2 && col("keep"))
           .select(col("doc_id"), col("p"))
       } else {
         cur = paired
           .withColumn("nr", min(gid).over(wg))
-          .select(col("doc_id"), col("p"), col("len"), col("nr").as("r"))
+          .select(col("doc_id"), col("p"), col("keep"), col("nr").as("r"))
+        rankCols = Seq("r")
       }
       h += shift
     }
@@ -250,7 +279,7 @@ object SuffixDedup {
     // LCP and 1-based substr agree only there
     val asciiOk = octet_length(col("text")) === length(col("text"))
     val npos = (length(txt) - (k - 1)).cast("long")
-    val grams = docs
+    val grams = graft.ops.ScaleOps.widenScan(docs, "doc_id")
       .select(col("doc_id"), txt.as("text"))
       .select(col("doc_id"), col("text"),
         explode_outer(when(npos >= 1L, sequence(lit(1L), npos))

@@ -61,13 +61,18 @@ object TextRank {
         toks.select(col("w")).distinct().withColumn("one", lit(1L)),
         "w", "one", "wid")
       .select(col("w"), (col("wid") - 1L).as("wid"))
-    val a = toks.select(col("doc_id"), col("pos").as("pa"), col("w").as("wa"))
-    val b = toks.select(col("doc_id"), col("pos").as("pb"), col("w").as("wb"))
+    // ids attach to the token stream BEFORE the positional self-join
+    // (one vocab join on |toks| rows instead of two on the pair set,
+    // and the self-join shuffles 8-byte ids, not strings — guide §2.3;
+    // vocab is injective, so wid inequality ⇔ word inequality and the
+    // pair set is unchanged)
+    val toksId = toks.join(vocab, Seq("w"))
+      .select(col("doc_id"), col("pos"), col("wid"))
+    val a = toksId.select(col("doc_id"), col("pos").as("pa"), col("wid").as("src"))
+    val b = toksId.select(col("doc_id"), col("pos").as("pb"), col("wid").as("dst"))
     val pairs = a.join(b, Seq("doc_id"))
       .filter(col("pb") > col("pa") && col("pb") <= col("pa") + window &&
-        col("wa") =!= col("wb"))
-      .join(vocab.select(col("w").as("wa"), col("wid").as("src")), Seq("wa"))
-      .join(vocab.select(col("w").as("wb"), col("wid").as("dst")), Seq("wb"))
+        col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
     val e = pairs.unionByName(
       pairs.select(col("dst").as("src"), col("src").as("dst")))

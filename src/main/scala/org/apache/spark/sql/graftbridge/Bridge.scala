@@ -57,4 +57,10 @@ object Bridge {
       .sessionState.functionRegistry
       .registerFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+
+  /** Drain the listener bus (private[spark]) — [[graft.BenchOne]] waits
+    * for task-metric events to settle between timed passes so its
+    * per-pass listener counters cannot bleed across passes. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

@@ -191,8 +191,9 @@ class SuffixDedupSpec extends SparkSpec {
   test("doubling schedule: round count matches the plan's lead-windows") {
     import graft.queries.SuffixDedup
     assert(SuffixDedup.doublingRounds(7) == 0)
-    assert(SuffixDedup.doublingRounds(20) == 2)  // 7 -> 14 -> 20
-    assert(SuffixDedup.doublingRounds(50) == 3)  // 7 -> 14 -> 28 -> 50
+    assert(SuffixDedup.doublingRounds(14) == 0) // the seed pair is rank_14
+    assert(SuffixDedup.doublingRounds(20) == 1) // 14 -> 20
+    assert(SuffixDedup.doublingRounds(50) == 2) // 14 -> 28 -> 50
     val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789")).toDF("doc_id", "text")
     for (k <- Seq(7, 20, 50)) {
       val leads = "lead\\(r#".r.findAllIn(
