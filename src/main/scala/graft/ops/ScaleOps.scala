@@ -36,6 +36,9 @@ object ScaleOps {
     * is a placement decision, every consumer here keys its own
     * windows/aggregations. */
   def widenScan(df: DataFrame, key: String): DataFrame = {
+    // streaming plans cannot be probed (toRdd) or repartitioned here;
+    // micro-batches arrive pre-partitioned by the source anyway
+    if (df.isStreaming) return df
     val n = df.sparkSession.sparkContext.defaultParallelism
     if (df.queryExecution.toRdd.getNumPartitions < n)
       df.repartition(n, col(key))

@@ -220,7 +220,7 @@ object ByteTokenizer {
       .distinct().as[String]
       .map(r => (r, encodeRun(r, ranks.value).map(ids.value(_)).toArray))
       .toDF("run", "toks")
-    val perDoc = docs
+    val perDoc = graft.ops.ScaleOps.widenScan(docs, "doc_id")
       .select(col("doc_id"), posexplode(runsCol).as(Seq("rpos", "run")))
       .join(perRun, "run")
       .groupBy("doc_id")

@@ -65,7 +65,7 @@ object Contamination {
     // yields n_shingles and n_hit together. The previous form computed
     // the shingle array on two separate scans (stats + hits) and the
     // generator pushdown re-evaluated it up to 4x per row.
-    shingleSet(train)
+    shingleSet(graft.ops.ScaleOps.widenScan(train, "doc_id"))
       .select(col("doc_id"), explode_outer(col("sh")).as("s"))
       .join(broadcast(evalSet), Seq("s"), "left")
       .groupBy("doc_id")
@@ -105,7 +105,7 @@ object Contamination {
   def decontaminatePairs(train: DataFrame, eval: DataFrame): DataFrame = {
     val evalEx = shingleSet(eval)
       .select(col("doc_id").as("eval_doc_id"), explode(col("sh")).as("s"))
-    shingleSet(train)
+    shingleSet(graft.ops.ScaleOps.widenScan(train, "doc_id"))
       .select(col("doc_id").as("train_doc_id"), explode_outer(col("sh")).as("s"))
       .join(broadcast(evalEx), Seq("s"))
       .groupBy("train_doc_id", "eval_doc_id")
@@ -266,7 +266,7 @@ object Contamination {
     // predicate (the q_decontaminate 6.1s->2.2s lesson); memo-persisted
     // because both the output and the rescore branch read it.
     val perDoc = bloomFrameCache.memo(
-      shingleSet(train)
+      shingleSet(graft.ops.ScaleOps.widenScan(train, "doc_id"))
         .select(col("doc_id"), explode_outer(col("sh")).as("s"))
         .groupBy("doc_id")
         .agg(count(col("s")).as("n_shingles"),
@@ -363,7 +363,7 @@ object Contamination {
       }
     }
     val perDoc = bloomFrameCache.memo(
-      shingleSet(train)
+      shingleSet(graft.ops.ScaleOps.widenScan(train, "doc_id"))
         .select(col("doc_id"), explode_outer(col("sh")).as("s"))
         .groupBy("doc_id")
         .agg(count(col("s")).as("n_shingles"),
@@ -408,7 +408,7 @@ object Contamination {
   def decontamSpans(train: DataFrame, eval: DataFrame): DataFrame = {
     val evalSet = shingleSet(eval)
       .select(explode(col("sh")).as("s")).distinct()
-    val pos = train.select(col("doc_id"),
+    val pos = graft.ops.ScaleOps.widenScan(train, "doc_id").select(col("doc_id"),
         posexplode(shingles(words(col("text")), NgramK)).as(Seq("p0", "s")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("s"))
     Dedup.mergeGramSpans(

@@ -95,8 +95,11 @@ object Dedup {
     }: _*)
 
   private def hashedShingles(df: DataFrame): DataFrame =
+    // widenScan before the tokenize+shingle+hash map (guide §2.5):
+    // serves every consumer of the memo (minhash/jaccard/containment)
     cachedShingles.memo(
-      df.select(col("doc_id"), shingleHashCol(col("text")).as("hs"))
+      graft.ops.ScaleOps.widenScan(df, "doc_id")
+        .select(col("doc_id"), shingleHashCol(col("text")).as("hs"))
         .filter(size(col("hs")) > 0))
 
   /** Oracle-side twin of [[shingleHashCol]], parameterized on the source
@@ -1334,7 +1337,9 @@ object Dedup {
     val sents = filter(
       transform(split(coalesce(col("text"), lit("")), splitRe), x => trim(x)),
       x => x =!= "")
-    val withS = docs.select(col("doc_id"), sents.as("s"))
+    // widenScan before the split+shingle+md5 map (guide §2.5)
+    val withS = graft.ops.ScaleOps.widenScan(docs, "doc_id")
+      .select(col("doc_id"), sents.as("s"))
     val nsh = size(col("s")) - (n - 1)
     val grams = withS
       .select(col("doc_id"),

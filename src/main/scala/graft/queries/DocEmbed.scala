@@ -45,7 +45,9 @@ object DocEmbed {
     * sort of the sparse cells that the key-addressed map never needs. */
   private[queries] def docEmbedSparse(docs: DataFrame, dims: Int): DataFrame = {
     require(dims >= 2, s"dims must be >= 2, got $dims")
-    docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+    // widenScan before the tokenize+explode+hash map (guide §2.5)
+    graft.ops.ScaleOps.widenScan(docs, "doc_id")
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .select(col("doc_id"), polyHash(col("word")).as("h"))
       .select(col("doc_id"),
         pmod(col("h"), lit(dims.toLong)).as("dim"),

@@ -43,8 +43,10 @@ object DupCensus {
     require(k >= 1, s"k must be >= 1, got $k")
     // md5 BYTES (unhex), not the hex string: same 128-bit key, half
     // the shuffle bytes — the key never appears in output
-    val grams = docs.select(col("doc_id"),
-      explode(shingles(words(col("text")), k)).as("s"))
+    // widenScan before the tokenize+shingle+md5 map (guide §2.5)
+    val grams = graft.ops.ScaleOps.widenScan(docs, "doc_id")
+      .select(col("doc_id"),
+        explode(shingles(words(col("text")), k)).as("s"))
       .select(col("doc_id"), unhex(md5(col("s"))).as("g"))
     // (gram, doc) partial first: the countDistinct lands on pre-reduced
     // rows, and per-doc occ sums ride along in the same shuffle.

@@ -35,7 +35,11 @@ object GraphRank {
     * graph); for a cheap-to-rebuild frame feeding join-heavy
     * consumers, recompute wins. */
   private[queries] def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
-    val li = lineitem
+    // widenScan: the 600k-row parquet decode ahead of the distinct is
+    // otherwise a one-task stage (guide §2.5); the distinct's partial
+    // agg barely collapses (o, p) pairs, so the extra narrow exchange
+    // costs less than the serialized decode
+    val li = graft.ops.ScaleOps.widenScan(lineitem, "l_orderkey")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     li.as("a").join(li.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
@@ -45,7 +49,7 @@ object GraphRank {
   /** Node encoding for the bipartite graph: parts on even ids,
     * suppliers on odd — key spaces stay disjoint at any SF. */
   private def edges(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    graft.ops.ScaleOps.widenScan(Tables.lineitem(s, d), "l_orderkey")
       .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("su"))
       .distinct()
 
@@ -150,13 +154,35 @@ object GraphRank {
     // This never materializes the wedge set (the 72M-row join the
     // first cut paid at sf0.1); the intersection runs as one
     // codegen'd array op per edge.
-    val adj = oriented.groupBy(col("s").as("n"))
-      .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+    //
+    // Adjacency joins BROADCAST below a SCAN-SIZE gate: shuffled, the
+    // second join re-ships every edge's na array (Σ per-edge adjacency
+    // payload — measured 440 MB at sf0.1, 3.5× everything else in the
+    // plan, and the GC source behind this row's historical
+    // bimodality); broadcast, the arrays ship once per executor
+    // (Σd⁺ = |E| longs ≈ 15 MB here) and the edge list never moves.
+    // The gate reads the INPUT's optimizer size estimate — free, no
+    // extra job or count pass over the self-join — and edges grow
+    // ~linearly in lineitem bytes for the bounded-parts-per-order
+    // co-purchase shape (11 MB → ~1.2 M edges → ~15 MB adjacency), so
+    // 64 MB of input keeps the broadcast under ~200 MB; past the gate
+    // the shuffle join is the scale path, at zero local cost.
+    val adjBroadcastable = lineitem.queryExecution.optimizedPlan
+      .stats.sizeInBytes < (64L << 20)
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (adjBroadcastable) broadcast(df) else df
+    val adj = maybeBroadcast(oriented.groupBy(col("s").as("n"))
+      .agg(sort_array(collect_list(col("t"))).as("nbrs")))
     val withCommon = oriented
       .join(adj.select(col("n").as("s"), col("nbrs").as("na")), "s")
       .join(adj.select(col("n").as("t"), col("nbrs").as("nb")), "t")
+      // native sort-merge intersection: array_intersect builds a boxed
+      // hash set per EDGE — measured 97 s CPU at sf0.1; the primitive
+      // merge kernel returns the same (distinct-input) element set,
+      // ascending — order-insensitive consumers (size/explode) only
       .select(col("s"), col("t"),
-        array_intersect(col("na"), col("nb")).as("common"))
+        graft.functions.NativeExpressions
+          .sortedIntersect(col("na"), col("nb")).as("common"))
       .filter(size(col("common")) > 0)
     // node attribution: the edge endpoints each join |common| triangles
     // through this edge; every common neighbor joins one

@@ -36,7 +36,7 @@ object Ranking {
     * aggregation run once even though consumers branch over it 2–3
     * times in one plan. */
   private def termFreqs(docs: DataFrame): (DataFrame, DataFrame) = {
-    val tf = tfCache.memo(docs
+    val tf = tfCache.memo(graft.ops.ScaleOps.widenScan(docs, "doc_id")
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     (tf, tf.groupBy("term").agg(count(lit(1)).as("df")))
@@ -104,7 +104,8 @@ object Ranking {
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && terms.toSet.size == terms.size,
       "terms must be non-empty and distinct")
-    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val toks = graft.ops.ScaleOps.widenScan(docs, "doc_id")
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
     // one aggregation: doc length + per-query-term tf
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$i")

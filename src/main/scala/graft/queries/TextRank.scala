@@ -46,7 +46,8 @@ object TextRank {
       k: Int = KDefault): DataFrame = {
     require(window >= 1 && k >= 1 && iterations >= 1,
       "window, k, iterations must be positive")
-    val toks = docs
+    // widenScan before the tokenize+posexplode map (guide §2.5)
+    val toks = graft.ops.ScaleOps.widenScan(docs, "doc_id")
       .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
       .filter(col("w") =!= "")
     // dense ids via the H10 distributed prefix sum (range exchange +

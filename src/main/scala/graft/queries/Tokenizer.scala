@@ -39,7 +39,8 @@ object Tokenizer {
   /** Word-frequency dict: the one corpus-sized aggregation (shared
     * with the C27 unigram trainer — ONE dict definition). */
   private[queries] def wordCounts(docs: DataFrame): DataFrame =
-    docs.select(explode(words(col("text"))).as("word"))
+    // widenScan before the tokenize+explode map (guide §2.5)
+    graft.ops.ScaleOps.widenScan(docs, "doc_id").select(explode(words(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
 
   /** Learn `merges` BPE merges from the corpus; returns them in rank
@@ -281,7 +282,8 @@ object Tokenizer {
       docs: DataFrame,
       merges: Seq[((String, String), String)]): DataFrame = {
     val perWord = bpeWordCounts(docs, merges)
-    docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+    graft.ops.ScaleOps.widenScan(docs, "doc_id")
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .join(perWord, "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("n_subtokens")).as("n_bpe_tokens"))
@@ -423,7 +425,7 @@ object Tokenizer {
       .distinct().as[String]
       .map(w => (w, encodeWord(w, ranks.value).map(ids.value(_)).toArray))
       .toDF("word", "toks")
-    val perDoc = docs
+    val perDoc = graft.ops.ScaleOps.widenScan(docs, "doc_id")
       .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("wpos", "word")))
       .join(perWord, "word")
       .groupBy("doc_id")

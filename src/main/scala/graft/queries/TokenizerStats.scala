@@ -39,7 +39,7 @@ object TokenizerStats {
       docs: DataFrame,
       merges: Seq[((String, String), String)] = Tokenizer.FixedMerges): DataFrame = {
     val perWord = Tokenizer.bpeWordCounts(docs, merges)
-    val agg = docs
+    val agg = graft.ops.ScaleOps.widenScan(docs, "doc_id")
       .select(col("source"), explode(words(col("text"))).as("word"))
       .join(perWord, "word") // perWord covers every distinct corpus word
       .groupBy("source")

@@ -241,7 +241,7 @@ object Unigram {
         it.map(w => (w, enc(w).toArray))
       }
       .toDF("word", "toks")
-    val perDoc = docs
+    val perDoc = graft.ops.ScaleOps.widenScan(docs, "doc_id")
       .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("wpos", "word")))
       .join(perWord, "word")
       .groupBy("doc_id")
