@@ -37,6 +37,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE's coalesce floor measures COMPRESSED bytes, so CPU-dense
+      // text stages (regex/extract chains over a few MB of shuffled
+      // pages) coalesce to ONE task and serialize at 1/cores capacity
+      // (measured: q_extract_clean 2.6 s -> 1.2 s at 64k). At
+      // production scale stage bytes dwarf any floor and the setting
+      // is inert; env-overridable so it stays a parameter, not a
+      // constant tuned to this box.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // noop sink: forces EVERY output column to be computed — count()

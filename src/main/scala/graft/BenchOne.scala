@@ -64,10 +64,13 @@ object BenchOne {
     // parallelism from the env (default 28 preserves prior numbers):
     // hardcoded core counts bake machine-specific tuning into source
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "28")
-    val spark = SparkSession.builder().withExtensions(new GraftExtensions)
+    val builder = SparkSession.builder().withExtensions(new GraftExtensions)
       .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    builder.config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val metrics = new Metrics
     spark.sparkContext.addSparkListener(metrics)

@@ -67,14 +67,14 @@ object Plans {
     "q_doc_embed" -> "hashing-trick embedding: one tokenize+explode pass into a map-side-combinable (doc_id, dim) integer agg; text never shuffles",
     "q_pipeline_produce" -> "capstone, ONE plan: gates+exact-dedup+decontam+D16 excision feed ONE memo-persisted cleaned-text frame; downstream of it, exactly two distributed prefix sums (H10 epoch shuffle, H8b token packing) and the broadcast rank/fertility joins — no exchange beyond those documented",
     "q_dup_spans_char" -> "char-granularity ExactSubstr audit, SINGLE-pass: one explode+md5 map stage, one shuffle on the 128-bit key, count() OVER (PARTITION BY h) paints corpus counts in that same pass (sort-within-partition, spill-backed), dup positions flow to the per-doc interval-merge window — NOTHING persisted (the all-chars memo held ~30 B x corpus chars; word-level q_dup_spans is the production path)",
-    "q_dup_spans_sa" -> "ExactSubstr by suffix-array rank doubling — NO hash in the plan: rank_7 packs 7 ascii chars into one long in the base map, then ceil(log2 k/7)+1 doubling rounds of (lead over doc window -> min(gid) over pair window), each two Terasort-shaped integer-key exchanges (k=20: two rounds); the last round's count() rides the same pair window; expect NO md5/xxhash expression anywhere",
+    "q_dup_spans_sa" -> "ExactSubstr by suffix-array rank doubling — NO hash in the plan: a TWO-WORD base-128 pack seeds rank_14 in the (widenScan-parallelized) base map, then the doubling rounds of (lead over doc window -> group-partition window) — k=20 is ONE round (14 -> 20), its count() riding the pair window; expect NO md5/xxhash expression anywhere and exactly one lead per round",
     "q_dup_spans_max" -> "prune-then-exact maximal lengths: ONE corpus md5 pass + h-window (D14b's cost) finds survivors; only they pay the text join-back, the gram-group-local capped-suffix sort, and the adjacent commonPrefixLen codegen kernel; the memoized positions frame feeds all five ladder rungs — expect ONE md5 map stage, not five",
     "q_dedup_semantic_text" -> "text-native SemDeDup: E9's one-scan hashed-embedding agg feeds D15's cell-keyed candidate join unchanged — text never shuffles, vectors exist only as the narrow (doc, dim, sum) frame until the within-cell pairing",
     "q_dedup_semantic_trained" -> "trained SemDeDup: seeded-KMeans centers enter as a broadcast metadata frame, then the D15 core unchanged — packed-long HashAggregate argmax assignment (no exchange before the partial agg), cell-keyed pairing, keep-rule paint join; the fit is driver-side model state, never in the distributed plan",
     "q_tokenize_ids" -> "id-level tokenization: DISTINCT-word encoder map with the merge-rank table broadcast, word-keyed id join back onto the positional explode, per-doc sort-collect reassembly — the corpus pays one text scan and shuffles only (doc_id, pos, id) integers",
     "q_hybrid_search" -> "hybrid retrieval: memoized tf + sparse-embedding frames, posting-list and dim-keyed candidate joins (stats broadcast), every per-query ranking window rewritten to TopKPerKeyPartial/Final, one poolK-bounded full-outer fuse join",
     "q_hybrid_search_lsh" -> "bucketed hybrid retrieval: sign-projection bit sums aggregated in the sparse format (tables-x inflation, never dims-x), the (t, bucket) candidate equi-join, candidate-restricted integer-dot rescore, same shared BM25/fusion stages as the dense row",
-    "q_kmeans" -> "per Lloyd iteration: broadcast-cents nested loop with the packed-long argmin collapsing map-side (only (vec_id, cell) shuffles), then posexplode + integer agg on the k x dims key space; centroids ride ONE k x dims collect per round — vector data never reaches the driver",
+    "q_kmeans" -> "per Lloyd iteration: for small models the assignment is a pure per-row least() over k literal packed-distance keys — NO join and NO corpus exchange at all — feeding posexplode + integer agg on the k x dims key space; centroids ride ONE k x dims collect per round (the broadcast nested-loop argmin remains past the k x dims literal bound) — vector data never reaches the driver",
     "q_excise_sentences" -> "sentence-granularity ExactSubstr, SINGLE pass: one split+shingle+md5 explode, keeper rule as a (count, min) window on the 128-bit key partition (no memo, no paint join — the D14b lesson applied to the D16 keeper form), shared interval merge, sentence-keyed anti-join rebuild",
     "q_lang_paras" -> "per-paragraph language split: pages group-concat, then ONE shuffle-free codegen map stage (paragraph votes, majority election, rewrite all as integer HOFs in place); presentation sort is the only exchange after the pages agg",
     "q_fuzzy_join" -> "FastSS fuzzy join: deletion-neighborhood keys generated inline by codegen'd array lambdas, explode + variant-key equi-join (never the cross product), distinct pair shuffle, Levenshtein verify on the shortlist only",
@@ -84,8 +84,8 @@ object Plans {
     "q_gram_matrix" -> "exact Gram: quantize once per row, two chained codegen posexplodes (N·d then N·d² FLAT rows — no per-row struct-array construction; the nested-lambda form cost 12.9 s at sf0.1, this is ~12×), map-side-combinable integer agg on the dims² key space, abs-split exact BIGINT->DOUBLE at output",
     "q_pca_project" -> "PCA projection: ONE shuffle-free map stage — the fitted PC1 enters as literal coefficients (driver model state), pc1 = fixed-order unrolled dot chain; presentation sort is the only exchange",
     "q_series_pairs" -> "time-series pairs, payload-free candidates: memoized per-user frame, SLIM (user, cell, 5 PAA segment sums) 3-cell equi-join + segment-sum lower-bound prune (arrays never shuffle through candidate generation), survivors alone join the arrays back for the exact integer zip_with rescore",
-    "q_triangles" -> "degree-oriented triangles, wedge-free: edges orient low->high (degree, id), per-node oriented adjacency arrays (bounded by sqrt(2|E|)), triangles = array_intersect(adj+(a), adj+(b)) per edge as ONE codegen array op — the wedge set (72M rows at sf0.1) is never materialized or shuffled",
-    "q_communities" -> "fixed-iteration synchronous LPA: per round one narrow label-edge join (labels broadcast below 1M nodes — the pinned edge blocks never move), a map-side-combinable (node, label) count, the two-phase argmax (max-count agg + min-label join — no SortAggregate, no label-domain packing bound), and a tracked localCheckpoint keeping lineage O(1)",
+    "q_triangles" -> "degree-oriented triangles, wedge-free: edges orient low->high (degree, id), per-node oriented adjacency arrays (bounded by sqrt(2|E|)) BROADCAST below a 64MB input-size gate (shuffled, the second adjacency join re-ships every edge's neighbor array — 354MB at sf0.1), triangles = graft_sorted_intersect(adj+(a), adj+(b)) per edge — a primitive sort-merge kernel (array_intersect built a boxed hash set per edge); the wedge set is never materialized",
+    "q_communities" -> "fixed-iteration synchronous LPA: per round one narrow label-edge join (labels broadcast below 1M nodes — the pinned edge blocks never move), a map-side-combinable (node, label) count, then ONE combinable packed-long max HashAggregate electing (max count, min label) when node ids fit 2^40 (exact modular unpack; in-plan count guard; the two-phase agg+join plan remains for wider id spaces), and a tracked localCheckpoint keeping lineage O(1)",
     "q_curriculum" -> "curriculum order: C15's memoized decile paint + scramble map into ONE packed DECIMAL order key, then the H10 distributed prefix sum (range partition + broadcast offsets) — decile-major positions with no corpus-wide window",
     "q_extract_text" -> "markup extraction: the whole regexp/replace chain (script/style/comment removal, block->break mapping, tag strip, entity decode, whitespace collapse) is ONE codegen map stage over the pages agg; presentation sort is the only exchange after it",
     "q_extract_clean" -> "composed crawl ingest: extraction + C21 language split + C20 line dedup + C18 line screen chained as FOUR stacked map stages in ONE pass (sort-free cores — no mid-pipeline exchange); presentation sort is the only exchange after the pages agg",
@@ -99,8 +99,8 @@ object Plans {
     "q_ann_ivf_sq8" -> "IVF-SQ8 search: broadcast first-k centroids probe, residual codes + reconstruction (+ its norm) computed inside the index-scan projection, cell equi-join bounds candidates to probed cells, norm-invariant ADC shortlist window, exact rescore joins ORIGINAL embeddings on the shortlist only",
     "q_tokenize_ids_uni" -> "unigram tokenize: Viterbi automaton once per DISTINCT word (typed map, piece table broadcast — vocabulary-sized), corpus side one posexplode + word-key join + per-doc reassembly agg; the one corpus-sized exchange is the reassembly groupBy (output width = text width, unavoidable)",
     "q_textrank" -> "TextRank keywords: doc-keyed co-partitioned positional self-join, word ids via the H10 distributed prefix sum over the distinct vocabulary (r13 fix — NO single-partition row_number window; the vocabulary grows with the corpus), then the integer PageRank rounds",
-    "q_corpus_map" -> "corpus map census: E9 sparse agg -> unit vectors, 2 broadcast-centroid Lloyd passes (packed argmin collapses map-side — only (vec_id, cell) shuffles), C15 bounded-histogram deciles, <= k x 10-key cross-tab; text never shuffles",
-    "q_cell_mix" -> "per-cell mixing: the census's own docCells frame + a <= cells x 10-key stats agg, rate frame BROADCAST back onto a pure map-filter keep draw — the mixer adds NO corpus-wide shuffle beyond the census itself",
+    "q_corpus_map" -> "corpus map census: the Lloyd fit + decile cuts freeze as literals (fit jobs: literal-argmin map + k x dims integer agg per iteration), then the WHOLE per-doc placement is the frozen pure per-row map (E9 fold, packedMin cell, cut-compare decile) -> <= k x 10-key cross-tab; no decile/token joins, text never shuffles",
+    "q_cell_mix" -> "per-cell mixing: the census's own (frozen-map) docCells frame + a <= cells x 10-key stats agg, rate frame BROADCAST back onto a pure map-filter keep draw — the mixer adds NO corpus-wide shuffle beyond the census itself",
     "q_dup_spans_incremental" -> "incremental ExactSubstr audit: batch grams memo-persisted once, batch-side distinct keys semi-probe the lake key store (narrow 16-byte keys — lake text never scanned, lake never self-pairs), in-batch dup count map-side, per-doc span-merge window",
     "q_excise_spans_incremental" -> "incremental ExactSubstr rewrite: same memoized batch gram pass, batch-local (count, keeper) agg LEFT-joined with the stored lake keepers (gkeeper = least of the two), shared D16 rebuild tail over batch docs only — per-night cost scales with the batch",
     "q_tokenize_ids_bytes" -> "byte-fallback tokenize: merge automaton once per DISTINCT \\\\S+|\\\\s+ run (typed map, rank + 321-id tables broadcast; whitespace runs collapse to a handful of keys), corpus side one posexplode + run-key join + per-doc reassembly agg — the C13b encoder split, unchanged",

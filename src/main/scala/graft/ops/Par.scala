@@ -22,11 +22,12 @@ package graft.ops
   */
 private[graft] object Par {
 
-  /** Fixed fan-out: enough to fill a task tail, small enough that
-    * concurrent fits do not fight for executor slots (the guide's
-    * "2-3 jobs in flight is plenty" rule, with headroom for the m=8
-    * subspace-fit shape). */
-  private val MaxConcurrent = 4
+  /** Fixed fan-out: enough to run a coarse + m = 4-subspace fit batch
+    * fully overlapped (the common PQ shape here — each fit's jobs are
+    * a handful of small tasks, nowhere near the executor pool), small
+    * enough that wider fan-outs don't thrash the scheduler (guide
+    * §2.6's "a few jobs in flight" rule, widened for tiny fits). */
+  private val MaxConcurrent = 6
 
   /** Run `tasks` concurrently (at most [[MaxConcurrent]] in flight),
     * returning results in input order. Single task short-circuits to a

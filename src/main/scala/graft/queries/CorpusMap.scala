@@ -93,6 +93,30 @@ object CorpusMap {
       dims: Int = MapDims,
       cells: Int = MapCells,
       iters: Int = MapIters,
+      fitFraction: Double = 1.0): DataFrame =
+    // Full-fit placement runs as the FROZEN-path pure per-row map under
+    // the fitted state (fit once, then one shuffle-free map — no decile
+    // or token join, no per-consumer re-aggregation): CorpusMapSpec
+    // pins [[assignFrozen]](docs, fitModel(docs)) bit-equal to the
+    // joined construction, and the I12/H15 oracles hash the result
+    // against the full CTE replay. The joined path remains for sample
+    // fits (fitModel freezes cents_{iters-1}; the sample-fit
+    // [[KMeansLloyd.assignments]] convention assigns under cents_iters,
+    // so the two are NOT interchangeable there) and as the spec's
+    // differential twin.
+    cellCache.memo(
+      if (fitFraction >= 1.0)
+        assignFrozen(docs, fitModel(docs, dims, cells, iters))
+      else docCellsJoined(docs, dims, cells, iters, fitFraction))
+
+  /** The fitted-frame JOINED construction of the per-doc grid —
+    * assignment frame ⨝ deciles ⨝ token counts. [[docCells]]' sample-fit
+    * path, and CorpusMapSpec's differential twin for the frozen map. */
+  private[graft] def docCellsJoined(
+      docs: DataFrame,
+      dims: Int = MapDims,
+      cells: Int = MapCells,
+      iters: Int = MapIters,
       fitFraction: Double = 1.0): DataFrame = {
     val assigned = KMeansLloyd.assignments(
       unitDocVectors(docs, dims), k = cells, iters = iters,
@@ -102,9 +126,8 @@ object CorpusMap {
       .select(col("doc_id"), col("decile"))
     val toks = docs.select(col("doc_id"),
       size(words(col("text"))).cast("long").as("n_tokens"))
-    cellCache.memo(
-      assigned.join(deciles, "doc_id").join(toks, "doc_id")
-        .select(col("doc_id"), col("cell"), col("decile"), col("n_tokens")))
+    assigned.join(deciles, "doc_id").join(toks, "doc_id")
+      .select(col("doc_id"), col("cell"), col("decile"), col("n_tokens"))
   }
 
   /** The corpus-map census: (cell, decile, n_docs, n_tokens).

@@ -57,7 +57,10 @@ class CorpusMapSpec extends SparkSpec {
     val frozen = CorpusMap.assignFrozen(docs, model)
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    val fitted = CorpusMap.docCells(docs)
+    // the JOINED construction explicitly: docCells now runs the frozen
+    // map at full fit, so the non-tautological differential is against
+    // docCellsJoined (assignment frame ⨝ deciles ⨝ tokens)
+    val fitted = CorpusMap.docCellsJoined(docs)
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(frozen == fitted,
