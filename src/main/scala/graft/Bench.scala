@@ -315,7 +315,9 @@ object Bench {
     val pinJson = pins.collect { case (k, v) if sweptNames(k) =>
       s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val pinnedTotal = pins.collect { case (k, v) if sweptNames(k) => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"storage_mb_held":$heldJson,"calibration_s":$calJson,"calibration_drift":${f"$calDrift%.3f"},"calibration_median_s":${f"$calMedian%.3f"},"calibration_abs":${f"$calAbs%.3f"},"suspect":$suspectJson,"pin_regressed":$pinRegressedJson,"retimed_s":$retimedJson,"retime_calibration_s":$retimeCalJson,"retime_attempts_s":$attemptsJson,"pinless":$pinlessJson,"pin_s":$pinJson,"pin_rows":${pins.count(p => sweptNames(p._1))},"pinned_total_s":${f"$pinnedTotal%.3f"},"sf":"$sfDir"}"""
+    // `queries` LAST in the big line: a tail-truncated capture of this
+    // line then at least shows per-query numbers, not the pin echo.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"storage_mb_held":$heldJson,"calibration_s":$calJson,"calibration_drift":${f"$calDrift%.3f"},"calibration_median_s":${f"$calMedian%.3f"},"calibration_abs":${f"$calAbs%.3f"},"suspect":$suspectJson,"pin_regressed":$pinRegressedJson,"retimed_s":$retimedJson,"retime_calibration_s":$retimeCalJson,"retime_attempts_s":$attemptsJson,"pinless":$pinlessJson,"pin_s":$pinJson,"pin_rows":${pins.count(p => sweptNames(p._1))},"pinned_total_s":${f"$pinnedTotal%.3f"},"sf":"$sfDir","queries":$qs}"""
     // The file is the durable artifact: stdout captures have twice lost
     // timings to tail-truncation of the single long JSON line.
     try {
@@ -364,6 +366,15 @@ object Bench {
       }
     }
     println(json)
+    // Compact summary as the LAST stdout line (r15 verdict item 1): a
+    // harness that keeps only the final ~2 KB of output — the shape
+    // that left BENCH_r12..r15 with parsed:null, because the full
+    // per-query line for 171 queries is ~8 KB — still captures one
+    // complete, parseable JSON object. Headline numbers + health
+    // counters only; the full per-query map lives in the big line
+    // above and, durably, in bench_out.json (`queries_file`).
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"calibration_drift":${f"$calDrift%.3f"},"calibration_abs":${f"$calAbs%.3f"},"n_suspect":${suspects.size},"n_pin_regressed":${pinRegressed.size},"n_retimed":${retimed.size},"n_pinless":${pinless.size},"queries_file":"bench_out.json"}"""
+    println(summary)
     spark.stop()
   }
 }

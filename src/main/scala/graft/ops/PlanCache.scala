@@ -39,7 +39,19 @@ final class PlanCache(capacity: Int) {
     * in-place rewrite call [[clear]] (or [[Release.sweep]]). */
   /** The persisted memo of `df` (MEMORY_AND_DISK), creating and caching
     * it on first sight of the plan. */
-  def memo(df: DataFrame): DataFrame = synchronized {
+  def memo(df: DataFrame): DataFrame = memo(df, eager = false)
+
+  /** As [[memo]], but with `eager = true` the persisted blocks are
+    * materialized (one count job) before the frame is handed back on
+    * first sight of the plan. A lazy persist only helps the SECOND
+    * action over the memo: when the FIRST action fans the frame into
+    * concurrent plan branches (Spark builds sibling broadcast sides in
+    * parallel), every branch starts before any block has landed and
+    * each recomputes the full frame — the memo saves nothing on the
+    * very call that motivated it. Eager mode pays the frame once, up
+    * front, inside the caller's timed region. Only meaningful for
+    * batch frames (count() on a streaming frame throws). */
+  def memo(df: DataFrame, eager: Boolean): DataFrame = synchronized {
     val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
     entries.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     entries.remove(key) match {
@@ -47,7 +59,10 @@ final class PlanCache(capacity: Int) {
         // re-persist a memo something unpersisted out-of-band (e.g. a
         // released PqIndex): a hit must always hand back a frame that
         // honors the memo contract, not silently recompute forever
-        if (f.storageLevel == StorageLevel.NONE) f.persist(StorageLevel.MEMORY_AND_DISK)
+        if (f.storageLevel == StorageLevel.NONE) {
+          f.persist(StorageLevel.MEMORY_AND_DISK)
+          if (eager) f.count()
+        }
         entries.put(key, f) // re-insert at LRU tail
         f
       case None =>
@@ -56,6 +71,7 @@ final class PlanCache(capacity: Int) {
           entries.remove(oldest).foreach(_.unpersist(blocking = false))
         }
         val f = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if (eager) f.count()
         entries.put(key, f)
         f
     }

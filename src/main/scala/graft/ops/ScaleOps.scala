@@ -39,10 +39,24 @@ object ScaleOps {
     // streaming plans cannot be probed (toRdd) or repartitioned here;
     // micro-batches arrive pre-partitioned by the source anyway
     if (df.isStreaming) return df
-    val n = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions < n)
-      df.repartition(n, col(key))
-    else df
+    df.queryExecution.executedPlan match {
+      // A plan AQE wrapped contains an exchange (or subquery): its
+      // expensive map side already runs at shuffle-partition width, so
+      // there is nothing to widen — and probing it would EXECUTE it:
+      // toRdd on an AdaptiveSparkPlanExec materializes every upstream
+      // query stage at plan-construction time, then the work repeats
+      // when the returned frame is actioned under a new QueryExecution
+      // (r15 advisor finding). Exchange-free plans (bare scans,
+      // narrow maps, checkpoint-backed frames) are never wrapped, so
+      // the probe below stays job-free.
+      case _: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        df
+      case _ =>
+        val n = df.sparkSession.sparkContext.defaultParallelism
+        if (df.queryExecution.toRdd.getNumPartitions < n)
+          df.repartition(n, col(key))
+        else df
+    }
   }
 
   /** Skew-mitigated equi-join: salt the big side into `buckets`

@@ -56,6 +56,19 @@ object Dedup {
     * JVM lifetime (mechanics in [[graft.ops.PlanCache]]). */
   private[this] val cachedShingles = new graft.ops.PlanCache(capacity = 4)
 
+  /** Memo of the K-wide signature frame (r16, guide §5): every MinHash
+    * consumer fans the sig frame into 3–5 plan branches (band keys,
+    * band-side __known join, the a/b rescore sides), and WITHOUT a
+    * persist each branch re-runs the 16-permutation minhashSigs map
+    * from the shingle memo — measured 10+ s of repeated CPU per call
+    * on q_dedup_incremental_minhash at sf0.1 (three broadcast builds
+    * at 4.6/4.0/1.9 s CPU each recomputing signatures). The frame is
+    * narrow (doc_id + 16 longs), so the persist is cheap relative to
+    * the map it deduplicates. Capacity 4: full corpus + incoming +
+    * known slices of one corpus, plus one spare for interleaved
+    * workloads. */
+  private[this] val sigCache = new graft.ops.PlanCache(capacity = 4)
+
   /** Memo for [[jaccardPairsPrefix]]'s ranked-prefix frame and
     * [[containmentPairsPrefix]]'s ranked posting frame: each df-agg +
     * per-doc rank window chain feeds BOTH sides of its candidate
@@ -478,10 +491,15 @@ object Dedup {
     val sigCols = (0 until MinhashK).map { i =>
       element_at(col("sigv"), i + 1).as(s"s$i")
     }
-    hashedShingles(docs)
+    // eager: the first action over a minhash query fans this frame
+    // into sibling broadcast builds, which race a lazy persist and
+    // each recompute the 16-permutation map (measured: 3 builds at
+    // 4.6/4.0/1.9 s CPU on q_dedup_incremental_minhash before the
+    // memo landed blocks)
+    sigCache.memo(hashedShingles(docs)
       .select(col("doc_id"),
         graft.functions.NativeExpressions.minhashSigs(col("hs"), MinhashK).as("sigv"))
-      .select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id") +: sigCols: _*), eager = true)
   }
 
   /** Signature frame -> (doc_id, band_idx, band_hash) LSH bucket keys. */
