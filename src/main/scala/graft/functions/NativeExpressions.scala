@@ -239,6 +239,80 @@ object NativeExpressions {
       copy(left = l, right = r)
   }
 
+  /** Squared L2 distance Σ(xᵢ−yᵢ)² as ONE codegen kernel — the strict
+    * left fold `acc = 0.0; t = xᵢ−yᵢ; acc += t·t` in index order,
+    * bit-identical to the Catalyst chain it replaces
+    * (`aggregate(zip_with(x, y, (a,b) => (a−b)·(a−b)), 0.0, +)`),
+    * which runs INTERPRETED with per-element boxing (higher-order
+    * functions never enter whole-stage codegen — guide §4; measured
+    * dominant in the Lloyd literal-argmin hot path at dims = 64).
+    * Null semantics mirror the replaced chain: mismatched lengths or
+    * any null element on either side → null (zip_with pads the
+    * shorter array with null, the lambda then nulls that slot, and
+    * the fold's `acc + null` poisons the sum). */
+  case class L2Sq(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_l2sq"
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireType(prettyName, isVec(left.dataType),
+        "ARRAY<FLOAT|DOUBLE>", left.dataType)
+      if (l != TypeCheckResult.TypeCheckSuccess) l
+      else requireType(prettyName, isVec(right.dataType),
+        "ARRAY<FLOAT|DOUBLE>", right.dataType)
+    }
+
+    private def elemIsFloat(e: Expression): Boolean =
+      e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements()) return null
+      val fx = elemIsFloat(left)
+      val fy = elemIsFloat(right)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val xv = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+        val t = xv - yv
+        acc += t * t
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val t = ctx.freshName("t")
+        val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+        val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+        s"""
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) { ${ev.isNull} = true; }
+        double $acc = 0.0;
+        if (!${ev.isNull}) {
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            double $t = $getA - $getB;
+            $acc += $t * $t;
+          }
+        }
+        ${ev.value} = $acc;
+        """
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Sq =
+      copy(left = l, right = r)
+  }
+
   /** All k MinHash signatures in one pass over the shingle-hash array:
     * sig_i = min over h of (h*A_i + B_i) mod P with the
     * [[minhashCoefA]]/[[minhashCoefB]] coefficients — the same
@@ -1118,6 +1192,7 @@ object NativeExpressions {
     Bridge.column(CommonPrefixLength(expr(a), expr(b)))
   def blockHash64(c: Column): Column = Bridge.column(BlockHash64(expr(c)))
   def dot(a: Column, b: Column): Column = Bridge.column(DotProduct(expr(a), expr(b)))
+  def l2sq(a: Column, b: Column): Column = Bridge.column(L2Sq(expr(a), expr(b)))
   def intersectSize(a: Column, b: Column): Column =
     Bridge.column(IntersectSize(expr(a), expr(b)))
   def sortedIntersect(a: Column, b: Column): Column =

@@ -145,7 +145,18 @@ object KMeansLloyd {
     var cents: Seq[(Long, Array[Double])] = initRows
     var lastAssigned: DataFrame = null
     var lastCounts: Map[Long, Long] = Map.empty
-    for (_ <- 1 to iters) {
+    // Exact early stop (r16, guide §2.4 — remove work outright): once
+    // an update leaves every centroid BIT-IDENTICAL to the previous
+    // iteration, the fit is at an exact fixed point — assignment
+    // depends only on the centroids, so every further iteration would
+    // recompute the same assignment, the same quantized sums, and the
+    // same centroids. Skipping those iterations changes nothing the
+    // fixed-iteration oracle CTEs could observe (their extra
+    // iterations replay the identical state), and saves one full-pass
+    // aggregation job per skipped iteration on fits called with a
+    // generous budget (the PQ/OPQ maxIter=20 disk build).
+    var converged = false
+    for (_ <- 1 to iters if !converged) {
       val assigned = assignStep(v, cents)
       lastAssigned = assigned
       // E5 fixed-point update: quantize once, integer-sum per
@@ -168,20 +179,126 @@ object KMeansLloyd {
         .collect()
       val byCell = sums.groupBy(_.getLong(0))
       lastCounts = byCell.map { case (c, rows) => c -> rows.head.getLong(2) }
-      cents = cents.map { case (cId, prev) =>
+      val next = cents.map { case (cId, prev) =>
         byCell.get(cId) match {
           case None => (cId, prev) // empty cluster keeps its centroid
           case Some(rows) =>
-            val next = prev.clone()
+            val nxt = prev.clone()
             rows.foreach { r =>
-              next(r.getInt(1)) =
+              nxt(r.getInt(1)) =
                 (r.getLong(3).toDouble / r.getLong(2).toDouble) / CQ
             }
-            (cId, next)
+            (cId, nxt)
         }
       }
+      converged = next.iterator.zip(cents.iterator).forall {
+        case ((_, a), (_, b)) => java.util.Arrays.equals(a, b)
+      }
+      cents = next
     }
     (cents, lastAssigned, lastCounts)
+  }
+
+  /** Centroid-only fit over any `(vec_id, embedding)` frame — the
+    * quantizer-build entry ([[Similarity]]'s PQ/OPQ codebooks and
+    * coarse cells, r16): [[fitLoop]]'s centroids, dense ids 0..k-1 in
+    * id order. One deterministic init collect plus ONE combinable
+    * full-pass aggregation job per (non-converged) iteration — no
+    * VectorUDT conversion, no k-means|| init passes, and on the
+    * literal-argmin path no corpus-sized exchange at all, vs
+    * ml.KMeans's ~10 jobs per fit (the r15 verdict's OPQ job-count
+    * floor, ask #5). Callers' oracle rows are fit-value-independent
+    * (exhaustive-probe ≡ brute force, or stash-literal replay), so
+    * centroid VALUES moving off ml.KMeans's is sanctioned there;
+    * recall floors stay pinned in OpqSpec/AnnRecallSpec. */
+  private[queries] def fitCentroids(
+      v: DataFrame, k: Int, iters: Int): Seq[(Long, Array[Double])] =
+    fitLoop(v, k, iters)._1
+
+  /** LOCKSTEP multi-subspace Lloyd fit (r16): the m per-subspace
+    * codebook fits of a PQ/OPQ build are independent given the shared
+    * vector frame — each subspace's update reads only its own slice —
+    * so one pass can advance ALL of them: per iteration, ONE
+    * combinable aggregation job computes every subspace's quantized
+    * (cell, dim) sums, instead of m separate jobs (m full scans) per
+    * iteration (guide §2.4 — remove redundant passes outright; also
+    * m× fewer scheduler round-trips, the r15 verdict's OPQ job-count
+    * floor). Centroids are BIT-IDENTICAL to m independent [[fitLoop]]
+    * runs: same k-smallest-id init per slice, same packed-argmin
+    * assignment, same exact-integer fixed-point sums (commutative, so
+    * sharing the aggregation changes nothing), same update/empty-cell
+    * carry, same exact early stop (all subspaces at a fixed point).
+    * Returns codebooks in subspace order, each k × dsub with dense
+    * c_ids 0..k-1 implicit in row order. */
+  private[queries] def fitSubspaceCodebooks(
+      v: DataFrame, m: Int, dsub: Int, k: Int, iters: Int)
+      : Seq[Array[Array[Double]]] = {
+    require(m >= 1 && k > 0 && iters >= 1, s"bad fit shape m=$m k=$k iters=$iters")
+    // past the literal-argmin bound (ksub → 256 at scale pushes
+    // k×dsub literals per subspace over the codegen budget), fall
+    // back to independent per-subspace fits on the broadcast-join
+    // path — same centroids, m× the passes
+    if (m == 1 || k.toLong * dsub > LitAssignMaxCoeffs)
+      return (0 until m).map { j =>
+        fitLoop(v.select(col("vec_id"),
+          slice(col("u"), j * dsub + 1, dsub).as("embedding")), k, iters)
+          ._1.sortBy(_._1).map(_._2).toArray
+      }
+    // ONE init collect for every subspace: fitLoop's init is the k
+    // smallest vec_ids of the SAME frame, so each subspace's init is
+    // a slice of the same collected rows
+    val initRows = v.select(col("vec_id"), col("u"))
+      .orderBy(col("vec_id")).limit(k)
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    require(initRows.nonEmpty, "fitSubspaceCodebooks: empty input")
+    var cents: Array[Array[(Long, Array[Double])]] = Array.tabulate(m) { j =>
+      initRows.zipWithIndex.map { case (u, i) =>
+        (i.toLong, u.slice(j * dsub, (j + 1) * dsub))
+      }
+    }
+    var converged = false
+    for (_ <- 1 to iters if !converged) {
+      // one row per (subspace, cell, dim): the same posexplode volume
+      // the m separate fits produced COMBINED, in one job
+      val subStructs = (0 until m).map { j =>
+        struct(lit(j).as("j"),
+          packedMin(slice(col("u"), j * dsub + 1, dsub), cents(j).toSeq).as("cell"),
+          slice(col("u"), j * dsub + 1, dsub).as("sub"))
+      }
+      val sums = v
+        .select(explode(array(subStructs: _*)).as("s"))
+        .select(col("s.j"), col("s.cell"), posexplode(col("s.sub")).as(Seq("dim", "x")))
+        .select(col("j"), col("cell"), col("dim"),
+          round(col("x").cast("double") * lit(CQ)).cast("long").as("q"))
+        .groupBy("j", "cell", "dim")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("qsum"))
+        .collect()
+      val byJ = sums.groupBy(_.getInt(0))
+      val next = Array.tabulate(m) { j =>
+        val byCell = byJ.getOrElse(j, Array.empty[org.apache.spark.sql.Row])
+          .groupBy(_.getLong(1))
+        cents(j).map { case (cId, prev) =>
+          byCell.get(cId) match {
+            case None => (cId, prev) // empty cluster keeps its centroid
+            case Some(rows) =>
+              val nxt = prev.clone()
+              rows.foreach { r =>
+                nxt(r.getInt(2)) =
+                  (r.getLong(4).toDouble / r.getLong(3).toDouble) / CQ
+              }
+              (cId, nxt)
+          }
+        }
+      }
+      converged = (0 until m).forall { j =>
+        next(j).iterator.zip(cents(j).iterator).forall {
+          case ((_, a), (_, b)) => java.util.Arrays.equals(a, b)
+        }
+      }
+      cents = next
+    }
+    cents.toSeq.map(_.sortBy(_._1).map(_._2))
   }
 
   /** The packed quantized-distance key for ONE (embedding, centroid)
@@ -195,10 +312,11 @@ object KMeansLloyd {
       emb: org.apache.spark.sql.Column,
       cEmb: org.apache.spark.sql.Column,
       cId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val d2 = aggregate(
-      zip_with(emb, cEmb,
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0), (acc, x) => acc + x)
+    // native codegen kernel (r16, guide §4): bit-identical left fold
+    // to the aggregate(zip_with((x−c)·(x−c)))) chain it replaces —
+    // the HOF pair ran interpreted with per-element boxing, dominant
+    // CPU in the literal-argmin assignment at dims = 64
+    val d2 = graft.functions.NativeExpressions.l2sq(emb, cEmb)
     val domain = coalesce(
       assert_true(d2 * lit(DQ) < lit((1L << 41).toDouble),
         lit("kmeans: squared distance exceeds the 2^41 packing domain " +
@@ -229,7 +347,7 @@ object KMeansLloyd {
     * lesson) and the broadcast-join argmin is the path. */
   private val LitAssignMaxCoeffs = 4096
 
-  private def litAssignable(cents: Seq[(Long, Array[Double])]): Boolean =
+  private[queries] def litAssignable(cents: Seq[(Long, Array[Double])]): Boolean =
     cents.size.toLong * cents.head._2.length <= LitAssignMaxCoeffs
 
   /** One assignment pass: nearest centroid by the fixed-shape IEEE d2
@@ -243,7 +361,7 @@ object KMeansLloyd {
     * argmin collapses map-side. Shared by every [[fitLoop]] iteration
     * and the sample-fit full-corpus assign in [[assignments]], so the
     * two paths cannot drift. */
-  private def assignStep(
+  private[queries] def assignStep(
       v: DataFrame, cents: Seq[(Long, Array[Double])]): DataFrame = {
     if (litAssignable(cents))
       return v.select(col("vec_id"),

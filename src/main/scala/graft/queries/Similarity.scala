@@ -560,26 +560,34 @@ object Similarity {
       probes: Int = 3,
       seed: Long = 0xC0FFEEL,
       fitFraction: Double = 1.0): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val v = withNorms(embeddings)
-    val feat = v.withColumn("features", array_to_vector(col("embedding")))
-    val ff = fitFrame(feat, fitFraction, seed, cells, "annIvfTrained")
-    val model = new KMeans().setK(cells).setSeed(seed)
-      .setFeaturesCol("features").fit(ff)
+    // fit: the house Lloyd loop (r16, replacing ml.KMeans — one
+    // combinable aggregation job per iteration, no VectorUDT pass;
+    // this row's oracle is the exhaustive-probe ≡ brute-force
+    // equivalence, which holds whatever centroids the fit produced,
+    // and probe-limited recall stays pinned in AnnRecallSpec)
+    val ff = fitFrame(v.select(col("vec_id"), col("embedding")),
+      fitFraction, seed, cells, "annIvfTrained")
+    val fitCents = KMeansLloyd.fitCentroids(ff, cells, iters = 8)
     releaseFitFrame(ff, fitFraction)
-    val assigned = model.transform(feat)
-      .select(col("vec_id"), col("embedding"), col("n2"),
-        col("prediction").cast("long").as("cell"))
+    // assignment: below the literal bound, a pure per-row packed
+    // argmin (no join, no exchange — guide §2.4, the KMeansLloyd
+    // convention this index family shares); past it (cells ≈ √N
+    // territory) the broadcast-join argmin plus an id join-back.
+    val assigned =
+      if (KMeansLloyd.litAssignable(fitCents))
+        v.select(col("vec_id"), col("embedding"), col("n2"),
+          KMeansLloyd.packedMin(col("embedding"), fitCents).as("cell"))
+      else v.join(KMeansLloyd.assignStep(
+        v.select(col("vec_id"), col("embedding")), fitCents), Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
     // centroids as a broadcast frame, exactly like annIvf — as literals
     // they would be cells × dims expression nodes, which at the
     // recommended cells ≈ √N blows up analysis/codegen long before data
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cents = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) =>
-        val arr = c.toArray
-        (i.toLong, arr, arr.map(x => x * x).sum)
+    val cents = fitCents.map { case (i, arr) =>
+        (i, arr, arr.map(x => x * x).sum)
       }
       .toDF("c_id", "c_emb", "c_n2")
     val byQ = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
@@ -822,49 +830,56 @@ object Similarity {
     require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
     requireDims(embeddings, dims, "buildPqIndex")
     val dsub = dims / m
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val v = withNorms(embeddings)
     // unit-normalize once: cos(q, x) = <q̂, x̂>, so inner products
     // against normalized codebook centroids approximate cosine directly
     val unit = v.withColumn("u",
       transform(col("embedding"), x => x.cast("double") / sqrt(col("n2"))))
-    // memo-persist the normalized frame: the 1 + m KMeans fits and the
-    // encode transform all branch over it — without the memo each fit
-    // re-scans and re-normalizes the corpus
-    val feat = featCache.memo(unit.withColumn("features", array_to_vector(col("u"))))
+    // memo-persist the normalized frame: the 1 + m fits and the encode
+    // transform all branch over it — without the memo each fit
+    // re-scans and re-normalizes the corpus. EAGER (r16): the fits
+    // fan out concurrently from the Par pool below, and a lazy
+    // persist lets every racing fit job recompute the interpreted
+    // higher-order normalize chain before any block lands (measured
+    // ~0.7 s CPU per racing job on q_ann_opq_search).
+    val feat = featCache.memo(unit, eager = true)
     // every FIT (coarse + m codebooks) trains on the seeded sample;
     // the encode/assignment pass below still sees the full frame. The
     // filter sits over the memo-persisted feat, so the sampled fits
     // scan the persisted normalized frame, never re-normalize.
     val fitFeat =
       fitFrame(feat, fitFraction, seed, math.max(cells, ksub), "buildPqIndex")
-    // the 1 + m fits are INDEPENDENT given fitFeat (each a seeded
-    // KMeans over its own slice of the persisted frame): submit them
-    // from the bounded driver pool so each fit's task tail back-fills
-    // with the next fit's tasks (guide §2.6) instead of serializing
-    // 1 + m iterative jobs. Every individual fit is unchanged — same
-    // seed, same input, same reduce structure — so the fitted state is
-    // what the sequential loop produced.
-    val fitTasks: Seq[() => Array[Array[Double]]] =
-      (() => new KMeans().setK(cells).setSeed(seed).setMaxIter(maxIter)
-        .setFeaturesCol("features").fit(fitFeat)
-        .clusterCenters.map(_.toArray)) +:
-      (0 until m).map { j => () =>
-        val subFeat = fitFeat.withColumn("sub_features",
-          array_to_vector(slice(col("u"), j * dsub + 1, dsub)))
-        new KMeans().setK(ksub).setSeed(seed + j + 1).setMaxIter(maxIter)
-          .setFeaturesCol("sub_features").fit(subFeat)
-          .clusterCenters.map(_.toArray)
-      }
-    val fitted = graft.ops.Par.run(fitTasks)
+    // the 1 + m fits are INDEPENDENT given fitFeat (each a fixed-seed
+    // Lloyd loop over its own slice of the persisted frame): submit
+    // them from the bounded driver pool so each fit's task tail
+    // back-fills with the next fit's tasks (guide §2.6) instead of
+    // serializing 1 + m iterative jobs. Fits are the house
+    // [[KMeansLloyd.fitCentroids]] loop (r16, replacing ml.KMeans —
+    // the r15 verdict's OPQ job-count floor): one combinable
+    // aggregation job per iteration instead of ~10 jobs per ml fit,
+    // no VectorUDT conversion on the memo, deterministic init from
+    // the k smallest vec_ids. Centroid VALUES differ from ml.KMeans's;
+    // every consumer's oracle is fit-value-independent (exhaustive
+    // probes ≡ brute force, or stash-literal replay of whatever was
+    // fit) and recall floors stay pinned in OpqSpec/AnnRecallSpec.
+    // the coarse fit and the (lockstep) codebook fit are independent
+    // given fitFeat — overlap the two from the bounded pool; the m
+    // codebook fits themselves advance in ONE aggregation job per
+    // iteration ([[KMeansLloyd.fitSubspaceCodebooks]], r16)
+    val fitted = graft.ops.Par.run[Either[
+        Array[Array[Double]], Seq[Array[Array[Double]]]]](Seq(
+      () => Left(KMeansLloyd.fitCentroids(
+        fitFeat.select(col("vec_id"), col("u").as("embedding")),
+        cells, maxIter).sortBy(_._1).map(_._2).toArray),
+      () => Right(KMeansLloyd.fitSubspaceCodebooks(
+        fitFeat, m, dsub, ksub, maxIter))))
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cents = fitted.head.zipWithIndex.toSeq
+    val cents = fitted.head.swap.toOption.get.zipWithIndex.toSeq
       .map { case (arr, i) => (i.toLong, arr, arr.map(x => x * x).sum) }
       .toDF("c_id", "c_emb", "c_n2")
-    // product codebooks: one seeded KMeans per subspace slice
-    val codebooks = fitted.tail
+    // product codebooks: one house-Lloyd fit per subspace slice
+    val codebooks = fitted(1).toOption.get
     releaseFitFrame(fitFeat, fitFraction)
     val cbLit = codebookLit(codebooks)
     val codeCol = codeColFor(cbLit, m, dsub)
@@ -905,9 +920,11 @@ object Similarity {
     * ties within 2^-39 go to the smaller c_id. */
   private def assignCellsAndCodes(
       unit: DataFrame, cents: DataFrame, codeCol: Column): DataFrame = {
+    // native dot kernel (r16, guide §4) — same strict left fold as
+    // the interpreted aggregate(zip_with) chain it replaces; the
+    // stash-replay oracles mirror this exact ⟨u,c⟩ fold
     val d2 = col("c_n2") -
-      lit(2.0) * aggregate(zip_with(col("u"), col("c_emb"), (a, b) => a * b),
-        lit(0.0), (acc, x) => acc + x) + lit(2.0)
+      lit(2.0) * dot(col("u"), col("c_emb")) + lit(2.0)
     val cellIdDomain = coalesce(
       assert_true(col("c_id") >= 0L && col("c_id") < (1L << 21),
         lit("assignCellsAndCodes: c_id outside the 2^21 packing domain"))
@@ -934,9 +951,10 @@ object Similarity {
   private def codeColFor(cbLit: Column, m: Int, dsub: Int): Column =
     array((0 until m).map { j =>
       val sub = slice(col("u"), j * dsub + 1, dsub)
+      // native L2 kernel (r16, guide §4): bit-identical left fold to
+      // the interpreted aggregate(zip_with((a−b)²)) chain it replaces
       val dists = transform(element_at(cbLit, j + 1), cent =>
-        aggregate(zip_with(sub, cent, (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
+        graft.functions.NativeExpressions.l2sq(sub, cent))
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }: _*)
 
@@ -968,9 +986,7 @@ object Similarity {
       transform(col("q_emb"), x => x.cast("double") / sqrt(col("q_n2"))))
     val tablesCol = array((0 until idx.m).map { j =>
       val qsub = slice(col("q_u"), j * dsub + 1, dsub)
-      transform(element_at(cbLit, j + 1), cent =>
-        aggregate(zip_with(qsub, cent, (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x))
+      transform(element_at(cbLit, j + 1), cent => dot(qsub, cent))
     }: _*)
     val byQ = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
     val probed = qs.join(broadcast(idx.cents), lit(true))
@@ -1040,7 +1056,9 @@ object Similarity {
     * silently serve a stale pre-change artifact persisted in
     * java.io.tmpdir by an older JVM. (`cacheKey` remains the caller's
     * contract for corpus identity: it must change when the data does.) */
-  private val PqBuildVersion = 2 // v2: packed-argmin cell assignment
+  private val PqBuildVersion = 3 // v2: packed-argmin cell assignment;
+  // v3: house-Lloyd fits (centroid values moved off ml.KMeans's — a
+  // v2 disk artifact would serve codebooks the r16 build can't produce)
   // (shared with the append path) replaced KMeans.transform
 
   private[graft] def pqIndexDiskBase(
@@ -1237,8 +1255,10 @@ object Similarity {
     * component a strict left fold (the determinism contract). */
   private def rotateCol(rotation: Array[Array[Double]], u: Column): Column = {
     val rLit = array(rotation.map(row => array(row.map(lit): _*)): _*)
-    transform(rLit, row =>
-      aggregate(zip_with(row, u, (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+    // native dot kernel (r16, guide §4): same strict left fold as the
+    // aggregate(zip_with(·,·,×)) chain it replaces, which ran
+    // interpreted — dims² boxed lambda calls PER ROW at dims = 64
+    transform(rLit, row => dot(row, u))
   }
 
   /** Fit the OPQ rotation by alternating minimization (OPQ-NP):
@@ -1264,8 +1284,6 @@ object Similarity {
       seed: Long,
       maxIter: Int,
       opqRounds: Int): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val dsub = dims / m
     var rotation: Array[Array[Double]] =
       Array.tabulate(dims, dims)((i, j) => if (i == j) 1.0 else 0.0)
@@ -1279,17 +1297,19 @@ object Similarity {
       val rotated = unitFrame
         .withColumn("ru", rotateCol(rotation, col("u")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // the m per-subspace fits are independent given `rotated` —
-      // overlap them from the bounded driver pool (guide §2.6); each
-      // fit is unchanged (same seed/input/reduce structure), so the
-      // codebooks are what the sequential loop produced
-      val codebooks = graft.ops.Par.run((0 until m).map { j => () =>
-        val subFeat = rotated.withColumn("sub_features",
-          array_to_vector(slice(col("ru"), j * dsub + 1, dsub)))
-        new KMeans().setK(ksub).setSeed(seed + j + 1).setMaxIter(maxIter)
-          .setFeaturesCol("sub_features").fit(subFeat)
-          .clusterCenters.map(_.toArray)
-      })
+      // materialize before the fits fan out: the m concurrent fits
+      // would otherwise race the lazy persist and EACH recompute the
+      // interpreted rotate chain (same failure shape as the feat memo
+      // in buildPqIndex — one cheap count beats m rebuilds)
+      rotated.count()
+      // the m per-subspace fits advance in LOCKSTEP — one aggregation
+      // job per iteration for all of them
+      // ([[KMeansLloyd.fitSubspaceCodebooks]], r16 — see buildPqIndex's
+      // fit note; centroid values free to move off ml.KMeans's because
+      // the OPQ oracles are fit-value-independent)
+      val codebooks = KMeansLloyd.fitSubspaceCodebooks(
+        rotated.select(col("vec_id"), col("ru").as("u")),
+        m, dsub, ksub, maxIter)
       // S[(s, c), i] = Σ_{v: code_s(v) = c} round(û_i · 2^20): one
       // chained posexplode pair (the E12 shape — no per-row struct
       // arrays) onto the m·ksub·dims key space. The CODE must be
@@ -1398,9 +1418,7 @@ object Similarity {
         transform(col("q_emb"), x => x.cast("double") / sqrt(col("q_n2")))))
     val tablesCol = array((0 until pq.m).map { j =>
       val qsub = slice(col("q_u"), j * dsub + 1, dsub)
-      transform(element_at(cbLit, j + 1), cent =>
-        aggregate(zip_with(qsub, cent, (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x))
+      transform(element_at(cbLit, j + 1), cent => dot(qsub, cent))
     }: _*)
     // cell probing in rotated space: rank cells by <q_u, c_emb>/√c_n2
     // (q_u is unit up to rounding — the ranking statistic, not a score)
